@@ -1,0 +1,66 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Aggregation operators (SURVEY.md §2.4, A1-A8, A14).
+  *
+  * Every group-by here is a single hash aggregate: Spark plans a partial
+  * (map-side) aggregate before the exchange, so the shuffle carries one row
+  * per (partition × group) — at 100 TB with low-cardinality group keys the
+  * exchange is tiny regardless of input size.
+  */
+object Aggregates {
+
+  /** A1: global scalar aggregates — one row, no grouping
+    * (ref `Solar_Dashboard.py:173-186`).
+    */
+  def globalStats(df: DataFrame, aggs: Seq[Column]): DataFrame = df.agg(aggs.head, aggs.tail: _*)
+
+  /** A2/A4: multi-metric per-group summary
+    * (ref `Wind_Dashboard.py:609-620`).
+    */
+  def groupedStats(df: DataFrame, keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+
+  /** A5: capacity factor — per-group mean over the GLOBAL max
+    * (ref `Wind_Dashboard.py:617`). Window-over-empty-frame computes the
+    * global max with a single-partition exchange of the already-aggregated
+    * rows (group count ≪ input count), not of the raw data.
+    */
+  def capacityFactor(df: DataFrame, key: Column, value: Column,
+      outName: String = "capacity_factor_pct"): DataFrame = {
+    val grouped = df.groupBy(key).agg(avg(value).as("__avg"), max(value).as("__max"))
+    grouped
+      .withColumn("__gmax", max(col("__max")).over(Window.partitionBy()))
+      .select(key, round(col("__avg") / col("__gmax") * 100.0, 6).as(outName))
+  }
+
+  /** A8: describe-style summary block — count/mean/stddev/min/quartiles/max
+    * per group (ref `Wind_Dashboard.py:672-687`). Uses exact `percentile`
+    * to agree bit-for-bit with an interpolating oracle; swap for
+    * `percentile_approx` at the 100 TB tier where an exact sort-based
+    * percentile would shuffle the full column.
+    */
+  def describe(df: DataFrame, key: Column, value: Column): DataFrame =
+    df.groupBy(key).agg(
+      count(value).as("cnt"),
+      round(avg(value), 4).as("mean"),
+      round(stddev_samp(value), 4).as("std"),
+      round(min(value), 4).as("min"),
+      round(percentile(value, lit(0.25)), 4).as("p25"),
+      round(percentile(value, lit(0.5)), 4).as("p50"),
+      round(percentile(value, lit(0.75)), 4).as("p75"),
+      round(max(value), 4).as("max"))
+
+  /** A14 / T5: tumbling-window aggregation over event time — the batch
+    * equivalent of the streaming windowed agg. `window()` is a plain
+    * projection before the group-by (no extra shuffle vs. groupBy).
+    */
+  def tumblingAgg(df: DataFrame, ts: Column, width: String, aggs: Seq[Column]): DataFrame =
+    df.groupBy(window(ts, width).as("w"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", col("w.start"))
+      .drop("w")
+}

@@ -1,0 +1,40 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution operators: histograms, category counts, distinct counts
+  * (SURVEY.md §2.4, A6, A7, A9).
+  */
+object Distribution {
+
+  /** A9: fixed-width histogram — bucket index = floor(v / width)
+    * (ref Plotly histogram, `Wind_Dashboard.py:330-357`). One hash
+    * aggregate; bucket count is bounded by the value range, not the row
+    * count, so the result stays small at any scale.
+    */
+  def histogram(df: DataFrame, value: Column, width: Double,
+      extraKeys: Seq[Column] = Nil): DataFrame = {
+    val bucket = floor(value / width).cast("long").as("bucket")
+    df.groupBy((bucket +: extraKeys): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("bucket_lo", col("bucket") * width)
+  }
+
+  /** A6: counts per category (ref `value_counts()`, `Wind_Dashboard.py:361`). */
+  def countPerCategory(df: DataFrame, key: Column): DataFrame =
+    df.groupBy(key).agg(count(lit(1)).as("cnt"))
+
+  /** A7: exact distinct count per group (ref `nunique()`,
+    * `Solar_Dashboard.py:194-197`). Exact countDistinct expands to a
+    * two-phase aggregate; at the 100 TB tier prefer
+    * [[approxDistinctPerGroup]] (HLL++, single pass, no expansion).
+    */
+  def distinctPerGroup(df: DataFrame, key: Column, value: Column): DataFrame =
+    df.groupBy(key).agg(countDistinct(value).as("n_distinct"))
+
+  /** A7 at scale: HyperLogLog++ distinct-count sketch. */
+  def approxDistinctPerGroup(df: DataFrame, key: Column, value: Column,
+      rsd: Double = 0.01): DataFrame =
+    df.groupBy(key).agg(approx_count_distinct(value, rsd).as("n_distinct_approx"))
+}

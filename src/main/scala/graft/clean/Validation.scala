@@ -1,0 +1,76 @@
+package graft.clean
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The validation/cleaning operator family (SURVEY.md §2.2, P1-P5).
+  *
+  * All operators are plain narrow transformations except [[dedupeFirst]],
+  * which shuffles once on its key columns — at 100 TB that shuffle is the
+  * dominant cost, so dedup is expressed as a single window (one exchange,
+  * no join-back) and the ordering column makes "keep first" deterministic,
+  * unlike `dropDuplicates` whose survivor is partition-order dependent.
+  */
+object Validation {
+
+  /** P1: fail fast if required columns are missing
+    * (ref `Solar_Processing.py:15-18`).
+    */
+  def requireColumns(df: DataFrame, required: Seq[String]): DataFrame = {
+    val missing = required.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"missing required columns: ${missing.mkString(", ")}")
+    df
+  }
+
+  /** P2: null-on-error numeric coercion (pandas `to_numeric(errors='coerce')`,
+    * ref `Solar_Dashboard.py:111-114`). `try_cast` keeps rows, nulls bad cells.
+    */
+  def coerceNumeric(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.withColumns(cols.map(c => c -> try_cast(col(c), "double")).toMap)
+
+  /** P3: conjunctive range-validation filter
+    * (ref `Solar_Processing.py:23-26`, `Wind_Processing.py:30-34`).
+    * Bounds as a map col -> (lo, hi); the conjunction is one predicate so
+    * Catalyst pushes it into the scan.
+    */
+  def rangeFilter(df: DataFrame, bounds: Map[String, (Double, Double)]): DataFrame = {
+    val pred = bounds.map { case (c, (lo, hi)) => col(c).between(lo, hi) }
+      .reduce(_ && _)
+    df.filter(pred)
+  }
+
+  /** P4: fill nulls with per-column defaults (ref `Solar_Processing.py:29-32`:
+    * temp→25, humidity→50, pressure→1013.25).
+    */
+  def fillDefaults(df: DataFrame, defaults: Map[String, Any]): DataFrame =
+    df.na.fill(defaults)
+
+  /** P5: keyed deduplication, keep FIRST row per key by `order`
+    * (ref `drop_duplicates(subset=["station_id","timestamp"])`,
+    * `Solar_Processing.py:34`). Deterministic: ties broken by the full
+    * `order` sequence, which callers should make unique.
+    */
+  def dedupeFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Reference solar validation bounds (`Solar_Processing.py:23-26`). */
+  val solarBounds: Map[String, (Double, Double)] = Map(
+    "solar_irradiance_Wm2" -> (0.0, 1200.0),
+    "power_kW" -> (0.0, 2e6))
+
+  /** Reference wind validation bounds (`Wind_Processing.py:30-34`). */
+  val windBounds: Map[String, (Double, Double)] = Map(
+    "wind_speed_mps" -> (0.0, 60.0),
+    "air_temperature_C" -> (-50.0, 60.0),
+    "farm_power_kW" -> (0.0, 2e7))
+
+  /** Reference fill defaults (`Wind_Processing.py:37-38`). */
+  val windDefaults: Map[String, Any] = Map(
+    "air_pressure_hPa" -> 1013.25,
+    "humidity_percent" -> 50.0)
+}

@@ -1,0 +1,121 @@
+package graft.dedup
+
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design: every near-dup method is CANDIDATE-GENERATION first —
+  * a linear pass producing a small blocking key (band / signature), a
+  * shuffle on that key, and pairwise verification only *within* buckets.
+  * Nothing here is O(n²) over the corpus; the only quadratic work is per
+  * LSH bucket, which banding keeps small. Hashes are md5-derived so results
+  * are engine-independent (oracle-checkable) and stable across runs.
+  */
+object Dedup {
+
+  /** Exact dedup by content fingerprint: each row keeps its fingerprint and
+    * the canonical (minimum) id sharing it. One shuffle on the fingerprint.
+    */
+  def exactDuplicates(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val fp = df.select(id.as("doc_id"), TextAnalysis.fingerprint(text).as("fingerprint"))
+    val canon = fp.groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("group_size"))
+    fp.join(canon, "fingerprint")
+      .select(col("doc_id"), col("fingerprint"), col("canonical_id"),
+        (col("doc_id") =!= col("canonical_id")).as("is_duplicate"))
+  }
+
+  /** MinHash signature columns from bigram shingles.
+    *
+    * Each shingle is hashed once with md5; the 32 hex chars are sliced into
+    * `numHashes` independent 8-hex-char (32-bit) hashes, and the signature
+    * is the per-slice minimum over the document's distinct shingles — k
+    * minhashes for the price of one md5 per shingle. Max 4 hashes per md5;
+    * for more, extend with seeded md5(concat(seed, shingle)).
+    */
+  def minhashSignature(text: Column, numHashes: Int = 4): Seq[Column] = {
+    require(numHashes <= 4, "4 slices per md5; use seeded variant for more")
+    val grams = array_distinct(TextAnalysis.shingles(text, 2))
+    (0 until numHashes).map { i =>
+      array_min(transform(grams, g => substring(md5(g), i * 8 + 1, 8)))
+        .as(s"sig$i")
+    }
+  }
+
+  /** MinHash + LSH banding: docs sharing any band of their signature are
+    * candidate near-duplicates. 2 bands × 2 rows from a 4-hash signature.
+    * Returns candidate pairs (doc_a < doc_b, band_id) — the scalable
+    * pre-filter before exact Jaccard verification.
+    */
+  def minhashCandidates(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val sigs = minhashSignature(text)
+    val signed = df.select((id.as("doc_id") +: sigs): _*)
+    val bands = signed.select(col("doc_id"),
+        concat(col("sig0"), col("sig1")).as("band"), lit(1).as("band_id"))
+      .unionByName(signed.select(col("doc_id"),
+        concat(col("sig2"), col("sig3")).as("band"), lit(2).as("band_id")))
+    val a = bands.select(col("band"), col("band_id"), col("doc_id").as("doc_a"))
+    val b = bands.select(col("band"), col("band_id"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "band_id"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("band_id"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity between two shingle-set columns:
+    * |A∩B| / |A∪B|. Used to verify LSH candidates.
+    */
+  def jaccard(gramsA: Column, gramsB: Column): Column = {
+    val inter = size(array_intersect(gramsA, gramsB)).cast("double")
+    val union = (size(gramsA) + size(gramsB)).cast("double") - inter
+    round(inter / greatest(union, lit(1.0)), 6)
+  }
+
+  /** LSH candidates verified with exact bigram Jaccard — the full
+    * MinHash→band→bucket-join→verify near-dup pipeline.
+    */
+  def nearDuplicates(df: DataFrame, id: Column, text: Column,
+      threshold: Double = 0.7): DataFrame = {
+    val grams = df.select(id.as("did"),
+      array_distinct(TextAnalysis.shingles(text, 2)).as("grams"))
+    val cands = minhashCandidates(df, id, text).select("doc_a", "doc_b").distinct()
+    cands
+      .join(grams.withColumnRenamed("did", "doc_a").withColumnRenamed("grams", "ga"), "doc_a")
+      .join(grams.withColumnRenamed("did", "doc_b").withColumnRenamed("grams", "gb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), jaccard(col("ga"), col("gb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash: 16-bit locality-sensitive signature. Bit i of the signature is
+    * the sign of the sum over tokens of ±1 according to bit i of the token's
+    * hash (hex nibble i of md5 ≥ 8). Near-dup docs differ in few bits.
+    */
+  def simhash16(text: Column): Column = {
+    val toks = array_distinct(TextAnalysis.tokens(text))
+    val bitCols = (0 until 16).map { i =>
+      val votes = aggregate(toks, lit(0),
+        (acc, w) => acc +
+          when(substring(md5(w), i + 1, 1).isInCollection(
+            Seq("8", "9", "a", "b", "c", "d", "e", "f")), 1).otherwise(-1))
+      when(votes > 0, lit(1L) << (15 - i)).otherwise(0L)
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash values (bit-count of XOR). */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Embedding-cosine near-duplicate detection over candidate pairs.
+    * `pairs` must carry `vec_a`/`vec_b` array columns; emits cosine + flag.
+    * For corpus-scale use, generate pairs via LSH bucketing
+    * ([[graft.similarity.Similarity.hyperplaneBucket]]), never cross-join.
+    */
+  def cosinePairs(pairs: DataFrame, vecA: Column, vecB: Column,
+      threshold: Double = 0.9): DataFrame =
+    pairs
+      .withColumn("cosine", graft.similarity.Similarity.cosine(vecA, vecB))
+      .withColumn("is_near_dup", col("cosine") >= threshold)
+}

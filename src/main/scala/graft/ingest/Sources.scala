@@ -1,0 +1,91 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Batch and streaming sources (SURVEY.md §2.1, S1-S12).
+  *
+  * The reference ingests JSON from Kafka/Event Hubs and CSV logs from disk.
+  * All readers here parse with explicit schemas and normalize the timestamp
+  * column through one shared sanitizer so the three observed wire formats
+  * (`2025-11-04 20:13:36.536371+00:00`, `2025-11-04T20:30:47.702372`,
+  * `... UTC`) land in a single `TimestampType` column; unparseable values
+  * become null (pandas `errors='coerce'` semantics,
+  * ref `Solar_Processing.py:20`, `Wind_Processing.py:23`).
+  */
+object Sources {
+
+  /** Normalize a raw timestamp string column to TimestampType.
+    *
+    * Handles: literal ` UTC`/`UTC` token (ref `Wind_Processing.py:23`,
+    * databricks.docx:192), `T` separator, trailing `+00:00` offset.
+    * Session time zone is UTC, so stripping a `+00:00` offset is exact.
+    * Null on parse failure — never throws on dirty data.
+    */
+  def sanitizeTimestamp(c: Column): Column = {
+    val cleaned = regexp_replace(
+      regexp_replace(regexp_replace(c, "UTC", ""), "T", " "),
+      "\\+00:00$", "")
+    to_timestamp(trim(cleaned))
+  }
+
+  /** CSV batch source with explicit schema + header (S6). */
+  def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** CSV source + timestamp sanitation in one step. */
+  def csvWithTimestamp(spark: SparkSession, path: String, schema: StructType,
+      tsCol: String = "timestamp"): DataFrame =
+    csv(spark, path, schema)
+      .withColumn(tsCol, sanitizeTimestamp(col(tsCol)))
+
+  /** Parquet batch source (S9). */
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Decode a Kafka/Event-Hub-shaped DataFrame (binary `value` column) into
+    * typed rows: CAST(value AS STRING) → from_json(schema) → flatten (S1/S2).
+    * Works identically for `spark.read.format("kafka")` batch frames and
+    * `spark.readStream.format("kafka")` streaming frames — callers pass the
+    * raw frame in, which keeps this testable without a broker.
+    */
+  def decodeJson(raw: DataFrame, schema: StructType,
+      tsCol: String = "timestamp"): DataFrame = {
+    val parsed = raw
+      .selectExpr("CAST(value AS STRING) AS message")
+      .select(from_json(col("message"), schema).as("r"))
+      .select(col("r.*"))
+    if (parsed.columns.contains(tsCol))
+      parsed.withColumn(tsCol, sanitizeTimestamp(col(tsCol)))
+    else parsed
+  }
+
+  /** Kafka streaming source (S1): subscribe + earliest offsets + JSON decode.
+    * Not exercised in tests (no broker in the container) but the decode path
+    * it shares with [[decodeJson]] is.
+    */
+  def kafkaJsonStream(spark: SparkSession, bootstrap: String, topic: String,
+      schema: StructType, startingOffsets: String = "earliest"): DataFrame = {
+    val raw = spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+    decodeJson(raw, schema)
+  }
+
+  /** Kafka sink projection (S3): key = station/partition key, value = JSON of
+    * all columns. Keying by station preserves per-station ordering (T7,
+    * ref `Wind_Genration.py:88`).
+    */
+  def toKafkaShape(df: DataFrame, keyCol: String): DataFrame =
+    df.select(
+      col(keyCol).cast("string").as("key"),
+      to_json(struct(df.columns.map(col).toSeq: _*)).as("value"))
+
+  /** CSV append-log sink (S5/S7): header, fixed column order. */
+  def writeCsv(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).option("header", "true").csv(path)
+}

@@ -1,0 +1,86 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: image/audio/video as opaque `binary` columns
+  * with typed metadata, plus partition-wise decode/feature-extract plumbing.
+  *
+  * The decode step is STUBBED with a deterministic fake (this container has
+  * no image/audio codecs); everything around it — schema, batch iteration,
+  * partition shape, metadata extraction — is real. Swap
+  * [[DeterministicFakeDecoder]] for a codec-backed decoder in production.
+  *
+  * Scale notes: media blobs dominate row size, so the pipeline (a) keeps
+  * blobs out of shuffles — metadata is derived in a narrow pass and the blob
+  * column is dropped before any wide operation; (b) decodes per-partition via
+  * `mapPartitions` so decoder init (model load, codec context) amortizes over
+  * a whole batch, the same shape as Python's `mapInPandas`.
+  */
+object Multimodal {
+
+  /** A decoded media record: deterministic metadata a decoder would emit. */
+  case class MediaFeatures(doc_id: Long, byte_len: Long, width: Int,
+      height: Int, channels: Int, n_frames: Int, brightness: Double)
+
+  /** Decoder contract: bytes → features. Real implementations wrap an image
+    * or AV codec; init happens once per partition in [[decodeFeatures]].
+    */
+  trait MediaDecoder extends Serializable {
+    def decode(id: Long, bytes: Array[Byte]): MediaFeatures
+  }
+
+  /** Deterministic fake decoder: derives plausible metadata purely from the
+    * byte content (FNV-1a hash), so tests are reproducible and
+    * engine-checkable. A real decoder would parse the container format here.
+    */
+  object DeterministicFakeDecoder extends MediaDecoder {
+    def decode(id: Long, bytes: Array[Byte]): MediaFeatures = {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < bytes.length) { h = (h ^ (bytes(i) & 0xff)) * 0x100000001b3L; i += 1 }
+      val w = 64 + (math.floorMod(h, 448L)).toInt
+      val ht = 64 + (math.floorMod(h >>> 16, 448L)).toInt
+      MediaFeatures(id, bytes.length.toLong, w, ht,
+        channels = 3,
+        n_frames = 1 + math.floorMod(h >>> 32, 30L).toInt,
+        brightness = math.floorMod(h >>> 8, 1000L) / 1000.0)
+    }
+  }
+
+  /** Wrap a text table as a fake media table: (doc_id, media binary, meta).
+    * Stands in for `spark.read.format("binaryFile")` in tests.
+    */
+  def asMediaTable(df: DataFrame): DataFrame =
+    df.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("media"),
+      struct(
+        octet_length(encode(col("text"), "UTF-8")).as("byte_len"),
+        lit("image/fake").as("mime"),
+        col("source")).as("meta"))
+
+  /** Partition-wise decode: the Scala analogue of `mapInPandas` — one
+    * decoder instance per partition, streamed batch iteration, typed output.
+    */
+  def decodeFeatures(spark: SparkSession, media: DataFrame,
+      decoder: MediaDecoder = DeterministicFakeDecoder): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition decoder init would go here (codec/model load)
+        rows.map { case (id, bytes) => decoder.decode(id, bytes) }
+      }
+  }
+
+  /** Metadata-only pass, expression-level (no decode): cheap stats available
+    * without touching a codec — byte length, md5 content id, a size bucket
+    * for downstream partitioning. Blob column dropped on output.
+    */
+  def mediaMetadata(media: DataFrame): DataFrame =
+    media.select(
+      col("doc_id"),
+      col("meta.byte_len").as("byte_len"),
+      md5(col("media")).as("content_id"),
+      (col("meta.byte_len") / 100).cast("long").as("size_bucket"))
+}

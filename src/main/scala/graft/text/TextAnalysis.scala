@@ -1,0 +1,106 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting.
+  *
+  * Everything is a pure column expression over the `text` column — no UDFs,
+  * no shuffles; a full pass over 100 TB of documents stays embarrassingly
+  * parallel and whole-stage-codegen'd.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization of lower-cased, trimmed text. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Word n-gram shingles (n consecutive tokens joined by a space). */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*)))
+  }
+
+  /** Token count (whitespace tokenizer). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish sub-word proxy count: split on word boundaries AND every 4
+    * characters inside long words — a cheap, deterministic stand-in for a
+    * real tokenizer's piece count (≈ chars/4 for long words, 1 per short
+    * word), usable for token-budget accounting at scale.
+    */
+  def subwordCount(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, w) => acc + greatest(ceil(length(w) / 4.0), lit(1L)).cast("long"))
+
+  val defaultStopwords: Seq[String] = Seq("the", "a", "an", "of", "and", "to", "in", "is")
+
+  /** Fraction of tokens that are stopwords. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val t = tokens(text)
+    size(filter(t, w => w.isInCollection(stopwords))).cast("double") /
+      greatest(size(t), lit(1)).cast("double")
+  }
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.,!?;:'\"]", ""))).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Mean token length in characters. */
+  def avgTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    aggregate(t, lit(0L), (acc, w) => acc + length(w).cast("long")).cast("double") /
+      greatest(size(t), lit(1)).cast("double")
+  }
+
+  /** Composite quality score in [0,1] — length saturation, low punctuation,
+    * balanced stopword density (the classic C4/Gopher-style cheap filters,
+    * deterministic and oracle-checkable).
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val stopScore = lit(1.0) - abs(stopwordRatio(text) - 0.4)
+    round(lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3, 6)
+  }
+
+  /** Marker words per language for n-gram language ID. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "nicht", "das"),
+    "en" -> Seq("the", "a", "and", "is", "of"),
+    "es" -> Seq("el", "la", "que", "los", "una"),
+    "fr" -> Seq("le", "la", "et", "les", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Marker-hit count for one language's marker list. */
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), w => w.isInCollection(markers)))
+
+  /** Detected language = argmax marker count, ties broken by language code
+    * order (deterministic). Emits one score column per language plus
+    * `detected_lang`.
+    */
+  def withLangId(df: DataFrame, text: Column): DataFrame = {
+    val scored = langMarkers.foldLeft(df) { case (d, (lang, markers)) =>
+      d.withColumn(s"score_$lang", langScore(text, markers))
+    }
+    val best = langMarkers.map(_._1)
+      .map(l => struct(col(s"score_$l").as("s"), lit(l).as("l")))
+      .reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
+    scored.withColumn("detected_lang", best.getField("l"))
+  }
+
+  /** Normalized text: lower-case, collapse whitespace runs, trim. */
+  def normalized(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  /** Document fingerprint: md5 of normalized text. Content-defined identity
+    * for exact dedup; stable across engines (md5 is md5 everywhere, unlike
+    * engine-native hash functions).
+    */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+}
