@@ -27,7 +27,7 @@ object Validation {
     * ref `Solar_Dashboard.py:111-114`). `try_cast` keeps rows, nulls bad cells.
     */
   def coerceNumeric(df: DataFrame, cols: Seq[String]): DataFrame =
-    df.withColumns(cols.map(c => c -> try_cast(col(c), "double")).toMap)
+    df.withColumns(cols.map(c => c -> col(c).try_cast("double")).toMap)
 
   /** P3: conjunctive range-validation filter
     * (ref `Solar_Processing.py:23-26`, `Wind_Processing.py:30-34`).

@@ -100,7 +100,7 @@ object Dedup {
         (acc, w) => acc +
           when(substring(md5(w), i + 1, 1).isInCollection(
             Seq("8", "9", "a", "b", "c", "d", "e", "f")), 1).otherwise(-1))
-      when(votes > 0, lit(1L) << (15 - i)).otherwise(0L)
+      when(votes > 0, lit(1L << (15 - i))).otherwise(0L)
     }
     bitCols.reduce(_ + _)
   }

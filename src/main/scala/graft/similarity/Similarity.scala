@@ -96,7 +96,7 @@ object Similarity {
   def hyperplaneBucket(v: Column, planes: Seq[Seq[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (p, i) =>
       val planeCol = array(p.map(lit): _*)
-      when(dot(v, planeCol) >= 0, lit(1L) << i).otherwise(0L)
+      when(dot(v, planeCol) >= 0, lit(1L << i)).otherwise(0L)
     }
     bits.reduce(_ + _)
   }
