@@ -1,0 +1,415 @@
+package graft
+
+import graft.physics.Power
+import graft.similarity.Similarity
+
+/** DuckDB oracle SQL for every entry in [[SparkEntry.queries]] (minus the
+  * two rows-only checks: a07_approx_distinct, x13_media_decode).
+  *
+  * Each statement mirrors the Spark expression tree's association order so
+  * per-row double arithmetic is bit-identical across engines; aggregates are
+  * rounded on both sides. Int-width casts: Spark `size`/`hour`/`row_number`
+  * are 32-bit where DuckDB's are 64-bit.
+  */
+object OracleSql {
+
+  private val Toks = "string_split_regex(trim(lower(text)), '\\s+')"
+
+  /** Word-bigram shingle list, distinct, mirroring
+    * [[graft.text.TextAnalysis.shingles]] + array_distinct.
+    */
+  private val DistinctGrams =
+    """list_distinct(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+      | ELSE list_transform(generate_series(1, len(toks) - 1),
+      |   i -> concat_ws(' ', toks[i], toks[i + 1])) END)""".stripMargin
+
+  private def planeList(p: Seq[Double]): String =
+    p.map(_.toString).mkString("[", ", ", "]")
+
+  /** Sum of sign-bit terms mirroring [[Similarity.hyperplaneBucket]]. */
+  private def bucketExpr(planes: Seq[Seq[Double]], vecCol: String): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product($vecCol, ${planeList(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private def cosineSql(a: String, b: String): String =
+    s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+
+  /** 16 SimHash bit terms mirroring [[graft.dedup.Dedup.simhash16]]. */
+  private val SimhashExpr = (0 until 16).map { i =>
+    s"""(CASE WHEN list_sum(list_transform(dt, w ->
+       | CASE WHEN substring(md5(w), ${i + 1}, 1) IN ('8','9','a','b','c','d','e','f')
+       | THEN 1 ELSE -1 END)) > 0 THEN ${1L << (15 - i)} ELSE 0 END)""".stripMargin
+  }.mkString("(", " + ", ")")
+
+  private val Planes8 = Similarity.deterministicPlanes(8, 64)
+  private val Planes6 = Similarity.deterministicPlanes(6, 64, seed = 7L)
+
+  val all: Map[String, String] = Map(
+    "p01_project" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_orderkey < 100",
+    "p02_coerce" ->
+      "SELECT event_id, CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS coerced FROM events",
+    "p03_range_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+        |WHERE l_quantity BETWEEN 10.0 AND 40.0 AND l_discount BETWEEN 0.02 AND 0.08""".stripMargin,
+    "p04_fill_defaults" ->
+      """SELECT event_type, count(*) AS cnt,
+        | round(sum(coalesce(CASE WHEN event_type = 'error' THEN NULL ELSE value END, -1.0)), 2) AS sum_v
+        |FROM events GROUP BY event_type""".stripMargin,
+    "p05_dedup_first" ->
+      """SELECT user_id, event_id, value FROM (
+        | SELECT user_id, event_id, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        | FROM events) WHERE rn = 1""".stripMargin,
+    "p06_flag_filter" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events WHERE value > 100 GROUP BY event_type""".stripMargin,
+    "p07_station_filter" ->
+      """SELECT user_id, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events WHERE event_type = 'purchase' GROUP BY user_id""".stripMargin,
+    "p08_time_filter" ->
+      """SELECT event_type, count(*) AS cnt FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-20 00:00:00' GROUP BY event_type""".stripMargin,
+    "p10_normalize_rename" ->
+      """SELECT event_type AS station, round(sum(value), 2) AS total_power,
+        | round(avg(value * 0.1), 6) AS avg_volt, count(*) AS cnt
+        |FROM events GROUP BY event_type""".stripMargin,
+    "p12_limit" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 10",
+    "p13_last_n_per_key" ->
+      """SELECT user_id, event_id, CAST(rn AS INTEGER) AS rn FROM (
+        | SELECT user_id, event_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) WHERE rn <= 3""".stripMargin,
+    "p14_latest_per_key" ->
+      """SELECT event_type, event_id, value FROM (
+        | SELECT event_type, event_id, value,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) WHERE rn = 1""".stripMargin,
+
+    "d01_local_time" ->
+      """SELECT CAST(hour(ts + INTERVAL 2 HOUR) AS INTEGER) AS local_hour, count(*) AS cnt
+        |FROM events GROUP BY 1""".stripMargin,
+    "d02_sanitize_ts" ->
+      "SELECT event_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch_s FROM events",
+    "d03_time_features" ->
+      """SELECT CAST(hour(ts) AS INTEGER) AS hour, strftime(ts, '%A') AS day_of_week,
+        | CASE WHEN hour(ts) >= 6 AND hour(ts) < 18 THEN 'Day' ELSE 'Night' END AS time_of_day,
+        | count(*) AS cnt
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "d06_validity_flag" ->
+      """SELECT (CASE WHEN value > 300 THEN NULL ELSE value END) IS NOT NULL
+        |  AND props IS NOT NULL AS is_valid, count(*) AS cnt
+        |FROM events GROUP BY 1""".stripMargin,
+    "d07_wind_power_density" ->
+      """SELECT l_returnflag, round(sum((0.5 * (1.0 + l_tax)) *
+        | (((l_quantity / 10.0) * (l_quantity / 10.0)) * (l_quantity / 10.0))), 2) AS sum_wpd
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "d08_capacity_utilization" ->
+      """SELECT event_type, round(avg(round((value /
+        | CASE event_type WHEN 'click' THEN 500.0 WHEN 'view' THEN 400.0
+        |  WHEN 'purchase' THEN 380.0 WHEN 'signup' THEN 360.0 WHEN 'error' THEN 350.0 END)
+        | * 100.0, 6)), 6) AS avg_util
+        |FROM events GROUP BY event_type""".stripMargin,
+    "d09_hub_air_density" ->
+      s"""SELECT event_id,
+         | round((value / 50.0) * ${Power.ShearFactor}, 6) AS hub_mps,
+         | round(((1000.0 + (value / 10.0)) * 100.0) /
+         |   (287.05 * ((value / 20.0) + 273.15)), 6) AS density
+         |FROM events""".stripMargin,
+    "d11_turbine_power_curve" ->
+      s"""WITH t AS (SELECT event_id, value / 12.0 AS v FROM events)
+         |SELECT event_id, round(CASE
+         |  WHEN v < 3.0 OR v > 25.0 THEN 0.0
+         |  WHEN v > 12.0 THEN 2500.0
+         |  ELSE least((((((0.5 * 1.225) * CAST(${Power.RotorSweptAreaM2} AS DOUBLE)) * ((v * v) * v)) * 0.4) / 1000.0), 2500.0)
+         | END, 4) AS power_kw
+         |FROM t""".stripMargin,
+    "d12_farm_energy" ->
+      s"""SELECT l_returnflag, round(sum(((l_extendedprice / 1000.0) * l_linenumber)
+         | * ${10.0 / 60.0}), 2) AS sum_energy
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "d13_solar_power" ->
+      """WITH t AS (SELECT event_id,
+        |  greatest(1000.0 * (1.0 - ((value / 5.0) / 100.0)), 50.0) AS irr,
+        |  greatest(0.18 * (1.0 - (0.0045 * ((value / 10.0) - 25.0))), 0.05) AS eff
+        | FROM events)
+        |SELECT event_id, round(irr, 6) AS irradiance, round(eff, 9) AS efficiency,
+        | round(((((irr * 1.7) * eff) * 0.85) * 1000.0) / 1000.0, 4) AS power_kw
+        |FROM t""".stripMargin,
+    "d16_daytime_gate" ->
+      """SELECT event_type, round(sum(CASE WHEN hour(ts) >= 6 AND hour(ts) < 18
+        | THEN value ELSE 0.0 END), 2) AS sum_gated
+        |FROM events GROUP BY event_type""".stripMargin,
+    "d17_power_from_vi" ->
+      """SELECT l_returnflag, round(sum((l_extendedprice * l_quantity) / 1000.0), 2) AS sum_power
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "d18_power_coefficient" ->
+      """SELECT event_type, round(avg(value / (power(value / 30.0, 3) + 0.001)), 4) AS avg_pc
+        |FROM events GROUP BY event_type""".stripMargin,
+    "d19_wind_class" ->
+      """SELECT wind_class, count(*) AS cnt FROM (
+        | SELECT CASE WHEN value / 5.0 <= 0 OR value / 5.0 > 100 THEN NULL
+        |  WHEN value / 5.0 <= 3 THEN 'Calm' WHEN value / 5.0 <= 7 THEN 'Light'
+        |  WHEN value / 5.0 <= 12 THEN 'Moderate' WHEN value / 5.0 <= 20 THEN 'Strong'
+        |  ELSE 'Gale' END AS wind_class FROM events)
+        |GROUP BY wind_class""".stripMargin,
+    "d22_ewma_batch" ->
+      """WITH t AS (SELECT event_type, value,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n
+        | FROM events)
+        |SELECT event_type, round(sum((CASE WHEN rn = 1 THEN power(0.65, n - 1)
+        | ELSE 0.35 * power(0.65, n - rn) END) * value), 6) AS ewma
+        |FROM t GROUP BY event_type""".stripMargin,
+    "d23_prettify" ->
+      """SELECT DISTINCT event_type,
+        | upper(substring(event_type, 1, 1)) || substring(event_type, 2) AS label
+        |FROM events""".stripMargin,
+
+    "a01_global_stats" ->
+      """SELECT round(sum(l_extendedprice), 2) AS sum_price, round(avg(l_quantity), 6) AS avg_qty,
+        | max(l_quantity) AS max_qty, count(*) AS cnt
+        |FROM lineitem""".stripMargin,
+    "a02_group_stats" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_price, round(avg(l_discount), 6) AS avg_disc,
+        | max(l_quantity) AS max_qty, count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "a03_hourly_agg" ->
+      """SELECT CAST(hour(ts) AS INTEGER) AS hour, round(sum(value), 2) AS sum_value,
+        | count(*) AS cnt
+        |FROM events GROUP BY 1""".stripMargin,
+    "a05_capacity_factor" ->
+      """WITH g AS (SELECT event_type, avg(value) AS a, max(value) AS m
+        | FROM events GROUP BY event_type)
+        |SELECT event_type, round((a / (SELECT max(m) FROM g)) * 100.0, 6) AS capacity_factor_pct
+        |FROM g""".stripMargin,
+    "a06_category_counts" ->
+      "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
+    "a07_distinct_count" ->
+      "SELECT event_type, count(DISTINCT user_id) AS n_distinct FROM events GROUP BY event_type",
+    "a08_describe" ->
+      """SELECT event_type, count(value) AS cnt, round(avg(value), 6) AS mean,
+        | round(stddev_samp(value), 6) AS std, round(min(value), 6) AS min,
+        | round(quantile_cont(value, 0.25), 6) AS p25, round(quantile_cont(value, 0.5), 6) AS p50,
+        | round(quantile_cont(value, 0.75), 6) AS p75, round(max(value), 6) AS max
+        |FROM events GROUP BY event_type""".stripMargin,
+    "a09_histogram" ->
+      """SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket, event_type, count(*) AS cnt,
+        | CAST(floor(value / 25.0) AS BIGINT) * CAST(25.0 AS DOUBLE) AS bucket_lo
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "a10_corr" ->
+      """SELECT event_type, round(corr(value, hour(ts)), 6) AS corr
+        |FROM events GROUP BY event_type""".stripMargin,
+    "a11_corr_matrix" ->
+      """WITH g AS (SELECT CAST(ts AS DATE) AS b, event_type AS k, avg(value) AS v
+        | FROM events GROUP BY 1, 2)
+        |SELECT a.k AS key_a, b2.k AS key_b, round(corr(a.v, b2.v), 6) AS corr
+        |FROM g a JOIN g b2 ON a.b = b2.b GROUP BY 1, 2""".stripMargin,
+    "a12_linear_trend" ->
+      """SELECT event_type, round(regr_slope(value, hour(ts)), 6) AS slope,
+        | round(regr_intercept(value, hour(ts)), 6) AS intercept
+        |FROM events GROUP BY event_type""".stripMargin,
+    "a13_pivot_wide" ->
+      """SELECT CAST(ts AS DATE) AS date,
+        | round(avg(value) FILTER (WHERE event_type = 'click'), 6) AS click,
+        | round(avg(value) FILTER (WHERE event_type = 'error'), 6) AS error,
+        | round(avg(value) FILTER (WHERE event_type = 'purchase'), 6) AS purchase,
+        | round(avg(value) FILTER (WHERE event_type = 'signup'), 6) AS signup,
+        | round(avg(value) FILTER (WHERE event_type = 'view'), 6) AS view
+        |FROM events GROUP BY 1""".stripMargin,
+    "a14_tumbling_window" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,
+        | round(sum(value), 2) AS sum_value, count(*) AS cnt
+        |FROM events GROUP BY 1""".stripMargin,
+    "a15_power_curve_table" ->
+      s"""WITH t AS (SELECT CAST(range AS BIGINT) AS id,
+         |  CAST(range AS DOUBLE) * CAST(0.4 AS DOUBLE) AS v FROM range(0, 100))
+         |SELECT id, round(CASE
+         |  WHEN v < 3.0 OR v > 25.0 THEN 0.0
+         |  WHEN v > 12.0 THEN 2500.0
+         |  ELSE least((((((0.5 * 1.225) * CAST(${Power.RotorSweptAreaM2} AS DOUBLE)) * ((v * v) * v)) * 0.4) / 1000.0), 2500.0)
+         | END, 4) AS power_kw
+         |FROM t""".stripMargin,
+
+    "j01_union" ->
+      """WITH u AS (SELECT * FROM lineitem WHERE l_returnflag = 'A'
+        | UNION ALL SELECT * FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+        |FROM u GROUP BY l_returnflag""".stripMargin,
+    "j02_extend_columns" ->
+      """SELECT value > 100 AS high, count(*) AS cnt, round(sum(value * 2.0), 2) AS sum_v2
+        |FROM events GROUP BY 1""".stripMargin,
+    "j03_broadcast_lookup" ->
+      """SELECT e.event_type, round(sum(e.value * d.weight), 2) AS weighted_sum, count(*) AS cnt
+        |FROM events e JOIN (VALUES ('click', 1.0), ('view', 0.5), ('purchase', 5.0),
+        | ('signup', 2.0), ('error', 0.0)) AS d(event_type, weight)
+        | ON e.event_type = d.event_type
+        |GROUP BY e.event_type""".stripMargin,
+    "j04_aligned_join" ->
+      """WITH p AS (SELECT CAST(ts AS DATE) AS date,
+        |  round(avg(value) FILTER (WHERE event_type = 'click'), 6) AS click,
+        |  round(avg(value) FILTER (WHERE event_type = 'purchase'), 6) AS purchase
+        | FROM events GROUP BY 1)
+        |SELECT * FROM p WHERE click IS NOT NULL AND purchase IS NOT NULL""".stripMargin,
+    "j05_star_schema" ->
+      """SELECT c_mktsegment, CAST(year(o_orderdate) AS INTEGER) AS year,
+        | round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders,
+        | count(DISTINCT o_custkey) AS n_cust
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
+    "j06_source_diff" ->
+      """WITH f AS (SELECT user_id, event_type, value,
+        |  row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events WHERE event_type IN ('click', 'view')),
+        |l AS (SELECT user_id, event_type, value FROM f WHERE rn = 1)
+        |SELECT a.user_id, 'Value' AS parameter, a.value AS api_value, r.value AS rt_value,
+        | r.value - a.value AS difference
+        |FROM l a JOIN l r ON a.user_id = r.user_id
+        | AND a.event_type = 'click' AND r.event_type = 'view'""".stripMargin,
+
+    "o01_rank_by_aggregate" ->
+      """WITH g AS (SELECT event_type, round(sum(value), 2) AS total_value
+        | FROM events GROUP BY event_type)
+        |SELECT event_type, total_value,
+        | CAST(rank() OVER (ORDER BY total_value DESC) AS INTEGER) AS rnk
+        |FROM g""".stripMargin,
+    "o02_time_order" ->
+      "SELECT event_id FROM events ORDER BY ts, event_id LIMIT 20",
+    "o03_rank_window" ->
+      """WITH g AS (SELECT event_type, user_id, round(sum(value), 2) AS total
+        | FROM events GROUP BY 1, 2)
+        |SELECT event_type, user_id, total, CAST(rn AS INTEGER) AS rn FROM (
+        | SELECT event_type, user_id, total,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY total DESC, user_id DESC) AS rn
+        | FROM g) WHERE rn <= 3""".stripMargin,
+
+    "s01_kafka_roundtrip" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    "s05_csv_roundtrip" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "x01_token_counts" ->
+      s"""SELECT doc_id, CAST(len($Toks) AS INTEGER) AS n_tokens,
+         | CAST(list_sum(list_transform($Toks,
+         |  w -> CAST(greatest(ceil(length(w) / 4.0), 1) AS BIGINT))) AS BIGINT) AS n_subwords
+         |FROM documents""".stripMargin,
+    "x02_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, text, $Toks AS toks FROM documents)
+         |SELECT doc_id, round(
+         | least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4 +
+         | (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"]', '', 'g')) AS DOUBLE)
+         |   / CAST(greatest(length(text), 1) AS DOUBLE)) * 5.0, 1.0)) * 0.3 +
+         | (1.0 - abs((CAST(len(list_filter(toks, w -> list_contains(['the','a','an','of','and','to','in','is'], w))) AS DOUBLE)
+         |   / CAST(greatest(len(toks), 1) AS DOUBLE) - 0.4))) * 0.3, 6) AS quality
+         |FROM t""".stripMargin,
+    "x03_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |sc AS (SELECT doc_id,
+         | CAST(len(list_filter(toks, w -> list_contains(['der','die','und','nicht','das'], w))) AS INTEGER) AS score_de,
+         | CAST(len(list_filter(toks, w -> list_contains(['the','a','and','is','of'], w))) AS INTEGER) AS score_en,
+         | CAST(len(list_filter(toks, w -> list_contains(['el','la','que','los','una'], w))) AS INTEGER) AS score_es,
+         | CAST(len(list_filter(toks, w -> list_contains(['le','la','et','les','une'], w))) AS INTEGER) AS score_fr,
+         | CAST(len(list_filter(toks, w -> list_contains(['的','是','了','在','我'], w))) AS INTEGER) AS score_zh
+         | FROM t)
+         |SELECT doc_id, score_de, score_en, score_es, score_fr, score_zh,
+         | CASE WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+         |  WHEN score_en >= score_es AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+         |  WHEN score_es >= score_fr AND score_es >= score_zh THEN 'es'
+         |  WHEN score_fr >= score_zh THEN 'fr' ELSE 'zh' END AS detected_lang
+         |FROM sc""".stripMargin,
+    "x04_exact_dedup" ->
+      """WITH fp AS (SELECT doc_id,
+        |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+        | FROM documents)
+        |SELECT doc_id, fingerprint,
+        | min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id,
+        | doc_id <> min(doc_id) OVER (PARTITION BY fingerprint) AS is_duplicate
+        |FROM fp""".stripMargin,
+    "x05_minhash_signature" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |g AS (SELECT doc_id, $DistinctGrams AS grams FROM t)
+         |SELECT doc_id,
+         | list_min(list_transform(grams, x -> substring(md5(x), 1, 8))) AS sig0,
+         | list_min(list_transform(grams, x -> substring(md5(x), 9, 8))) AS sig1,
+         | list_min(list_transform(grams, x -> substring(md5(x), 17, 8))) AS sig2,
+         | list_min(list_transform(grams, x -> substring(md5(x), 25, 8))) AS sig3
+         |FROM g""".stripMargin,
+    "x06_near_duplicates" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |g AS (SELECT doc_id, $DistinctGrams AS grams FROM t),
+         |sig AS (SELECT doc_id,
+         | list_min(list_transform(grams, x -> substring(md5(x), 1, 8))) AS sig0,
+         | list_min(list_transform(grams, x -> substring(md5(x), 9, 8))) AS sig1,
+         | list_min(list_transform(grams, x -> substring(md5(x), 17, 8))) AS sig2,
+         | list_min(list_transform(grams, x -> substring(md5(x), 25, 8))) AS sig3
+         | FROM g),
+         |bands AS (SELECT doc_id, sig0 || sig1 AS band, 1 AS band_id FROM sig
+         | UNION ALL SELECT doc_id, sig2 || sig3 AS band, 2 AS band_id FROM sig),
+         |capped AS (SELECT doc_id, band, band_id FROM (
+         | SELECT doc_id, band, band_id, count(*) OVER (PARTITION BY band, band_id) AS bc
+         | FROM bands) WHERE bc <= 1000),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM capped a JOIN capped b
+         |  ON a.band = b.band AND a.band_id = b.band_id AND a.doc_id < b.doc_id),
+         |scored AS (SELECT doc_a, doc_b,
+         | round(CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) /
+         |  greatest(CAST(len(ga.grams) + len(gb.grams) AS DOUBLE)
+         |   - CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE), 1.0), 6) AS jaccard
+         | FROM cand JOIN g ga ON cand.doc_a = ga.doc_id JOIN g gb ON cand.doc_b = gb.doc_id)
+         |SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.3""".stripMargin,
+    "x07_simhash" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct($Toks) AS dt FROM documents),
+         |s AS (SELECT doc_id, CAST($SimhashExpr AS BIGINT) AS simhash FROM t)
+         |SELECT doc_id, simhash, CAST(bit_count(simhash) AS INTEGER) AS popcount FROM s""".stripMargin,
+    "x08_knn_bruteforce" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+         | FROM embeddings),
+         |q AS (SELECT vec_id AS qid, ve AS qv FROM v WHERE vec_id < 5),
+         |sc AS (SELECT q.qid, v.vec_id AS nid, ${cosineSql("q.qv", "v.ve")} AS cosine
+         | FROM v CROSS JOIN q WHERE v.vec_id <> q.qid)
+         |SELECT qid AS query_id, nid AS neighbor_id, cosine, CAST(rnk AS INTEGER) AS rnk
+         |FROM (SELECT qid, nid, cosine,
+         | row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk FROM sc)
+         |WHERE rnk <= 3""".stripMargin,
+    "x09_knn_ivf" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+         | FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id % 50 = 0),
+         |asg AS (SELECT vec_id, cid FROM (
+         | SELECT v.vec_id, c.cid,
+         |  row_number() OVER (PARTITION BY v.vec_id
+         |   ORDER BY ${cosineSql("v.ve", "c.cv")} DESC, c.cid) AS rn
+         | FROM v CROSS JOIN cent c) WHERE rn = 1),
+         |q AS (SELECT a.vec_id AS qid, a.cid, v.ve AS qv FROM asg a
+         | JOIN v ON a.vec_id = v.vec_id WHERE a.vec_id IN (1, 2, 3)),
+         |n AS (SELECT a.vec_id AS nid, a.cid, v.ve AS nv FROM asg a
+         | JOIN v ON a.vec_id = v.vec_id),
+         |sc AS (SELECT q.qid, n.nid, ${cosineSql("q.qv", "n.nv")} AS cosine
+         | FROM q JOIN n ON q.cid = n.cid AND n.nid <> q.qid)
+         |SELECT qid AS query_id, nid AS neighbor_id, cosine, CAST(rnk AS INTEGER) AS rnk
+         |FROM (SELECT qid, nid, cosine,
+         | row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk FROM sc)
+         |WHERE rnk <= 3""".stripMargin,
+    "x10_lsh_bucket" ->
+      s"""SELECT vec_id, CAST(${bucketExpr(Planes8, "ve")} AS BIGINT) AS bucket
+         |FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+         | FROM embeddings)""".stripMargin,
+    "x11_cosine_pairs" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         | FROM embeddings),
+         |b AS (SELECT vec_id, v, CAST(${bucketExpr(Planes6, "v")} AS BIGINT) AS bucket FROM e),
+         |p AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b, a.v AS va, b2.v AS vb
+         | FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+         |sc AS (SELECT id_a, id_b, ${cosineSql("va", "vb")} AS cosine FROM p)
+         |SELECT id_a, id_b, cosine, cosine >= 0.9 AS is_near_dup FROM sc""".stripMargin,
+    "x12_media_metadata" ->
+      """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS byte_len, md5(text) AS content_id,
+        | CAST(floor(strlen(text) / 100.0) AS BIGINT) AS size_bucket
+        |FROM documents""".stripMargin
+  )
+}

@@ -1,13 +1,443 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Aggregates, Comparison, Correlation, Distribution, Ranking}
+import graft.clean.Validation
+import graft.dedup.Dedup
+import graft.features.Features
+import graft.ingest.Sources
+import graft.multimodal.Multimodal
+import graft.normalize.ColumnDetect
+import graft.physics.Power
+import graft.similarity.Similarity
+import graft.streaming.Ewma
+import graft.text.TextAnalysis
+import graft.warehouse.StarSchema
+
+/** Driver contract — one `queries` entry (plus a DuckDB `oracleSql` twin)
+  * per operator from SURVEY.md §2 and per LLM-pipeline operator.
+  *
+  * Oracle-compat rules used throughout (see also `graft.Verify`):
+  *  - every aggregate/computed column is aliased identically on both sides;
+  *  - doubles produced by *arithmetic* are rounded (2 for sums of 2-dp data,
+  *    6 for ratios/physics) so partial-agg merge order can't flip a bit;
+  *    raw pass-through doubles are left exact;
+  *  - oracle SQL mirrors the Spark expression tree's association order so
+  *    per-row double math is bit-identical;
+  *  - ints stay ints: Spark `size`/`hour`/`row_number` are 32-bit, DuckDB's
+  *    are 64-bit, so oracles CAST accordingly.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") Tables.events(s, dir) else Tables.load(s, dir, name)
+
+  /** Flagship query on sf=0.001 (SURVEY.md §7 step 1): clean (P3-P5) →
+    * time features (D1-D6) → multi-metric per-group aggregate (A2/A4) over
+    * the `events` telemetry analog.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumnRenamed("ts", "timestamp")
+      .withColumnRenamed("event_type", "station_id")
+    val cleaned = graft.streaming.Pipeline.transform(
+      ev, Map("value" -> (0.0, 1000.0)), Map("value" -> 0.0), streaming = false)
+    Aggregates.groupedStats(cleaned,
+      Seq(col("station_id"), col("time_of_day")),
+      Seq(count(lit(1)).as("cnt"),
+        round(sum(col("value")), 2).as("sum_value"),
+        round(avg(col("value")), 6).as("avg_value")))
+  }
+
+  // deterministic hyperplanes shared by x10/x11 and their oracles
+  private val Planes8 = Similarity.deterministicPlanes(8, 64)
+  private val Planes6 = Similarity.deterministicPlanes(6, 64, seed = 7L)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── P: projection / filter / cleaning ────────────────────────────────
+    "p01_project" -> ((s, dir) => {
+      val li = Validation.requireColumns(T(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber", "l_quantity"))
+      li.filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    }),
+    "p02_coerce" -> ((s, dir) => {
+      val dirty = T(s, dir, "events").withColumn("dirty",
+        when(col("event_id") % 7 === 0, col("props"))
+          .otherwise(col("value").cast("string")))
+      Validation.coerceNumeric(dirty, Seq("dirty"))
+        .select(col("event_id"), col("dirty").as("coerced"))
+    }),
+    "p03_range_filter" -> ((s, dir) =>
+      Validation.rangeFilter(T(s, dir, "lineitem"),
+          Map("l_quantity" -> (10.0, 40.0), "l_discount" -> (0.02, 0.08)))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_discount"))),
+    "p04_fill_defaults" -> ((s, dir) => {
+      val withNulls = T(s, dir, "events").withColumn("v",
+        when(col("event_type") === "error", lit(null).cast("double"))
+          .otherwise(col("value")))
+      Validation.fillDefaults(withNulls, Map("v" -> -1.0))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("v")), 2).as("sum_v"))
+    }),
+    "p05_dedup_first" -> ((s, dir) =>
+      Validation.dedupeFirst(T(s, dir, "events"), Seq("user_id"),
+          Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("event_id"), col("value"))),
+    "p06_flag_filter" -> ((s, dir) =>
+      T(s, dir, "events").withColumn("is_valid", col("value") > 100)
+        .filter(col("is_valid"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))),
+    "p07_station_filter" -> ((s, dir) =>
+      T(s, dir, "events").filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))),
+    "p08_time_filter" -> ((s, dir) =>
+      T(s, dir, "events")
+        .filter(col("ts") >= to_timestamp(lit("2024-01-20 00:00:00")))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))),
+    "p10_normalize_rename" -> ((s, dir) => {
+      val odd = T(s, dir, "events").select(
+        col("ts").as("record_time"), col("event_type").as("site_id"),
+        col("value").as("power_kw"), (col("value") * 0.1).as("volt_lvl"),
+        (col("value") * 0.05).as("amps"))
+      val canon = ColumnDetect.normalizeSolar(odd)
+      canon.groupBy(col("station"))
+        .agg(round(sum(col("power_output")), 2).as("total_power"),
+          round(avg(col("voltage")), 6).as("avg_volt"),
+          count(lit(1)).as("cnt"))
+    }),
+    "p12_limit" -> ((s, dir) =>
+      T(s, dir, "orders").orderBy(col("o_orderkey")).limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"))),
+    "p13_last_n_per_key" -> ((s, dir) =>
+      Ranking.lastNPerKey(T(s, dir, "events"), Seq(col("user_id")),
+          Seq(col("ts"), col("event_id")), 3)
+        .select(col("user_id"), col("event_id"), col("rn"))),
+    "p14_latest_per_key" -> ((s, dir) =>
+      Ranking.lastPerKey(T(s, dir, "events"), Seq(col("event_type")),
+          Seq(col("ts"), col("event_id")))
+        .select(col("event_type"), col("event_id"), col("value"))),
+
+    // ── D: derived columns ───────────────────────────────────────────────
+    "d01_local_time" -> ((s, dir) =>
+      T(s, dir, "events")
+        .select(hour(Features.localTimestamp(col("ts"))).as("local_hour"))
+        .groupBy(col("local_hour")).agg(count(lit(1)).as("cnt"))),
+    "d02_sanitize_ts" -> ((s, dir) => {
+      val dirty = T(s, dir, "events").withColumn("raw_ts",
+        when(col("event_id") % 3 === 0,
+          concat(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"), lit("+00:00")))
+          .when(col("event_id") % 3 === 1,
+            date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"))
+          .otherwise(concat(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"), lit(" UTC"))))
+      dirty.select(col("event_id"),
+        unix_timestamp(Sources.sanitizeTimestamp(col("raw_ts"))).as("epoch_s"))
+    }),
+    "d03_time_features" -> ((s, dir) => {
+      val f = T(s, dir, "events")
+        .withColumn("hour", Features.hourOf(col("ts")))
+        .withColumn("day_of_week", Features.dayOfWeekName(col("ts")))
+        .withColumn("time_of_day", Features.timeOfDay(col("hour")))
+      f.groupBy(col("hour"), col("day_of_week"), col("time_of_day"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+    "d06_validity_flag" -> ((s, dir) =>
+      T(s, dir, "events")
+        .withColumn("a", when(col("value") > 300, lit(null).cast("double"))
+          .otherwise(col("value")))
+        .withColumn("is_valid", Features.isValid(col("a"), col("props")))
+        .groupBy(col("is_valid")).agg(count(lit(1)).as("cnt"))),
+    "d07_wind_power_density" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .withColumn("wpd", Features.windPowerDensity(
+          lit(1.0) + col("l_tax"), col("l_quantity") / 10.0))
+        .groupBy(col("l_returnflag"))
+        .agg(round(sum(col("wpd")), 2).as("sum_wpd"))),
+    "d08_capacity_utilization" -> ((s, dir) =>
+      T(s, dir, "events")
+        // scale 6: the ratios are exact 3-4dp decimals, so rounding at 2
+        // sits on the half-boundary and engines disagree; 6 is unambiguous
+        .withColumn("cap_util", Features.capacityUtilization(col("value"),
+          col("event_type"), Map("click" -> 500.0, "view" -> 400.0,
+            "purchase" -> 380.0, "signup" -> 360.0, "error" -> 350.0),
+          scale = 6))
+        .groupBy(col("event_type"))
+        .agg(round(avg(col("cap_util")), 6).as("avg_util"))),
+    "d09_hub_air_density" -> ((s, dir) =>
+      T(s, dir, "events").select(col("event_id"),
+        round(Power.hubWindSpeed(col("value") / 50.0), 6).as("hub_mps"),
+        round(Power.airDensity(lit(1000.0) + col("value") / 10.0,
+          col("value") / 20.0), 6).as("density"))),
+    "d11_turbine_power_curve" -> ((s, dir) =>
+      T(s, dir, "events").select(col("event_id"),
+        round(Power.turbinePowerKw(lit(1.225), col("value") / 12.0), 4)
+          .as("power_kw"))),
+    "d12_farm_energy" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .withColumn("farm_kw", Power.farmPowerKw(
+          col("l_extendedprice") / 1000.0, col("l_linenumber")))
+        .withColumn("energy", Power.energyKwh10min(col("farm_kw")))
+        .groupBy(col("l_returnflag"))
+        .agg(round(sum(col("energy")), 2).as("sum_energy"))),
+    "d13_solar_power" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+        .withColumn("irr", Power.irradianceFromClouds(col("value") / 5.0))
+        .withColumn("eff", Power.effectiveEfficiency(col("value") / 10.0))
+      // eff is an exact 9-dp decimal (0.18 - 8.1e-7*k): round at 9, where
+      // the decimal is representable, never at 6, where k=50 mod 100 rows
+      // sit exactly on the half-boundary
+      ev.select(col("event_id"), round(col("irr"), 6).as("irradiance"),
+        round(col("eff"), 9).as("efficiency"),
+        round(Power.solarPowerKw(col("irr"), col("eff"), lit(1000.0)), 4)
+          .as("power_kw"))
+    }),
+    "d16_daytime_gate" -> ((s, dir) =>
+      T(s, dir, "events")
+        .withColumn("gated", Power.gateDaytime(col("value"), hour(col("ts"))))
+        .groupBy(col("event_type"))
+        .agg(round(sum(col("gated")), 2).as("sum_gated"))),
+    "d17_power_from_vi" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .withColumn("p", Power.powerFromVI(col("l_extendedprice"), col("l_quantity")))
+        .groupBy(col("l_returnflag"))
+        .agg(round(sum(col("p")), 2).as("sum_power"))),
+    "d18_power_coefficient" -> ((s, dir) =>
+      T(s, dir, "events")
+        .withColumn("pc", Power.powerCoefficient(col("value"), col("value") / 30.0))
+        .groupBy(col("event_type"))
+        .agg(round(avg(col("pc")), 4).as("avg_pc"))),
+    "d19_wind_class" -> ((s, dir) =>
+      T(s, dir, "events")
+        .withColumn("wind_class", Features.windClass(col("value") / 5.0))
+        .groupBy(col("wind_class")).agg(count(lit(1)).as("cnt"))),
+    "d22_ewma_batch" -> ((s, dir) =>
+      Ewma.batchFinal(T(s, dir, "events"), "event_type",
+        Seq("ts", "event_id"), "value")),
+    "d23_prettify" -> ((s, dir) =>
+      T(s, dir, "events").select(col("event_type")).distinct()
+        .select(col("event_type"), Features.prettify(col("event_type")).as("label"))),
+
+    // ── A: aggregations ──────────────────────────────────────────────────
+    "a01_global_stats" -> ((s, dir) =>
+      Aggregates.globalStats(T(s, dir, "lineitem"), Seq(
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        count(lit(1)).as("cnt")))),
+    "a02_group_stats" -> ((s, dir) =>
+      Aggregates.groupedStats(T(s, dir, "lineitem"),
+        Seq(col("l_returnflag"), col("l_linestatus")),
+        Seq(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          max(col("l_quantity")).as("max_qty"),
+          count(lit(1)).as("cnt")))),
+    "a03_hourly_agg" -> ((s, dir) =>
+      Aggregates.groupedStats(T(s, dir, "events"),
+        Seq(hour(col("ts")).as("hour")),
+        Seq(round(sum(col("value")), 2).as("sum_value"),
+          count(lit(1)).as("cnt")))),
+    "a05_capacity_factor" -> ((s, dir) =>
+      Aggregates.capacityFactor(T(s, dir, "events"),
+        col("event_type"), col("value"))),
+    "a06_category_counts" -> ((s, dir) =>
+      Distribution.countPerCategory(T(s, dir, "events"), col("event_type"))),
+    "a07_distinct_count" -> ((s, dir) =>
+      Distribution.distinctPerGroup(T(s, dir, "events"),
+        col("event_type"), col("user_id"))),
+    "a07_approx_distinct" -> ((s, dir) =>
+      Distribution.approxDistinctPerGroup(T(s, dir, "events"),
+        col("event_type"), col("user_id"))),
+    "a08_describe" -> ((s, dir) =>
+      Aggregates.describe(T(s, dir, "events"), col("event_type"), col("value"))),
+    "a09_histogram" -> ((s, dir) =>
+      Distribution.histogram(T(s, dir, "events"), col("value"), 25.0,
+        Seq(col("event_type")))),
+    "a10_corr" -> ((s, dir) =>
+      Correlation.corrByGroup(T(s, dir, "events"), col("event_type"),
+        col("value"), hour(col("ts")))),
+    "a11_corr_matrix" -> ((s, dir) =>
+      Correlation.corrMatrix(T(s, dir, "events"), to_date(col("ts")),
+        col("event_type"), col("value"))),
+    "a12_linear_trend" -> ((s, dir) =>
+      Correlation.linearTrend(T(s, dir, "events"), col("event_type"),
+        hour(col("ts")), col("value"))),
+    "a13_pivot_wide" -> ((s, dir) =>
+      Correlation.pivotWide(T(s, dir, "events"), to_date(col("ts")).as("date"),
+        col("event_type"), Seq("click", "error", "purchase", "signup", "view"),
+        round(avg(col("value")), 6))),
+    "a14_tumbling_window" -> ((s, dir) =>
+      Aggregates.tumblingAgg(T(s, dir, "events"), col("ts"), "1 hour",
+          Seq(round(sum(col("value")), 2).as("sum_value"),
+            count(lit(1)).as("cnt")))
+        .select(unix_timestamp(col("window_start")).as("ws"),
+          col("sum_value"), col("cnt"))),
+    "a15_power_curve_table" -> ((s, _) =>
+      s.range(0, 100).select(col("id"),
+        round(Power.turbinePowerKw(lit(1.225),
+          col("id").cast("double") * 0.4), 4).as("power_kw"))),
+
+    // ── J: joins / set ops ───────────────────────────────────────────────
+    "j01_union" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      li.filter(col("l_returnflag") === "A")
+        .unionByName(li.filter(col("l_returnflag") === "R"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+    }),
+    "j02_extend_columns" -> ((s, dir) =>
+      T(s, dir, "events")
+        .withColumns(Map("v2" -> col("value") * 2.0, "high" -> (col("value") > 100)))
+        .groupBy(col("high"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("v2")), 2).as("sum_v2"))),
+    "j03_broadcast_lookup" -> ((s, dir) => {
+      import s.implicits._
+      val dim = Seq(("click", 1.0), ("view", 0.5), ("purchase", 5.0),
+        ("signup", 2.0), ("error", 0.0)).toDF("event_type", "weight")
+      T(s, dir, "events").join(broadcast(dim), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(round(sum(col("value") * col("weight")), 2).as("weighted_sum"),
+          count(lit(1)).as("cnt"))
+    }),
+    "j04_aligned_join" -> ((s, dir) =>
+      Correlation.pivotWide(T(s, dir, "events"), to_date(col("ts")).as("date"),
+          col("event_type"), Seq("click", "purchase"),
+          round(avg(col("value")), 6))
+        .na.drop()),
+    "j05_star_schema" -> ((s, dir) => {
+      val cust = T(s, dir, "customer")
+      val dimCust = StarSchema.buildDim(cust, Seq(col("c_custkey")),
+        Seq(col("c_name"), col("c_mktsegment")), "customer_key")
+      val ordersRaw = T(s, dir, "orders")
+        .withColumn("date", to_date(col("o_orderdate")))
+      val dimDate = StarSchema.buildDateDim(ordersRaw, col("o_orderdate"))
+      val fact = StarSchema.buildFact(
+        ordersRaw.withColumnRenamed("o_custkey", "c_custkey"),
+        Seq((dimCust, Seq("c_custkey"), "customer_key"),
+          (dimDate, Seq("date"), "date_key")),
+        Seq("o_orderkey", "o_totalprice"))
+      fact.join(broadcast(dimCust.select(col("customer_key"), col("c_mktsegment"))),
+          Seq("customer_key"))
+        .join(broadcast(dimDate.select(col("date_key"), col("year"))), Seq("date_key"))
+        .groupBy(col("c_mktsegment"), col("year"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"),
+          countDistinct(col("customer_key")).as("n_cust"))
+    }),
+    "j06_source_diff" -> ((s, dir) =>
+      Comparison.sourceDiff(
+        T(s, dir, "events").filter(col("event_type").isin("click", "view")),
+        "user_id", "event_type", "click", "view", Seq("value"),
+        Seq(col("ts"), col("event_id")))),
+
+    // ── O: ordering / ranking ────────────────────────────────────────────
+    "o01_rank_by_aggregate" -> ((s, dir) =>
+      Ranking.rankByAggregate(T(s, dir, "events"), col("event_type"),
+        round(sum(col("value")), 2), "total_value")),
+    "o02_time_order" -> ((s, dir) =>
+      T(s, dir, "events").orderBy(col("ts"), col("event_id")).limit(20)
+        .select(col("event_id"))),
+    "o03_rank_window" -> ((s, dir) => {
+      val grouped = T(s, dir, "events").groupBy(col("event_type"), col("user_id"))
+        .agg(round(sum(col("value")), 2).as("total"))
+      Ranking.lastNPerKey(grouped, Seq(col("event_type")),
+          Seq(col("total"), col("user_id")), 3)
+        .select(col("event_type"), col("user_id"), col("total"), col("rn"))
+    }),
+
+    // ── S: sources / sinks (broker-free batch shapes) ────────────────────
+    "s01_kafka_roundtrip" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
+      val wire = Sources.toKafkaShape(ev, "event_type")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      Sources.decodeJson(wire, schema, tsCol = "none")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+    }),
+    "s05_csv_roundtrip" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_s05_csv"
+      val ev = T(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      Sources.writeCsv(ev, path)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      Sources.csv(s, path, schema)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+    }),
+
+    // ── X: LLM-pipeline operators (documents / embeddings) ───────────────
+    "x01_token_counts" -> ((s, dir) =>
+      T(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.subwordCount(col("text")).as("n_subwords"))),
+    "x02_quality_score" -> ((s, dir) =>
+      T(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))),
+    "x03_lang_id" -> ((s, dir) =>
+      TextAnalysis.withLangId(T(s, dir, "documents"), col("text"))
+        .select(col("doc_id"), col("score_de"), col("score_en"), col("score_es"),
+          col("score_fr"), col("score_zh"), col("detected_lang"))),
+    "x04_exact_dedup" -> ((s, dir) =>
+      Dedup.exactDuplicates(T(s, dir, "documents"), col("doc_id"), col("text"))),
+    "x05_minhash_signature" -> ((s, dir) =>
+      T(s, dir, "documents").select(
+        (col("doc_id") +: Dedup.minhashSignature(col("text"))): _*)),
+    "x06_near_duplicates" -> ((s, dir) =>
+      Dedup.nearDuplicates(T(s, dir, "documents"), col("doc_id"), col("text"),
+        threshold = 0.3)),
+    "x07_simhash" -> ((s, dir) =>
+      T(s, dir, "documents").select(col("doc_id"),
+        Dedup.simhash16(col("text")).as("simhash"))
+        .withColumn("popcount", Dedup.hammingDistance(col("simhash"), lit(0L)))),
+    "x08_knn_bruteforce" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 5), 3)
+    }),
+    "x09_knn_ivf" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.ivfKnn(emb, emb.filter(col("vec_id") % 50 === 0),
+        Seq(1L, 2L, 3L), 3)
+    }),
+    "x10_lsh_bucket" -> ((s, dir) =>
+      T(s, dir, "embeddings").select(col("vec_id"),
+        Similarity.hyperplaneBucket(
+          Similarity.asDouble(col("embedding")), Planes8).as("bucket"))),
+    "x11_cosine_pairs" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings").select(col("vec_id"),
+          Similarity.asDouble(col("embedding")).as("v"))
+        .withColumn("bucket", Similarity.hyperplaneBucket(col("v"), Planes6))
+      val a = emb.select(col("bucket"), col("vec_id").as("id_a"), col("v").as("va"))
+      val b = emb.select(col("bucket"), col("vec_id").as("id_b"), col("v").as("vb"))
+      val pairs = a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      Dedup.cosinePairs(pairs, col("va"), col("vb"))
+        .select(col("id_a"), col("id_b"), col("cosine"), col("is_near_dup"))
+    }),
+    "x12_media_metadata" -> ((s, dir) =>
+      Multimodal.mediaMetadata(Multimodal.asMediaTable(T(s, dir, "documents")))),
+    "x13_media_decode" -> ((s, dir) =>
+      Multimodal.decodeFeatures(s,
+        Multimodal.asMediaTable(T(s, dir, "documents"))).toDF())
+  )
+
+  def oracleSql: Map[String, String] = OracleSql.all
 }

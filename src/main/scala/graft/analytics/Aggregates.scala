@@ -46,13 +46,13 @@ object Aggregates {
   def describe(df: DataFrame, key: Column, value: Column): DataFrame =
     df.groupBy(key).agg(
       count(value).as("cnt"),
-      round(avg(value), 4).as("mean"),
-      round(stddev_samp(value), 4).as("std"),
-      round(min(value), 4).as("min"),
-      round(percentile(value, lit(0.25)), 4).as("p25"),
-      round(percentile(value, lit(0.5)), 4).as("p50"),
-      round(percentile(value, lit(0.75)), 4).as("p75"),
-      round(max(value), 4).as("max"))
+      round(avg(value), 6).as("mean"),
+      round(stddev_samp(value), 6).as("std"),
+      round(min(value), 6).as("min"),
+      round(percentile(value, lit(0.25)), 6).as("p25"),
+      round(percentile(value, lit(0.5)), 6).as("p50"),
+      round(percentile(value, lit(0.75)), 6).as("p75"),
+      round(max(value), 6).as("max"))
 
   /** A14 / T5: tumbling-window aggregation over event time — the batch
     * equivalent of the streaming windowed agg. `window()` is a plain

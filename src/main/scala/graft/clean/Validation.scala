@@ -34,11 +34,10 @@ object Validation {
     * Bounds as a map col -> (lo, hi); the conjunction is one predicate so
     * Catalyst pushes it into the scan.
     */
-  def rangeFilter(df: DataFrame, bounds: Map[String, (Double, Double)]): DataFrame = {
-    val pred = bounds.map { case (c, (lo, hi)) => col(c).between(lo, hi) }
-      .reduce(_ && _)
-    df.filter(pred)
-  }
+  def rangeFilter(df: DataFrame, bounds: Map[String, (Double, Double)]): DataFrame =
+    if (bounds.isEmpty) df
+    else df.filter(bounds.map { case (c, (lo, hi)) => col(c).between(lo, hi) }
+      .reduce(_ && _))
 
   /** P4: fill nulls with per-column defaults (ref `Solar_Processing.py:29-32`:
     * temp→25, humidity→50, pressure→1013.25).

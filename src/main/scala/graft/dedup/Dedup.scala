@@ -50,15 +50,23 @@ object Dedup {
     * Returns candidate pairs (doc_a < doc_b, band_id) — the scalable
     * pre-filter before exact Jaccard verification.
     */
-  def minhashCandidates(df: DataFrame, id: Column, text: Column): DataFrame = {
+  def minhashCandidates(df: DataFrame, id: Column, text: Column,
+      maxBucket: Int = 1000): DataFrame = {
     val sigs = minhashSignature(text)
     val signed = df.select((id.as("doc_id") +: sigs): _*)
     val bands = signed.select(col("doc_id"),
         concat(col("sig0"), col("sig1")).as("band"), lit(1).as("band_id"))
       .unionByName(signed.select(col("doc_id"),
         concat(col("sig2"), col("sig3")).as("band"), lit(2).as("band_id")))
-    val a = bands.select(col("band"), col("band_id"), col("doc_id").as("doc_a"))
-    val b = bands.select(col("band"), col("band_id"), col("doc_id").as("doc_b"))
+    // LSH skew guard: a degenerate band (empty/boilerplate text) would make
+    // its bucket quadratic. Cap bucket size BEFORE the self-join; the window
+    // shares the join's hash partitioning, so it adds no extra exchange.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_id"))
+    val capped = bands.withColumn("__bc", count(lit(1)).over(w))
+      .filter(col("__bc") <= maxBucket)
+      .drop("__bc")
+    val a = capped.select(col("band"), col("band_id"), col("doc_id").as("doc_a"))
+    val b = capped.select(col("band"), col("band_id"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "band_id"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("band_id"))

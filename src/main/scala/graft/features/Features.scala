@@ -46,19 +46,21 @@ object Features {
     * codegen with zero shuffle.
     */
   def capacityUtilization(power: Column, stationId: Column,
-      capacities: Map[String, Double]): Column = {
+      capacities: Map[String, Double], scale: Int = 2): Column = {
     val m = map(capacities.toSeq.sortBy(_._1)
       .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
-    round(power / m(stationId) * 100.0, 2)
+    round(power / m(stationId) * 100.0, scale)
   }
 
   /** D19: wind-class bucketing, pandas
     * `pd.cut(v, [0,3,7,12,20,100], labels=[Calm,Light,Moderate,Strong,Gale])`
     * (ref `Wind_Dashboard.py:128-131`) — chained `when` keeps it codegen'd
-    * (right-closed intervals like pd.cut).
+    * (right-closed intervals like pd.cut; values outside (0,100] map to
+    * null, matching pd.cut's NaN for out-of-bin values).
     */
   def windClass(speed: Column): Column =
-    when(speed <= 3, "Calm")
+    when(speed <= 0 || speed > 100, lit(null).cast("string"))
+      .when(speed <= 3, "Calm")
       .when(speed <= 7, "Light")
       .when(speed <= 12, "Moderate")
       .when(speed <= 20, "Strong")

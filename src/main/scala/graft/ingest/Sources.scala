@@ -27,17 +27,31 @@ object Sources {
     val cleaned = regexp_replace(
       regexp_replace(regexp_replace(c, "UTC", ""), "T", " "),
       "\\+00:00$", "")
-    to_timestamp(trim(cleaned))
+    // try_: ANSI mode (Spark 4 default) makes to_timestamp THROW on bad
+    // input; pandas errors='coerce' semantics require null instead
+    try_to_timestamp(trim(cleaned))
   }
+
+  /** Name of the ingest-order column added by [[withIngestOrder]]. */
+  val IngestOrderCol = "__ingest_order"
+
+  /** Capture arrival order at the source: `monotonically_increasing_id` is
+    * (partition_id << 33) + row-in-partition, and a single file's splits are
+    * numbered by file offset, so for one input file this is file order —
+    * the deterministic "keep first" tiebreak pandas gets for free from row
+    * order (ref `drop_duplicates` keep-first, `Wind_Processing.py:41`).
+    */
+  def withIngestOrder(df: DataFrame): DataFrame =
+    df.withColumn(IngestOrderCol, monotonically_increasing_id())
 
   /** CSV batch source with explicit schema + header (S6). */
   def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 
-  /** CSV source + timestamp sanitation in one step. */
+  /** CSV source + timestamp sanitation + ingest order in one step. */
   def csvWithTimestamp(spark: SparkSession, path: String, schema: StructType,
       tsCol: String = "timestamp"): DataFrame =
-    csv(spark, path, schema)
+    withIngestOrder(csv(spark, path, schema))
       .withColumn(tsCol, sanitizeTimestamp(col(tsCol)))
 
   /** Parquet batch source (S9). */

@@ -8,65 +8,81 @@ import org.apache.spark.sql.DataFrame
   * to a canonical schema by substring matching against synonym lists
   * (ref `Solar_Dashboard.py:63-85`, `Wind_Dashboard.py:66-93`). Pure
   * driver-side metadata work over `df.columns` — no data movement.
+  *
+  * Semantics mirror the reference exactly:
+  *  - canonical names are tried in DECLARATION order (Python dict order);
+  *  - for each canonical, the FIRST dataframe column (in frame order) whose
+  *    lower-cased name contains any synonym substring is claimed;
+  *  - a column may be claimed by several canonicals; the rename dict is the
+  *    inversion {column -> canonical}, so the LAST canonical claiming a
+  *    column wins the rename (Python dict-comprehension overwrite,
+  *    ref `Solar_Dashboard.py:96-98`);
+  *  - the wind detector additionally normalizes spaces to underscores
+  *    before matching (ref `Wind_Dashboard.py:85`).
   */
 object ColumnDetect {
 
-  /** Synonym lists per canonical name, mirroring the reference's solar
-    * dashboard detector (`Solar_Dashboard.py:63-85`). First match wins;
-    * matching is case-insensitive substring, preferring exact matches.
+  /** Solar detector patterns in reference declaration order
+    * (`Solar_Dashboard.py:67-75`).
     */
-  val solarSynonyms: Map[String, Seq[String]] = Map(
-    "timestamp" -> Seq("timestamp", "time", "date"),
-    "station" -> Seq("station", "site", "plant", "farm"),
-    "power_output" -> Seq("power", "output_kw", "generation"),
-    "irradiance" -> Seq("irradiance", "radiation", "ghi"),
-    "temperature" -> Seq("temperature", "temp"),
-    "voltage" -> Seq("voltage", "volt"),
-    "current" -> Seq("current", "amp"),
-    "efficiency" -> Seq("efficiency", "eff"))
+  val solarPatterns: Seq[(String, Seq[String])] = Seq(
+    "timestamp" -> Seq("time", "date", "datetime", "timestamp"),
+    "station" -> Seq("station", "device", "panel", "unit", "id"),
+    "power_output" -> Seq("power", "output", "generation", "kw", "watt"),
+    "solar_irradiance" -> Seq("irradiance", "solar", "radiation", "ghi", "w/m2"),
+    "temperature" -> Seq("temp", "temperature", "celsius", "panel_temp"),
+    "voltage" -> Seq("voltage", "volt", "v"),
+    "current" -> Seq("current", "amp", "ampere", "a"))
 
-  /** Wind dashboard detector (`Wind_Dashboard.py:66-93`). */
-  val windSynonyms: Map[String, Seq[String]] = Map(
-    "timestamp" -> Seq("timestamp", "time", "date"),
-    "station" -> Seq("station", "site", "farm"),
-    "wind_speed" -> Seq("wind_speed", "speed", "ws"),
-    "wind_direction" -> Seq("wind_dir", "direction", "wd"),
-    "power_output" -> Seq("power", "output", "generation"),
-    "air_density" -> Seq("density", "rho"),
-    "temperature" -> Seq("temperature", "temp"))
+  /** Wind detector patterns (`Wind_Dashboard.py:70-82`). */
+  val windPatterns: Seq[(String, Seq[String])] = Seq(
+    "timestamp" -> Seq("time", "date", "datetime", "timestamp"),
+    "station" -> Seq("station", "device", "turbine", "farm", "id"),
+    "wind_speed" -> Seq("wind_spe", "wind_speed", "speed", "ws"),
+    "wind_direction" -> Seq("wind_dir", "direction", "dir", "wd"),
+    "air_temp" -> Seq("air_temp", "temperature", "temp"),
+    "air_pressure" -> Seq("air_press", "pressure", "press"),
+    "humidity" -> Seq("humidity", "humid", "rh"),
+    "air_density" -> Seq("air_densit", "density"),
+    "turbine_power" -> Seq("turbine_p", "turbine_power", "power"),
+    "farm_power" -> Seq("farm_pow", "farm_power"),
+    "farm_energy" -> Seq("farm_ene", "farm_energy", "energy"),
+    "is_valid" -> Seq("is_valid", "valid", "status"))
 
-  /** Detect: canonical name -> actual column name. A column is claimed by at
-    * most one canonical name (first canonical in declaration order wins),
-    * exact case-insensitive matches preferred over substring hits.
-    */
-  def detect(columns: Seq[String], synonyms: Map[String, Seq[String]],
-      order: Seq[String]): Map[String, String] = {
-    val lower = columns.map(c => c -> c.toLowerCase)
-    var claimed = Set.empty[String]
-    val found = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    for (canon <- order; syns = synonyms(canon)) {
-      val exact = lower.collectFirst {
-        case (c, lc) if !claimed(c) && syns.contains(lc) => c
+  /** P11: (canonical, column) pairs in canonical declaration order. */
+  def detectOrdered(columns: Seq[String], patterns: Seq[(String, Seq[String])],
+      normalizeSpaces: Boolean = false): Seq[(String, String)] = {
+    val lowered = columns.map { c =>
+      val lc = c.toLowerCase
+      c -> (if (normalizeSpaces) lc.replace(' ', '_') else lc)
+    }
+    patterns.flatMap { case (canon, syns) =>
+      lowered.collectFirst {
+        case (c, lc) if syns.exists(lc.contains) => canon -> c
       }
-      val hit = exact.orElse(lower.collectFirst {
-        case (c, lc) if !claimed(c) && syns.exists(lc.contains) => c
-      })
-      hit.foreach { c => claimed += c; found(canon) = c }
-    }
-    found.toMap
-  }
-
-  /** P10: rename detected columns to their canonical names. */
-  def normalize(df: DataFrame, synonyms: Map[String, Seq[String]],
-      order: Seq[String]): DataFrame = {
-    val mapping = detect(df.columns.toSeq, synonyms, order)
-    mapping.foldLeft(df) { case (d, (canon, actual)) =>
-      if (canon == actual) d else d.withColumnRenamed(actual, canon)
     }
   }
 
-  def normalizeSolar(df: DataFrame): DataFrame =
-    normalize(df, solarSynonyms, solarSynonyms.keys.toSeq.sorted)
+  def detect(columns: Seq[String], patterns: Seq[(String, Seq[String])],
+      normalizeSpaces: Boolean = false): Map[String, String] =
+    detectOrdered(columns, patterns, normalizeSpaces).toMap
+
+  /** P10: rename via the inverted mapping — last canonical claiming a
+    * column wins, like the reference's `{v: k for k, v in map.items()}`.
+    */
+  def normalize(df: DataFrame, patterns: Seq[(String, Seq[String])],
+      normalizeSpaces: Boolean = false): DataFrame = {
+    val rename = detectOrdered(df.columns.toSeq, patterns, normalizeSpaces)
+      .foldLeft(Map.empty[String, String]) { case (m, (canon, c)) => m + (c -> canon) }
+    df.columns.foldLeft(df) { (d, c) =>
+      rename.get(c) match {
+        case Some(canon) if canon != c => d.withColumnRenamed(c, canon)
+        case _ => d
+      }
+    }
+  }
+
+  def normalizeSolar(df: DataFrame): DataFrame = normalize(df, solarPatterns)
   def normalizeWind(df: DataFrame): DataFrame =
-    normalize(df, windSynonyms, windSynonyms.keys.toSeq.sorted)
+    normalize(df, windPatterns, normalizeSpaces = true)
 }

@@ -58,7 +58,7 @@ object Schemas {
     */
   val solarStream: StructType = StructType(
     solarRaw.fields.map {
-      case StructField("timestamp", _, _, _) => StructField("timestamp", StringType)
+      case StructField("timestamp", _, _, _) => StructField("timestamp", TimestampType)
       case f => f
     })
 

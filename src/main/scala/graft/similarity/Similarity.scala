@@ -34,21 +34,40 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     round(dot(a, b) / (norm(a) * norm(b)), 6)
 
+  /** Two-phase per-key top-k over scored rows — the scale-safe replacement
+    * for a `row_number` window partitioned by a low-cardinality key (which
+    * funnels |corpus|×|queries| rows into |queries| window partitions).
+    *
+    * Phase 1 aggregates a sorted k-prefix per (key, input partition) —
+    * map-side, so at most k rows per key survive each partition. Phase 2
+    * merges the prefixes per key. Both phases are hash aggregates with
+    * partial aggregation; no single task ever sees more than
+    * (#partitions × k) rows for one key. Ordering: cosine desc, then
+    * neighbor_id asc (ties deterministic).
+    */
+  private[similarity] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val item = struct((-col("cosine")).as("neg"), col("neighbor_id").as("nid"))
+    scored
+      .groupBy(col("query_id"), spark_partition_id().as("__pid"))
+      .agg(slice(sort_array(collect_list(item)), 1, k).as("part_topk"))
+      .groupBy(col("query_id"))
+      .agg(slice(sort_array(flatten(collect_list(col("part_topk")))), 1, k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.nid").as("neighbor_id"),
+        (-col("t.neg")).as("cosine"), (col("pos") + 1).cast("int").as("rnk"))
+  }
+
   /** Exact top-k nearest neighbors by cosine for each query vector.
     * `queries` is expected to be small (it is broadcast); the corpus is
-    * scanned once with no shuffle until the final per-query top-k window
-    * over the scored rows.
+    * scanned once with no shuffle, then [[topKPerQuery]] reduces each
+    * partition to k candidates per query before the single merge shuffle.
     */
   def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val c = corpus.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cvec"))
     val q = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qvec"))
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("qvec"), col("cvec")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk"))
+    topKPerQuery(scored, k)
   }
 
   /** Assign each vector to the id of its nearest centroid (max cosine,
@@ -81,11 +100,7 @@ object Similarity {
       .join(broadcast(queries), Seq("centroid_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("qvec"), col("cvec")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk"))
+    topKPerQuery(scored, k)
   }
 
   /** Random-hyperplane LSH bucket for cosine similarity: sign bits of dot

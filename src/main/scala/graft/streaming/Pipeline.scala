@@ -23,7 +23,8 @@ object Pipeline {
     * (`Wind_Processing.py:15-65` and databricks.docx:47-94).
     */
   def transform(df: DataFrame, bounds: Map[String, (Double, Double)],
-      defaults: Map[String, Any], streaming: Boolean): DataFrame = {
+      defaults: Map[String, Any], streaming: Boolean,
+      validCols: (String, String) = ("timestamp", "station_id")): DataFrame = {
     val bounded = Validation.rangeFilter(df, bounds)
     val filled = Validation.fillDefaults(bounded, defaults)
     val deduped =
@@ -31,10 +32,45 @@ object Pipeline {
         // watermark bounds dedup state to 10 min of event time
         filled.withWatermark("timestamp", "10 minutes")
           .dropDuplicates("station_id", "timestamp")
-      else
-        Validation.dedupeFirst(filled, Seq("station_id", "timestamp"),
-          Seq(col("timestamp")))
-    Features.withTimeFeatures(deduped)
+      else {
+        // "keep first" needs a tiebreak that varies WITHIN the key group:
+        // prefer the ingest-order column (pandas file-order semantics) when
+        // the source captured it, else order by all payload columns so the
+        // survivor is at least reproducible across partitionings.
+        val tiebreak =
+          if (filled.columns.contains(graft.ingest.Sources.IngestOrderCol))
+            Seq(col(graft.ingest.Sources.IngestOrderCol))
+          else
+            filled.columns.filterNot(Set("station_id", "timestamp"))
+              .sorted.map(col).toSeq
+        Validation.dedupeFirst(filled, Seq("station_id", "timestamp"), tiebreak)
+          .drop(graft.ingest.Sources.IngestOrderCol)
+      }
+    Features.withTimeFeatures(deduped, validCols = validCols)
+  }
+
+  /** The full solar batch pipeline (`Solar_Processing.py:14-58`): P1 require,
+    * P2 coerce via the source's sanitizer, P3-P5 clean, D1-D6 features with
+    * the solar validity pair (irradiance, power).
+    */
+  def solarBatch(df: DataFrame): DataFrame = {
+    val checked = Validation.requireColumns(df,
+      Seq("station_id", "timestamp", "solar_irradiance_Wm2", "power_kW"))
+    transform(checked, Validation.solarBounds,
+      Map("temperature_C" -> 25.0), streaming = false,
+      validCols = ("solar_irradiance_Wm2", "power_kW"))
+  }
+
+  /** The full wind batch pipeline (`Wind_Processing.py:15-65`): adds D7
+    * wind_power_density before the validity flag.
+    */
+  def windBatch(df: DataFrame): DataFrame = {
+    val checked = Validation.requireColumns(df,
+      Seq("station_id", "timestamp", "wind_speed_mps", "farm_power_kW"))
+    transform(checked, Validation.windBounds, Validation.windDefaults,
+        streaming = false, validCols = ("wind_speed_mps", "farm_power_kW"))
+      .withColumn("wind_power_density",
+        Features.windPowerDensity(col("air_density_kgm3"), col("wind_speed_mps")))
   }
 
   /** S8: checkpointed append-mode parquet sink. */

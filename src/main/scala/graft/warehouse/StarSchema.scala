@@ -44,4 +44,56 @@ object StarSchema {
   def resolveKey(fact: DataFrame, dim: DataFrame, on: Seq[String],
       keep: Seq[String]): DataFrame =
     fact.join(broadcast(dim.select((on ++ keep).map(col): _*)), on)
+
+  /** Generic fact assembly: resolve every dimension's surrogate key, then
+    * project to (surrogate keys + measures). Each resolve is a broadcast
+    * join, so the fact build is one scan of the source frame regardless of
+    * how many dimensions attach.
+    */
+  def buildFact(source: DataFrame,
+      dims: Seq[(DataFrame, Seq[String], String)],
+      measures: Seq[String]): DataFrame = {
+    val resolved = dims.foldLeft(source) { case (f, (dim, natKey, keyName)) =>
+      resolveKey(f, dim, natKey, Seq(keyName))
+    }
+    resolved.select((dims.map(_._3) ++ measures).map(col): _*)
+  }
+
+  /** `Fact_Solar` assembly (ref `dwh.docx:65-75`): station + datetime +
+    * weather surrogate keys, measures power_kW / energy_kWh_10min.
+    * `cleaned` is the processed solar frame (post P1-P5 / D1-D6).
+    */
+  def buildFactSolar(cleaned: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val dimStation = buildDim(cleaned, Seq(col("station_id")), Nil, "station_key")
+    val dimDateTime = buildDim(cleaned, Seq(col("timestamp")),
+      Seq(col("local_timestamp"), col("hour"), col("day_of_week"), col("time_of_day")),
+      "datetime_key")
+    val weatherAttrs = Seq("temperature_C", "panel_temperature_C",
+      "solar_irradiance_Wm2", "effective_efficiency")
+    val dimWeather = buildDim(cleaned, weatherAttrs.map(col), Nil, "weather_key")
+    val fact = buildFact(cleaned, Seq(
+        (dimStation, Seq("station_id"), "station_key"),
+        (dimDateTime, Seq("timestamp"), "datetime_key"),
+        (dimWeather, weatherAttrs, "weather_key")),
+      Seq("power_kW", "energy_kWh_10min"))
+    (fact, dimStation, dimDateTime, dimWeather)
+  }
+
+  /** `Fact_Wind` assembly (ref `dwh.docx:76-89`). */
+  def buildFactWind(cleaned: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val dimStation = buildDim(cleaned, Seq(col("station_id")), Nil, "station_key")
+    val dimDateTime = buildDim(cleaned, Seq(col("timestamp")),
+      Seq(col("local_timestamp"), col("hour"), col("day_of_week"), col("time_of_day")),
+      "datetime_key")
+    val weatherAttrs = Seq("wind_speed_mps", "wind_dir_deg", "air_temperature_C",
+      "air_pressure_hPa", "humidity_percent", "air_density_kgm3", "wind_speed_hub_mps")
+    val dimWeather = buildDim(cleaned, weatherAttrs.map(col), Nil, "weather_key")
+    val fact = buildFact(cleaned, Seq(
+        (dimStation, Seq("station_id"), "station_key"),
+        (dimDateTime, Seq("timestamp"), "datetime_key"),
+        (dimWeather, weatherAttrs, "weather_key")),
+      Seq("turbine_power_kW", "farm_power_kW", "farm_energy_MWh_10min",
+        "wind_power_density"))
+    (fact, dimStation, dimDateTime, dimWeather)
+  }
 }

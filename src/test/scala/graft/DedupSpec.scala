@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+/** Exact + near-dup operators over a constructed corpus. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog"),   // near dup of 1
+    (4L, "completely different content about spark engines"),
+    (5L, "  The Quick  Brown Fox jumps over the lazy dog ") // ws/case-normalized dup
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups by normalized fingerprint, canonical = min id") {
+    val out = Dedup.exactDuplicates(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(1L) === (1L, false))
+    assert(out(2L) === (1L, true))
+    assert(out(5L) === (1L, true)) // normalization folds case + whitespace
+    assert(out(4L) === (4L, false))
+  }
+
+  test("minhash LSH candidates include the near-dup pair, then jaccard verifies") {
+    val near = Dedup.nearDuplicates(docs, col("doc_id"), col("text"), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(near.contains((1L, 2L))) // identical docs always survive
+    assert(near.contains((1L, 3L)) || near.contains((2L, 3L)),
+      "one-word edit should be an LSH candidate with jaccard >= 0.5")
+  }
+
+  test("jaccard: identical sets = 1, disjoint = 0") {
+    val g = Seq((Seq("a b", "b c"), Seq("a b", "b c"), Seq("x y", "y z")))
+      .toDF("a", "b", "c")
+    val r = g.select(Dedup.jaccard(col("a"), col("b")),
+      Dedup.jaccard(col("a"), col("c"))).head()
+    assert(r.getDouble(0) === 1.0)
+    assert(r.getDouble(1) === 0.0)
+  }
+
+  test("simhash: identical docs agree; hamming to near-dup is small") {
+    val sh = docs.select(col("doc_id"), Dedup.simhash16(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) === sh(2L))
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) <= 6,
+      "one-word edit flips few simhash bits")
+    assert(sh.values.forall(h => h >= 0 && h <= 0xFFFFL))
+  }
+
+  test("LSH bucket-size cap drops degenerate bands") {
+    val boiler = (1L to 20L).map(i => (i, "same same text text")).toDF("doc_id", "text")
+    val capped = Dedup.minhashCandidates(boiler, col("doc_id"), col("text"),
+      maxBucket = 10)
+    assert(capped.count() === 0) // all 20 share one band > cap
+  }
+
+  test("token/shingle/fingerprint primitives") {
+    val r = Seq("Hello  World foo").toDF("text").select(
+      TextAnalysis.tokenCount(col("text")),
+      size(TextAnalysis.shingles(col("text"), 2)),
+      TextAnalysis.fingerprint(col("text"))).head()
+    assert(r.getInt(0) === 3)
+    assert(r.getInt(1) === 2)
+    assert(r.getString(2).length === 32)
+  }
+}

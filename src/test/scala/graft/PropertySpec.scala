@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.clean.Validation
+import graft.features.Features
+import graft.physics.Power
+
+/** Property-based invariants (SURVEY.md §5.4). Driver-side evaluation of the
+  * same Catalyst expressions keeps the properties fast (no job per case).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val speeds = Seq.tabulate(600)(i => i * 0.05 - 5.0) // -5..25
+
+  test("power curve: 0 outside [3,25], never exceeds rated 2500") {
+    val out = speeds.toDF("v")
+      .select(col("v"), Power.turbinePowerKw(lit(1.225), col("v")).as("p"))
+      .collect()
+    out.foreach { r =>
+      val (v, p) = (r.getDouble(0), r.getDouble(1))
+      assert(p >= 0.0 && p <= 2500.0, s"v=$v p=$p")
+      if (v < 3.0 || v > 25.0) assert(p === 0.0, s"v=$v")
+    }
+  }
+
+  test("range filter never emits out-of-range rows and is idempotent") {
+    val df = speeds.toDF("wind_speed_mps")
+    val once = Validation.rangeFilter(df, Map("wind_speed_mps" -> (0.0, 20.0)))
+    assert(once.filter(col("wind_speed_mps") < 0 || col("wind_speed_mps") > 20)
+      .count() === 0)
+    assert(Validation.rangeFilter(once, Map("wind_speed_mps" -> (0.0, 20.0)))
+      .count() === once.count())
+  }
+
+  test("Day/Night partition is total over all 24 hours") {
+    val out = (0 until 24).toDF("h")
+      .select(Features.timeOfDay(col("h")).as("tod"))
+      .groupBy("tod").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("Day") + out("Night") === 24)
+    assert(out("Day") === 12)
+  }
+
+  test("dedup is idempotent") {
+    val df = Seq(("a", 1, 1L), ("a", 1, 2L), ("a", 2, 3L), ("b", 1, 4L))
+      .toDF("k", "t", "ord")
+    val once = Validation.dedupeFirst(df, Seq("k", "t"), Seq(col("ord")))
+    val twice = Validation.dedupeFirst(once, Seq("k", "t"), Seq(col("ord")))
+    assert(once.collect().toSet === twice.collect().toSet)
+    assert(once.count() === 3)
+  }
+
+  test("effective efficiency stays within [0.05, formula-max]") {
+    val temps = Seq.tabulate(200)(i => i * 1.0 - 50.0)
+    temps.toDF("t").select(Power.effectiveEfficiency(col("t")).as("e"))
+      .collect().foreach { r =>
+        assert(r.getDouble(0) >= 0.05)
+      }
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.similarity.Similarity
+
+/** ANN operators over hand-checkable vectors. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // unit-ish vectors: 0 ~ 1 ~ 4 cluster; 2 ~ 3 cluster; orthogonal across
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.0f, 0.9f, 0.1f)),
+    (4L, Array(0.8f, 0.0f, 0.2f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: identical = 1, orthogonal = 0") {
+    val d = Seq((Seq(1.0, 0.0), Seq(1.0, 0.0), Seq(0.0, 1.0))).toDF("a", "b", "c")
+    val r = d.select(Similarity.cosine(col("a"), col("b")),
+      Similarity.cosine(col("a"), col("c"))).head()
+    assert(r.getDouble(0) === 1.0)
+    assert(r.getDouble(1) === 0.0)
+  }
+
+  test("bruteForceKnn ranks by cosine, k bounds the result, no self-match") {
+    val out = Similarity.bruteForceKnn(vecs, vecs.filter(col("vec_id") === 0), 2)
+      .collect().sortBy(_.getInt(3))
+    assert(out.length === 2)
+    assert(out.map(_.getLong(1)).toSeq === Seq(1L, 4L)) // nearest two to e_x
+    assert(out.map(_.getInt(3)).toSeq === Seq(1, 2))
+    assert(out.forall(_.getLong(1) != 0L))
+  }
+
+  test("two-phase top-k equals a global sort (determinism across partitioning)") {
+    val big = (0L until 200L).map(i =>
+      (i, Array(math.cos(i * 0.1).toFloat, math.sin(i * 0.1).toFloat, 0.3f)))
+      .toDF("vec_id", "embedding").repartition(7)
+    val knn = Similarity.bruteForceKnn(big, big.filter(col("vec_id") === 0), 5)
+      .collect().sortBy(_.getInt(3)).map(r => (r.getLong(1), r.getDouble(2)))
+    val brute = Similarity.bruteForceKnn(big.coalesce(1),
+        big.filter(col("vec_id") === 0), 5)
+      .collect().sortBy(_.getInt(3)).map(r => (r.getLong(1), r.getDouble(2)))
+    assert(knn.toSeq === brute.toSeq)
+  }
+
+  test("IVF assigns to nearest centroid and searches within the cluster") {
+    val centroids = vecs.filter(col("vec_id").isin(0L, 2L))
+    val assigned = Similarity.assignClusters(vecs, centroids)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigned(1L) === 0L)
+    assert(assigned(3L) === 2L)
+    assert(assigned(4L) === 0L)
+    val out = Similarity.ivfKnn(vecs, centroids, Seq(1L), 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(out.subsetOf(Set(0L, 4L))) // only the 0-cluster is probed
+  }
+
+  test("hyperplane bucket is deterministic and equal for identical vectors") {
+    val planes = Similarity.deterministicPlanes(4, 3)
+    val b = vecs.select(col("vec_id"),
+      Similarity.hyperplaneBucket(Similarity.asDouble(col("embedding")), planes)
+        .as("bucket")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b.values.forall(v => v >= 0 && v < 16))
+    val again = vecs.select(
+      Similarity.hyperplaneBucket(Similarity.asDouble(col("embedding")), planes))
+      .collect().map(_.getLong(0)).toSeq
+    assert(again === vecs.select(col("vec_id")).collect()
+      .map(r => b(r.getLong(0))).toSeq)
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ingest.Sources
+import graft.multimodal.Multimodal
+
+/** S1-S7 source/sink shapes + D2 timestamp sanitizer + multimodal plumbing. */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("D2 sanitizer handles all three observed wire formats") {
+    val out = Seq(
+      "2025-11-04 20:13:36.536371+00:00",  // solar log
+      "2025-11-04T20:30:47.702372",        // wind log
+      "2025-11-04 20:30:47 UTC",           // Azure log
+      "not a time")
+      .toDF("t").select(Sources.sanitizeTimestamp(col("t")).as("ts"))
+      .collect().map(r => Option(r.getTimestamp(0)).map(_.toString))
+    assert(out(0) === Some("2025-11-04 20:13:36.536371"))
+    assert(out(1) === Some("2025-11-04 20:30:47.702372"))
+    assert(out(2) === Some("2025-11-04 20:30:47.0"))
+    assert(out(3) === None) // errors='coerce'
+  }
+
+  test("S1/S3 kafka shape roundtrip: key + JSON value -> decoded rows") {
+    val df = Seq((1L, "S1", 10.5), (2L, "S2", 20.0))
+      .toDF("event_id", "station_id", "value")
+    val wire = Sources.toKafkaShape(df, "station_id")
+    assert(wire.columns.toSeq === Seq("key", "value"))
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("station_id", StringType), StructField("value", DoubleType)))
+    val back = Sources.decodeJson(wire, schema, tsCol = "none")
+      .orderBy("event_id").collect()
+    assert(back.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(back.map(_.getDouble(2)).toSeq === Seq(10.5, 20.0))
+  }
+
+  test("S5/S6 csv sink + schema'd source roundtrip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "k", "v")
+    Sources.writeCsv(df, dir)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("k", StringType), StructField("v", DoubleType)))
+    val back = Sources.csv(spark, dir, schema).orderBy("id").collect()
+    assert(back.map(_.getDouble(2)).toSeq === Seq(1.5, 2.5))
+  }
+
+  test("multimodal: deterministic decode + metadata pass drop the blob") {
+    val docs = Seq((1L, "hello world", "src0"), (2L, "hello world", "src1"))
+      .toDF("doc_id", "text", "source")
+    val media = Multimodal.asMediaTable(docs)
+    val feats = Multimodal.decodeFeatures(spark, media).collect()
+      .sortBy(_.doc_id)
+    assert(feats.length === 2)
+    assert(feats(0).copy(doc_id = 2L) === feats(1)) // same bytes -> same features
+    assert(feats(0).byte_len === 11L)
+    val meta = Multimodal.mediaMetadata(media)
+    assert(meta.columns.toSeq ===
+      Seq("doc_id", "byte_len", "content_id", "size_bucket"))
+    assert(meta.filter(col("content_id").isNull).count() === 0)
+  }
+}

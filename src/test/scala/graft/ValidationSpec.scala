@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.clean.Validation
+import graft.ingest.Sources
+
+/** P1-P5 cleaning family (ref `Wind_Processing.py:15-43`). */
+class ValidationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("P1 requireColumns raises on a missing column") {
+    val df = Seq((1, "a")).toDF("x", "y")
+    Validation.requireColumns(df, Seq("x", "y")) // no throw
+    assertThrows[IllegalArgumentException] {
+      Validation.requireColumns(df, Seq("x", "z"))
+    }
+  }
+
+  test("P2 coerceNumeric nulls bad cells, keeps rows") {
+    val out = Validation.coerceNumeric(
+      Seq("1.5", "oops", "", "42").toDF("v"), Seq("v"))
+      .collect().map(r => Option(r.get(0)))
+    assert(out.toSeq === Seq(Some(1.5), None, None, Some(42.0)))
+  }
+
+  test("P3 rangeFilter bounds are inclusive on both ends") {
+    val df = Seq(-0.1, 0.0, 30.0, 60.0, 60.1).toDF("wind_speed_mps")
+    val kept = Validation.rangeFilter(df, Map("wind_speed_mps" -> (0.0, 60.0)))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(kept === Seq(0.0, 30.0, 60.0))
+  }
+
+  test("P4 fillDefaults fills only nulls") {
+    val df = Seq(Some(990.0), None).toDF("air_pressure_hPa")
+    val out = Validation.fillDefaults(df, Map("air_pressure_hPa" -> 1013.25))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(out === Seq(990.0, 1013.25))
+  }
+
+  test("P5 dedupeFirst keeps the first row by the given order, deterministically") {
+    val df = Seq(
+      ("S1", "t1", "PREDICTION", 2L),
+      ("S1", "t1", "API", 1L),
+      ("S1", "t2", "API", 3L)).toDF("station_id", "timestamp", "src", "ord")
+    val out = Validation.dedupeFirst(df, Seq("station_id", "timestamp"),
+        Seq(col("ord")))
+      .orderBy("ord").collect().map(_.getString(2)).toSeq
+    assert(out === Seq("API", "API"))
+  }
+
+  test("P5 via Pipeline.transform uses ingest order as the tiebreak") {
+    // same (station, ts) key, different payloads: file order must win
+    val raw = Sources.withIngestOrder(Seq(
+      ("S1", java.sql.Timestamp.valueOf("2025-01-01 10:00:00"), "first"),
+      ("S1", java.sql.Timestamp.valueOf("2025-01-01 10:00:00"), "second"))
+      .toDF("station_id", "timestamp", "payload"))
+    val out = graft.streaming.Pipeline.transform(raw, Map.empty, Map.empty,
+      streaming = false)
+    assert(out.count() === 1)
+    assert(out.head().getAs[String]("payload") === "first")
+    assert(!out.columns.contains(Sources.IngestOrderCol))
+  }
+}

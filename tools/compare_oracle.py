@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB oracle compare.
+
+Usage: python3 tools/compare_oracle.py <sfDir> <verifyOut> [name...]
+
+For each query dir under verifyOut: read the Spark parquet result, run the
+matching oracle_sql.json entry in DuckDB (tables registered as views over
+<sfDir>/*.parquet), sort columns by name and rows by all columns, and compare
+cell-by-cell (exact for non-floats, 1e-9 rel for floats).
+"""
+import json, math, sys, glob, os
+import duckdb
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+names = sys.argv[3:]
+
+con = duckdb.connect()
+for p in glob.glob(f"{sfdir}/*.parquet"):
+    t = os.path.basename(p)[:-8]
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def canon(rows, cols):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(r[i] for i in idx))
+    def key(t):
+        return tuple((x is None, str(x)) for x in t)
+    return sorted(out, key=key), [cols[i] for i in idx]
+
+def eq(a, b):
+    if a is None and b is None: return True
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return False
+        if math.isnan(fa) and math.isnan(fb): return True
+        return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+    return str(a) == str(b)
+
+fails = 0
+for qdir in sorted(glob.glob(f"{outdir}/*/")):
+    name = os.path.basename(qdir.rstrip("/"))
+    if names and not any(name.startswith(n) for n in names): continue
+    if name not in oracle:
+        print(f"{name}: NO ORACLE (rows-only)")
+        continue
+    try:
+        s_rel = con.execute(
+            f"SELECT * FROM '{qdir}*.parquet'")
+        s_rows, s_cols = s_rel.fetchall(), [d[0] for d in s_rel.description]
+        o_rel = con.execute(oracle[name])
+        o_rows, o_cols = o_rel.fetchall(), [d[0] for d in o_rel.description]
+    except Exception as e:
+        print(f"{name}: ERROR {e}")
+        fails += 1
+        continue
+    sr, sc = canon(s_rows, s_cols)
+    orr, oc = canon(o_rows, o_cols)
+    if sc != oc:
+        print(f"{name}: SCHEMA MISMATCH spark={sc} oracle={oc}")
+        fails += 1
+        continue
+    if len(sr) != len(orr):
+        print(f"{name}: ROWS MISMATCH spark={len(sr)} oracle={len(orr)}")
+        fails += 1
+        continue
+    bad = None
+    for i, (a, b) in enumerate(zip(sr, orr)):
+        if not all(eq(x, y) for x, y in zip(a, b)):
+            bad = (i, a, b)
+            break
+    if bad:
+        print(f"{name}: VALUE MISMATCH row {bad[0]}\n  spark : {bad[1]}\n  oracle: {bad[2]}")
+        fails += 1
+    else:
+        print(f"{name}: OK ({len(sr)} rows)")
+print(f"\n{'FAIL' if fails else 'ALL OK'} ({fails} failing)")
+sys.exit(1 if fails else 0)
