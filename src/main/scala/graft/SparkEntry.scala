@@ -31,8 +31,12 @@ import graft.warehouse.StarSchema
   */
 object SparkEntry {
 
-  private def T(s: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") Tables.events(s, dir) else Tables.load(s, dir, name)
+  private def T(s: SparkSession, dir: String, name: String): DataFrame = name match {
+    case "events" => Tables.events(s, dir)
+    case "documents" => Tables.documents(s, dir)
+    case "embeddings" => Tables.embeddings(s, dir)
+    case _ => Tables.load(s, dir, name)
+  }
 
   /** Flagship query on sf=0.001 (SURVEY.md §7 step 1): clean (P3-P5) →
     * time features (D1-D6) → multi-metric per-group aggregate (A2/A4) over
@@ -400,8 +404,7 @@ object SparkEntry {
     "x04_exact_dedup" -> ((s, dir) =>
       Dedup.exactDuplicates(T(s, dir, "documents"), col("doc_id"), col("text"))),
     "x05_minhash_signature" -> ((s, dir) =>
-      T(s, dir, "documents").select(
-        (col("doc_id") +: Dedup.minhashSignature(col("text"))): _*)),
+      Dedup.signatures(T(s, dir, "documents"), col("doc_id"), col("text"))),
     "x06_near_duplicates" -> ((s, dir) =>
       Dedup.nearDuplicates(T(s, dir, "documents"), col("doc_id"), col("text"),
         threshold = 0.3)),

@@ -40,6 +40,17 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** documents/embeddings ship as ONE small parquet file → one input split
+    * → one task, which serializes the interpreted higher-order text/vector
+    * expressions. Spread rows across the cores; a real deployment gets this
+    * parallelism from the file layout and needs no repartition.
+    */
+  private def spread(spark: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(spark.sparkContext.defaultParallelism)
+
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spread(spark, load(spark, dir, "documents"))
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spread(spark, load(spark, dir, "embeddings"))
 }

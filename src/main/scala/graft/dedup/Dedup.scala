@@ -36,9 +36,35 @@ object Dedup {
     * minhashes for the price of one md5 per shingle. Max 4 hashes per md5;
     * for more, extend with seeded md5(concat(seed, shingle)).
     */
-  def minhashSignature(text: Column, numHashes: Int = 4): Seq[Column] = {
+  def minhashSignature(text: Column, numHashes: Int = 4): Seq[Column] =
+    signatureFromGrams(array_distinct(TextAnalysis.shingles(text, 2)), numHashes)
+
+  /** (doc_id, sig0..sigK) frame — md5 is computed ONCE per gram into an
+    * intermediate projection; the per-slice columns then only substring it.
+    * Two projections stay separate (Catalyst won't collapse a projection
+    * whose expensive producer is referenced k times), so this does k× less
+    * hashing than deriving each signature column from the text.
+    */
+  def signatures(df: DataFrame, id: Column, text: Column,
+      numHashes: Int = 4): DataFrame = {
     require(numHashes <= 4, "4 slices per md5; use seeded variant for more")
-    val grams = array_distinct(TextAnalysis.shingles(text, 2))
+    val hashed = df.select(id.as("doc_id"),
+      transform(array_distinct(TextAnalysis.shingles(text, 2)), g => md5(g))
+        .as("__ghash"))
+    hashed.select((col("doc_id") +: (0 until numHashes).map(i =>
+      array_min(transform(col("__ghash"), h => substring(h, i * 8 + 1, 8)))
+        .as(s"sig$i"))): _*)
+  }
+
+  /** Signature columns from a pre-computed distinct-gram array column.
+    * Callers that also need the grams (LSH + verify) should materialize the
+    * gram array in a projection first and derive the signature from it —
+    * otherwise each of the 4 slice columns re-evaluates the whole
+    * tokenize→shingle→distinct chain per row (higher-order functions are
+    * interpreted, so Catalyst does not CSE them).
+    */
+  def signatureFromGrams(grams: Column, numHashes: Int = 4): Seq[Column] = {
+    require(numHashes <= 4, "4 slices per md5; use seeded variant for more")
     (0 until numHashes).map { i =>
       array_min(transform(grams, g => substring(md5(g), i * 8 + 1, 8)))
         .as(s"sig$i")
@@ -52,8 +78,7 @@ object Dedup {
     */
   def minhashCandidates(df: DataFrame, id: Column, text: Column,
       maxBucket: Int = 1000): DataFrame = {
-    val sigs = minhashSignature(text)
-    val signed = df.select((id.as("doc_id") +: sigs): _*)
+    val signed = signatures(df, id, text)
     val bands = signed.select(col("doc_id"),
         concat(col("sig0"), col("sig1")).as("band"), lit(1).as("band_id"))
       .unionByName(signed.select(col("doc_id"),
@@ -102,15 +127,22 @@ object Dedup {
     * hash (hex nibble i of md5 ≥ 8). Near-dup docs differ in few bits.
     */
   def simhash16(text: Column): Column = {
-    val toks = array_distinct(TextAnalysis.tokens(text))
-    val bitCols = (0 until 16).map { i =>
-      val votes = aggregate(toks, lit(0),
-        (acc, w) => acc +
-          when(substring(md5(w), i + 1, 1).isInCollection(
-            Seq("8", "9", "a", "b", "c", "d", "e", "f")), 1).otherwise(-1))
-      when(votes > 0, lit(1L << (15 - i))).otherwise(0L)
-    }
-    bitCols.reduce(_ + _)
+    // single pass: tokenize+md5 once per row, fold all 16 bit votes in ONE
+    // aggregate (an int[16] accumulator), then weight-sum the sign bits.
+    // The naive form (one aggregate per bit) re-evaluates the whole
+    // tokenize+md5 chain 16x per row — higher-order functions are
+    // interpreted, so Catalyst does not CSE the shared subtree.
+    val hashes = transform(array_distinct(TextAnalysis.tokens(text)), w => md5(w))
+    val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val votes = aggregate(hashes,
+      array_repeat(lit(0), 16),
+      (acc, h) => zip_with(acc,
+        transform(sequence(lit(1), lit(16)),
+          i => when(h.substr(i, lit(1)).isInCollection(hexHigh), 1).otherwise(-1)),
+        (a, b) => a + b))
+    val weights = array((0 until 16).map(i => lit(1L << (15 - i))): _*)
+    aggregate(zip_with(votes, weights, (v, w) => when(v > 0, w).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
   }
 
   /** Hamming distance between two simhash values (bit-count of XOR). */

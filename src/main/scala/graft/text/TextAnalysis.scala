@@ -15,13 +15,30 @@ object TextAnalysis {
   /** Whitespace tokenization of lower-cased, trimmed text. */
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
-  /** Word n-gram shingles (n consecutive tokens joined by a space). */
+  /** Word n-gram shingles (n consecutive tokens joined by a space).
+    *
+    * The bigram case is a `zip_with` of the token array against its own
+    * shifted tail — each expression tree evaluates `tokens()` a constant
+    * number of times per row. The general (n>2) fallback uses
+    * `element_at(t, i+j)` inside a transform, which RE-EVALUATES the split
+    * per element in interpreted eval (higher-order functions don't codegen):
+    * O(tokens²) regex splits per row — fine for tiny n-gram windows, ruinous
+    * as the default path. Bigrams are the only case the pipelines use.
+    */
   def shingles(text: Column, n: Int): Column = {
     val t = tokens(text)
-    when(size(t) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), size(t) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*)))
+    if (n == 2) {
+      // pair t[i] with t[i+1]: zip t against its tail (padded, then sliced off)
+      val tail = concat(slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+        array(lit("")))
+      slice(zip_with(t, tail, (a, b) => concat_ws(" ", a, b)),
+        lit(1), greatest(size(t) - 1, lit(0)))
+    } else {
+      when(size(t) < n, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(1), size(t) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*)))
+    }
   }
 
   /** Token count (whitespace tokenizer). */
