@@ -155,6 +155,42 @@ object OracleSql {
         |  WHEN value / 5.0 <= 12 THEN 'Moderate' WHEN value / 5.0 <= 20 THEN 'Strong'
         |  ELSE 'Gale' END AS wind_class FROM events)
         |GROUP BY wind_class""".stripMargin,
+    "d20_round" ->
+      """SELECT event_id, round(value / 7.0, 3) AS r3, round(value / 9.0, 4) AS r4,
+        | round(value * 1.37, 6) AS r6
+        |FROM events""".stripMargin,
+    "d21_simulator" ->
+      """WITH base AS (SELECT range AS id, range // 3 AS tick, range % 3 AS st
+        |  FROM range(0, 6000)),
+        |d AS (SELECT tick, st,
+        |  1704067200 + tick * 5 AS epoch,
+        |  ((tick * 10 + st) % 628) / 100.0 AS phase FROM base),
+        |e AS (SELECT tick, st, epoch,
+        |  CAST(floor((epoch % 86400) / 3600) AS BIGINT) AS hr,
+        |  sin(phase) AS s, phase FROM d),
+        |f AS (SELECT tick, st, epoch, hr,
+        |  1.0 + (((s * 43758.5453) - floor(s * 43758.5453)) - 0.5) * 0.1 AS fluct,
+        |  (s + 1.0) * 50.0 AS clouds,
+        |  20.0 + sin(phase / 2.0) * 8.0 AS temp_c FROM e),
+        |g AS (SELECT tick, st, epoch, hr, temp_c, temp_c + 5.5 AS panel_t,
+        |  CASE WHEN hr >= 6 AND hr < 18
+        |   THEN greatest(1000.0 * (1.0 - (clouds / 100.0)), 50.0) * fluct
+        |   ELSE 0.0 END AS irr FROM f),
+        |h AS (SELECT tick, st, epoch, hr, temp_c, panel_t, irr,
+        |  greatest(0.18 * (1.0 - (0.0045 * (panel_t - 25.0))), 0.05) AS eff,
+        |  CASE st WHEN 0 THEN 1000000.0 WHEN 1 THEN 600000.0 ELSE 150000.0 END AS panels
+        |  FROM g),
+        |i AS (SELECT tick, st, epoch, hr, temp_c, panel_t, irr, eff,
+        |  CASE WHEN hr >= 6 AND hr < 18
+        |   THEN ((((irr * 1.7) * eff) * 0.85) * panels) / 1000.0 ELSE 0.0 END AS pw
+        |  FROM h)
+        |SELECT epoch AS epoch_s, CAST(hr AS INTEGER) AS hour,
+        | CASE st WHEN 0 THEN 'BSPP' WHEN 1 THEN 'KOSPP' ELSE 'ZFSPP' END AS station_id,
+        | CASE WHEN tick % 120 = 0 THEN 'API' ELSE 'PREDICTION' END AS data_source,
+        | round(temp_c, 6) AS temperature_C, round(panel_t, 6) AS panel_temperature_C,
+        | round(irr, 4) AS solar_irradiance_Wm2, round(eff, 6) AS effective_efficiency,
+        | round(pw, 4) AS power_kW, round(pw * 0.16666666666666666, 4) AS energy_kWh_10min
+        |FROM i""".stripMargin,
     "d22_ewma_batch" ->
       """WITH t AS (SELECT event_type, value,
         |  row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,

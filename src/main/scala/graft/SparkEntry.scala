@@ -219,6 +219,16 @@ object SparkEntry {
       T(s, dir, "events")
         .withColumn("wind_class", Features.windClass(col("value") / 5.0))
         .groupBy(col("wind_class")).agg(count(lit(1)).as("cnt"))),
+    "d20_round" -> ((s, dir) =>
+      // D20 presentation rounding — denominators chosen non-terminating
+      // (7, 9) or finer than the data's 2dp (x1.37 -> 4dp) so the rounded
+      // value never sits on a cross-engine half-boundary
+      T(s, dir, "events").select(col("event_id"),
+        round(col("value") / 7.0, 3).as("r3"),
+        round(col("value") / 9.0, 4).as("r4"),
+        round(col("value") * 1.37, 6).as("r6"))),
+    "d21_simulator" -> ((s, _) =>
+      graft.ingest.Simulator.solarTicks(s, 2000)),
     "d22_ewma_batch" -> ((s, dir) =>
       Ewma.batchFinal(T(s, dir, "events"), "event_type",
         Seq("ts", "event_id"), "value")),

@@ -93,6 +93,23 @@ object Pipeline {
         max(col("farm_power_kW")).as("max_power_kW"),
         sum(col("farm_energy_kWh_10min")).as("energy_kWh"))
 
+  /** S10: console debug sink (ref databricks.docx:154-159). */
+  def consoleSink(df: DataFrame, numRows: Int = 20): DataStreamWriter[Row] =
+    df.writeStream.format("console").option("numRows", numRows.toString)
+
+  /** S3/S4: Kafka/Event-Hub sink — key = partition key so per-station
+    * ordering survives the broker (T7, ref `Wind_Genration.py:35-47,88`).
+    * Returned unstarted (no broker in tests); the projection it shares with
+    * [[graft.ingest.Sources.toKafkaShape]] is oracle-checked in batch.
+    */
+  def kafkaSink(df: DataFrame, bootstrap: String, topic: String,
+      keyCol: String, checkpoint: String): DataStreamWriter[Row] =
+    graft.ingest.Sources.toKafkaShape(df, keyCol)
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
   /** S11: enumerate active streaming queries (databricks.docx:132-133). */
   def activeQueries(spark: org.apache.spark.sql.SparkSession): Seq[StreamingQuery] =
     spark.streams.active.toSeq
