@@ -34,27 +34,27 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     round(dot(a, b) / (norm(a) * norm(b)), 6)
 
-  /** Two-phase per-key top-k over scored rows — the scale-safe replacement
-    * for a `row_number` window partitioned by a low-cardinality key (which
-    * funnels |corpus|×|queries| rows into |queries| window partitions).
+  /** Per-key top-k over scored rows — the scale-safe replacement for a
+    * `row_number` window partitioned by a low-cardinality key (which funnels
+    * |corpus|×|queries| rows into |queries| window partitions).
     *
-    * Phase 1 aggregates a sorted k-prefix per (key, input partition) —
-    * map-side, so at most k rows per key survive each partition. Phase 2
-    * merges the prefixes per key. Both phases are hash aggregates with
-    * partial aggregation; no single task ever sees more than
-    * (#partitions × k) rows for one key. Ordering: cosine desc, then
-    * neighbor_id asc (ties deterministic).
+    * Uses [[graft.plans.TopKByScore]], a custom `TypedImperativeAggregate`
+    * holding a size-k heap: the map-side partial buffer that crosses the
+    * shuffle is k pairs per (key × map task), and no task ever materializes
+    * a group's full score list. Ordering: cosine desc, then neighbor_id asc
+    * (ties deterministic).
     */
   private[similarity] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
-    val item = struct((-col("cosine")).as("neg"), col("neighbor_id").as("nid"))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val agg = graft.plans.TopKByScore(
+      ColumnBridge.expression(col("cosine")),
+      ColumnBridge.expression(col("neighbor_id")), k)
     scored
-      .groupBy(col("query_id"), spark_partition_id().as("__pid"))
-      .agg(slice(sort_array(collect_list(item)), 1, k).as("part_topk"))
       .groupBy(col("query_id"))
-      .agg(slice(sort_array(flatten(collect_list(col("part_topk")))), 1, k).as("topk"))
+      .agg(ColumnBridge.column(agg.toAggregateExpression()).as("topk"))
       .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "t")))
-      .select(col("query_id"), col("t.nid").as("neighbor_id"),
-        (-col("t.neg")).as("cosine"), (col("pos") + 1).cast("int").as("rnk"))
+      .select(col("query_id"), col("t.id").as("neighbor_id"),
+        col("t.score").as("cosine"), (col("pos") + 1).cast("int").as("rnk"))
   }
 
   /** Exact top-k nearest neighbors by cosine for each query vector.

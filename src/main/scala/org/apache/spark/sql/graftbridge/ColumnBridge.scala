@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into `private[sql]` Column↔Expression conversion — the sanctioned
+  * pattern for libraries registering custom Catalyst expressions (the public
+  * `Column` API wraps ColumnNodes in Spark 4, so raw `Expression`s need this
+  * hop). Lives under org.apache.spark.sql to satisfy the access qualifier.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
