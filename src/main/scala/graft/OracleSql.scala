@@ -126,6 +126,14 @@ object OracleSql {
          |  ELSE least((((((0.5 * 1.225) * CAST(${Power.RotorSweptAreaM2} AS DOUBLE)) * ((v * v) * v)) * 0.4) / 1000.0), 2500.0)
          | END, 4) AS power_kw
          |FROM t""".stripMargin,
+    "d11_curve_native" ->
+      s"""WITH t AS (SELECT event_id, value / 12.0 AS v FROM events)
+         |SELECT event_id, round(CASE
+         |  WHEN v < 3.0 OR v > 25.0 THEN 0.0
+         |  WHEN v > 12.0 THEN 2500.0
+         |  ELSE least((((((0.5 * 1.225) * CAST(${Power.RotorSweptAreaM2} AS DOUBLE)) * ((v * v) * v)) * 0.4) / 1000.0), 2500.0)
+         | END, 4) AS power_kw
+         |FROM t""".stripMargin,
     "d12_farm_energy" ->
       s"""SELECT l_returnflag, round(sum(((l_extendedprice / 1000.0) * l_linenumber)
          | * ${10.0 / 60.0}), 2) AS sum_energy

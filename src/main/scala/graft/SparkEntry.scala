@@ -181,6 +181,16 @@ object SparkEntry {
       T(s, dir, "events").select(col("event_id"),
         round(Power.turbinePowerKw(lit(1.225), col("value") / 12.0), 4)
           .as("power_kw"))),
+    "d11_curve_native" -> ((s, dir) => {
+      // the custom codegen Expression, registered as a SQL function on the
+      // live session and invoked through the SQL surface
+      org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction(s,
+        graft.plans.GraftExtensions.turbinePower)
+      T(s, dir, "events").createOrReplaceTempView("graft_events")
+      s.sql("""SELECT event_id,
+        round(turbine_power_kw(1.225D, value / 12.0D), 4) AS power_kw
+        FROM graft_events""")
+    }),
     "d12_farm_energy" -> ((s, dir) =>
       T(s, dir, "lineitem")
         .withColumn("farm_kw", Power.farmPowerKw(
