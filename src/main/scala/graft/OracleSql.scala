@@ -221,6 +221,9 @@ object OracleSql {
         | round(sum(l_extendedprice), 2) AS sum_price, round(avg(l_discount), 6) AS avg_disc,
         | max(l_quantity) AS max_qty, count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "a02_salted_sum" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "a03_hourly_agg" ->
       """SELECT CAST(hour(ts) AS INTEGER) AS hour, round(sum(value), 2) AS sum_value,
         | count(*) AS cnt

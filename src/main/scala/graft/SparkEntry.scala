@@ -261,6 +261,11 @@ object SparkEntry {
           round(avg(col("l_discount")), 6).as("avg_disc"),
           max(col("l_quantity")).as("max_qty"),
           count(lit(1)).as("cnt")))),
+    "a02_salted_sum" -> ((s, dir) =>
+      // skew-safe two-phase sum — must equal the plain grouped sum
+      Aggregates.saltedSum(T(s, dir, "lineitem"), col("l_returnflag"),
+        col("l_orderkey"), col("l_quantity"), saltBuckets = 16,
+        outName = "sum_qty")),
     "a03_hourly_agg" -> ((s, dir) =>
       Aggregates.groupedStats(T(s, dir, "events"),
         Seq(hour(col("ts")).as("hour")),

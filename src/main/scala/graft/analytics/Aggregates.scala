@@ -54,6 +54,23 @@ object Aggregates {
       round(percentile(value, lit(0.75)), 6).as("p75"),
       round(max(value), 6).as("max"))
 
+  /** Skew-safe two-phase sum: salt the key into `saltBuckets` sub-keys,
+    * aggregate per (key, salt), then merge per key. A heavy-hitter key's
+    * rows land on `saltBuckets` reducers instead of one — the standard
+    * manual complement to AQE skew handling for aggregations (AQE only
+    * splits skewed JOIN partitions). Result is identical to a plain
+    * groupBy-sum; only the shuffle distribution changes.
+    *
+    * Salt must be deterministic per row (here: a hash of the salt column),
+    * so re-runs and retries place rows identically.
+    */
+  def saltedSum(df: DataFrame, key: Column, saltSource: Column, value: Column,
+      saltBuckets: Int, outName: String): DataFrame =
+    df.groupBy(key, pmod(hash(saltSource), lit(saltBuckets)).as("__salt"))
+      .agg(sum(value).as("__partial"))
+      .groupBy(key)
+      .agg(round(sum(col("__partial")), 2).as(outName))
+
   /** A14 / T5: tumbling-window aggregation over event time — the batch
     * equivalent of the streaming windowed agg. `window()` is a plain
     * projection before the group-by (no extra shuffle vs. groupBy).

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.Aggregates
+import graft.warehouse.Bucketing
+
+/** Scale-technique operators: salted aggregation (skew) and bucketed
+  * co-located joins (shuffle elimination). Correctness is equivalence with
+  * the naive form; the scale property is asserted on the physical plan.
+  */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted sum equals plain sum (including a heavy-hitter key)") {
+    val skewed = ((1 to 5000).map(i => ("hot", i.toLong, i * 0.01)) ++
+      (1 to 50).map(i => ("cold", i.toLong, i * 1.0)))
+      .toDF("k", "row_id", "v")
+    val salted = Aggregates.saltedSum(skewed, col("k"), col("row_id"), col("v"),
+        saltBuckets = 16, outName = "total")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val plain = skewed.groupBy("k").agg(round(sum("v"), 2).as("t"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(salted === plain)
+  }
+
+  test("bucketed join on the bucket key runs without a shuffle exchange") {
+    // warehouse dir is a static conf; tables land in ./spark-warehouse
+    // (gitignored) and are dropped below
+    val left = (1L to 1000L).map(i => (i, i * 2.0)).toDF("id", "a")
+    val right = (1L to 1000L).map(i => (i, s"n$i")).toDF("id", "b")
+    Bucketing.writeBucketed(left, "graft_bucketed_left", "id", 8)
+    Bucketing.writeBucketed(right, "graft_bucketed_right", "id", 8)
+    // disable broadcast so the join would otherwise be a shuffled SMJ
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.read(spark, "graft_bucketed_left")
+        .join(Bucketing.read(spark, "graft_bucketed_right"), "id")
+      assert(joined.count() === 1000)
+      assert(!Bucketing.hasShuffleExchange(joined),
+        "bucketed equi-join must not shuffle")
+      // contrast: the same join over unbucketed frames DOES shuffle
+      assert(Bucketing.hasShuffleExchange(left.join(right, "id")))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS graft_bucketed_left")
+      spark.sql("DROP TABLE IF EXISTS graft_bucketed_right")
+    }
+  }
+}
