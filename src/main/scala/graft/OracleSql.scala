@@ -228,6 +228,12 @@ object OracleSql {
       """SELECT CAST(hour(ts) AS INTEGER) AS hour, round(sum(value), 2) AS sum_value,
         | count(*) AS cnt
         |FROM events GROUP BY 1""".stripMargin,
+    "a16_low_power_alerts" ->
+      """SELECT event_type, event_id, value, value < 100.0 AS alert,
+        | CAST(100.0 AS DOUBLE) AS threshold_kW FROM (
+        | SELECT event_type, event_id, value,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) WHERE rn = 1""".stripMargin,
     "a05_capacity_factor" ->
       """WITH g AS (SELECT event_type, avg(value) AS a, max(value) AS m
         | FROM events GROUP BY event_type)

@@ -271,6 +271,12 @@ object SparkEntry {
         Seq(hour(col("ts")).as("hour")),
         Seq(round(sum(col("value")), 2).as("sum_value"),
           count(lit(1)).as("cnt")))),
+    "a16_low_power_alerts" -> ((s, dir) =>
+      graft.analytics.Alerts.lowPower(T(s, dir, "events"),
+          Seq(col("event_type")), Seq(col("ts"), col("event_id")),
+          col("value"), thresholdKw = 100.0)
+        .select(col("event_type"), col("event_id"), col("value"),
+          col("alert"), col("threshold_kW"))),
     "a05_capacity_factor" -> ((s, dir) =>
       Aggregates.capacityFactor(T(s, dir, "events"),
         col("event_type"), col("value"))),
