@@ -73,13 +73,22 @@ object Pipeline {
         Features.windPowerDensity(col("air_density_kgm3"), col("wind_speed_mps")))
   }
 
-  /** S8: checkpointed append-mode parquet sink. */
-  def parquetSink(df: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =
-    df.writeStream
+  /** S8: checkpointed append-mode parquet sink. `boundedDrain` runs with
+    * `Trigger.AvailableNow` — process everything available, then stop —
+    * the structured-streaming analog of the reference consumer's
+    * `consumer_timeout_ms` bounded drain (T2, ref `Solar_Processing.py:61-69`).
+    */
+  def parquetSink(df: DataFrame, path: String, checkpoint: String,
+      boundedDrain: Boolean = false): DataStreamWriter[Row] = {
+    val w = df.writeStream
       .format("parquet")
       .option("path", path)
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
+    if (boundedDrain)
+      w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else w
+  }
 
   /** T5/A14: watermarked sliding-window aggregation — the streaming form of
     * the dashboards' recency stats (`Wind_Genration.py:466-478`).

@@ -65,6 +65,20 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T2 bounded drain: AvailableNow processes the backlog then stops") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_drain").toString
+    val input = MemoryStream[Tele]
+    input.addData(
+      Tele("S1", ts("2025-01-01 10:00:00"), 1.0),
+      Tele("S2", ts("2025-01-01 10:00:05"), 2.0))
+    val q = Pipeline.parquetSink(input.toDF(), s"$dir/data", s"$dir/ckpt",
+      boundedDrain = true).start()
+    q.awaitTermination(60000) // AvailableNow self-terminates
+    assert(!q.isActive)
+    assert(spark.read.parquet(s"$dir/data").count() === 2)
+  }
+
   test("S8/T3 checkpointed parquet sink is exactly-once across restarts") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
