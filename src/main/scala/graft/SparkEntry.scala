@@ -470,7 +470,13 @@ object SparkEntry {
       Multimodal.mediaMetadata(Multimodal.asMediaTable(T(s, dir, "documents")))),
     "x13_media_decode" -> ((s, dir) =>
       Multimodal.decodeFeatures(s,
-        Multimodal.asMediaTable(T(s, dir, "documents"))).toDF())
+        Multimodal.asMediaTable(T(s, dir, "documents"))).toDF()),
+    "x14_media_resize" -> ((s, dir) =>
+      Multimodal.resizePlan(Multimodal.decodeFeatures(s,
+        Multimodal.asMediaTable(T(s, dir, "documents"))), 224, 224)),
+    "x15_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.decodeFeatures(s,
+        Multimodal.asMediaTable(T(s, dir, "documents"))), everyN = 5))
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -73,6 +73,28 @@ object Multimodal {
       }
   }
 
+  /** Resize planning over decoded features: aspect-preserving scale factor
+    * and target box per media item. A real pipeline hands `scale` to the
+    * codec; the Spark-side shape (projection over decoded features, blob
+    * already dropped) is the part that matters at scale.
+    */
+  def resizePlan(features: Dataset[MediaFeatures], targetW: Int,
+      targetH: Int): DataFrame =
+    features.toDF().select(
+      col("doc_id"), col("width"), col("height"),
+      lit(targetW).as("target_w"), lit(targetH).as("target_h"),
+      round(least(lit(targetW) / col("width").cast("double"),
+        lit(targetH) / col("height").cast("double")), 6).as("scale"))
+
+  /** Frame sampling: every `everyN`-th frame index per item, exploded to
+    * one row per sampled frame — the fan-out shape video feature extraction
+    * needs (downstream decode runs per sampled frame, not per video).
+    */
+  def sampleFrames(features: Dataset[MediaFeatures], everyN: Int): DataFrame =
+    features.toDF().select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(everyN)))
+          .as("frame_idx"))
+
   /** Metadata-only pass, expression-level (no decode): cheap stats available
     * without touching a codec — byte length, md5 content id, a size bucket
     * for downstream partitioning. Blob column dropped on output.

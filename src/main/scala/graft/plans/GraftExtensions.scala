@@ -1,23 +1,42 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
-/** SparkSessionExtensions entry point: registers the engine's custom
-  * expressions as SQL functions. Activate with
-  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` or
-  * `.withExtensions(new GraftExtensions)` at session build time; for an
-  * already-running session use
-  * [[org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction]].
+import graft.dedup.Dedup
+import graft.features.Features
+import graft.text.TextAnalysis
+
+/** SparkSessionExtensions entry point: exposes the engine's operators on
+  * the SQL surface. `turbine_power_kw` is a native codegen Expression; the
+  * rest are Column compositions wrapped into expression builders, so
+  * `spark.sql("SELECT quality_score(text) …")` works the same as the
+  * DataFrame API.
+  *
+  * Activate with `.withExtensions(new GraftExtensions)` /
+  * `spark.sql.extensions=graft.plans.GraftExtensions` at session build, or
+  * [[GraftExtensions.registerAll]] on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.turbinePower)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
+
+  private def fromColumns(name: String, arity: Int, f: Seq[Column] => Column):
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(name),
+    new ExpressionInfo("graft", name),
+    (children: Seq[Expression]) => {
+      require(children.size == arity, s"$name takes $arity argument(s)")
+      // eager conversion: the lazy wrapper is Unevaluable inside a
+      // FunctionRegistry builder (no Dataset-API unwrap pass runs)
+      ColumnBridge.eagerExpression(f(children.map(ColumnBridge.column)))
+    })
+
   val turbinePower: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("turbine_power_kw"),
     new ExpressionInfo(classOf[TurbinePowerKw].getName, "turbine_power_kw"),
@@ -25,4 +44,18 @@ object GraftExtensions {
       require(children.size == 2, "turbine_power_kw(density, v_hub)")
       TurbinePowerKw(children.head, children(1))
     })
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    turbinePower,
+    fromColumns("quality_score", 1, cs => TextAnalysis.qualityScore(cs.head)),
+    fromColumns("token_count", 1, cs => TextAnalysis.tokenCount(cs.head)),
+    fromColumns("doc_fingerprint", 1, cs => TextAnalysis.fingerprint(cs.head)),
+    fromColumns("simhash16", 1, cs => Dedup.simhash16(cs.head)),
+    fromColumns("hamming_distance", 2, cs => Dedup.hammingDistance(cs.head, cs(1))),
+    fromColumns("jaccard", 2, cs => Dedup.jaccard(cs.head, cs(1))),
+    fromColumns("wind_class", 1, cs => Features.windClass(cs.head)))
+
+  /** Register everything on an already-running session. */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    all.foreach(ColumnBridge.registerFunction(spark, _))
 }

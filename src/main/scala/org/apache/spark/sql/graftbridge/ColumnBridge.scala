@@ -13,6 +13,15 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** EAGER Column→Expression conversion. `expression` wraps non-trivial
+    * ColumnNode trees in a lazy `ColumnNodeExpression` that only the
+    * Dataset API path unwraps — inside a FunctionRegistry builder that
+    * wrapper survives to execution and is Unevaluable. This converter
+    * produces a real (unresolved) Expression tree the analyzer handles.
+    */
+  def eagerExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
+
   /** Register a function builder on a LIVE session (sessionState is
     * private[sql]; extension-based registration only applies at session
     * build time).

@@ -31,6 +31,22 @@ class TurbinePowerExprSpec extends SparkSpec {
     assert(out.getDouble(1) === 0.0)
   }
 
+  test("registerAll exposes the column-composition operators to SQL") {
+    GraftExtensions.registerAll(spark)
+    val out = spark.sql(
+      """SELECT token_count('hello brave new world') AS tc,
+        | wind_class(5.0D) AS wc,
+        | doc_fingerprint(' A  b ') = doc_fingerprint('a b') AS norm_eq,
+        | jaccard(array('a b','b c'), array('a b','b c')) AS j,
+        | hamming_distance(simhash16('x y z'), simhash16('x y z')) AS ham
+        |""".stripMargin).head()
+    assert(out.getInt(0) === 4)
+    assert(out.getString(1) === "Light")
+    assert(out.getBoolean(2))
+    assert(out.getDouble(3) === 1.0)
+    assert(out.getInt(4) === 0)
+  }
+
   test("null inputs yield null (BinaryExpression null-safety)") {
     val out = Seq((Some(1.2), None: Option[Double]), (None, Some(5.0)))
       .toDF("d", "v")
