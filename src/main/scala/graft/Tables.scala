@@ -23,6 +23,10 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, dir, "events")
+    // NOT spread: events feeds avg-based oracle queries whose 6-dp rounding
+    // is sensitive to partial-agg merge order; the single input split keeps
+    // Spark's sums sequential and bit-identical to DuckDB's. The per-row
+    // event queries are codegen'd and cheap even single-task.
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts",
