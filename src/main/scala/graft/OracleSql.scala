@@ -448,6 +448,29 @@ object OracleSql {
          |FROM (SELECT qid, nid, cosine,
          | row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk FROM sc)
          |WHERE rnk <= 3""".stripMargin,
+    "x09_knn_ivf_nprobe2" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+         | FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id % 50 = 0),
+         |asg AS (SELECT vec_id, cid FROM (
+         | SELECT v.vec_id, c.cid,
+         |  row_number() OVER (PARTITION BY v.vec_id
+         |   ORDER BY ${cosineSql("v.ve", "c.cv")} DESC, c.cid) AS rn
+         | FROM v CROSS JOIN cent c) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS qid, cid FROM (
+         | SELECT v.vec_id, c.cid,
+         |  row_number() OVER (PARTITION BY v.vec_id
+         |   ORDER BY ${cosineSql("v.ve", "c.cv")} DESC, c.cid) AS rn
+         | FROM v CROSS JOIN cent c WHERE v.vec_id IN (1, 2, 3)) WHERE rn <= 2),
+         |q AS (SELECT p.qid, p.cid, v.ve AS qv FROM probes p JOIN v ON p.qid = v.vec_id),
+         |n AS (SELECT a.vec_id AS nid, a.cid, v.ve AS nv FROM asg a
+         | JOIN v ON a.vec_id = v.vec_id),
+         |sc AS (SELECT q.qid, n.nid, ${cosineSql("q.qv", "n.nv")} AS cosine
+         | FROM q JOIN n ON q.cid = n.cid AND n.nid <> q.qid)
+         |SELECT qid AS query_id, nid AS neighbor_id, cosine, CAST(rnk AS INTEGER) AS rnk
+         |FROM (SELECT qid, nid, cosine,
+         | row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk FROM sc)
+         |WHERE rnk <= 3""".stripMargin,
     "x10_lsh_bucket" ->
       s"""SELECT vec_id, CAST(${bucketExpr(Planes8, "ve")} AS BIGINT) AS bucket
          |FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve

@@ -452,6 +452,11 @@ object SparkEntry {
       Similarity.ivfKnn(emb, emb.filter(col("vec_id") % 50 === 0),
         Seq(1L, 2L, 3L), 3)
     }),
+    "x09_knn_ivf_nprobe2" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.ivfKnn(emb, emb.filter(col("vec_id") % 50 === 0),
+        Seq(1L, 2L, 3L), 3, nprobe = 2)
+    }),
     "x10_lsh_bucket" -> ((s, dir) =>
       T(s, dir, "embeddings").select(col("vec_id"),
         Similarity.hyperplaneBucket(

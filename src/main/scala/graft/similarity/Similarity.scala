@@ -86,18 +86,29 @@ object Similarity {
       .select(col("vec_id"), col("centroid_id"), col("v"))
   }
 
-  /** IVF search: top-k by cosine among vectors sharing the query's cluster
-    * (nprobe=1). Returns the same shape as [[bruteForceKnn]] — recall is
-    * approximate by construction.
+  /** IVF search: top-k by cosine among vectors in the query's `nprobe`
+    * nearest clusters. Returns the same shape as [[bruteForceKnn]] — recall
+    * is approximate by construction and rises with `nprobe` (compared pairs
+    * scale as nprobe/|clusters| of brute force).
     */
   def ivfKnn(corpus: DataFrame, centroids: DataFrame, queryIds: Seq[Long],
-      k: Int): DataFrame = {
+      k: Int, nprobe: Int = 1): DataFrame = {
     val assigned = assignClusters(corpus, centroids)
-    val queries = assigned.filter(col("vec_id").isInCollection(queryIds))
-      .select(col("vec_id").as("query_id"), col("centroid_id"), col("v").as("qvec"))
+    // queries probe their top-nprobe clusters (corpus rows keep 1 cluster)
+    val q = corpus.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qvec"))
+    val cent = centroids.select(col("vec_id").as("centroid_id"),
+      asDouble(col("embedding")).as("cv"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("__sim").desc, col("centroid_id"))
+    val probes = q.join(broadcast(cent), lit(true))
+      .withColumn("__sim", cosine(col("qvec"), col("cv")))
+      .withColumn("__rn", row_number().over(probeW))
+      .filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col("centroid_id"), col("qvec"))
     val scored = assigned
       .select(col("vec_id").as("neighbor_id"), col("centroid_id"), col("v").as("cvec"))
-      .join(broadcast(queries), Seq("centroid_id"))
+      .join(broadcast(probes), Seq("centroid_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("qvec"), col("cvec")))
     topKPerQuery(scored, k)

@@ -57,6 +57,16 @@ class SimilaritySpec extends SparkSpec {
     assert(out.subsetOf(Set(0L, 4L))) // only the 0-cluster is probed
   }
 
+  test("IVF with full probe equals exact brute force") {
+    val centroids = vecs.filter(col("vec_id").isin(0L, 2L))
+    val ivf = Similarity.ivfKnn(vecs, centroids, Seq(1L, 3L), 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val brute = Similarity.bruteForceKnn(vecs,
+        vecs.filter(col("vec_id").isin(1L, 3L)), 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(ivf === brute) // nprobe = |clusters| probes everything
+  }
+
   test("hyperplane bucket is deterministic and equal for identical vectors") {
     val planes = Similarity.deterministicPlanes(4, 3)
     val b = vecs.select(col("vec_id"),
