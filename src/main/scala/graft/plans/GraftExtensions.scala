@@ -7,6 +7,7 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
 
 import graft.dedup.Dedup
 import graft.features.Features
+import graft.physics.Power
 import graft.text.TextAnalysis
 
 /** SparkSessionExtensions entry point: exposes the engine's operators on
@@ -53,7 +54,17 @@ object GraftExtensions {
     fromColumns("simhash16", 1, cs => Dedup.simhash16(cs.head)),
     fromColumns("hamming_distance", 2, cs => Dedup.hammingDistance(cs.head, cs(1))),
     fromColumns("jaccard", 2, cs => Dedup.jaccard(cs.head, cs(1))),
-    fromColumns("wind_class", 1, cs => Features.windClass(cs.head)))
+    fromColumns("wind_class", 1, cs => Features.windClass(cs.head)),
+    fromColumns("air_density", 2, cs => Power.airDensity(cs.head, cs(1))),
+    fromColumns("hub_wind_speed", 1, cs => Power.hubWindSpeed(cs.head)),
+    fromColumns("wind_power_density", 2,
+      cs => Features.windPowerDensity(cs.head, cs(1))),
+    fromColumns("effective_efficiency", 1,
+      cs => Power.effectiveEfficiency(cs.head)),
+    fromColumns("solar_power_kw", 3,
+      cs => Power.solarPowerKw(cs.head, cs(1), cs(2))),
+    fromColumns("irradiance_from_clouds", 1,
+      cs => Power.irradianceFromClouds(cs.head)))
 
   /** Register everything on an already-running session. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -1,0 +1,47 @@
+package graft
+
+/** Guards the driver contract against drift: every oracle refers to a real
+  * query; every query either has an oracle or is on the documented
+  * rows-only list; all query names follow the family naming scheme.
+  */
+class HarnessConsistencySpec extends SparkSpec {
+
+  private val rowsOnly = Set(
+    "a07_approx_distinct", // HLL sketch value has no DuckDB twin
+    "x13_media_decode",    // FNV fake-decoder is impractical in SQL
+    "x14_media_resize",    // derived from x13's decoder output
+    "x15_frame_sample")    // derived from x13's decoder output
+
+  test("every oracle entry has a matching query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("every query is oracle-checked or documented rows-only") {
+    val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+    assert(unchecked.isEmpty, s"queries missing oracles: $unchecked")
+    assert((rowsOnly -- SparkEntry.queries.keySet).isEmpty)
+  }
+
+  test("query names follow the family scheme") {
+    val pat = "^(p|d|a|j|o|s|t|x)[0-9]{2}[a-z0-9_]*$".r
+    val bad = SparkEntry.queries.keySet.filterNot(n => pat.matches(n))
+    assert(bad.isEmpty, s"non-conforming names: $bad")
+  }
+
+  test("SQL function registry registers without conflicts") {
+    graft.plans.GraftExtensions.registerAll(spark)
+    val out = spark.sql(
+      """SELECT round(air_density(1014.0D, 23.92D), 3) AS rho,
+        | round(hub_wind_speed(5.0D), 2) AS hub,
+        | round(wind_power_density(1.2D, 5.0D), 2) AS wpd,
+        | round(effective_efficiency(25.0D), 2) AS eff,
+        | round(irradiance_from_clouds(0.0D), 0) AS irr
+        |""".stripMargin).head()
+    assert(out.getDouble(0) === 1.189)
+    assert(out.getDouble(1) === 6.9)
+    assert(out.getDouble(2) === 75.0)
+    assert(out.getDouble(3) === 0.18)
+    assert(out.getDouble(4) === 1000.0)
+  }
+}
