@@ -3,8 +3,10 @@ package graft
 import graft.physics.Power
 import graft.similarity.Similarity
 
-/** DuckDB oracle SQL for every entry in [[SparkEntry.queries]] (minus the
-  * two rows-only checks: a07_approx_distinct, x13_media_decode).
+/** DuckDB oracle SQL for every entry in [[SparkEntry.queries]] minus the
+  * rows-only checks — the authoritative list is
+  * `HarnessConsistencySpec.rowsOnly`, currently only a07_approx_distinct
+  * (legitimately sketch-valued; an HLL estimate has no DuckDB twin).
   *
   * Each statement mirrors the Spark expression tree's association order so
   * per-row double arithmetic is bit-identical across engines; aggregates are
@@ -44,6 +46,33 @@ object OracleSql {
 
   private val Planes8 = Similarity.deterministicPlanes(8, 64)
   private val Planes6 = Similarity.deterministicPlanes(6, 64, seed = 7L)
+
+  /** CTE chain replicating [[graft.multimodal.Multimodal.DeterministicFakeDecoder]]:
+    * FNV-1a (64-bit, wrapping) over the UTF-8 bytes of `text`, carried in
+    * HUGEINT with explicit mod-2^64 wrap; `fm448` below is Java's
+    * `Math.floorMod(h, 448)` on the SIGNED 64-bit view of the hash, the
+    * remaining extracts shift first (h >>> k, k ≥ 8), so they are
+    * non-negative and a plain mod suffices.
+    */
+  private val DecodedFeatures =
+    """t AS (SELECT doc_id, encode(text) AS bl, hex(encode(text)) AS hx FROM documents),
+      |b AS (SELECT doc_id, octet_length(bl) AS byte_len,
+      |  list_transform(range(1, octet_length(bl) + 1),
+      |    i -> CAST(16 * (instr('0123456789ABCDEF', substring(hx, 2*i - 1, 1)) - 1)
+      |         + (instr('0123456789ABCDEF', substring(hx, 2*i, 1)) - 1) AS HUGEINT)) AS bytes
+      |  FROM t),
+      |h AS (SELECT doc_id, byte_len,
+      |  list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), bytes),
+      |    (acc, x) -> (xor(acc, x) * 1099511628211) % 18446744073709551616) AS hv
+      |  FROM b),
+      |dec AS (SELECT doc_id, byte_len,
+      |  CAST(64 + ((((CASE WHEN hv >= 9223372036854775808 THEN hv - 18446744073709551616
+      |    ELSE hv END) % 448) + 448) % 448) AS INTEGER) AS width,
+      |  CAST(64 + ((hv // 65536) % 448) AS INTEGER) AS height,
+      |  CAST(3 AS INTEGER) AS channels,
+      |  CAST(1 + ((hv // 4294967296) % 30) AS INTEGER) AS n_frames,
+      |  CAST((hv // 256) % 1000 AS DOUBLE) / 1000.0 AS brightness
+      |  FROM h)""".stripMargin
 
   val all: Map[String, String] = Map(
     "p01_project" ->
@@ -486,6 +515,21 @@ object OracleSql {
     "x12_media_metadata" ->
       """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS byte_len, md5(text) AS content_id,
         | CAST(floor(strlen(text) / 100.0) AS BIGINT) AS size_bucket
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "x13_media_decode" ->
+      s"""WITH $DecodedFeatures
+         |SELECT doc_id, CAST(byte_len AS BIGINT) AS byte_len, width, height,
+         | channels, n_frames, brightness
+         |FROM dec""".stripMargin,
+    "x14_media_resize" ->
+      s"""WITH $DecodedFeatures
+         |SELECT doc_id, width, height, CAST(224 AS INTEGER) AS target_w,
+         | CAST(224 AS INTEGER) AS target_h,
+         | round(least(224.0 / CAST(width AS DOUBLE), 224.0 / CAST(height AS DOUBLE)), 6) AS scale
+         |FROM dec""".stripMargin,
+    "x15_frame_sample" ->
+      s"""WITH $DecodedFeatures
+         |SELECT doc_id, n_frames, CAST(unnest(generate_series(0, n_frames - 1, 5)) AS INTEGER) AS frame_idx
+         |FROM dec""".stripMargin
   )
 }

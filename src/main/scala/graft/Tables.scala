@@ -21,8 +21,18 @@ object Tables {
     * division would lose precision above 2^53 ns).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(spark, dir, "events")
+    // nanosAsLong only needs to hold while the parquet footer is resolved
+    // (schema is captured in the relation); save/restore so a later
+    // nanos-typed parquet read in the same session isn't silently re-typed
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    val raw =
+      try load(spark, dir, "events")
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     // NOT spread: events feeds avg-based oracle queries whose 6-dp rounding
     // is sensitive to partial-agg merge order; the single input split keeps
     // Spark's sums sequential and bit-identical to DuckDB's. The per-row

@@ -1,8 +1,11 @@
 package graft.dedup
 
-import graft.text.TextAnalysis
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.plans.Native
+import graft.text.TextAnalysis
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
   * SimHash, n-gram Jaccard, embedding-cosine near-dup.
@@ -13,6 +16,10 @@ import org.apache.spark.sql.functions._
   * Nothing here is O(n²) over the corpus; the only quadratic work is per
   * LSH bucket, which banding keeps small. Hashes are md5-derived so results
   * are engine-independent (oracle-checkable) and stable across runs.
+  *
+  * The tokenize→shingle→md5 kernels are native codegen expressions
+  * ([[graft.plans.Kernels]]); round 2's higher-order-function formulation
+  * of the same semantics ran interpreted at ~100× the cost.
   */
 object Dedup {
 
@@ -37,59 +44,53 @@ object Dedup {
     * for more, extend with seeded md5(concat(seed, shingle)).
     */
   def minhashSignature(text: Column, numHashes: Int = 4): Seq[Column] =
-    signatureFromGrams(array_distinct(TextAnalysis.shingles(text, 2)), numHashes)
+    signatureFromGrams(Native.bigrams(text), numHashes)
 
-  /** (doc_id, sig0..sigK) frame — md5 is computed ONCE per gram into an
-    * intermediate projection; the per-slice columns then only substring it.
-    * Two projections stay separate (Catalyst won't collapse a projection
-    * whose expensive producer is referenced k times), so this does k× less
-    * hashing than deriving each signature column from the text.
+  /** (doc_id, sig0..sigK) frame — the gram set and its md5 slice minima are
+    * each computed ONCE per row by the native kernels; the per-slice output
+    * columns only index the 4-element result array (separate projections,
+    * which CollapseProject keeps apart because the producer is non-cheap
+    * and referenced k times).
     */
   def signatures(df: DataFrame, id: Column, text: Column,
       numHashes: Int = 4): DataFrame = {
     require(numHashes <= 4, "4 slices per md5; use seeded variant for more")
-    val hashed = df.select(id.as("doc_id"),
-      transform(array_distinct(TextAnalysis.shingles(text, 2)), g => md5(g))
-        .as("__ghash"))
-    hashed.select((col("doc_id") +: (0 until numHashes).map(i =>
-      array_min(transform(col("__ghash"), h => substring(h, i * 8 + 1, 8)))
-        .as(s"sig$i"))): _*)
+    val sliced = df
+      .select(id.as("doc_id"), Native.bigrams(text).as("__grams"))
+      .select(col("doc_id"), Native.minhashSlices(col("__grams")).as("__sig"))
+    sliced.select((col("doc_id") +: (0 until numHashes).map(i =>
+      element_at(col("__sig"), i + 1).as(s"sig$i"))): _*)
   }
 
   /** Signature columns from a pre-computed distinct-gram array column.
     * Callers that also need the grams (LSH + verify) should materialize the
-    * gram array in a projection first and derive the signature from it —
-    * otherwise each of the 4 slice columns re-evaluates the whole
-    * tokenize→shingle→distinct chain per row (higher-order functions are
-    * interpreted, so Catalyst does not CSE them).
+    * gram frame once ([[nearDuplicates]] persists it) and derive the
+    * signature from it, so the tokenize→shingle chain runs a single time.
     */
   def signatureFromGrams(grams: Column, numHashes: Int = 4): Seq[Column] = {
     require(numHashes <= 4, "4 slices per md5; use seeded variant for more")
-    (0 until numHashes).map { i =>
-      array_min(transform(grams, g => substring(md5(g), i * 8 + 1, 8)))
-        .as(s"sig$i")
-    }
+    val sig = Native.minhashSlices(grams)
+    (0 until numHashes).map(i => element_at(sig, i + 1).as(s"sig$i"))
   }
 
-  /** MinHash + LSH banding: docs sharing any band of their signature are
-    * candidate near-duplicates. 2 bands × 2 rows from a 4-hash signature.
-    * Returns candidate pairs (doc_a < doc_b, band_id) — the scalable
-    * pre-filter before exact Jaccard verification.
+  /** LSH band frame from a signed frame: 2 bands × 2 rows from the 4-hash
+    * signature, with a skew guard that caps degenerate buckets (empty or
+    * boilerplate text) BEFORE the self-join — the window shares the join's
+    * hash partitioning, so it adds no extra exchange.
     */
-  def minhashCandidates(df: DataFrame, id: Column, text: Column,
-      maxBucket: Int = 1000): DataFrame = {
-    val signed = signatures(df, id, text)
+  private def cappedBands(signed: DataFrame, maxBucket: Int): DataFrame = {
     val bands = signed.select(col("doc_id"),
         concat(col("sig0"), col("sig1")).as("band"), lit(1).as("band_id"))
       .unionByName(signed.select(col("doc_id"),
         concat(col("sig2"), col("sig3")).as("band"), lit(2).as("band_id")))
-    // LSH skew guard: a degenerate band (empty/boilerplate text) would make
-    // its bucket quadratic. Cap bucket size BEFORE the self-join; the window
-    // shares the join's hash partitioning, so it adds no extra exchange.
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_id"))
-    val capped = bands.withColumn("__bc", count(lit(1)).over(w))
+    bands.withColumn("__bc", count(lit(1)).over(w))
       .filter(col("__bc") <= maxBucket)
       .drop("__bc")
+  }
+
+  /** Candidate pairs (doc_a < doc_b, band_id) from a capped band frame. */
+  private def bandPairs(capped: DataFrame): DataFrame = {
     val a = capped.select(col("band"), col("band_id"), col("doc_id").as("doc_a"))
     val b = capped.select(col("band"), col("band_id"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "band_id"))
@@ -98,52 +99,55 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact n-gram Jaccard similarity between two shingle-set columns:
-    * |A∩B| / |A∪B|. Used to verify LSH candidates.
+  /** MinHash + LSH banding: docs sharing any band of their signature are
+    * candidate near-duplicates. Returns candidate pairs
+    * (doc_a < doc_b, band_id) — the scalable pre-filter before exact
+    * Jaccard verification.
+    */
+  def minhashCandidates(df: DataFrame, id: Column, text: Column,
+      maxBucket: Int = 1000): DataFrame =
+    bandPairs(cappedBands(signatures(df, id, text), maxBucket))
+
+  /** Exact n-gram Jaccard similarity between two distinct-shingle-set
+    * columns: |A∩B| / |A∪B|. Used to verify LSH candidates.
     */
   def jaccard(gramsA: Column, gramsB: Column): Column = {
-    val inter = size(array_intersect(gramsA, gramsB)).cast("double")
+    val inter = Native.intersectCount(gramsA, gramsB).cast("double")
     val union = (size(gramsA) + size(gramsB)).cast("double") - inter
     round(inter / greatest(union, lit(1.0)), 6)
   }
 
   /** LSH candidates verified with exact bigram Jaccard — the full
-    * MinHash→band→bucket-join→verify near-dup pipeline.
+    * MinHash→band→bucket-join→verify near-dup pipeline, single-pass over
+    * the text: the distinct-gram frame is computed once and persisted
+    * (memory-and-disk — at corpus scale this is the frame a pipeline would
+    * checkpoint), signatures are derived from it, and the verify stage
+    * joins candidates back to the same frame. The persist also acts as a
+    * projection barrier, keeping the band expressions out of the scan.
     */
   def nearDuplicates(df: DataFrame, id: Column, text: Column,
-      threshold: Double = 0.7): DataFrame = {
-    val grams = df.select(id.as("did"),
-      array_distinct(TextAnalysis.shingles(text, 2)).as("grams"))
-    val cands = minhashCandidates(df, id, text).select("doc_a", "doc_b").distinct()
+      threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+    val grams = df.select(id.as("did"), Native.bigrams(text).as("grams"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val signed = grams
+      .select(col("did").as("doc_id"), Native.minhashSlices(col("grams")).as("__sig"))
+      .select((col("doc_id") +:
+        (0 until 4).map(i => element_at(col("__sig"), i + 1).as(s"sig$i"))): _*)
+    val cands = bandPairs(cappedBands(signed, maxBucket))
+      .select("doc_a", "doc_b").distinct()
     cands
-      .join(grams.withColumnRenamed("did", "doc_a").withColumnRenamed("grams", "ga"), "doc_a")
-      .join(grams.withColumnRenamed("did", "doc_b").withColumnRenamed("grams", "gb"), "doc_b")
+      .join(grams.select(col("did").as("doc_a"), col("grams").as("ga")), "doc_a")
+      .join(grams.select(col("did").as("doc_b"), col("grams").as("gb")), "doc_b")
       .select(col("doc_a"), col("doc_b"), jaccard(col("ga"), col("gb")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
   /** SimHash: 16-bit locality-sensitive signature. Bit i of the signature is
-    * the sign of the sum over tokens of ±1 according to bit i of the token's
-    * hash (hex nibble i of md5 ≥ 8). Near-dup docs differ in few bits.
+    * the sign of the sum over distinct tokens of ±1 according to hex nibble
+    * i of the token's md5 (≥ 8 votes +1). Near-dup docs differ in few bits.
+    * One fused tokenize+md5+vote kernel pass per row.
     */
-  def simhash16(text: Column): Column = {
-    // single pass: tokenize+md5 once per row, fold all 16 bit votes in ONE
-    // aggregate (an int[16] accumulator), then weight-sum the sign bits.
-    // The naive form (one aggregate per bit) re-evaluates the whole
-    // tokenize+md5 chain 16x per row — higher-order functions are
-    // interpreted, so Catalyst does not CSE the shared subtree.
-    val hashes = transform(array_distinct(TextAnalysis.tokens(text)), w => md5(w))
-    val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-    val votes = aggregate(hashes,
-      array_repeat(lit(0), 16),
-      (acc, h) => zip_with(acc,
-        transform(sequence(lit(1), lit(16)),
-          i => when(h.substr(i, lit(1)).isInCollection(hexHigh), 1).otherwise(-1)),
-        (a, b) => a + b))
-    val weights = array((0 until 16).map(i => lit(1L << (15 - i))): _*)
-    aggregate(zip_with(votes, weights, (v, w) => when(v > 0, w).otherwise(0L)),
-      lit(0L), (acc, x) => acc + x)
-  }
+  def simhash16(text: Column): Column = Native.simhash16(text)
 
   /** Hamming distance between two simhash values (bit-count of XOR). */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -32,7 +32,8 @@ object GraftExtensions {
     FunctionIdentifier(name),
     new ExpressionInfo("graft", name),
     (children: Seq[Expression]) => {
-      require(children.size == arity, s"$name takes $arity argument(s)")
+      if (children.size != arity)
+        ColumnBridge.wrongNumArgs(name, arity, children.size)
       // eager conversion: the lazy wrapper is Unevaluable inside a
       // FunctionRegistry builder (no Dataset-API unwrap pass runs)
       ColumnBridge.eagerExpression(f(children.map(ColumnBridge.column)))
@@ -42,7 +43,8 @@ object GraftExtensions {
     FunctionIdentifier("turbine_power_kw"),
     new ExpressionInfo(classOf[TurbinePowerKw].getName, "turbine_power_kw"),
     (children: Seq[Expression]) => {
-      require(children.size == 2, "turbine_power_kw(density, v_hub)")
+      if (children.size != 2)
+        ColumnBridge.wrongNumArgs("turbine_power_kw", 2, children.size)
       TurbinePowerKw(children.head, children(1))
     })
 

@@ -1,0 +1,262 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom codegen expressions over the [[Kernels]] statics — the §2.8
+  * "native Expression with doGenCode" tier applied to the vector/text hot
+  * paths that round 2 showed running interpreted (`zip_with`/`aggregate`
+  * higher-order functions don't participate in whole-stage codegen).
+  *
+  * Each expression stays inside the WholeStageCodegen span: the generated
+  * Java calls the kernel's static forwarder directly, so a projection over
+  * these is one fused loop per row batch.
+  */
+private[plans] trait KernelCodegenHelpers { self: Expression =>
+  protected final val KernelsCls: String = Kernels.getClass.getName.stripSuffix("$")
+
+  protected final def vecTypeOk(dt: DataType): Boolean = dt match {
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  protected final def isFloatArr(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+}
+
+/** Unrounded cosine similarity of two numeric-array columns (float or
+  * double elements); same IEEE operation order as the `aggregate`/`zip_with`
+  * formulation it replaces. See [[graft.similarity.Similarity.cosine]].
+  */
+case class CosineSim(left: Expression, right: Expression)
+  extends BinaryExpression with KernelCodegenHelpers {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (vecTypeOk(left.dataType) && vecTypeOk(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim requires (array<float|double>, array<float|double>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_sim"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloatArr(left), isFloatArr(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("cos")
+      s"""
+         |java.lang.Double $tmp = $KernelsCls.cosine($a, $b, ${isFloatArr(left)}, ${isFloatArr(right)});
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Dot product of two numeric-array columns, fold-left association. */
+case class DotProduct(left: Expression, right: Expression)
+  extends BinaryExpression with KernelCodegenHelpers {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (vecTypeOk(left.dataType) && vecTypeOk(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_product requires (array<float|double>, array<float|double>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dot_product"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloatArr(left), isFloatArr(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("dot")
+      s"""
+         |java.lang.Double $tmp = $KernelsCls.dot($a, $b, ${isFloatArr(left)}, ${isFloatArr(right)});
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Top-`n` nearest centroid ids for a vector column against a broadcast
+  * (plan-constant) centroid set, ordered (round-6 cosine desc, id asc) —
+  * replaces round 2's corpus × centroids cross-join + `row_number` window,
+  * which shuffled |corpus|·|centroids| rows. One projection, no exchange.
+  * `ids` must be sorted ascending, parallel to `cents`.
+  */
+case class NearestCentroids(child: Expression, ids: Array[Long],
+    cents: Array[Array[Double]], n: Int)
+  extends UnaryExpression with KernelCodegenHelpers {
+
+  require(n > 0, "nprobe must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (vecTypeOk(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroids requires array<float|double>, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.nearestCentroids(v.asInstanceOf[ArrayData], ids, cents, n, isFloatArr(child))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("centIds", ids, "long[]")
+    val centsRef = ctx.addReferenceObj("centVecs", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = $KernelsCls.nearestCentroids($v, $idsRef, $centsRef, $n, ${isFloatArr(child)});")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}
+
+/** Distinct word-bigram set of a text column — one fused
+  * tokenize→shingle→distinct pass. See [[graft.text.TextAnalysis.shingles]].
+  */
+case class BigramSet(child: Expression) extends UnaryExpression {
+  private val KernelsCls = Kernels.getClass.getName.stripSuffix("$")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bigram_set requires string, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bigram_set"
+
+  override protected def nullSafeEval(t: Any): Any =
+    Kernels.bigramSet(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $KernelsCls.bigramSet($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): BigramSet =
+    copy(child = newChild)
+}
+
+/** The 4 MinHash slice minima (8 hex chars each) over a distinct-gram
+  * array: one md5 per gram for all 4 signatures. Null for an empty gram set.
+  */
+case class MinhashSlices(child: Expression) extends UnaryExpression {
+  private val KernelsCls = Kernels.getClass.getName.stripSuffix("$")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"minhash_slices requires array<string>, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_slices"
+
+  override protected def nullSafeEval(g: Any): Any =
+    Kernels.minhashSlices(g.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, g =>
+      s"""
+         |${ev.value} = $KernelsCls.minhashSlices($g);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSlices =
+    copy(child = newChild)
+}
+
+/** 16-bit SimHash of a text column — fused tokenize+md5+vote pass. */
+case class Simhash16(child: Expression) extends UnaryExpression {
+  private val KernelsCls = Kernels.getClass.getName.stripSuffix("$")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash16 requires string, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash16"
+
+  override protected def nullSafeEval(t: Any): Any =
+    Kernels.simhash16(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $KernelsCls.simhash16($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash16 =
+    copy(child = newChild)
+}
+
+/** |A ∩ B| of two distinct string arrays — the counting core of
+  * `size(array_intersect(a, b))` without materializing the intersection.
+  */
+case class IntersectCount(left: Expression, right: Expression)
+  extends BinaryExpression {
+  private val KernelsCls = Kernels.getClass.getName.stripSuffix("$")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"intersect_count requires (array<string>, array<string>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.intersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $KernelsCls.intersectCount($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-API constructors for the kernel expressions. */
+object Native {
+  private def C(e: Expression): Column = ColumnBridge.column(e)
+  private def E(c: Column): Expression = ColumnBridge.eagerExpression(c)
+
+  /** Unrounded cosine similarity; see [[graft.similarity.Similarity.cosine]]
+    * for the rounded public form.
+    */
+  def cosineRaw(a: Column, b: Column): Column = C(CosineSim(E(a), E(b)))
+
+  def dot(a: Column, b: Column): Column = C(DotProduct(E(a), E(b)))
+
+  def nearestCentroids(v: Column, ids: Array[Long], cents: Array[Array[Double]],
+      n: Int): Column = C(NearestCentroids(E(v), ids, cents, n))
+
+  def bigrams(text: Column): Column = C(BigramSet(E(text)))
+
+  def minhashSlices(grams: Column): Column = C(MinhashSlices(E(grams)))
+
+  def simhash16(text: Column): Column = C(Simhash16(E(text)))
+
+  def intersectCount(a: Column, b: Column): Column = C(IntersectCount(E(a), E(b)))
+}

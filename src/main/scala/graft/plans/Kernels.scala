@@ -1,0 +1,258 @@
+package graft.plans
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight-loop JVM kernels behind the custom Catalyst expressions in
+  * [[KernelExpressions]]. Whole-stage codegen calls these through their
+  * static forwarders, so the hot inner loops (vector math, tokenize+hash)
+  * run as JIT-compiled Java instead of interpreted higher-order-function
+  * trees — the round-2 bench showed interpreted `aggregate`/`zip_with`
+  * evaluation costing ~100x a compiled loop on these kernels.
+  *
+  * Numeric contract: every kernel reproduces the exact IEEE operation order
+  * of the column-expression formulation it replaces (left-to-right folds,
+  * same cast points), so results are bit-identical to round 2's oracles.
+  */
+object Kernels {
+
+  @inline private def elem(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  /** Dot product with the association order of
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)`: acc = ((0 + p0) + p1) + ...
+    * Null on length mismatch or null element (zip_with pads with null, and
+    * null propagates through the fold).
+    */
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc = acc + elem(a, i, aFloat) * elem(b, i, bFloat)
+      i += 1
+    }
+    acc
+  }
+
+  /** Unrounded cosine similarity: dot / (sqrt(||a||²) * sqrt(||b||²)), each
+    * sum accumulated left-to-right like the `aggregate` fold it replaces.
+    */
+  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var d = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = elem(a, i, aFloat)
+      val y = elem(b, i, bFloat)
+      d = d + x * y
+      na = na + x * x
+      nb = nb + y * y
+      i += 1
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Spark-identical round-half-up at 6 decimals (Round on DoubleType goes
+    * through BigDecimal.valueOf, i.e. the shortest-decimal representation).
+    */
+  def round6(d: Double): Double =
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+    else java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Ids of the `n` nearest centroids to `v` by round-6 cosine, ordered
+    * (cosine desc, centroid id asc) — the same order as a `row_number`
+    * window over `ORDER BY round(cosine, 6) DESC, id` with ids pre-sorted
+    * ascending. NaN compares greatest (Double.compare), matching how both
+    * Spark and DuckDB order NaN in a descending sort. Null vector elements
+    * are unsupported (embedding tables carry none) and read as NaN.
+    */
+  def nearestCentroids(v: ArrayData, ids: Array[Long], cents: Array[Array[Double]],
+      n: Int, isFloat: Boolean): ArrayData = {
+    val dim = v.numElements()
+    val vd = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      vd(i) = if (v.isNullAt(i)) Double.NaN else elem(v, i, isFloat)
+      i += 1
+    }
+    val topIds = new Array[Long](n)
+    val topSims = new Array[Double](n)
+    var filled = 0
+    var c = 0
+    while (c < ids.length) {
+      val cv = cents(c)
+      if (cv.length == dim) {
+        var d = 0.0
+        var na = 0.0
+        var nb = 0.0
+        var j = 0
+        while (j < dim) {
+          val x = vd(j)
+          val y = cv(j)
+          d = d + x * y
+          na = na + x * x
+          nb = nb + y * y
+          j += 1
+        }
+        val sim = round6(d / (math.sqrt(na) * math.sqrt(nb)))
+        // insertion into the fixed top-n, strict > keeps the earlier
+        // (smaller) centroid id on ties
+        var pos = filled
+        while (pos > 0 && java.lang.Double.compare(sim, topSims(pos - 1)) > 0) pos -= 1
+        if (pos < n) {
+          val last = math.min(filled, n - 1)
+          var k = last
+          while (k > pos) {
+            topIds(k) = topIds(k - 1)
+            topSims(k) = topSims(k - 1)
+            k -= 1
+          }
+          topIds(pos) = ids(c)
+          topSims(pos) = sim
+          if (filled < n) filled += 1
+        }
+      }
+      c += 1
+    }
+    val out = new Array[Any](filled)
+    var k = 0
+    while (k < filled) { out(k) = topIds(k); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  // ── text kernels ───────────────────────────────────────────────────────
+
+  private val Ws = Pattern.compile("\\s+")
+
+  private val Md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** `split(trim(lower(text)), "\\s+")` exactly: UTF8String lower + trim
+    * (SQL trim strips 0x20 only, unlike java.lang.String#trim), then a
+    * limit=-1 regex split — "" yields a single empty token, like Spark.
+    */
+  def tokens0(text: UTF8String): Array[String] =
+    Ws.split(text.toLowerCase.trim.toString, -1)
+
+  private def md5hex(s: String): String = {
+    val digest = Md5.get()
+    digest.reset()
+    val bytes = digest.digest(s.getBytes(StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(i * 2) = HexChars((bytes(i) >> 4) & 0xf)
+      out(i * 2 + 1) = HexChars(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Distinct word bigrams ("tok_i tok_i+1"), first-occurrence order —
+    * `array_distinct(shingles(text, 2))` in one pass.
+    */
+  def bigramSet(text: UTF8String): ArrayData = {
+    val t = tokens0(text)
+    if (t.length < 2) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](t.length * 2)
+    var i = 0
+    while (i < t.length - 1) {
+      seen.add(t(i) + " " + t(i + 1))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** The 4 MinHash slice minima over a distinct-gram array: one md5 per
+    * gram, minimum of each 8-hex-char slice (lexicographic on lowercase hex
+    * = unsigned numeric). Null when the gram set is empty — `array_min` of
+    * an empty array is null.
+    */
+  def minhashSlices(grams: ArrayData): ArrayData = {
+    val n = grams.numElements()
+    if (n == 0) return null
+    val mins = new Array[String](4)
+    var i = 0
+    while (i < n) {
+      val h = md5hex(grams.getUTF8String(i).toString)
+      var s = 0
+      while (s < 4) {
+        val sub = h.substring(s * 8, s * 8 + 8)
+        if (mins(s) == null || sub.compareTo(mins(s)) < 0) mins(s) = sub
+        s += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](4)
+    var s = 0
+    while (s < 4) { out(s) = UTF8String.fromString(mins(s)); s += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** 16-bit SimHash: one tokenize + one md5 per distinct token, all 16 bit
+    * votes folded in a single pass (nibble i of the md5 hex ≥ 8 votes +1 on
+    * bit 15-i, else -1; bit set when the vote sum is positive).
+    */
+  def simhash16(text: UTF8String): Long = {
+    val t = tokens0(text)
+    val seen = new java.util.HashSet[String](t.length * 2)
+    val votes = new Array[Int](16)
+    var i = 0
+    while (i < t.length) {
+      if (seen.add(t(i))) {
+        val h = md5hex(t(i))
+        var j = 0
+        while (j < 16) {
+          // hex chars are '0'-'9','a'-'f'; >= '8' selects {8,9,a..f}
+          votes(j) += (if (h.charAt(j) >= '8') 1 else -1)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 16) {
+      if (votes(j) > 0) sig |= 1L << (15 - j)
+      j += 1
+    }
+    sig
+  }
+
+  /** |A ∩ B| for two string arrays (already distinct) — the counting core
+    * of `size(array_intersect(a, b))` without building the result array.
+    */
+  def intersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val set = new java.util.HashSet[UTF8String](na * 2)
+    var i = 0
+    while (i < na) { set.add(a.getUTF8String(i)); i += 1 }
+    var cnt = 0
+    var j = 0
+    val nb = b.numElements()
+    while (j < nb) {
+      if (set.contains(b.getUTF8String(j))) cnt += 1
+      j += 1
+    }
+    cnt
+  }
+}

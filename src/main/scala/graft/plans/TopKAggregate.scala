@@ -62,9 +62,10 @@ case class TopKByScore(
   }
 
   override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any = {
-    val sorted = buf.toArray.sortWith { (x, y) =>
-      x._1 > y._1 || (x._1 == y._1 && x._2 < y._2)
-    }
+    // same total order as the heap (worstFirst ascending = best first):
+    // a sortWith on raw > / == is not total when a score is NaN (zero-norm
+    // vector → cosine 0/0), and TimSort throws on non-total comparators
+    val sorted = buf.toArray.sorted(worstFirst)
     new GenericArrayData(sorted.map { case (s, i) =>
       new GenericInternalRow(Array[Any](s, i)): Any
     })

@@ -1,8 +1,9 @@
 package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.plans.Native
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -10,29 +11,34 @@ import org.apache.spark.sql.functions._
   *  - [[bruteForceKnn]]: exact cosine top-k — broadcast the (small) query
   *    set against the corpus; one pass, no corpus shuffle. The baseline.
   *  - [[ivfKnn]]: IVF-style partitioned search — assign every vector to its
-  *    nearest centroid (linear pass), shuffle once on cluster id, and
-  *    search only the query's cluster. At 100 TB with √n centroids this
-  *    cuts compared pairs by ~|clusters|× at a small recall cost.
+  *    nearest centroid with a per-row argmax over the (small, collected)
+  *    centroid set, shuffle nothing until the final bounded top-k merge,
+  *    and search only the query's `nprobe` nearest clusters. At 100 TB with
+  *    √n centroids this cuts compared pairs by ~|clusters|× at a small
+  *    recall cost.
   *
-  * All vector math is `zip_with`/`aggregate` higher-order expressions over
-  * `array<double>` — codegen-friendly, no UDF serialization per row.
+  * All vector math runs through the native codegen kernels in
+  * [[graft.plans.Kernels]] (tight primitive loops inside whole-stage
+  * codegen); round 2's interpreted `zip_with`/`aggregate` formulation of the
+  * same IEEE operation order cost ~100× per pair.
   */
 object Similarity {
 
-  /** Cast an array<float> embedding to array<double> for stable math. */
+  /** Cast an array<float> embedding to array<double> for stable math.
+    * The kernels accept float arrays directly; this remains for callers
+    * that need a double-array *column* (e.g. plane literals alongside it).
+    */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product of two numeric-array columns (native kernel). */
+  def dot(a: Column, b: Column): Column = Native.dot(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+  def norm(a: Column): Column = sqrt(Native.dot(a, a))
 
-  /** Cosine similarity of two double-array columns, rounded for stable
+  /** Cosine similarity of two numeric-array columns, rounded for stable
     * cross-engine comparison.
     */
-  def cosine(a: Column, b: Column): Column =
-    round(dot(a, b) / (norm(a) * norm(b)), 6)
+  def cosine(a: Column, b: Column): Column = round(Native.cosineRaw(a, b), 6)
 
   /** Per-key top-k over scored rows — the scale-safe replacement for a
     * `row_number` window partitioned by a low-cardinality key (which funnels
@@ -63,51 +69,64 @@ object Similarity {
     * partition to k candidates per query before the single merge shuffle.
     */
   def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val c = corpus.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cvec"))
-    val q = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qvec"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cvec"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("qvec"), col("cvec")))
     topKPerQuery(scored, k)
   }
 
-  /** Assign each vector to the id of its nearest centroid (max cosine,
-    * ties by centroid id). Centroids are broadcast; assignment is a single
-    * narrow pass.
+  /** Collect a (small) centroid frame to a sorted (ids, vectors) pair — the
+    * IVF "model" artifact. Centroids are ~√n by construction, so this is a
+    * driver-side object of megabytes even at corpus scale, broadcast into
+    * the assignment projection as a plan constant.
     */
-  def assignClusters(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val cent = centroids.select(col("vec_id").as("centroid_id"),
-      asDouble(col("embedding")).as("cv"))
-    val scored = c.join(broadcast(cent), lit(true))
-      .withColumn("sim", cosine(col("v"), col("cv")))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("centroid_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("centroid_id"), col("v"))
+  private def collectCentroids(centroids: DataFrame): (Array[Long], Array[Array[Double]]) = {
+    val rows = centroids
+      .select(col("vec_id").cast("long"), asDouble(col("embedding")))
+      .collect()
+      .map { r =>
+        (r.getLong(0), r.getSeq[Double](1).toArray)
+      }
+      .sortBy(_._1)
+    (rows.map(_._1), rows.map(_._2))
   }
+
+  /** Assign each vector to the id of its nearest centroid (max round-6
+    * cosine, ties by centroid id). A single narrow projection over the
+    * corpus — no join, no window, no shuffle; round 2's cross-join +
+    * `row_number` formulation shuffled |corpus|×|centroids| rows.
+    */
+  def assignClusters(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    assignWith(corpus, collectCentroids(centroids))
+
+  private def assignWith(corpus: DataFrame,
+      cents: (Array[Long], Array[Array[Double]])): DataFrame =
+    corpus.select(col("vec_id"),
+      element_at(Native.nearestCentroids(col("embedding"), cents._1, cents._2, 1), 1)
+        .as("centroid_id"),
+      col("embedding").as("v"))
 
   /** IVF search: top-k by cosine among vectors in the query's `nprobe`
     * nearest clusters. Returns the same shape as [[bruteForceKnn]] — recall
     * is approximate by construction and rises with `nprobe` (compared pairs
     * scale as nprobe/|clusters| of brute force).
+    *
+    * Plan shape: corpus scan → assignment projection → broadcast-hash join
+    * with the probe set → cosine projection → partial top-k; the only
+    * exchange is the final k-per-group merge in [[topKPerQuery]].
     */
   def ivfKnn(corpus: DataFrame, centroids: DataFrame, queryIds: Seq[Long],
       k: Int, nprobe: Int = 1): DataFrame = {
-    val assigned = assignClusters(corpus, centroids)
-    // queries probe their top-nprobe clusters (corpus rows keep 1 cluster)
-    val q = corpus.filter(col("vec_id").isInCollection(queryIds))
-      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qvec"))
-    val cent = centroids.select(col("vec_id").as("centroid_id"),
-      asDouble(col("embedding")).as("cv"))
-    val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(col("__sim").desc, col("centroid_id"))
-    val probes = q.join(broadcast(cent), lit(true))
-      .withColumn("__sim", cosine(col("qvec"), col("cv")))
-      .withColumn("__rn", row_number().over(probeW))
-      .filter(col("__rn") <= nprobe)
-      .select(col("query_id"), col("centroid_id"), col("qvec"))
-    val scored = assigned
+    val cents = collectCentroids(centroids)
+    val assigned = assignWith(corpus, cents)
       .select(col("vec_id").as("neighbor_id"), col("centroid_id"), col("v").as("cvec"))
+    // queries probe their top-nprobe clusters (corpus rows keep 1 cluster)
+    val probes = corpus.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        explode(Native.nearestCentroids(col("embedding"), cents._1, cents._2, nprobe))
+          .as("centroid_id"))
+    val scored = assigned
       .join(broadcast(probes), Seq("centroid_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("qvec"), col("cvec")))

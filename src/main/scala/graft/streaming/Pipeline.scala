@@ -27,7 +27,7 @@ object Pipeline {
       validCols: (String, String) = ("timestamp", "station_id")): DataFrame = {
     val bounded = Validation.rangeFilter(df, bounds)
     val filled = Validation.fillDefaults(bounded, defaults)
-    val deduped =
+    val deduped0 =
       if (streaming)
         // watermark bounds dedup state to 10 min of event time
         filled.withWatermark("timestamp", "10 minutes")
@@ -44,8 +44,10 @@ object Pipeline {
             filled.columns.filterNot(Set("station_id", "timestamp"))
               .sorted.map(col).toSeq
         Validation.dedupeFirst(filled, Seq("station_id", "timestamp"), tiebreak)
-          .drop(graft.ingest.Sources.IngestOrderCol)
       }
+    // drop the ingest-order helper on BOTH branches — a streaming source
+    // that captured it would otherwise leak it into the output schema
+    val deduped = deduped0.drop(graft.ingest.Sources.IngestOrderCol)
     Features.withTimeFeatures(deduped, validCols = validCols)
   }
 

@@ -16,13 +16,33 @@ import org.apache.spark.sql.functions._
   */
 object StarSchema {
 
-  /** Build a dimension: distinct natural-key tuples + dense surrogate key. */
+  /** Build a dimension: distinct natural-key tuples + dense surrogate key.
+    * The global `dense_rank` is a single-partition exchange of the already
+    * deduplicated rows — right for genuinely small dims (stations, dates),
+    * wrong past ~millions of rows; use [[buildDimHashed]] there.
+    */
   def buildDim(df: DataFrame, naturalKey: Seq[Column], attrs: Seq[Column],
       keyName: String): DataFrame = {
     val distinct = df.select((naturalKey ++ attrs): _*).distinct()
     distinct.withColumn(keyName,
       dense_rank().over(Window.orderBy(naturalKey: _*)))
   }
+
+  /** Build a dimension with a hash surrogate — `xxhash64` of the natural
+    * key: deterministic across runs and partitionings, no global sort, no
+    * exchange beyond the distinct. The right key scheme when dimension
+    * cardinality approaches fact cardinality (`Dim_DateTime` at raw
+    * timestamp grain, weather at measure-tuple grain), where the dense-rank
+    * build's single-partition sort would bottleneck a 100 TB fact load.
+    * Collision odds over n distinct keys are ~n²/2⁶⁵ (≈3% at 10⁹ keys,
+    * ~10⁻⁶ at 10⁶) — standard practice for analytics surrogates; a
+    * collision surfaces as fan-out in the star join-back, which
+    * WarehouseSpec's lossless-join assertion would catch.
+    */
+  def buildDimHashed(df: DataFrame, naturalKey: Seq[Column], attrs: Seq[Column],
+      keyName: String): DataFrame =
+    df.select((naturalKey ++ attrs): _*).distinct()
+      .withColumn(keyName, xxhash64(naturalKey: _*))
 
   /** Date dimension from a timestamp column (ref `Dim_DateTime`,
     * `dwh.docx:10-24`): one row per distinct date with calendar attributes.
@@ -65,12 +85,14 @@ object StarSchema {
     */
   def buildFactSolar(cleaned: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val dimStation = buildDim(cleaned, Seq(col("station_id")), Nil, "station_key")
-    val dimDateTime = buildDim(cleaned, Seq(col("timestamp")),
+    // datetime (raw-timestamp grain) and weather (measure-tuple grain) have
+    // ~fact cardinality → hash surrogates, no single-partition sort
+    val dimDateTime = buildDimHashed(cleaned, Seq(col("timestamp")),
       Seq(col("local_timestamp"), col("hour"), col("day_of_week"), col("time_of_day")),
       "datetime_key")
     val weatherAttrs = Seq("temperature_C", "panel_temperature_C",
       "solar_irradiance_Wm2", "effective_efficiency")
-    val dimWeather = buildDim(cleaned, weatherAttrs.map(col), Nil, "weather_key")
+    val dimWeather = buildDimHashed(cleaned, weatherAttrs.map(col), Nil, "weather_key")
     val fact = buildFact(cleaned, Seq(
         (dimStation, Seq("station_id"), "station_key"),
         (dimDateTime, Seq("timestamp"), "datetime_key"),
@@ -82,12 +104,12 @@ object StarSchema {
   /** `Fact_Wind` assembly (ref `dwh.docx:76-89`). */
   def buildFactWind(cleaned: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val dimStation = buildDim(cleaned, Seq(col("station_id")), Nil, "station_key")
-    val dimDateTime = buildDim(cleaned, Seq(col("timestamp")),
+    val dimDateTime = buildDimHashed(cleaned, Seq(col("timestamp")),
       Seq(col("local_timestamp"), col("hour"), col("day_of_week"), col("time_of_day")),
       "datetime_key")
     val weatherAttrs = Seq("wind_speed_mps", "wind_dir_deg", "air_temperature_C",
       "air_pressure_hPa", "humidity_percent", "air_density_kgm3", "wind_speed_hub_mps")
-    val dimWeather = buildDim(cleaned, weatherAttrs.map(col), Nil, "weather_key")
+    val dimWeather = buildDimHashed(cleaned, weatherAttrs.map(col), Nil, "weather_key")
     val fact = buildFact(cleaned, Seq(
         (dimStation, Seq("station_id"), "station_key"),
         (dimDateTime, Seq("timestamp"), "datetime_key"),

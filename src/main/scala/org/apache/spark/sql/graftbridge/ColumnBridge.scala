@@ -22,6 +22,14 @@ object ColumnBridge {
   def eagerExpression(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
 
+  /** Standard analysis-time error for a wrong-arity SQL function call —
+    * surfaces as a proper `AnalysisException` (error class WRONG_NUM_ARGS)
+    * instead of a raw `IllegalArgumentException` from `require`.
+    */
+  def wrongNumArgs(name: String, expected: Int, actual: Int): Nothing =
+    throw org.apache.spark.sql.errors.QueryCompilationErrors
+      .wrongNumArgsError(name, Seq(expected), actual)
+
   /** Register a function builder on a LIVE session (sessionState is
     * private[sql]; extension-based registration only applies at session
     * build time).

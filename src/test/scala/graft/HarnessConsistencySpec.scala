@@ -7,10 +7,7 @@ package graft
 class HarnessConsistencySpec extends SparkSpec {
 
   private val rowsOnly = Set(
-    "a07_approx_distinct", // HLL sketch value has no DuckDB twin
-    "x13_media_decode",    // FNV fake-decoder is impractical in SQL
-    "x14_media_resize",    // derived from x13's decoder output
-    "x15_frame_sample")    // derived from x13's decoder output
+    "a07_approx_distinct") // HLL sketch value has no DuckDB twin
 
   test("every oracle entry has a matching query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

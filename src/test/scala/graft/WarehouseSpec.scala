@@ -44,6 +44,19 @@ class WarehouseSpec extends SparkSpec {
     assert(dimWeather.count() <= cleaned.count())
   }
 
+  test("high-cardinality dims build without a single-partition exchange") {
+    val cleaned = Pipeline.windBatch(Sources.csvWithTimestamp(spark,
+      "/root/reference/wind_farm_data_log.csv", Schemas.windRaw))
+    val (_, dimStation, dimDateTime, dimWeather) = StarSchema.buildFactWind(cleaned)
+    // hashed surrogates: distinct + projection only, fully parallel
+    for (d <- Seq(dimDateTime, dimWeather)) {
+      val plan = d.queryExecution.executedPlan.toString
+      assert(!plan.contains("SinglePartition"), s"ordered exchange in dim build:\n$plan")
+    }
+    // the small station dim intentionally keeps the dense-rank build
+    assert(dimStation.queryExecution.executedPlan.toString.contains("SinglePartition"))
+  }
+
   test("J6 sourceDiff: latest API vs latest PREDICTION per parameter") {
     val df = Seq(
       ("S1", "API", 1L, 10.0, 100.0),
