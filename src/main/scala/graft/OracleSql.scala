@@ -500,6 +500,44 @@ object OracleSql {
          |FROM (SELECT qid, nid, cosine,
          | row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk FROM sc)
          |WHERE rnk <= 3""".stripMargin,
+    "x09_recall" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+         | FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id % 50 = 0),
+         |asg AS (SELECT vec_id, cid FROM (
+         | SELECT v.vec_id, c.cid,
+         |  row_number() OVER (PARTITION BY v.vec_id
+         |   ORDER BY ${cosineSql("v.ve", "c.cv")} DESC, c.cid) AS rn
+         | FROM v CROSS JOIN cent c) WHERE rn = 1),
+         |bq AS (SELECT vec_id AS qid, ve AS qv FROM v WHERE vec_id IN (1, 2, 3)),
+         |bsc AS (SELECT bq.qid, v.vec_id AS nid, ${cosineSql("bq.qv", "v.ve")} AS cosine
+         | FROM v CROSS JOIN bq WHERE v.vec_id <> bq.qid),
+         |brute AS (SELECT qid, nid FROM (SELECT qid, nid,
+         | row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk FROM bsc)
+         | WHERE rnk <= 3),
+         |n AS (SELECT a.vec_id AS nid, a.cid, v.ve AS nv FROM asg a
+         | JOIN v ON a.vec_id = v.vec_id),
+         |probes AS (SELECT vec_id AS qid, cid, rn FROM (
+         | SELECT v.vec_id, c.cid,
+         |  row_number() OVER (PARTITION BY v.vec_id
+         |   ORDER BY ${cosineSql("v.ve", "c.cv")} DESC, c.cid) AS rn
+         | FROM v CROSS JOIN cent c WHERE v.vec_id IN (1, 2, 3)) WHERE rn <= 2),
+         |sc AS (SELECT p.qid, n.nid, p.rn AS probe_rn, ${cosineSql("q.ve", "n.nv")} AS cosine
+         | FROM probes p JOIN v q ON p.qid = q.vec_id
+         | JOIN n ON p.cid = n.cid AND n.nid <> p.qid),
+         |ivf1 AS (SELECT qid, nid FROM (SELECT qid, nid,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+         |  FROM sc WHERE probe_rn = 1) WHERE rnk <= 3),
+         |ivf2 AS (SELECT qid, nid FROM (SELECT qid, nid,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+         |  FROM sc) WHERE rnk <= 3)
+         |SELECT CAST(1 AS INTEGER) AS nprobe,
+         | round(CAST((SELECT count(*) FROM ivf1 i JOIN brute b ON i.qid = b.qid AND i.nid = b.nid) AS DOUBLE)
+         |  / CAST((SELECT count(*) FROM brute) AS DOUBLE), 6) AS recall
+         |UNION ALL
+         |SELECT CAST(2 AS INTEGER) AS nprobe,
+         | round(CAST((SELECT count(*) FROM ivf2 i JOIN brute b ON i.qid = b.qid AND i.nid = b.nid) AS DOUBLE)
+         |  / CAST((SELECT count(*) FROM brute) AS DOUBLE), 6) AS recall""".stripMargin,
     "x10_lsh_bucket" ->
       s"""SELECT vec_id, CAST(${bucketExpr(Planes8, "ve")} AS BIGINT) AS bucket
          |FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve

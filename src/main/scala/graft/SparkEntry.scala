@@ -457,6 +457,27 @@ object SparkEntry {
       Similarity.ivfKnn(emb, emb.filter(col("vec_id") % 50 === 0),
         Seq(1L, 2L, 3L), 3, nprobe = 2)
     }),
+    "x09_recall" -> ((s, dir) => {
+      // recall@3 of IVF vs exact brute force, per nprobe — the measurable
+      // recall/cost curve a production ANN operator needs
+      val emb = T(s, dir, "embeddings")
+      val qids = Seq(1L, 2L, 3L)
+      val cents = emb.filter(col("vec_id") % 50 === 0)
+      val brute = Similarity.bruteForceKnn(emb,
+          emb.filter(col("vec_id").isInCollection(qids)), 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val total = brute.agg(count(lit(1)).as("total"))
+      def recallOf(np: Int): DataFrame = {
+        val hits = Similarity.ivfKnn(emb, cents, qids, 3, np)
+          .select(col("query_id"), col("neighbor_id"))
+          .join(brute, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("hits"))
+        hits.crossJoin(total).select(lit(np).as("nprobe"),
+          round(col("hits").cast("double") / col("total").cast("double"), 6)
+            .as("recall"))
+      }
+      recallOf(1).unionByName(recallOf(2))
+    }),
     "x10_lsh_bucket" -> ((s, dir) =>
       T(s, dir, "embeddings").select(col("vec_id"),
         Similarity.hyperplaneBucket(

@@ -89,6 +89,7 @@ object Similarity {
         (r.getLong(0), r.getSeq[Double](1).toArray)
       }
       .sortBy(_._1)
+    require(rows.nonEmpty, "IVF needs at least one centroid")
     (rows.map(_._1), rows.map(_._2))
   }
 
@@ -103,8 +104,13 @@ object Similarity {
   private def assignWith(corpus: DataFrame,
       cents: (Array[Long], Array[Array[Double]])): DataFrame =
     corpus.select(col("vec_id"),
-      element_at(Native.nearestCentroids(col("embedding"), cents._1, cents._2, 1), 1)
-        .as("centroid_id"),
+      // coalesce makes the join key provably non-null, so the downstream
+      // equi-join's IsNotNull filter folds away instead of being pushed
+      // below this projection and re-evaluating the kernel per row; the
+      // -1 sentinel is unreachable (>= 1 centroid enforced at collect)
+      coalesce(
+        element_at(Native.nearestCentroids(col("embedding"), cents._1, cents._2, 1), 1),
+        lit(-1L)).as("centroid_id"),
       col("embedding").as("v"))
 
   /** IVF search: top-k by cosine among vectors in the query's `nprobe`
