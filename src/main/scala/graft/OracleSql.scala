@@ -102,7 +102,7 @@ object OracleSql {
         |WHERE ts >= TIMESTAMP '2024-01-20 00:00:00' GROUP BY event_type""".stripMargin,
     "p10_normalize_rename" ->
       """SELECT event_type AS station, round(sum(value), 2) AS total_power,
-        | round(avg(value * 0.1), 6) AS avg_volt, count(*) AS cnt
+        | round(avg(round((value * 0.1) * 1000.0)) / 1000.0, 6) AS avg_volt, count(*) AS cnt
         |FROM events GROUP BY event_type""".stripMargin,
     "p12_limit" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 10",
@@ -136,10 +136,10 @@ object OracleSql {
         | (((l_quantity / 10.0) * (l_quantity / 10.0)) * (l_quantity / 10.0))), 2) AS sum_wpd
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "d08_capacity_utilization" ->
-      """SELECT event_type, round(avg(round((value /
+      """SELECT event_type, round(avg(round(round((value /
         | CASE event_type WHEN 'click' THEN 500.0 WHEN 'view' THEN 400.0
         |  WHEN 'purchase' THEN 380.0 WHEN 'signup' THEN 360.0 WHEN 'error' THEN 350.0 END)
-        | * 100.0, 6)), 6) AS avg_util
+        | * 100.0, 6) * 1000000.0)) / 1000000.0, 6) AS avg_util
         |FROM events GROUP BY event_type""".stripMargin,
     "d09_hub_air_density" ->
       s"""SELECT event_id,
@@ -264,7 +264,7 @@ object OracleSql {
         |  row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
         | FROM events) WHERE rn = 1""".stripMargin,
     "a05_capacity_factor" ->
-      """WITH g AS (SELECT event_type, avg(value) AS a, max(value) AS m
+      """WITH g AS (SELECT event_type, avg(round(value * 100.0)) / 100.0 AS a, max(value) AS m
         | FROM events GROUP BY event_type)
         |SELECT event_type, round((a / (SELECT max(m) FROM g)) * 100.0, 6) AS capacity_factor_pct
         |FROM g""".stripMargin,
@@ -273,7 +273,8 @@ object OracleSql {
     "a07_distinct_count" ->
       "SELECT event_type, count(DISTINCT user_id) AS n_distinct FROM events GROUP BY event_type",
     "a08_describe" ->
-      """SELECT event_type, count(value) AS cnt, round(avg(value), 6) AS mean,
+      """SELECT event_type, count(value) AS cnt,
+        | round(avg(round(value * 100.0)) / 100.0, 6) AS mean,
         | round(stddev_samp(value), 6) AS std, round(min(value), 6) AS min,
         | round(quantile_cont(value, 0.25), 6) AS p25, round(quantile_cont(value, 0.5), 6) AS p50,
         | round(quantile_cont(value, 0.75), 6) AS p75, round(max(value), 6) AS max
@@ -296,11 +297,11 @@ object OracleSql {
         |FROM events GROUP BY event_type""".stripMargin,
     "a13_pivot_wide" ->
       """SELECT CAST(ts AS DATE) AS date,
-        | round(avg(value) FILTER (WHERE event_type = 'click'), 6) AS click,
-        | round(avg(value) FILTER (WHERE event_type = 'error'), 6) AS error,
-        | round(avg(value) FILTER (WHERE event_type = 'purchase'), 6) AS purchase,
-        | round(avg(value) FILTER (WHERE event_type = 'signup'), 6) AS signup,
-        | round(avg(value) FILTER (WHERE event_type = 'view'), 6) AS view
+        | round(avg(round(value * 100.0)) FILTER (WHERE event_type = 'click') / 100.0, 6) AS click,
+        | round(avg(round(value * 100.0)) FILTER (WHERE event_type = 'error') / 100.0, 6) AS error,
+        | round(avg(round(value * 100.0)) FILTER (WHERE event_type = 'purchase') / 100.0, 6) AS purchase,
+        | round(avg(round(value * 100.0)) FILTER (WHERE event_type = 'signup') / 100.0, 6) AS signup,
+        | round(avg(round(value * 100.0)) FILTER (WHERE event_type = 'view') / 100.0, 6) AS view
         |FROM events GROUP BY 1""".stripMargin,
     "a14_tumbling_window" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,
@@ -325,15 +326,17 @@ object OracleSql {
       """SELECT value > 100 AS high, count(*) AS cnt, round(sum(value * 2.0), 2) AS sum_v2
         |FROM events GROUP BY 1""".stripMargin,
     "j03_broadcast_lookup" ->
-      """SELECT e.event_type, round(sum(e.value * d.weight), 2) AS weighted_sum, count(*) AS cnt
+      """SELECT e.event_type,
+        | round(sum(round(e.value * d.weight * 1000.0)) / 1000.0, 2) AS weighted_sum,
+        | count(*) AS cnt
         |FROM events e JOIN (VALUES ('click', 1.0), ('view', 0.5), ('purchase', 5.0),
         | ('signup', 2.0), ('error', 0.0)) AS d(event_type, weight)
         | ON e.event_type = d.event_type
         |GROUP BY e.event_type""".stripMargin,
     "j04_aligned_join" ->
       """WITH p AS (SELECT CAST(ts AS DATE) AS date,
-        |  round(avg(value) FILTER (WHERE event_type = 'click'), 6) AS click,
-        |  round(avg(value) FILTER (WHERE event_type = 'purchase'), 6) AS purchase
+        |  round(avg(round(value * 100.0)) FILTER (WHERE event_type = 'click') / 100.0, 6) AS click,
+        |  round(avg(round(value * 100.0)) FILTER (WHERE event_type = 'purchase') / 100.0, 6) AS purchase
         | FROM events GROUP BY 1)
         |SELECT * FROM p WHERE click IS NOT NULL AND purchase IS NOT NULL""".stripMargin,
     "j05_star_schema" ->

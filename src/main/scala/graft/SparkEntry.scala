@@ -112,7 +112,8 @@ object SparkEntry {
       val canon = ColumnDetect.normalizeSolar(odd)
       canon.groupBy(col("station"))
         .agg(round(sum(col("power_output")), 2).as("total_power"),
-          round(avg(col("voltage")), 6).as("avg_volt"),
+          // voltage = 2-dp value x 0.1 -> 3-dp exact; quantize at 3
+          round(Aggregates.fixedPointAvg(col("voltage"), 3), 6).as("avg_volt"),
           count(lit(1)).as("cnt"))
     }),
     "p12_limit" -> ((s, dir) =>
@@ -171,7 +172,8 @@ object SparkEntry {
             "purchase" -> 380.0, "signup" -> 360.0, "error" -> 350.0),
           scale = 6))
         .groupBy(col("event_type"))
-        .agg(round(avg(col("cap_util")), 6).as("avg_util"))),
+        // 6-dp-exact per-row values -> quantize at 6 for an order-free mean
+        .agg(round(Aggregates.fixedPointAvg(col("cap_util"), 6), 6).as("avg_util"))),
     "d09_hub_air_density" -> ((s, dir) =>
       T(s, dir, "events").select(col("event_id"),
         round(Power.hubWindSpeed(col("value") / 50.0), 6).as("hub_mps"),
@@ -305,7 +307,7 @@ object SparkEntry {
     "a13_pivot_wide" -> ((s, dir) =>
       Correlation.pivotWide(T(s, dir, "events"), to_date(col("ts")).as("date"),
         col("event_type"), Seq("click", "error", "purchase", "signup", "view"),
-        round(avg(col("value")), 6))),
+        round(Aggregates.fixedPointAvg(col("value"), 2), 6))),
     "a14_tumbling_window" -> ((s, dir) =>
       Aggregates.tumblingAgg(T(s, dir, "events"), col("ts"), "1 hour",
           Seq(round(sum(col("value")), 2).as("sum_value"),
@@ -336,13 +338,16 @@ object SparkEntry {
         ("signup", 2.0), ("error", 0.0)).toDF("event_type", "weight")
       T(s, dir, "events").join(broadcast(dim), Seq("event_type"))
         .groupBy(col("event_type"))
-        .agg(round(sum(col("value") * col("weight")), 2).as("weighted_sum"),
+        // value x weight is 3-dp exact (weights are halves); round-to-int
+        // at 3dp -> exact integer sums at any merge order, one division
+        .agg(round(sum(round(col("value") * col("weight") * 1000.0)) / 1000.0, 2)
+          .as("weighted_sum"),
           count(lit(1)).as("cnt"))
     }),
     "j04_aligned_join" -> ((s, dir) =>
       Correlation.pivotWide(T(s, dir, "events"), to_date(col("ts")).as("date"),
           col("event_type"), Seq("click", "purchase"),
-          round(avg(col("value")), 6))
+          round(Aggregates.fixedPointAvg(col("value"), 2), 6))
         .na.drop()),
     "j05_star_schema" -> ((s, dir) => {
       val cust = T(s, dir, "customer")

@@ -27,16 +27,17 @@ object Tables {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "true")
-    val raw =
+    val raw0 =
       try load(spark, dir, "events")
       finally prev match {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
       }
-    // NOT spread: events feeds avg-based oracle queries whose 6-dp rounding
-    // is sensitive to partial-agg merge order; the single input split keeps
-    // Spark's sums sequential and bit-identical to DuckDB's. The per-row
-    // event queries are codegen'd and cheap even single-task.
+    // spread like documents/embeddings so the bench measures the plan a
+    // cluster would run; the avg-based oracles are partition-order-robust
+    // (fixedPointAvg quantizes to exact-integer sums, plain sums round at
+    // the data's own decimal scale, corr/std/regr margins ≫ merge noise)
+    val raw = spread(spark, raw0)
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts",

@@ -24,14 +24,30 @@ object Aggregates {
   def groupedStats(df: DataFrame, keys: Seq[Column], aggs: Seq[Column]): DataFrame =
     df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
 
+  /** Merge-order-independent mean of a fixed-point column: quantize each
+    * value to an exact integer at `scale` decimals (both engines round the
+    * same near-integer product to the same int), sum those integers in
+    * double — exact at ANY merge order while |sum| < 2⁵³ — and divide once.
+    * A naive double `avg` over a multi-partition scan is perturbed in its
+    * last ulps by partial-sum merge order, which makes a 6-dp-rounded
+    * oracle comparison run-order-dependent; this form is deterministic
+    * under any partitioning and bit-identical across engines.
+    */
+  def fixedPointAvg(value: Column, scale: Int): Column = {
+    val f = math.pow(10, scale)
+    avg(round(value * f)) / f
+  }
+
   /** A5: capacity factor — per-group mean over the GLOBAL max
     * (ref `Wind_Dashboard.py:617`). Window-over-empty-frame computes the
     * global max with a single-partition exchange of the already-aggregated
-    * rows (group count ≪ input count), not of the raw data.
+    * rows (group count ≪ input count), not of the raw data. The mean is
+    * [[fixedPointAvg]] so the ratio is partition-order-independent.
     */
   def capacityFactor(df: DataFrame, key: Column, value: Column,
-      outName: String = "capacity_factor_pct"): DataFrame = {
-    val grouped = df.groupBy(key).agg(avg(value).as("__avg"), max(value).as("__max"))
+      outName: String = "capacity_factor_pct", valueScale: Int = 2): DataFrame = {
+    val grouped = df.groupBy(key)
+      .agg(fixedPointAvg(value, valueScale).as("__avg"), max(value).as("__max"))
     grouped
       .withColumn("__gmax", max(col("__max")).over(Window.partitionBy()))
       .select(key, round(col("__avg") / col("__gmax") * 100.0, 6).as(outName))
@@ -43,10 +59,11 @@ object Aggregates {
     * `percentile_approx` at the 100 TB tier where an exact sort-based
     * percentile would shuffle the full column.
     */
-  def describe(df: DataFrame, key: Column, value: Column): DataFrame =
+  def describe(df: DataFrame, key: Column, value: Column,
+      valueScale: Int = 2): DataFrame =
     df.groupBy(key).agg(
       count(value).as("cnt"),
-      round(avg(value), 6).as("mean"),
+      round(fixedPointAvg(value, valueScale), 6).as("mean"),
       round(stddev_samp(value), 6).as("std"),
       round(min(value), 6).as("min"),
       round(percentile(value, lit(0.25)), 6).as("p25"),

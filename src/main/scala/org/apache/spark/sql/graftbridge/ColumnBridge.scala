@@ -22,6 +22,24 @@ object ColumnBridge {
   def eagerExpression(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
 
+  /** Clear the CLASSIC companion's active/default session registry — the
+    * public `org.apache.spark.sql.SparkSession.clearDefaultSession()` clears
+    * the api-level holder, but `Builder.getOrCreate` consults the classic
+    * one, so tests that need a genuinely fresh session (e.g. to exercise
+    * `spark.sql.extensions`) must clear here.
+    */
+  def clearSessions(): Unit = {
+    org.apache.spark.sql.classic.SparkSession.clearActiveSession()
+    org.apache.spark.sql.classic.SparkSession.clearDefaultSession()
+  }
+
+  /** Re-install a session as active + default (classic registry). */
+  def restoreSessions(s: org.apache.spark.sql.SparkSession): Unit = {
+    val cs = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    org.apache.spark.sql.classic.SparkSession.setActiveSession(cs)
+    org.apache.spark.sql.classic.SparkSession.setDefaultSession(cs)
+  }
+
   /** Standard analysis-time error for a wrong-arity SQL function call —
     * surfaces as a proper `AnalysisException` (error class WRONG_NUM_ARGS)
     * instead of a raw `IllegalArgumentException` from `require`.

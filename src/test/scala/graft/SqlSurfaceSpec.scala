@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** End-to-end SQL surface: a session built with
+  * `spark.sql.extensions=graft.plans.GraftExtensions` runs a full
+  * clean→feature→aggregate pipeline purely through `spark.sql`, proving the
+  * registered functions (including the native codegen `turbine_power_kw`)
+  * resolve and compose under the analyzer with no DataFrame-API assistance.
+  */
+class SqlSurfaceSpec extends SparkSpec {
+
+  test("extensions-built session runs a clean→feature→aggregate pipeline in pure SQL") {
+    // force a brand-new SparkSession instantiation (same SparkContext) so
+    // the extensions config path — not live registration — is what's tested
+    val prev = spark // materialize the shared session first
+    org.apache.spark.sql.graftbridge.ColumnBridge.clearSessions()
+    // .withExtensions is the same injectFunction path as the
+    // spark.sql.extensions conf; the conf string only applies when the
+    // SparkContext itself is built, which a shared test JVM can't redo
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      assert(s2 ne prev, "extensions require a fresh session instance")
+      val out = s2.sql(
+        """WITH raw(station, v_mps, temp_c, pressure) AS (VALUES
+          |  ('S1', 8.0D, 20.0D, 1013.0D), ('S1', 60.0D, 21.0D, 1013.0D),
+          |  ('S2', 12.5D, 15.0D, 1010.0D), ('S2', -1.0D, 15.0D, 1010.0D),
+          |  ('S3', 4.0D, 25.0D, 1015.0D)),
+          |cleaned AS (SELECT * FROM raw WHERE v_mps >= 0.0 AND v_mps <= 50.0),
+          |feat AS (SELECT station,
+          |  wind_class(v_mps) AS wclass,
+          |  round(air_density(pressure, temp_c), 6) AS rho,
+          |  round(turbine_power_kw(air_density(pressure, temp_c),
+          |    hub_wind_speed(v_mps)), 4) AS p_kw
+          | FROM cleaned)
+          |SELECT station, any_value(wclass) AS wclass, round(sum(p_kw), 4) AS total_kw
+          |FROM feat GROUP BY station ORDER BY station
+          |""".stripMargin).collect()
+      assert(out.length === 3)
+      assert(out.map(_.getString(0)).toSeq === Seq("S1", "S2", "S3"))
+      // S1 keeps only v=8 (the 60 m/s row is range-cleaned), class Light..Moderate band
+      assert(out(0).getString(1) === "Moderate")
+      // power is positive below rated, capped at rated 2500 kW
+      assert(out.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 2500.0))
+      // S2 at 12.5 m/s hub-scales past rated speed → exactly rated power
+      assert(out(1).getDouble(2) === 2500.0)
+      // S3 at 4 m/s: cubic region, strictly between 0 and rated
+      assert(out(2).getDouble(2) > 0.0 && out(2).getDouble(2) < 2500.0)
+    } finally {
+      org.apache.spark.sql.graftbridge.ColumnBridge.restoreSessions(prev)
+    }
+  }
+}
