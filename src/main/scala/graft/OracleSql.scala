@@ -541,6 +541,35 @@ object OracleSql {
          |SELECT CAST(2 AS INTEGER) AS nprobe,
          | round(CAST((SELECT count(*) FROM ivf2 i JOIN brute b ON i.qid = b.qid AND i.nid = b.nid) AS DOUBLE)
          |  / CAST((SELECT count(*) FROM brute) AS DOUBLE), 6) AS recall""".stripMargin,
+    "x16_simhash_pairs" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct($Toks) AS dt FROM documents),
+         |s AS (SELECT doc_id, CAST($SimhashExpr AS BIGINT) AS simhash FROM t),
+         |bands AS (SELECT doc_id, simhash, simhash // 256 AS band, 1 AS band_id FROM s
+         | UNION ALL SELECT doc_id, simhash, simhash % 256 AS band, 2 AS band_id FROM s),
+         |capped AS (SELECT doc_id, simhash, band, band_id FROM (
+         | SELECT doc_id, simhash, band, band_id,
+         |  count(*) OVER (PARTITION BY band, band_id) AS bc FROM bands) WHERE bc <= 1000),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         | FROM capped a JOIN capped b
+         |  ON a.band = b.band AND a.band_id = b.band_id AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 2""".stripMargin,
+    "x17_kmeans_step" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+         | FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id % 50 = 0),
+         |asg AS (SELECT vec_id, cid FROM (
+         | SELECT v.vec_id, c.cid,
+         |  row_number() OVER (PARTITION BY v.vec_id
+         |   ORDER BY ${cosineSql("v.ve", "c.cv")} DESC, c.cid) AS rn
+         | FROM v CROSS JOIN cent c) WHERE rn = 1),
+         |ex AS (SELECT a.cid, CAST(r.range AS INTEGER) AS dim,
+         |  v.ve[CAST(r.range AS INTEGER) + 1] AS x
+         | FROM asg a JOIN v ON a.vec_id = v.vec_id CROSS JOIN range(0, 64) r)
+         |SELECT cid AS centroid_id, dim,
+         | round((sum(round(x * 1000000000.0)) / 1000000000.0) / count(*), 6) AS mean,
+         | count(*) AS cluster_size
+         |FROM ex GROUP BY cid, dim""".stripMargin,
     "x10_lsh_bucket" ->
       s"""SELECT vec_id, CAST(${bucketExpr(Planes8, "ve")} AS BIGINT) AS bucket
          |FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve

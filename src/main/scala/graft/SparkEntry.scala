@@ -483,6 +483,13 @@ object SparkEntry {
       }
       recallOf(1).unionByName(recallOf(2))
     }),
+    "x16_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(T(s, dir, "documents"), col("doc_id"), col("text"),
+        maxHamming = 2)),
+    "x17_kmeans_step" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.kmeansStep(emb, emb.filter(col("vec_id") % 50 === 0), dim = 64)
+    }),
     "x10_lsh_bucket" -> ((s, dir) =>
       T(s, dir, "embeddings").select(col("vec_id"),
         Similarity.hyperplaneBucket(

@@ -152,6 +152,37 @@ object Dedup {
   /** Hamming distance between two simhash values (bit-count of XOR). */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash-banded near-dup pairs: the 16-bit signature splits into two
+    * 8-bit halves; docs sharing either half are candidates (pigeonhole:
+    * any pair at hamming ≤ 1 shares a half exactly; recall decays smoothly
+    * above — the standard LSH trade), then exact hamming verifies. Same
+    * candidate-first shape as [[minhashCandidates]]: one linear signature
+    * pass, a shuffle on the 8-bit band key with the same degenerate-bucket
+    * cap, quadratic work only within buckets.
+    */
+  def simhashPairs(df: DataFrame, id: Column, text: Column,
+      maxHamming: Int = 2, maxBucket: Int = 1000): DataFrame = {
+    val sig = df.select(id.as("doc_id"), simhash16(text).as("simhash"))
+    val bands = sig.select(col("doc_id"), col("simhash"),
+        shiftright(col("simhash"), 8).as("band"), lit(1).as("band_id"))
+      .unionByName(sig.select(col("doc_id"), col("simhash"),
+        col("simhash").bitwiseAND(255).as("band"), lit(2).as("band_id")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_id"))
+    val capped = bands.withColumn("__bc", count(lit(1)).over(w))
+      .filter(col("__bc") <= maxBucket)
+      .drop("__bc")
+    val a = capped.select(col("band"), col("band_id"),
+      col("doc_id").as("doc_a"), col("simhash").as("__sa"))
+    val b = capped.select(col("band"), col("band_id"),
+      col("doc_id").as("doc_b"), col("simhash").as("__sb"))
+    a.join(b, Seq("band", "band_id"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        hammingDistance(col("__sa"), col("__sb")).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Embedding-cosine near-duplicate detection over candidate pairs.
     * `pairs` must carry `vec_a`/`vec_b` array columns; emits cosine + flag.
     * For corpus-scale use, generate pairs via LSH bucketing

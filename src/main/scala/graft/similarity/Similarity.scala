@@ -139,6 +139,34 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** One Lloyd (k-means) iteration over the corpus — the codebook-training
+    * step that turns the ad-hoc IVF centroid seed into a real quantizer
+    * (recall at fixed nprobe rises with trained centroids). Assignment is
+    * the same shuffle-free broadcast-argmax projection as [[ivfKnn]]; the
+    * per-dimension means are 64 declarative partial aggregates (one shuffle
+    * of |centroids| rows), not an |corpus|×dim explode.
+    *
+    * Means quantize each component to an exact integer at 9 decimals before
+    * summing ([[graft.analytics.Aggregates.fixedPointAvg]] rationale:
+    * integer sums in double are exact at any merge order), so the step is
+    * deterministic under any partitioning and oracle-checkable.
+    *
+    * Returns (centroid_id, dim, mean, cluster_size) exploded per dimension.
+    */
+  def kmeansStep(corpus: DataFrame, centroids: DataFrame, dim: Int): DataFrame = {
+    val cents = collectCentroids(centroids)
+    val assigned = assignWith(corpus, cents)
+    val sums = (0 until dim).map(i =>
+      sum(round(element_at(col("v"), i + 1).cast("double") * 1.0e9)).as(s"__s$i"))
+    val aggs = count(lit(1)).as("cluster_size") +: sums
+    val agg = assigned.groupBy(col("centroid_id")).agg(aggs.head, aggs.tail: _*)
+    val means = array((0 until dim).map(i =>
+      round((col(s"__s$i") / 1.0e9) / col("cluster_size"), 6)): _*)
+    agg.select(col("centroid_id"), posexplode(means).as(Seq("dim", "mean")),
+        col("cluster_size"))
+      .select(col("centroid_id"), col("dim"), col("mean"), col("cluster_size"))
+  }
+
   /** Random-hyperplane LSH bucket for cosine similarity: sign bits of dot
     * products against `planes` (deterministic seed → reproducible buckets).
     * Vectors in the same bucket are near-dup candidates; complements

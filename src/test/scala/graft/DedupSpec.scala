@@ -51,6 +51,17 @@ class DedupSpec extends SparkSpec {
     assert(sh.values.forall(h => h >= 0 && h <= 0xFFFFL))
   }
 
+  test("simhash-banded pairs surface exact and near duplicates") {
+    val pairs = Dedup.simhashPairs(docs, col("doc_id"), col("text"), maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) === 0) // identical docs: identical signature
+    assert(pairs((1L, 5L)) === 0) // case/whitespace variant: same tokens
+    // two half-bands guarantee candidacy only at hamming <= 1 (pigeonhole);
+    // the (1,3) one-word edit flips bits in both halves and may be missed —
+    // that is the LSH recall trade, not a bug
+    assert(!pairs.contains((1L, 4L))) // unrelated content shares no band
+  }
+
   test("LSH bucket-size cap drops degenerate bands") {
     val boiler = (1L to 20L).map(i => (i, "same same text text")).toDF("doc_id", "text")
     val capped = Dedup.minhashCandidates(boiler, col("doc_id"), col("text"),

@@ -67,6 +67,20 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf === brute) // nprobe = |clusters| probes everything
   }
 
+  test("kmeansStep recomputes centroids as exact cluster means") {
+    val centroids = vecs.filter(col("vec_id").isin(0L, 2L))
+    val out = Similarity.kmeansStep(vecs, centroids, dim = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    // cluster 0 = {0, 1, 4}: dim-0 mean = (1.0 + 0.9 + 0.8) / 3 = 0.9
+    assert(out((0L, 0))._2 === 3L)
+    assert(math.abs(out((0L, 0))._1 - 0.9) < 1e-6)
+    // cluster 2 = {2, 3}: dim-1 mean = (1.0 + 0.9) / 2 = 0.95
+    assert(out((2L, 1))._2 === 2L)
+    assert(math.abs(out((2L, 1))._1 - 0.95) < 1e-6)
+    // sizes partition the corpus
+    assert(out.collect { case ((_, 0), (_, n)) => n }.sum === 5L)
+  }
+
   test("hyperplane bucket is deterministic and equal for identical vectors") {
     val planes = Similarity.deterministicPlanes(4, 3)
     val b = vecs.select(col("vec_id"),
