@@ -207,6 +207,104 @@ case class Simhash16(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Token count of a text column — fused lower/trim/split/size. */
+case class TokenCount(child: Expression) extends UnaryExpression {
+  private val KernelsCls = Kernels.getClass.getName.stripSuffix("$")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"token_count requires string, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "token_count"
+
+  override protected def nullSafeEval(t: Any): Any =
+    Kernels.tokenCount(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $KernelsCls.tokenCount($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCount =
+    copy(child = newChild)
+}
+
+/** Count of tokens matching a constant word list (stopwords / language
+  * markers) — `size(filter(tokens, isInCollection(words)))` in one pass.
+  */
+case class TokenHits(child: Expression, words: Seq[String]) extends UnaryExpression {
+  private val KernelsCls = Kernels.getClass.getName.stripSuffix("$")
+
+  private lazy val wordSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](words.size * 2)
+    words.foreach(s.add)
+    s
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"token_hits requires string, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "token_hits"
+
+  override protected def nullSafeEval(t: Any): Any =
+    Kernels.tokenHits(t.asInstanceOf[UTF8String], wordSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("tokenHitWords", wordSet, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $KernelsCls.tokenHits($t, $setRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHits =
+    copy(child = newChild)
+}
+
+/** Subword-proxy count — Σ max(⌈len/4⌉, 1) over tokens, one fused pass. */
+case class SubwordSum(child: Expression) extends UnaryExpression {
+  private val KernelsCls = Kernels.getClass.getName.stripSuffix("$")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"subword_sum requires string, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "subword_sum"
+
+  override protected def nullSafeEval(t: Any): Any =
+    Kernels.subwordSum(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $KernelsCls.subwordSum($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): SubwordSum =
+    copy(child = newChild)
+}
+
+/** Total token length in codepoints — numerator of the mean token length. */
+case class CharSum(child: Expression) extends UnaryExpression {
+  private val KernelsCls = Kernels.getClass.getName.stripSuffix("$")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_sum requires string, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "char_sum"
+
+  override protected def nullSafeEval(t: Any): Any =
+    Kernels.charSum(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $KernelsCls.charSum($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharSum =
+    copy(child = newChild)
+}
+
 /** |A ∩ B| of two distinct string arrays — the counting core of
   * `size(array_intersect(a, b))` without materializing the intersection.
   */
@@ -259,4 +357,12 @@ object Native {
   def simhash16(text: Column): Column = C(Simhash16(E(text)))
 
   def intersectCount(a: Column, b: Column): Column = C(IntersectCount(E(a), E(b)))
+
+  def tokenCount(text: Column): Column = C(TokenCount(E(text)))
+
+  def tokenHits(text: Column, words: Seq[String]): Column = C(TokenHits(E(text), words))
+
+  def subwordSum(text: Column): Column = C(SubwordSum(E(text)))
+
+  def charSum(text: Column): Column = C(CharSum(E(text)))
 }

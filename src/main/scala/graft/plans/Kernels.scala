@@ -238,6 +238,54 @@ object Kernels {
     sig
   }
 
+  /** Token count: `size(split(trim(lower(text)), "\\s+"))`. */
+  def tokenCount(text: UTF8String): Int = tokens0(text).length
+
+  /** Count of tokens contained in `words` —
+    * `size(filter(tokens, _.isInCollection(words)))` in one pass. `words`
+    * is a plan constant (stopword or language-marker list).
+    */
+  def tokenHits(text: UTF8String, words: java.util.HashSet[String]): Int = {
+    val t = tokens0(text)
+    var cnt = 0
+    var i = 0
+    while (i < t.length) {
+      if (words.contains(t(i))) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+
+  /** BPE-ish subword proxy: Σ max(⌈len(w)/4⌉, 1) over tokens, with len in
+    * codepoints (Spark `length`), mirroring the `aggregate` fold exactly.
+    */
+  def subwordSum(text: UTF8String): Long = {
+    val t = tokens0(text)
+    var acc = 0L
+    var i = 0
+    while (i < t.length) {
+      val w = t(i)
+      val len = w.codePointCount(0, w.length)
+      val pieces = (len + 3) / 4
+      acc += (if (pieces < 1) 1 else pieces)
+      i += 1
+    }
+    acc
+  }
+
+  /** Σ len(w) over tokens in codepoints — the numerator of avgTokenLen. */
+  def charSum(text: UTF8String): Long = {
+    val t = tokens0(text)
+    var acc = 0L
+    var i = 0
+    while (i < t.length) {
+      val w = t(i)
+      acc += w.codePointCount(0, w.length)
+      i += 1
+    }
+    acc
+  }
+
   /** |A ∩ B| for two string arrays (already distinct) — the counting core
     * of `size(array_intersect(a, b))` without building the result array.
     */

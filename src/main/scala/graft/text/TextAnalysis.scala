@@ -41,38 +41,33 @@ object TextAnalysis {
     }
   }
 
-  /** Token count (whitespace tokenizer). */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Token count (whitespace tokenizer) — fused native kernel. */
+  def tokenCount(text: Column): Column = graft.plans.Native.tokenCount(text)
 
   /** A BPE-ish sub-word proxy count: split on word boundaries AND every 4
     * characters inside long words — a cheap, deterministic stand-in for a
     * real tokenizer's piece count (≈ chars/4 for long words, 1 per short
-    * word), usable for token-budget accounting at scale.
+    * word), usable for token-budget accounting at scale. One fused kernel
+    * pass (the former `aggregate` fold ran interpreted).
     */
-  def subwordCount(text: Column): Column =
-    aggregate(tokens(text), lit(0L),
-      (acc, w) => acc + greatest(ceil(length(w) / 4.0), lit(1L)).cast("long"))
+  def subwordCount(text: Column): Column = graft.plans.Native.subwordSum(text)
 
   val defaultStopwords: Seq[String] = Seq("the", "a", "an", "of", "and", "to", "in", "is")
 
   /** Fraction of tokens that are stopwords. */
-  def stopwordRatio(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
-    val t = tokens(text)
-    size(filter(t, w => w.isInCollection(stopwords))).cast("double") /
-      greatest(size(t), lit(1)).cast("double")
-  }
+  def stopwordRatio(text: Column, stopwords: Seq[String] = defaultStopwords): Column =
+    graft.plans.Native.tokenHits(text, stopwords).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double")
 
   /** Fraction of characters that are punctuation. */
   def punctRatio(text: Column): Column =
     (length(text) - length(regexp_replace(text, "[.,!?;:'\"]", ""))).cast("double") /
       greatest(length(text), lit(1)).cast("double")
 
-  /** Mean token length in characters. */
-  def avgTokenLen(text: Column): Column = {
-    val t = tokens(text)
-    aggregate(t, lit(0L), (acc, w) => acc + length(w).cast("long")).cast("double") /
-      greatest(size(t), lit(1)).cast("double")
-  }
+  /** Mean token length in characters (codepoints, like `length`). */
+  def avgTokenLen(text: Column): Column =
+    graft.plans.Native.charSum(text).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double")
 
   /** Composite quality score in [0,1] — length saturation, low punctuation,
     * balanced stopword density (the classic C4/Gopher-style cheap filters,
@@ -95,7 +90,7 @@ object TextAnalysis {
 
   /** Marker-hit count for one language's marker list. */
   def langScore(text: Column, markers: Seq[String]): Column =
-    size(filter(tokens(text), w => w.isInCollection(markers)))
+    graft.plans.Native.tokenHits(text, markers)
 
   /** Detected language = argmax marker count, ties broken by language code
     * order (deterministic). Emits one score column per language plus
