@@ -167,6 +167,18 @@ object Similarity {
       .select(col("centroid_id"), col("dim"), col("mean"), col("cluster_size"))
   }
 
+  /** Re-assemble [[kmeansStep]]'s exploded output into a centroid frame
+    * consumable by [[ivfKnn]]/[[assignClusters]] — (vec_id, embedding).
+    * The collect_list is over |centroids|×dim rows (model-sized, never
+    * corpus-sized); array_sort on the (dim, mean) struct makes the
+    * assembly deterministic regardless of arrival order.
+    */
+  def codebook(step: DataFrame): DataFrame =
+    step.groupBy(col("centroid_id").as("vec_id"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mean")))).as("__dm"))
+      .select(col("vec_id"),
+        transform(col("__dm"), s => s.getField("mean")).as("embedding"))
+
   /** Random-hyperplane LSH bucket for cosine similarity: sign bits of dot
     * products against `planes` (deterministic seed → reproducible buckets).
     * Vectors in the same bucket are near-dup candidates; complements

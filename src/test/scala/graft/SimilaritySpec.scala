@@ -81,6 +81,19 @@ class SimilaritySpec extends SparkSpec {
     assert(out.collect { case ((_, 0), (_, n)) => n }.sum === 5L)
   }
 
+  test("trained codebook round-trips into ivfKnn and keeps the partition") {
+    val seed = vecs.filter(col("vec_id").isin(0L, 2L))
+    val trained = Similarity.codebook(Similarity.kmeansStep(vecs, seed, dim = 3))
+    // centroids moved to cluster means, so re-assignment keeps the clusters
+    val assigned = Similarity.assignClusters(vecs, trained)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigned(1L) === 0L && assigned(4L) === 0L && assigned(3L) === 2L)
+    // and search over the trained codebook still returns in-cluster results
+    val out = Similarity.ivfKnn(vecs, trained, Seq(1L), 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(out.subsetOf(Set(0L, 4L)))
+  }
+
   test("hyperplane bucket is deterministic and equal for identical vectors") {
     val planes = Similarity.deterministicPlanes(4, 3)
     val b = vecs.select(col("vec_id"),
