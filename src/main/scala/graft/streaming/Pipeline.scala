@@ -75,6 +75,23 @@ object Pipeline {
         Features.windPowerDensity(col("air_density_kgm3"), col("wind_speed_mps")))
   }
 
+  /** Streaming content-dedup for document feeds: exact dedup by normalized
+    * md5 fingerprint (the streaming face of
+    * [[graft.dedup.Dedup.exactDuplicates]]), with the dedup state bounded
+    * by an event-time watermark — the first arrival of each distinct
+    * content survives; re-arrivals inside the watermark horizon are
+    * dropped, state for expired horizons is evicted. Works identically on
+    * batch frames (no watermark applied there, plain first-wins dedup).
+    */
+  def contentDedup(df: DataFrame, text: org.apache.spark.sql.Column,
+      eventTimeCol: String, watermark: String = "10 minutes"): DataFrame = {
+    val fp = df.withColumn("__fp", graft.text.TextAnalysis.fingerprint(text))
+    val deduped =
+      if (df.isStreaming) fp.withWatermark(eventTimeCol, watermark).dropDuplicates("__fp")
+      else fp.dropDuplicates("__fp")
+    deduped.drop("__fp")
+  }
+
   /** S8: checkpointed append-mode parquet sink. `boundedDrain` runs with
     * `Trigger.AvailableNow` — process everything available, then stop —
     * the structured-streaming analog of the reference consumer's

@@ -39,6 +39,29 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming content-dedup keeps first arrival per fingerprint") {
+    implicit val sqlCtx = spark.sqlContext
+    case class Doc(doc_id: Long, timestamp: Timestamp, text: String)
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val out = Pipeline.contentDedup(
+      input.toDF().toDF("doc_id", "timestamp", "text"),
+      col("text"), "timestamp")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, ts("2025-01-01 10:00:00"), "the quick brown fox"),
+        (2L, ts("2025-01-01 10:00:30"), "  The QUICK  brown fox "), // normalized dup
+        (3L, ts("2025-01-01 10:01:00"), "something else entirely"))
+      q.processAllAvailable()
+      input.addData(
+        (4L, ts("2025-01-01 10:02:00"), "the quick brown fox")) // dup, later batch
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 3L)) // first arrival of each content survives
+    } finally q.stop()
+  }
+
   test("T5 windowed stats aggregate per station and window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Tele]
