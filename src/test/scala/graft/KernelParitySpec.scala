@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.plans.Native
+import graft.text.TextAnalysis
+
+/** Executable proof of the kernel contract: every native codegen kernel in
+  * `graft.plans.Kernels` is BIT-IDENTICAL to the interpreted
+  * higher-order-function formulation it replaced (same IEEE operation
+  * order, same tokenization, same hash slicing) — checked value-for-value
+  * on real documents/embeddings plus adversarial edge cases.
+  */
+class KernelParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  // ── reference (round-2) HOF formulations, kept here as the spec oracle ──
+
+  private def hofDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def hofNorm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  private def hofCosine(a: Column, b: Column): Column =
+    hofDot(a, b) / (hofNorm(a) * hofNorm(b))
+
+  private def hofBigrams(text: Column): Column =
+    array_distinct(TextAnalysis.shingles(text, 2))
+
+  private def hofSig(grams: Column, i: Int): Column =
+    array_min(transform(grams, g => substring(md5(g), i * 8 + 1, 8)))
+
+  private def hofSimhash(text: Column): Column = {
+    val hashes = transform(array_distinct(split(trim(lower(text)), "\\s+")), w => md5(w))
+    val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val votes = aggregate(hashes,
+      array_repeat(lit(0), 16),
+      (acc, h) => zip_with(acc,
+        transform(sequence(lit(1), lit(16)),
+          i => when(h.substr(i, lit(1)).isInCollection(hexHigh), 1).otherwise(-1)),
+        (a, b) => a + b))
+    val weights = array((0 until 16).map(i => lit(1L << (15 - i))): _*)
+    aggregate(zip_with(votes, weights, (v, w) => when(v > 0, w).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  private val edgeTexts = Seq(
+    "", " ", "\t\n", "one", "one two", "One  TWO one", "a.b,c!d",
+    "的 是 的 在", "  padded   with\tmixed\nwhitespace  ",
+    "repeat repeat repeat repeat")
+
+  private def docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    .select(col("text")).limit(200)
+    .unionByName(edgeTexts.toDF("text"))
+
+  test("cosine/dot kernels are bit-identical to the HOF formulation") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(graft.similarity.Similarity.asDouble(col("embedding")).as("v"))
+      .limit(100)
+    val pairs = emb.withColumn("w", reverse(col("v")))
+    val rows = pairs.select(
+      Native.cosineRaw(col("v"), col("w")).as("k_cos"),
+      hofCosine(col("v"), col("w")).as("h_cos"),
+      Native.dot(col("v"), col("w")).as("k_dot"),
+      hofDot(col("v"), col("w")).as("h_dot")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)), "cosine differs")
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(2)) ===
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3)), "dot differs")
+    }
+  }
+
+  test("bigram kernel equals array_distinct(shingles) on docs + edge cases") {
+    val rows = docs.select(Native.bigrams(col("text")).as("k"),
+      hofBigrams(col("text")).as("h")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1))
+    }
+  }
+
+  test("minhash slices kernel equals the md5-substring minima") {
+    val g = docs.select(hofBigrams(col("text")).as("grams"))
+    val rows = g.select(
+      (Native.minhashSlices(col("grams")).as("k") +:
+        (0 until 4).map(i => hofSig(col("grams"), i).as(s"h$i"))): _*).collect()
+    rows.foreach { r =>
+      val k = Option(r.getSeq[String](0))
+      val h = (1 to 4).map(i => Option(r.getString(i)))
+      if (k.isEmpty) assert(h.forall(_.isEmpty))
+      else assert(k.get === h.map(_.get))
+    }
+  }
+
+  test("simhash kernel equals the 16-bit HOF vote fold") {
+    val rows = docs.select(Native.simhash16(col("text")).as("k"),
+      hofSimhash(col("text")).as("h")).collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("token-stat kernels equal their filter/aggregate folds") {
+    val t = split(trim(lower(col("text"))), "\\s+")
+    val stop = TextAnalysis.defaultStopwords
+    val rows = docs.select(
+      Native.tokenCount(col("text")).as("k_n"), size(t).as("h_n"),
+      Native.tokenHits(col("text"), stop).as("k_hits"),
+      size(filter(t, w => w.isInCollection(stop))).as("h_hits"),
+      Native.subwordSum(col("text")).as("k_sub"),
+      aggregate(t, lit(0L),
+        (acc, w) => acc + greatest(ceil(length(w) / 4.0), lit(1L)).cast("long")).as("h_sub"),
+      Native.charSum(col("text")).as("k_chars"),
+      aggregate(t, lit(0L), (acc, w) => acc + length(w).cast("long")).as("h_chars")).collect()
+    rows.foreach { r =>
+      assert(r.getInt(0) === r.getInt(1))
+      assert(r.getInt(2) === r.getInt(3))
+      assert(r.getLong(4) === r.getLong(5))
+      assert(r.getLong(6) === r.getLong(7))
+    }
+  }
+}
