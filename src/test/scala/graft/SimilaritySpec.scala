@@ -81,6 +81,17 @@ class SimilaritySpec extends SparkSpec {
     assert(out.collect { case ((_, 0), (_, n)) => n }.sum === 5L)
   }
 
+  test("ivfKnn plans exactly one shuffle exchange (the top-k merge)") {
+    val centroids = vecs.filter(col("vec_id").isin(0L, 2L))
+    val plan = Similarity.ivfKnn(vecs, centroids, Seq(1L), 2)
+      .queryExecution.executedPlan.toString
+    // centroid assignment is a projection and the probe side is broadcast,
+    // so the only data shuffle is the bounded top-k merge
+    val shuffles = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles === 1, s"expected 1 shuffle, plan:\n$plan")
+  }
+
   test("trained codebook round-trips into ivfKnn and keeps the partition") {
     val seed = vecs.filter(col("vec_id").isin(0L, 2L))
     val trained = Similarity.codebook(Similarity.kmeansStep(vecs, seed, dim = 3))
