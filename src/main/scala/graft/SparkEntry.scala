@@ -281,7 +281,7 @@ object SparkEntry {
           col("alert"), col("threshold_kW"))),
     "a05_capacity_factor" -> ((s, dir) =>
       Aggregates.capacityFactor(T(s, dir, "events"),
-        col("event_type"), col("value"))),
+        col("event_type"), col("value"), valueScale = 2)),
     "a06_category_counts" -> ((s, dir) =>
       Distribution.countPerCategory(T(s, dir, "events"), col("event_type"))),
     "a07_distinct_count" -> ((s, dir) =>
@@ -291,7 +291,8 @@ object SparkEntry {
       Distribution.approxDistinctPerGroup(T(s, dir, "events"),
         col("event_type"), col("user_id"))),
     "a08_describe" -> ((s, dir) =>
-      Aggregates.describe(T(s, dir, "events"), col("event_type"), col("value"))),
+      Aggregates.describe(T(s, dir, "events"), col("event_type"), col("value"),
+        valueScale = 2)),
     "a09_histogram" -> ((s, dir) =>
       Distribution.histogram(T(s, dir, "events"), col("value"), 25.0,
         Seq(col("event_type")))),

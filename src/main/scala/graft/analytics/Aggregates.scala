@@ -38,14 +38,28 @@ object Aggregates {
     avg(round(value * f)) / f
   }
 
+  /** Merge-order-independent mean with NO quantization: plain `avg`, for
+    * callers whose data is not fixed-point. The result is subject to
+    * double partial-sum merge-order jitter in the last ulps — fine for any
+    * consumer except a bit-exact cross-engine comparison, which should use
+    * [[fixedPointAvg]] with a scale that covers the data's precision.
+    */
+  def exactAvg(value: Column): Column = avg(value)
+
   /** A5: capacity factor — per-group mean over the GLOBAL max
     * (ref `Wind_Dashboard.py:617`). Window-over-empty-frame computes the
     * global max with a single-partition exchange of the already-aggregated
     * rows (group count ≪ input count), not of the raw data. The mean is
     * [[fixedPointAvg]] so the ratio is partition-order-independent.
+    *
+    * `valueScale` is REQUIRED and must cover the data's decimal precision:
+    * quantizing at a coarser scale than the data silently biases the mean
+    * (values around 0.004 at scale 2 average to 0). The quantized sum must
+    * also stay below 2⁵³ (n·maxAbs·10^scale) or exactness is lost — at a
+    * scale where that bound binds, aggregate in stripes or use DECIMAL.
     */
   def capacityFactor(df: DataFrame, key: Column, value: Column,
-      outName: String = "capacity_factor_pct", valueScale: Int = 2): DataFrame = {
+      valueScale: Int, outName: String = "capacity_factor_pct"): DataFrame = {
     val grouped = df.groupBy(key)
       .agg(fixedPointAvg(value, valueScale).as("__avg"), max(value).as("__max"))
     grouped
@@ -58,9 +72,13 @@ object Aggregates {
     * to agree bit-for-bit with an interpolating oracle; swap for
     * `percentile_approx` at the 100 TB tier where an exact sort-based
     * percentile would shuffle the full column.
+    *
+    * `valueScale` is REQUIRED — see [[capacityFactor]]: a scale coarser
+    * than the data's precision silently biases the mean, and the quantized
+    * sum must stay below 2⁵³ for merge-order exactness.
     */
   def describe(df: DataFrame, key: Column, value: Column,
-      valueScale: Int = 2): DataFrame =
+      valueScale: Int): DataFrame =
     df.groupBy(key).agg(
       count(value).as("cnt"),
       round(fixedPointAvg(value, valueScale), 6).as("mean"),

@@ -135,11 +135,19 @@ object Dedup {
         (0 until 4).map(i => element_at(col("__sig"), i + 1).as(s"sig$i"))): _*)
     val cands = bandPairs(cappedBands(signed, maxBucket))
       .select("doc_a", "doc_b").distinct()
-    cands
+    val verified = cands
       .join(grams.select(col("did").as("doc_a"), col("grams").as("ga")), "doc_a")
       .join(grams.select(col("did").as("doc_b"), col("grams").as("gb")), "doc_b")
       .select(col("doc_a"), col("doc_b"), jaccard(col("ga"), col("gb")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    // materialize the (small) verified-pairs frame eagerly so the gram
+    // cache can be dropped HERE instead of leaking until session shutdown;
+    // localCheckpoint also truncates lineage, so downstream re-evaluation
+    // never re-runs the shingle pass. At cluster scale this is where a
+    // pipeline would checkpoint to reliable storage instead.
+    val out = verified.localCheckpoint(true)
+    grams.unpersist(false)
+    out
   }
 
   /** SimHash: 16-bit locality-sensitive signature. Bit i of the signature is

@@ -103,11 +103,18 @@ case class DotProduct(left: Expression, right: Expression)
   * which shuffled |corpus|·|centroids| rows. One projection, no exchange.
   * `ids` must be sorted ascending, parallel to `cents`.
   */
-case class NearestCentroids(child: Expression, ids: Array[Long],
-    cents: Array[Array[Double]], n: Int)
+case class NearestCentroids(child: Expression, ids: Seq[Long],
+    cents: Seq[Seq[Double]], n: Int)
   extends UnaryExpression with KernelCodegenHelpers {
 
   require(n > 0, "nprobe must be positive")
+
+  // Seq constructor fields keep the case-class equals/semanticEquals
+  // structural (Array params compare by reference, which silently disables
+  // subexpression elimination, exchange reuse, and canonicalized plan
+  // comparison); eval/codegen use these materialized primitive arrays.
+  @transient private lazy val idsArr: Array[Long] = ids.toArray
+  @transient private lazy val centsArr: Array[Array[Double]] = cents.map(_.toArray).toArray
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (vecTypeOk(child.dataType)) TypeCheckResult.TypeCheckSuccess
@@ -118,11 +125,11 @@ case class NearestCentroids(child: Expression, ids: Array[Long],
   override def prettyName: String = "nearest_centroids"
 
   override protected def nullSafeEval(v: Any): Any =
-    Kernels.nearestCentroids(v.asInstanceOf[ArrayData], ids, cents, n, isFloatArr(child))
+    Kernels.nearestCentroids(v.asInstanceOf[ArrayData], idsArr, centsArr, n, isFloatArr(child))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val idsRef = ctx.addReferenceObj("centIds", ids, "long[]")
-    val centsRef = ctx.addReferenceObj("centVecs", cents, "double[][]")
+    val idsRef = ctx.addReferenceObj("centIds", idsArr, "long[]")
+    val centsRef = ctx.addReferenceObj("centVecs", centsArr, "double[][]")
     nullSafeCodeGen(ctx, ev, v =>
       s"${ev.value} = $KernelsCls.nearestCentroids($v, $idsRef, $centsRef, $n, ${isFloatArr(child)});")
   }
@@ -348,7 +355,8 @@ object Native {
   def dot(a: Column, b: Column): Column = C(DotProduct(E(a), E(b)))
 
   def nearestCentroids(v: Column, ids: Array[Long], cents: Array[Array[Double]],
-      n: Int): Column = C(NearestCentroids(E(v), ids, cents, n))
+      n: Int): Column =
+    C(NearestCentroids(E(v), ids.toSeq, cents.map(_.toSeq).toSeq, n))
 
   def bigrams(text: Column): Column = C(BigramSet(E(text)))
 

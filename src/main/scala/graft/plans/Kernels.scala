@@ -93,7 +93,14 @@ object Kernels {
     var c = 0
     while (c < ids.length) {
       val cv = cents(c)
-      if (cv.length == dim) {
+      // fail fast: a silently-skipped centroid would assign the row to
+      // the wrong (or no) cluster with no signal — a ragged embedding is
+      // a data bug the pipeline must surface, not absorb
+      if (cv.length != dim) {
+        throw new IllegalArgumentException(
+          s"nearest_centroids: vector dimension $dim does not match " +
+            s"centroid ${ids(c)} dimension ${cv.length}")
+      } else {
         var d = 0.0
         var na = 0.0
         var nb = 0.0

@@ -90,6 +90,9 @@ object Similarity {
       }
       .sortBy(_._1)
     require(rows.nonEmpty, "IVF needs at least one centroid")
+    val dims = rows.map(_._2.length).distinct
+    require(dims.size == 1,
+      s"IVF centroids must share one dimension, got ${dims.sorted.mkString(", ")}")
     (rows.map(_._1), rows.map(_._2))
   }
 
@@ -107,7 +110,9 @@ object Similarity {
       // coalesce makes the join key provably non-null, so the downstream
       // equi-join's IsNotNull filter folds away instead of being pushed
       // below this projection and re-evaluating the kernel per row; the
-      // -1 sentinel is unreachable (>= 1 centroid enforced at collect)
+      // -1 sentinel is unreachable: >= 1 centroid with a uniform dimension
+      // is enforced at collect, and the kernel throws (not skips) on a
+      // row/centroid dimension mismatch
       coalesce(
         element_at(Native.nearestCentroids(col("embedding"), cents._1, cents._2, 1), 1),
         lit(-1L)).as("centroid_id"),

@@ -80,15 +80,26 @@ object Pipeline {
     * [[graft.dedup.Dedup.exactDuplicates]]), with the dedup state bounded
     * by an event-time watermark — the first arrival of each distinct
     * content survives; re-arrivals inside the watermark horizon are
-    * dropped, state for expired horizons is evicted. Works identically on
-    * batch frames (no watermark applied there, plain first-wins dedup).
+    * dropped, state for expired horizons is evicted.
+    *
+    * Winner semantics: on a batch frame the EARLIEST row by event time wins
+    * (ties by the remaining columns — make the frame carry a unique id for
+    * a total order), via the same order-aware dedup as
+    * [[graft.clean.Validation.dedupeFirst]]. On a stream, "first" is
+    * arrival order: duplicates inside one micro-batch are broken
+    * arbitrarily by `dropDuplicates` — streaming state has no global sort,
+    * so event-time order cannot be enforced there.
     */
   def contentDedup(df: DataFrame, text: org.apache.spark.sql.Column,
       eventTimeCol: String, watermark: String = "10 minutes"): DataFrame = {
     val fp = df.withColumn("__fp", graft.text.TextAnalysis.fingerprint(text))
     val deduped =
       if (df.isStreaming) fp.withWatermark(eventTimeCol, watermark).dropDuplicates("__fp")
-      else fp.dropDuplicates("__fp")
+      else {
+        val rest = fp.columns.filter(c => c != "__fp" && c != eventTimeCol)
+        graft.clean.Validation.dedupeFirst(fp, Seq("__fp"),
+          col(eventTimeCol) +: rest.map(col).toSeq)
+      }
     deduped.drop("__fp")
   }
 

@@ -12,7 +12,7 @@ class AnalyticsSpec extends SparkSpec {
     ("S2", 1, 5.0), ("S2", 2, 5.0)).toDF("station", "t", "power")
 
   test("A5 capacity factor: per-group mean over global max") {
-    val out = Aggregates.capacityFactor(df, col("station"), col("power"))
+    val out = Aggregates.capacityFactor(df, col("station"), col("power"), valueScale = 2)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(math.abs(out("S1") - 20.0 / 30.0 * 100.0) < 1e-6)
     assert(math.abs(out("S2") - 5.0 / 30.0 * 100.0) < 1e-6)
@@ -20,7 +20,7 @@ class AnalyticsSpec extends SparkSpec {
 
   test("A8 describe: exact quartiles with interpolation") {
     val out = Aggregates.describe(df.filter(col("station") === "S1"),
-      col("station"), col("power")).head()
+      col("station"), col("power"), valueScale = 2).head()
     assert(out.getAs[Double]("p50") === 20.0)
     assert(out.getAs[Double]("p25") === 15.0)
     assert(out.getAs[Double]("mean") === 20.0)

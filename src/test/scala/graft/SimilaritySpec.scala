@@ -105,6 +105,31 @@ class SimilaritySpec extends SparkSpec {
     assert(out.subsetOf(Set(0L, 4L)))
   }
 
+  test("NearestCentroids has structural equality (subexpression-elimination safe)") {
+    import graft.plans.NearestCentroids
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def mk() = NearestCentroids(Literal.create(Seq(1.0, 0.0)),
+      Seq(1L, 2L), Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)), 1)
+    assert(mk() === mk())
+    assert(mk().semanticEquals(mk()))
+    assert(mk().hashCode === mk().hashCode)
+  }
+
+  test("ragged embedding dimension fails fast instead of silently dropping") {
+    val ragged = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val cents = vecs.filter(col("vec_id").isin(0L, 2L))
+    val e = intercept[Exception] {
+      Similarity.assignClusters(ragged, cents).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).map(c => Option(c.getMessage).getOrElse(""))
+        .exists(_.contains("does not match")))
+  }
+
   test("hyperplane bucket is deterministic and equal for identical vectors") {
     val planes = Similarity.deterministicPlanes(4, 3)
     val b = vecs.select(col("vec_id"),

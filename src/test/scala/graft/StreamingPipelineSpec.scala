@@ -62,6 +62,19 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch content-dedup keeps the EARLIEST row per fingerprint") {
+    // reversed arrival order: the later timestamp is listed first — an
+    // arbitrary-winner dedup (plain dropDuplicates) could keep doc 4
+    val docs = Seq(
+      (4L, ts("2025-01-01 10:02:00"), "the quick brown fox"),
+      (1L, ts("2025-01-01 10:00:00"), "  The QUICK  brown fox "),
+      (3L, ts("2025-01-01 10:01:00"), "something else entirely"))
+      .toDF("doc_id", "timestamp", "text").repartition(5)
+    val ids = Pipeline.contentDedup(docs, col("text"), "timestamp")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 3L))
+  }
+
   test("T5 windowed stats aggregate per station and window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Tele]
