@@ -20,6 +20,34 @@ object OracleSql {
   /** Word-bigram shingle list, distinct, mirroring
     * [[graft.text.TextAnalysis.shingles]] + array_distinct.
     */
+  /** Shared CTE chain of the MinHash→band→candidate→Jaccard near-dup
+    * pipeline (mirrors [[graft.dedup.Dedup.nearDuplicates]]); ends with
+    * `scored(doc_a, doc_b, jaccard)`. Used by x06 (pairs) and x18
+    * (connected components over the pairs).
+    */
+  private lazy val NearDupChain =
+    s"""t AS (SELECT doc_id, $Toks AS toks FROM documents),
+       |g AS (SELECT doc_id, $DistinctGrams AS grams FROM t),
+       |sig AS (SELECT doc_id,
+       | list_min(list_transform(grams, x -> substring(md5(x), 1, 8))) AS sig0,
+       | list_min(list_transform(grams, x -> substring(md5(x), 9, 8))) AS sig1,
+       | list_min(list_transform(grams, x -> substring(md5(x), 17, 8))) AS sig2,
+       | list_min(list_transform(grams, x -> substring(md5(x), 25, 8))) AS sig3
+       | FROM g),
+       |bands AS (SELECT doc_id, sig0 || sig1 AS band, 1 AS band_id FROM sig
+       | UNION ALL SELECT doc_id, sig2 || sig3 AS band, 2 AS band_id FROM sig),
+       |capped AS (SELECT doc_id, band, band_id FROM (
+       | SELECT doc_id, band, band_id, count(*) OVER (PARTITION BY band, band_id) AS bc
+       | FROM bands) WHERE bc <= 1000),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       | FROM capped a JOIN capped b
+       |  ON a.band = b.band AND a.band_id = b.band_id AND a.doc_id < b.doc_id),
+       |scored AS (SELECT doc_a, doc_b,
+       | round(CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) /
+       |  greatest(CAST(len(ga.grams) + len(gb.grams) AS DOUBLE)
+       |   - CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE), 1.0), 6) AS jaccard
+       | FROM cand JOIN g ga ON cand.doc_a = ga.doc_id JOIN g gb ON cand.doc_b = gb.doc_id)""".stripMargin
+
   private val DistinctGrams =
     """list_distinct(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
       | ELSE list_transform(generate_series(1, len(toks) - 1),
@@ -425,28 +453,18 @@ object OracleSql {
          | list_min(list_transform(grams, x -> substring(md5(x), 25, 8))) AS sig3
          |FROM g""".stripMargin,
     "x06_near_duplicates" ->
-      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
-         |g AS (SELECT doc_id, $DistinctGrams AS grams FROM t),
-         |sig AS (SELECT doc_id,
-         | list_min(list_transform(grams, x -> substring(md5(x), 1, 8))) AS sig0,
-         | list_min(list_transform(grams, x -> substring(md5(x), 9, 8))) AS sig1,
-         | list_min(list_transform(grams, x -> substring(md5(x), 17, 8))) AS sig2,
-         | list_min(list_transform(grams, x -> substring(md5(x), 25, 8))) AS sig3
-         | FROM g),
-         |bands AS (SELECT doc_id, sig0 || sig1 AS band, 1 AS band_id FROM sig
-         | UNION ALL SELECT doc_id, sig2 || sig3 AS band, 2 AS band_id FROM sig),
-         |capped AS (SELECT doc_id, band, band_id FROM (
-         | SELECT doc_id, band, band_id, count(*) OVER (PARTITION BY band, band_id) AS bc
-         | FROM bands) WHERE bc <= 1000),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         | FROM capped a JOIN capped b
-         |  ON a.band = b.band AND a.band_id = b.band_id AND a.doc_id < b.doc_id),
-         |scored AS (SELECT doc_a, doc_b,
-         | round(CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) /
-         |  greatest(CAST(len(ga.grams) + len(gb.grams) AS DOUBLE)
-         |   - CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE), 1.0), 6) AS jaccard
-         | FROM cand JOIN g ga ON cand.doc_a = ga.doc_id JOIN g gb ON cand.doc_b = gb.doc_id)
+      s"""WITH $NearDupChain
          |SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.3""".stripMargin,
+    "x18_dup_clusters" ->
+      s"""WITH RECURSIVE $NearDupChain,
+         |pairs AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.3),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         | UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+         | UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u)
+         |SELECT CAST(u AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id,
+         | (u = min(r)) AS is_canonical
+         |FROM reach GROUP BY u""".stripMargin,
     "x07_simhash" ->
       s"""WITH t AS (SELECT doc_id, list_distinct($Toks) AS dt FROM documents),
          |s AS (SELECT doc_id, CAST($SimhashExpr AS BIGINT) AS simhash FROM t)

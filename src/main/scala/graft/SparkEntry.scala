@@ -491,6 +491,10 @@ object SparkEntry {
       val emb = T(s, dir, "embeddings")
       Similarity.kmeansStep(emb, emb.filter(col("vec_id") % 50 === 0), dim = 64)
     }),
+    "x18_dup_clusters" -> ((s, dir) =>
+      Dedup.duplicateClusters(
+        Dedup.nearDuplicates(T(s, dir, "documents"), col("doc_id"), col("text"),
+          threshold = 0.3))),
     "x10_lsh_bucket" -> ((s, dir) =>
       T(s, dir, "embeddings").select(col("vec_id"),
         Similarity.hyperplaneBucket(

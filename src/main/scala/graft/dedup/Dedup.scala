@@ -201,4 +201,57 @@ object Dedup {
     pairs
       .withColumn("cosine", graft.similarity.Similarity.cosine(vecA, vecB))
       .withColumn("is_near_dup", col("cosine") >= threshold)
+
+  /** Connected components over near-dup pairs: every doc that appears in a
+    * pair is labeled with the MINIMUM doc id reachable through the pair
+    * graph (its cluster id), plus an `is_canonical` flag for the one doc a
+    * dedup pipeline keeps per cluster. Pair-level near-dup output is not
+    * actionable by itself — (a,b) and (b,c) near-dups must collapse to ONE
+    * kept doc, not two independent pair decisions.
+    *
+    * Algorithm: distributed min-label propagation. Each iteration is one
+    * shuffle-join of the label frame with the (undirected) edge frame and a
+    * min-aggregate; labels only decrease, so the fixed point — min id per
+    * component — is reached in at most `diameter` iterations and is
+    * partitioning-independent. Near-dup components are overwhelmingly tiny
+    * (pairs within an LSH bucket), so the diameter bound is small; for
+    * adversarially long chains at 100 TB, interleave pointer-jumping
+    * (label(u) ← label(label(u)), halves diameter per round) or switch to
+    * the large-star/small-star formulation — same join shape, O(log n)
+    * rounds. Every iteration localCheckpoints the label frame: lineage
+    * stays O(1), and the convergence count reuses the materialized result
+    * instead of recomputing the chain.
+    *
+    * Fails loudly if `maxIter` is hit without convergence — a truncated
+    * propagation would silently mislabel clusters.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val half = pairs.select(col("doc_a").cast("long").as("u"),
+      col("doc_b").cast("long").as("v"))
+    val edges = half.union(half.select(col("v").as("u"), col("u").as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var current = edges.groupBy(col("u"))
+      .agg(least(col("u"), min(col("v"))).as("label"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val nbr = edges
+        .join(current.select(col("u").as("v"), col("label").as("vlabel")), "v")
+        .groupBy(col("u")).agg(min(col("vlabel")).as("nlabel"))
+      val next = current.join(nbr, "u")
+        .select(col("u"), least(col("label"), col("nlabel")).as("label"),
+          (col("nlabel") < col("label")).as("__changed"))
+        .localCheckpoint(true)
+      converged = next.filter(col("__changed")).limit(1).isEmpty
+      current = next.drop("__changed")
+      iter += 1
+    }
+    edges.unpersist(false)
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge in $maxIter iterations")
+    current.select(col("u").as("doc_id"), col("label").as("cluster_id"),
+      (col("u") === col("label")).as("is_canonical"))
+  }
 }

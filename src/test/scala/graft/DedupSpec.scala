@@ -69,6 +69,26 @@ class DedupSpec extends SparkSpec {
     assert(capped.count() === 0) // all 20 share one band > cap
   }
 
+  test("duplicateClusters: min-label connected components, canonical per cluster") {
+    // chain 1-2-3-4 needs multiple propagation rounds; 7-8 is a separate
+    // component; 10 appears in no pair and must be absent from the output
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (7L, 8L))
+      .toDF("doc_a", "doc_b").repartition(5)
+    val out = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 7L, 8L))
+    assert(Seq(1L, 2L, 3L, 4L).forall(out(_)._1 == 1L))
+    assert(out(7L)._1 === 7L && out(8L)._1 === 7L)
+    assert(out.collect { case (id, (_, true)) => id }.toSet === Set(1L, 7L))
+  }
+
+  test("duplicateClusters fails loudly when maxIter is too small") {
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      Dedup.duplicateClusters(chain, maxIter = 1).collect()
+    }
+  }
+
   test("token/shingle/fingerprint primitives") {
     val r = Seq("Hello  World foo").toDF("text").select(
       TextAnalysis.tokenCount(col("text")),
