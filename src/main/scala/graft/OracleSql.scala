@@ -335,6 +335,21 @@ object OracleSql {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,
         | round(sum(value), 2) AS sum_value, count(*) AS cnt
         |FROM events GROUP BY 1""".stripMargin,
+    "a18_sessions" ->
+      """WITH o AS (SELECT user_id, ts, event_id, value,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        | FROM events),
+        |s AS (SELECT user_id, ts, value,
+        |  sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL '1800 seconds'
+        |      THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        | FROM o)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        | CAST(epoch(date_trunc('second', min(ts))) AS BIGINT) AS session_start,
+        | CAST(epoch(date_trunc('second', max(ts))) AS BIGINT) AS session_end,
+        | count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, session_idx""".stripMargin,
     "a15_power_curve_table" ->
       s"""WITH t AS (SELECT CAST(range AS BIGINT) AS id,
          |  CAST(range AS DOUBLE) * CAST(0.4 AS DOUBLE) AS v FROM range(0, 100))
@@ -382,6 +397,29 @@ object OracleSql {
         | r.value - a.value AS difference
         |FROM l a JOIN l r ON a.user_id = r.user_id
         | AND a.event_type = 'click' AND r.event_type = 'view'""".stripMargin,
+    "j07_asof_join" ->
+      """WITH c AS (SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, max(value) AS purchase_value FROM events
+        |  WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |j AS (SELECT c.event_id, c.user_id, c.ts, c.value,
+        |  p.ts AS pts, p.purchase_value,
+        |  row_number() OVER (PARTITION BY c.event_id ORDER BY p.ts DESC) AS rn
+        | FROM c LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts)
+        |SELECT event_id, user_id,
+        | CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t, value,
+        | CAST(epoch(date_trunc('second', pts)) AS BIGINT) AS purchase_t,
+        | purchase_value
+        |FROM j WHERE rn = 1""".stripMargin,
+    "j08_range_join" ->
+      """WITH e AS (SELECT user_id, event_id AS error_id, ts AS error_ts,
+        |  ts + INTERVAL '30 minutes' AS until_ts FROM events
+        |  WHERE event_type = 'error'),
+        |c AS (SELECT user_id, event_id AS click_id, ts FROM events
+        |  WHERE event_type = 'click')
+        |SELECT c.user_id, c.click_id, e.error_id
+        |FROM c JOIN e ON c.user_id = e.user_id
+        | AND c.ts >= e.error_ts AND c.ts <= e.until_ts""".stripMargin,
 
     "o01_rank_by_aggregate" ->
       """WITH g AS (SELECT event_type, round(sum(value), 2) AS total_value

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.analytics.{Aggregates, Comparison, Correlation, Distribution, Ranking}
+import graft.analytics.{Aggregates, Comparison, Correlation, Distribution, Ranking, Sessions, Temporal}
 import graft.clean.Validation
 import graft.dedup.Dedup
 import graft.features.Features
@@ -315,6 +315,16 @@ object SparkEntry {
             count(lit(1)).as("cnt")))
         .select(unix_timestamp(col("window_start")).as("ws"),
           col("sum_value"), col("cnt"))),
+    "a18_sessions" -> ((s, dir) =>
+      Sessions.sessionize(
+          T(s, dir, "events")
+            .select(col("user_id"), col("ts"), col("event_id"), col("value")),
+          "user_id", "ts", gapSeconds = 1800, order = Seq("event_id"))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(unix_timestamp(min(col("ts"))).as("session_start"),
+          unix_timestamp(max(col("ts"))).as("session_end"),
+          count(lit(1)).as("cnt"),
+          round(sum(col("value")), 2).as("sum_value"))),
     "a15_power_curve_table" -> ((s, _) =>
       s.range(0, 100).select(col("id"),
         round(Power.turbinePowerKw(lit(1.225),
@@ -375,6 +385,32 @@ object SparkEntry {
         T(s, dir, "events").filter(col("event_type").isin("click", "view")),
         "user_id", "event_type", "click", "view", Seq("value"),
         Seq(col("ts"), col("event_id")))),
+    "j07_asof_join" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("purchase_value"))
+      Temporal.asofJoin(clicks, purchases, "user_id", "ts")
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("t"), col("value"),
+          unix_timestamp(col("asof_ts")).as("purchase_t"),
+          col("asof_purchase_value").as("purchase_value"))
+    }),
+    "j08_range_join" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      // every click within 30 minutes after an error by the same user
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_id"),
+          col("ts").as("error_ts"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("until_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+      Temporal.rangeJoin(clicks, errors, "user_id", "ts",
+          "error_ts", "until_ts", grainSeconds = 600)
+        .select(col("user_id"), col("click_id"), col("iv_error_id").as("error_id"))
+    }),
 
     // ── O: ordering / ranking ────────────────────────────────────────────
     "o01_rank_by_aggregate" -> ((s, dir) =>

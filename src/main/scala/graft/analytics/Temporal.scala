@@ -1,0 +1,114 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks natively: as-of join and
+  * point-in-interval (range) join. Both are built from shuffle-once
+  * primitives — no BroadcastNestedLoopJoin, no cross join — so the plans
+  * survive a 100 TB fact table.
+  */
+object Temporal {
+
+  /** As-of join: for each left row, attach the LATEST right row with the
+    * same `key` and right.`time` <= left.`time` (pandas `merge_asof` /
+    * SQL `ASOF JOIN` semantics). Unmatched left rows keep nulls.
+    *
+    * Plan shape: tag each side, union, ONE window over
+    * (partitionBy key, orderBy time, side, tiebreak) carrying the last
+    * non-null right payload forward — a single shuffle on `key`, no join
+    * operator at all. The classic sort-merge formulation of as-of without
+    * the unbounded-preceding row explosion of a `theta` join: at 100 TB
+    * this is one exchange + one sort, same cost class as any keyed window.
+    * A hot key serializes within its partition (standard window-skew
+    * caveat); salt upstream if one key dominates.
+    *
+    * Right rows sort BEFORE left rows at the same timestamp, so an exact
+    * timestamp tie matches (inclusive <=). If several right rows share
+    * (key, time), the one greatest by `rightTiebreak` wins — pass columns
+    * making (key, time, tiebreak) unique for deterministic output, or
+    * pre-aggregate the right side to unique (key, time).
+    *
+    * Output: every left column unchanged + every non-key right column
+    * prefixed with `prefix` (including right's `time`, so callers can
+    * apply a staleness tolerance as a plain filter afterwards).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
+      rightTiebreak: Seq[String] = Nil, prefix: String = "asof_"): DataFrame = {
+    val rPayload = right.columns.filter(_ != key).toSeq
+    val collisions = left.columns.toSet.intersect(rPayload.map(prefix + _).toSet)
+    require(collisions.isEmpty, s"asofJoin output name collision: $collisions")
+
+    // struct keeps the tiebreak columns' native ordering semantics
+    val tb = if (rightTiebreak.isEmpty) lit(0)
+      else struct(rightTiebreak.map(col): _*)
+    val ru = right.select(col(key).as("__k"), col(time).as("__t"),
+      lit(0).as("__side"), tb.as("__tb"),
+      struct(rPayload.map(col): _*).as("__r"))
+    val lu = left.select(col(key).as("__k"), col(time).as("__t"),
+      lit(1).as("__side"),
+      lit(null).cast(ru.schema("__tb").dataType).as("__tb"),
+      lit(null).cast(ru.schema("__r").dataType).as("__r"),
+      struct(left.columns.map(col): _*).as("__l"))
+
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = ru.withColumn("__l", lit(null).cast(lu.schema("__l").dataType))
+      .unionByName(lu)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+
+    val outCols =
+      left.columns.toSeq.map(c => col("__l").getField(c).as(c)) ++
+        rPayload.map(c => col("__m").getField(c).as(prefix + c))
+    matched.select(outCols: _*)
+  }
+
+  /** Point-in-interval (range) join: pair each `points` row with every
+    * `intervals` row of the same `key` whose [`start`, `end`] contains the
+    * point's `time` (bounds inclusive).
+    *
+    * Plan shape: bucketize time at `grainSeconds` — each interval explodes
+    * to its covered buckets, each point maps to exactly one — then a plain
+    * equi-join on (key, bucket) + the exact BETWEEN filter. Each
+    * (interval, point) match is produced exactly once (in the point's
+    * bucket), so no dedup pass is needed. This is the standard scale-out
+    * rewrite of an interval theta-join: the shuffle key regains equality
+    * semantics and quadratic work is confined to same-bucket pairs.
+    *
+    * Pick `grainSeconds` near the TYPICAL interval length: too coarse
+    * puts unrelated rows in one bucket (wasted filter work), too fine
+    * multiplies each interval's replicated rows (explode factor =
+    * length/grain + 1). Degenerate long intervals amplify the explode —
+    * cap or split them upstream.
+    *
+    * Output: every point column + every non-key interval column prefixed
+    * with `prefix`.
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, key: String,
+      time: String, start: String, end: String, grainSeconds: Long,
+      prefix: String = "iv_"): DataFrame = {
+    require(grainSeconds > 0, "grainSeconds must be positive")
+    val iPayload = intervals.columns.filter(_ != key).toSeq
+    val collisions = points.columns.toSet.intersect(iPayload.map(prefix + _).toSet)
+    require(collisions.isEmpty, s"rangeJoin output name collision: $collisions")
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      floor(unix_micros(c) / (grainSeconds * 1000000L))
+
+    val iv = intervals.select(col(key).as("__k"),
+      explode(sequence(bucketOf(col(start)), bucketOf(col(end)))).as("__b"),
+      col(start).as("__s"), col(end).as("__e"),
+      struct(iPayload.map(col): _*).as("__iv"))
+    val pt = points.select(col(key).as("__k"), bucketOf(col(time)).as("__b"),
+      col(time).as("__t"), struct(points.columns.map(col): _*).as("__p"))
+
+    val outCols =
+      points.columns.toSeq.map(c => col("__p").getField(c).as(c)) ++
+        iPayload.map(c => col("__iv").getField(c).as(prefix + c))
+    pt.join(iv, Seq("__k", "__b"))
+      .filter(col("__t") >= col("__s") && col("__t") <= col("__e"))
+      .select(outCols: _*)
+  }
+}

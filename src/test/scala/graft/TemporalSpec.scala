@@ -1,0 +1,94 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Sessions, Temporal}
+
+/** As-of join, range join, and sessionization on hand-checkable data. */
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val quotes = Seq(
+    ("A", ts("2025-01-01 10:00:00"), 1.0),
+    ("A", ts("2025-01-01 10:05:00"), 2.0),
+    ("B", ts("2025-01-01 10:01:00"), 9.0))
+    .toDF("sym", "qts", "px").repartition(4)
+
+  private val trades = Seq(
+    ("A", ts("2025-01-01 09:59:00"), 1L), // before any quote -> null
+    ("A", ts("2025-01-01 10:00:00"), 2L), // exact tie -> 10:00 quote
+    ("A", ts("2025-01-01 10:04:59"), 3L), // -> 10:00 quote
+    ("A", ts("2025-01-01 10:30:00"), 4L), // -> 10:05 quote
+    ("C", ts("2025-01-01 10:00:00"), 5L)) // key with no quotes -> null
+    .toDF("sym", "qts", "trade_id").repartition(3)
+
+  test("asofJoin picks the latest right row at or before each left time") {
+    val out = Temporal.asofJoin(trades, quotes, "sym", "qts")
+      .collect().map(r => r.getAs[Long]("trade_id") ->
+        Option(r.getAs[java.lang.Double]("asof_px")).map(_.toDouble)).toMap
+    assert(out === Map(1L -> None, 2L -> Some(1.0), 3L -> Some(1.0),
+      4L -> Some(2.0), 5L -> None))
+  }
+
+  test("asofJoin breaks same-timestamp right duplicates by tiebreak (greatest wins)") {
+    val dup = Seq(
+      ("A", ts("2025-01-01 10:00:00"), 1.0, 1L),
+      ("A", ts("2025-01-01 10:00:00"), 7.0, 9L))
+      .toDF("sym", "qts", "px", "qid").repartition(3)
+    val one = trades.filter(col("trade_id") === 3L)
+    val out = Temporal.asofJoin(one, dup, "sym", "qts", rightTiebreak = Seq("qid"))
+      .select(col("asof_px"), col("asof_qid")).head()
+    assert(out.getDouble(0) === 7.0 && out.getLong(1) === 9L)
+  }
+
+  test("rangeJoin pairs points with every covering interval, once each") {
+    val intervals = Seq(
+      ("u1", 1L, ts("2025-01-01 10:00:00"), ts("2025-01-01 10:10:00")),
+      ("u1", 2L, ts("2025-01-01 10:05:00"), ts("2025-01-01 10:30:00")),
+      ("u2", 3L, ts("2025-01-01 10:00:00"), ts("2025-01-01 10:10:00")))
+      .toDF("uid", "iv_id", "s", "e").repartition(3)
+    val points = Seq(
+      ("u1", 10L, ts("2025-01-01 10:07:00")), // in both u1 intervals
+      ("u1", 11L, ts("2025-01-01 10:20:00")), // only interval 2
+      ("u1", 12L, ts("2025-01-01 11:00:00")), // none
+      ("u2", 13L, ts("2025-01-01 10:10:00"))) // inclusive end
+      .toDF("uid", "pt_id", "t").repartition(2)
+    // grain much smaller than interval length exercises multi-bucket explode
+    val out = Temporal.rangeJoin(points, intervals, "uid", "t", "s", "e",
+        grainSeconds = 60, prefix = "m_")
+      .select(col("pt_id"), col("m_iv_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((10L, 1L), (10L, 2L), (11L, 2L), (13L, 3L)))
+  }
+
+  test("sessionize splits on gap and is deterministic across partitioning") {
+    val ev = Seq(
+      ("u1", ts("2025-01-01 10:00:00"), 1L),
+      ("u1", ts("2025-01-01 10:10:00"), 2L), // same session (10 min gap)
+      ("u1", ts("2025-01-01 11:00:00"), 3L), // > 30 min -> new session
+      ("u2", ts("2025-01-01 10:00:00"), 4L))
+      .toDF("uid", "t", "eid")
+    def run(parts: Int) = Sessions.sessionize(ev.repartition(parts),
+        "uid", "t", gapSeconds = 1800, order = Seq("eid"))
+      .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+    val out = run(4)
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+    assert(run(1) === out)
+  }
+
+  test("sessionAgg (session_window) agrees with sessionize on session bounds") {
+    val ev = Seq(
+      ("u1", ts("2025-01-01 10:00:00"), 1.0),
+      ("u1", ts("2025-01-01 10:10:00"), 2.0),
+      ("u1", ts("2025-01-01 11:00:00"), 3.0))
+      .toDF("uid", "t", "v")
+    val out = Sessions.sessionAgg(ev, "uid", "t", gapSeconds = 1800,
+        Seq(count(lit(1)).as("cnt"), sum(col("v")).as("sum_v")))
+      .orderBy(col("session_start"))
+      .collect().map(r => (r.getAs[Long]("cnt"), r.getAs[Double]("sum_v")))
+    assert(out.toSeq === Seq((2L, 3.0), (1L, 3.0)))
+  }
+}
