@@ -102,6 +102,15 @@ object OracleSql {
       |  CAST((hv // 256) % 1000 AS DOUBLE) / 1000.0 AS brightness
       |  FROM h)""".stripMargin
 
+  /** DuckDB twin of [[graft.sampling.Sampling.hashBucket]]: integer value
+    * of the first 8 hex chars of md5(salt || id), mod Buckets.
+    */
+  private def bucketSql(idExpr: String, salt: String): String =
+    s"""list_reduce(list_transform(range(1, 9),
+       | i -> CAST(instr('0123456789abcdef',
+       |   substring(md5('$salt' || CAST($idExpr AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+       | (a, b) -> a * 16 + b) % ${graft.sampling.Sampling.Buckets}""".stripMargin
+
   val all: Map[String, String] = Map(
     "p01_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_orderkey < 100",
@@ -493,6 +502,24 @@ object OracleSql {
     "x06_near_duplicates" ->
       s"""WITH $NearDupChain
          |SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.3""".stripMargin,
+    "x19_train_split" -> {
+      val ts = graft.sampling.Sampling.thresholds(SparkEntry.TrainSplit)
+      val cases = ts.init.map { case (n, t) => s"WHEN bk < $t THEN '$n'" }
+        .mkString(" ")
+      s"""WITH b AS (SELECT doc_id, ${bucketSql("doc_id", "split")} AS bk
+         | FROM documents)
+         |SELECT doc_id, CASE $cases ELSE '${ts.last._1}' END AS split
+         |FROM b""".stripMargin
+    },
+    "x20_stratified_sample" -> {
+      val conds = SparkEntry.StratFractions.toSeq.sortBy(_._1)
+        .map { case (k, f) =>
+          s"(event_type = '$k' AND bk < ${math.round(f * graft.sampling.Sampling.Buckets)})"
+        }.mkString(" OR ")
+      s"""WITH b AS (SELECT event_id, event_type,
+         |  ${bucketSql("event_id", "sample")} AS bk FROM events)
+         |SELECT event_id, event_type FROM b WHERE $conds""".stripMargin
+    },
     "x18_dup_clusters" ->
       s"""WITH RECURSIVE $NearDupChain,
          |pairs AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.3),

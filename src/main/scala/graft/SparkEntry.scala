@@ -59,6 +59,12 @@ object SparkEntry {
   private val Planes8 = Similarity.deterministicPlanes(8, 64)
   private val Planes6 = Similarity.deterministicPlanes(6, 64, seed = 7L)
 
+  // split weights / stratum fractions shared by x19/x20 and their oracles
+  val TrainSplit: Seq[(String, Double)] =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+  val StratFractions: Map[String, Double] =
+    Map("view" -> 0.05, "click" -> 0.2, "purchase" -> 1.0, "error" -> 1.0)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── P: projection / filter / cleaning ────────────────────────────────
     "p01_project" -> ((s, dir) => {
@@ -531,6 +537,14 @@ object SparkEntry {
       Dedup.duplicateClusters(
         Dedup.nearDuplicates(T(s, dir, "documents"), col("doc_id"), col("text"),
           threshold = 0.3))),
+    "x19_train_split" -> ((s, dir) =>
+      T(s, dir, "documents").select(col("doc_id"),
+        graft.sampling.Sampling.splitLabel(col("doc_id"), TrainSplit)
+          .as("split"))),
+    "x20_stratified_sample" -> ((s, dir) =>
+      graft.sampling.Sampling.stratifiedSample(T(s, dir, "events"),
+          col("event_type"), col("event_id"), StratFractions)
+        .select(col("event_id"), col("event_type"))),
     "x10_lsh_bucket" -> ((s, dir) =>
       T(s, dir, "embeddings").select(col("vec_id"),
         Similarity.hyperplaneBucket(

@@ -1,0 +1,81 @@
+package graft.sampling
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and dataset splitting for training pipelines.
+  *
+  * Everything here derives from a content hash of a stable row id, NOT from
+  * `rand()`: the assignment of a row is a pure function of (id, salt), so
+  * splits are reproducible across runs, clusters, partitionings, and
+  * engines, rows keep their assignment when the dataset grows (no
+  * re-shuffling of yesterday's train set into today's test set), and the
+  * train/test boundary cannot leak via retries. This is the
+  * hash-and-threshold scheme large corpus pipelines standardize on.
+  *
+  * All operators are pure narrow projections/filters — zero shuffle at any
+  * scale. The hash is the first 8 hex chars of md5 (32 bits — bucket skew
+  * at 10k buckets is negligible, and md5 exists in every engine, making the
+  * assignment oracle-checkable).
+  */
+object Sampling {
+
+  val Buckets = 10000
+
+  /** Deterministic bucket in [0, [[Buckets]]) from a row id and salt.
+    * Change the salt to draw an independent split/sample.
+    */
+  def hashBucket(id: Column, salt: String): Column =
+    conv(substring(md5(concat_ws("", lit(salt), id.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % Buckets
+
+  /** Cumulative [[Buckets]]-scaled thresholds for a weighted split (shared
+    * with the SQL oracle so both engines draw identical boundaries).
+    */
+  def thresholds(weights: Seq[(String, Double)]): Seq[(String, Long)] = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "split weights must be positive")
+    val total = weights.map(_._2).sum
+    val cum = weights.map(_._2).scanLeft(0.0)(_ + _).tail
+    weights.map(_._1).zip(cum.map(c => math.round(c / total * Buckets)))
+  }
+
+  /** Weighted deterministic split: labels each row with the name of its
+    * part, e.g. `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`.
+    * Weights are normalized; boundaries are exact integer bucket counts so
+    * expected part sizes hold to 1/[[Buckets]].
+    */
+  def splitLabel(id: Column, weights: Seq[(String, Double)],
+      salt: String = "split"): Column = {
+    val b = hashBucket(id, salt)
+    val ts = thresholds(weights)
+    ts.init.foldRight(lit(ts.last._1): Column) { case ((name, t), rest) =>
+      when(b < t, lit(name)).otherwise(rest)
+    }
+  }
+
+  /** Keep a deterministic `fraction` of rows (by id hash). */
+  def sampleBy(df: DataFrame, id: Column, fraction: Double,
+      salt: String = "sample"): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction must be in [0, 1]")
+    df.filter(hashBucket(id, salt) < math.round(fraction * Buckets))
+  }
+
+  /** Per-stratum deterministic sampling: keep `fractions(stratum)` of each
+    * stratum's rows; strata not listed are DROPPED (explicit beats
+    * implicit for corpus mixing). The standard quality-weighted corpus
+    * downsample — e.g. keep 100% of high-quality docs, 10% of mid, 1% of
+    * boilerplate — as one narrow filter.
+    */
+  def stratifiedSample(df: DataFrame, stratum: Column, id: Column,
+      fractions: Map[String, Double], salt: String = "sample"): DataFrame = {
+    require(fractions.nonEmpty, "no strata given")
+    require(fractions.values.forall(f => f >= 0 && f <= 1),
+      "fractions must be in [0, 1]")
+    val b = hashBucket(id, salt)
+    val keep = fractions.toSeq.sortBy(_._1)
+      .map { case (k, f) => stratum === k && b < math.round(f * Buckets) }
+      .reduce(_ || _)
+    df.filter(keep)
+  }
+}

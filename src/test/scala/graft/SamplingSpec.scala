@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sampling.Sampling
+
+/** Deterministic hash splits and samples. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ids = spark.range(0, 10000).toDF("id")
+
+  test("splitLabel is deterministic, partitioning-independent, and covers every row") {
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    def run(parts: Int) = ids.repartition(parts)
+      .select(col("id"), Sampling.splitLabel(col("id"), w).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = run(1)
+    assert(run(7) === a)
+    val sizes = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes.keySet === Set("train", "val", "test"))
+    // 32-bit hash over 10k buckets: proportions hold to a few percent
+    assert(math.abs(sizes("train") / 10000.0 - 0.8) < 0.03)
+    assert(math.abs(sizes("val") / 10000.0 - 0.1) < 0.03)
+    assert(math.abs(sizes("test") / 10000.0 - 0.1) < 0.03)
+  }
+
+  test("independent salts draw independent samples; same salt is stable") {
+    val s1 = Sampling.sampleBy(ids, col("id"), 0.5, salt = "a")
+      .collect().map(_.getLong(0)).toSet
+    val s1b = Sampling.sampleBy(ids, col("id"), 0.5, salt = "a")
+      .collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.sampleBy(ids, col("id"), 0.5, salt = "b")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 === s1b)
+    // overlap of two independent 50% draws ~ 25% of rows, far from 0 or 50
+    val overlap = s1.intersect(s2).size / 10000.0
+    assert(overlap > 0.15 && overlap < 0.35)
+  }
+
+  test("membership is stable when the dataset grows (no re-shuffling)") {
+    val small = Sampling.sampleBy(spark.range(0, 1000).toDF("id"),
+      col("id"), 0.3).collect().map(_.getLong(0)).toSet
+    val large = Sampling.sampleBy(ids, col("id"), 0.3)
+      .collect().map(_.getLong(0)).toSet
+    assert(small === large.filter(_ < 1000))
+  }
+
+  test("stratifiedSample keeps listed fractions and drops unlisted strata") {
+    val df = ids.withColumn("stratum",
+      when(col("id") % 3 === 0, "hi").when(col("id") % 3 === 1, "lo")
+        .otherwise("junk"))
+    val out = Sampling.stratifiedSample(df, col("stratum"), col("id"),
+        Map("hi" -> 1.0, "lo" -> 0.1))
+      .groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!out.contains("junk"))
+    assert(out("hi") === 3334L) // 100%: every 'hi' row kept
+    assert(math.abs(out("lo") / 3333.0 - 0.1) < 0.03)
+  }
+}
