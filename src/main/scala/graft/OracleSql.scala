@@ -430,6 +430,12 @@ object OracleSql {
         |FROM c JOIN e ON c.user_id = e.user_id
         | AND c.ts >= e.error_ts AND c.ts <= e.until_ts""".stripMargin,
 
+    "j09_bloom_semijoin" ->
+      """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem WHERE l_orderkey IN
+        | (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag""".stripMargin,
+
     "o01_rank_by_aggregate" ->
       """WITH g AS (SELECT event_type, round(sum(value), 2) AS total_value
         | FROM events GROUP BY event_type)

@@ -417,6 +417,16 @@ object SparkEntry {
           "error_ts", "until_ts", grainSeconds = 600)
         .select(col("user_id"), col("click_id"), col("iv_error_id").as("error_id"))
     }),
+    "j09_bloom_semijoin" -> ((s, dir) => {
+      val urgent = T(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      graft.plans.BloomJoin.bloomSemiJoin(T(s, dir, "lineitem"),
+          col("l_orderkey"), urgent, col("o_orderkey"),
+          expectedItems = 1L << 20)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+    }),
 
     // ── O: ordering / ranking ────────────────────────────────────────────
     "o01_rank_by_aggregate" -> ((s, dir) =>
