@@ -508,6 +508,12 @@ object OracleSql {
     "x06_near_duplicates" ->
       s"""WITH $NearDupChain
          |SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.3""".stripMargin,
+    "x21_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |g AS (SELECT doc_id, len(toks) AS nt, len($DistinctGrams) AS ng FROM t)
+         |SELECT doc_id, round(CASE WHEN CAST(nt - 1 AS DOUBLE) <= 0.0 THEN 0.0
+         | ELSE 1.0 - CAST(ng AS DOUBLE) / CAST(nt - 1 AS DOUBLE) END, 6) AS repetition
+         |FROM g""".stripMargin,
     "x19_train_split" -> {
       val ts = graft.sampling.Sampling.thresholds(SparkEntry.TrainSplit)
       val cases = ts.init.map { case (n, t) => s"WHEN bk < $t THEN '$n'" }

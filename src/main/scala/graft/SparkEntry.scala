@@ -547,6 +547,9 @@ object SparkEntry {
       Dedup.duplicateClusters(
         Dedup.nearDuplicates(T(s, dir, "documents"), col("doc_id"), col("text"),
           threshold = 0.3))),
+    "x21_repetition" -> ((s, dir) =>
+      T(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.repetitionScore(col("text")).as("repetition"))),
     "x19_train_split" -> ((s, dir) =>
       T(s, dir, "documents").select(col("doc_id"),
         graft.sampling.Sampling.splitLabel(col("doc_id"), TrainSplit)

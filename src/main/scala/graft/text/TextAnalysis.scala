@@ -80,6 +80,20 @@ object TextAnalysis {
     round(lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3, 6)
   }
 
+  /** Repetition score: fraction of word-bigram occurrences that are
+    * repeats of an earlier bigram in the same document —
+    * `1 - |distinct bigrams| / (tokens - 1)`, 0 for docs under 2 tokens.
+    * The standard duplicate-n-gram boilerplate signal (template pages,
+    * keyword stuffing, looped generations score high). Composes the
+    * existing codegen kernels (`BigramSet`, `TokenCount`) — one fused text
+    * pass, no shuffle.
+    */
+  def repetitionScore(text: Column): Column = {
+    val total = (tokenCount(text) - 1).cast("double")
+    round(when(total <= 0.0, 0.0)
+      .otherwise(lit(1.0) - size(graft.plans.Native.bigrams(text)).cast("double") / total), 6)
+  }
+
   /** Marker words per language for n-gram language ID. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "und", "nicht", "das"),

@@ -89,6 +89,15 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("repetitionScore flags boilerplate, clears diverse text, guards short docs") {
+    val r = Seq("same same same same", "all words here differ", "one", "")
+      .toDF("text").select(TextAnalysis.repetitionScore(col("text")))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(math.abs(r(0) - (1.0 - 1.0 / 3.0)) < 1e-6) // 3 bigram slots, 1 distinct
+    assert(r(1) === 0.0) // all bigrams distinct
+    assert(r(2) === 0.0 && r(3) === 0.0) // guarded short docs
+  }
+
   test("token/shingle/fingerprint primitives") {
     val r = Seq("Hello  World foo").toDF("text").select(
       TextAnalysis.tokenCount(col("text")),
