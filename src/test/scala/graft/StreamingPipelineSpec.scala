@@ -75,6 +75,31 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(ids === Set(1L, 3L))
   }
 
+  test("sessionAgg merges session windows across micro-batches under a watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val sessions = graft.analytics.Sessions.sessionAgg(
+      input.toDF().toDF("uid", "t", "v").withWatermark("t", "1 hour"),
+      "uid", "t", gapSeconds = 1800,
+      Seq(count(lit(1)).as("cnt"), sum(col("v")).as("sum_v")))
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(("u1", ts("2025-01-01 10:00:00"), 1.0))
+      q.processAllAvailable()
+      // second batch extends the first session (10:10 within the 30-min
+      // gap) and opens a new one at 11:00 — state must merge windows
+      input.addData(
+        ("u1", ts("2025-01-01 10:10:00"), 2.0),
+        ("u1", ts("2025-01-01 11:00:00"), 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .orderBy(col("session_start"))
+        .collect().map(r => (r.getAs[Long]("cnt"), r.getAs[Double]("sum_v")))
+      assert(rows.toSeq === Seq((2L, 3.0), (1L, 3.0)))
+    } finally q.stop()
+  }
+
   test("T5 windowed stats aggregate per station and window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Tele]
