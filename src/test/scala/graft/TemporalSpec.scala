@@ -79,6 +79,34 @@ class TemporalSpec extends SparkSpec {
     assert(run(1) === out)
   }
 
+  test("asofJoin plans exactly one shuffle exchange and no join operator") {
+    val plan = Temporal.asofJoin(trades, quotes, "sym", "qts")
+      .queryExecution.executedPlan.toString
+    val shuffles = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    // trades/quotes are repartition()ed test frames, which plan their own
+    // round-robin exchanges; the operator itself adds only the keyed one
+    val keyed = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(keyed === 1, s"expected 1 keyed shuffle, plan:\n$plan")
+    assert(!plan.contains("Join"), s"as-of should not plan a join:\n$plan")
+    assert(shuffles <= 3, s"unexpected extra exchanges:\n$plan")
+  }
+
+  test("session aggregate reuses the sessionize window partitioning (no 2nd keyed shuffle)") {
+    val ev = Seq(("u1", ts("2025-01-01 10:00:00"), 1L))
+      .toDF("uid", "t", "eid")
+    val plan = Sessions.sessionize(ev, "uid", "t", 1800, Seq("eid"))
+      .groupBy(col("uid"), col("session_idx"))
+      .agg(count(lit(1)).as("cnt"))
+      .queryExecution.executedPlan.toString
+    // hashpartitioning(uid) from the window satisfies the clustering
+    // requirement of groupBy(uid, session_idx): one keyed exchange total
+    val keyed = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(keyed === 1, s"expected 1 keyed shuffle, plan:\n$plan")
+  }
+
   test("sessionAgg (session_window) agrees with sessionize on session bounds") {
     val ev = Seq(
       ("u1", ts("2025-01-01 10:00:00"), 1.0),
