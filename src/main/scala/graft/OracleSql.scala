@@ -514,6 +514,17 @@ object OracleSql {
          |SELECT doc_id, round(CASE WHEN CAST(nt - 1 AS DOUBLE) <= 0.0 THEN 0.0
          | ELSE 1.0 - CAST(ng AS DOUBLE) / CAST(nt - 1 AS DOUBLE) END, 6) AS repetition
          |FROM g""".stripMargin,
+    "x22_sequence_pack" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($Toks) AS BIGINT) AS tok,
+         |  ${bucketSql("doc_id", "pack")} % 8 AS bucket FROM documents),
+         |c AS (SELECT doc_id, bucket,
+         |  CAST(coalesce(sum(tok) OVER (PARTITION BY bucket ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+         | FROM t)
+         |SELECT doc_id, bucket,
+         | CAST(floor(CAST(cum AS DOUBLE) / 2048) AS BIGINT) AS pack_id,
+         | CAST(cum % 2048 AS BIGINT) AS pack_offset
+         |FROM c""".stripMargin,
     "x19_train_split" -> {
       val ts = graft.sampling.Sampling.thresholds(SparkEntry.TrainSplit)
       val cases = ts.init.map { case (n, t) => s"WHEN bk < $t THEN '$n'" }

@@ -550,6 +550,13 @@ object SparkEntry {
     "x21_repetition" -> ((s, dir) =>
       T(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.repetitionScore(col("text")).as("repetition"))),
+    "x22_sequence_pack" -> ((s, dir) =>
+      graft.sampling.Packing.packSequences(
+          T(s, dir, "documents").select(col("doc_id"), col("text")),
+          col("doc_id"), TextAnalysis.tokenCount(col("text")),
+          budgetTokens = 2048, numBuckets = 8)
+        .select(col("doc_id"), col("bucket"), col("pack_id"),
+          col("pack_offset"))),
     "x19_train_split" -> ((s, dir) =>
       T(s, dir, "documents").select(col("doc_id"),
         graft.sampling.Sampling.splitLabel(col("doc_id"), TrainSplit)

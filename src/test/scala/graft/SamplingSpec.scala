@@ -46,6 +46,26 @@ class SamplingSpec extends SparkSpec {
     assert(small === large.filter(_ < 1000))
   }
 
+  test("packSequences: contiguous concat-and-chop per bucket, deterministic") {
+    import graft.sampling.Packing
+    val docs = ids.limit(100).withColumn("tok", lit(300L))
+    def run(parts: Int) = Packing.packSequences(docs.repartition(parts),
+        col("id"), col("tok"), budgetTokens = 1000, numBuckets = 4)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("bucket"), r.getAs[Long]("pack_id"),
+          r.getAs[Long]("pack_offset"))).toMap
+    val a = run(1)
+    assert(run(7) === a) // partitioning-independent
+    // within each bucket, in id order: offsets advance by 300 mod 1000 and
+    // pack_id is the running-total div — verify the invariant directly
+    a.toSeq.groupBy(_._2._1).foreach { case (_, rows) =>
+      rows.sortBy(_._1).zipWithIndex.foreach { case ((_, (_, pid, off)), i) =>
+        val cum = 300L * i
+        assert(pid === cum / 1000 && off === cum % 1000)
+      }
+    }
+  }
+
   test("stratifiedSample keeps listed fractions and drops unlisted strata") {
     val df = ids.withColumn("stratum",
       when(col("id") % 3 === 0, "hi").when(col("id") % 3 === 1, "lo")
