@@ -184,6 +184,27 @@ object Similarity {
       .select(col("vec_id"),
         transform(col("__dm"), s => s.getField("mean")).as("embedding"))
 
+  /** Full Lloyd training loop: iterate [[kmeansStep]]→[[codebook]] from a
+    * seed centroid frame. Each round's codebook is localCheckpointed — the
+    * model frame is |centroids|×dim (megabytes at √n centroids), so the
+    * checkpoint is cheap and keeps lineage O(1) instead of stacking every
+    * round's plan; at cluster scale a pipeline would persist each codebook
+    * to reliable storage instead. Deterministic end to end: assignment is
+    * the round-6-cosine argmax projection, means are merge-order-exact
+    * fixed-point sums (the [[kmeansStep]] contract the x17 oracle checks).
+    */
+  def trainCodebook(corpus: DataFrame, seeds: DataFrame, dim: Int,
+      iterations: Int): DataFrame = {
+    require(iterations > 0, "iterations must be positive")
+    var cents = seeds
+    var i = 0
+    while (i < iterations) {
+      cents = codebook(kmeansStep(corpus, cents, dim)).localCheckpoint(true)
+      i += 1
+    }
+    cents
+  }
+
   /** Random-hyperplane LSH bucket for cosine similarity: sign bits of dot
     * products against `planes` (deterministic seed → reproducible buckets).
     * Vectors in the same bucket are near-dup candidates; complements

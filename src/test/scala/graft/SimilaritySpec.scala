@@ -105,6 +105,21 @@ class SimilaritySpec extends SparkSpec {
     assert(out.subsetOf(Set(0L, 4L)))
   }
 
+  test("trainCodebook converges: a converged codebook is a kmeansStep fixed point") {
+    val seeds = vecs.filter(col("vec_id").isin(0L, 2L))
+    val trained = Similarity.trainCodebook(vecs, seeds, dim = 3, iterations = 3)
+    // one more step must not move the (round-6) means
+    val again = Similarity.codebook(Similarity.kmeansStep(vecs, trained, dim = 3))
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(snap(again) === snap(trained))
+    // and assignments under the trained codebook keep the expected clusters
+    val assigned = Similarity.assignClusters(vecs, trained)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigned(1L) === assigned(0L) && assigned(4L) === assigned(0L))
+    assert(assigned(3L) === assigned(2L))
+  }
+
   test("NearestCentroids has structural equality (subexpression-elimination safe)") {
     import graft.plans.NearestCentroids
     import org.apache.spark.sql.catalyst.expressions.Literal
