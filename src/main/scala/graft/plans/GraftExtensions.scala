@@ -66,7 +66,23 @@ object GraftExtensions {
     fromColumns("solar_power_kw", 3,
       cs => Power.solarPowerKw(cs.head, cs(1), cs(2))),
     fromColumns("irradiance_from_clouds", 1,
-      cs => Power.irradianceFromClouds(cs.head)))
+      cs => Power.irradianceFromClouds(cs.head)),
+    fromColumns("repetition_score", 1,
+      cs => TextAnalysis.repetitionScore(cs.head)),
+    fromColumns("hash_bucket", 2,
+      cs => graft.sampling.Sampling.hashBucket(cs.head, cs(1))),
+    nativeBinary("cosine_sim", CosineSim(_, _)),
+    nativeBinary("dot_product", DotProduct(_, _)))
+
+  private def nativeBinary(name: String, f: (Expression, Expression) => Expression):
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(name),
+    new ExpressionInfo("graft", name),
+    (children: Seq[Expression]) => {
+      if (children.size != 2)
+        ColumnBridge.wrongNumArgs(name, 2, children.size)
+      f(children.head, children(1))
+    })
 
   /** Register everything on an already-running session. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =

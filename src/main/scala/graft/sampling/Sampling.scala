@@ -25,8 +25,13 @@ object Sampling {
   /** Deterministic bucket in [0, [[Buckets]]) from a row id and salt.
     * Change the salt to draw an independent split/sample.
     */
-  def hashBucket(id: Column, salt: String): Column =
-    conv(substring(md5(concat_ws("", lit(salt), id.cast("string"))), 1, 8), 16, 10)
+  def hashBucket(id: Column, salt: String): Column = hashBucket(id, lit(salt))
+
+  /** Column-salt overload (for the SQL surface, where the salt arrives as
+    * an expression).
+    */
+  def hashBucket(id: Column, salt: Column): Column =
+    conv(substring(md5(concat_ws("", salt, id.cast("string"))), 1, 8), 16, 10)
       .cast("long") % Buckets
 
   /** Cumulative [[Buckets]]-scaled thresholds for a weighted split (shared

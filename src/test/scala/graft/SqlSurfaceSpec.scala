@@ -52,6 +52,18 @@ class SqlSurfaceSpec extends SparkSpec {
       assert(out(1).getDouble(2) === 2500.0)
       // S3 at 4 m/s: cubic region, strictly between 0 and rated
       assert(out(2).getDouble(2) > 0.0 && out(2).getDouble(2) < 2500.0)
+      // round-4 additions: text/vector/sampling functions on the same surface
+      val extra = s2.sql(
+        """SELECT
+          |  repetition_score('same same same same') AS rep,
+          |  hash_bucket(42L, 'split') AS bk,
+          |  round(cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)), 6) AS cs,
+          |  dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp
+          |""".stripMargin).head()
+      assert(math.abs(extra.getDouble(0) - (1.0 - 1.0 / 3.0)) < 1e-6)
+      assert(extra.getLong(1) >= 0 && extra.getLong(1) < 10000)
+      assert(extra.getDouble(2) === 1.0)
+      assert(extra.getDouble(3) === 11.0)
     } finally {
       org.apache.spark.sql.graftbridge.ColumnBridge.restoreSessions(prev)
     }
