@@ -420,6 +420,19 @@ object OracleSql {
         | CAST(epoch(date_trunc('second', pts)) AS BIGINT) AS purchase_t,
         | purchase_value
         |FROM j WHERE rn = 1""".stripMargin,
+    "j07_asof_forward" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, max(value) AS purchase_value FROM events
+        |  WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |j AS (SELECT c.event_id, c.user_id, c.ts, p.ts AS pts, p.purchase_value,
+        |  row_number() OVER (PARTITION BY c.event_id ORDER BY p.ts ASC) AS rn
+        | FROM c LEFT JOIN p ON c.user_id = p.user_id AND p.ts >= c.ts)
+        |SELECT event_id, user_id,
+        | CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+        | CAST(epoch(date_trunc('second', pts)) AS BIGINT) AS purchase_t,
+        | purchase_value
+        |FROM j WHERE rn = 1""".stripMargin,
     "j08_range_join" ->
       """WITH e AS (SELECT user_id, event_id AS error_id, ts AS error_ts,
         |  ts + INTERVAL '30 minutes' AS until_ts FROM events

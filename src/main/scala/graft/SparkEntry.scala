@@ -404,6 +404,20 @@ object SparkEntry {
           unix_timestamp(col("asof_ts")).as("purchase_t"),
           col("asof_purchase_value").as("purchase_value"))
     }),
+    "j07_asof_forward" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("purchase_value"))
+      Temporal.asofJoin(clicks, purchases, "user_id", "ts",
+          direction = "forward")
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("t"),
+          unix_timestamp(col("asof_ts")).as("purchase_t"),
+          col("asof_purchase_value").as("purchase_value"))
+    }),
     "j08_range_join" -> ((s, dir) => {
       val ev = T(s, dir, "events")
       // every click within 30 minutes after an error by the same user

@@ -13,7 +13,10 @@ object Temporal {
 
   /** As-of join: for each left row, attach the LATEST right row with the
     * same `key` and right.`time` <= left.`time` (pandas `merge_asof` /
-    * SQL `ASOF JOIN` semantics). Unmatched left rows keep nulls.
+    * SQL `ASOF JOIN` semantics, `direction = "backward"`). Unmatched left
+    * rows keep nulls. `direction = "forward"` attaches the EARLIEST right
+    * row with right.`time` >= left.`time` instead — same single-shuffle
+    * plan, with the window running over the reversed time order.
     *
     * Plan shape: tag each side, union, ONE window over
     * (partitionBy key, orderBy time, side, tiebreak) carrying the last
@@ -35,7 +38,11 @@ object Temporal {
     * apply a staleness tolerance as a plain filter afterwards).
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
-      rightTiebreak: Seq[String] = Nil, prefix: String = "asof_"): DataFrame = {
+      rightTiebreak: Seq[String] = Nil, prefix: String = "asof_",
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be 'backward' or 'forward', got '$direction'")
+    val backward = direction == "backward"
     val rPayload = right.columns.filter(_ != key).toSeq
     val collisions = left.columns.toSet.intersect(rPayload.map(prefix + _).toSet)
     require(collisions.isEmpty, s"asofJoin output name collision: $collisions")
@@ -52,8 +59,16 @@ object Temporal {
       lit(null).cast(ru.schema("__r").dataType).as("__r"),
       struct(left.columns.map(col): _*).as("__l"))
 
+    // backward: ascending time, carry the LAST right row seen — the latest
+    // at-or-before. forward: DESCENDING time, same carry — the earliest
+    // at-or-after. Right rows sort before left at equal (t) either way
+    // (side asc), keeping exact-timestamp ties inclusive; among equal
+    // right rows the frame-last (max tiebreak backward, min forward) wins.
+    val timeOrd = if (backward) col("__t").asc else col("__t").desc
+    val tbOrd = if (backward) col("__tb").asc_nulls_first
+      else col("__tb").desc_nulls_first
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc)
+      .orderBy(timeOrd, col("__side").asc, tbOrd)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = ru.withColumn("__l", lit(null).cast(lu.schema("__l").dataType))
       .unionByName(lu)

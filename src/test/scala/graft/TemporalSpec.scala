@@ -44,6 +44,19 @@ class TemporalSpec extends SparkSpec {
     assert(out.getDouble(0) === 7.0 && out.getLong(1) === 9L)
   }
 
+  test("asofJoin forward direction picks the earliest right row at or after") {
+    val out = Temporal.asofJoin(trades, quotes, "sym", "qts",
+        direction = "forward")
+      .collect().map(r => r.getAs[Long]("trade_id") ->
+        Option(r.getAs[java.lang.Double]("asof_px")).map(_.toDouble)).toMap
+    assert(out === Map(
+      1L -> Some(1.0), // 09:59 -> next quote 10:00
+      2L -> Some(1.0), // exact tie inclusive
+      3L -> Some(2.0), // 10:04:59 -> 10:05
+      4L -> None,      // nothing after 10:30
+      5L -> None))     // key with no quotes
+  }
+
   test("rangeJoin pairs points with every covering interval, once each") {
     val intervals = Seq(
       ("u1", 1L, ts("2025-01-01 10:00:00"), ts("2025-01-01 10:10:00")),
