@@ -137,6 +137,13 @@ object OracleSql {
     "p08_time_filter" ->
       """SELECT event_type, count(*) AS cnt FROM events
         |WHERE ts >= TIMESTAMP '2024-01-20 00:00:00' GROUP BY event_type""".stripMargin,
+    "p15_dead_letter" ->
+      """SELECT reject_reason, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM (SELECT value,
+        |  CASE WHEN NOT (value BETWEEN 0.0 AND 450.0) THEN 'value_range'
+        |       WHEN NOT (event_type <> 'error') THEN 'not_error'
+        |  END AS reject_reason FROM events)
+        |WHERE reject_reason IS NOT NULL GROUP BY reject_reason""".stripMargin,
     "p10_normalize_rename" ->
       """SELECT event_type AS station, round(sum(value), 2) AS total_power,
         | round(avg(round((value * 0.1) * 1000.0)) / 1000.0, 6) AS avg_volt, count(*) AS cnt

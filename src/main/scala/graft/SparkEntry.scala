@@ -110,6 +110,16 @@ object SparkEntry {
       T(s, dir, "events")
         .filter(col("ts") >= to_timestamp(lit("2024-01-20 00:00:00")))
         .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))),
+    "p15_dead_letter" -> ((s, dir) => {
+      val rules = Seq(
+        "value_range" -> col("value").between(0.0, 450.0),
+        "not_error" -> (col("event_type") =!= "error"))
+      Validation.withRejectReason(T(s, dir, "events"), rules)
+        .filter(col("reject_reason").isNotNull)
+        .groupBy(col("reject_reason"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("value")), 2).as("sum_value"))
+    }),
     "p10_normalize_rename" -> ((s, dir) => {
       val odd = T(s, dir, "events").select(
         col("ts").as("record_time"), col("event_type").as("site_id"),

@@ -39,6 +39,33 @@ object Validation {
     else df.filter(bounds.map { case (c, (lo, hi)) => col(c).between(lo, hi) }
       .reduce(_ && _))
 
+  /** Dead-letter tagging: label each row with the FIRST failing rule's
+    * name (rules checked in the given order), null when all pass. A null
+    * rule result counts as failing — an unevaluable quality check must
+    * land in the dead-letter stream, not silently pass. One narrow
+    * projection; works identically on streams (no state).
+    */
+  def withRejectReason(df: DataFrame, rules: Seq[(String, Column)],
+      outCol: String = "reject_reason"): DataFrame = {
+    require(rules.nonEmpty, "no rules given")
+    df.withColumn(outCol,
+      rules.foldRight(lit(null).cast("string")) { case ((name, ok), rest) =>
+        when(!coalesce(ok, lit(false)), lit(name)).otherwise(rest)
+      })
+  }
+
+  /** Split into (valid, deadLetter) frames — the quarantine pattern: the
+    * pipeline continues on `valid`, `deadLetter` keeps every original
+    * column plus the reason for audit/replay. Both sides derive from one
+    * tagged plan, so Catalyst shares the scan under either consumer.
+    */
+  def partitionValid(df: DataFrame, rules: Seq[(String, Column)]):
+      (DataFrame, DataFrame) = {
+    val tagged = withRejectReason(df, rules)
+    (tagged.filter(col("reject_reason").isNull).drop("reject_reason"),
+      tagged.filter(col("reject_reason").isNotNull))
+  }
+
   /** P4: fill nulls with per-column defaults (ref `Solar_Processing.py:29-32`:
     * temp→25, humidity→50, pressure→1013.25).
     */

@@ -48,6 +48,26 @@ class ValidationSpec extends SparkSpec {
     assert(out === Seq("API", "API"))
   }
 
+  test("dead-letter: first failing rule wins, null check fails closed, split is exact") {
+    val df = Seq(
+      (1L, 10.0, "ok"),      // passes
+      (2L, -5.0, "ok"),      // fails rule 1
+      (3L, -5.0, "bad"),     // fails both -> rule 1 (first) wins
+      (4L, 10.0, "bad"),     // fails rule 2
+      (5L, Double.NaN, "ok") // NaN comparison -> null-ish rule fails closed
+    ).toDF("id", "v", "tag")
+    val rules = Seq(
+      "v_range" -> col("v").between(0.0, 100.0),
+      "tag_ok" -> (col("tag") === "ok"))
+    val (valid, dead) = Validation.partitionValid(df, rules)
+    assert(valid.collect().map(_.getLong(0)).toSet === Set(1L))
+    val reasons = dead.collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("reject_reason")).toMap
+    assert(reasons === Map(2L -> "v_range", 3L -> "v_range",
+      4L -> "tag_ok", 5L -> "v_range"))
+    assert(!valid.columns.contains("reject_reason"))
+  }
+
   test("P5 via Pipeline.transform uses ingest order as the tiebreak") {
     // same (station, ts) key, different payloads: file order must win
     val raw = Sources.withIngestOrder(Seq(
