@@ -450,6 +450,11 @@ object OracleSql {
         |FROM c JOIN e ON c.user_id = e.user_id
         | AND c.ts >= e.error_ts AND c.ts <= e.until_ts""".stripMargin,
 
+    "j10_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+        | round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "j09_bloom_semijoin" ->
       """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem WHERE l_orderkey IN

@@ -441,6 +441,16 @@ object SparkEntry {
           "error_ts", "until_ts", grainSeconds = 600)
         .select(col("user_id"), col("click_id"), col("iv_error_id").as("error_id"))
     }),
+    "j10_salted_join" -> ((s, dir) =>
+      // must equal the plain lineitem-orders inner join (oracle is the
+      // unsalted SQL); only the shuffle distribution differs
+      graft.analytics.Joins.saltedJoin(T(s, dir, "lineitem"),
+          T(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"),
+            col("o_orderpriority")),
+          "l_orderkey", col("l_linenumber"), saltBuckets = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))),
     "j09_bloom_semijoin" -> ((s, dir) => {
       val urgent = T(s, dir, "orders")
         .filter(col("o_orderpriority") === "1-URGENT")

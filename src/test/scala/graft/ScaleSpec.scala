@@ -23,6 +23,24 @@ class ScaleSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("salted join equals the plain join, including a heavy-hitter key") {
+    import graft.analytics.Joins
+    // key 7 dominates: 5000 of 5600 probe rows
+    val probe = spark.range(0, 5600).select(
+      when(col("id") < 5000, 7L).otherwise(col("id") % 50).as("k"),
+      col("id").as("rid")).repartition(6)
+    val build = spark.range(0, 50)
+      .select(col("id").as("k"), concat(lit("v"), col("id")).as("payload"))
+    val salted = Joins.saltedJoin(probe, build, "k", col("rid"), saltBuckets = 8)
+      .collect().map(r => (r.getAs[Long]("rid"), r.getAs[String]("payload")))
+      .sorted.toSeq
+    val plain = probe.join(build, "k")
+      .collect().map(r => (r.getAs[Long]("rid"), r.getAs[String]("payload")))
+      .sorted.toSeq
+    assert(salted === plain)
+    assert(salted.size === 5600)
+  }
+
   test("bucketed join on the bucket key runs without a shuffle exchange") {
     // warehouse dir is a static conf; tables land in ./spark-warehouse
     // (gitignored) and are dropped below
