@@ -483,6 +483,10 @@ object OracleSql {
     "s05_csv_roundtrip" ->
       """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
+    "s06_partitioned_parquet" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value,
+        | count(DISTINCT user_id) AS users
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "x01_token_counts" ->
       s"""SELECT doc_id, CAST(len($Toks) AS INTEGER) AS n_tokens,

@@ -495,6 +495,19 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
     }),
+    "s06_partitioned_parquet" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_s06_parquet"
+      Sources.writePartitionedParquet(
+        T(s, dir, "events").select(col("event_id"), col("event_type"),
+          col("user_id"), col("value")),
+        path, partitionCols = Seq("event_type"), filesPerPartition = 2,
+        sortCols = Seq("event_id"))
+      s.read.parquet(path)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("value")), 2).as("sum_value"),
+          countDistinct(col("user_id")).as("users"))
+    }),
     "s05_csv_roundtrip" -> ((s, dir) => {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_s05_csv"
       val ev = T(s, dir, "events")

@@ -102,4 +102,38 @@ object Sources {
   /** CSV append-log sink (S5/S7): header, fixed column order. */
   def writeCsv(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).option("header", "true").csv(path)
+
+  /** Layout-controlled parquet writer — the 100 TB sink discipline in one
+    * call. `partitionCols` become hive-style directory partitions (readers
+    * prune whole directories on those predicates); within each partition
+    * the data is repartitioned to `filesPerPartition` writer tasks and
+    * capped at `maxRecordsPerFile`, which bounds BOTH failure modes of a
+    * naive `df.write`: the small-files explosion (one file per input task ×
+    * partition value) and the giant-file straggler. `sortCols` optionally
+    * sorts within each file so min/max page stats make range predicates
+    * skip row groups (the poor man's Z-order for one dimension).
+    */
+  def writePartitionedParquet(df: DataFrame, path: String,
+      partitionCols: Seq[String], filesPerPartition: Int = 1,
+      maxRecordsPerFile: Long = 5000000L, sortCols: Seq[String] = Nil,
+      mode: String = "overwrite"): Unit = {
+    require(partitionCols.nonEmpty, "partitionCols must be non-empty")
+    require(filesPerPartition > 0, "filesPerPartition must be positive")
+    // spread key must be DETERMINISTIC per row (a task retry re-places
+    // every row identically — spark_partition_id/monotonic ids here would
+    // risk duplicate/lost rows on recompute): hash the row content
+    val spreadKeys =
+      if (filesPerPartition == 1) partitionCols.map(col)
+      else partitionCols.map(col) :+
+        pmod(hash(df.columns.map(col): _*), lit(filesPerPartition))
+    val arranged0 = df.repartition(spreadKeys: _*)
+    val arranged =
+      if (sortCols.isEmpty) arranged0
+      else arranged0.sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+    arranged.write
+      .mode(mode)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
 }

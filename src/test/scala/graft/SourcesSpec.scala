@@ -9,6 +9,32 @@ import graft.multimodal.Multimodal
 class SourcesSpec extends SparkSpec {
   import spark.implicits._
 
+  test("writePartitionedParquet: hive layout, bounded file count, pruned reads") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wpp").toString
+    val df = spark.range(0, 3000).select(
+      (col("id") % 3).cast("string").as("part"),
+      col("id").as("v")).repartition(16) // many input tasks
+    Sources.writePartitionedParquet(df, dir, Seq("part"),
+      filesPerPartition = 2, sortCols = Seq("v"))
+    // hive-style directories, and ≤2 data files per partition despite the
+    // 16 input tasks (a naive write would emit up to 16 per partition)
+    val partDirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted
+    assert(partDirs.toSeq === Seq("part=0", "part=1", "part=2"))
+    partDirs.foreach { p =>
+      val files = new java.io.File(s"$dir/$p").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(files <= 2 && files >= 1, s"$p has $files files")
+    }
+    // roundtrip content + partition pruning reaches the scan
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 3000)
+    val pruned = back.filter(col("part") === "1")
+    assert(pruned.count() === 1000)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), s"no pruning in plan:\n$scan")
+  }
+
   test("D2 sanitizer handles all three observed wire formats") {
     val out = Seq(
       "2025-11-04 20:13:36.536371+00:00",  // solar log
