@@ -554,6 +554,15 @@ object OracleSql {
          | CAST(floor(CAST(cum AS DOUBLE) / 2048) AS BIGINT) AS pack_id,
          | CAST(cum % 2048 AS BIGINT) AS pack_offset
          |FROM c""".stripMargin,
+    "x23_corpus_mixture" ->
+      s"""SELECT doc_id, 'curated' AS source FROM documents
+         | WHERE doc_id % 3 = 0 AND ${bucketSql("doc_id", "mix/curated")} < 10000
+         |UNION ALL
+         |SELECT doc_id, 'web' AS source FROM documents
+         | WHERE doc_id % 3 = 1 AND ${bucketSql("doc_id", "mix/web")} < 5000
+         |UNION ALL
+         |SELECT doc_id, 'boiler' AS source FROM documents
+         | WHERE doc_id % 3 = 2 AND ${bucketSql("doc_id", "mix/boiler")} < 1000""".stripMargin,
     "x19_train_split" -> {
       val ts = graft.sampling.Sampling.thresholds(SparkEntry.TrainSplit)
       val cases = ts.init.map { case (n, t) => s"WHEN bk < $t THEN '$n'" }

@@ -604,6 +604,14 @@ object SparkEntry {
           budgetTokens = 2048, numBuckets = 8)
         .select(col("doc_id"), col("bucket"), col("pack_id"),
           col("pack_offset"))),
+    "x23_corpus_mixture" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").select(col("doc_id"))
+      def src(i: Int) = docs.filter(col("doc_id") % 3 === i)
+      graft.sampling.Sampling.mixture(Seq(
+          ("curated", src(0), 1.0), ("web", src(1), 0.5),
+          ("boiler", src(2), 0.1)), col("doc_id"))
+        .select(col("doc_id"), col("source"))
+    }),
     "x19_train_split" -> ((s, dir) =>
       T(s, dir, "documents").select(col("doc_id"),
         graft.sampling.Sampling.splitLabel(col("doc_id"), TrainSplit)

@@ -66,6 +66,24 @@ object Sampling {
     df.filter(hashBucket(id, salt) < math.round(fraction * Buckets))
   }
 
+  /** Weighted corpus mixture: union several sources, each deterministically
+    * downsampled to its fraction, tagged with a `source` column — the
+    * standard way a pretraining mix is assembled (e.g. 100% curated, 30%
+    * web, 5% boilerplate). Each source draws with its OWN salt, so the
+    * same id appearing in two sources is an independent coin flip per
+    * source; re-runs and dataset growth keep every membership stable
+    * (see [[sampleBy]]). Schemas must align (`unionByName`).
+    */
+  def mixture(sources: Seq[(String, DataFrame, Double)], id: Column,
+      salt: String = "mix"): DataFrame = {
+    require(sources.nonEmpty, "no sources given")
+    require(sources.map(_._1).distinct.size == sources.size,
+      "source names must be unique")
+    sources.map { case (name, df, frac) =>
+      sampleBy(df, id, frac, s"$salt/$name").withColumn("source", lit(name))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Per-stratum deterministic sampling: keep `fractions(stratum)` of each
     * stratum's rows; strata not listed are DROPPED (explicit beats
     * implicit for corpus mixing). The standard quality-weighted corpus

@@ -46,6 +46,19 @@ class SamplingSpec extends SparkSpec {
     assert(small === large.filter(_ < 1000))
   }
 
+  test("mixture tags sources, honors fractions, draws independently per source") {
+    val out = Sampling.mixture(Seq(
+        ("a", ids, 1.0), ("b", ids, 0.5)), col("id"))
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("a") === 10000L) // fraction 1.0 keeps everything
+    assert(math.abs(out("b") / 10000.0 - 0.5) < 0.03)
+    // same id in both sources: b's draw is independent of a's (per-source
+    // salt), so total rows ≈ 1.5n, not n or 2n
+    val total = out.values.sum
+    assert(total > 14500 && total < 15500)
+  }
+
   test("packSequences: contiguous concat-and-chop per bucket, deterministic") {
     import graft.sampling.Packing
     val docs = ids.limit(100).withColumn("tok", lit(300L))
