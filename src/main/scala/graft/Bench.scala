@@ -44,7 +44,13 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    // optional arg: comma-separated name prefixes for targeted iteration
+    // (e.g. `runMain graft.Bench j09,x06`); full-run output files are only
+    // written on unfiltered runs so a targeted pass never clobbers them
+    val prefixes = args.headOption.map(_.split(",").toSeq).getOrElse(Nil)
+    val filtered = !prefixes.isEmpty
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => prefixes.isEmpty || prefixes.exists(n.startsWith) }
     val passes = Seq.fill(2)(ordered.map { case (n, f) => n -> runOnce(n, f) })
     val results = passes.flatten.groupBy(_._1).map { case (n, ts) => n -> ts.map(_._2).min }
     def ms(v: Double): String = (math.rint(v * 1000) / 1000).toString
@@ -56,8 +62,9 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val all = results.toSeq.sortBy(_._1)
     val full = jsonLine(all, total)
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      (full + "\n").getBytes("UTF-8"))
+    if (!filtered)
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        (full + "\n").getBytes("UTF-8"))
     println(full)
     // compact line last: slowest queries, greedily capped at 1500 chars of
     // query payload so line + sbt's trailing "[success] ..." both fit the

@@ -102,14 +102,20 @@ object OracleSql {
       |  CAST((hv // 256) % 1000 AS DOUBLE) / 1000.0 AS brightness
       |  FROM h)""".stripMargin
 
-  /** DuckDB twin of [[graft.sampling.Sampling.hashBucket]]: integer value
-    * of the first 8 hex chars of md5(salt || id), mod Buckets.
+  /** DuckDB twin of [[graft.sampling.Sampling.hashKey]]: integer value of
+    * the first 8 hex chars of md5(salt || id).
     */
-  private def bucketSql(idExpr: String, salt: String): String =
+  private def hashKeySql(idExpr: String, salt: String): String =
     s"""list_reduce(list_transform(range(1, 9),
        | i -> CAST(instr('0123456789abcdef',
        |   substring(md5('$salt' || CAST($idExpr AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
-       | (a, b) -> a * 16 + b) % ${graft.sampling.Sampling.Buckets}""".stripMargin
+       | (a, b) -> a * 16 + b)""".stripMargin
+
+  /** DuckDB twin of [[graft.sampling.Sampling.hashBucket]]:
+    * [[hashKeySql]] mod Buckets.
+    */
+  private def bucketSql(idExpr: String, salt: String): String =
+    s"${hashKeySql(idExpr, salt)} % ${graft.sampling.Sampling.Buckets}"
 
   val all: Map[String, String] = Map(
     "p01_project" ->
@@ -744,6 +750,57 @@ object OracleSql {
     "x15_frame_sample" ->
       s"""WITH $DecodedFeatures
          |SELECT doc_id, n_frames, CAST(unnest(generate_series(0, n_frames - 1, 5)) AS INTEGER) AS frame_idx
-         |FROM dec""".stripMargin
+         |FROM dec""".stripMargin,
+    "x24_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |g AS (SELECT doc_id, $DistinctGrams AS grams FROM t),
+         |b AS (SELECT doc_id, grams, ${bucketSql("doc_id", "probe")} AS bk FROM g),
+         |pg AS (SELECT gram, CAST(count(*) AS BIGINT) AS pdocs FROM (
+         | SELECT doc_id, unnest(grams) AS gram FROM b WHERE bk < 200) GROUP BY gram),
+         |cg AS (SELECT doc_id, unnest(grams) AS gram FROM b WHERE bk >= 200)
+         |SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS shared_grams,
+         | CAST(sum(pdocs) AS BIGINT) AS gram_probe_hits
+         |FROM cg JOIN pg ON cg.gram = pg.gram GROUP BY cg.doc_id""".stripMargin,
+    "x25_corpus_shuffle" ->
+      s"""WITH h AS (SELECT doc_id, ${hashKeySql("doc_id", "shuffle")} AS hk FROM documents)
+         |SELECT doc_id, (hk % ${graft.sampling.Sampling.Buckets}) % 8 AS bucket,
+         | CAST(row_number() OVER (
+         |   PARTITION BY (hk % ${graft.sampling.Sampling.Buckets}) % 8
+         |   ORDER BY hk, doc_id) - 1 AS BIGINT) AS pos
+         |FROM h""".stripMargin,
+    "x26_embed_quantize" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        | FROM embeddings),
+        |m AS (SELECT vec_id, ve,
+        | coalesce(list_max(list_transform(ve, x -> abs(x))), 0.0) AS mx FROM v),
+        |q AS (SELECT vec_id, mx,
+        | CASE WHEN mx = 0 THEN CAST([] AS DOUBLE[])
+        |  ELSE list_transform(ve, x -> floor(x / (mx / 127.0) + 0.5)) END AS qs,
+        | CASE WHEN mx = 0 THEN 0.0
+        |  ELSE list_max(list_transform(ve,
+        |    x -> abs(floor(x / (mx / 127.0) + 0.5) * (mx / 127.0) - x))) END AS maxerr
+        | FROM m)
+        |SELECT vec_id,
+        | round(CASE WHEN mx = 0 THEN 0.0 ELSE mx / 127.0 END, 9) AS scale,
+        | CAST(coalesce(list_sum(qs), 0) AS BIGINT) AS qsum,
+        | CAST(coalesce(list_sum(list_transform(qs, x -> x * x)), 0) AS BIGINT) AS qnorm2,
+        | round(maxerr, 9) AS max_abs_err
+        |FROM q""".stripMargin,
+    "x27_dedup_apply" ->
+      s"""WITH RECURSIVE $NearDupChain,
+         |pairs AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.3),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         | UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+         | UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+         |dropped AS (SELECT u FROM (SELECT u, min(r) AS mr FROM reach GROUP BY u)
+         | WHERE u <> mr)
+         |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT u FROM dropped)""".stripMargin,
+    "a17_zscore_outliers" ->
+      """WITH stats AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+        | FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type FROM events e
+        |JOIN stats s ON e.event_type = s.event_type
+        |WHERE s.sd > 0 AND abs((e.value - s.mu) / s.sd) > 3.0""".stripMargin
   )
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.analytics.{Aggregates, Comparison, Correlation, Distribution, Ranking, Sessions, Temporal}
 import graft.clean.Validation
-import graft.dedup.Dedup
+import graft.dedup.{Decontaminate, Dedup}
 import graft.features.Features
 import graft.ingest.Sources
 import graft.multimodal.Multimodal
@@ -644,7 +644,33 @@ object SparkEntry {
         Multimodal.asMediaTable(T(s, dir, "documents"))), 224, 224)),
     "x15_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.decodeFeatures(s,
-        Multimodal.asMediaTable(T(s, dir, "documents"))), everyN = 5))
+        Multimodal.asMediaTable(T(s, dir, "documents"))), everyN = 5)),
+    "x24_decontaminate" -> ((s, dir) => {
+      // 2% of docs stand in for a benchmark set; report every training doc
+      // sharing a bigram with any of them
+      val docs = T(s, dir, "documents")
+      val bk = graft.sampling.Sampling.hashBucket(col("doc_id"), "probe")
+      Decontaminate.contaminationReport(
+        docs.filter(bk >= 200), col("doc_id"), col("text"),
+        docs.filter(bk < 200), col("text"))
+    }),
+    "x25_corpus_shuffle" -> ((s, dir) =>
+      graft.sampling.Sampling.shuffled(
+          T(s, dir, "documents").select(col("doc_id")), col("doc_id"),
+          numBuckets = 8)
+        .select(col("doc_id"), col("bucket"), col("pos"))),
+    "x26_embed_quantize" -> ((s, dir) =>
+      graft.similarity.Quantize.int8Report(T(s, dir, "embeddings"),
+        col("vec_id"), col("embedding"))),
+    "x27_dedup_apply" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dedup.survivors(docs.select(col("doc_id")), col("doc_id"),
+        Dedup.nearDuplicates(docs, col("doc_id"), col("text"), threshold = 0.3))
+    }),
+    "a17_zscore_outliers" -> ((s, dir) =>
+      graft.analytics.Alerts.zscoreOutliers(T(s, dir, "events"),
+          col("event_type"), col("value"), 3.0)
+        .select(col("event_id"), col("event_type")))
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -21,4 +21,28 @@ object Alerts {
     Ranking.lastPerKey(df, key, order)
       .withColumn("alert", power < thresholdKw)
       .withColumn("threshold_kW", lit(thresholdKw))
+
+  /** Per-group z-score outliers: rows whose `value` sits more than
+    * `threshold` sample standard deviations from the group mean — the
+    * statistical anomaly screen behind sensor-fault detection (and, on the
+    * corpus side, metric-outlier document filtering).
+    *
+    * Shape: one grouped aggregate to |groups| rows of (mean, stddev), then
+    * a broadcast join back and a narrow filter — the detail table is
+    * scanned twice but shuffled never (group stats move, not rows). Mean
+    * and stddev are plain doubles: their merge-order noise (~1 ulp) is
+    * microscopic against any meaningful threshold margin, the same
+    * contract as the corr/regression operators. Groups with zero variance
+    * (stddev 0 or null for singletons) produce no outliers.
+    */
+  def zscoreOutliers(df: DataFrame, group: Column, value: Column,
+      threshold: Double): DataFrame = {
+    require(threshold > 0, "threshold must be positive")
+    val stats = df.groupBy(group.as("__g"))
+      .agg(avg(value).as("__mu"), stddev(value).as("__sd"))
+    df.join(broadcast(stats), group === col("__g"))
+      .filter(col("__sd") > 0.0 &&
+        abs((value - col("__mu")) / col("__sd")) > threshold)
+      .drop("__g", "__mu", "__sd")
+  }
 }

@@ -254,4 +254,19 @@ object Dedup {
     current.select(col("u").as("doc_id"), col("label").as("cluster_id"),
       (col("u") === col("label")).as("is_canonical"))
   }
+
+  /** Apply near-dedup to the corpus: drop every non-canonical member of
+    * every duplicate cluster ([[duplicateClusters]] over `pairs`), keeping
+    * the cluster's minimum-id doc plus all unpaired docs — the step that
+    * turns pairwise near-dup evidence into the actual surviving corpus.
+    * The cluster frame is tiny relative to the corpus (only docs appearing
+    * in a pair), so the anti-join broadcasts.
+    */
+  def survivors(docs: DataFrame, id: Column, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val drop = duplicateClusters(pairs, maxIter)
+      .filter(!col("is_canonical"))
+      .select(col("doc_id").as("__dup"))
+    docs.join(broadcast(drop), id === col("__dup"), "left_anti")
+  }
 }

@@ -342,6 +342,72 @@ case class IntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Int8 quantization summary `[scale, qsum, qnorm2, max_abs_err]` of a
+  * numeric-array column — see [[Kernels.int8QuantStats]]. One fused pass;
+  * every element of the result is accumulation-order deterministic.
+  */
+case class Int8QuantStats(child: Expression)
+  extends UnaryExpression with KernelCodegenHelpers {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (vecTypeOk(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"int8_quant_stats requires array<float|double>, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "int8_quant_stats"
+
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.int8QuantStats(v.asInstanceOf[ArrayData], isFloatArr(child))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val tmp = ctx.freshName("qs")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+         |  $KernelsCls.int8QuantStats($v, ${isFloatArr(child)});
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Int8QuantStats =
+    copy(child = newChild)
+}
+
+/** Quantized int8 codes of a numeric-array column — see
+  * [[Kernels.int8Codes]]. The storage face of [[Int8QuantStats]]: 4× smaller
+  * than float32 on the wire and at rest.
+  */
+case class Int8Codes(child: Expression)
+  extends UnaryExpression with KernelCodegenHelpers {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (vecTypeOk(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"int8_codes requires array<float|double>, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "int8_codes"
+
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.int8Codes(v.asInstanceOf[ArrayData], isFloatArr(child))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val tmp = ctx.freshName("qc")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+         |  $KernelsCls.int8Codes($v, ${isFloatArr(child)});
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Int8Codes =
+    copy(child = newChild)
+}
+
 /** Column-API constructors for the kernel expressions. */
 object Native {
   private def C(e: Expression): Column = ColumnBridge.column(e)
@@ -373,4 +439,8 @@ object Native {
   def subwordSum(text: Column): Column = C(SubwordSum(E(text)))
 
   def charSum(text: Column): Column = C(CharSum(E(text)))
+
+  def int8QuantStats(vec: Column): Column = C(Int8QuantStats(E(vec)))
+
+  def int8Codes(vec: Column): Column = C(Int8Codes(E(vec)))
 }

@@ -310,4 +310,68 @@ object Kernels {
     }
     cnt
   }
+
+  /** Symmetric int8 quantization summary of a vector, one fused pass:
+    * `[scale, qsum, qnorm2, max_abs_err]` where `scale = max|x| / 127`,
+    * `q_i = floor(x_i / scale + 0.5)` (round-half-up toward +∞ — `floor`
+    * is IEEE-exact in every engine, unlike decimal `round`), `qsum = Σq_i`,
+    * `qnorm2 = Σq_i²`, `max_abs_err = max|q_i·scale − x_i|`. q values are
+    * integers in [−127, 127], so the sums are EXACT doubles at any
+    * accumulation order; max is order-free — every output is
+    * merge/partition-order deterministic. A zero or empty vector yields
+    * all-zero stats (nothing to scale). Null elements yield null.
+    */
+  def int8QuantStats(v: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = v.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      val x = math.abs(elem(v, i, isFloat))
+      if (x > m) m = x
+      i += 1
+    }
+    if (m == 0.0) return new GenericArrayData(Array(0.0, 0.0, 0.0, 0.0))
+    val scale = m / 127.0
+    var qsum = 0.0
+    var qnorm = 0.0
+    var maxErr = 0.0
+    i = 0
+    while (i < n) {
+      val x = elem(v, i, isFloat)
+      val q = math.floor(x / scale + 0.5)
+      qsum += q
+      qnorm += q * q
+      val err = math.abs(q * scale - x)
+      if (err > maxErr) maxErr = err
+      i += 1
+    }
+    new GenericArrayData(Array(scale, qsum, qnorm, maxErr))
+  }
+
+  /** The quantized codes themselves: `q_i = floor(x_i / scale + 0.5)` as
+    * int8 (same formula as [[int8QuantStats]] — |x_i| ≤ max|x| bounds q in
+    * [−127, 127], so the byte cast never wraps). Zero/empty vectors map to
+    * all-zero codes; null elements yield null.
+    */
+  def int8Codes(v: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = v.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      val x = math.abs(elem(v, i, isFloat))
+      if (x > m) m = x
+      i += 1
+    }
+    val out = new Array[Byte](n)
+    if (m == 0.0) return new GenericArrayData(out)
+    val scale = m / 127.0
+    i = 0
+    while (i < n) {
+      out(i) = math.floor(elem(v, i, isFloat) / scale + 0.5).toByte
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }

@@ -30,9 +30,16 @@ object Sampling {
   /** Column-salt overload (for the SQL surface, where the salt arrives as
     * an expression).
     */
-  def hashBucket(id: Column, salt: Column): Column =
+  def hashBucket(id: Column, salt: Column): Column = hashKey(id, salt) % Buckets
+
+  /** The raw 32-bit hash behind [[hashBucket]] (value of the first 8 hex
+    * chars of md5(salt || id)) — the deterministic sort key for
+    * [[shuffled]], where the full hash width matters (mod-[[Buckets]]
+    * collisions would leave ordering to the tiebreak).
+    */
+  def hashKey(id: Column, salt: Column): Column =
     conv(substring(md5(concat_ws("", salt, id.cast("string"))), 1, 8), 16, 10)
-      .cast("long") % Buckets
+      .cast("long")
 
   /** Cumulative [[Buckets]]-scaled thresholds for a weighted split (shared
     * with the SQL oracle so both engines draw identical boundaries).
@@ -82,6 +89,30 @@ object Sampling {
     sources.map { case (name, df, frac) =>
       sampleBy(df, id, frac, s"$salt/$name").withColumn("source", lit(name))
     }.reduce(_.unionByName(_))
+  }
+
+  /** Deterministic corpus shuffle: assign every row a reproducible
+    * pseudo-random position — `bucket` (which of `numBuckets` independent
+    * output streams) and `pos` (0-based rank inside the bucket, ordered by
+    * the row's 32-bit [[hashKey]], ties broken by id). Training pipelines
+    * need the corpus order decorrelated from ingest order (sorted-by-source
+    * batches bias SGD), and they need the SAME order on every re-run —
+    * `rand()`-based shuffles give neither under retries.
+    *
+    * Scale shape: a single global sort order would funnel the corpus
+    * through one sorted partition; bucketing first (same trick as
+    * [[Packing.packSequences]]) makes it `numBuckets` independent
+    * rank windows — one shuffle on `bucket`, linear sort per bucket.
+    * Readers consume buckets in any interleaving; within-bucket order is
+    * the contract.
+    */
+  def shuffled(df: DataFrame, id: Column, numBuckets: Int,
+      salt: String = "shuffle"): DataFrame = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(hashKey(id, lit(salt)).asc, id.asc)
+    df.withColumn("bucket", hashBucket(id, salt) % numBuckets)
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
   }
 
   /** Per-stratum deterministic sampling: keep `fractions(stratum)` of each
