@@ -4,13 +4,15 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every `SparkEntry.queries` entry against
   * `SPARK_GRAFT_SF_DIR` and prints one-line JSON results.
   *
-  * Timing protocol: after an untimed session warmup, every query runs TWICE
-  * and the per-query minimum is reported. A single-pass measurement is
+  * Timing protocol: after an untimed session warmup, every query runs THREE
+  * times and the per-query minimum is reported. A single-pass measurement is
   * hostage to whatever else the machine is doing at that moment — round 3's
   * driver bench ran under heavy external CPU contention and reported 20-50×
-  * inflated times for code that measures 65 s total on an idle box. The min
-  * of two spaced passes is the standard way to report the code's own cost
-  * rather than the box's load.
+  * inflated times for code that measures 65 s total on an idle box, and the
+  * round-4 min-of-2 demonstrably failed to reject *sustained* contention
+  * (four queries reported 10-35× their idle-box times). Min-of-3 plus a
+  * system load-average stamp in the output line lets a reader adjudicate a
+  * loaded box from the JSON alone without re-running.
   *
   * Output protocol: the driver captures only the LAST 2000 chars of stdout.
   * A full per-query JSON line for ~80 queries is ~2 kB and lands truncated
@@ -51,13 +53,17 @@ object Bench {
     val filtered = !prefixes.isEmpty
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => prefixes.isEmpty || prefixes.exists(n.startsWith) }
-    val passes = Seq.fill(2)(ordered.map { case (n, f) => n -> runOnce(n, f) })
+    val passes = Seq.fill(3)(ordered.map { case (n, f) => n -> runOnce(n, f) })
     val results = passes.flatten.groupBy(_._1).map { case (n, ts) => n -> ts.map(_._2).min }
+    // 1-minute system load average at end of run: >> #cpus means the box was
+    // contended and even the min-of-3 numbers are suspect
+    val load = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     def ms(v: Double): String = (math.rint(v * 1000) / 1000).toString
     def jsonLine(entries: Seq[(String, Double)], total: Double): String = {
       val qs = entries.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","load":${ms(load)},"queries":$qs,"sf":"$sfDir"}"""
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val all = results.toSeq.sortBy(_._1)

@@ -304,7 +304,7 @@ object SparkEntry {
       Distribution.distinctPerGroup(T(s, dir, "events"),
         col("event_type"), col("user_id"))),
     "a07_approx_distinct" -> ((s, dir) =>
-      Distribution.approxDistinctPerGroup(T(s, dir, "events"),
+      Distribution.approxDistinctWithinTolerance(T(s, dir, "events"),
         col("event_type"), col("user_id"))),
     "a08_describe" -> ((s, dir) =>
       Aggregates.describe(T(s, dir, "events"), col("event_type"), col("value"),
@@ -317,7 +317,7 @@ object SparkEntry {
         col("value"), hour(col("ts")))),
     "a11_corr_matrix" -> ((s, dir) =>
       Correlation.corrMatrix(T(s, dir, "events"), to_date(col("ts")),
-        col("event_type"), col("value"))),
+        col("event_type"), col("value"), valueScale = 2)),
     "a12_linear_trend" -> ((s, dir) =>
       Correlation.linearTrend(T(s, dir, "events"), col("event_type"),
         hour(col("ts")), col("value"))),

@@ -1,7 +1,6 @@
 package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Aggregation operators (SURVEY.md §2.4, A1-A8, A14).
@@ -47,10 +46,12 @@ object Aggregates {
   def exactAvg(value: Column): Column = avg(value)
 
   /** A5: capacity factor — per-group mean over the GLOBAL max
-    * (ref `Wind_Dashboard.py:617`). Window-over-empty-frame computes the
-    * global max with a single-partition exchange of the already-aggregated
-    * rows (group count ≪ input count), not of the raw data. The mean is
-    * [[fixedPointAvg]] so the ratio is partition-order-independent.
+    * (ref `Wind_Dashboard.py:617`). The global max re-aggregates the
+    * already-grouped frame (|keys| rows) to one row and broadcast
+    * cross-joins it back — same cost as the unpartitioned-window form it
+    * replaces, but no `WindowExec: No Partition Defined` warning and no
+    * single-partition exchange in the plan. The mean is [[fixedPointAvg]]
+    * so the ratio is partition-order-independent.
     *
     * `valueScale` is REQUIRED and must cover the data's decimal precision:
     * quantizing at a coarser scale than the data silently biases the mean
@@ -62,8 +63,9 @@ object Aggregates {
       valueScale: Int, outName: String = "capacity_factor_pct"): DataFrame = {
     val grouped = df.groupBy(key)
       .agg(fixedPointAvg(value, valueScale).as("__avg"), max(value).as("__max"))
+    val gmax = grouped.agg(max(col("__max")).as("__gmax"))
     grouped
-      .withColumn("__gmax", max(col("__max")).over(Window.partitionBy()))
+      .crossJoin(broadcast(gmax))
       .select(key, round(col("__avg") / col("__gmax") * 100.0, 6).as(outName))
   }
 

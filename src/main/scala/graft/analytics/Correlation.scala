@@ -40,9 +40,17 @@ object Correlation {
     * *aggregated* frame (|buckets|×|keys| rows), so the quadratic blow-up is
     * over the small key domain, never over raw data — the 100 TB-safe shape
     * of a correlation matrix.
+    *
+    * The bucket mean is [[Aggregates.fixedPointAvg]] (`valueScale` must
+    * cover the data's decimal precision) so the matrix is deterministic
+    * under any partitioning — the same merge-order rule as every other mean
+    * in the library; downstream `corr` would otherwise carry last-ulp
+    * jitter from the partial-sum merge order.
     */
-  def corrMatrix(df: DataFrame, bucket: Column, key: Column, value: Column): DataFrame = {
-    val g = df.groupBy(bucket.as("b"), key.as("k")).agg(avg(value).as("v"))
+  def corrMatrix(df: DataFrame, bucket: Column, key: Column, value: Column,
+      valueScale: Int): DataFrame = {
+    val g = df.groupBy(bucket.as("b"), key.as("k"))
+      .agg(Aggregates.fixedPointAvg(value, valueScale).as("v"))
     val a = g.select(col("b"), col("k").as("key_a"), col("v").as("va"))
     val b = g.select(col("b"), col("k").as("key_b"), col("v").as("vb"))
     a.join(b, "b")

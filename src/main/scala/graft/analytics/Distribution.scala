@@ -37,4 +37,23 @@ object Distribution {
   def approxDistinctPerGroup(df: DataFrame, key: Column, value: Column,
       rsd: Double = 0.01): DataFrame =
     df.groupBy(key).agg(approx_count_distinct(value, rsd).as("n_distinct_approx"))
+
+  /** A7 tolerance harness: checks the HLL estimate against the exact
+    * distinct count in one aggregate and emits a boolean per group. A
+    * sketch VALUE has no exact cross-engine twin, but the PROPERTY
+    * "estimate within `tol` of exact" does — the oracle asserts TRUE per
+    * group, so an HLL drift beyond tolerance fails the hash match instead
+    * of going unchecked. The exact countDistinct makes this form
+    * correctness-gate-only; the production path at 100 TB is
+    * [[approxDistinctPerGroup]] alone.
+    */
+  def approxDistinctWithinTolerance(df: DataFrame, key: Column, value: Column,
+      rsd: Double = 0.01, tol: Double = 0.05,
+      outName: String = "within_5pct"): DataFrame =
+    df.groupBy(key).agg(
+        approx_count_distinct(value, rsd).as("__approx"),
+        countDistinct(value).as("__exact"))
+      .select(key,
+        (abs(col("__approx") - col("__exact")) <= col("__exact") * tol)
+          .as(outName))
 }

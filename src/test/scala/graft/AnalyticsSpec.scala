@@ -46,7 +46,7 @@ class AnalyticsSpec extends SparkSpec {
     val two = Seq(("b1", "A", 1.0), ("b1", "B", 4.0), ("b2", "A", 2.0),
       ("b2", "B", 3.0), ("b3", "A", 3.0), ("b3", "B", 2.0))
       .toDF("bucket", "k", "v")
-    val m = Correlation.corrMatrix(two, col("bucket"), col("k"), col("v"))
+    val m = Correlation.corrMatrix(two, col("bucket"), col("k"), col("v"), valueScale = 1)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
     assert(m(("A", "A")) === 1.0)
     assert(m(("A", "B")) === -1.0)
