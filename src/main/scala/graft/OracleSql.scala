@@ -49,10 +49,15 @@ object OracleSql {
        |   - CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE), 1.0), 6) AS jaccard
        | FROM cand JOIN g ga ON cand.doc_a = ga.doc_id JOIN g gb ON cand.doc_b = gb.doc_id)""".stripMargin
 
-  private val DistinctGrams =
-    """list_distinct(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
-      | ELSE list_transform(generate_series(1, len(toks) - 1),
-      |   i -> concat_ws(' ', toks[i], toks[i + 1])) END)""".stripMargin
+  /** Distinct word n-gram list mirroring the `ShingleSet(n)` kernel. */
+  private def distinctGramsSql(n: Int): String = {
+    val parts = (0 until n).map(k => if (k == 0) "toks[i]" else s"toks[i + $k]").mkString(", ")
+    s"""list_distinct(CASE WHEN len(toks) < $n THEN CAST([] AS VARCHAR[])
+       | ELSE list_transform(generate_series(1, len(toks) - ${n - 1}),
+       |   i -> concat_ws(' ', $parts)) END)""".stripMargin
+  }
+
+  private val DistinctGrams = distinctGramsSql(2)
 
   private def planeList(p: Seq[Double]): String =
     p.map(_.toString).mkString("[", ", ", "]")
@@ -762,11 +767,11 @@ object OracleSql {
          |FROM dec""".stripMargin,
     "x24_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
-         |g AS (SELECT doc_id, $DistinctGrams AS grams FROM t),
+         |g AS (SELECT doc_id, ${distinctGramsSql(8)} AS grams FROM t),
          |b AS (SELECT doc_id, grams, ${bucketSql("doc_id", "probe")} AS bk FROM g),
          |pg AS (SELECT gram, CAST(count(*) AS BIGINT) AS pdocs FROM (
-         | SELECT doc_id, unnest(grams) AS gram FROM b WHERE bk < 200) GROUP BY gram),
-         |cg AS (SELECT doc_id, unnest(grams) AS gram FROM b WHERE bk >= 200)
+         | SELECT doc_id, unnest(grams) AS gram FROM b WHERE bk < 2000) GROUP BY gram),
+         |cg AS (SELECT doc_id, unnest(grams) AS gram FROM b WHERE bk >= 2000)
          |SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS shared_grams,
          | CAST(sum(pdocs) AS BIGINT) AS gram_probe_hits
          |FROM cg JOIN pg ON cg.gram = pg.gram GROUP BY cg.doc_id""".stripMargin,

@@ -646,13 +646,16 @@ object SparkEntry {
       Multimodal.sampleFrames(Multimodal.decodeFeatures(s,
         Multimodal.asMediaTable(T(s, dir, "documents"))), everyN = 5)),
     "x24_decontaminate" -> ((s, dir) => {
-      // 2% of docs stand in for a benchmark set; report every training doc
-      // sharing a bigram with any of them
+      // 20% of docs stand in for a benchmark set; report every training doc
+      // sharing an 8-gram (the realistic collision width — round 4 ran
+      // bigrams, which over-flag on common word pairs) with any of them.
+      // The probe fraction is large enough that the synthetic corpus's
+      // near-dup clones actually collide: 8-grams only match copied spans.
       val docs = T(s, dir, "documents")
       val bk = graft.sampling.Sampling.hashBucket(col("doc_id"), "probe")
       Decontaminate.contaminationReport(
-        docs.filter(bk >= 200), col("doc_id"), col("text"),
-        docs.filter(bk < 200), col("text"))
+        docs.filter(bk >= 2000), col("doc_id"), col("text"),
+        docs.filter(bk < 2000), col("text"), gramWidth = 8)
     }),
     "x25_corpus_shuffle" -> ((s, dir) =>
       graft.sampling.Sampling.shuffled(

@@ -22,22 +22,24 @@ import graft.plans.Native
 object Decontaminate {
 
   /** Per-document contamination report: one row per corpus doc sharing at
-    * least one distinct word-bigram with any probe doc —
+    * least one distinct word n-gram with any probe doc —
     * `(doc_id, shared_grams, gram_probe_hits)` = how many distinct grams
     * collide, and the total (gram × probe-doc) collision count (a gram
     * found in 3 probe docs contributes 3). Docs absent from the result are
     * clean; [[clean]] applies the drop directly.
     *
-    * The gram length is fixed at 2 (the repo's shingle kernel) — real
-    * pipelines use 8-13-grams for precision; the plan shape is identical
-    * (swap the shingle kernel's width).
+    * `gramWidth` defaults to 8, the width serious pretraining pipelines
+    * use for benchmark-collision checks: bigrams over-flag massively (any
+    * two docs share common word pairs), while 8-grams only collide on
+    * genuinely copied spans. Both sides MUST shingle at the same width.
     */
   def contaminationReport(corpus: DataFrame, corpusId: Column,
-      corpusText: Column, probes: DataFrame, probeText: Column): DataFrame = {
+      corpusText: Column, probes: DataFrame, probeText: Column,
+      gramWidth: Int = 8): DataFrame = {
     val cg = corpus.select(corpusId.as("doc_id"),
-      explode(Native.bigrams(corpusText)).as("gram"))
+      explode(Native.shingles(corpusText, gramWidth)).as("gram"))
     val pg = probes
-      .select(explode(Native.bigrams(probeText)).as("gram"), lit(1).as("__p"))
+      .select(explode(Native.shingles(probeText, gramWidth)).as("gram"), lit(1).as("__p"))
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("probe_docs_for_gram"))
     cg.join(broadcast(pg), "gram")
@@ -50,8 +52,10 @@ object Decontaminate {
     * the probe set (1 = strict: any collision drops the doc).
     */
   def clean(corpus: DataFrame, corpusId: Column, corpusText: Column,
-      probes: DataFrame, probeText: Column, minSharedGrams: Long = 1): DataFrame = {
-    val hits = contaminationReport(corpus, corpusId, corpusText, probes, probeText)
+      probes: DataFrame, probeText: Column, minSharedGrams: Long = 1,
+      gramWidth: Int = 8): DataFrame = {
+    val hits = contaminationReport(corpus, corpusId, corpusText, probes,
+        probeText, gramWidth)
       .filter(col("shared_grams") >= minSharedGrams)
       .select(col("doc_id").as("__contaminated"))
     corpus.join(hits, corpusId === col("__contaminated"), "left_anti")

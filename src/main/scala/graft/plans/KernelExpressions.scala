@@ -138,27 +138,31 @@ case class NearestCentroids(child: Expression, ids: Seq[Long],
     copy(child = newChild)
 }
 
-/** Distinct word-bigram set of a text column — one fused
-  * tokenize→shingle→distinct pass. See [[graft.text.TextAnalysis.shingles]].
+/** Distinct word n-gram set of a text column — one fused
+  * tokenize→shingle→distinct pass. `n` is a plan constant (embedded in the
+  * generated code, not a child expression): shingle width is a pipeline
+  * design choice, never data-dependent. See
+  * [[graft.text.TextAnalysis.shingles]].
   */
-case class BigramSet(child: Expression) extends UnaryExpression {
+case class ShingleSet(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 2 && n <= 13, s"shingle width must be in [2,13], got $n")
   private val KernelsCls = Kernels.getClass.getName.stripSuffix("$")
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"bigram_set requires string, got ${child.dataType.simpleString}")
+      s"shingle_set requires string, got ${child.dataType.simpleString}")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def prettyName: String = "bigram_set"
+  override def prettyName: String = "shingle_set"
 
   override protected def nullSafeEval(t: Any): Any =
-    Kernels.bigramSet(t.asInstanceOf[UTF8String])
+    Kernels.shingleSet(t.asInstanceOf[UTF8String], n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $KernelsCls.bigramSet($t);")
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $KernelsCls.shingleSet($t, $n);")
 
-  override protected def withNewChildInternal(newChild: Expression): BigramSet =
+  override protected def withNewChildInternal(newChild: Expression): ShingleSet =
     copy(child = newChild)
 }
 
@@ -424,7 +428,8 @@ object Native {
       n: Int): Column =
     C(NearestCentroids(E(v), ids.toSeq, cents.map(_.toSeq).toSeq, n))
 
-  def bigrams(text: Column): Column = C(BigramSet(E(text)))
+  def bigrams(text: Column): Column = C(ShingleSet(E(text), 2))
+  def shingles(text: Column, n: Int): Column = C(ShingleSet(E(text), n))
 
   def minhashSlices(grams: Column): Column = C(MinhashSlices(E(grams)))
 

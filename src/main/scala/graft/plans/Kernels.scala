@@ -170,16 +170,25 @@ object Kernels {
     new String(out)
   }
 
-  /** Distinct word bigrams ("tok_i tok_i+1"), first-occurrence order —
-    * `array_distinct(shingles(text, 2))` in one pass.
+  /** Distinct word n-grams ("tok_i … tok_i+n-1", space-joined),
+    * first-occurrence order — `array_distinct(shingles(text, n))` in one
+    * pass. n=2 is the bigram kernel rounds 2-4 shipped; decontamination
+    * runs at n=8 (the realistic benchmark-collision width).
     */
-  def bigramSet(text: UTF8String): ArrayData = {
+  def shingleSet(text: UTF8String, n: Int): ArrayData = {
     val t = tokens0(text)
-    if (t.length < 2) return new GenericArrayData(Array.empty[Any])
+    if (t.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String](t.length * 2)
     var i = 0
-    while (i < t.length - 1) {
-      seen.add(t(i) + " " + t(i + 1))
+    while (i <= t.length - n) {
+      val sb = new java.lang.StringBuilder
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(t(i + k))
+        k += 1
+      }
+      seen.add(sb.toString)
       i += 1
     }
     val out = new Array[Any](seen.size)

@@ -82,6 +82,15 @@ class KernelParitySpec extends SparkSpec {
     }
   }
 
+  test("shingle kernel equals array_distinct(shingles) at widths 3, 8, 13") {
+    for (n <- Seq(3, 8, 13)) {
+      val rows = docs.select(Native.shingles(col("text"), n).as("k"),
+        array_distinct(TextAnalysis.shingles(col("text"), n)).as("h")).collect()
+      rows.foreach(r =>
+        assert(r.getSeq[String](0) === r.getSeq[String](1), s"width $n"))
+    }
+  }
+
   test("minhash slices kernel equals the md5-substring minima") {
     val g = docs.select(hofBigrams(col("text")).as("grams"))
     val rows = g.select(
