@@ -209,18 +209,20 @@ object Dedup {
     * actionable by itself — (a,b) and (b,c) near-dups must collapse to ONE
     * kept doc, not two independent pair decisions.
     *
-    * Algorithm: distributed min-label propagation. Each iteration is one
-    * shuffle-join of the label frame with the (undirected) edge frame and a
-    * min-aggregate; labels only decrease, so the fixed point — min id per
-    * component — is reached in at most `diameter` iterations and is
-    * partitioning-independent. Near-dup components are overwhelmingly tiny
-    * (pairs within an LSH bucket), so the diameter bound is small; for
-    * adversarially long chains at 100 TB, interleave pointer-jumping
-    * (label(u) ← label(label(u)), halves diameter per round) or switch to
-    * the large-star/small-star formulation — same join shape, O(log n)
-    * rounds. Every iteration localCheckpoints the label frame: lineage
-    * stays O(1), and the convergence count reuses the materialized result
-    * instead of recomputing the chain.
+    * Algorithm: distributed min-label propagation INTERLEAVED WITH POINTER
+    * JUMPING. Each round is (1) one shuffle-join of the label frame with
+    * the (undirected) edge frame + a min-aggregate (labels flow one hop),
+    * then (2) `label(u) ← label(label(u))` — a self-join of the label
+    * frame that at least doubles how far the component minimum has
+    * travelled. Labels only decrease and the fixed point — min id per
+    * component — is unchanged by the jump, so results are identical to
+    * plain propagation and partitioning-independent, but convergence takes
+    * O(log diameter) rounds instead of O(diameter): a 10 000-node path
+    * converges in ~14 rounds (spec-asserted) where plain propagation needs
+    * ~10 000. That is the property that keeps an adversarial boilerplate
+    * chain at 100 TB from grinding. Both frames localCheckpoint per round:
+    * lineage stays O(1), and the self-join reads materialized rows instead
+    * of recomputing the propagation subtree twice.
     *
     * Fails loudly if `maxIter` is hit without convergence — a truncated
     * propagation would silently mislabel clusters.
@@ -239,12 +241,20 @@ object Dedup {
       val nbr = edges
         .join(current.select(col("u").as("v"), col("label").as("vlabel")), "v")
         .groupBy(col("u")).agg(min(col("vlabel")).as("nlabel"))
-      val next = current.join(nbr, "u")
-        .select(col("u"), least(col("label"), col("nlabel")).as("label"),
-          (col("nlabel") < col("label")).as("__changed"))
+      val prop = current.join(nbr, "u")
+        .select(col("u"), col("label").as("__old"),
+          least(col("label"), col("nlabel")).as("label"))
         .localCheckpoint(true)
-      converged = next.filter(col("__changed")).limit(1).isEmpty
-      current = next.drop("__changed")
+      // pointer jump: every label is itself a node id present in the frame
+      // (it originated as some u/v), so label(label(u)) is a left join of
+      // the frame with itself; coalesce guards the (impossible) miss
+      val lookup = prop.select(col("u").as("__lu"), col("label").as("__ll"))
+      val next = prop.join(lookup, col("label") === col("__lu"), "left")
+        .select(col("u"), col("__old"),
+          least(col("label"), coalesce(col("__ll"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      converged = next.filter(col("label") < col("__old")).limit(1).isEmpty
+      current = next.drop("__old")
       iter += 1
     }
     edges.unpersist(false)

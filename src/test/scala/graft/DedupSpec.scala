@@ -89,6 +89,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("duplicateClusters converges in log rounds on a 10k-node path graph") {
+    // diameter 9 999: plain min-label propagation needs ~10 000 rounds;
+    // pointer jumping must finish within 15 (it throws past maxIter)
+    val path = spark.range(0L, 9999L).toDF("doc_a")
+      .withColumn("doc_b", col("doc_a") + 1L)
+    val out = Dedup.duplicateClusters(path, maxIter = 15)
+      .agg(countDistinct(col("cluster_id")).as("k"),
+        max(col("cluster_id")).as("m"),
+        count(lit(1)).as("n")).head()
+    assert(out.getLong(0) === 1L) // single component
+    assert(out.getLong(1) === 0L) // labeled by the minimum node
+    assert(out.getLong(2) === 10000L)
+  }
+
   test("repetitionScore flags boilerplate, clears diverse text, guards short docs") {
     val r = Seq("same same same same", "all words here differ", "one", "")
       .toDF("text").select(TextAnalysis.repetitionScore(col("text")))
