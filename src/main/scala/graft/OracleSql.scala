@@ -755,6 +755,24 @@ object OracleSql {
          |SELECT doc_id, CAST(byte_len AS BIGINT) AS byte_len, width, height,
          | channels, n_frames, brightness
          |FROM dec""".stripMargin,
+    // Mirrors MediaHeaders.synthWidth/synthHeight/synthGifDepth — the
+    // closed form of the synthesized container dimensions. The Spark side
+    // writes real PNG/JPEG/GIF header bytes and parses them back; equality
+    // here certifies every parsed field (offsets, endianness, CRC path).
+    "x13_real_headers" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 7 = 0 THEN 'unknown'
+        |      WHEN doc_id % 3 = 0 THEN 'png'
+        |      WHEN doc_id % 3 = 1 THEN 'jpeg'
+        |      ELSE 'gif' END AS format,
+        | CASE WHEN doc_id % 7 = 0 THEN NULL
+        |      ELSE CAST(16 + (doc_id * 7) % 1024 AS INTEGER) END AS width,
+        | CASE WHEN doc_id % 7 = 0 THEN NULL
+        |      ELSE CAST(16 + (doc_id * 13) % 768 AS INTEGER) END AS height,
+        | CASE WHEN doc_id % 7 = 0 THEN NULL
+        |      WHEN doc_id % 3 = 2 THEN CAST(1 + doc_id % 8 AS INTEGER)
+        |      ELSE CAST(8 AS INTEGER) END AS bit_depth
+        |FROM documents""".stripMargin,
     "x14_media_resize" ->
       s"""WITH $DecodedFeatures
          |SELECT doc_id, width, height, CAST(224 AS INTEGER) AS target_w,

@@ -8,7 +8,7 @@ import graft.clean.Validation
 import graft.dedup.{Decontaminate, Dedup}
 import graft.features.Features
 import graft.ingest.Sources
-import graft.multimodal.Multimodal
+import graft.multimodal.{MediaHeaders, Multimodal}
 import graft.normalize.ColumnDetect
 import graft.physics.Power
 import graft.similarity.Similarity
@@ -639,6 +639,13 @@ object SparkEntry {
     "x13_media_decode" -> ((s, dir) =>
       Multimodal.decodeFeatures(s,
         Multimodal.asMediaTable(T(s, dir, "documents"))).toDF()),
+    // real (pure-JVM) container parsing: synthesize valid PNG/JPEG/GIF
+    // header bytes per doc_id, parse them back; the oracle computes the
+    // expected dimensions in closed form, so any misread offset/endianness/
+    // CRC in the parser breaks the hash match
+    "x13_real_headers" -> ((s, dir) =>
+      MediaHeaders.parseHeaders(s,
+        MediaHeaders.synthesize(s, T(s, dir, "documents").select(col("doc_id"))))),
     "x14_media_resize" -> ((s, dir) =>
       Multimodal.resizePlan(Multimodal.decodeFeatures(s,
         Multimodal.asMediaTable(T(s, dir, "documents"))), 224, 224)),

@@ -6,10 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal column handling: image/audio/video as opaque `binary` columns
   * with typed metadata, plus partition-wise decode/feature-extract plumbing.
   *
-  * The decode step is STUBBED with a deterministic fake (this container has
-  * no image/audio codecs); everything around it — schema, batch iteration,
-  * partition shape, metadata extraction — is real. Swap
-  * [[DeterministicFakeDecoder]] for a codec-backed decoder in production.
+  * Two tiers:
+  *  - CONTAINER HEADERS are parsed for real — [[MediaHeaders]] reads PNG
+  *    IHDR (CRC-verified), JPEG SOF0/1/2 via a marker walk, and the GIF
+  *    logical screen descriptor, pure-JVM, no codec library.
+  *  - The PIXEL tier is stubbed with a deterministic fake (this container
+  *    has no image/audio codecs); everything around it — schema, batch
+  *    iteration, partition shape, metadata extraction — is real. Swap
+  *    [[DeterministicFakeDecoder]] for a codec-backed decoder in
+  *    production.
   *
   * Scale notes: media blobs dominate row size, so the pipeline (a) keeps
   * blobs out of shuffles — metadata is derived in a narrow pass and the blob
