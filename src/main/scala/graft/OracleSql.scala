@@ -447,6 +447,22 @@ object OracleSql {
         | CAST(epoch(date_trunc('second', pts)) AS BIGINT) AS purchase_t,
         | purchase_value
         |FROM j WHERE rn = 1""".stripMargin,
+    // Same oracle as j07_asof_join on purpose: the salted variant must be
+    // row-identical to the unsalted as-of join.
+    "j07_asof_salted" ->
+      """WITH c AS (SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, max(value) AS purchase_value FROM events
+        |  WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |j AS (SELECT c.event_id, c.user_id, c.ts, c.value,
+        |  p.ts AS pts, p.purchase_value,
+        |  row_number() OVER (PARTITION BY c.event_id ORDER BY p.ts DESC) AS rn
+        | FROM c LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts)
+        |SELECT event_id, user_id,
+        | CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t, value,
+        | CAST(epoch(date_trunc('second', pts)) AS BIGINT) AS purchase_t,
+        | purchase_value
+        |FROM j WHERE rn = 1""".stripMargin,
     "j07_asof_forward" ->
       """WITH c AS (SELECT event_id, user_id, ts FROM events
         |  WHERE event_type = 'click'),

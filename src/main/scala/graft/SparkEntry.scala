@@ -428,6 +428,23 @@ object SparkEntry {
           unix_timestamp(col("asof_ts")).as("purchase_t"),
           col("asof_purchase_value").as("purchase_value"))
     }),
+    "j07_asof_salted" -> ((s, dir) => {
+      // identical semantics to j07_asof_join (same oracle SQL), via the
+      // skew-safe variant: left rows salted 8 ways by event_id, right side
+      // replicated per bucket — result must be row-identical
+      val ev = T(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("purchase_value"))
+      Temporal.asofJoinSalted(clicks, purchases, "user_id", "ts",
+          saltSource = Seq("event_id"), saltBuckets = 8)
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("t"), col("value"),
+          unix_timestamp(col("asof_ts")).as("purchase_t"),
+          col("asof_purchase_value").as("purchase_value"))
+    }),
     "j08_range_join" -> ((s, dir) => {
       val ev = T(s, dir, "events")
       // every click within 30 minutes after an error by the same user

@@ -39,7 +39,37 @@ object Temporal {
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
       rightTiebreak: Seq[String] = Nil, prefix: String = "asof_",
+      direction: String = "backward"): DataFrame =
+    asofImpl(left, right, key, time, rightTiebreak, prefix, direction,
+      saltBuckets = 1, saltSource = Nil)
+
+  /** [[asofJoin]] for a skewed key domain: the hot-key caveat above,
+    * resolved. Left rows are spread across `saltBuckets` sub-partitions by
+    * a hash of `saltSource` (any columns that vary within a key — an id,
+    * the timestamp); the right side is REPLICATED into every bucket, so
+    * each left row still sees the full right history of its key and the
+    * result is row-identical to the unsalted join (spec + oracle asserted)
+    * — but a dominant key's window now runs on `saltBuckets` reducers
+    * instead of serializing on one.
+    *
+    * Cost: right shuffle volume × saltBuckets — the standard
+    * replicate-the-small-side trade (as-of right sides are reference/quote
+    * streams, typically the smaller). Size `saltBuckets` to the skew, not
+    * the cluster: enough that the hottest key's left rows fit a reducer.
+    */
+  def asofJoinSalted(left: DataFrame, right: DataFrame, key: String,
+      time: String, saltSource: Seq[String], saltBuckets: Int,
+      rightTiebreak: Seq[String] = Nil, prefix: String = "asof_",
       direction: String = "backward"): DataFrame = {
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
+    require(saltSource.nonEmpty, "saltSource columns are required")
+    asofImpl(left, right, key, time, rightTiebreak, prefix, direction,
+      saltBuckets, saltSource)
+  }
+
+  private def asofImpl(left: DataFrame, right: DataFrame, key: String,
+      time: String, rightTiebreak: Seq[String], prefix: String,
+      direction: String, saltBuckets: Int, saltSource: Seq[String]): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be 'backward' or 'forward', got '$direction'")
     val backward = direction == "backward"
@@ -47,17 +77,30 @@ object Temporal {
     val collisions = left.columns.toSet.intersect(rPayload.map(prefix + _).toSet)
     require(collisions.isEmpty, s"asofJoin output name collision: $collisions")
 
+    // salt columns: left rows hash into one bucket, right rows explode
+    // into all of them (bucket contents stay self-sufficient). The
+    // unsalted path pins both to bucket 0 — same plan as before modulo a
+    // constant partition column.
+    val lSalt = if (saltBuckets == 1) lit(0)
+      else pmod(hash(saltSource.map(col): _*), lit(saltBuckets))
+    val rSalt = if (saltBuckets == 1) array(lit(0))
+      else array((0 until saltBuckets).map(lit): _*)
+
     // struct keeps the tiebreak columns' native ordering semantics
     val tb = if (rightTiebreak.isEmpty) lit(0)
       else struct(rightTiebreak.map(col): _*)
     val ru = right.select(col(key).as("__k"), col(time).as("__t"),
       lit(0).as("__side"), tb.as("__tb"),
       struct(rPayload.map(col): _*).as("__r"))
+      .withColumn("__salt", explode(rSalt))
+    // salt is computed BEFORE the rename-projection so saltSource can name
+    // any left column
     val lu = left.select(col(key).as("__k"), col(time).as("__t"),
       lit(1).as("__side"),
       lit(null).cast(ru.schema("__tb").dataType).as("__tb"),
       lit(null).cast(ru.schema("__r").dataType).as("__r"),
-      struct(left.columns.map(col): _*).as("__l"))
+      struct(left.columns.map(col): _*).as("__l"),
+      lSalt.as("__salt"))
 
     // backward: ascending time, carry the LAST right row seen — the latest
     // at-or-before. forward: DESCENDING time, same carry — the earliest
@@ -67,7 +110,7 @@ object Temporal {
     val timeOrd = if (backward) col("__t").asc else col("__t").desc
     val tbOrd = if (backward) col("__tb").asc_nulls_first
       else col("__tb").desc_nulls_first
-    val w = Window.partitionBy(col("__k"))
+    val w = Window.partitionBy(col("__k"), col("__salt"))
       .orderBy(timeOrd, col("__side").asc, tbOrd)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = ru.withColumn("__l", lit(null).cast(lu.schema("__l").dataType))

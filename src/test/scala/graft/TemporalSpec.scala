@@ -57,6 +57,33 @@ class TemporalSpec extends SparkSpec {
       5L -> None))     // key with no quotes
   }
 
+  test("asofJoinSalted is row-identical to asofJoin on a dominant-key fixture") {
+    // one key carries 97% of the left rows — the skew the salted variant
+    // exists for; equality must hold for every bucket count
+    val rnd = new scala.util.Random(42)
+    val hotTrades = (1L to 300L).map { i =>
+      val sym = if (i <= 290) "HOT" else s"S${i % 5}"
+      (sym, ts(f"2025-01-01 ${1 + rnd.nextInt(22)}%02d:${rnd.nextInt(60)}%02d:00"), i)
+    }.toDF("sym", "qts", "trade_id").repartition(7)
+    val hotQuotes = (1L to 50L).map { i =>
+      val sym = if (i <= 40) "HOT" else s"S${i % 5}"
+      (sym, ts(f"2025-01-01 ${1 + rnd.nextInt(22)}%02d:${rnd.nextInt(60)}%02d:00"), i * 1.5, i)
+    }.toDF("sym", "qts", "px", "qid").repartition(5)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val plain = canon(Temporal.asofJoin(hotTrades, hotQuotes, "sym", "qts",
+      rightTiebreak = Seq("qid")))
+    for (buckets <- Seq(2, 8); dir <- Seq("backward", "forward")) {
+      val expected = if (dir == "backward") plain
+        else canon(Temporal.asofJoin(hotTrades, hotQuotes, "sym", "qts",
+          rightTiebreak = Seq("qid"), direction = dir))
+      val salted = canon(Temporal.asofJoinSalted(hotTrades, hotQuotes, "sym",
+        "qts", saltSource = Seq("trade_id"), saltBuckets = buckets,
+        rightTiebreak = Seq("qid"), direction = dir))
+      assert(salted === expected, s"buckets=$buckets dir=$dir")
+    }
+  }
+
   test("rangeJoin pairs points with every covering interval, once each") {
     val intervals = Seq(
       ("u1", 1L, ts("2025-01-01 10:00:00"), ts("2025-01-01 10:10:00")),
