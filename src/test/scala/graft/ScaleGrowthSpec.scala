@@ -1,0 +1,118 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Sessions, Temporal}
+import graft.dedup.Dedup
+
+/** Measured scale-growth regression: the flagship "100 TB-safe" claims as
+  * a curve, not a plan-shape argument. Each operator runs on a base
+  * corpus and a 10× corpus; total shuffle WRITE bytes (collected from task
+  * metrics, deterministic unlike wall-clock on a shared box) must grow
+  * roughly linearly — well under quadratic. A near-dup pass whose bucket
+  * capping failed, an as-of that degenerated to a theta join, or a
+  * sessionize with an accidental extra keyed exchange all blow the bound.
+  */
+class ScaleGrowthSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Shuffle bytes written while `action` runs, via a task-end listener.
+    * Listener delivery is async: poll until the counter is stable.
+    */
+  private def shuffleBytes(action: => Unit): Long = {
+    val bytes = new AtomicLong(0)
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      action
+      var last = -1L
+      var stable = 0
+      var waited = 0
+      while (stable < 3 && waited < 100) { // stable = unchanged for 300 ms
+        Thread.sleep(100)
+        val now = bytes.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+        waited += 1
+      }
+      bytes.get()
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  private def run(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  /** Synthetic doc corpus: unique word-salad texts + 5% near-dup clones,
+    * mirroring the real documents table's shape.
+    */
+  private def docs(n: Int): DataFrame = {
+    val vocab = Vector.tabulate(500)(i => s"w$i")
+    spark.range(0, n).select(col("id").as("doc_id"))
+      .withColumn("seed", pmod(hash(col("doc_id")), lit(1000000)))
+      .withColumn("base", pmod(col("doc_id"), lit(math.max(n / 20, 1))))
+      .select(col("doc_id"), col("seed"), col("base")).as[(Long, Int, Long)]
+      .map { case (id, seed, base) =>
+        val rnd = new scala.util.Random(if (id % 20 == 19) base else seed)
+        val words = Seq.fill(40)(vocab(rnd.nextInt(vocab.length)))
+        (id, words.mkString(" "))
+      }.toDF("doc_id", "text")
+  }
+
+  /** Synthetic events: `keys` users, timestamps spread over a day. */
+  private def events(n: Int, keys: Int): DataFrame =
+    spark.range(0, n).select(
+      pmod(col("id"), lit(keys)).cast("string").as("uid"),
+      timestamp_seconds(lit(1735689600L) + pmod(hash(col("id")), lit(86400)))
+        .as("t"),
+      col("id").as("eid"))
+
+  private def growth(base: Long, big: Long): Double =
+    big.toDouble / math.max(base, 1L).toDouble
+
+  test("near-dup pipeline shuffle bytes grow ~linearly from 1x to 10x docs") {
+    val small = shuffleBytes(run(
+      Dedup.nearDuplicates(docs(500), col("doc_id"), col("text"), 0.3)))
+    val large = shuffleBytes(run(
+      Dedup.nearDuplicates(docs(5000), col("doc_id"), col("text"), 0.3)))
+    val g = growth(small, large)
+    assert(small > 0, "listener captured no shuffle writes")
+    // 10x rows; linear = ~10x bytes. Allow generous headroom for bucket
+    // skew and fixed overheads — the failure mode being guarded
+    // (uncapped bucket quadratics) lands at 100x.
+    assert(g < 25.0, s"near-dup shuffle grew ${g}x for 10x input ($small -> $large)")
+  }
+
+  test("as-of join shuffle bytes grow ~linearly from 1x to 10x events") {
+    def asof(n: Int): DataFrame = {
+      val ev = events(n, keys = 50)
+      val left = ev.filter(col("eid") % 3 =!= 0)
+      val right = ev.filter(col("eid") % 3 === 0)
+        .select(col("uid"), col("t"), col("eid").as("rid"))
+      Temporal.asofJoin(left, right, "uid", "t")
+    }
+    val small = shuffleBytes(run(asof(6000)))
+    val large = shuffleBytes(run(asof(60000)))
+    val g = growth(small, large)
+    assert(small > 0, "listener captured no shuffle writes")
+    assert(g < 20.0, s"as-of shuffle grew ${g}x for 10x input ($small -> $large)")
+  }
+
+  test("sessionize shuffle bytes grow ~linearly from 1x to 10x events") {
+    def sess(n: Int): DataFrame =
+      Sessions.sessionize(events(n, keys = 100), "uid", "t",
+        gapSeconds = 600, order = Seq("eid"))
+    val small = shuffleBytes(run(sess(6000)))
+    val large = shuffleBytes(run(sess(60000)))
+    val g = growth(small, large)
+    assert(small > 0, "listener captured no shuffle writes")
+    assert(g < 20.0, s"sessionize shuffle grew ${g}x for 10x input ($small -> $large)")
+  }
+}
