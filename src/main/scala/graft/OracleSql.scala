@@ -849,6 +849,38 @@ object OracleSql {
         | FROM events GROUP BY event_type)
         |SELECT e.event_id, e.event_type FROM events e
         |JOIN stats s ON e.event_type = s.event_type
-        |WHERE s.sd > 0 AND abs((e.value - s.mu) / s.sd) > 3.0""".stripMargin
+        |WHERE s.sd > 0 AND abs((e.value - s.mu) / s.sd) > 3.0""".stripMargin,
+    // Mirrors QualityRules.report with its default Thresholds: the mean
+    // word length divides as double/double in the same order; list len is
+    // 32-bit in Spark
+    "x28_quality_rules" ->
+      s"""WITH t AS (SELECT doc_id, text, $Toks AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(toks) AS INTEGER) AS n_words,
+         |  CAST(list_sum(list_transform(toks, tk -> length(tk))) AS DOUBLE)
+         |    / CAST(greatest(len(toks), 1) AS DOUBLE) AS mean_len,
+         |  CAST(len(list_intersect(list_distinct(toks),
+         |    ['the', 'a', 'an', 'of', 'and', 'to', 'in', 'is'])) AS INTEGER) AS n_stop,
+         |  CAST(len(list_filter(toks, tk -> regexp_matches(tk, '[a-z]'))) AS DOUBLE)
+         |    / CAST(greatest(len(toks), 1) AS DOUBLE) AS alpha_ratio,
+         |  string_split(text, chr(10)) AS lines
+         | FROM t),
+         |r AS (SELECT doc_id, n_words, mean_len, n_stop, alpha_ratio,
+         |  CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
+         |    / CAST(greatest(len(lines), 1) AS DOUBLE) AS bullet_ratio,
+         |  CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$'))) AS DOUBLE)
+         |    / CAST(greatest(len(lines), 1) AS DOUBLE) AS ellipsis_ratio
+         | FROM m)
+         |SELECT doc_id, n_words, round(mean_len, 6) AS mean_word_len,
+         | n_stop AS n_distinct_stopwords,
+         | n_words >= 25 AND n_words <= 80 AS ok_word_count,
+         | mean_len >= 3.0 AND mean_len <= 10.0 AS ok_word_len,
+         | n_stop >= 2 AS ok_stopwords,
+         | alpha_ratio >= 0.8 AS ok_alpha_words,
+         | bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3 AS ok_lines,
+         | (n_words >= 25 AND n_words <= 80) AND (mean_len >= 3.0 AND mean_len <= 10.0)
+         |  AND n_stop >= 2 AND alpha_ratio >= 0.8
+         |  AND (bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3) AS passes_all
+         |FROM r""".stripMargin
   )
 }

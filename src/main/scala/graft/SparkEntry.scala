@@ -694,6 +694,9 @@ object SparkEntry {
       Dedup.survivors(docs.select(col("doc_id")), col("doc_id"),
         Dedup.nearDuplicates(docs, col("doc_id"), col("text"), threshold = 0.3))
     }),
+    "x28_quality_rules" -> ((s, dir) =>
+      graft.text.QualityRules.report(T(s, dir, "documents"),
+        col("doc_id"), col("text"))),
     "a17_zscore_outliers" -> ((s, dir) =>
       graft.analytics.Alerts.zscoreOutliers(T(s, dir, "events"),
           col("event_type"), col("value"), 3.0)

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.QualityRules
+import graft.text.QualityRules.Thresholds
+
+/** Per-rule verdicts on crafted documents — covers the rules the synthetic
+  * corpus never trips (bullet lines, ellipsis lines, symbol-only words).
+  */
+class QualityRulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val t = Thresholds(minWords = 3, maxWords = 10)
+
+  private def reportFor(text: String) =
+    QualityRules.report(Seq((1L, text)).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), t).head()
+
+  test("clean prose passes every rule") {
+    val r = reportFor("the quick brown fox is running in a field")
+    assert(r.getAs[Boolean]("passes_all"))
+  }
+
+  test("word-count bounds reject short and long docs") {
+    assert(!reportFor("too short").getAs[Boolean]("ok_word_count"))
+    assert(!reportFor(("word " * 20).trim).getAs[Boolean]("ok_word_count"))
+  }
+
+  test("symbol-salad fails the alpha-word ratio, numerals count as non-alpha") {
+    val r = reportFor("the 1 2 3 4 5 $$ %% of !!")
+    assert(!r.getAs[Boolean]("ok_alpha_words"))
+    assert(!r.getAs[Boolean]("passes_all"))
+  }
+
+  test("bullet-list and ellipsis-heavy docs fail the line rules") {
+    val bullets = (1 to 10).map(i => s"- the item number $i is here").mkString("\n")
+    val rb = QualityRules.report(Seq((1L, bullets)).toDF("doc_id", "text"),
+      col("doc_id"), col("text"),
+      Thresholds(minWords = 3, maxWords = 1000, maxBulletLineRatio = 0.5)).head()
+    assert(!rb.getAs[Boolean]("ok_lines"))
+    val dots = "the first line is...\nthe second line is...\nplain third line of text"
+    val rd = QualityRules.report(Seq((1L, dots)).toDF("doc_id", "text"),
+      col("doc_id"), col("text"),
+      Thresholds(minWords = 3, maxWords = 1000, maxEllipsisLineRatio = 0.3)).head()
+    assert(!rd.getAs[Boolean]("ok_lines"))
+  }
+
+  test("stopword floor rejects stopword-free keyword stuffing") {
+    val r = reportFor("buy cheap widgets best widgets cheap deals widgets")
+    assert(!r.getAs[Boolean]("ok_stopwords"))
+  }
+
+  test("filterPassing keeps exactly the passing docs") {
+    val docs = Seq(
+      (1L, "the quick brown fox is running in a field"),
+      (2L, "too short")).toDF("doc_id", "text")
+    val kept = QualityRules.filterPassing(docs, col("doc_id"), col("text"), t)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L))
+  }
+}
