@@ -881,6 +881,32 @@ object OracleSql {
          | (n_words >= 25 AND n_words <= 80) AND (mean_len >= 3.0 AND mean_len <= 10.0)
          |  AND n_stop >= 2 AND alpha_ratio >= 0.8
          |  AND (bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3) AS passes_all
-         |FROM r""".stripMargin
+         |FROM r""".stripMargin,
+    // tf = cnt/doc_len, idf = ln(N/df) — doubles divide/multiply in the
+    // same order as the Spark expressions; ln is transcendental so values
+    // are far from 6-dp rounding knife edges. row_number is 32-bit.
+    "x29_tfidf_topk" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS doc_len,
+         |  unnest(toks) AS term FROM (SELECT doc_id, $Toks AS toks FROM documents)),
+         |tc AS (SELECT doc_id, doc_len, term, CAST(count(*) AS BIGINT) AS cnt
+         | FROM t GROUP BY 1, 2, 3),
+         |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS dfreq FROM tc GROUP BY term),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |s AS (SELECT tc.doc_id, tc.term, tc.cnt,
+         |  (CAST(tc.cnt AS DOUBLE) / CAST(tc.doc_len AS DOUBLE)) *
+         |    ln(CAST(n.n_docs AS DOUBLE) / CAST(dfq.dfreq AS DOUBLE)) AS tfidf
+         | FROM tc JOIN dfq USING (term) CROSS JOIN n),
+         |r AS (SELECT doc_id, term, cnt, tfidf, CAST(row_number() OVER (
+         |  PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank
+         | FROM s)
+         |SELECT doc_id, term, cnt, round(tfidf, 6) AS tfidf, rank
+         |FROM r WHERE rank <= 3""".stripMargin,
+    "x30_vocab_stats" ->
+      s"""WITH t AS (SELECT doc_id, unnest(toks) AS term
+         | FROM (SELECT doc_id, $Toks AS toks FROM documents))
+         |SELECT term, CAST(count(*) AS BIGINT) AS occurrences,
+         | CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+         |FROM t GROUP BY term
+         |ORDER BY occurrences DESC, term ASC LIMIT 20""".stripMargin
   )
 }

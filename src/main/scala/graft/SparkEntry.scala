@@ -697,6 +697,12 @@ object SparkEntry {
     "x28_quality_rules" -> ((s, dir) =>
       graft.text.QualityRules.report(T(s, dir, "documents"),
         col("doc_id"), col("text"))),
+    "x29_tfidf_topk" -> ((s, dir) =>
+      graft.text.TfIdf.tfidfTopK(T(s, dir, "documents"),
+        col("doc_id"), col("text"), k = 3)),
+    "x30_vocab_stats" -> ((s, dir) =>
+      graft.text.TfIdf.vocabStats(T(s, dir, "documents"),
+        col("doc_id"), col("text"), topK = 20)),
     "a17_zscore_outliers" -> ((s, dir) =>
       graft.analytics.Alerts.zscoreOutliers(T(s, dir, "events"),
           col("event_type"), col("value"), 3.0)
