@@ -907,6 +907,23 @@ object OracleSql {
          |SELECT term, CAST(count(*) AS BIGINT) AS occurrences,
          | CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
          |FROM t GROUP BY term
-         |ORDER BY occurrences DESC, term ASC LIMIT 20""".stripMargin
+         |ORDER BY occurrences DESC, term ASC LIMIT 20""".stripMargin,
+    // Patterns are in the Java-regex/RE2 agreement subset; DuckDB
+    // regexp_replace needs the 'g' flag to match Spark's replace-all.
+    // Counts are taken before each pattern's own replacement, after all
+    // earlier ones (phones counted on the email-scrubbed text).
+    "x31_pii_redact" ->
+      """WITH p AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 4 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0 THEN ' call +1 555 123 ' || lpad(CAST(doc_id AS VARCHAR), 4, '0') ELSE '' END AS text
+        | FROM documents),
+        |e AS (SELECT doc_id, text,
+        |  regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g') AS after_email
+        | FROM p)
+        |SELECT doc_id,
+        | regexp_replace(after_email, '\+?\d[\d -]{7,}\d', '<PHONE>', 'g') AS clean_text,
+        | CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INTEGER) AS n_emails,
+        | CAST(len(regexp_extract_all(after_email, '\+?\d[\d -]{7,}\d')) AS INTEGER) AS n_phones
+        |FROM e""".stripMargin
   )
 }

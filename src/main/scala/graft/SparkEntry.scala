@@ -703,6 +703,22 @@ object SparkEntry {
     "x30_vocab_stats" -> ((s, dir) =>
       graft.text.TfIdf.vocabStats(T(s, dir, "documents"),
         col("doc_id"), col("text"), topK = 20)),
+    "x31_pii_redact" -> ((s, dir) => {
+      // corpus text carries no PII, so inject deterministic emails/phones
+      // for a subset of docs (mirrored in the oracle) — the scrub and the
+      // per-pattern counts are what's under test
+      val docs = T(s, dir, "documents")
+      val withPii = docs.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" call +1 555 123 "),
+              lpad(col("doc_id").cast("string"), 4, "0"))).otherwise(lit("")))
+          .as("text"))
+      graft.text.Redact.scrub(withPii, col("doc_id"), col("text"))
+    }),
     "a17_zscore_outliers" -> ((s, dir) =>
       graft.analytics.Alerts.zscoreOutliers(T(s, dir, "events"),
           col("event_type"), col("value"), 3.0)
