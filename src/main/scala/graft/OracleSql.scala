@@ -924,6 +924,21 @@ object OracleSql {
         | regexp_replace(after_email, '\+?\d[\d -]{7,}\d', '<PHONE>', 'g') AS clean_text,
         | CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INTEGER) AS n_emails,
         | CAST(len(regexp_extract_all(after_email, '\+?\d[\d -]{7,}\d')) AS INTEGER) AS n_phones
-        |FROM e""".stripMargin
+        |FROM e""".stripMargin,
+    "x32_domain_stats" ->
+      """WITH p AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 2 = 0 THEN ' see https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/' || CAST(doc_id AS VARCHAR) ELSE '' END ||
+        |  CASE WHEN doc_id % 6 = 0 THEN ' and http://cdn.example.net/x' ELSE '' END AS text
+        | FROM documents),
+        |d AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://([^/ ]+)', 1)) AS domain FROM p)
+        |SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        | CAST(count(*) AS BIGINT) AS n_urls
+        |FROM d GROUP BY domain""".stripMargin,
+    // Tolerance oracle, same pattern as a07: the GK sketch value is
+    // merge-order-dependent in its last ranks, but must stay within its
+    // rank-error guarantee of the exact percentile under any partitioning.
+    "a08_approx_quartiles" ->
+      """SELECT event_type, TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
+        |FROM events GROUP BY event_type""".stripMargin
   )
 }

@@ -719,6 +719,23 @@ object SparkEntry {
           .as("text"))
       graft.text.Redact.scrub(withPii, col("doc_id"), col("text"))
     }),
+    "x32_domain_stats" -> ((s, dir) => {
+      // synthesize deterministic outlinks (mirrored in the oracle): the
+      // extraction + per-domain aggregation is what's under test
+      val docs = T(s, dir, "documents")
+      val withUrls = docs.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit(" see https://site"), (col("doc_id") % 7).cast("string"),
+              lit(".example.com/p/"), col("doc_id").cast("string")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 6 === 0, lit(" and http://cdn.example.net/x"))
+            .otherwise(lit(""))).as("text"))
+      graft.text.Urls.domainStats(withUrls, col("doc_id"), col("text"))
+    }),
+    "a08_approx_quartiles" -> ((s, dir) =>
+      Aggregates.approxQuartilesWithin(T(s, dir, "events"),
+        col("event_type"), col("value"))),
     "a17_zscore_outliers" -> ((s, dir) =>
       graft.analytics.Alerts.zscoreOutliers(T(s, dir, "events"),
           col("event_type"), col("value"), 3.0)

@@ -91,6 +91,33 @@ object Aggregates {
       round(percentile(value, lit(0.75)), 6).as("p75"),
       round(max(value), 6).as("max"))
 
+  /** The [[describe]] quartiles at the 100 TB tier: `percentile_approx`
+    * (GK sketch, single pass, bounded memory) checked against the exact
+    * sort-based percentile in one aggregate, emitting per-quartile
+    * within-tolerance booleans. Same tolerance-oracle pattern as the HLL
+    * check: the sketch VALUE has no cross-engine twin (and is
+    * merge-order-dependent in its last ranks), but the PROPERTY
+    * "within rank-error tolerance of exact" holds under any partitioning —
+    * the oracle asserts TRUE per group, so a sketch drifting past its
+    * guarantee fails the hash match. Exact percentile makes this
+    * correctness-gate-only; production uses the approx side alone.
+    */
+  def approxQuartilesWithin(df: DataFrame, key: Column, value: Column,
+      accuracy: Int = 10000, relTol: Double = 0.02,
+      absTol: Double = 0.5): DataFrame = {
+    val qs = Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75))
+    val aggs = qs.flatMap { case (n, q) =>
+      Seq(percentile(value, lit(q)).as(s"__ex_$n"),
+        percentile_approx(value, lit(q), lit(accuracy)).as(s"__ap_$n"))
+    }
+    val checks = qs.map { case (n, _) =>
+      (abs(col(s"__ap_$n") - col(s"__ex_$n")) <=
+        abs(col(s"__ex_$n")) * relTol + absTol).as(s"${n}_ok")
+    }
+    df.groupBy(key).agg(aggs.head, aggs.tail: _*)
+      .select(key +: checks: _*)
+  }
+
   /** Skew-safe two-phase sum: salt the key into `saltBuckets` sub-keys,
     * aggregate per (key, salt), then merge per key. A heavy-hitter key's
     * rows land on `saltBuckets` reducers instead of one — the standard

@@ -52,6 +52,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(m(("A", "B")) === -1.0)
   }
 
+  test("approx quartiles stay within tolerance of exact at any partitioning") {
+    val vals = (1 to 5000).map(i => ("k", (i % 997) * 0.37)).toDF("k", "v")
+    for (parts <- Seq(1, 7)) {
+      val rows = Aggregates.approxQuartilesWithin(vals.repartition(parts),
+        col("k"), col("v")).collect()
+      assert(rows.length === 1)
+      val r = rows.head
+      assert(r.getAs[Boolean]("p25_ok") && r.getAs[Boolean]("p50_ok") &&
+        r.getAs[Boolean]("p75_ok"), s"parts=$parts")
+    }
+  }
+
   test("O1/P13/P14 ranking and recency windows") {
     val ranked = Ranking.rankByAggregate(df, col("station"),
       sum(col("power")), "total").collect()
