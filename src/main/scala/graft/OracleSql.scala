@@ -939,6 +939,18 @@ object OracleSql {
     // rank-error guarantee of the exact percentile under any partitioning.
     "a08_approx_quartiles" ->
       """SELECT event_type, TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+    // -ln(cnt/total) is transcendental (far from 6-dp knife edges) and the
+    // per-doc mean's merge-order jitter is ~1e-13 relative — plain avg is
+    // safe at round 6, same argument as corr/stddev
+    "x33_unigram_surprise" ->
+      s"""WITH t AS (SELECT doc_id, unnest(toks) AS term
+         | FROM (SELECT doc_id, $Toks AS toks FROM documents)),
+         |f AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY term),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM t)
+         |SELECT doc_id,
+         | round(avg(-ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))), 6) AS surprise,
+         | CAST(count(*) AS BIGINT) AS n_tokens
+         |FROM t JOIN f USING (term) CROSS JOIN tot GROUP BY doc_id""".stripMargin
   )
 }

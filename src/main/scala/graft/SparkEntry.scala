@@ -736,6 +736,9 @@ object SparkEntry {
     "a08_approx_quartiles" -> ((s, dir) =>
       Aggregates.approxQuartilesWithin(T(s, dir, "events"),
         col("event_type"), col("value"))),
+    "x33_unigram_surprise" -> ((s, dir) =>
+      graft.text.TfIdf.unigramSurprise(T(s, dir, "documents"),
+        col("doc_id"), col("text"))),
     "a17_zscore_outliers" -> ((s, dir) =>
       graft.analytics.Alerts.zscoreOutliers(T(s, dir, "events"),
           col("event_type"), col("value"), 3.0)

@@ -53,6 +53,31 @@ object TfIdf {
         round(col("__tfidf"), 6).as("tfidf"), col("rank"))
   }
 
+  /** Unigram language-model surprise: per-document mean negative log
+    * probability of its tokens under the corpus's own unigram
+    * distribution — the cheap proxy for the KenLM-perplexity quality gate
+    * (gibberish and off-domain text score high; boilerplate scores low).
+    *
+    * Same scale shape as TF-IDF: one explode pass, a vocabulary-sized
+    * frequency aggregate joined back, corpus token total as a broadcast
+    * scalar, then a per-doc mean. Self-scoring keeps it a single-input
+    * operator; score against a reference corpus by passing its frequency
+    * frame instead.
+    */
+  def unigramSurprise(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val tok = df.select(id.as("doc_id"),
+      explode(TextAnalysis.tokens(text)).as("term"))
+    val freq = tok.groupBy(col("term")).agg(count(lit(1)).as("__cnt"))
+    val total = tok.agg(count(lit(1)).as("__total"))
+    tok.join(freq, "term")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(
+        round(avg(-log(col("__cnt").cast("double") /
+          col("__total").cast("double"))), 6).as("surprise"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   /** Corpus-level heavy hitters: the `topK` most frequent terms with total
     * occurrences and document frequency. `orderBy(...).limit(k)` plans as
     * TakeOrderedAndProject — per-partition top-k heaps merged on one

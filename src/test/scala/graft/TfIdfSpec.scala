@@ -43,6 +43,18 @@ class TfIdfSpec extends SparkSpec {
     assert(v === Seq(("the", 6L, 3L), ("apple", 2L, 1L)))
   }
 
+  test("unigramSurprise scores rare-token docs above common-token docs") {
+    val corpus = Seq(
+      (1L, "common common common common"),
+      (2L, "common common common rareword")).toDF("doc_id", "text")
+    val out = TfIdf.unigramSurprise(corpus, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(2L) > out(1L))
+    // doc 1 is all "common" (7 of 8 corpus tokens): surprise = -ln(7/8)
+    val expected = math.rint(-math.log(7.0 / 8.0) * 1e6) / 1e6
+    assert(out(1L) === expected)
+  }
+
   test("vocabStats plans TakeOrderedAndProject, not a global sort") {
     val plan = TfIdf.vocabStats(docs, col("doc_id"), col("text"), topK = 2)
       .queryExecution.executedPlan.toString
