@@ -48,8 +48,26 @@ object GraftExtensions {
       TurbinePowerKw(children.head, children(1))
     })
 
+  /** `shingle_set(text, n)` — n must be an integer literal: shingle width
+    * is a codegen-time constant of the kernel, never data-dependent.
+    */
+  val shingleSet: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("shingle_set"),
+    new ExpressionInfo(classOf[ShingleSet].getName, "shingle_set"),
+    (children: Seq[Expression]) => {
+      if (children.size != 2)
+        ColumnBridge.wrongNumArgs("shingle_set", 2, children.size)
+      children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) =>
+          ShingleSet(children.head, v)
+        case other => throw new IllegalArgumentException(
+          s"shingle_set width must be an integer literal, got $other")
+      }
+    })
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     turbinePower,
+    shingleSet,
     fromColumns("quality_score", 1, cs => TextAnalysis.qualityScore(cs.head)),
     fromColumns("token_count", 1, cs => TextAnalysis.tokenCount(cs.head)),
     fromColumns("doc_fingerprint", 1, cs => TextAnalysis.fingerprint(cs.head)),

@@ -64,6 +64,16 @@ class SqlSurfaceSpec extends SparkSpec {
       assert(extra.getLong(1) >= 0 && extra.getLong(1) < 10000)
       assert(extra.getDouble(2) === 1.0)
       assert(extra.getDouble(3) === 11.0)
+      // round-5: width-parameterized shingles (n is a required int literal)
+      val sh = s2.sql(
+        "SELECT shingle_set('a b c d', 3) AS g3, shingle_set('a b c d', 2) AS g2")
+        .head()
+      assert(sh.getSeq[String](0) === Seq("a b c", "b c d"))
+      assert(sh.getSeq[String](1) === Seq("a b", "b c", "c d"))
+      val err = intercept[Exception] {
+        s2.sql("SELECT shingle_set('a b', token_count('x'))").collect()
+      }
+      assert(err.getMessage.contains("integer literal"))
     } finally {
       org.apache.spark.sql.graftbridge.ColumnBridge.restoreSessions(prev)
     }
