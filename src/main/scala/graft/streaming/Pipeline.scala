@@ -103,6 +103,32 @@ object Pipeline {
     deduped.drop("__fp")
   }
 
+  /** Stream-stream interval join: pair each left event with right events
+    * of the same key whose event time falls in
+    * [left.time - `lookback`, left.time] — the streaming face of
+    * [[graft.analytics.Temporal.rangeJoin]] (enrich clicks with the errors
+    * that preceded them, trades with recent quotes). Both sides carry
+    * watermarks, so Spark bounds the join state to the lookback + delay
+    * window and evicts behind them — the only formulation of a
+    * stream-stream join that holds memory constant on an unbounded stream.
+    * Works identically on batch frames (watermarks become no-ops), which
+    * is how the spec cross-checks it against the batch range join.
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, lookback: String,
+      delay: String = "10 minutes", prefix: String = "r_"): DataFrame = {
+    val rPayload = right.columns.filter(_ != key).toSeq
+    val l = left.withWatermark(leftTime, delay)
+    val r = rPayload.foldLeft(right)((d, c) => d.withColumnRenamed(c, prefix + c))
+      .withColumnRenamed(key, "__rk")
+      .withWatermark(prefix + rightTime, delay)
+    l.join(r,
+      col(key) === col("__rk") &&
+        col(prefix + rightTime) >= col(leftTime) - expr(s"INTERVAL $lookback") &&
+        col(prefix + rightTime) <= col(leftTime))
+      .drop("__rk")
+  }
+
   /** S8: checkpointed append-mode parquet sink. `boundedDrain` runs with
     * `Trigger.AvailableNow` — process everything available, then stop —
     * the structured-streaming analog of the reference consumer's

@@ -75,6 +75,42 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(ids === Set(1L, 3L))
   }
 
+  test("intervalJoinStream pairs events within the lookback, streaming == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = Seq(
+      ("u1", ts("2025-01-01 10:20:00"), 1L),
+      ("u1", ts("2025-01-01 11:30:00"), 2L), // no error within 30 min before
+      ("u2", ts("2025-01-01 10:20:00"), 3L)) // other user's error must not match
+    val errors = Seq(
+      ("u1", ts("2025-01-01 10:00:00"), 100L),
+      ("u1", ts("2025-01-01 10:10:00"), 101L))
+    def expectPairs(df: org.apache.spark.sql.DataFrame): Unit = {
+      val got = df.select(col("click_id"), col("r_err_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((1L, 100L), (1L, 101L)))
+    }
+    // batch face
+    expectPairs(Pipeline.intervalJoinStream(
+      clicks.toDF("uid", "t", "click_id"),
+      errors.toDF("uid", "t", "err_id"),
+      "uid", "t", "t", lookback = "30 minutes"))
+    // streaming face: both sides MemoryStreams, same expected pairs
+    val lIn = MemoryStream[(String, Timestamp, Long)]
+    val rIn = MemoryStream[(String, Timestamp, Long)]
+    val joined = Pipeline.intervalJoinStream(
+      lIn.toDF().toDF("uid", "t", "click_id"),
+      rIn.toDF().toDF("uid", "t", "err_id"),
+      "uid", "t", "t", lookback = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("ivj_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      rIn.addData(errors: _*)
+      lIn.addData(clicks: _*)
+      q.processAllAvailable()
+      expectPairs(spark.table("ivj_out"))
+    } finally q.stop()
+  }
+
   test("sessionAgg merges session windows across micro-batches under a watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Timestamp, Double)]
