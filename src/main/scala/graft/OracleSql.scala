@@ -951,6 +951,23 @@ object OracleSql {
          |SELECT doc_id,
          | round(avg(-ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))), 6) AS surprise,
          | CAST(count(*) AS BIGINT) AS n_tokens
-         |FROM t JOIN f USING (term) CROSS JOIN tot GROUP BY doc_id""".stripMargin
+         |FROM t JOIN f USING (term) CROSS JOIN tot GROUP BY doc_id""".stripMargin,
+    // Parallel unnests zip in DuckDB, giving (line, idx); string_agg with
+    // ORDER BY idx mirrors Spark's array_sort-by-position reassembly.
+    "x34_line_dedup" ->
+      """WITH p AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'subscribe to our newsletter for updates' || chr(10) || 'all rights reserved' ELSE '' END AS text
+        | FROM documents),
+        |s AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM p),
+        |l AS (SELECT doc_id, CAST(len(lines) AS INTEGER) AS total,
+        |  unnest(lines) AS line, unnest(range(1, len(lines) + 1)) AS idx FROM s),
+        |n AS (SELECT doc_id, total, line, idx, trim(line) AS norm FROM l),
+        |b AS (SELECT norm FROM (SELECT norm, count(DISTINCT doc_id) AS d
+        |  FROM n GROUP BY norm) WHERE d > 5)
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS clean_text,
+        | CAST(count(*) AS BIGINT) AS n_kept_lines,
+        | CAST(any_value(total) - count(*) AS BIGINT) AS n_dropped_lines
+        |FROM n WHERE norm NOT IN (SELECT norm FROM b)
+        |GROUP BY doc_id""".stripMargin
   )
 }

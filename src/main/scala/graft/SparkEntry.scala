@@ -739,6 +739,18 @@ object SparkEntry {
     "x33_unigram_surprise" -> ((s, dir) =>
       graft.text.TfIdf.unigramSurprise(T(s, dir, "documents"),
         col("doc_id"), col("text"))),
+    "x34_line_dedup" -> ((s, dir) => {
+      // inject a shared two-line footer into a third of the docs; the
+      // line-level pass must strip exactly those lines and keep the docs
+      val docs = T(s, dir, "documents")
+      val withBp = docs.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit("\nsubscribe to our newsletter for updates\nall rights reserved"))
+            .otherwise(lit(""))).as("text"))
+      graft.text.Boilerplate.dropBoilerplateLines(withBp,
+        col("doc_id"), col("text"), maxDocs = 5)
+    }),
     "a17_zscore_outliers" -> ((s, dir) =>
       graft.analytics.Alerts.zscoreOutliers(T(s, dir, "events"),
           col("event_type"), col("value"), 3.0)
