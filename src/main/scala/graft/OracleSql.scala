@@ -750,6 +750,19 @@ object OracleSql {
          | round((sum(round(x * 1000000000.0)) / 1000000000.0) / count(*), 6) AS mean,
          | count(*) AS cluster_size
          |FROM ex GROUP BY cid, dim""".stripMargin,
+    "x35_cluster_sample" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+         | FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id % 50 = 0),
+         |asg AS (SELECT vec_id, cid FROM (
+         | SELECT v.vec_id, c.cid,
+         |  row_number() OVER (PARTITION BY v.vec_id
+         |   ORDER BY ${cosineSql("v.ve", "c.cv")} DESC, c.cid) AS rn
+         | FROM v CROSS JOIN cent c) WHERE rn = 1),
+         |h AS (SELECT vec_id, cid, ${hashKeySql("vec_id", "clsample")} AS hk FROM asg),
+         |r AS (SELECT vec_id, cid AS centroid_id, CAST(row_number() OVER (
+         |  PARTITION BY cid ORDER BY hk, vec_id) AS INTEGER) AS rank FROM h)
+         |SELECT vec_id, centroid_id, rank FROM r WHERE rank <= 10""".stripMargin,
     "x10_lsh_bucket" ->
       s"""SELECT vec_id, CAST(${bucketExpr(Planes8, "ve")} AS BIGINT) AS bucket
          |FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve

@@ -607,6 +607,11 @@ object SparkEntry {
       val emb = T(s, dir, "embeddings")
       Similarity.kmeansStep(emb, emb.filter(col("vec_id") % 50 === 0), dim = 64)
     }),
+    "x35_cluster_sample" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.clusterBalancedSample(emb,
+        emb.filter(col("vec_id") % 50 === 0), perCluster = 10)
+    }),
     "x18_dup_clusters" -> ((s, dir) =>
       Dedup.duplicateClusters(
         Dedup.nearDuplicates(T(s, dir, "documents"), col("doc_id"), col("text"),

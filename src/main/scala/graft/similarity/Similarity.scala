@@ -118,6 +118,26 @@ object Similarity {
         lit(-1L)).as("centroid_id"),
       col("embedding").as("v"))
 
+  /** Cluster-balanced sampling: deterministic top-`perCluster` vectors per
+    * nearest-centroid cluster, ordered by a salted md5 hash (ties by id) —
+    * the diversity-balanced subset selection step of embedding-driven data
+    * curation (every semantic cluster contributes, no cluster dominates).
+    * Assignment is the shuffle-free argmax projection; the only exchange
+    * is the per-cluster window, whose input is (id, cluster) pairs — the
+    * embedding column is dropped before the shuffle.
+    */
+  def clusterBalancedSample(corpus: DataFrame, centroids: DataFrame,
+      perCluster: Int, salt: String = "clsample"): DataFrame = {
+    require(perCluster >= 1, s"perCluster must be >= 1, got $perCluster")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("centroid_id"))
+      .orderBy(graft.sampling.Sampling.hashKey(col("vec_id"), lit(salt)).asc,
+        col("vec_id").asc)
+    assignClusters(corpus, centroids).drop("v")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= perCluster)
+  }
+
   /** IVF search: top-k by cosine among vectors in the query's `nprobe`
     * nearest clusters. Returns the same shape as [[bruteForceKnn]] — recall
     * is approximate by construction and rises with `nprobe` (compared pairs

@@ -67,6 +67,20 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf === brute) // nprobe = |clusters| probes everything
   }
 
+  test("clusterBalancedSample caps each cluster and is partition-deterministic") {
+    val centroids = vecs.filter(col("vec_id").isin(0L, 2L))
+    def run(parts: Int) = Similarity.clusterBalancedSample(
+        vecs.repartition(parts), centroids, perCluster = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val out = run(3)
+    // x-axis cluster (0) holds vectors 0,1,4 -> capped at 2; y-axis keeps both
+    val byCluster = out.groupBy(_._2)
+    assert(byCluster(0L).size === 2)
+    assert(byCluster(2L).map(_._1) === Set(2L, 3L))
+    assert(out.forall(_._3 <= 2))
+    assert(run(1) === out)
+  }
+
   test("kmeansStep recomputes centroids as exact cluster means") {
     val centroids = vecs.filter(col("vec_id").isin(0L, 2L))
     val out = Similarity.kmeansStep(vecs, centroids, dim = 3)
