@@ -123,6 +123,18 @@ object OracleSql {
   private def bucketSql(idExpr: String, salt: String): String =
     s"${hashKeySql(idExpr, salt)} % ${graft.sampling.Sampling.Buckets}"
 
+  /** DuckDB twin of [[graft.warehouse.Layout.zValue]]: the same
+    * bit-interleave terms, generated by the same loop.
+    */
+  private def zValueSql(x: String, y: String, bits: Int): String = {
+    val mask = (1L << bits) - 1
+    val xm = s"(CAST($x AS BIGINT) & $mask)"
+    val ym = s"(CAST($y AS BIGINT) & $mask)"
+    (0 until bits).map { i =>
+      s"((($xm >> $i) & 1) << ${2 * i}) + ((($ym >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", " + ", ")")
+  }
+
   val all: Map[String, String] = Map(
     "p01_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_orderkey < 100",
@@ -981,6 +993,70 @@ object OracleSql {
         | CAST(count(*) AS BIGINT) AS n_kept_lines,
         | CAST(any_value(total) - count(*) AS BIGINT) AS n_dropped_lines
         |FROM n WHERE norm NOT IN (SELECT norm FROM b)
-        |GROUP BY doc_id""".stripMargin
+        |GROUP BY doc_id""".stripMargin,
+    // idf and tf_norm mirror the Spark expression tree term by term; the
+    // per-doc sum is <= 3 values so merge-order jitter is ~1e-16 relative
+    // against round-6, and ln keeps scores off rounding knife edges. The
+    // final ORDER BY runs on the ALREADY-ROUNDED score with doc_id
+    // tie-break, so the top-25 cut is identical across engines.
+    "x36_bm25_topk" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS doc_len,
+         |  unnest(toks) AS term FROM (SELECT doc_id, $Toks AS toks FROM documents)),
+         |tc AS (SELECT doc_id, doc_len, term, CAST(count(*) AS BIGINT) AS cnt
+         | FROM t WHERE term IN (${SparkEntry.Bm25Terms.map(q => s"'$q'").mkString(", ")})
+         | GROUP BY 1, 2, 3),
+         |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS dfreq FROM tc GROUP BY term),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  avg(CAST(len($Toks) AS INTEGER)) AS avgdl FROM documents),
+         |sc AS (SELECT tc.doc_id,
+         |  ln(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(dfq.dfreq AS DOUBLE) + 0.5) /
+         |    (CAST(dfq.dfreq AS DOUBLE) + 0.5)) *
+         |  ((CAST(tc.cnt AS DOUBLE) * 2.2) / (CAST(tc.cnt AS DOUBLE) + 1.2 *
+         |    (0.25 + 0.75 * (CAST(tc.doc_len AS DOUBLE) / st.avgdl)))) AS term_score
+         | FROM tc JOIN dfq USING (term) CROSS JOIN st)
+         |SELECT doc_id, round(sum(term_score), 6) AS score,
+         | CAST(count(*) AS BIGINT) AS n_matched
+         |FROM sc GROUP BY doc_id
+         |ORDER BY score DESC, doc_id ASC LIMIT 25""".stripMargin,
+    // x11's candidate chain (Planes6 buckets, id_a < id_b, round-6 cosine)
+    // with the greedy keep-lowest-id apply: drop every distinct id_b of a
+    // >= 0.9 pair, keep the rest of the corpus
+    "x37_semantic_dedup" ->
+      s"""WITH base AS (SELECT vec_id, embedding FROM embeddings
+         | UNION ALL SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 20 = 0),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         | FROM base),
+         |b AS (SELECT vec_id, v, CAST(${bucketExpr(Planes6, "v")} AS BIGINT) AS bucket FROM e),
+         |p AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b, a.v AS va, b2.v AS vb
+         | FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+         |drops AS (SELECT DISTINCT id_b FROM p WHERE ${cosineSql("va", "vb")} >= 0.9)
+         |SELECT vec_id FROM base
+         |WHERE vec_id NOT IN (SELECT id_b FROM drops)""".stripMargin,
+    // smoothing constants (source total + vocab, target total) are exact
+    // BIGINTs on both sides; ln(pt) - ln(ps) mirrors the Spark column
+    // order; avg merge jitter ~1e-13 relative against round-6
+    "x38_importance_weights" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(toks) AS term FROM (
+         |  SELECT doc_id, $Toks AS toks FROM documents WHERE doc_id % 10 <> 0)),
+         |tokt AS (SELECT unnest(toks) AS term FROM (
+         |  SELECT $Toks AS toks FROM documents WHERE doc_id % 10 = 0)),
+         |fs AS (SELECT term, CAST(count(*) AS BIGINT) AS cs FROM toks GROUP BY term),
+         |ft AS (SELECT term, CAST(count(*) AS BIGINT) AS ct FROM tokt GROUP BY term),
+         |sc AS (SELECT CAST(sum(cs) AS BIGINT) AS ts, CAST(count(*) AS BIGINT) AS v,
+         |  (SELECT CAST(sum(ct) AS BIGINT) FROM ft) AS tt FROM fs)
+         |SELECT doc_id,
+         | round(avg(
+         |  ln((CAST(coalesce(ct, 0) AS DOUBLE) + 1.0) / (CAST(tt AS DOUBLE) + CAST(v AS DOUBLE))) -
+         |  ln((CAST(cs AS DOUBLE) + 1.0) / (CAST(ts AS DOUBLE) + CAST(v AS DOUBLE)))), 6) AS log_ratio,
+         | CAST(count(*) AS BIGINT) AS n_tokens
+         |FROM toks JOIN fs USING (term) LEFT JOIN ft USING (term) CROSS JOIN sc
+         |GROUP BY doc_id""".stripMargin,
+    // bit-interleave generated from the same Scala loop as the Spark
+    // column — integer adds/shifts, so association order is irrelevant
+    "x39_zorder_layout" ->
+      s"""SELECT event_id,
+         |  ${zValueSql("floor(value)", "user_id", SparkEntry.ZBits)} AS zval,
+         |  (${zValueSql("floor(value)", "user_id", SparkEntry.ZBits)} >> ${2 * SparkEntry.ZBits - 4}) AS file_bucket
+         |FROM events""".stripMargin
   )
 }

@@ -65,6 +65,10 @@ object SparkEntry {
   val StratFractions: Map[String, Double] =
     Map("view" -> 0.05, "click" -> 0.2, "purchase" -> 1.0, "error" -> 1.0)
 
+  // BM25 query terms / Z-order bit width shared with the oracles
+  val Bm25Terms: Seq[String] = Seq("vector", "hash", "stream")
+  val ZBits: Int = 10
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── P: projection / filter / cleaning ────────────────────────────────
     "p01_project" -> ((s, dir) => {
@@ -759,7 +763,47 @@ object SparkEntry {
     "a17_zscore_outliers" -> ((s, dir) =>
       graft.analytics.Alerts.zscoreOutliers(T(s, dir, "events"),
           col("event_type"), col("value"), 3.0)
-        .select(col("event_id"), col("event_type")))
+        .select(col("event_id"), col("event_type"))),
+    "x36_bm25_topk" -> ((s, dir) =>
+      graft.text.Bm25.topK(T(s, dir, "documents"), col("doc_id"), col("text"),
+        Bm25Terms, k = 25)),
+    // SemDeDup-style apply: LSH-bucketed cosine pairs (x11's candidate
+    // shape) → greedy keep-lowest-id — the O(1)-round embedding dedup an
+    // ε-ball semantic dedup actually wants (no transitive components).
+    // The synthetic embeddings carry no true near-dups (max candidate
+    // cosine ≈ 0.47), so every 20th vector gets an exact clone (mirrored
+    // in the oracle); the bucketing, verify, and apply are under test.
+    "x37_semantic_dedup" -> ((s, dir) => {
+      val base = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val all = base.unionByName(base.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      val emb = all.select(col("vec_id"),
+          Similarity.asDouble(col("embedding")).as("v"))
+        .withColumn("bucket", Similarity.hyperplaneBucket(col("v"), Planes6))
+      val a = emb.select(col("bucket"), col("vec_id").as("id_a"), col("v").as("va"))
+      val b = emb.select(col("bucket"), col("vec_id").as("id_b"), col("v").as("vb"))
+      val pairs = a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      val near = Dedup.cosinePairs(pairs, col("va"), col("vb"))
+        .filter(col("is_near_dup"))
+      Dedup.greedySurvivors(all.select(col("vec_id")), col("vec_id"), near)
+    }),
+    // DSIR-style importance weights: every 10th doc stands in for the
+    // target domain sample; the rest of the corpus is scored against it
+    "x38_importance_weights" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.sampling.Importance.logRatioWeights(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        col("doc_id"), col("text"))
+    }),
+    "x39_zorder_layout" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val z = graft.warehouse.Layout.zValue(
+        floor(col("value")).cast("long"), col("user_id"), bits = ZBits)
+      ev.select(col("event_id"), z.as("zval"),
+        graft.warehouse.Layout.zBucket(z, ZBits, numBuckets = 16)
+          .as("file_bucket"))
+    })
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

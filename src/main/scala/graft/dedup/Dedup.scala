@@ -279,4 +279,21 @@ object Dedup {
       .select(col("doc_id").as("__dup"))
     docs.join(broadcast(drop), id === col("__dup"), "left_anti")
   }
+
+  /** Greedy (SemDeDup-style) dedup apply: drop the HIGHER id of every
+    * near-dup pair, keep everything else. `pairs` must carry
+    * `id_a < id_b`; the drop set is `distinct id_b`, broadcast for the
+    * anti-join. Unlike [[survivors]] this never materializes connected
+    * components — after the drop, no two surviving docs can form a pair
+    * (any pair would have dropped its own id_b), which is the semantic
+    * dedup guarantee embedding pipelines actually need; it may drop more
+    * than one doc per transitive cluster, which for near-identical
+    * embeddings is the intended behavior (SemDeDup, arXiv:2303.09540,
+    * keeps one exemplar per ε-ball, not per component). O(1) rounds at
+    * any corpus size vs the CC loop's O(log n).
+    */
+  def greedySurvivors(docs: DataFrame, id: Column, pairs: DataFrame): DataFrame = {
+    val drop = pairs.select(col("id_b").as("__dup")).distinct()
+    docs.join(broadcast(drop), id === col("__dup"), "left_anti")
+  }
 }

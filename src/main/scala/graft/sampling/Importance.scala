@@ -1,0 +1,57 @@
+package graft.sampling
+
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-selection importance weighting (DSIR-style, arXiv:2302.03169):
+  * score every source document by how much more likely its tokens are
+  * under a TARGET domain's unigram distribution than under the source
+  * corpus's own — the standard cheap way to up-sample "looks like the
+  * domain I care about" text out of a web-scale crawl without a trained
+  * classifier.
+  *
+  * `weight(d) = mean over tokens w of [ ln p_target(w) − ln p_source(w) ]`
+  * with add-one smoothing over the SOURCE vocabulary (target-unseen terms
+  * get count 0 and stay finite through the smoothing).
+  *
+  * Scale shape: one tokenize+explode pass per corpus; both frequency
+  * frames are vocabulary-sized aggregates; the source token stream joins
+  * its own frequency frame on the shuffle it already needs, picks up the
+  * (much smaller) target frequencies via a second vocabulary-keyed join,
+  * and the three scalars (totals + vocab size) ride in as one broadcast
+  * cross-join. Nothing rescans text; no stage's shuffle exceeds the token
+  * frame that feeds the per-doc mean.
+  */
+object Importance {
+
+  /** Per-source-document log-likelihood ratio under target vs source
+    * unigram LMs. Emits `(doc_id, log_ratio, n_tokens)`; positive means
+    * "more target-like than average source text".
+    */
+  def logRatioWeights(source: DataFrame, target: DataFrame,
+      id: Column, text: Column): DataFrame = {
+    val tokS = source.select(id.as("doc_id"),
+      explode(TextAnalysis.tokens(text)).as("term"))
+    val tokT = target.select(explode(TextAnalysis.tokens(text)).as("term"))
+    val freqS = tokS.groupBy(col("term")).agg(count(lit(1)).as("__cs"))
+    val freqT = tokT.groupBy(col("term")).agg(count(lit(1)).as("__ct"))
+    // smoothing denominator constants: source vocab size (one row each)
+    val scal = freqS.agg(sum(col("__cs")).as("__ts"),
+        count(lit(1)).as("__v"))
+      .crossJoin(freqT.agg(sum(col("__ct")).as("__tt")))
+    val pT = (coalesce(col("__ct"), lit(0L)).cast("double") + lit(1.0)) /
+      (col("__tt").cast("double") + col("__v").cast("double"))
+    val pS = (col("__cs").cast("double") + lit(1.0)) /
+      (col("__ts").cast("double") + col("__v").cast("double"))
+    // the target is by construction a small domain sample, so its
+    // vocabulary frame broadcasts — the token stream shuffles ONCE (for
+    // its own frequency join), never a second time
+    tokS.join(freqS, "term")
+      .join(broadcast(freqT), Seq("term"), "left")
+      .crossJoin(broadcast(scal))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(log(pT) - log(pS)), 6).as("log_ratio"),
+        count(lit(1)).as("n_tokens"))
+  }
+}

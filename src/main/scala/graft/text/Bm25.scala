@@ -1,0 +1,61 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 keyword retrieval over a document corpus — the lexical half of a
+  * training-data curation stack (topic routing, targeted corpus slicing,
+  * "find everything about X before sampling"). The reference has no search
+  * tier; this is north-star LLM-pipeline surface, same family as TF-IDF
+  * ([[TfIdf]]) but with the saturating term-frequency and length
+  * normalization that make it usable as a ranking function.
+  *
+  * Scale shape: the query-term filter lands IMMEDIATELY after the explode,
+  * so the only (doc, term) frame that ever shuffles is |docs matching any
+  * query term| × |query terms| — not the corpus vocabulary. Document
+  * frequency is an aggregate of that already-filtered frame (≤ |query
+  * terms| rows) and joins back as a broadcast; corpus size N and average
+  * document length avgdl are one scalar aggregate cross-joined as a
+  * broadcast. Top-k plans as TakeOrderedAndProject (per-partition heaps,
+  * one merge), never a global sort.
+  */
+object Bm25 {
+
+  /** Top-`k` documents for `queryTerms` under BM25 with the standard
+    * `idf = ln(1 + (N - df + 0.5)/(df + 0.5))` and
+    * `tf_norm = cnt·(k1+1)/(cnt + k1·(1 − b + b·dl/avgdl))`.
+    * Ties break on doc_id so output is deterministic. Emits
+    * `(doc_id, score, n_matched)`.
+    */
+  def topK(df: DataFrame, id: Column, text: Column, queryTerms: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    // (doc, query-term) counts: the isin filter sits directly on the
+    // exploded column, so non-query terms never reach the aggregate
+    val tc = df.select(id.as("doc_id"),
+        TextAnalysis.tokenCount(text).as("doc_len"),
+        explode(TextAnalysis.tokens(text)).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("doc_len"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    // corpus stats over ALL docs (not just matches): N and avgdl
+    val stats = df.agg(count(lit(1)).as("__n"),
+      avg(TextAnalysis.tokenCount(text).cast("double")).as("__avgdl"))
+    val docFreq = tc.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val idf = log(lit(1.0) +
+      (col("__n").cast("double") - col("__df").cast("double") + lit(0.5)) /
+        (col("__df").cast("double") + lit(0.5)))
+    val tfNorm = (col("cnt").cast("double") * lit(k1 + 1.0)) /
+      (col("cnt").cast("double") + lit(k1) *
+        (lit(1.0 - b) + lit(b) * (col("doc_len").cast("double") / col("__avgdl"))))
+    tc.join(broadcast(docFreq), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(idf * tfNorm), 6).as("score"),
+        count(lit(1)).as("n_matched"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Bm25
+import graft.sampling.Importance
+import graft.warehouse.Layout
+import graft.dedup.Dedup
+
+/** BM25 retrieval, DSIR importance weighting, greedy semantic dedup, and
+  * Z-order layout — the round-5 operator tier.
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "spark spark spark engine"),          // high tf for 'spark'
+    (2L, "spark engine"),                      // shorter, one 'spark'
+    (3L, "engine room with no match terms"),
+    (4L, "spark")                              // shortest match
+  ).toDF("doc_id", "text")
+
+  test("bm25: only matching docs score; higher tf beats lower at equal length") {
+    val out = Bm25.topK(docs, col("doc_id"), col("text"),
+      Seq("spark"), k = 10).collect()
+    assert(out.map(_.getLong(0)).toSet === Set(1L, 2L, 4L))
+    val score = out.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc 4 is far shorter than avgdl -> its single occurrence outranks
+    // doc 2's single occurrence in a longer doc
+    assert(score(4L) > score(2L))
+    // hand-check doc 2: N=4, df=3, dl=2, avgdl=(4+2+6+1)/4=3.25
+    val idf = math.log(1.0 + (4.0 - 3.0 + 0.5) / (3.0 + 0.5))
+    val tf = (1.0 * 2.2) / (1.0 + 1.2 * (0.25 + 0.75 * (2.0 / 3.25)))
+    assert(math.abs(score(2L) - BigDecimal(idf * tf)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("bm25: top-k cut is deterministic and ordered by score then id") {
+    val out = Bm25.topK(docs, col("doc_id"), col("text"),
+      Seq("spark", "engine"), k = 2).collect()
+    assert(out.length === 2)
+    assert(out(0).getDouble(1) >= out(1).getDouble(1))
+  }
+
+  test("importance: target-like docs get positive log-ratio, others negative") {
+    val source = Seq(
+      (1L, "physics physics energy"),
+      (2L, "celebrity gossip news gossip"),
+      (3L, "physics energy theorem")).toDF("doc_id", "text")
+    val target = Seq((100L, "physics energy theorem proof"))
+      .toDF("doc_id", "text")
+    val w = Importance.logRatioWeights(source, target, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w(1L) > w(2L) && w(3L) > w(2L),
+      "physics docs must score more target-like than gossip")
+    assert(w(3L) > 0 && w(2L) < 0)
+  }
+
+  test("importance: n_tokens counts source tokens only") {
+    val source = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val target = Seq((2L, "a")).toDF("doc_id", "text")
+    val row = Importance.logRatioWeights(source, target, col("doc_id"),
+      col("text")).head()
+    assert(row.getLong(2) === 3L)
+  }
+
+  test("greedy survivors: no surviving pair remains, lower ids win") {
+    val all = Seq(1L, 2L, 3L, 4L, 5L).toDF("vec_id")
+    // near-dup pairs: (1,2), (2,3), (4,5) -> drop {2, 3, 5}
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val kept = Dedup.greedySurvivors(all, col("vec_id"), pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 4L))
+    val keptPairs = Seq((1L, 2L), (2L, 3L), (4L, 5L))
+      .filter { case (a, b) => kept(a) && kept(b) }
+    assert(keptPairs.isEmpty, "every pair must have lost its id_b")
+  }
+
+  test("zValue interleaves bits: unit steps in x and y move bits 0 and 1") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 0L), (0L, 2L),
+      (1023L, 1023L)).toDF("x", "y")
+    val z = df.select(Layout.zValue(col("x"), col("y"), bits = 10))
+      .collect().map(_.getLong(0))
+    assert(z(0) === 0L)
+    assert(z(1) === 1L)      // x bit 0 -> z bit 0
+    assert(z(2) === 2L)      // y bit 0 -> z bit 1
+    assert(z(3) === 3L)
+    assert(z(4) === 4L)      // x bit 1 -> z bit 2
+    assert(z(5) === 8L)      // y bit 1 -> z bit 3
+    assert(z(6) === (1L << 20) - 1, "max inputs fill all 20 bits")
+  }
+
+  test("zBucket: contiguous z-ranges, power-of-two fanout, full coverage") {
+    val df = spark.range(0, 1024).select(
+      (col("id") % 32).as("x"), (col("id") / 32).as("y"))
+    val out = df.select(Layout.zBucket(
+        Layout.zValue(col("x"), col("y"), bits = 5), 5, numBuckets = 4)
+      .as("b")).groupBy("b").count().collect()
+    assert(out.map(_.getLong(0)).toSet === Set(0L, 1L, 2L, 3L))
+    // the interleave is a bijection on 10 bits, so quarters are exact
+    assert(out.map(_.getLong(1)).forall(_ === 256L))
+  }
+
+  test("bm25 plan: doc-frequency and corpus stats broadcast, no extra sort") {
+    val plan = Bm25.topK(docs, col("doc_id"), col("text"), Seq("spark"), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k must plan as per-partition heaps, not a global sort")
+  }
+}
