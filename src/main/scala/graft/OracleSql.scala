@@ -123,6 +123,18 @@ object OracleSql {
   private def bucketSql(idExpr: String, salt: String): String =
     s"${hashKeySql(idExpr, salt)} % ${graft.sampling.Sampling.Buckets}"
 
+  /** DuckDB twin of [[graft.text.TextAnalysis.qualityScore]] over CTE
+    * columns `text`/`toks` — shared by x02 (the score itself) and x40
+    * (budget selection ranked by it).
+    */
+  private val QualitySql =
+    """round(
+      | least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4 +
+      | (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"]', '', 'g')) AS DOUBLE)
+      |   / CAST(greatest(length(text), 1) AS DOUBLE)) * 5.0, 1.0)) * 0.3 +
+      | (1.0 - abs((CAST(len(list_filter(toks, w -> list_contains(['the','a','an','of','and','to','in','is'], w))) AS DOUBLE)
+      |   / CAST(greatest(len(toks), 1) AS DOUBLE) - 0.4))) * 0.3, 6)""".stripMargin
+
   /** DuckDB twin of [[graft.warehouse.Layout.zValue]]: the same
     * bit-interleave terms, generated by the same loop.
     */
@@ -543,12 +555,7 @@ object OracleSql {
          |FROM documents""".stripMargin,
     "x02_quality_score" ->
       s"""WITH t AS (SELECT doc_id, text, $Toks AS toks FROM documents)
-         |SELECT doc_id, round(
-         | least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4 +
-         | (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"]', '', 'g')) AS DOUBLE)
-         |   / CAST(greatest(length(text), 1) AS DOUBLE)) * 5.0, 1.0)) * 0.3 +
-         | (1.0 - abs((CAST(len(list_filter(toks, w -> list_contains(['the','a','an','of','and','to','in','is'], w))) AS DOUBLE)
-         |   / CAST(greatest(len(toks), 1) AS DOUBLE) - 0.4))) * 0.3, 6) AS quality
+         |SELECT doc_id, $QualitySql AS quality
          |FROM t""".stripMargin,
     "x03_lang_id" ->
       s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
@@ -959,6 +966,14 @@ object OracleSql {
         |SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         | CAST(count(*) AS BIGINT) AS n_urls
         |FROM d GROUP BY domain""".stripMargin,
+    // Tolerance oracle, same pattern as a07: the Count-Min estimate is
+    // sketch-valued (no cross-engine twin) but must satisfy the CMS
+    // guarantee exact <= est <= exact + ceil(eps*N) deterministically at
+    // the fixed seed.
+    "a19_cms_frequency" ->
+      """SELECT event_type AS key, CAST(count(*) AS BIGINT) AS n_exact,
+        | TRUE AS within_bound
+        |FROM events GROUP BY event_type""".stripMargin,
     // Tolerance oracle, same pattern as a07: the GK sketch value is
     // merge-order-dependent in its last ranks, but must stay within its
     // rank-error guarantee of the exact percentile under any partitioning.
@@ -1051,6 +1066,21 @@ object OracleSql {
          | CAST(count(*) AS BIGINT) AS n_tokens
          |FROM toks JOIN fs USING (term) LEFT JOIN ft USING (term) CROSS JOIN sc
          |GROUP BY doc_id""".stripMargin,
+    // the oracle states the SELECTION RULE directly (global-order running
+    // sum <= budget); the Spark side reproduces it with a two-level
+    // bucket-prefix cumsum that never global-sorts — equality here proves
+    // the distributed decomposition exact. Token counts are integers, so
+    // the running sum has no float hazard; DuckDB's BIGINT sum widens to
+    // HUGEINT, hence the cast.
+    "x40_budget_select" ->
+      s"""WITH t AS (SELECT doc_id, text, $Toks AS toks FROM documents),
+         |q AS (SELECT doc_id, $QualitySql AS score,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+         |c AS (SELECT doc_id, score, n_tokens,
+         |  CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM q)
+         |SELECT doc_id, score, n_tokens, cum_tokens
+         |FROM c WHERE cum_tokens <= ${SparkEntry.TokenBudget}""".stripMargin,
     // bit-interleave generated from the same Scala loop as the Spark
     // column — integer adds/shifts, so association order is irrelevant
     "x39_zorder_layout" ->

@@ -65,9 +65,10 @@ object SparkEntry {
   val StratFractions: Map[String, Double] =
     Map("view" -> 0.05, "click" -> 0.2, "purchase" -> 1.0, "error" -> 1.0)
 
-  // BM25 query terms / Z-order bit width shared with the oracles
+  // BM25 query terms / Z-order bit width / token budget shared with oracles
   val Bm25Terms: Seq[String] = Seq("vector", "hash", "stream")
   val ZBits: Int = 10
+  val TokenBudget: Long = 15000L
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── P: projection / filter / cleaning ────────────────────────────────
@@ -310,6 +311,8 @@ object SparkEntry {
     "a07_approx_distinct" -> ((s, dir) =>
       Distribution.approxDistinctWithinTolerance(T(s, dir, "events"),
         col("event_type"), col("user_id"))),
+    "a19_cms_frequency" -> ((s, dir) =>
+      Distribution.cmsFrequencyReport(T(s, dir, "events"), col("event_type"))),
     "a08_describe" -> ((s, dir) =>
       Aggregates.describe(T(s, dir, "events"), col("event_type"), col("value"),
         valueScale = 2)),
@@ -796,6 +799,10 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 === 0),
         col("doc_id"), col("text"))
     }),
+    "x40_budget_select" -> ((s, dir) =>
+      graft.sampling.BudgetSelect.selectUnderBudget(T(s, dir, "documents"),
+        col("doc_id"), TextAnalysis.qualityScore(col("text")),
+        TextAnalysis.tokenCount(col("text")), budget = TokenBudget)),
     "x39_zorder_layout" -> ((s, dir) => {
       val ev = T(s, dir, "events")
       val z = graft.warehouse.Layout.zValue(

@@ -56,4 +56,33 @@ object Distribution {
       .select(key,
         (abs(col("__approx") - col("__exact")) <= col("__exact") * tol)
           .as(outName))
+
+  /** Count-Min-Sketch frequency estimates, tolerance-checked: builds the
+    * sketch with Spark's `count_min_sketch` aggregate (partials merge
+    * associatively — ONE narrow pass over the stream, a sketch-sized
+    * shuffle, exactly how per-key frequencies are estimated at 100 TB
+    * without a per-key aggregate), then probes it per distinct key via
+    * [[graft.plans.Native.cmsEstimate]] and emits the CMS guarantee as a
+    * boolean: `exact <= estimate <= exact + ceil(eps·N)`. Same
+    * tolerance-oracle pattern as the HLL/GK checks (a07/a08): the sketch
+    * VALUE has no cross-engine twin, the PROPERTY does.
+    *
+    * The one `.head()` pulls a single row whose size is a function of
+    * (eps, confidence) only — data-independent, same justification as the
+    * IVF centroid collect — and the sketch re-enters the plan as a
+    * constant.
+    */
+  def cmsFrequencyReport(df: DataFrame, key: Column,
+      eps: Double = 0.01, confidence: Double = 0.99, seed: Int = 42): DataFrame = {
+    val row = df.agg(
+      count_min_sketch(key, lit(eps), lit(confidence), lit(seed)).as("__s"),
+      count(lit(1)).as("__n")).head()
+    val sketch = row.getAs[Array[Byte]](0)
+    val bound = math.ceil(eps * row.getLong(1)).toLong
+    val est = graft.plans.Native.cmsEstimate(col("key"), sketch)
+    df.groupBy(key.as("key")).agg(count(lit(1)).as("n_exact"))
+      .select(col("key"), col("n_exact"),
+        (est >= col("n_exact") && est <= col("n_exact") + lit(bound))
+          .as("within_bound"))
+  }
 }

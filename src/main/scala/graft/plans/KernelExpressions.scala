@@ -412,6 +412,44 @@ case class Int8Codes(child: Expression)
     copy(child = newChild)
 }
 
+/** Point-frequency estimate of a string key from a SERIALIZED Count-Min
+  * sketch carried as a plan constant — the read face of Spark's
+  * `count_min_sketch` aggregate (whose partials merge associatively, which
+  * is the whole 100 TB story: one narrow pass, sketch-sized shuffle).
+  * The sketch rides in the constructor as a `Seq[Byte]` (structural
+  * equality, same rationale as [[NearestCentroids]]) and deserializes
+  * lazily ONCE per executor; the item is probed through the same
+  * UTF8String-bytes path the aggregate used to add it.
+  */
+case class CmsEstimate(child: Expression, sketch: Seq[Byte])
+  extends UnaryExpression {
+
+  @transient private lazy val cms =
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketch.toArray))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cms_estimate requires string, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_estimate"
+
+  override protected def nullSafeEval(v: Any): Any =
+    cms.estimateCount(v.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cms", cms,
+      classOf[org.apache.spark.util.sketch.CountMinSketch].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = $ref.estimateCount($v.getBytes());")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CmsEstimate =
+    copy(child = newChild)
+}
+
 /** Column-API constructors for the kernel expressions. */
 object Native {
   private def C(e: Expression): Column = ColumnBridge.column(e)
@@ -448,4 +486,7 @@ object Native {
   def int8QuantStats(vec: Column): Column = C(Int8QuantStats(E(vec)))
 
   def int8Codes(vec: Column): Column = C(Int8Codes(E(vec)))
+
+  def cmsEstimate(key: Column, sketch: Array[Byte]): Column =
+    C(CmsEstimate(E(key), sketch.toSeq))
 }

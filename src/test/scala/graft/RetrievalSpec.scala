@@ -100,6 +100,50 @@ class RetrievalSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).forall(_ === 256L))
   }
 
+  test("budget select: equals the global-order prefix rule exactly") {
+    val corpus = (1L to 200L).map(i =>
+      (i, (i * 37 % 100).toDouble / 100.0, 10L + i % 7)) // score, tokens
+    val df = corpus.toDF("doc_id", "score", "n_tokens")
+    val got = graft.sampling.BudgetSelect.selectUnderBudget(df,
+        col("doc_id"), col("score"), col("n_tokens"), budget = 800,
+        numBuckets = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    // naive reference: sort by (score desc, id asc), inclusive cumsum
+    var acc = 0L
+    val want = corpus.sortBy { case (id, s, _) => (-s, id) }
+      .map { case (id, _, t) => acc += t; id -> acc }
+      .takeWhile(_._2 <= 800).toMap
+    assert(got === want)
+  }
+
+  test("budget select: ties inside one bucket break on doc_id") {
+    val df = Seq((3L, 0.5, 100L), (1L, 0.5, 100L), (2L, 0.5, 100L))
+      .toDF("doc_id", "score", "n_tokens")
+    val got = graft.sampling.BudgetSelect.selectUnderBudget(df,
+        col("doc_id"), col("score"), col("n_tokens"), budget = 200,
+        numBuckets = 4)
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === Seq(1L, 2L))
+  }
+
+  test("cms frequency: estimates satisfy the bound; tiny key sets are exact") {
+    val ev = (1L to 1000L).map(i => (i, s"type_${i % 5}"))
+      .toDF("event_id", "event_type")
+    val rep = graft.analytics.Distribution
+      .cmsFrequencyReport(ev, col("event_type"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(rep.size === 5)
+    assert(rep.values.forall { case (exact, ok) => exact === 200L && ok })
+    // direct probe: 5 keys in a 200-cell-wide sketch should not collide,
+    // so the estimate is exactly the count
+    val row = ev.agg(count_min_sketch(col("event_type"), lit(0.01),
+      lit(0.99), lit(42)).as("s")).head()
+    val est = ev.select(graft.plans.Native.cmsEstimate(col("event_type"),
+      row.getAs[Array[Byte]](0)).as("e")).distinct().collect()
+    assert(est.map(_.getLong(0)).toSet === Set(200L))
+  }
+
   test("bm25 plan: doc-frequency and corpus stats broadcast, no extra sort") {
     val plan = Bm25.topK(docs, col("doc_id"), col("text"), Seq("spark"), 5)
       .queryExecution.executedPlan.toString
