@@ -135,6 +135,20 @@ object OracleSql {
       | (1.0 - abs((CAST(len(list_filter(toks, w -> list_contains(['the','a','an','of','and','to','in','is'], w))) AS DOUBLE)
       |   / CAST(greatest(len(toks), 1) AS DOUBLE) - 0.4))) * 0.3, 6)""".stripMargin
 
+  /** Shared by x24 (broadcast probe grams) and x41 (bloom pre-filter) —
+    * the two decontamination variants are output-identical by design.
+    */
+  private lazy val DecontaminateSql =
+    s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+       |g AS (SELECT doc_id, ${distinctGramsSql(8)} AS grams FROM t),
+       |b AS (SELECT doc_id, grams, ${bucketSql("doc_id", "probe")} AS bk FROM g),
+       |pg AS (SELECT gram, CAST(count(*) AS BIGINT) AS pdocs FROM (
+       | SELECT doc_id, unnest(grams) AS gram FROM b WHERE bk < 2000) GROUP BY gram),
+       |cg AS (SELECT doc_id, unnest(grams) AS gram FROM b WHERE bk >= 2000)
+       |SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS shared_grams,
+       | CAST(sum(pdocs) AS BIGINT) AS gram_probe_hits
+       |FROM cg JOIN pg ON cg.gram = pg.gram GROUP BY cg.doc_id""".stripMargin
+
   /** DuckDB twin of [[graft.warehouse.Layout.zValue]]: the same
     * bit-interleave terms, generated by the same loop.
     */
@@ -831,16 +845,11 @@ object OracleSql {
       s"""WITH $DecodedFeatures
          |SELECT doc_id, n_frames, CAST(unnest(generate_series(0, n_frames - 1, 5)) AS INTEGER) AS frame_idx
          |FROM dec""".stripMargin,
-    "x24_decontaminate" ->
-      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
-         |g AS (SELECT doc_id, ${distinctGramsSql(8)} AS grams FROM t),
-         |b AS (SELECT doc_id, grams, ${bucketSql("doc_id", "probe")} AS bk FROM g),
-         |pg AS (SELECT gram, CAST(count(*) AS BIGINT) AS pdocs FROM (
-         | SELECT doc_id, unnest(grams) AS gram FROM b WHERE bk < 2000) GROUP BY gram),
-         |cg AS (SELECT doc_id, unnest(grams) AS gram FROM b WHERE bk >= 2000)
-         |SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS shared_grams,
-         | CAST(sum(pdocs) AS BIGINT) AS gram_probe_hits
-         |FROM cg JOIN pg ON cg.gram = pg.gram GROUP BY cg.doc_id""".stripMargin,
+    "x24_decontaminate" -> DecontaminateSql,
+    // the bloom variant's output is EXACTLY the broadcast variant's (the
+    // exact join removes bloom false positives) — same oracle, and the
+    // hash match proves the fpp leakage is fully contained
+    "x41_decontaminate_bloom" -> DecontaminateSql,
     "x25_corpus_shuffle" ->
       s"""WITH h AS (SELECT doc_id, ${hashKeySql("doc_id", "shuffle")} AS hk FROM documents)
          |SELECT doc_id, (hk % ${graft.sampling.Sampling.Buckets}) % 8 AS bucket,

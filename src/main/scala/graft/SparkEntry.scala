@@ -693,6 +693,17 @@ object SparkEntry {
         docs.filter(bk >= 2000), col("doc_id"), col("text"),
         docs.filter(bk < 2000), col("text"), gramWidth = 8)
     }),
+    // same fixture as x24 through the bloom path: probe grams too big to
+    // broadcast at real scale, so they aggregate into a plan-constant
+    // bloom filter probed at the corpus scan; the exact join removes fpp
+    "x41_decontaminate_bloom" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val bk = graft.sampling.Sampling.hashBucket(col("doc_id"), "probe")
+      Decontaminate.contaminationReportBloom(
+        docs.filter(bk >= 2000), col("doc_id"), col("text"),
+        docs.filter(bk < 2000), col("text"),
+        expectedGrams = 100000L, gramWidth = 8)
+    }),
     "x25_corpus_shuffle" -> ((s, dir) =>
       graft.sampling.Sampling.shuffled(
           T(s, dir, "documents").select(col("doc_id")), col("doc_id"),

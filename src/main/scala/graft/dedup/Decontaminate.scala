@@ -48,6 +48,41 @@ object Decontaminate {
         sum(col("probe_docs_for_gram")).as("gram_probe_hits"))
   }
 
+  /** [[contaminationReport]] for probe sets too large to broadcast (a
+    * full eval-suite union can be tens of GB of distinct grams): the probe
+    * gram frame aggregates once into a serialized bloom filter — a
+    * driver-collected, plan-constant artifact like the IVF codebook — and
+    * the corpus gram stream is pre-filtered by `might_contain` AT THE SCAN,
+    * so the equi-join that removes the fpp leakage shuffles only probable
+    * collisions instead of every corpus gram. Output is EXACTLY
+    * [[contaminationReport]]'s (the exact join kills false positives);
+    * only the shuffle volume changes — the same build/probe machinery as
+    * [[graft.plans.BloomJoin]], applied to grams instead of keys.
+    *
+    * `expectedGrams` sizes the filter: overestimate rather than under
+    * (undersizing degrades fpp, never correctness).
+    */
+  def contaminationReportBloom(corpus: DataFrame, corpusId: Column,
+      corpusText: Column, probes: DataFrame, probeText: Column,
+      expectedGrams: Long, gramWidth: Int = 8, fpp: Double = 0.01): DataFrame = {
+    val cg = corpus.select(corpusId.as("doc_id"),
+      explode(Native.shingles(corpusText, gramWidth)).as("gram"))
+    // materialized once (localCheckpoint cuts lineage): the bloom build is
+    // an eager action and the fpp-removal join reads the same frame —
+    // without this the probe shingle pass would run twice
+    val pg = probes
+      .select(explode(Native.shingles(probeText, gramWidth)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("probe_docs_for_gram"))
+      .localCheckpoint(true)
+    val bloom = graft.plans.BloomJoin.keyBloom(pg, col("gram"), expectedGrams, fpp)
+    cg.filter(graft.plans.BloomJoin.mightContain(bloom, col("gram")))
+      .join(pg, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("shared_grams"),
+        sum(col("probe_docs_for_gram")).as("gram_probe_hits"))
+  }
+
   /** Corpus minus every doc sharing ≥ `minSharedGrams` distinct grams with
     * the probe set (1 = strict: any collision drops the doc).
     */

@@ -144,6 +144,38 @@ class RetrievalSpec extends SparkSpec {
     assert(est.map(_.getLong(0)).toSet === Set(200L))
   }
 
+  test("bloom decontamination equals the broadcast variant row-for-row") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "totally unrelated words that never collide with anything here")
+    ).toDF("doc_id", "text")
+    val probes = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (101L, "one two three four five six seven eight nine ten more")
+    ).toDF("doc_id", "text")
+    import graft.dedup.Decontaminate
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val broad = canon(Decontaminate.contaminationReport(
+      corpus, col("doc_id"), col("text"), probes, col("text"), gramWidth = 8))
+    val bloom = canon(Decontaminate.contaminationReportBloom(
+      corpus, col("doc_id"), col("text"), probes, col("text"),
+      expectedGrams = 1000L, gramWidth = 8))
+    assert(broad === bloom)
+    assert(broad.map(_._1) === Set(1L, 2L), "doc 3 shares no 8-gram")
+  }
+
+  test("bloom decontamination plan: might_contain probes below the join") {
+    val corpus = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val plan = graft.dedup.Decontaminate.contaminationReportBloom(
+        corpus, col("doc_id"), col("text"), corpus, col("text"),
+        expectedGrams = 100L, gramWidth = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      "bloom probe must appear in the physical plan")
+  }
+
   test("bm25 plan: doc-frequency and corpus stats broadcast, no extra sort") {
     val plan = Bm25.topK(docs, col("doc_id"), col("text"), Seq("spark"), 5)
       .queryExecution.executedPlan.toString

@@ -115,4 +115,32 @@ class ScaleGrowthSpec extends SparkSpec {
     assert(small > 0, "listener captured no shuffle writes")
     assert(g < 20.0, s"sessionize shuffle grew ${g}x for 10x input ($small -> $large)")
   }
+
+  test("bm25 shuffle bytes grow ~linearly from 1x to 10x docs") {
+    def bm25(n: Int): DataFrame =
+      graft.text.Bm25.topK(docs(n), col("doc_id"), col("text"),
+        Seq("w1", "w17", "w399"), k = 20)
+    val small = shuffleBytes(run(bm25(500)))
+    val large = shuffleBytes(run(bm25(5000)))
+    val g = growth(small, large)
+    assert(small > 0, "listener captured no shuffle writes")
+    // the shuffled frame is (matching doc, query term) counts — linear in
+    // docs; the failure mode guarded is the full-vocabulary shuffle
+    assert(g < 20.0, s"bm25 shuffle grew ${g}x for 10x input ($small -> $large)")
+  }
+
+  test("budget select shuffle bytes grow ~linearly from 1x to 10x docs") {
+    def sel(n: Int): DataFrame =
+      graft.sampling.BudgetSelect.selectUnderBudget(docs(n),
+        col("doc_id"), graft.text.TextAnalysis.qualityScore(col("text")),
+        graft.text.TextAnalysis.tokenCount(col("text")),
+        budget = n * 10L, numBuckets = 64)
+    val small = shuffleBytes(run(sel(500)))
+    val large = shuffleBytes(run(sel(5000)))
+    val g = growth(small, large)
+    assert(small > 0, "listener captured no shuffle writes")
+    // two bucket-keyed exchanges (per-bucket totals + the window); the
+    // guarded failure is a global-sort single-partition cumsum
+    assert(g < 20.0, s"budget-select shuffle grew ${g}x for 10x input ($small -> $large)")
+  }
 }
