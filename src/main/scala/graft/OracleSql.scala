@@ -796,6 +796,33 @@ object OracleSql {
          |r AS (SELECT vec_id, cid AS centroid_id, CAST(row_number() OVER (
          |  PARTITION BY cid ORDER BY hk, vec_id) AS INTEGER) AS rank FROM h)
          |SELECT vec_id, centroid_id, rank FROM r WHERE rank <= 10""".stripMargin,
+    // d2 mirrors the encode kernel's left-to-right fold (list_reduce with
+    // a 0.0 seed = the kernel's acc loop, bit-identical); codes pick the
+    // min-distance centroid with cid ties ascending (kernel: strict <
+    // over ids sorted asc); ADC re-folds the query-side distances in
+    // subspace order; ranks order by the ROUNDED distance as the Spark
+    // side feeds -round(adc, 6) to its bounded-heap top-k
+    "x43_pq_adc" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id % 50 = 0),
+        |d2 AS (SELECT v.vec_id, c.cid, CAST(r.range AS INTEGER) AS s,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 9),
+        |    j -> (v.ve[CAST(r.range * 8 + j AS INTEGER)] - c.cv[CAST(r.range * 8 + j AS INTEGER)])
+        |       * (v.ve[CAST(r.range * 8 + j AS INTEGER)] - c.cv[CAST(r.range * 8 + j AS INTEGER)]))),
+        |    (a, b) -> a + b) AS dist
+        | FROM v CROSS JOIN cent c CROSS JOIN range(0, 8) r),
+        |codes AS (SELECT vec_id, s, cid AS code FROM (
+        |  SELECT vec_id, s, cid, row_number() OVER (
+        |    PARTITION BY vec_id, s ORDER BY dist ASC, cid ASC) AS rn FROM d2) WHERE rn = 1),
+        |adc AS (SELECT qd.vec_id AS query_id, c2.vec_id AS neighbor_id,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(qd.dist ORDER BY qd.s)), (a, b) -> a + b) AS adist
+        | FROM codes c2 JOIN d2 qd ON qd.cid = c2.code AND qd.s = c2.s
+        | WHERE qd.vec_id IN (0, 1) AND c2.vec_id <> qd.vec_id
+        | GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, round(adist, 6) AS adc_dist,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY round(adist, 6) ASC, neighbor_id ASC) AS INTEGER) AS rnk FROM adc)
+        |SELECT query_id, neighbor_id, adc_dist, rnk FROM r WHERE rnk <= 5""".stripMargin,
     "x10_lsh_bucket" ->
       s"""SELECT vec_id, CAST(${bucketExpr(Planes8, "ve")} AS BIGINT) AS bucket
          |FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
@@ -1090,6 +1117,21 @@ object OracleSql {
          |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM q)
          |SELECT doc_id, score, n_tokens, cum_tokens
          |FROM c WHERE cum_tokens <= ${SparkEntry.TokenBudget}""".stripMargin,
+    // DuckDB list slice l[a:b] is 1-based end-inclusive and clamps at the
+    // list end, matching Spark's slice(arr, start, length) tail behavior;
+    // generate_series(0, n-1, stride) gives the same window starts and
+    // unnest-with-ordinality the same 0-based chunk index
+    "x42_chunk_windows" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |w AS (SELECT doc_id, toks, CAST(len(toks) AS INTEGER) AS n,
+         |  unnest(generate_series(0, len(toks) - 1, 24)) AS s,
+         |  CAST(generate_subscripts(generate_series(0, len(toks) - 1, 24), 1) - 1
+         |    AS INTEGER) AS chunk_idx
+         | FROM t)
+         |SELECT doc_id, chunk_idx,
+         | array_to_string(toks[CAST(s + 1 AS INTEGER):CAST(s + 32 AS INTEGER)], ' ') AS chunk_text,
+         | least(32, n - CAST(s AS INTEGER)) AS n_chunk_tokens
+         |FROM w""".stripMargin,
     // bit-interleave generated from the same Scala loop as the Spark
     // column — integer adds/shifts, so association order is irrelevant
     "x39_zorder_layout" ->

@@ -607,6 +607,15 @@ object SparkEntry {
       }
       recallOf(1).unionByName(recallOf(2))
     }),
+    // PQ index build + ADC search: codes against the deterministic seed
+    // codebook (vec_id % 50), then asymmetric-distance top-5 for two probe
+    // queries — the compressed-index face of the ANN tier (brute force →
+    // IVF → PQ)
+    "x43_pq_adc" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.pqAdcKnn(emb, emb.filter(col("vec_id") % 50 === 0),
+        queryIds = Seq(0L, 1L), m = 8, k = 5)
+    }),
     "x16_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(T(s, dir, "documents"), col("doc_id"), col("text"),
         maxHamming = 2)),
@@ -810,6 +819,9 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 === 0),
         col("doc_id"), col("text"))
     }),
+    "x42_chunk_windows" -> ((s, dir) =>
+      graft.text.Chunking.slidingChunks(T(s, dir, "documents"),
+        col("doc_id"), col("text"), chunkTokens = 32, strideTokens = 24)),
     "x40_budget_select" -> ((s, dir) =>
       graft.sampling.BudgetSelect.selectUnderBudget(T(s, dir, "documents"),
         col("doc_id"), TextAnalysis.qualityScore(col("text")),

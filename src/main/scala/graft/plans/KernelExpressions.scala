@@ -412,6 +412,83 @@ case class Int8Codes(child: Expression)
     copy(child = newChild)
 }
 
+/** Product-quantization codes of a numeric-array column against a
+  * plan-constant codebook (`Seq` fields for structural equality, same
+  * rationale as [[NearestCentroids]]): `m` code ids per vector, one per
+  * contiguous subspace. See [[Kernels.pqEncode]].
+  */
+case class PqEncode(child: Expression, ids: Seq[Long],
+    cents: Seq[Seq[Double]], m: Int)
+  extends UnaryExpression with KernelCodegenHelpers {
+
+  require(m >= 1, "m must be positive")
+
+  @transient private lazy val idsArr: Array[Long] = ids.toArray
+  @transient private lazy val centsArr: Array[Array[Double]] = cents.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (vecTypeOk(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pq_encode requires array<float|double>, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.pqEncode(v.asInstanceOf[ArrayData], idsArr, centsArr, m, isFloatArr(child))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("pqIds", idsArr, "long[]")
+    val centsRef = ctx.addReferenceObj("pqCents", centsArr, "double[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = $KernelsCls.pqEncode($v, $idsRef, $centsRef, $m, ${isFloatArr(child)});")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** Asymmetric-distance (ADC) scan: approximate query↔row squared L2 from
+  * a row's PQ codes and a plan-constant per-query distance table. See
+  * [[Kernels.pqAdc]].
+  */
+case class PqAdc(child: Expression, ids: Seq[Long], table: Seq[Seq[Double]])
+  extends UnaryExpression {
+
+  private val KernelsCls = Kernels.getClass.getName.stripSuffix("$")
+
+  @transient private lazy val idsArr: Array[Long] = ids.toArray
+  @transient private lazy val tableArr: Array[Array[Double]] = table.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc requires array<bigint> codes, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_adc"
+
+  override protected def nullSafeEval(codes: Any): Any =
+    Kernels.pqAdc(codes.asInstanceOf[ArrayData], idsArr, tableArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("adcIds", idsArr, "long[]")
+    val tableRef = ctx.addReferenceObj("adcTable", tableArr, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val tmp = ctx.freshName("adc")
+      s"""
+         |java.lang.Double $tmp = $KernelsCls.pqAdc($v, $idsRef, $tableRef);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqAdc =
+    copy(child = newChild)
+}
+
 /** Point-frequency estimate of a string key from a SERIALIZED Count-Min
   * sketch carried as a plan constant — the read face of Spark's
   * `count_min_sketch` aggregate (whose partials merge associatively, which
@@ -489,4 +566,11 @@ object Native {
 
   def cmsEstimate(key: Column, sketch: Array[Byte]): Column =
     C(CmsEstimate(E(key), sketch.toSeq))
+
+  def pqEncode(vec: Column, ids: Array[Long], cents: Array[Array[Double]],
+      m: Int): Column =
+    C(PqEncode(E(vec), ids.toSeq, cents.map(_.toSeq).toSeq, m))
+
+  def pqAdc(codes: Column, ids: Array[Long], table: Array[Array[Double]]): Column =
+    C(PqAdc(E(codes), ids.toSeq, table.map(_.toSeq).toSeq))
 }

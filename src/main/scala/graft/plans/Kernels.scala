@@ -383,4 +383,85 @@ object Kernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Product-quantization codes: split `v` into `m` contiguous subspaces
+    * and emit, per subspace, the id of the centroid whose matching
+    * subvector minimizes squared L2 distance (strict `<` with ids sorted
+    * ascending → ties keep the lowest id). Distances accumulate
+    * left-to-right as `d = x − y; s += d·d`, the order the DuckDB oracle
+    * mirrors. Dimension mismatches throw (same fail-fast contract as
+    * [[nearestCentroids]]); null elements read as NaN, whose distances
+    * never win, matching the centroid-assignment convention.
+    */
+  def pqEncode(v: ArrayData, ids: Array[Long], cents: Array[Array[Double]],
+      m: Int, isFloat: Boolean): ArrayData = {
+    val dim = v.numElements()
+    if (dim % m != 0)
+      throw new IllegalArgumentException(
+        s"pq_encode: dimension $dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    val vd = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      vd(i) = if (v.isNullAt(i)) Double.NaN else elem(v, i, isFloat)
+      i += 1
+    }
+    val codes = new Array[Long](m)
+    var s = 0
+    while (s < m) {
+      var best = -1
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < ids.length) {
+        val cv = cents(c)
+        if (cv.length != dim)
+          throw new IllegalArgumentException(
+            s"pq_encode: vector dimension $dim does not match " +
+              s"centroid ${ids(c)} dimension ${cv.length}")
+        var d2 = 0.0
+        var j = s * sub
+        val hi = (s + 1) * sub
+        while (j < hi) {
+          val d = vd(j) - cv(j)
+          d2 = d2 + d * d
+          j += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = c }
+        c += 1
+      }
+      if (best < 0)
+        throw new IllegalArgumentException(
+          s"pq_encode: no finite distance in subspace $s (all-NaN input?)")
+      codes(s) = ids(best)
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  /** Asymmetric-distance (ADC) lookup: given a row's PQ `codes` and a
+    * QUERY-side distance table (`table(s)(ordinal)` = squared L2 between
+    * the query's subvector `s` and centroid `ordinal`'s), returns the sum
+    * over subspaces in subspace order — the approximate query↔row squared
+    * distance without touching the row's original vector. Unknown code
+    * ids throw (a code not in the codebook is a pipeline bug, not data).
+    */
+  def pqAdc(codes: ArrayData, ids: Array[Long],
+      table: Array[Array[Double]]): java.lang.Double = {
+    val m = codes.numElements()
+    if (table.length != m)
+      throw new IllegalArgumentException(
+        s"pq_adc: ${table.length}-subspace table vs $m-code row")
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      if (codes.isNullAt(s)) return null
+      val ord = java.util.Arrays.binarySearch(ids, codes.getLong(s))
+      if (ord < 0)
+        throw new IllegalArgumentException(
+          s"pq_adc: code ${codes.getLong(s)} not in the codebook")
+      acc = acc + table(s)(ord)
+      s += 1
+    }
+    acc
+  }
 }

@@ -164,6 +164,69 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Product-quantization codes: `m` centroid ids per vector (one per
+    * contiguous subspace), against a plan-constant codebook — the PQ
+    * INDEX-BUILD step. Codes are 8 longs where the vector was 64 floats:
+    * the compressed representation ADC search scans instead of raw
+    * embeddings. Pure narrow projection (fused codegen kernel, no
+    * shuffle).
+    */
+  def pqCodes(corpus: DataFrame, centroids: DataFrame, m: Int): DataFrame = {
+    val cents = collectCentroids(centroids)
+    corpus.select(col("vec_id"),
+      Native.pqEncode(col("embedding"), cents._1, cents._2, m).as("codes"))
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k search: per query, squared-L2
+    * lookup tables against every centroid subvector are computed
+    * driver-side (m × |codebook| doubles — model-sized) and swept over the
+    * CODES frame by the `pq_adc` kernel; the raw embedding column is never
+    * touched after the one-time encode. The codes frame localCheckpoints
+    * first — that is the PQ index build; each query then costs one
+    * codes-frame scan + the bounded-heap top-k merge ([[topKPerQuery]]'s
+    * aggregate), never a distance matrix. Ordering on the ROUNDED distance
+    * with neighbor-id ties, so ranks are engine-reproducible.
+    */
+  def pqAdcKnn(corpus: DataFrame, centroids: DataFrame, queryIds: Seq[Long],
+      m: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val cents = collectCentroids(centroids)
+    val (ids, cvecs) = cents
+    val dim = cvecs.head.length
+    require(dim % m == 0, s"dimension $dim not divisible by m=$m")
+    val sub = dim / m
+    val codes = pqCodes(corpus, centroids, m).localCheckpoint(true)
+    val qs = corpus.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").cast("long"), asDouble(col("embedding")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(qs.nonEmpty, "pqAdcKnn needs at least one query vector")
+    val scored = qs.map { case (qid, qv) =>
+      require(qv.length == dim, s"query $qid dimension ${qv.length} != $dim")
+      // same accumulation order as the encode kernel: d = x−y; acc += d·d
+      val table = Array.tabulate(m) { s =>
+        Array.tabulate(ids.length) { c =>
+          var d2 = 0.0
+          var j = s * sub
+          val hi = (s + 1) * sub
+          while (j < hi) { val d = qv(j) - cvecs(c)(j); d2 = d2 + d * d; j += 1 }
+          d2
+        }
+      }
+      codes.filter(col("vec_id") =!= qid)
+        .select(lit(qid).as("query_id"), col("vec_id").as("neighbor_id"),
+          round(Native.pqAdc(col("codes"), ids, table), 6).as("adc"))
+    }.reduce(_.unionByName(_))
+    val agg = graft.plans.TopKByScore(
+      ColumnBridge.expression(-col("adc")),
+      ColumnBridge.expression(col("neighbor_id")), k)
+    scored.groupBy(col("query_id"))
+      .agg(ColumnBridge.column(agg.toAggregateExpression()).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").as("neighbor_id"),
+        (-col("t.score")).as("adc_dist"), (col("pos") + 1).cast("int").as("rnk"))
+  }
+
   /** One Lloyd (k-means) iteration over the corpus — the codebook-training
     * step that turns the ad-hoc IVF centroid seed into a real quantizer
     * (recall at fixed nprobe rises with trained centroids). Assignment is

@@ -144,6 +144,17 @@ class RetrievalSpec extends SparkSpec {
     assert(est.map(_.getLong(0)).toSet === Set(200L))
   }
 
+  test("chunking: full coverage, stride overlap, short tail window") {
+    val df = Seq((7L, "a b c d e f g")).toDF("doc_id", "text")
+    val out = graft.text.Chunking.slidingChunks(df, col("doc_id"),
+        col("text"), chunkTokens = 4, strideTokens = 3)
+      .orderBy("chunk_idx")
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(out.toSeq === Seq((0, "a b c d", 4), (1, "d e f g", 4), (2, "g", 1)))
+    // every token appears in at least one window
+    assert(out.flatMap(_._2.split(" ")).toSet === Set("a", "b", "c", "d", "e", "f", "g"))
+  }
+
   test("bloom decontamination equals the broadcast variant row-for-row") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),

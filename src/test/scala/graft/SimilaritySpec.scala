@@ -159,6 +159,49 @@ class SimilaritySpec extends SparkSpec {
         .exists(_.contains("does not match")))
   }
 
+  test("pq codes: per-subspace argmin with low-id ties, narrow plan") {
+    // 4-dim vectors, m=2 -> subspaces (d0,d1) and (d2,d3); centroids 10/20
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 1.0f)), // sub0 -> c10, sub1 -> c20
+      (2L, Array(0.0f, 1.0f, 1.0f, 0.0f)), // sub0 -> c20, sub1 -> c10
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f))  // equidistant -> lowest id both
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(
+      (10L, Array(1.0f, 0.0f, 1.0f, 0.0f)),
+      (20L, Array(0.0f, 1.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val codes = Similarity.pqCodes(corpus, cents, m = 2)
+    val got = codes.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(got(1L) === Seq(10L, 20L))
+    assert(got(2L) === Seq(20L, 10L))
+    assert(got(3L) === Seq(10L, 10L), "exact ties keep the lowest id")
+    assert(!codes.queryExecution.executedPlan.toString.contains("Exchange"),
+      "index build must be a narrow projection")
+  }
+
+  test("pq adc: exact squared L2 when the row's subvectors are centroids") {
+    // corpus rows ARE codebook entries -> reconstruction is lossless and
+    // ADC equals the true squared distance to the query
+    val cents = Seq(
+      (10L, Array(1.0f, 0.0f, 1.0f, 0.0f)),
+      (20L, Array(0.0f, 1.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (0L, Array(0.5f, 0.5f, 0.5f, 0.5f)), // the query (not a centroid)
+      (10L, Array(1.0f, 0.0f, 1.0f, 0.0f)),
+      (20L, Array(0.0f, 1.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.pqAdcKnn(corpus, cents, queryIds = Seq(0L),
+        m = 2, k = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(_._3)
+    // true squared L2 from (.5,.5,.5,.5) to either centroid = 4 * 0.25 = 1
+    assert(out.map(_._1).toSet === Set(10L, 20L))
+    assert(out.forall(t => math.abs(t._2 - 1.0) < 1e-9))
+    assert(out.map(_._3).toSeq === Seq(1, 2))
+  }
+
   test("hyperplane bucket is deterministic and equal for identical vectors") {
     val planes = Similarity.deterministicPlanes(4, 3)
     val b = vecs.select(col("vec_id"),
