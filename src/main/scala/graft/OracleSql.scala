@@ -823,6 +823,41 @@ object OracleSql {
         |  CAST(row_number() OVER (PARTITION BY query_id
         |    ORDER BY round(adist, 6) ASC, neighbor_id ASC) AS INTEGER) AS rnk FROM adc)
         |SELECT query_id, neighbor_id, adc_dist, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    // x09's coarse assignment/probe chain composed with x43's code/ADC
+    // chain: candidates = vectors whose coarse list is among the query's
+    // nprobe=2 probed lists, scored by ADC over their PQ codes
+    "x44_ivfpq" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id % 50 = 0),
+         |rnks AS (SELECT v.vec_id, c.cid,
+         |  row_number() OVER (PARTITION BY v.vec_id
+         |   ORDER BY ${cosineSql("v.ve", "c.cv")} DESC, c.cid) AS rn
+         | FROM v CROSS JOIN cent c),
+         |asg AS (SELECT vec_id, cid FROM rnks WHERE rn = 1),
+         |probes AS (SELECT vec_id AS qid, cid FROM rnks
+         | WHERE rn <= 2 AND vec_id IN (0, 1)),
+         |d2 AS (SELECT v.vec_id, c.cid, CAST(r.range AS INTEGER) AS s,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 9),
+         |    j -> (v.ve[CAST(r.range * 8 + j AS INTEGER)] - c.cv[CAST(r.range * 8 + j AS INTEGER)])
+         |       * (v.ve[CAST(r.range * 8 + j AS INTEGER)] - c.cv[CAST(r.range * 8 + j AS INTEGER)]))),
+         |    (a, b) -> a + b) AS dist
+         | FROM v CROSS JOIN cent c CROSS JOIN range(0, 8) r),
+         |codes AS (SELECT vec_id, s, cid AS code FROM (
+         |  SELECT vec_id, s, cid, row_number() OVER (
+         |    PARTITION BY vec_id, s ORDER BY dist ASC, cid ASC) AS rn FROM d2) WHERE rn = 1),
+         |cand AS (SELECT p.qid AS query_id, a.vec_id AS neighbor_id
+         | FROM probes p JOIN asg a ON a.cid = p.cid
+         | WHERE a.vec_id <> p.qid),
+         |adc AS (SELECT ca.query_id, ca.neighbor_id,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(qd.dist ORDER BY qd.s)), (a, b) -> a + b) AS adist
+         | FROM cand ca
+         | JOIN codes c2 ON c2.vec_id = ca.neighbor_id
+         | JOIN d2 qd ON qd.vec_id = ca.query_id AND qd.cid = c2.code AND qd.s = c2.s
+         | GROUP BY 1, 2),
+         |r AS (SELECT query_id, neighbor_id, round(adist, 6) AS adc_dist,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY round(adist, 6) ASC, neighbor_id ASC) AS INTEGER) AS rnk FROM adc)
+         |SELECT query_id, neighbor_id, adc_dist, rnk FROM r WHERE rnk <= 5""".stripMargin,
     "x10_lsh_bucket" ->
       s"""SELECT vec_id, CAST(${bucketExpr(Planes8, "ve")} AS BIGINT) AS bucket
          |FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
@@ -1119,16 +1154,16 @@ object OracleSql {
          |FROM c WHERE cum_tokens <= ${SparkEntry.TokenBudget}""".stripMargin,
     // DuckDB list slice l[a:b] is 1-based end-inclusive and clamps at the
     // list end, matching Spark's slice(arr, start, length) tail behavior;
-    // generate_series(0, n-1, stride) gives the same window starts and
-    // unnest-with-ordinality the same 0-based chunk index
+    // generate_series(0, n-1, stride) gives the same window starts, and
+    // the parallel unnest of range(0, #starts) zips the same 0-based
+    // chunk index (the x34 zip pattern)
     "x42_chunk_windows" ->
       s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
          |w AS (SELECT doc_id, toks, CAST(len(toks) AS INTEGER) AS n,
          |  unnest(generate_series(0, len(toks) - 1, 24)) AS s,
-         |  CAST(generate_subscripts(generate_series(0, len(toks) - 1, 24), 1) - 1
-         |    AS INTEGER) AS chunk_idx
+         |  unnest(range(0, len(generate_series(0, len(toks) - 1, 24)))) AS ci
          | FROM t)
-         |SELECT doc_id, chunk_idx,
+         |SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
          | array_to_string(toks[CAST(s + 1 AS INTEGER):CAST(s + 32 AS INTEGER)], ' ') AS chunk_text,
          | least(32, n - CAST(s AS INTEGER)) AS n_chunk_tokens
          |FROM w""".stripMargin,

@@ -616,6 +616,14 @@ object SparkEntry {
       Similarity.pqAdcKnn(emb, emb.filter(col("vec_id") % 50 === 0),
         queryIds = Seq(0L, 1L), m = 8, k = 5)
     }),
+    // IVF+PQ composed: coarse probe (nprobe=2 cosine lists) + ADC over
+    // the compressed codes of just those lists — the FAISS-style
+    // architecture assembled from the oracled x09 + x43 pieces
+    "x44_ivfpq" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.ivfPqKnn(emb, emb.filter(col("vec_id") % 50 === 0),
+        queryIds = Seq(0L, 1L), m = 8, k = 5, nprobe = 2)
+    }),
     "x16_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(T(s, dir, "documents"), col("doc_id"), col("text"),
         maxHamming = 2)),

@@ -227,6 +227,63 @@ object Similarity {
         (-col("t.score")).as("adc_dist"), (col("pos") + 1).cast("int").as("rnk"))
   }
 
+  /** IVF+PQ search — the standard large-corpus ANN architecture (coarse
+    * inverted lists + compressed residual-free codes): the index is ONE
+    * narrow projection emitting each vector's coarse cluster (nearest
+    * centroid by round-6 cosine) AND its PQ codes, localCheckpointed once;
+    * a query probes its `nprobe` nearest clusters and ADC-scans only those
+    * lists' codes. Search cost scales with nprobe/|clusters| of the codes
+    * frame — at 100 TB the raw embeddings are touched exactly once (index
+    * build), every query after that reads 8 longs per candidate.
+    */
+  def ivfPqKnn(corpus: DataFrame, centroids: DataFrame, queryIds: Seq[Long],
+      m: Int, k: Int, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val cents = collectCentroids(centroids)
+    val (ids, cvecs) = cents
+    val dim = cvecs.head.length
+    require(dim % m == 0, s"dimension $dim not divisible by m=$m")
+    val sub = dim / m
+    // the IVF-PQ index: (id, coarse list, codes) — embeddings read once
+    val index = corpus.select(col("vec_id"),
+        element_at(Native.nearestCentroids(col("embedding"), ids, cvecs, 1), 1)
+          .as("cid"),
+        Native.pqEncode(col("embedding"), ids, cvecs, m).as("codes"))
+      .localCheckpoint(true)
+    // per-query probe lists (tiny job: |queries| rows)
+    val probed = corpus.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").cast("long"),
+        Native.nearestCentroids(col("embedding"), ids, cvecs, nprobe),
+        asDouble(col("embedding")))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Double](2).toArray))
+      .sortBy(_._1)
+    require(probed.nonEmpty, "ivfPqKnn needs at least one query vector")
+    val scored = probed.map { case (qid, lists, qv) =>
+      require(qv.length == dim, s"query $qid dimension ${qv.length} != $dim")
+      val table = Array.tabulate(m) { s =>
+        Array.tabulate(ids.length) { c =>
+          var d2 = 0.0
+          var j = s * sub
+          val hi = (s + 1) * sub
+          while (j < hi) { val d = qv(j) - cvecs(c)(j); d2 = d2 + d * d; j += 1 }
+          d2
+        }
+      }
+      index.filter(col("cid").isInCollection(lists) && col("vec_id") =!= qid)
+        .select(lit(qid).as("query_id"), col("vec_id").as("neighbor_id"),
+          round(Native.pqAdc(col("codes"), ids, table), 6).as("adc"))
+    }.reduce(_.unionByName(_))
+    val agg = graft.plans.TopKByScore(
+      ColumnBridge.expression(-col("adc")),
+      ColumnBridge.expression(col("neighbor_id")), k)
+    scored.groupBy(col("query_id"))
+      .agg(ColumnBridge.column(agg.toAggregateExpression()).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").as("neighbor_id"),
+        (-col("t.score")).as("adc_dist"), (col("pos") + 1).cast("int").as("rnk"))
+  }
+
   /** One Lloyd (k-means) iteration over the corpus — the codebook-training
     * step that turns the ad-hoc IVF centroid seed into a real quantizer
     * (recall at fixed nprobe rises with trained centroids). Assignment is

@@ -202,6 +202,21 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_._3).toSeq === Seq(1, 2))
   }
 
+  test("ivfPqKnn with full probe equals plain ADC search") {
+    val corpus = (0L until 60L).map(i =>
+      (i, Array.tabulate(8)(d => (math.sin(i * 0.7 + d) * 2).toFloat)))
+      .toDF("vec_id", "embedding").repartition(5)
+    val cents = corpus.filter(col("vec_id") % 15 === 0) // 4 coarse lists
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).sortBy(t => (t._1, t._4)).toSeq
+    val full = canon(Similarity.ivfPqKnn(corpus, cents, Seq(0L, 7L),
+      m = 4, k = 5, nprobe = 4))
+    val plain = canon(Similarity.pqAdcKnn(corpus, cents, Seq(0L, 7L),
+      m = 4, k = 5))
+    assert(full === plain, "probing every list must equal the full ADC scan")
+  }
+
   test("hyperplane bucket is deterministic and equal for identical vectors") {
     val planes = Similarity.deterministicPlanes(4, 3)
     val b = vecs.select(col("vec_id"),
