@@ -58,4 +58,52 @@ class PropertySpec extends SparkSpec {
         assert(r.getDouble(0) >= 0.05)
       }
   }
+
+  test("zValue is a bijection: deinterleaving recovers both inputs") {
+    val rnd = new scala.util.Random(13)
+    val pts = Seq.fill(300)((rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong))
+    val out = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.warehouse.Layout.zValue(col("x"), col("y"), bits = 16).as("z"))
+      .collect()
+    out.foreach { r =>
+      val (x, y, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      var (dx, dy) = (0L, 0L)
+      (0 until 16).foreach { i =>
+        dx |= ((z >> (2 * i)) & 1L) << i
+        dy |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      assert(dx === x && dy === y, s"z=$z decoded to ($dx,$dy), not ($x,$y)")
+    }
+  }
+
+  test("zValue preserves locality: moving one unit moves z within its quad") {
+    // property actually used for pruning: the top 2k bits of z define a
+    // 2^(bits-k)-square cell, so points in the same cell share a bucket
+    val rnd = new scala.util.Random(29)
+    val pts = Seq.fill(200)((rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
+    pts.toDF("x", "y").select(
+        graft.warehouse.Layout.zBucket(
+          graft.warehouse.Layout.zValue(col("x"), col("y"), 10), 10, 16).as("b"),
+        graft.warehouse.Layout.zBucket(
+          graft.warehouse.Layout.zValue((col("x") / 256).cast("long"),
+            (col("y") / 256).cast("long"), 2), 2, 16).as("cell"))
+      .collect().foreach { r =>
+        assert(r.getLong(0) === r.getLong(1),
+          "bucket must equal the coarse cell id of the point's quadrant")
+      }
+  }
+
+  test("budget selection is monotone: a bigger budget keeps a superset") {
+    val rnd = new scala.util.Random(7)
+    val docs = Seq.tabulate(300)(i => (i.toLong, rnd.nextDouble(), 5L + rnd.nextInt(20)))
+      .toDF("doc_id", "score", "n_tokens")
+    def sel(b: Long) = graft.sampling.BudgetSelect.selectUnderBudget(docs,
+        col("doc_id"), col("score"), col("n_tokens"), budget = b, numBuckets = 32)
+      .collect().map(_.getLong(0)).toSet
+    val small = sel(500)
+    val big = sel(2000)
+    assert(small.subsetOf(big), "growing the budget must never drop a doc")
+    assert(big.size > small.size)
+  }
 }
