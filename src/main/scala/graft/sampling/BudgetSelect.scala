@@ -45,8 +45,13 @@ object BudgetSelect {
       tokens: Column, budget: Long, numBuckets: Int = 1024): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
+    // materialized once: (id, score, tokens) is ~24 bytes/row — far
+    // smaller than the text it derives from — and three passes read it
+    // (min/max, per-bucket totals, the final join+window); without the
+    // checkpoint each pass would re-run the scoring/tokenize expressions
+    // over the full corpus
     val base = df.select(id.as("doc_id"), score.as("score"),
-      tokens.cast("long").as("n_tokens"))
+      tokens.cast("long").as("n_tokens")).localCheckpoint(true)
     val Seq(lo, hi) = {
       val r = base.agg(min(col("score")), max(col("score"))).head()
       Seq(r.getDouble(0), r.getDouble(1))

@@ -35,7 +35,11 @@ object Importance {
       explode(TextAnalysis.tokens(text)).as("term"))
     val tokT = target.select(explode(TextAnalysis.tokens(text)).as("term"))
     val freqS = tokS.groupBy(col("term")).agg(count(lit(1)).as("__cs"))
+    // materialized once: the vocabulary frame feeds both the scalar
+    // totals and the broadcast join — without this the target corpus
+    // would tokenize twice
     val freqT = tokT.groupBy(col("term")).agg(count(lit(1)).as("__ct"))
+      .localCheckpoint(true)
     // smoothing denominator constants: source vocab size (one row each)
     val scal = freqS.agg(sum(col("__cs")).as("__ts"),
         count(lit(1)).as("__v"))

@@ -170,6 +170,13 @@ object Similarity {
     * the compressed representation ADC search scans instead of raw
     * embeddings. Pure narrow projection (fused codegen kernel, no
     * shuffle).
+    *
+    * The codebook is whatever `centroids` frame is passed — harness
+    * queries use the deterministic seed set so the DuckDB oracle can
+    * re-derive it; production pipelines pass [[trainCodebook]]'s output
+    * (or, for per-subspace codebooks à la FAISS, run [[kmeansStep]] on
+    * sliced subvector frames and concatenate — same kernel, better
+    * distortion).
     */
   def pqCodes(corpus: DataFrame, centroids: DataFrame, m: Int): DataFrame = {
     val cents = collectCentroids(centroids)
