@@ -1104,6 +1104,35 @@ object OracleSql {
          | CAST(count(*) AS BIGINT) AS n_matched
          |FROM sc GROUP BY doc_id
          |ORDER BY score DESC, doc_id ASC LIMIT 25""".stripMargin,
+    // same scoring tree as x36 with a query TABLE: distinct (query, term)
+    // pairs join the token stream; df stays corpus-wide per term
+    "x45_bm25_batch" ->
+      s"""WITH q AS (SELECT CAST(query_id AS BIGINT) AS query_id, query_text
+         | FROM (VALUES (1, 'vector hash'), (2, 'stream merge sort'))
+         |  AS q(query_id, query_text)),
+         |qt AS (SELECT DISTINCT query_id,
+         |  unnest(string_split_regex(trim(lower(query_text)), '\\s+')) AS term FROM q),
+         |t AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS doc_len,
+         |  unnest(toks) AS term FROM (SELECT doc_id, $Toks AS toks FROM documents)),
+         |tc AS (SELECT qt.query_id, t.doc_id, t.doc_len, t.term,
+         |  CAST(count(*) AS BIGINT) AS cnt
+         | FROM t JOIN qt USING (term) GROUP BY 1, 2, 3, 4),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  avg(CAST(len($Toks) AS INTEGER)) AS avgdl FROM documents),
+         |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS dfreq FROM (
+         |  SELECT DISTINCT doc_id, term FROM tc) GROUP BY term),
+         |sc AS (SELECT tc.query_id, tc.doc_id,
+         |  ln(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(dfq.dfreq AS DOUBLE) + 0.5) /
+         |    (CAST(dfq.dfreq AS DOUBLE) + 0.5)) *
+         |  ((CAST(tc.cnt AS DOUBLE) * 2.2) / (CAST(tc.cnt AS DOUBLE) + 1.2 *
+         |    (0.25 + 0.75 * (CAST(tc.doc_len AS DOUBLE) / st.avgdl)))) AS term_score
+         | FROM tc JOIN dfq USING (term) CROSS JOIN st),
+         |g AS (SELECT query_id, doc_id, round(sum(term_score), 6) AS score
+         | FROM sc GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, score, CAST(row_number() OVER (
+         |  PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rnk
+         | FROM g)
+         |SELECT query_id, doc_id, score, rnk FROM r WHERE rnk <= 10""".stripMargin,
     // x11's candidate chain (Planes6 buckets, id_a < id_b, round-6 cosine)
     // with the greedy keep-lowest-id apply: drop every distinct id_b of a
     // >= 0.9 pair, keep the rest of the corpus

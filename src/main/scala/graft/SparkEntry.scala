@@ -798,6 +798,15 @@ object SparkEntry {
     "x36_bm25_topk" -> ((s, dir) =>
       graft.text.Bm25.topK(T(s, dir, "documents"), col("doc_id"), col("text"),
         Bm25Terms, k = 25)),
+    // batch face: a query TABLE scored in one corpus pass (the production
+    // shape — literal isin terms don't scale past ad-hoc use)
+    "x45_bm25_batch" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((1L, "vector hash"), (2L, "stream merge sort"))
+        .toDF("query_id", "query_text")
+      graft.text.Bm25.topKBatch(T(s, dir, "documents"), col("doc_id"),
+        col("text"), qs, col("query_id"), col("query_text"), k = 10)
+    }),
     // SemDeDup-style apply: LSH-bucketed cosine pairs (x11's candidate
     // shape) → greedy keep-lowest-id — the O(1)-round embedding dedup an
     // ε-ball semantic dedup actually wants (no transitive components).

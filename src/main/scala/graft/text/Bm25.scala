@@ -58,4 +58,57 @@ object Bm25 {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** Batch retrieval: top-`k` documents for EVERY query in a query table
+    * (`query_id`, `query_text`) in one corpus pass — the production shape
+    * of [[topK]], whose literal `isin` filter only fits a handful of ad-hoc
+    * terms. The query table explodes to (query_id, term) pairs (tiny: a
+    * query workload, not a corpus), broadcasts into the corpus token
+    * stream as a semi-filtering equi-join, and per-(query, doc) scores
+    * aggregate on the one shuffle. Document frequency here is corpus-wide
+    * df of each query term (matching [[topK]]'s semantics); the top-k per
+    * query merges through the bounded-heap aggregate, never a global sort.
+    */
+  def topKBatch(df: DataFrame, id: Column, text: Column, queries: DataFrame,
+      queryId: Column, queryText: Column, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    require(k >= 1, s"k must be >= 1, got $k")
+    // distinct (query, term) pairs; a term shared by two queries scores
+    // each query independently
+    val qTerms = queries.select(queryId.as("query_id"),
+        explode(TextAnalysis.tokens(queryText)).as("term"))
+      .distinct()
+      .localCheckpoint(true)
+    val tc = df.select(id.as("doc_id"),
+        TextAnalysis.tokenCount(text).as("doc_len"),
+        explode(TextAnalysis.tokens(text)).as("term"))
+      .join(broadcast(qTerms), "term")
+      .groupBy(col("query_id"), col("doc_id"), col("doc_len"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = df.agg(count(lit(1)).as("__n"),
+      avg(TextAnalysis.tokenCount(text).cast("double")).as("__avgdl"))
+    // corpus-wide df per term (not per query): distinct (doc, term) from
+    // the already-filtered frame
+    val docFreq = tc.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val idf = log(lit(1.0) +
+      (col("__n").cast("double") - col("__df").cast("double") + lit(0.5)) /
+        (col("__df").cast("double") + lit(0.5)))
+    val tfNorm = (col("cnt").cast("double") * lit(k1 + 1.0)) /
+      (col("cnt").cast("double") + lit(k1) *
+        (lit(1.0 - b) + lit(b) * (col("doc_len").cast("double") / col("__avgdl"))))
+    val scored = tc.join(broadcast(docFreq), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(idf * tfNorm), 6).as("score"))
+    val agg = graft.plans.TopKByScore(
+      ColumnBridge.expression(col("score")),
+      ColumnBridge.expression(col("doc_id")), k)
+    scored.groupBy(col("query_id"))
+      .agg(ColumnBridge.column(agg.toAggregateExpression()).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").as("doc_id"),
+        col("t.score").as("score"), (col("pos") + 1).cast("int").as("rnk"))
+  }
 }

@@ -144,6 +144,21 @@ class RetrievalSpec extends SparkSpec {
     assert(est.map(_.getLong(0)).toSet === Set(200L))
   }
 
+  test("bm25 batch: per-query results equal the single-query operator") {
+    val corpus = Seq(
+      (1L, "spark spark spark engine"), (2L, "spark engine"),
+      (3L, "engine room with no match terms"), (4L, "spark")
+    ).toDF("doc_id", "text")
+    val qs = Seq((10L, "spark"), (20L, "engine room")).toDF("query_id", "query_text")
+    val batch = graft.text.Bm25.topKBatch(corpus, col("doc_id"), col("text"),
+        qs, col("query_id"), col("query_text"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def single(qid: Long, terms: Seq[String]) =
+      Bm25.topK(corpus, col("doc_id"), col("text"), terms, k = 10)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1))).toSet
+    assert(batch === single(10L, Seq("spark")) ++ single(20L, Seq("engine", "room")))
+  }
+
   test("chunking: full coverage, stride overlap, short tail window") {
     val df = Seq((7L, "a b c d e f g")).toDF("doc_id", "text")
     val out = graft.text.Chunking.slidingChunks(df, col("doc_id"),
