@@ -149,6 +149,22 @@ object OracleSql {
        | CAST(sum(pdocs) AS BIGINT) AS gram_probe_hits
        |FROM cg JOIN pg ON cg.gram = pg.gram GROUP BY cg.doc_id""".stripMargin
 
+  /** PQ subspace distances + codes CTE pair (expects `v`/`cent` defined),
+    * shared by x43 and x44 — mirrors [[graft.plans.Kernels.pqEncode]]'s
+    * left-to-right fold (list_reduce with a 0.0 seed = the kernel's acc
+    * loop, bit-identical) and its strict-< low-id tie rule.
+    */
+  private lazy val PqChainSql =
+    """d2 AS (SELECT v.vec_id, c.cid, CAST(r.range AS INTEGER) AS s,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 9),
+      |    j -> (v.ve[CAST(r.range * 8 + j AS INTEGER)] - c.cv[CAST(r.range * 8 + j AS INTEGER)])
+      |       * (v.ve[CAST(r.range * 8 + j AS INTEGER)] - c.cv[CAST(r.range * 8 + j AS INTEGER)]))),
+      |    (a, b) -> a + b) AS dist
+      | FROM v CROSS JOIN cent c CROSS JOIN range(0, 8) r),
+      |codes AS (SELECT vec_id, s, cid AS code FROM (
+      |  SELECT vec_id, s, cid, row_number() OVER (
+      |    PARTITION BY vec_id, s ORDER BY dist ASC, cid ASC) AS rn FROM d2) WHERE rn = 1)""".stripMargin
+
   /** DuckDB twin of [[graft.warehouse.Layout.zValue]]: the same
     * bit-interleave terms, generated by the same loop.
     */
@@ -803,17 +819,9 @@ object OracleSql {
     // subspace order; ranks order by the ROUNDED distance as the Spark
     // side feeds -round(adc, 6) to its bounded-heap top-k
     "x43_pq_adc" ->
-      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings),
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings),
         |cent AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id % 50 = 0),
-        |d2 AS (SELECT v.vec_id, c.cid, CAST(r.range AS INTEGER) AS s,
-        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 9),
-        |    j -> (v.ve[CAST(r.range * 8 + j AS INTEGER)] - c.cv[CAST(r.range * 8 + j AS INTEGER)])
-        |       * (v.ve[CAST(r.range * 8 + j AS INTEGER)] - c.cv[CAST(r.range * 8 + j AS INTEGER)]))),
-        |    (a, b) -> a + b) AS dist
-        | FROM v CROSS JOIN cent c CROSS JOIN range(0, 8) r),
-        |codes AS (SELECT vec_id, s, cid AS code FROM (
-        |  SELECT vec_id, s, cid, row_number() OVER (
-        |    PARTITION BY vec_id, s ORDER BY dist ASC, cid ASC) AS rn FROM d2) WHERE rn = 1),
+        |$PqChainSql,
         |adc AS (SELECT qd.vec_id AS query_id, c2.vec_id AS neighbor_id,
         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(qd.dist ORDER BY qd.s)), (a, b) -> a + b) AS adist
         | FROM codes c2 JOIN d2 qd ON qd.cid = c2.code AND qd.s = c2.s
@@ -836,15 +844,7 @@ object OracleSql {
          |asg AS (SELECT vec_id, cid FROM rnks WHERE rn = 1),
          |probes AS (SELECT vec_id AS qid, cid FROM rnks
          | WHERE rn <= 2 AND vec_id IN (0, 1)),
-         |d2 AS (SELECT v.vec_id, c.cid, CAST(r.range AS INTEGER) AS s,
-         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 9),
-         |    j -> (v.ve[CAST(r.range * 8 + j AS INTEGER)] - c.cv[CAST(r.range * 8 + j AS INTEGER)])
-         |       * (v.ve[CAST(r.range * 8 + j AS INTEGER)] - c.cv[CAST(r.range * 8 + j AS INTEGER)]))),
-         |    (a, b) -> a + b) AS dist
-         | FROM v CROSS JOIN cent c CROSS JOIN range(0, 8) r),
-         |codes AS (SELECT vec_id, s, cid AS code FROM (
-         |  SELECT vec_id, s, cid, row_number() OVER (
-         |    PARTITION BY vec_id, s ORDER BY dist ASC, cid ASC) AS rn FROM d2) WHERE rn = 1),
+         |$PqChainSql,
          |cand AS (SELECT p.qid AS query_id, a.vec_id AS neighbor_id
          | FROM probes p JOIN asg a ON a.cid = p.cid
          | WHERE a.vec_id <> p.qid),

@@ -35,14 +35,42 @@ object Decontaminate {
     */
   def contaminationReport(corpus: DataFrame, corpusId: Column,
       corpusText: Column, probes: DataFrame, probeText: Column,
-      gramWidth: Int = 8): DataFrame = {
+      gramWidth: Int = 8): DataFrame =
+    report(corpus, corpusId, corpusText, probes, probeText, gramWidth,
+      bloom = None)
+
+  /** Shared core of both variants: corpus-gram projection, probe-gram
+    * frequency aggregate, collision join, per-doc report. `bloom`
+    * (expectedGrams, fpp), when set, pre-filters the corpus gram stream
+    * with a plan-constant bloom filter built from the probe grams — the
+    * join that follows removes false positives either way, so the two
+    * variants are output-identical by construction (they share one code
+    * path AND one DuckDB oracle).
+    */
+  private def report(corpus: DataFrame, corpusId: Column, corpusText: Column,
+      probes: DataFrame, probeText: Column, gramWidth: Int,
+      bloom: Option[(Long, Double)]): DataFrame = {
     val cg = corpus.select(corpusId.as("doc_id"),
       explode(Native.shingles(corpusText, gramWidth)).as("gram"))
-    val pg = probes
-      .select(explode(Native.shingles(probeText, gramWidth)).as("gram"), lit(1).as("__p"))
+    val pgRaw = probes
+      .select(explode(Native.shingles(probeText, gramWidth)).as("gram"))
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("probe_docs_for_gram"))
-    cg.join(broadcast(pg), "gram")
+    val (pg, filtered) = bloom match {
+      case None =>
+        // probe set broadcasts whole: probe the corpus stream at the join
+        (broadcast(pgRaw), cg)
+      case Some((expectedGrams, fpp)) =>
+        // materialized once (localCheckpoint cuts lineage): the bloom
+        // build is an eager action and the fpp-removal join reads the
+        // same frame — without this the probe shingle pass would run
+        // twice
+        val pgMat = pgRaw.localCheckpoint(true)
+        val bf = graft.plans.BloomJoin.keyBloom(pgMat, col("gram"),
+          expectedGrams, fpp)
+        (pgMat, cg.filter(graft.plans.BloomJoin.mightContain(bf, col("gram"))))
+    }
+    filtered.join(pg, "gram")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("shared_grams"),
         sum(col("probe_docs_for_gram")).as("gram_probe_hits"))
@@ -64,24 +92,9 @@ object Decontaminate {
     */
   def contaminationReportBloom(corpus: DataFrame, corpusId: Column,
       corpusText: Column, probes: DataFrame, probeText: Column,
-      expectedGrams: Long, gramWidth: Int = 8, fpp: Double = 0.01): DataFrame = {
-    val cg = corpus.select(corpusId.as("doc_id"),
-      explode(Native.shingles(corpusText, gramWidth)).as("gram"))
-    // materialized once (localCheckpoint cuts lineage): the bloom build is
-    // an eager action and the fpp-removal join reads the same frame —
-    // without this the probe shingle pass would run twice
-    val pg = probes
-      .select(explode(Native.shingles(probeText, gramWidth)).as("gram"))
-      .groupBy(col("gram"))
-      .agg(count(lit(1)).as("probe_docs_for_gram"))
-      .localCheckpoint(true)
-    val bloom = graft.plans.BloomJoin.keyBloom(pg, col("gram"), expectedGrams, fpp)
-    cg.filter(graft.plans.BloomJoin.mightContain(bloom, col("gram")))
-      .join(pg, "gram")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("shared_grams"),
-        sum(col("probe_docs_for_gram")).as("gram_probe_hits"))
-  }
+      expectedGrams: Long, gramWidth: Int = 8, fpp: Double = 0.01): DataFrame =
+    report(corpus, corpusId, corpusText, probes, probeText, gramWidth,
+      bloom = Some((expectedGrams, fpp)))
 
   /** Corpus minus every doc sharing ≥ `minSharedGrams` distinct grams with
     * the probe set (1 = strict: any collision drops the doc).

@@ -291,9 +291,14 @@ object Dedup {
     * embeddings is the intended behavior (SemDeDup, arXiv:2303.09540,
     * keeps one exemplar per ε-ball, not per component). O(1) rounds at
     * any corpus size vs the CC loop's O(log n).
+    *
+    * Unlike [[survivors]] (whose drop set is provably tiny — only docs in
+    * clusters), a semantic drop set can be 30–50% of a web corpus, so the
+    * anti-join is NOT force-broadcast: Catalyst/AQE broadcasts it when
+    * runtime stats say it fits and shuffles otherwise.
     */
   def greedySurvivors(docs: DataFrame, id: Column, pairs: DataFrame): DataFrame = {
     val drop = pairs.select(col("id_b").as("__dup")).distinct()
-    docs.join(broadcast(drop), id === col("__dup"), "left_anti")
+    docs.join(drop, id === col("__dup"), "left_anti")
   }
 }

@@ -52,10 +52,13 @@ object BudgetSelect {
     // over the full corpus
     val base = df.select(id.as("doc_id"), score.as("score"),
       tokens.cast("long").as("n_tokens")).localCheckpoint(true)
-    val Seq(lo, hi) = {
-      val r = base.agg(min(col("score")), max(col("score"))).head()
-      Seq(r.getDouble(0), r.getDouble(1))
-    }
+    val statsRow = base.agg(min(col("score")), max(col("score"))).head()
+    // empty corpus (an upstream gate dropped everything): empty result,
+    // not an NPE off the null min/max
+    if (statsRow.isNullAt(0))
+      return base.select(col("doc_id"), col("score"), col("n_tokens"),
+        lit(0L).as("cum_tokens")).limit(0)
+    val (lo, hi) = (statsRow.getDouble(0), statsRow.getDouble(1))
     // width_bucket puts score=hi into numBuckets+1; fold it back so the
     // top bucket is closed. A constant-score corpus (lo == hi) degenerates
     // to one bucket, which is still correct (the skew caveat above).

@@ -40,6 +40,11 @@ object Importance {
     // would tokenize twice
     val freqT = tokT.groupBy(col("term")).agg(count(lit(1)).as("__ct"))
       .localCheckpoint(true)
+    // fail fast: an empty target (bad domain-sample filter) would flow
+    // null totals through log() and emit null weights for EVERY doc —
+    // garbage the pipeline would proceed on instead of surfacing
+    require(!freqT.isEmpty,
+      "importance weighting needs a non-empty target corpus")
     // smoothing denominator constants: source vocab size (one row each)
     val scal = freqS.agg(sum(col("__cs")).as("__ts"),
         count(lit(1)).as("__v"))

@@ -178,52 +178,39 @@ object Similarity {
     * sliced subvector frames and concatenate — same kernel, better
     * distortion).
     */
-  def pqCodes(corpus: DataFrame, centroids: DataFrame, m: Int): DataFrame = {
-    val cents = collectCentroids(centroids)
+  def pqCodes(corpus: DataFrame, centroids: DataFrame, m: Int): DataFrame =
+    pqCodesWith(corpus, collectCentroids(centroids), m)
+
+  private def pqCodesWith(corpus: DataFrame,
+      cents: (Array[Long], Array[Array[Double]]), m: Int): DataFrame =
     corpus.select(col("vec_id"),
       Native.pqEncode(col("embedding"), cents._1, cents._2, m).as("codes"))
+
+  /** Per-query ADC lookup table: `table(s)(c)` = squared L2 between the
+    * query's subvector `s` and centroid `c`'s — the SAME accumulation
+    * order as the encode kernel (`d = x−y; acc += d·d`), which is what
+    * keeps Spark and the DuckDB oracle bit-identical. Shared by
+    * [[pqAdcKnn]] and [[ivfPqKnn]] so a fold-order fix can't miss one.
+    */
+  private def adcTable(qv: Array[Double],
+      cvecs: Array[Array[Double]], m: Int): Array[Array[Double]] = {
+    val sub = qv.length / m
+    Array.tabulate(m) { s =>
+      Array.tabulate(cvecs.length) { c =>
+        var d2 = 0.0
+        var j = s * sub
+        val hi = (s + 1) * sub
+        while (j < hi) { val d = qv(j) - cvecs(c)(j); d2 = d2 + d * d; j += 1 }
+        d2
+      }
+    }
   }
 
-  /** PQ asymmetric-distance (ADC) top-k search: per query, squared-L2
-    * lookup tables against every centroid subvector are computed
-    * driver-side (m × |codebook| doubles — model-sized) and swept over the
-    * CODES frame by the `pq_adc` kernel; the raw embedding column is never
-    * touched after the one-time encode. The codes frame localCheckpoints
-    * first — that is the PQ index build; each query then costs one
-    * codes-frame scan + the bounded-heap top-k merge ([[topKPerQuery]]'s
-    * aggregate), never a distance matrix. Ordering on the ROUNDED distance
-    * with neighbor-id ties, so ranks are engine-reproducible.
+  /** Bounded-heap top-k per query over `(query_id, neighbor_id, adc)`
+    * rows, smallest rounded distance first, neighbor-id ties ascending.
     */
-  def pqAdcKnn(corpus: DataFrame, centroids: DataFrame, queryIds: Seq[Long],
-      m: Int, k: Int): DataFrame = {
+  private def topKByAdc(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    val cents = collectCentroids(centroids)
-    val (ids, cvecs) = cents
-    val dim = cvecs.head.length
-    require(dim % m == 0, s"dimension $dim not divisible by m=$m")
-    val sub = dim / m
-    val codes = pqCodes(corpus, centroids, m).localCheckpoint(true)
-    val qs = corpus.filter(col("vec_id").isInCollection(queryIds))
-      .select(col("vec_id").cast("long"), asDouble(col("embedding")))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-    require(qs.nonEmpty, "pqAdcKnn needs at least one query vector")
-    val scored = qs.map { case (qid, qv) =>
-      require(qv.length == dim, s"query $qid dimension ${qv.length} != $dim")
-      // same accumulation order as the encode kernel: d = x−y; acc += d·d
-      val table = Array.tabulate(m) { s =>
-        Array.tabulate(ids.length) { c =>
-          var d2 = 0.0
-          var j = s * sub
-          val hi = (s + 1) * sub
-          while (j < hi) { val d = qv(j) - cvecs(c)(j); d2 = d2 + d * d; j += 1 }
-          d2
-        }
-      }
-      codes.filter(col("vec_id") =!= qid)
-        .select(lit(qid).as("query_id"), col("vec_id").as("neighbor_id"),
-          round(Native.pqAdc(col("codes"), ids, table), 6).as("adc"))
-    }.reduce(_.unionByName(_))
     val agg = graft.plans.TopKByScore(
       ColumnBridge.expression(-col("adc")),
       ColumnBridge.expression(col("neighbor_id")), k)
@@ -232,6 +219,38 @@ object Similarity {
       .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "t")))
       .select(col("query_id"), col("t.id").as("neighbor_id"),
         (-col("t.score")).as("adc_dist"), (col("pos") + 1).cast("int").as("rnk"))
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k search: per query, squared-L2
+    * lookup tables against every centroid subvector are computed
+    * driver-side (m × |codebook| doubles — model-sized) and swept over the
+    * CODES frame by the `pq_adc` kernel; the raw embedding column is never
+    * touched after the one-time encode. The codes frame localCheckpoints
+    * first — that is the PQ index build; each query then costs one
+    * codes-frame scan + the bounded-heap top-k merge ([[topKByAdc]]),
+    * never a distance matrix. Ordering on the ROUNDED distance with
+    * neighbor-id ties, so ranks are engine-reproducible.
+    */
+  def pqAdcKnn(corpus: DataFrame, centroids: DataFrame, queryIds: Seq[Long],
+      m: Int, k: Int): DataFrame = {
+    val cents = collectCentroids(centroids)
+    val (ids, cvecs) = cents
+    val dim = cvecs.head.length
+    require(dim % m == 0, s"dimension $dim not divisible by m=$m")
+    val codes = pqCodesWith(corpus, cents, m).localCheckpoint(true)
+    val qs = corpus.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").cast("long"), asDouble(col("embedding")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(qs.nonEmpty, "pqAdcKnn needs at least one query vector")
+    val scored = qs.map { case (qid, qv) =>
+      require(qv.length == dim, s"query $qid dimension ${qv.length} != $dim")
+      codes.filter(col("vec_id") =!= qid)
+        .select(lit(qid).as("query_id"), col("vec_id").as("neighbor_id"),
+          round(Native.pqAdc(col("codes"), ids, adcTable(qv, cvecs, m)), 6)
+            .as("adc"))
+    }.reduce(_.unionByName(_))
+    topKByAdc(scored, k)
   }
 
   /** IVF+PQ search — the standard large-corpus ANN architecture (coarse
@@ -245,12 +264,10 @@ object Similarity {
     */
   def ivfPqKnn(corpus: DataFrame, centroids: DataFrame, queryIds: Seq[Long],
       m: Int, k: Int, nprobe: Int = 2): DataFrame = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge
     val cents = collectCentroids(centroids)
     val (ids, cvecs) = cents
     val dim = cvecs.head.length
     require(dim % m == 0, s"dimension $dim not divisible by m=$m")
-    val sub = dim / m
     // the IVF-PQ index: (id, coarse list, codes) — embeddings read once
     val index = corpus.select(col("vec_id"),
         element_at(Native.nearestCentroids(col("embedding"), ids, cvecs, 1), 1)
@@ -268,27 +285,12 @@ object Similarity {
     require(probed.nonEmpty, "ivfPqKnn needs at least one query vector")
     val scored = probed.map { case (qid, lists, qv) =>
       require(qv.length == dim, s"query $qid dimension ${qv.length} != $dim")
-      val table = Array.tabulate(m) { s =>
-        Array.tabulate(ids.length) { c =>
-          var d2 = 0.0
-          var j = s * sub
-          val hi = (s + 1) * sub
-          while (j < hi) { val d = qv(j) - cvecs(c)(j); d2 = d2 + d * d; j += 1 }
-          d2
-        }
-      }
       index.filter(col("cid").isInCollection(lists) && col("vec_id") =!= qid)
         .select(lit(qid).as("query_id"), col("vec_id").as("neighbor_id"),
-          round(Native.pqAdc(col("codes"), ids, table), 6).as("adc"))
+          round(Native.pqAdc(col("codes"), ids, adcTable(qv, cvecs, m)), 6)
+            .as("adc"))
     }.reduce(_.unionByName(_))
-    val agg = graft.plans.TopKByScore(
-      ColumnBridge.expression(-col("adc")),
-      ColumnBridge.expression(col("neighbor_id")), k)
-    scored.groupBy(col("query_id"))
-      .agg(ColumnBridge.column(agg.toAggregateExpression()).as("topk"))
-      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "t")))
-      .select(col("query_id"), col("t.id").as("neighbor_id"),
-        (-col("t.score")).as("adc_dist"), (col("pos") + 1).cast("int").as("rnk"))
+    topKByAdc(scored, k)
   }
 
   /** One Lloyd (k-means) iteration over the corpus — the codebook-training

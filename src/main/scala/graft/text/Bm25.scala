@@ -21,11 +21,26 @@ import org.apache.spark.sql.functions._
   */
 object Bm25 {
 
+  /** `idf = ln(1 + (N - df + 0.5)/(df + 0.5))` over columns `__n`/`__df` —
+    * ONE definition shared by [[topK]] and [[topKBatch]] (both DuckDB
+    * oracles mirror this exact tree, so the two entry points must not
+    * drift).
+    */
+  private def idf: Column = log(lit(1.0) +
+    (col("__n").cast("double") - col("__df").cast("double") + lit(0.5)) /
+      (col("__df").cast("double") + lit(0.5)))
+
+  /** `tf_norm = cnt·(k1+1)/(cnt + k1·(1 − b + b·dl/avgdl))` over columns
+    * `cnt`/`doc_len`/`__avgdl`; same sharing rationale as [[idf]].
+    */
+  private def tfNorm(k1: Double, b: Double): Column =
+    (col("cnt").cast("double") * lit(k1 + 1.0)) /
+      (col("cnt").cast("double") + lit(k1) *
+        (lit(1.0 - b) + lit(b) * (col("doc_len").cast("double") / col("__avgdl"))))
+
   /** Top-`k` documents for `queryTerms` under BM25 with the standard
-    * `idf = ln(1 + (N - df + 0.5)/(df + 0.5))` and
-    * `tf_norm = cnt·(k1+1)/(cnt + k1·(1 − b + b·dl/avgdl))`.
-    * Ties break on doc_id so output is deterministic. Emits
-    * `(doc_id, score, n_matched)`.
+    * `idf` and saturating `tf_norm` above. Ties break on doc_id so output
+    * is deterministic. Emits `(doc_id, score, n_matched)`.
     */
   def topK(df: DataFrame, id: Column, text: Column, queryTerms: Seq[String],
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -44,16 +59,10 @@ object Bm25 {
     val stats = df.agg(count(lit(1)).as("__n"),
       avg(TextAnalysis.tokenCount(text).cast("double")).as("__avgdl"))
     val docFreq = tc.groupBy(col("term")).agg(count(lit(1)).as("__df"))
-    val idf = log(lit(1.0) +
-      (col("__n").cast("double") - col("__df").cast("double") + lit(0.5)) /
-        (col("__df").cast("double") + lit(0.5)))
-    val tfNorm = (col("cnt").cast("double") * lit(k1 + 1.0)) /
-      (col("cnt").cast("double") + lit(k1) *
-        (lit(1.0 - b) + lit(b) * (col("doc_len").cast("double") / col("__avgdl"))))
     tc.join(broadcast(docFreq), "term")
       .crossJoin(broadcast(stats))
       .groupBy(col("doc_id"))
-      .agg(round(sum(idf * tfNorm), 6).as("score"),
+      .agg(round(sum(idf * tfNorm(k1, b)), 6).as("score"),
         count(lit(1)).as("n_matched"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
@@ -92,16 +101,10 @@ object Bm25 {
     // the already-filtered frame
     val docFreq = tc.select(col("doc_id"), col("term")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("__df"))
-    val idf = log(lit(1.0) +
-      (col("__n").cast("double") - col("__df").cast("double") + lit(0.5)) /
-        (col("__df").cast("double") + lit(0.5)))
-    val tfNorm = (col("cnt").cast("double") * lit(k1 + 1.0)) /
-      (col("cnt").cast("double") + lit(k1) *
-        (lit(1.0 - b) + lit(b) * (col("doc_len").cast("double") / col("__avgdl"))))
     val scored = tc.join(broadcast(docFreq), "term")
       .crossJoin(broadcast(stats))
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(round(sum(idf * tfNorm), 6).as("score"))
+      .agg(round(sum(idf * tfNorm(k1, b)), 6).as("score"))
     val agg = graft.plans.TopKByScore(
       ColumnBridge.expression(col("score")),
       ColumnBridge.expression(col("doc_id")), k)

@@ -40,6 +40,11 @@ object Layout {
   def zBucket(z: Column, bits: Int, numBuckets: Int): Column = {
     require(numBuckets >= 2 && (numBuckets & (numBuckets - 1)) == 0,
       s"numBuckets must be a power of two >= 2, got $numBuckets")
+    // a negative shift would be masked mod 64 by the JVM and silently
+    // send every row to bucket 0
+    require(numBuckets <= (1L << (2 * bits)),
+      s"numBuckets=$numBuckets exceeds the 4^bits=${1L << (2 * bits)} " +
+        "distinct z-values")
     val shift = 2 * bits - Integer.numberOfTrailingZeros(numBuckets)
     shiftright(z, shift)
   }
