@@ -49,13 +49,25 @@ object Distribution {
     */
   def approxDistinctWithinTolerance(df: DataFrame, key: Column, value: Column,
       rsd: Double = 0.01, tol: Double = 0.05,
-      outName: String = "within_5pct"): DataFrame =
-    df.groupBy(key).agg(
-        approx_count_distinct(value, rsd).as("__approx"),
-        countDistinct(value).as("__exact"))
-      .select(key,
+      outName: String = "within_5pct"): DataFrame = {
+    // two-stage instead of countDistinct+HLL in ONE aggregate: the
+    // single-agg form plans through an Expand that doubles the input
+    // rows into the shuffle, while the (key, value) pre-aggregate
+    // map-side combines to at most |keys × distinct values| rows — and
+    // the HLL registers are max-based, so the sketch of the deduped
+    // frame is bit-identical to the sketch of the raw multiset. Nulls:
+    // a key whose values are all null keeps its (key, null) group row,
+    // and both the guarded count and the HLL ignore it — exact 0,
+    // approx 0, within tolerance, same as the single-agg form.
+    val keyName = df.select(key).columns.head
+    df.groupBy(key.as("__k"), value.as("__v")).agg(lit(1))
+      .groupBy(col("__k"))
+      .agg(approx_count_distinct(col("__v"), rsd).as("__approx"),
+        count(when(col("__v").isNotNull, lit(1))).as("__exact"))
+      .select(col("__k").as(keyName),
         (abs(col("__approx") - col("__exact")) <= col("__exact") * tol)
           .as(outName))
+  }
 
   /** Count-Min-Sketch frequency estimates, tolerance-checked: builds the
     * sketch with Spark's `count_min_sketch` aggregate (partials merge
