@@ -1181,6 +1181,15 @@ object OracleSql {
          |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM q)
          |SELECT doc_id, score, n_tokens, cum_tokens
          |FROM c WHERE cum_tokens <= ${SparkEntry.TokenBudget}""".stripMargin,
+    // the heap orders (score desc, id asc) — exactly row_number's order
+    // here; quality is round-6 on both sides (QualitySql = the x02 tree)
+    "x46_topk_per_group" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, $Toks AS toks FROM documents),
+         |q AS (SELECT lang, doc_id, $QualitySql AS quality FROM t),
+         |r AS (SELECT lang, doc_id, quality, CAST(row_number() OVER (
+         |  PARTITION BY lang ORDER BY quality DESC, doc_id ASC) AS INTEGER) AS rnk
+         | FROM q)
+         |SELECT lang, doc_id, quality, rnk FROM r WHERE rnk <= 10""".stripMargin,
     // DuckDB list slice l[a:b] is 1-based end-inclusive and clamps at the
     // list end, matching Spark's slice(arr, start, length) tail behavior;
     // generate_series(0, n-1, stride) gives the same window starts, and

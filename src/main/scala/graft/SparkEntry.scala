@@ -836,6 +836,17 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 === 0),
         col("doc_id"), col("text"))
     }),
+    // best-k docs per language by quality through the bounded-heap
+    // aggregate — the corpus-curation face of the top-k kernel (x08/x43
+    // use it for ANN; here groups are few and large, exactly where a
+    // row_number window degenerates to one reducer per group)
+    "x46_topk_per_group" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.analytics.Ranking.topKPerGroup(docs, col("lang"),
+          TextAnalysis.qualityScore(col("text")), col("doc_id"), k = 10)
+        .select(col("group").as("lang"), col("id").as("doc_id"),
+          col("score").as("quality"), col("rnk"))
+    }),
     "x42_chunk_windows" -> ((s, dir) =>
       graft.text.Chunking.slidingChunks(T(s, dir, "documents"),
         col("doc_id"), col("text"), chunkTokens = 32, strideTokens = 24)),

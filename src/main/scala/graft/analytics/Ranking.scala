@@ -39,4 +39,29 @@ object Ranking {
     */
   def lastPerKey(df: DataFrame, key: Seq[Column], order: Seq[Column]): DataFrame =
     lastNPerKey(df, key, order, 1).drop("rn")
+
+  /** Scale-safe per-group top-k by score: the bounded-heap
+    * [[graft.plans.TopKByScore]] aggregate instead of a `row_number`
+    * window — the window ships every group's FULL row set to one reducer
+    * per group, while the heap's map-side partials cross the shuffle as k
+    * pairs per (group × task). Use for "best k documents per language /
+    * per domain / per source" selections where groups are large and few.
+    * Ordering: score desc, id asc (ties deterministic). Emits
+    * `(group, id, score, rnk)`.
+    */
+  def topKPerGroup(df: DataFrame, group: Column, score: Column, id: Column,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    require(k >= 1, s"k must be >= 1, got $k")
+    val shaped = df.select(group.as("group"), score.cast("double").as("__s"),
+      id.cast("long").as("__i"))
+    val agg = graft.plans.TopKByScore(
+      ColumnBridge.expression(col("__s")),
+      ColumnBridge.expression(col("__i")), k)
+    shaped.groupBy(col("group"))
+      .agg(ColumnBridge.column(agg.toAggregateExpression()).as("topk"))
+      .select(col("group"), posexplode(col("topk")).as(Seq("pos", "t")))
+      .select(col("group"), col("t.id").as("id"), col("t.score").as("score"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
 }

@@ -202,6 +202,21 @@ class RetrievalSpec extends SparkSpec {
       "bloom probe must appear in the physical plan")
   }
 
+  test("topKPerGroup equals a row_number window across partitionings") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(500)(i =>
+      (s"g${i % 4}", rnd.nextInt(50).toDouble, i.toLong))
+    val df = rows.toDF("g", "s", "i").repartition(7)
+    val got = graft.analytics.Ranking.topKPerGroup(df, col("g"), col("s"),
+        col("i"), k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSet
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (g, members) =>
+      members.sortBy { case (_, s, i) => (-s, i) }.take(5).zipWithIndex
+        .map { case ((_, _, i), pos) => (g, i, pos + 1) }
+    }.toSet
+    assert(got === want)
+  }
+
   test("bm25 plan: doc-frequency and corpus stats broadcast, no extra sort") {
     val plan = Bm25.topK(docs, col("doc_id"), col("text"), Seq("spark"), 5)
       .queryExecution.executedPlan.toString
