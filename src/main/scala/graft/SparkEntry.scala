@@ -670,14 +670,14 @@ object SparkEntry {
       T(s, dir, "embeddings").select(col("vec_id"),
         Similarity.hyperplaneBucket(
           Similarity.asDouble(col("embedding")), Planes8).as("bucket"))),
+    // candidate generation through Similarity.cosineCandidates — capped
+    // buckets (the cap never triggers on this fixture, so the uncapped
+    // oracle still matches); the harness pins Planes6 so DuckDB can
+    // re-derive the buckets, production sizes planes via planeCountFor
     "x11_cosine_pairs" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings").select(col("vec_id"),
-          Similarity.asDouble(col("embedding")).as("v"))
-        .withColumn("bucket", Similarity.hyperplaneBucket(col("v"), Planes6))
-      val a = emb.select(col("bucket"), col("vec_id").as("id_a"), col("v").as("va"))
-      val b = emb.select(col("bucket"), col("vec_id").as("id_b"), col("v").as("vb"))
-      val pairs = a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
-      Dedup.cosinePairs(pairs, col("va"), col("vb"))
+      val cands = Similarity.cosineCandidates(T(s, dir, "embeddings"),
+        col("vec_id"), col("embedding"), Planes6)
+      Dedup.cosinePairs(cands, col("va"), col("vb"))
         .select(col("id_a"), col("id_b"), col("cosine"), col("is_near_dup"))
     }),
     "x12_media_metadata" -> ((s, dir) =>
@@ -817,13 +817,9 @@ object SparkEntry {
       val base = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val all = base.unionByName(base.filter(col("vec_id") % 20 === 0)
         .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
-      val emb = all.select(col("vec_id"),
-          Similarity.asDouble(col("embedding")).as("v"))
-        .withColumn("bucket", Similarity.hyperplaneBucket(col("v"), Planes6))
-      val a = emb.select(col("bucket"), col("vec_id").as("id_a"), col("v").as("va"))
-      val b = emb.select(col("bucket"), col("vec_id").as("id_b"), col("v").as("vb"))
-      val pairs = a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
-      val near = Dedup.cosinePairs(pairs, col("va"), col("vb"))
+      val cands = Similarity.cosineCandidates(all, col("vec_id"),
+        col("embedding"), Planes6)
+      val near = Dedup.cosinePairs(cands, col("va"), col("vb"))
         .filter(col("is_near_dup"))
       Dedup.greedySurvivors(all.select(col("vec_id")), col("vec_id"), near)
     }),

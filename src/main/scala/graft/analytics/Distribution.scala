@@ -83,18 +83,26 @@ object Distribution {
     * (eps, confidence) only — data-independent, same justification as the
     * IVF centroid collect — and the sketch re-enters the plan as a
     * constant.
+    *
+    * Keys of any type are accepted: both the sketch build and the probe run
+    * over the key's STRING form, so the two sides always hash the same
+    * bytes. A NULL key group is vacuously `within_bound` — the aggregate
+    * skips nulls, so the sketch holds no entry for them, and the probe
+    * (null-propagating) would otherwise emit NULL where the per-group
+    * guarantee semantically holds.
     */
   def cmsFrequencyReport(df: DataFrame, key: Column,
       eps: Double = 0.01, confidence: Double = 0.99, seed: Int = 42): DataFrame = {
+    val k = key.cast("string")
     val row = df.agg(
-      count_min_sketch(key, lit(eps), lit(confidence), lit(seed)).as("__s"),
+      count_min_sketch(k, lit(eps), lit(confidence), lit(seed)).as("__s"),
       count(lit(1)).as("__n")).head()
     val sketch = row.getAs[Array[Byte]](0)
     val bound = math.ceil(eps * row.getLong(1)).toLong
     val est = graft.plans.Native.cmsEstimate(col("key"), sketch)
-    df.groupBy(key.as("key")).agg(count(lit(1)).as("n_exact"))
+    df.groupBy(k.as("key")).agg(count(lit(1)).as("n_exact"))
       .select(col("key"), col("n_exact"),
-        (est >= col("n_exact") && est <= col("n_exact") + lit(bound))
-          .as("within_bound"))
+        coalesce(est >= col("n_exact") && est <= col("n_exact") + lit(bound),
+          col("key").isNull).as("within_bound"))
   }
 }

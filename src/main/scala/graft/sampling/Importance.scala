@@ -48,7 +48,7 @@ object Importance {
     // smoothing denominator constants: source vocab size (one row each)
     val scal = freqS.agg(sum(col("__cs")).as("__ts"),
         count(lit(1)).as("__v"))
-      .crossJoin(freqT.agg(sum(col("__ct")).as("__tt")))
+      .crossJoin(broadcast(freqT.agg(sum(col("__ct")).as("__tt"))))
     val pT = (coalesce(col("__ct"), lit(0L)).cast("double") + lit(1.0)) /
       (col("__tt").cast("double") + col("__v").cast("double"))
     val pS = (col("__cs").cast("double") + lit(1.0)) /

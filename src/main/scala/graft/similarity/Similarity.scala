@@ -206,6 +206,17 @@ object Similarity {
     }
   }
 
+  /** Every requested query id must resolve to a corpus vector — a typo'd
+    * id silently missing from the result set is a pipeline bug, not data
+    * (same fail-fast convention as the kernels' dimension checks).
+    */
+  private def requireAllQueries(op: String, requested: Seq[Long],
+      found: Seq[Long]): Unit = {
+    val missing = requested.distinct.toSet -- found.toSet
+    require(missing.isEmpty,
+      s"$op: query ids not present in the corpus: ${missing.toSeq.sorted.mkString(", ")}")
+  }
+
   /** Bounded-heap top-k per query over `(query_id, neighbor_id, adc)`
     * rows, smallest rounded distance first, neighbor-id ties ascending.
     */
@@ -242,7 +253,7 @@ object Similarity {
       .select(col("vec_id").cast("long"), asDouble(col("embedding")))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
-    require(qs.nonEmpty, "pqAdcKnn needs at least one query vector")
+    requireAllQueries("pqAdcKnn", queryIds, qs.map(_._1))
     val scored = qs.map { case (qid, qv) =>
       require(qv.length == dim, s"query $qid dimension ${qv.length} != $dim")
       codes.filter(col("vec_id") =!= qid)
@@ -282,7 +293,7 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Double](2).toArray))
       .sortBy(_._1)
-    require(probed.nonEmpty, "ivfPqKnn needs at least one query vector")
+    requireAllQueries("ivfPqKnn", queryIds, probed.map(_._1))
     val scored = probed.map { case (qid, lists, qv) =>
       require(qv.length == dim, s"query $qid dimension ${qv.length} != $dim")
       index.filter(col("cid").isInCollection(lists) && col("vec_id") =!= qid)
@@ -352,6 +363,68 @@ object Similarity {
       i += 1
     }
     cents
+  }
+
+  /** LSH-bucketed cosine near-dup candidate pairs `(id_a < id_b, va, vb)`:
+    * vectors sharing a hyperplane-sign bucket pair up, everything else
+    * never meets — feed the output to [[graft.dedup.Dedup.cosinePairs]]
+    * for the exact verify. Each vector lands in exactly ONE bucket, so
+    * pairs are already distinct.
+    *
+    * Scale guards (the same two that keep the MinHash path
+    * `Dedup.cappedBands` bounded at corpus scale):
+    *  - the per-bucket `count(*)` window — sharing the self-join's hash
+    *    partitioning, no extra exchange — drops degenerate buckets larger
+    *    than `maxBucket` (duplicate floods, zero vectors), so the
+    *    within-bucket self-join is never quadratic in the corpus;
+    *  - the bucket SPACE must scale with the data: expected occupancy is
+    *    |corpus|/2^planes under random signs, so a fixed plane count turns
+    *    every bucket into n/2^planes and the pair count into
+    *    n²/2^planes. Size `planes` with [[planeCountFor]] (the count-based
+    *    overload does this) instead of pinning a constant.
+    */
+  def cosineCandidates(df: DataFrame, id: Column, vec: Column,
+      planes: Seq[Seq[Double]], maxBucket: Int = 1000): DataFrame = {
+    require(planes.nonEmpty, "cosineCandidates needs at least one plane")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val emb = df.select(id.as("vec_id"), asDouble(vec).as("v"))
+      .withColumn("bucket", hyperplaneBucket(col("v"), planes))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
+    val capped = emb.withColumn("__bc", count(lit(1)).over(w))
+      .filter(col("__bc") <= maxBucket)
+      .drop("__bc")
+    val a = capped.select(col("bucket"), col("vec_id").as("id_a"), col("v").as("va"))
+    val b = capped.select(col("bucket"), col("vec_id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("va"), col("vb"))
+  }
+
+  /** Count-based face of [[cosineCandidates]]: sizes the plane space from
+    * a cheap narrow count of `df` via [[planeCountFor]], so bucket
+    * occupancy stays near `targetBucketSize` as the corpus grows. Harness
+    * queries pass explicit planes (their DuckDB oracles re-derive the same
+    * buckets); production pipelines use this.
+    */
+  def cosineCandidates(df: DataFrame, id: Column, vec: Column, dim: Int,
+      targetBucketSize: Long, maxBucket: Int, seed: Long): DataFrame = {
+    val n = df.select(id).count()
+    cosineCandidates(df, id, vec,
+      deterministicPlanes(planeCountFor(n, targetBucketSize), dim, seed),
+      maxBucket)
+  }
+
+  /** Hyperplane count that keeps expected bucket occupancy near
+    * `targetBucketSize`: `⌈log₂(n / target)⌉`, clamped to [1, 62] (bucket
+    * ids are sign-bit flags in one long). 10× corpus growth adds ~3–4
+    * planes — the bucket space grows WITH the data, keeping within-bucket
+    * quadratic work constant instead of letting it grow as n²/2^planes.
+    */
+  def planeCountFor(n: Long, targetBucketSize: Long): Int = {
+    require(targetBucketSize >= 1,
+      s"targetBucketSize must be >= 1, got $targetBucketSize")
+    val raw = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucketSize)) / math.log(2.0)).toInt
+    math.min(62, math.max(1, raw))
   }
 
   /** Random-hyperplane LSH bucket for cosine similarity: sign bits of dot

@@ -49,12 +49,18 @@ object Bm25 {
     val terms = queryTerms.map(_.toLowerCase).distinct
     // (doc, query-term) counts: the isin filter sits directly on the
     // exploded column, so non-query terms never reach the aggregate
+    // materialized once: tc feeds BOTH the df aggregate and the scored
+    // join; it is match-sized (docs matching a query term × |terms|), not
+    // corpus-sized, so the checkpoint is cheap and the corpus explode is
+    // guaranteed to run a single time instead of relying on Catalyst
+    // exchange reuse to dedup the shared subtree
     val tc = df.select(id.as("doc_id"),
         TextAnalysis.tokenCount(text).as("doc_len"),
         explode(TextAnalysis.tokens(text)).as("term"))
       .filter(col("term").isin(terms: _*))
       .groupBy(col("doc_id"), col("doc_len"), col("term"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     // corpus stats over ALL docs (not just matches): N and avgdl
     val stats = df.agg(count(lit(1)).as("__n"),
       avg(TextAnalysis.tokenCount(text).cast("double")).as("__avgdl"))
@@ -89,12 +95,16 @@ object Bm25 {
         explode(TextAnalysis.tokens(queryText)).as("term"))
       .distinct()
       .localCheckpoint(true)
+    // materialized once, same rationale as [[topK]]'s tc: the frame feeds
+    // both the corpus-wide df aggregate and the scored join, and it is
+    // match-sized (query-term hits), never corpus-sized
     val tc = df.select(id.as("doc_id"),
         TextAnalysis.tokenCount(text).as("doc_len"),
         explode(TextAnalysis.tokens(text)).as("term"))
       .join(broadcast(qTerms), "term")
       .groupBy(col("query_id"), col("doc_id"), col("doc_len"), col("term"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val stats = df.agg(count(lit(1)).as("__n"),
       avg(TextAnalysis.tokenCount(text).cast("double")).as("__avgdl"))
     // corpus-wide df per term (not per query): distinct (doc, term) from

@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
   * Scale shape: explode to (doc, idx, line), count DISTINCT docs per
   * trimmed line (one shuffle on the line key with map-side partials), keep
   * lines under the threshold, reassemble per doc. The blocked-line set is
-  * the heavy-hitter tail of the line distribution — small by construction
-  * (a line must appear in > `maxDocs` docs to enter it) — so the removal
-  * join broadcasts. Reassembly sorts each doc's surviving (idx, line)
+  * NOT force-broadcast: on a web-scale corpus the lines appearing in more
+  * than `maxDocs` documents are the boilerplate of the entire web — easily
+  * tens of GB — so AQE decides (broadcast when runtime stats fit, shuffled
+  * anti-join otherwise), the same treatment as
+  * [[graft.dedup.Dedup.greedySurvivors]]. Reassembly sorts each doc's
+  * surviving (idx, line)
   * pairs inside `array_sort` (deterministic under any shuffle order) —
   * never relies on `collect_list` arrival order.
   */
@@ -36,7 +39,7 @@ object Boilerplate {
       .agg(countDistinct(col("doc_id")).as("__docs"))
       .filter(col("__docs") > maxDocs)
       .select(col("__norm").as("__bad"))
-    lines.join(broadcast(blocked), col("__norm") === col("__bad"), "left_anti")
+    lines.join(blocked, col("__norm") === col("__bad"), "left_anti")
       .groupBy(col("doc_id"), col("__total"))
       .agg(
         concat_ws("\n", transform(

@@ -217,6 +217,63 @@ class SimilaritySpec extends SparkSpec {
     assert(full === plain, "probing every list must equal the full ADC scan")
   }
 
+  test("cosineCandidates drops flooded buckets, keeps healthy ones") {
+    // 12 identical vectors flood one bucket; 2 identical opposite-sign
+    // vectors share another (every sign bit flips, so the buckets differ)
+    val flood = (0L until 12L).map(i => (i, Array(1.0f, 0.0f, 0.0f)))
+    val pair = Seq((100L, Array(-1.0f, 0.0f, 0.0f)),
+      (101L, Array(-1.0f, 0.0f, 0.0f)))
+    val df = (flood ++ pair).toDF("vec_id", "embedding")
+    val planes = Similarity.deterministicPlanes(4, 3)
+    val capped = Similarity.cosineCandidates(df, col("vec_id"),
+        col("embedding"), planes, maxBucket = 5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((100L, 101L)),
+      "the 12-vector bucket exceeds the cap and must contribute no pairs")
+    val uncapped = Similarity.cosineCandidates(df, col("vec_id"),
+      col("embedding"), planes).count()
+    assert(uncapped === 12L * 11 / 2 + 1, "without the cap the flood pairs up")
+  }
+
+  test("planeCountFor scales the bucket space with the corpus") {
+    assert(Similarity.planeCountFor(1000000L, 1000L) === 10)
+    assert(Similarity.planeCountFor(10000000L, 1000L) === 14)
+    assert(Similarity.planeCountFor(10L, 1000L) === 1, "tiny corpus clamps to 1")
+    assert(Similarity.planeCountFor(Long.MaxValue, 1L) === 62, "clamped to long bits")
+    // 10x growth adds a bounded number of planes, halving occupancy drift
+    val d = Similarity.planeCountFor(10000000L, 1000L) -
+      Similarity.planeCountFor(1000000L, 1000L)
+    assert(d >= 3 && d <= 4)
+  }
+
+  test("count-based cosineCandidates sizes planes from the data") {
+    val df = (0L until 40L).map(i =>
+      (i, Array.tabulate(4)(d => math.sin(i * 0.7 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.cosineCandidates(df, col("vec_id"), col("embedding"),
+      dim = 4, targetBucketSize = 10L, maxBucket = 1000, seed = 7L)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)), "pairs are ordered")
+    // 40 vectors at target 10 -> 2 planes -> buckets bounded by 4 spaces
+    val explicit = Similarity.cosineCandidates(df, col("vec_id"),
+      col("embedding"), Similarity.deterministicPlanes(2, 4, seed = 7L), 1000)
+    assert(out.count() === explicit.count())
+  }
+
+  test("pq search fails fast on query ids missing from the corpus") {
+    val cents = vecs.filter(col("vec_id").isin(0L, 2L))
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.pqAdcKnn(vecs, cents, queryIds = Seq(0L, 99L), m = 3, k = 2)
+    }
+    assert(e1.getMessage.contains("99"), s"missing id must be named: ${e1.getMessage}")
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqKnn(vecs, cents, queryIds = Seq(1L, 77L, 78L), m = 3, k = 2)
+    }
+    assert(e2.getMessage.contains("77") && e2.getMessage.contains("78"))
+  }
+
   test("hyperplane bucket is deterministic and equal for identical vectors") {
     val planes = Similarity.deterministicPlanes(4, 3)
     val b = vecs.select(col("vec_id"),
