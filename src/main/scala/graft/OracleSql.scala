@@ -1167,17 +1167,20 @@ object OracleSql {
          |FROM toks JOIN fs USING (term) LEFT JOIN ft USING (term) CROSS JOIN sc
          |GROUP BY doc_id""".stripMargin,
     // the oracle states the SELECTION RULE directly (global-order running
-    // sum <= budget); the Spark side reproduces it with a two-level
-    // bucket-prefix cumsum that never global-sorts — equality here proves
-    // the distributed decomposition exact. Token counts are integers, so
-    // the running sum has no float hazard; DuckDB's BIGINT sum widens to
-    // HUGEINT, hence the cast.
+    // sum <= budget, score ties broken by the salted content hash then
+    // id); the Spark side reproduces it with a two-level bucket-prefix
+    // cumsum that never global-sorts — equality here proves the
+    // distributed decomposition exact, including the hash-cell split of
+    // repeated-score buckets. Token counts are integers, so the running
+    // sum has no float hazard; DuckDB's BIGINT sum widens to HUGEINT,
+    // hence the cast.
     "x40_budget_select" ->
       s"""WITH t AS (SELECT doc_id, text, $Toks AS toks FROM documents),
          |q AS (SELECT doc_id, $QualitySql AS score,
-         |  CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  ${hashKeySql("doc_id", "budget")} AS tie FROM t),
          |c AS (SELECT doc_id, score, n_tokens,
-         |  CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+         |  CAST(sum(n_tokens) OVER (ORDER BY score DESC, tie ASC, doc_id ASC
          |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM q)
          |SELECT doc_id, score, n_tokens, cum_tokens
          |FROM c WHERE cum_tokens <= ${SparkEntry.TokenBudget}""".stripMargin,

@@ -10,9 +10,13 @@ import org.apache.spark.sql.functions._
   * quality ranking" step that follows scoring/filtering in an LLM data
   * pipeline.
   *
-  * Selection rule (exact, total-order): rank docs by `(score DESC, id
-  * ASC)` and keep every prefix doc whose INCLUSIVE running token sum is
-  * `<= budget`.
+  * Selection rule (exact, total-order): rank docs by `(score DESC,
+  * tie_hash ASC, id ASC)` — `tie_hash` is the salted 32-bit content hash
+  * of the id ([[Sampling.hashKey]]) — and keep every prefix doc whose
+  * INCLUSIVE running token sum is `<= budget`. Breaking score ties on the
+  * hash rather than the raw id does two jobs: it de-biases the boundary
+  * cut inside a tie group (raw ids correlate with crawl order), and it is
+  * what lets a tied score value be SPLIT across reducers exactly (below).
   *
   * The naive implementation is a global sort + a single-partition running
   * sum — the canonical scale-killer. Here the running sum is split in two
@@ -20,38 +24,57 @@ import org.apache.spark.sql.functions._
   *
   *   1. docs bucket by score into `numBuckets` equal-width bins between
   *      the observed min/max (one scalar agg, broadcast back);
-  *   2. per-bucket token totals aggregate into a `numBuckets`-row frame —
-  *      bounded, data-independent — whose descending-score prefix sums are
-  *      computed on the driver and rejoin as a broadcast;
-  *   3. each doc's inclusive cumsum = its bucket's prefix + a running sum
-  *      over `(score DESC, id ASC)` WITHIN its bucket — a window
-  *      partitioned by bucket, so no single reducer ever sees more than
-  *      one bucket's docs.
+  *   2. a bucket whose docs all share ONE score value (the discrete-score
+  *      degenerate: integer ratings, a constant column) and whose count
+  *      exceeds `subBuckets` splits further into `subBuckets` cells by
+  *      `⌊tie_hash·S/2³²⌋` — monotonic in the hash, which IS the tie
+  *      order, so the split preserves the global order. Mixed-score
+  *      buckets never split (a hash cell would interleave scores);
+  *      equal-width bucketing already bounds them for near-continuous
+  *      scores.
+  *   3. per-(bucket, cell) token totals aggregate into a bounded frame
+  *      (≤ numBuckets·subBuckets rows) whose descending-order prefix sums
+  *      are computed on the driver and rejoin as a broadcast;
+  *   4. each doc's inclusive cumsum = its cell's prefix + a running sum
+  *      over `(score DESC, tie_hash ASC, id ASC)` WITHIN its cell — a
+  *      window partitioned by (bucket, cell), so no single reducer ever
+  *      sees more than one cell's docs.
   *
-  * Because bucketing is monotonic in score, prefix+within-bucket cumsum
-  * equals the global cumsum exactly; token counts are integers, so there
-  * is no float merge-order hazard. Skew caveat: one bucket holds every
-  * doc sharing a heavily-repeated score value (e.g. a constant score
-  * column degenerates to the global sort); real quality scores are
-  * near-continuous, and `numBuckets` bounds the expected per-reducer rows
-  * at `|docs|/numBuckets`.
+  * Because bucketing (and, inside a pure bucket, the hash cell) is
+  * monotonic in the selection order, prefix+within-cell cumsum equals the
+  * global cumsum exactly; token counts are integers, so there is no float
+  * merge-order hazard. Expected per-reducer rows are bounded by
+  * `|docs|/numBuckets` for continuous scores and `|bucket|/subBuckets`
+  * for repeated-value buckets — no score distribution degenerates to a
+  * global sort.
   */
 object BudgetSelect {
 
+  /** 2³² — the exclusive upper bound of [[Sampling.hashKey]]'s range;
+    * `⌊hash·S/2³²⌋` maps the hash onto `S` order-preserving cells
+    * (products stay < 2⁴⁷, exact in double).
+    */
+  private val HashSpace = 4294967296L
+
   /** Docs selected under `budget`, with their inclusive running token sum.
-    * Emits `(doc_id, score, n_tokens, cum_tokens)`.
+    * Emits `(doc_id, score, n_tokens, cum_tokens)`. Any numeric score
+    * column is accepted (cast to double up front).
     */
   def selectUnderBudget(df: DataFrame, id: Column, score: Column,
-      tokens: Column, budget: Long, numBuckets: Int = 1024): DataFrame = {
+      tokens: Column, budget: Long, numBuckets: Int = 1024,
+      subBuckets: Int = 32, salt: String = "budget"): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
-    // materialized once: (id, score, tokens) is ~24 bytes/row — far
+    require(subBuckets >= 1 && subBuckets <= 65536,
+      s"subBuckets must be in [1, 65536], got $subBuckets")
+    // materialized once: (id, score, tokens, tie) is ~32 bytes/row — far
     // smaller than the text it derives from — and three passes read it
-    // (min/max, per-bucket totals, the final join+window); without the
+    // (min/max, the bounded totals, the final join+window); without the
     // checkpoint each pass would re-run the scoring/tokenize expressions
     // over the full corpus
-    val base = df.select(id.as("doc_id"), score.as("score"),
-      tokens.cast("long").as("n_tokens")).localCheckpoint(true)
+    val base = df.select(id.as("doc_id"), score.cast("double").as("score"),
+      tokens.cast("long").as("n_tokens"),
+      Sampling.hashKey(id, lit(salt)).as("__tie")).localCheckpoint(true)
     val statsRow = base.agg(min(col("score")), max(col("score"))).head()
     // empty corpus (an upstream gate dropped everything): empty result,
     // not an NPE off the null min/max
@@ -60,25 +83,40 @@ object BudgetSelect {
         lit(0L).as("cum_tokens")).limit(0)
     val (lo, hi) = (statsRow.getDouble(0), statsRow.getDouble(1))
     // width_bucket puts score=hi into numBuckets+1; fold it back so the
-    // top bucket is closed. A constant-score corpus (lo == hi) degenerates
-    // to one bucket, which is still correct (the skew caveat above).
+    // top bucket is closed
     val bucketed = base.withColumn("__b",
       least(width_bucket(col("score"), lit(lo), lit(hi + math.ulp(hi)),
         lit(numBuckets)), lit(numBuckets.toLong)))
-    // bounded frame: per-bucket token totals -> driver-side prefix sums
-    // (descending score order), broadcast back as a lookup
-    val perBucket = bucketed.groupBy(col("__b"))
+    // pass 1 (bounded: numBuckets rows): which buckets are pure —
+    // min == max, one repeated score value — AND heavy enough to split
+    val splitBuckets = bucketed.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__c"), min(col("score")).as("__lo"),
+        max(col("score")).as("__hi"))
+      .collect()
+      .filter(r => r.getLong(1) > subBuckets && r.getDouble(2) == r.getDouble(3))
+      .map(_.getLong(0)).toSet
+    val cell =
+      if (splitBuckets.isEmpty) lit(0L)
+      else when(col("__b").isInCollection(splitBuckets),
+        floor(col("__tie") * lit(subBuckets.toLong) / lit(HashSpace)).cast("long"))
+        .otherwise(lit(0L))
+    val celled = bucketed.withColumn("__sb", cell)
+    // pass 2 (bounded: <= numBuckets * subBuckets rows): per-cell token
+    // totals -> driver-side prefix sums in selection order (bucket desc,
+    // cell asc), broadcast back as a lookup
+    val perCell = celled.groupBy(col("__b"), col("__sb"))
       .agg(sum(col("n_tokens")).as("__t"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(-_._1).toSeq
-    val prefixBefore = perBucket.scanLeft((Long.MaxValue, 0L)) {
-      case ((_, acc), (b, t)) => (b, acc + t)
-    }.sliding(2).map { case Seq((_, acc), (b, _)) => (b, acc) }.toSeq
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .sortBy { case ((b, s), _) => (-b, s) }.toSeq
+    val prefixBefore = perCell.scanLeft(((Long.MaxValue, Long.MinValue), 0L)) {
+      case ((_, acc), (cellKey, t)) => (cellKey, acc + t)
+    }.sliding(2).map { case Seq((_, acc), ((b, s), _)) => (b, s, acc) }.toSeq
     val spark = df.sparkSession
     import spark.implicits._
-    val prefixDf = prefixBefore.toDF("__b", "__prefix")
-    val w = Window.partitionBy(col("__b"))
-      .orderBy(col("score").desc, col("doc_id").asc)
-    bucketed.join(broadcast(prefixDf), "__b")
+    val prefixDf = prefixBefore.toDF("__b", "__sb", "__prefix")
+    val w = Window.partitionBy(col("__b"), col("__sb"))
+      .orderBy(col("score").desc, col("__tie").asc, col("doc_id").asc)
+    celled.join(broadcast(prefixDf), Seq("__b", "__sb"))
       .withColumn("cum_tokens", col("__prefix") + sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") <= budget)
       .select(col("doc_id"), col("score"), col("n_tokens"), col("cum_tokens"))

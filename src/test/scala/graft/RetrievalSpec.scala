@@ -100,7 +100,19 @@ class RetrievalSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).forall(_ === 256L))
   }
 
+  /** Salted tie hash as the operator computes it (md5-derived, engine-
+    * independent), collected for naive in-memory references.
+    */
+  private def tieHashes(ids: Seq[Long], salt: String): Map[Long, Long] = {
+    val df = ids.toDF("doc_id")
+    df.select(col("doc_id"),
+        graft.sampling.Sampling.hashKey(col("doc_id"), lit(salt)).as("tie"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
   test("budget select: equals the global-order prefix rule exactly") {
+    // i*37 % 100 repeats every 100 ids, so score TIES exist — the naive
+    // reference must apply the same (score desc, tie asc, id asc) order
     val corpus = (1L to 200L).map(i =>
       (i, (i * 37 % 100).toDouble / 100.0, 10L + i % 7)) // score, tokens
     val df = corpus.toDF("doc_id", "score", "n_tokens")
@@ -108,22 +120,54 @@ class RetrievalSpec extends SparkSpec {
         col("doc_id"), col("score"), col("n_tokens"), budget = 800,
         numBuckets = 16)
       .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
-    // naive reference: sort by (score desc, id asc), inclusive cumsum
+    val tie = tieHashes(corpus.map(_._1), "budget")
     var acc = 0L
-    val want = corpus.sortBy { case (id, s, _) => (-s, id) }
+    val want = corpus.sortBy { case (id, s, _) => (-s, tie(id), id) }
       .map { case (id, _, t) => acc += t; id -> acc }
       .takeWhile(_._2 <= 800).toMap
     assert(got === want)
   }
 
-  test("budget select: ties inside one bucket break on doc_id") {
-    val df = Seq((3L, 0.5, 100L), (1L, 0.5, 100L), (2L, 0.5, 100L))
-      .toDF("doc_id", "score", "n_tokens")
+  test("budget select: score ties break on the salted hash, then id") {
+    val ids = Seq(3L, 1L, 2L)
+    val df = ids.map(i => (i, 0.5, 100L)).toDF("doc_id", "score", "n_tokens")
     val got = graft.sampling.BudgetSelect.selectUnderBudget(df,
         col("doc_id"), col("score"), col("n_tokens"), budget = 200,
         numBuckets = 4)
-      .collect().map(_.getLong(0)).sorted
-    assert(got.toSeq === Seq(1L, 2L))
+      .collect().map(_.getLong(0)).toSet
+    val tie = tieHashes(ids, "budget")
+    val want = ids.sortBy(i => (tie(i), i)).take(2).toSet
+    assert(got === want)
+  }
+
+  test("budget select: a repeated-score bucket splits across hash cells") {
+    // 3 distinct scores over 3000 docs — every bucket is pure and heavy,
+    // the discrete-domain degenerate that used to funnel a third of the
+    // corpus through one window reducer
+    val n = 3000
+    val corpus = (1L to n.toLong).map(i => (i, (i % 3).toDouble, 10L))
+    val df = corpus.toDF("doc_id", "score", "n_tokens")
+    val subBuckets = 16
+    val out = graft.sampling.BudgetSelect.selectUnderBudget(df,
+      col("doc_id"), col("score"), col("n_tokens"), budget = n * 5L,
+      numBuckets = 64, subBuckets = subBuckets)
+    // exactness first: equals the naive rule under the same tie order
+    val tie = tieHashes(corpus.map(_._1), "budget")
+    var acc = 0L
+    val want = corpus.sortBy { case (id, s, _) => (-s, tie(id), id) }
+      .map { case (id, _, t) => acc += t; id -> acc }
+      .takeWhile(_._2 <= n * 5L).toMap
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(3))).toMap === want)
+    // and no reducer saw more than one hash cell's docs: the largest
+    // (bucket, cell) group is far below a whole score class (n/3 docs)
+    val cells = df.select(
+        graft.sampling.Sampling.hashKey(col("doc_id"), lit("budget"))
+          .as("tie"), col("score"))
+      .select(col("score"), floor(col("tie") * subBuckets / lit(4294967296L))
+        .as("cell"))
+      .groupBy("score", "cell").count().collect().map(_.getLong(2))
+    assert(cells.max < n / 3 / 4,
+      s"largest cell ${cells.max} is not a meaningful split of ${n / 3}")
   }
 
   test("cms frequency: estimates satisfy the bound; tiny key sets are exact") {
