@@ -165,6 +165,38 @@ object OracleSql {
       |  SELECT vec_id, s, cid, row_number() OVER (
       |    PARTITION BY vec_id, s ORDER BY dist ASC, cid ASC) AS rn FROM d2) WHERE rn = 1)""".stripMargin
 
+  /** IVF+PQ search, shared by x44 (per-query face) and x47 (batch
+    * query-table face): x09's coarse assignment/probe chain composed with
+    * x43's code/ADC chain — candidates are vectors whose coarse list is
+    * among the query's nprobe=2 probed lists, scored by ADC over their PQ
+    * codes. One SQL for both keys: the batch plan must be
+    * result-identical to the per-query plan on the same probes.
+    */
+  private lazy val IvfPqSql =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id % 50 = 0),
+       |rnks AS (SELECT v.vec_id, c.cid,
+       |  row_number() OVER (PARTITION BY v.vec_id
+       |   ORDER BY ${cosineSql("v.ve", "c.cv")} DESC, c.cid) AS rn
+       | FROM v CROSS JOIN cent c),
+       |asg AS (SELECT vec_id, cid FROM rnks WHERE rn = 1),
+       |probes AS (SELECT vec_id AS qid, cid FROM rnks
+       | WHERE rn <= 2 AND vec_id IN (0, 1)),
+       |$PqChainSql,
+       |cand AS (SELECT p.qid AS query_id, a.vec_id AS neighbor_id
+       | FROM probes p JOIN asg a ON a.cid = p.cid
+       | WHERE a.vec_id <> p.qid),
+       |adc AS (SELECT ca.query_id, ca.neighbor_id,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(qd.dist ORDER BY qd.s)), (a, b) -> a + b) AS adist
+       | FROM cand ca
+       | JOIN codes c2 ON c2.vec_id = ca.neighbor_id
+       | JOIN d2 qd ON qd.vec_id = ca.query_id AND qd.cid = c2.code AND qd.s = c2.s
+       | GROUP BY 1, 2),
+       |r AS (SELECT query_id, neighbor_id, round(adist, 6) AS adc_dist,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY round(adist, 6) ASC, neighbor_id ASC) AS INTEGER) AS rnk FROM adc)
+       |SELECT query_id, neighbor_id, adc_dist, rnk FROM r WHERE rnk <= 5""".stripMargin
+
   /** DuckDB twin of [[graft.warehouse.Layout.zValue]]: the same
     * bit-interleave terms, generated by the same loop.
     */
@@ -834,30 +866,11 @@ object OracleSql {
     // x09's coarse assignment/probe chain composed with x43's code/ADC
     // chain: candidates = vectors whose coarse list is among the query's
     // nprobe=2 probed lists, scored by ADC over their PQ codes
-    "x44_ivfpq" ->
-      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings),
-         |cent AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id % 50 = 0),
-         |rnks AS (SELECT v.vec_id, c.cid,
-         |  row_number() OVER (PARTITION BY v.vec_id
-         |   ORDER BY ${cosineSql("v.ve", "c.cv")} DESC, c.cid) AS rn
-         | FROM v CROSS JOIN cent c),
-         |asg AS (SELECT vec_id, cid FROM rnks WHERE rn = 1),
-         |probes AS (SELECT vec_id AS qid, cid FROM rnks
-         | WHERE rn <= 2 AND vec_id IN (0, 1)),
-         |$PqChainSql,
-         |cand AS (SELECT p.qid AS query_id, a.vec_id AS neighbor_id
-         | FROM probes p JOIN asg a ON a.cid = p.cid
-         | WHERE a.vec_id <> p.qid),
-         |adc AS (SELECT ca.query_id, ca.neighbor_id,
-         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(qd.dist ORDER BY qd.s)), (a, b) -> a + b) AS adist
-         | FROM cand ca
-         | JOIN codes c2 ON c2.vec_id = ca.neighbor_id
-         | JOIN d2 qd ON qd.vec_id = ca.query_id AND qd.cid = c2.code AND qd.s = c2.s
-         | GROUP BY 1, 2),
-         |r AS (SELECT query_id, neighbor_id, round(adist, 6) AS adc_dist,
-         |  CAST(row_number() OVER (PARTITION BY query_id
-         |    ORDER BY round(adist, 6) ASC, neighbor_id ASC) AS INTEGER) AS rnk FROM adc)
-         |SELECT query_id, neighbor_id, adc_dist, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "x44_ivfpq" -> IvfPqSql,
+    // the batch query-table face runs the same queries through one
+    // codes-frame pass — same oracle: the hash match proves the batch
+    // plan result-identical to the per-query plan
+    "x47_ivfpq_batch" -> IvfPqSql,
     "x10_lsh_bucket" ->
       s"""SELECT vec_id, CAST(${bucketExpr(Planes8, "ve")} AS BIGINT) AS bucket
          |FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve

@@ -624,6 +624,17 @@ object SparkEntry {
       Similarity.ivfPqKnn(emb, emb.filter(col("vec_id") % 50 === 0),
         queryIds = Seq(0L, 1L), m = 8, k = 5, nprobe = 2)
     }),
+    // the batch face of x44: the same queries as a query TABLE, scored in
+    // one codes-frame pass (probe lists + ADC tables are a projection on
+    // the query frame, broadcast into the scan) — shares x44's oracle, so
+    // the hash match proves batch ≡ per-query on identical probes
+    "x47_ivfpq_batch" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.ivfPqKnnBatch(emb, emb.filter(col("vec_id") % 50 === 0),
+        queries = emb.filter(col("vec_id").isin(0L, 1L)),
+        queryId = col("vec_id"), queryVec = col("embedding"),
+        m = 8, k = 5, nprobe = 2)
+    }),
     "x16_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(T(s, dir, "documents"), col("doc_id"), col("text"),
         maxHamming = 2)),

@@ -489,6 +489,85 @@ case class PqAdc(child: Expression, ids: Seq[Long], table: Seq[Seq[Double]])
     copy(child = newChild)
 }
 
+/** Per-query ADC distance table as a column value — the query-side
+  * projection of BATCH ADC search (one `m × |codebook|` table per query
+  * row, broadcast with its probe list into the codes scan). Same fold
+  * order as the plan-constant table in [[PqAdc]]'s driver-side builder.
+  * See [[Kernels.adcTable]].
+  */
+case class AdcTable(child: Expression, ids: Seq[Long],
+    cents: Seq[Seq[Double]], m: Int)
+  extends UnaryExpression with KernelCodegenHelpers {
+
+  require(m >= 1, "m must be positive")
+
+  @transient private lazy val idsArr: Array[Long] = ids.toArray
+  @transient private lazy val centsArr: Array[Array[Double]] = cents.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (vecTypeOk(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"adc_table requires array<float|double>, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  override def prettyName: String = "adc_table"
+
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.adcTable(v.asInstanceOf[ArrayData], idsArr, centsArr, m, isFloatArr(child))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("adcIds", idsArr, "long[]")
+    val centsRef = ctx.addReferenceObj("adcCents", centsArr, "double[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = $KernelsCls.adcTable($v, $idsRef, $centsRef, $m, ${isFloatArr(child)});")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AdcTable =
+    copy(child = newChild)
+}
+
+/** ADC scan with the distance table arriving as a COLUMN (the batch face
+  * of [[PqAdc]]: per-query tables joined into the codes frame). See
+  * [[Kernels.pqAdcDyn]].
+  */
+case class PqAdcDyn(left: Expression, right: Expression, ids: Seq[Long])
+  extends BinaryExpression with KernelCodegenHelpers {
+
+  @transient private lazy val idsArr: Array[Long] = ids.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc_dyn requires (array<bigint>, array<array<double>>), got " +
+        s"(${l.simpleString}, ${r.simpleString})")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_adc_dyn"
+
+  override protected def nullSafeEval(codes: Any, table: Any): Any =
+    Kernels.pqAdcDyn(codes.asInstanceOf[ArrayData], idsArr,
+      table.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("adcIds", idsArr, "long[]")
+    nullSafeCodeGen(ctx, ev, (codes, table) => {
+      val tmp = ctx.freshName("adc")
+      s"""
+         |java.lang.Double $tmp = $KernelsCls.pqAdcDyn($codes, $idsRef, $table);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcDyn =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Point-frequency estimate of a string key from a SERIALIZED Count-Min
   * sketch carried as a plan constant — the read face of Spark's
   * `count_min_sketch` aggregate (whose partials merge associatively, which
@@ -573,4 +652,11 @@ object Native {
 
   def pqAdc(codes: Column, ids: Array[Long], table: Array[Array[Double]]): Column =
     C(PqAdc(E(codes), ids.toSeq, table.map(_.toSeq).toSeq))
+
+  def adcTable(vec: Column, ids: Array[Long], cents: Array[Array[Double]],
+      m: Int): Column =
+    C(AdcTable(E(vec), ids.toSeq, cents.map(_.toSeq).toSeq, m))
+
+  def pqAdcDyn(codes: Column, table: Column, ids: Array[Long]): Column =
+    C(PqAdcDyn(E(codes), E(table), ids.toSeq))
 }

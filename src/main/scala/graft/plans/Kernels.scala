@@ -464,4 +464,78 @@ object Kernels {
     }
     acc
   }
+
+  /** Per-query ADC lookup table as a COLUMN value: `table(s)(ordinal)` =
+    * squared L2 between the query's subvector `s` and centroid `ordinal`'s
+    * matching slice, accumulated in the same left-to-right `d = x − y;
+    * acc += d·d` order as [[pqEncode]] (and the driver-side table in
+    * `Similarity.adcTable`), so batch and ad-hoc ADC are bit-identical.
+    * Null elements read as NaN (the [[nearestCentroids]] convention);
+    * dimension mismatches throw.
+    */
+  def adcTable(v: ArrayData, ids: Array[Long], cents: Array[Array[Double]],
+      m: Int, isFloat: Boolean): ArrayData = {
+    val dim = v.numElements()
+    if (dim % m != 0)
+      throw new IllegalArgumentException(
+        s"adc_table: dimension $dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    val vd = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      vd(i) = if (v.isNullAt(i)) Double.NaN else elem(v, i, isFloat)
+      i += 1
+    }
+    val rows = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      val row = new Array[Double](ids.length)
+      var c = 0
+      while (c < ids.length) {
+        val cv = cents(c)
+        if (cv.length != dim)
+          throw new IllegalArgumentException(
+            s"adc_table: vector dimension $dim does not match " +
+              s"centroid ${ids(c)} dimension ${cv.length}")
+        var d2 = 0.0
+        var j = s * sub
+        val hi = (s + 1) * sub
+        while (j < hi) {
+          val d = vd(j) - cv(j)
+          d2 = d2 + d * d
+          j += 1
+        }
+        row(c) = d2
+        c += 1
+      }
+      rows(s) = new GenericArrayData(row)
+      s += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  /** [[pqAdc]] with the distance table arriving as a column value (the
+    * batch face: one table per QUERY ROW, broadcast-joined into the codes
+    * scan) instead of a plan constant. Same accumulation order, same
+    * fail-fast on unknown codes; a malformed (wrong-width) table throws.
+    */
+  def pqAdcDyn(codes: ArrayData, ids: Array[Long],
+      table: ArrayData): java.lang.Double = {
+    val m = codes.numElements()
+    if (table.numElements() != m)
+      throw new IllegalArgumentException(
+        s"pq_adc: ${table.numElements()}-subspace table vs $m-code row")
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      if (codes.isNullAt(s) || table.isNullAt(s)) return null
+      val ord = java.util.Arrays.binarySearch(ids, codes.getLong(s))
+      if (ord < 0)
+        throw new IllegalArgumentException(
+          s"pq_adc: code ${codes.getLong(s)} not in the codebook")
+      acc = acc + table.getArray(s).getDouble(ord)
+      s += 1
+    }
+    acc
+  }
 }

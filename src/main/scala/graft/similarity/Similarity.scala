@@ -304,6 +304,57 @@ object Similarity {
     topKByAdc(scored, k)
   }
 
+  /** Batch IVF+PQ search over a query TABLE — the production face of
+    * [[ivfPqKnn]], whose `queryIds` + driver-side `.collect()` + one plan
+    * branch per query only fits ad-hoc use (a million-query workload would
+    * collapse the driver and the plan). Mirrors
+    * [[graft.text.Bm25.topKBatch]]'s shape:
+    *
+    *  - the index is the same ONE narrow projection (coarse list + codes),
+    *    localCheckpointed — raw embeddings are read exactly once;
+    *  - the query side is a PROJECTION on the query frame: probe lists
+    *    from the `nearest_centroids` kernel, per-query ADC distance
+    *    tables from the `adc_table` kernel (m × |codebook| doubles per
+    *    query — workload-sized, never corpus-sized), exploded to one row
+    *    per (query, probed list);
+    *  - that frame broadcasts into ONE codes-frame pass as an equi-join
+    *    on the coarse list id, the `pq_adc_dyn` kernel sweeps each
+    *    candidate's codes against the joined table, and the bounded-heap
+    *    top-k merges per query.
+    *
+    * For query workloads past broadcast size, run the workload in
+    * broadcast-sized slices against the same checkpointed index — the
+    * corpus is still scanned once per slice, never per query. A query
+    * whose id equals a corpus id is treated as that corpus row asking for
+    * neighbors, and is excluded from its own result (the [[ivfPqKnn]]
+    * convention, which makes the two faces result-identical on the same
+    * probes).
+    *
+    * Table/fold order is bit-identical to the ad-hoc face: `adc_table`
+    * reproduces the driver-side [[adcTable]] accumulation exactly.
+    */
+  def ivfPqKnnBatch(corpus: DataFrame, centroids: DataFrame,
+      queries: DataFrame, queryId: Column, queryVec: Column,
+      m: Int, k: Int, nprobe: Int = 2): DataFrame = {
+    val cents = collectCentroids(centroids)
+    val (ids, cvecs) = cents
+    val dim = cvecs.head.length
+    require(dim % m == 0, s"dimension $dim not divisible by m=$m")
+    val index = corpus.select(col("vec_id"),
+        element_at(Native.nearestCentroids(col("embedding"), ids, cvecs, 1), 1)
+          .as("cid"),
+        Native.pqEncode(col("embedding"), ids, cvecs, m).as("codes"))
+      .localCheckpoint(true)
+    val probes = queries.select(queryId.cast("long").as("query_id"),
+      Native.adcTable(queryVec, ids, cvecs, m).as("__tbl"),
+      explode(Native.nearestCentroids(queryVec, ids, cvecs, nprobe)).as("cid"))
+    val scored = index.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(Native.pqAdcDyn(col("codes"), col("__tbl"), ids), 6).as("adc"))
+    topKByAdc(scored, k)
+  }
+
   /** One Lloyd (k-means) iteration over the corpus — the codebook-training
     * step that turns the ad-hoc IVF centroid seed into a real quantizer
     * (recall at fixed nprobe rises with trained centroids). Assignment is

@@ -217,6 +217,43 @@ class SimilaritySpec extends SparkSpec {
     assert(full === plain, "probing every list must equal the full ADC scan")
   }
 
+  test("ivfPqKnnBatch equals the per-query face on the same probes") {
+    val corpus = (0L until 60L).map(i =>
+      (i, Array.tabulate(8)(d => (math.sin(i * 0.7 + d) * 2).toFloat)))
+      .toDF("vec_id", "embedding").repartition(5)
+    val cents = corpus.filter(col("vec_id") % 15 === 0)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).sortBy(t => (t._1, t._4)).toSeq
+    val qids = Seq(0L, 7L, 23L)
+    val batch = canon(Similarity.ivfPqKnnBatch(corpus, cents,
+      corpus.filter(col("vec_id").isInCollection(qids)),
+      col("vec_id"), col("embedding"), m = 4, k = 5, nprobe = 2))
+    val perQuery = canon(Similarity.ivfPqKnn(corpus, cents, qids,
+      m = 4, k = 5, nprobe = 2))
+    assert(batch === perQuery,
+      "the kernel-computed ADC tables must be bit-identical to driver-side ones")
+  }
+
+  test("ivfPqKnnBatch scans the codes frame once: one shuffle, no per-query branches") {
+    val corpus = (0L until 60L).map(i =>
+      (i, Array.tabulate(8)(d => (math.cos(i * 0.3 + d)).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = corpus.filter(col("vec_id") % 15 === 0)
+    val out = Similarity.ivfPqKnnBatch(corpus, cents,
+      corpus.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+      m = 4, k = 3, nprobe = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    // query side is broadcast, index is checkpointed: the only data
+    // shuffle is the bounded top-k merge — a per-query union would add a
+    // scan + branch per query
+    val shuffles = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles === 1, s"expected 1 shuffle, plan:\n$plan")
+    assert(plan.linesIterator.count(_.contains("pq_adc_dyn")) <= 2,
+      s"ADC must appear once (plus partial agg), not per query:\n$plan")
+  }
+
   test("cosineCandidates drops flooded buckets, keeps healthy ones") {
     // 12 identical vectors flood one bucket; 2 identical opposite-sign
     // vectors share another (every sign bit flips, so the buckets differ)
