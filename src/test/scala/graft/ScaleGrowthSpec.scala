@@ -129,6 +129,60 @@ class ScaleGrowthSpec extends SparkSpec {
     assert(g < 20.0, s"bm25 shuffle grew ${g}x for 10x input ($small -> $large)")
   }
 
+  test("line dedup shuffle bytes grow ~linearly from 1x to 10x docs") {
+    // every doc: 2 corpus-wide boilerplate lines + its unique word salad —
+    // the C4 shape (explode, line-key agg, anti-join, reassembly)
+    def dedup(n: Int): DataFrame = {
+      val withBp = docs(n).select(col("doc_id"),
+        concat_ws("\n", col("text"),
+          lit("subscribe to our newsletter"), lit("all rights reserved"),
+          concat(lit("doc marker "), col("doc_id"))).as("text"))
+      graft.text.Boilerplate.dropBoilerplateLines(withBp,
+        col("doc_id"), col("text"), maxDocs = 5)
+    }
+    val small = shuffleBytes(run(dedup(500)))
+    val large = shuffleBytes(run(dedup(5000)))
+    val g = growth(small, large)
+    assert(small > 0, "listener captured no shuffle writes")
+    assert(g < 20.0, s"line-dedup shuffle grew ${g}x for 10x input ($small -> $large)")
+  }
+
+  test("bm25 batch shuffle bytes grow ~linearly from 1x to 10x docs") {
+    def bm(n: Int): DataFrame = {
+      val qs = Seq((1L, "w1 w17"), (2L, "w399 w42 w7"), (3L, "w250"))
+        .toDF("query_id", "query_text")
+      graft.text.Bm25.topKBatch(docs(n), col("doc_id"), col("text"),
+        qs, col("query_id"), col("query_text"), k = 10)
+    }
+    val small = shuffleBytes(run(bm(500)))
+    val large = shuffleBytes(run(bm(5000)))
+    val g = growth(small, large)
+    assert(small > 0, "listener captured no shuffle writes")
+    // only (query, matching-doc) term hits shuffle — linear in docs
+    assert(g < 20.0, s"bm25-batch shuffle grew ${g}x for 10x input ($small -> $large)")
+  }
+
+  test("cosine candidate pairs grow ~linearly when planes scale with the corpus") {
+    // deterministic pseudo-random embeddings (hash-spread, not a 1-D curve)
+    def emb(n: Int): DataFrame =
+      spark.range(0, n).select(col("id").as("vec_id")).as[Long]
+        .map(i => (i, Array.tabulate(8)(d =>
+          (((i * 2654435761L + d * 40503L) % 1000L).toDouble / 500.0 - 1.0).toFloat)))
+        .toDF("vec_id", "embedding")
+    def pairs(n: Int): Long =
+      graft.similarity.Similarity.cosineCandidates(emb(n), col("vec_id"),
+        col("embedding"), dim = 8, targetBucketSize = 50L, maxBucket = 1000,
+        seed = 7L).count()
+    val small = pairs(800)
+    val large = pairs(8000)
+    val g = growth(small, large)
+    assert(small > 0, "fixture produced no candidate pairs")
+    // with a PINNED plane count the within-bucket self-join is quadratic:
+    // 10x rows -> ~100x pairs; plane scaling + the bucket cap keep the
+    // candidate set ~linear in the corpus
+    assert(g < 25.0, s"candidate pairs grew ${g}x for 10x input ($small -> $large)")
+  }
+
   test("budget select shuffle bytes grow ~linearly from 1x to 10x docs") {
     def sel(n: Int): DataFrame =
       graft.sampling.BudgetSelect.selectUnderBudget(docs(n),
