@@ -10,9 +10,11 @@ import org.apache.spark.sql.SparkSession
   * driver bench ran under heavy external CPU contention and reported 20-50×
   * inflated times for code that measures 65 s total on an idle box, and the
   * round-4 min-of-2 demonstrably failed to reject *sustained* contention
-  * (four queries reported 10-35× their idle-box times). Min-of-3 plus a
-  * system load-average stamp in the output line lets a reader adjudicate a
-  * loaded box from the JSON alone without re-running.
+  * (four queries reported 10-35× their idle-box times). Min-of-3 plus
+  * PER-PASS system load-average stamps in the output line let a reader
+  * adjudicate a loaded box from the JSON alone without re-running: a
+  * snapshot is clean iff every entry of "loads" is well under the cpu
+  * count ("load" = the worst pass).
   *
   * Output protocol: the driver captures only the LAST 2000 chars of stdout.
   * A full per-query JSON line for ~80 queries is ~2 kB and lands truncated
@@ -53,17 +55,26 @@ object Bench {
     val filtered = !prefixes.isEmpty
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => prefixes.isEmpty || prefixes.exists(n.startsWith) }
-    val passes = Seq.fill(3)(ordered.map { case (n, f) => n -> runOnce(n, f) })
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    // 1-minute load average sampled AFTER EACH PASS, not just at the end:
+    // a run is only trustworthy when every pass ran on a quiet box, and
+    // the per-pass stamps let the JSON prove that (or name the dirty pass)
+    // without a re-run. "load" reports the WORST pass; >> #cpus means the
+    // box was contended and even the min-of-3 numbers are suspect.
+    val passStamps = Seq.fill(3) {
+      val r = ordered.map { case (n, f) => n -> runOnce(n, f) }
+      (r, osBean.getSystemLoadAverage)
+    }
+    val passes = passStamps.map(_._1)
+    val passLoads = passStamps.map(_._2)
     val results = passes.flatten.groupBy(_._1).map { case (n, ts) => n -> ts.map(_._2).min }
-    // 1-minute system load average at end of run: >> #cpus means the box was
-    // contended and even the min-of-3 numbers are suspect
-    val load = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
+    val load = passLoads.max
     def ms(v: Double): String = (math.rint(v * 1000) / 1000).toString
     def jsonLine(entries: Seq[(String, Double)], total: Double): String = {
       val qs = entries.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","load":${ms(load)},"queries":$qs,"sf":"$sfDir"}"""
+      val loads = passLoads.map(ms).mkString("[", ",", "]")
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","load":${ms(load)},"loads":$loads,"queries":$qs,"sf":"$sfDir"}"""
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val all = results.toSeq.sortBy(_._1)

@@ -197,6 +197,31 @@ object OracleSql {
        |    ORDER BY round(adist, 6) ASC, neighbor_id ASC) AS INTEGER) AS rnk FROM adc)
        |SELECT query_id, neighbor_id, adc_dist, rnk FROM r WHERE rnk <= 5""".stripMargin
 
+  /** Winnowing fingerprint chain shared by x48 (per-doc fingerprints) and
+    * x49 (copy-detection pairs) — mirrors `Kernels.winnow` exactly:
+    * positional 4-gram hashes (unsigned value of the first 8 md5 hex
+    * chars, the [[hashKeySql]] fold), window-4 minima, distinct per doc.
+    * Docs with < 4 tokens emit nothing; docs with fewer than 4 grams
+    * winnow one window over all their grams (`generate_series` is
+    * end-inclusive, so s runs 0..max(m−4, 0) = max(m−3, 1) windows).
+    */
+  private lazy val WinnowSql =
+    s"""t AS (SELECT doc_id, $Toks AS toks FROM documents),
+       |d AS (SELECT doc_id, toks, CAST(len(toks) - 3 AS INTEGER) AS m
+       | FROM t WHERE len(toks) >= 4),
+       |gi AS (SELECT doc_id, m, toks,
+       |  CAST(unnest(generate_series(0, m - 1)) AS INTEGER) AS i FROM d),
+       |h AS (SELECT doc_id, m, i, list_reduce(list_transform(range(1, 9),
+       |   j -> CAST(instr('0123456789abcdef', substring(md5(
+       |     array_to_string(toks[i + 1:i + 4], ' ')), CAST(j AS INTEGER), 1)) - 1 AS BIGINT)),
+       |   (a, b) -> a * 16 + b) AS hv FROM gi),
+       |ws AS (SELECT doc_id,
+       |  CAST(unnest(generate_series(0, greatest(m - 4, 0))) AS INTEGER) AS s FROM d),
+       |wm AS (SELECT ws.doc_id, ws.s, min(h.hv) AS fingerprint
+       | FROM ws JOIN h ON h.doc_id = ws.doc_id AND h.i >= ws.s AND h.i < least(ws.s + 4, h.m)
+       | GROUP BY 1, 2),
+       |fp AS (SELECT DISTINCT doc_id, fingerprint FROM wm)""".stripMargin
+
   /** DuckDB twin of [[graft.warehouse.Layout.zValue]]: the same
     * bit-interleave terms, generated by the same loop.
     */
@@ -871,6 +896,19 @@ object OracleSql {
     // codes-frame pass — same oracle: the hash match proves the batch
     // plan result-identical to the per-query plan
     "x47_ivfpq_batch" -> IvfPqSql,
+    "x48_winnow_fingerprints" ->
+      s"""WITH $WinnowSql
+         |SELECT doc_id, fingerprint FROM fp""".stripMargin,
+    // oracle states the uncapped pair rule (the bucket cap never triggers
+    // on this fixture, the x11 convention); count(*) = distinct shared
+    // fingerprints because fp is distinct per doc
+    "x49_winnow_pairs" ->
+      s"""WITH $WinnowSql
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         | count(*) AS shared_fingerprints
+         |FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint
+         | AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     "x10_lsh_bucket" ->
       s"""SELECT vec_id, CAST(${bucketExpr(Planes8, "ve")} AS BIGINT) AS bucket
          |FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve

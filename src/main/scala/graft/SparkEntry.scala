@@ -638,6 +638,20 @@ object SparkEntry {
     "x16_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(T(s, dir, "documents"), col("doc_id"), col("text"),
         maxHamming = 2)),
+    // rolling-hash document fingerprinting (winnowing): the distinct
+    // window-minima of positional 4-gram hashes, window 4 — locality
+    // where x04's whole-doc md5 is identity
+    "x48_winnow_fingerprints" -> ((s, dir) =>
+      T(s, dir, "documents").select(col("doc_id"),
+        explode(TextAnalysis.winnowFingerprints(col("text"), k = 4, w = 4))
+          .as("fingerprint"))),
+    // copy-detection face: docs sharing >= 2 winnow fingerprints — catches
+    // the partial overlaps (shared spans >= w+k-1 tokens) that whole-doc
+    // and high-Jaccard dedup miss; fingerprint is the blocking key, with
+    // the standard bucket cap (never triggers on this fixture)
+    "x49_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowPairs(T(s, dir, "documents"), col("doc_id"), col("text"),
+        k = 4, w = 4, minShared = 2)),
     "x17_kmeans_step" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       Similarity.kmeansStep(emb, emb.filter(col("vec_id") % 50 === 0), dim = 64)

@@ -191,6 +191,40 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Copy-detection pairs from winnowing fingerprints
+    * ([[graft.text.TextAnalysis.winnowFingerprints]]): docs sharing at
+    * least `minShared` selected rolling-hash values, with the shared
+    * count. Winnowing guarantees any shared span of `w + k − 1` tokens
+    * produces a shared fingerprint, so this catches PARTIAL overlap —
+    * quoted passages, mirrored sections, template reuse — that whole-doc
+    * and near-total-overlap dedup (exact md5, MinHash at high Jaccard)
+    * both miss.
+    *
+    * Same candidate-first scale shape as [[minhashCandidates]]: one
+    * kernel pass per doc, a shuffle on the fingerprint blocking key, a
+    * `count(*)` window sharing that partitioning caps degenerate
+    * fingerprints (ubiquitous boilerplate spans) before the self-join,
+    * and the pair aggregate is bounded by within-bucket work.
+    */
+  def winnowPairs(df: DataFrame, id: Column, text: Column,
+      k: Int = 4, w: Int = 4, minShared: Long = 2,
+      maxBucket: Int = 1000): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val fp = df.select(id.as("doc_id"),
+      explode(graft.text.TextAnalysis.winnowFingerprints(text, k, w)).as("fp"))
+    val win = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val capped = fp.withColumn("__fc", count(lit(1)).over(win))
+      .filter(col("__fc") <= maxBucket)
+      .drop("__fc")
+    val a = capped.select(col("fp"), col("doc_id").as("doc_a"))
+    val b = capped.select(col("fp"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_fingerprints"))
+      .filter(col("shared_fingerprints") >= minShared)
+  }
+
   /** Embedding-cosine near-duplicate detection over candidate pairs.
     * `pairs` must carry `vec_a`/`vec_b` array columns; emits cosine + flag.
     * For corpus-scale use, generate pairs via LSH bucketing

@@ -166,6 +166,34 @@ case class ShingleSet(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Winnowing fingerprint set of a text column — positional k-gram rolling
+  * hashes, window-min selection, distinct sorted output. Both widths are
+  * plan constants (fingerprint scheme parameters are a pipeline design
+  * choice, never data-dependent). See [[Kernels.winnow]].
+  */
+case class Winnow(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  require(k >= 1 && k <= 13, s"k-gram width must be in [1,13], got $k")
+  require(w >= 1 && w <= 256, s"winnow window must be in [1,256], got $w")
+  private val KernelsCls = Kernels.getClass.getName.stripSuffix("$")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"winnow requires string, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow"
+
+  override protected def nullSafeEval(t: Any): Any =
+    Kernels.winnow(t.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $KernelsCls.winnow($t, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Winnow =
+    copy(child = newChild)
+}
+
 /** The 4 MinHash slice minima (8 hex chars each) over a distinct-gram
   * array: one md5 per gram for all 4 signatures. Null for an empty gram set.
   */
@@ -624,6 +652,8 @@ object Native {
 
   def bigrams(text: Column): Column = C(ShingleSet(E(text), 2))
   def shingles(text: Column, n: Int): Column = C(ShingleSet(E(text), n))
+
+  def winnow(text: Column, k: Int, w: Int): Column = C(Winnow(E(text), k, w))
 
   def minhashSlices(grams: Column): Column = C(MinhashSlices(E(grams)))
 

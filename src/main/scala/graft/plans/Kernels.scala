@@ -198,6 +198,56 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Winnowing fingerprints (the MOSS scheme — Schleimer, Wilkerson &
+    * Aiken, SIGMOD '03): hash every POSITIONAL k-gram (first 8 md5 hex
+    * chars as an unsigned 32-bit value, the minhash-slice convention),
+    * slide a window of `w` consecutive hashes, keep each window's MINIMUM,
+    * and emit the distinct selected values sorted ascending. Any shared
+    * span of `w + k − 1` tokens between two documents is guaranteed to
+    * share a fingerprint, while only ~2/(w+1) of the hashes survive —
+    * the local, position-robust fingerprint a rolling-hash dedup tier
+    * needs (whole-doc md5 breaks on a single-character edit; these
+    * don't). Docs shorter than `k` tokens emit an empty set; docs with
+    * fewer than `w` grams winnow one window over all their grams.
+    */
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val t = tokens0(text)
+    if (t.length < k) return new GenericArrayData(Array.empty[Any])
+    val m = t.length - k + 1
+    val hashes = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(t(i + j))
+        j += 1
+      }
+      hashes(i) = java.lang.Long.parseLong(md5hex(sb.toString).substring(0, 8), 16)
+      i += 1
+    }
+    val selected = new java.util.TreeSet[java.lang.Long]()
+    val nw = math.max(m - w + 1, 1)
+    var s = 0
+    while (s < nw) {
+      val hi = math.min(s + w, m)
+      var best = hashes(s)
+      var p = s + 1
+      while (p < hi) {
+        if (hashes(p) < best) best = hashes(p)
+        p += 1
+      }
+      selected.add(best)
+      s += 1
+    }
+    val out = new Array[Any](selected.size)
+    val it = selected.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next().longValue(); o += 1 }
+    new GenericArrayData(out)
+  }
+
   /** The 4 MinHash slice minima over a distinct-gram array: one md5 per
     * gram, minimum of each 8-hex-char slice (lexicographic on lowercase hex
     * = unsigned numeric). Null when the gram set is empty — `array_min` of

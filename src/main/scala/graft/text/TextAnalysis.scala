@@ -129,4 +129,17 @@ object TextAnalysis {
     * engine-native hash functions).
     */
   def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Winnowing fingerprint set (rolling-hash document fingerprinting, the
+    * MOSS scheme): the distinct window-minima of positional `k`-gram
+    * hashes, `w` hashes per window — every shared span of `w + k − 1`
+    * tokens between two docs shares a fingerprint, at ~2/(w+1) sampling.
+    * Where [[fingerprint]] is identity (one edit changes everything),
+    * this is LOCALITY: partial overlaps (quotes, mirrored sections,
+    * template reuse) still collide, which makes the exploded fingerprint
+    * a blocking key for copy detection at corpus scale — one narrow
+    * kernel pass per doc, shuffle only on the (doc, fingerprint) pairs.
+    */
+  def winnowFingerprints(text: Column, k: Int = 4, w: Int = 4): Column =
+    graft.plans.Native.winnow(text, k, w)
 }

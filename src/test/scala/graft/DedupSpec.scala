@@ -103,6 +103,67 @@ class DedupSpec extends SparkSpec {
     assert(out.getLong(2) === 10000L)
   }
 
+  test("winnow: matches the independent md5 reference, short docs empty") {
+    // independent reference: positional 4-grams, first-8-hex md5 value,
+    // window-4 minima, distinct sorted — recomputed here from first
+    // principles so a kernel regression can't hide
+    def ref(text: String, k: Int, w: Int): Seq[Long] = {
+      val t = text.toLowerCase.trim.split("\\s+", -1)
+      if (t.length < k) return Nil
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hs = (0 to t.length - k).map { i =>
+        val hex = md.digest(t.slice(i, i + k).mkString(" ")
+            .getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.substring(0, 8), 16)
+      }
+      (0 until math.max(hs.length - w + 1, 1))
+        .map(s => hs.slice(s, math.min(s + w, hs.length)).min)
+        .distinct.sorted
+    }
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog and keeps running fast",
+      "one two three four five six seven",
+      "exactly four token gram", // m = 1: a single window over one hash
+      "too short here")          // 3 tokens < k: empty
+    val got = texts.toDF("text")
+      .select(TextAnalysis.winnowFingerprints(col("text"), 4, 4))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    texts.zip(got).foreach { case (t, g) =>
+      assert(g === ref(t, 4, 4), s"mismatch for: $t")
+    }
+    assert(got.last.isEmpty)
+  }
+
+  test("winnow guarantee: a shared span of w+k-1 tokens shares a fingerprint") {
+    // 7-token shared span inside otherwise-unrelated documents
+    val span = "alpha beta gamma delta epsilon zeta eta"
+    val d = Seq(
+      (1L, s"completely unrelated prefix words here $span and a different tail"),
+      (2L, s"other document starts its own way $span closing with more text"),
+      (3L, "no overlap with anything else at all in this one document body"))
+      .toDF("doc_id", "text")
+    val fp = d.select(col("doc_id"),
+        explode(TextAnalysis.winnowFingerprints(col("text"), 4, 4)).as("f"))
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+    assert((fp(1L) & fp(2L)).nonEmpty, "shared span must share a fingerprint")
+    assert((fp(1L) & fp(3L)).isEmpty && (fp(2L) & fp(3L)).isEmpty,
+      "unrelated docs must not collide")
+  }
+
+  test("winnowPairs surfaces partial-overlap pairs with the shared count") {
+    val span = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = Seq(
+      (1L, s"first document unique opening words $span unique first ending"),
+      (2L, s"second doc other start tokens here $span second tail entirely"),
+      (3L, "third document shares nothing with the others in any span"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(d, col("doc_id"), col("text"),
+        k = 4, w = 4, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet === Set((1L, 2L)))
+    assert(pairs((1L, 2L)) >= 2)
+  }
+
   test("repetitionScore flags boilerplate, clears diverse text, guards short docs") {
     val r = Seq("same same same same", "all words here differ", "one", "")
       .toDF("text").select(TextAnalysis.repetitionScore(col("text")))
