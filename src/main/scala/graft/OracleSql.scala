@@ -899,6 +899,23 @@ object OracleSql {
     "x48_winnow_fingerprints" ->
       s"""WITH $WinnowSql
          |SELECT doc_id, fingerprint FROM fp""".stripMargin,
+    // the oracle states the naive all-pairs rule (cross join + exact
+    // levenshtein — fine at oracle scale); the Spark side never cross
+    // joins: deletion-neighborhood blocking with exact distance-1 recall.
+    // Hash equality proves the blocked plan drops no pair.
+    "x50_fuzzy_join" ->
+      """WITH l AS (SELECT doc_id, 'user_' || CAST(doc_id AS VARCHAR) AS name
+        | FROM documents),
+        |r0 AS (SELECT doc_id AS typo_id, name,
+        |  CAST(doc_id % length(name) + 1 AS INTEGER) AS p
+        | FROM l WHERE doc_id % 3 = 0),
+        |r AS (SELECT typo_id,
+        |  substring(name, 1, p - 1) || substring(name, p + 1) AS typo_name
+        | FROM r0)
+        |SELECT l.doc_id AS left_id, r.typo_id AS right_id,
+        | l.name AS left_key, r.typo_name AS right_key,
+        | CAST(levenshtein(l.name, r.typo_name) AS INTEGER) AS distance
+        |FROM l, r WHERE levenshtein(l.name, r.typo_name) <= 1""".stripMargin,
     // oracle states the uncapped pair rule (the bucket cap never triggers
     // on this fixture, the x11 convention); count(*) = distinct shared
     // fingerprints because fp is distinct per doc

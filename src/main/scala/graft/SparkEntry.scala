@@ -652,6 +652,22 @@ object SparkEntry {
     "x49_winnow_pairs" -> ((s, dir) =>
       Dedup.winnowPairs(T(s, dir, "documents"), col("doc_id"), col("text"),
         k = 4, w = 4, minShared = 2)),
+    // entity-resolution fuzzy join: synthetic user names vs deterministic
+    // one-char-deleted typos (mirrored in the oracle). The oracle states
+    // the naive cross-join rule (every pair at levenshtein <= 1); the
+    // Spark side blocks on exploded deletion neighborhoods — the hash
+    // match proves the blocking loses no pair
+    "x50_fuzzy_join" -> ((s, dir) => {
+      val names = T(s, dir, "documents").select(col("doc_id"),
+        concat(lit("user_"), col("doc_id").cast("string")).as("name"))
+      val p = ((col("doc_id") % length(col("name"))) + 1).cast("int")
+      val typos = names.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("typo_id"),
+          concat(col("name").substr(lit(1), p - 1),
+            col("name").substr(p + 1, length(col("name")) - p)).as("typo_name"))
+      graft.analytics.Joins.fuzzyJoin(names, col("doc_id"), col("name"),
+        typos, col("typo_id"), col("typo_name"))
+    }),
     "x17_kmeans_step" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       Similarity.kmeansStep(emb, emb.filter(col("vec_id") % 50 === 0), dim = 64)

@@ -31,4 +31,55 @@ object Joins {
       explode(array((0 until saltBuckets).map(lit): _*)))
     p.join(b, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** The deletion neighborhood of a string key: the key itself plus every
+    * single-character deletion — the FastSS/SymSpell blocking set. Two
+    * strings within edit distance 1 ALWAYS share an element (equal: the
+    * string itself; substitution at i: both i-deletions; insert/delete:
+    * the longer's deletion IS the shorter), so a join on the exploded
+    * neighborhood has exact recall at distance 1 and the verify filter
+    * only removes false positives.
+    */
+  private[analytics] def deletionNeighborhood(key: Column): Column =
+    when(length(key) === 0, array(key)).otherwise(
+      array_union(
+        array(key),
+        transform(sequence(lit(1), length(key)), i =>
+          concat(key.substr(lit(1), i - 1),
+            key.substr(i + 1, length(key) - i)))))
+
+  /** Fuzzy equi-join at edit distance ≤ 1 — the entity-resolution join
+    * (typo'd ids, OCR'd names, crawl-url variants) that a plain equi-join
+    * silently drops. Never a cross join: each side explodes to its
+    * deletion neighborhood (|key|+1 blocking rows per record), candidates
+    * meet on a shuffle of that blocking key, a `count(*)` window sharing
+    * the join's partitioning caps degenerate blocks (the ubiquitous-token
+    * guard every blocking generator here carries), and exact
+    * `levenshtein` verifies survivors. Recall is exact at distance 1 by
+    * the neighborhood property; distance-d matching needs d-deletion
+    * neighborhoods (size O(|key|^d)) — deliberately not offered, because
+    * at corpus scale that blow-up is a design decision, not a default.
+    *
+    * Emits left row id, right row id, both keys, and the verified
+    * distance. At 100 TB: one narrow neighborhood projection per side,
+    * one bounded-bucket shuffle, no quadratic work outside capped blocks.
+    */
+  def fuzzyJoin(left: DataFrame, leftId: Column, leftKey: Column,
+      right: DataFrame, rightId: Column, rightKey: Column,
+      maxBucket: Int = 1000): DataFrame = {
+    val l = left.select(leftId.as("left_id"), leftKey.as("left_key"))
+      .withColumn("__v", explode(deletionNeighborhood(col("left_key"))))
+    val r = right.select(rightId.as("right_id"), rightKey.as("right_key"))
+      .withColumn("__v", explode(deletionNeighborhood(col("right_key"))))
+    val win = org.apache.spark.sql.expressions.Window.partitionBy(col("__v"))
+    def capped(df: DataFrame): DataFrame =
+      df.withColumn("__bc", count(lit(1)).over(win))
+        .filter(col("__bc") <= maxBucket)
+        .drop("__bc")
+    capped(l).join(capped(r), Seq("__v"))
+      .select(col("left_id"), col("right_id"), col("left_key"), col("right_key"))
+      .distinct()
+      .withColumn("distance", levenshtein(col("left_key"), col("right_key")))
+      .filter(col("distance") <= 1)
+  }
 }

@@ -41,6 +41,43 @@ class ScaleSpec extends SparkSpec {
     assert(salted.size === 5600)
   }
 
+  test("fuzzy join equals the naive cross-join rule at distance 1") {
+    import graft.analytics.Joins
+    val left = (0L until 120L).map(i => (i, s"item_$i")).toDF("id", "k")
+    // right: exact copies, substitutions, deletions, insertions, far-off
+    val right = Seq(
+      (900L, "item_7"),   // exact
+      (901L, "itemX7"),   // substitution of '_'
+      (902L, "item7"),    // deletion
+      (903L, "item_107x"),// insertion at the end
+      (904L, "totally_different")).toDF("rid", "rk")
+    val got = Joins.fuzzyJoin(left, col("id"), col("k"),
+        right, col("rid"), col("rk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    val naive = left.crossJoin(right)
+      .withColumn("d", levenshtein(col("k"), col("rk")))
+      .filter(col("d") <= 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(4))).toSet
+    assert(got === naive, "deletion-neighborhood blocking must lose no pair")
+    assert(got.contains((7L, 900L, 0)) && got.contains((7L, 901L, 1)) &&
+      got.contains((7L, 902L, 1)) && got.contains((107L, 903L, 1)))
+    assert(!got.exists(_._2 == 904L))
+  }
+
+  test("fuzzy join caps degenerate blocking buckets") {
+    import graft.analytics.Joins
+    // 50 identical left keys flood every neighborhood bucket past the cap;
+    // the distinct pair (both sides unique) still matches
+    val left = ((0L until 50L).map(i => (i, "aaaa")) :+ (99L, "unique_key"))
+      .toDF("id", "k")
+    val right = Seq((1000L, "unique_kex"), (1001L, "aaaa")).toDF("rid", "rk")
+    val got = Joins.fuzzyJoin(left, col("id"), col("k"),
+        right, col("rid"), col("rk"), maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((99L, 1000L)),
+      "flooded 'aaaa' blocks must be dropped by the cap, the clean pair kept")
+  }
+
   test("bucketed join on the bucket key runs without a shuffle exchange") {
     // warehouse dir is a static conf; tables land in ./spark-warehouse
     // (gitignored) and are dropped below
