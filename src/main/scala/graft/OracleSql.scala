@@ -26,17 +26,31 @@ object OracleSql {
     * `scored(doc_a, doc_b, jaccard)`. Used by x06 (pairs) and x18
     * (connected components over the pairs).
     */
-  private lazy val NearDupChain =
+  /** MinHash near-dup chain, width-parameterized: hash index i uses group
+    * g = i/4 and md5 slice i%4 (group 0 hashes the gram as-is, group g ≥ 1
+    * hashes "g:" || gram — the seeded kernel's construction), banded as
+    * numHashes/rowsPerBand bands of rowsPerBand. (4, 2) reproduces the
+    * narrow chain x06/x18/x27 have always used, character-for-character in
+    * semantics.
+    */
+  private def nearDupChainSql(numHashes: Int, rowsPerBand: Int): String = {
+    val sigExprs = (0 until numHashes).map { i =>
+      val g = i / 4
+      val s = i % 4
+      val arg = if (g == 0) "x" else s"'$g:' || x"
+      s"list_min(list_transform(grams, x -> substring(md5($arg), ${s * 8 + 1}, 8))) AS sig$i"
+    }.mkString(",\n ")
+    val bandSelects = (0 until numHashes / rowsPerBand).map { b =>
+      val c = (0 until rowsPerBand).map(r => s"sig${b * rowsPerBand + r}")
+        .mkString(" || ")
+      s"SELECT doc_id, $c AS band, ${b + 1} AS band_id FROM sig"
+    }.mkString("\n UNION ALL ")
     s"""t AS (SELECT doc_id, $Toks AS toks FROM documents),
        |g AS (SELECT doc_id, $DistinctGrams AS grams FROM t),
        |sig AS (SELECT doc_id,
-       | list_min(list_transform(grams, x -> substring(md5(x), 1, 8))) AS sig0,
-       | list_min(list_transform(grams, x -> substring(md5(x), 9, 8))) AS sig1,
-       | list_min(list_transform(grams, x -> substring(md5(x), 17, 8))) AS sig2,
-       | list_min(list_transform(grams, x -> substring(md5(x), 25, 8))) AS sig3
+       | $sigExprs
        | FROM g),
-       |bands AS (SELECT doc_id, sig0 || sig1 AS band, 1 AS band_id FROM sig
-       | UNION ALL SELECT doc_id, sig2 || sig3 AS band, 2 AS band_id FROM sig),
+       |bands AS ($bandSelects),
        |capped AS (SELECT doc_id, band, band_id FROM (
        | SELECT doc_id, band, band_id, count(*) OVER (PARTITION BY band, band_id) AS bc
        | FROM bands) WHERE bc <= 1000),
@@ -48,6 +62,9 @@ object OracleSql {
        |  greatest(CAST(len(ga.grams) + len(gb.grams) AS DOUBLE)
        |   - CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE), 1.0), 6) AS jaccard
        | FROM cand JOIN g ga ON cand.doc_a = ga.doc_id JOIN g gb ON cand.doc_b = gb.doc_id)""".stripMargin
+  }
+
+  private lazy val NearDupChain = nearDupChainSql(4, 2)
 
   /** Distinct word n-gram list mirroring the `ShingleSet(n)` kernel. */
   private def distinctGramsSql(n: Int): String = {
@@ -678,6 +695,12 @@ object OracleSql {
          |FROM g""".stripMargin,
     "x06_near_duplicates" ->
       s"""WITH $NearDupChain
+         |SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.3""".stripMargin,
+    // the wide chain differs only in signature width and band count; the
+    // verify stage is the same exact Jaccard, so a hash match here proves
+    // the seeded kernel and the generalized banding end to end
+    "x51_neardup_wide" ->
+      s"""WITH ${nearDupChainSql(8, 2)}
          |SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.3""".stripMargin,
     "x21_repetition" ->
       s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),

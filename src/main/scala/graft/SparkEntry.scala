@@ -652,6 +652,12 @@ object SparkEntry {
     "x49_winnow_pairs" -> ((s, dir) =>
       Dedup.winnowPairs(T(s, dir, "documents"), col("doc_id"), col("text"),
         k = 4, w = 4, minShared = 2)),
+    // wide-signature near-dup: 8 seeded minhashes banded 4 × 2 — more
+    // bands raise candidate recall at the same exact-Jaccard verify (the
+    // LSH dial the narrow 4-hash chain pins at b=2)
+    "x51_neardup_wide" -> ((s, dir) =>
+      Dedup.nearDuplicatesWide(T(s, dir, "documents"), col("doc_id"),
+        col("text"), threshold = 0.3, numHashes = 8, rowsPerBand = 2)),
     // entity-resolution fuzzy join: synthetic user names vs deterministic
     // one-char-deleted typos (mirrored in the oracle). The oracle states
     // the naive cross-join rule (every pair at levenshtein <= 1); the

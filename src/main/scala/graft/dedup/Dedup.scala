@@ -37,27 +37,27 @@ object Dedup {
 
   /** MinHash signature columns from bigram shingles.
     *
-    * Each shingle is hashed once with md5; the 32 hex chars are sliced into
-    * `numHashes` independent 8-hex-char (32-bit) hashes, and the signature
-    * is the per-slice minimum over the document's distinct shingles — k
-    * minhashes for the price of one md5 per shingle. Max 4 hashes per md5;
-    * for more, extend with seeded md5(concat(seed, shingle)).
+    * Each shingle is hashed once with md5 per 4-hash group; the 32 hex
+    * chars slice into four independent 8-hex-char (32-bit) hashes, and
+    * the signature is the per-slice minimum over the document's distinct
+    * shingles. Widths past 4 hash a fresh seeded md5 stream per group of
+    * 4 (`"g:" || gram`) — the first four signatures are identical at any
+    * width.
     */
   def minhashSignature(text: Column, numHashes: Int = 4): Seq[Column] =
     signatureFromGrams(Native.bigrams(text), numHashes)
 
   /** (doc_id, sig0..sigK) frame — the gram set and its md5 slice minima are
     * each computed ONCE per row by the native kernels; the per-slice output
-    * columns only index the 4-element result array (separate projections,
-    * which CollapseProject keeps apart because the producer is non-cheap
-    * and referenced k times).
+    * columns only index the result array (separate projections, which
+    * CollapseProject keeps apart because the producer is non-cheap and
+    * referenced k times).
     */
   def signatures(df: DataFrame, id: Column, text: Column,
       numHashes: Int = 4): DataFrame = {
-    require(numHashes <= 4, "4 slices per md5; use seeded variant for more")
     val sliced = df
       .select(id.as("doc_id"), Native.bigrams(text).as("__grams"))
-      .select(col("doc_id"), Native.minhashSlices(col("__grams")).as("__sig"))
+      .select(col("doc_id"), sliceExpr(col("__grams"), numHashes).as("__sig"))
     sliced.select((col("doc_id") +: (0 until numHashes).map(i =>
       element_at(col("__sig"), i + 1).as(s"sig$i"))): _*)
   }
@@ -68,25 +68,46 @@ object Dedup {
     * signature from it, so the tokenize→shingle chain runs a single time.
     */
   def signatureFromGrams(grams: Column, numHashes: Int = 4): Seq[Column] = {
-    require(numHashes <= 4, "4 slices per md5; use seeded variant for more")
-    val sig = Native.minhashSlices(grams)
+    val sig = sliceExpr(grams, numHashes)
     (0 until numHashes).map(i => element_at(sig, i + 1).as(s"sig$i"))
   }
 
-  /** LSH band frame from a signed frame: 2 bands × 2 rows from the 4-hash
-    * signature, with a skew guard that caps degenerate buckets (empty or
+  /** LSH band frame from a signed frame carrying `sig0..sig{numHashes-1}`:
+    * `numHashes / rowsPerBand` bands of `rowsPerBand` concatenated
+    * signatures, with a skew guard that caps degenerate buckets (empty or
     * boilerplate text) BEFORE the self-join — the window shares the join's
-    * hash partitioning, so it adds no extra exchange.
+    * hash partitioning, so it adds no extra exchange. The (4, 2) default
+    * is the classic 2-band × 2-row banding the narrow chain ships; more
+    * hashes buy a finer recall/precision dial (b bands of r rows catch a
+    * pair with probability 1 − (1 − j^r)^b at Jaccard j).
     */
-  private def cappedBands(signed: DataFrame, maxBucket: Int): DataFrame = {
-    val bands = signed.select(col("doc_id"),
-        concat(col("sig0"), col("sig1")).as("band"), lit(1).as("band_id"))
-      .unionByName(signed.select(col("doc_id"),
-        concat(col("sig2"), col("sig3")).as("band"), lit(2).as("band_id")))
+  private def cappedBands(signed: DataFrame, maxBucket: Int,
+      numHashes: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"rowsPerBand=$rowsPerBand must divide numHashes=$numHashes")
+    val bands = (0 until numHashes / rowsPerBand).map { b =>
+      signed.select(col("doc_id"),
+        concat((0 until rowsPerBand).map(r =>
+          col(s"sig${b * rowsPerBand + r}")): _*).as("band"),
+        lit(b + 1).as("band_id"))
+    }.reduce(_.unionByName(_))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_id"))
     bands.withColumn("__bc", count(lit(1)).over(w))
       .filter(col("__bc") <= maxBucket)
       .drop("__bc")
+  }
+
+  /** Signature column expression for `numHashes` hashes: the plain 4-slice
+    * kernel for widths ≤ 4, the seeded multi-group kernel beyond — group 0
+    * is bit-identical either way, so widening a pipeline never changes its
+    * first four signatures.
+    */
+  private def sliceExpr(grams: Column, numHashes: Int): Column = {
+    require(numHashes >= 1 && numHashes <= 256,
+      s"numHashes must be in [1,256], got $numHashes")
+    val groups = (numHashes + 3) / 4
+    if (groups == 1) Native.minhashSlices(grams)
+    else Native.minhashSlicesSeeded(grams, groups)
   }
 
   /** Candidate pairs (doc_a < doc_b, band_id) from a capped band frame. */
@@ -126,14 +147,29 @@ object Dedup {
     * projection barrier, keeping the band expressions out of the scan.
     */
   def nearDuplicates(df: DataFrame, id: Column, text: Column,
-      threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+      threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame =
+    nearDuplicatesWide(df, id, text, threshold, numHashes = 4,
+      rowsPerBand = 2, maxBucket = maxBucket)
+
+  /** [[nearDuplicates]] with a WIDE signature: `numHashes` minhashes (a
+    * multiple of 4 — the seeded kernel hashes a fresh md5 stream per group
+    * of 4) banded as `numHashes / rowsPerBand` bands of `rowsPerBand`.
+    * More bands raise candidate recall at a fixed Jaccard threshold
+    * (catch probability 1 − (1 − j^r)^b), more rows per band raise
+    * precision — the standard LSH dial the narrow 4-hash chain pins at
+    * b=2, r=2. Verification stays exact, so widening only changes WHICH
+    * pairs reach the (cheap) verify stage, never the emitted Jaccard.
+    */
+  def nearDuplicatesWide(df: DataFrame, id: Column, text: Column,
+      threshold: Double = 0.7, numHashes: Int = 8, rowsPerBand: Int = 2,
+      maxBucket: Int = 1000): DataFrame = {
     val grams = df.select(id.as("did"), Native.bigrams(text).as("grams"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val signed = grams
-      .select(col("did").as("doc_id"), Native.minhashSlices(col("grams")).as("__sig"))
+      .select(col("did").as("doc_id"), sliceExpr(col("grams"), numHashes).as("__sig"))
       .select((col("doc_id") +:
-        (0 until 4).map(i => element_at(col("__sig"), i + 1).as(s"sig$i"))): _*)
-    val cands = bandPairs(cappedBands(signed, maxBucket))
+        (0 until numHashes).map(i => element_at(col("__sig"), i + 1).as(s"sig$i"))): _*)
+    val cands = bandPairs(cappedBands(signed, maxBucket, numHashes, rowsPerBand))
       .select("doc_a", "doc_b").distinct()
     val verified = cands
       .join(grams.select(col("did").as("doc_a"), col("grams").as("ga")), "doc_a")

@@ -224,6 +224,41 @@ case class MinhashSlices(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Wide seeded MinHash: `4 × groups` slice minima (group 0 = the plain
+  * [[MinhashSlices]] stream, group g ≥ 1 hashes `"g:" || gram`). `groups`
+  * is a plan constant — signature width is a pipeline design choice.
+  * See [[Kernels.minhashSlicesSeeded]].
+  */
+case class MinhashSlicesSeeded(child: Expression, groups: Int)
+  extends UnaryExpression {
+  require(groups >= 1 && groups <= 64,
+    s"minhash groups must be in [1,64], got $groups")
+  private val KernelsCls = Kernels.getClass.getName.stripSuffix("$")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"minhash_slices_seeded requires array<string>, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_slices_seeded"
+
+  override protected def nullSafeEval(g: Any): Any =
+    Kernels.minhashSlicesSeeded(g.asInstanceOf[ArrayData], groups)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, g =>
+      s"""
+         |${ev.value} = $KernelsCls.minhashSlicesSeeded($g, $groups);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSlicesSeeded =
+    copy(child = newChild)
+}
+
 /** 16-bit SimHash of a text column — fused tokenize+md5+vote pass. */
 case class Simhash16(child: Expression) extends UnaryExpression {
   private val KernelsCls = Kernels.getClass.getName.stripSuffix("$")
@@ -656,6 +691,9 @@ object Native {
   def winnow(text: Column, k: Int, w: Int): Column = C(Winnow(E(text), k, w))
 
   def minhashSlices(grams: Column): Column = C(MinhashSlices(E(grams)))
+
+  def minhashSlicesSeeded(grams: Column, groups: Int): Column =
+    C(MinhashSlicesSeeded(E(grams), groups))
 
   def simhash16(text: Column): Column = C(Simhash16(E(text)))
 

@@ -274,6 +274,40 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Wide MinHash: `4 × groups` independent slice minima. Group 0 hashes
+    * the gram as-is (bit-identical to [[minhashSlices]], so the first 4
+    * signatures of a wide frame match a narrow one); group `g ≥ 1` hashes
+    * `"g:" || gram` — a fresh md5 stream per group, which is how the
+    * 4-hashes-per-md5 ceiling lifts without a second hash function. One
+    * md5 per (gram, group); null when the gram set is empty.
+    */
+  def minhashSlicesSeeded(grams: ArrayData, groups: Int): ArrayData = {
+    val n = grams.numElements()
+    if (n == 0) return null
+    val mins = new Array[String](4 * groups)
+    var g = 0
+    while (g < groups) {
+      var i = 0
+      while (i < n) {
+        val gram = grams.getUTF8String(i).toString
+        val h = md5hex(if (g == 0) gram else g.toString + ":" + gram)
+        var s = 0
+        while (s < 4) {
+          val sub = h.substring(s * 8, s * 8 + 8)
+          val idx = g * 4 + s
+          if (mins(idx) == null || sub.compareTo(mins(idx)) < 0) mins(idx) = sub
+          s += 1
+        }
+        i += 1
+      }
+      g += 1
+    }
+    val out = new Array[Any](4 * groups)
+    var j = 0
+    while (j < 4 * groups) { out(j) = UTF8String.fromString(mins(j)); j += 1 }
+    new GenericArrayData(out)
+  }
+
   /** 16-bit SimHash: one tokenize + one md5 per distinct token, all 16 bit
     * votes folded in a single pass (nibble i of the md5 hex ≥ 8 votes +1 on
     * bit 15-i, else -1; bit set when the vote sum is positive).

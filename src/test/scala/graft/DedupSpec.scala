@@ -103,6 +103,34 @@ class DedupSpec extends SparkSpec {
     assert(out.getLong(2) === 10000L)
   }
 
+  test("wide signatures: first four match the narrow kernel at any width") {
+    val narrow = Dedup.signatures(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getString)).toMap
+    val wide = Dedup.signatures(docs, col("doc_id"), col("text"), numHashes = 12)
+      .collect().map(r => r.getLong(0) -> (1 to 12).map(r.getString)).toMap
+    wide.foreach { case (id, sigs) =>
+      assert(sigs.take(4) === narrow(id),
+        "group 0 must be bit-identical to the narrow kernel")
+      assert(sigs.distinct.size > 4,
+        "seeded groups must produce new independent minima")
+    }
+  }
+
+  test("wide near-dup chain agrees with the narrow one on verified pairs") {
+    val narrow = Dedup.nearDuplicates(docs, col("doc_id"), col("text"), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val wide = Dedup.nearDuplicatesWide(docs, col("doc_id"), col("text"), 0.5,
+        numHashes = 8, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // verification is exact on both chains: any pair both surface must
+    // carry the same jaccard, and more bands can only ADD candidates
+    narrow.keySet.intersect(wide.keySet).foreach(k =>
+      assert(narrow(k) === wide(k)))
+    assert(narrow.keySet.subsetOf(wide.keySet),
+      "bands 1-2 of the wide chain are exactly the narrow bands")
+    assert(wide.contains((1L, 3L)), "the known near-dup pair must survive")
+  }
+
   test("winnow: matches the independent md5 reference, short docs empty") {
     // independent reference: positional 4-grams, first-8-hex md5 value,
     // window-4 minima, distinct sorted — recomputed here from first
