@@ -1154,6 +1154,26 @@ object OracleSql {
          | round(avg(-ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))), 6) AS surprise,
          | CAST(count(*) AS BIGINT) AS n_tokens
          |FROM t JOIN f USING (term) CROSS JOIN tot GROUP BY doc_id""".stripMargin,
+    // parallel unnests of the two token slices zip positionally in DuckDB
+    // — the same (prev, cur) stream as Spark's sequence-of-structs
+    // explode; the interpolation tree mirrors the Spark expression
+    // operation-for-operation (mul, mul, add on double divisions)
+    "x52_bigram_surprise" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |u AS (SELECT unnest(toks) AS term FROM t),
+         |uf AS (SELECT term, CAST(count(*) AS BIGINT) AS uc FROM u GROUP BY term),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM u),
+         |b AS (SELECT doc_id, unnest(toks[1:len(toks) - 1]) AS prev,
+         |  unnest(toks[2:len(toks)]) AS cur FROM t WHERE len(toks) >= 2),
+         |bf AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS bc FROM b GROUP BY 1, 2),
+         |hf AS (SELECT prev, CAST(count(*) AS BIGINT) AS hc FROM b GROUP BY 1)
+         |SELECT doc_id,
+         | round(avg(-ln(0.75 * (CAST(bc AS DOUBLE) / CAST(hc AS DOUBLE))
+         |   + 0.25 * (CAST(uc AS DOUBLE) / CAST(total AS DOUBLE)))), 6) AS surprise,
+         | CAST(count(*) AS BIGINT) AS n_bigrams
+         |FROM b JOIN bf USING (prev, cur) JOIN hf USING (prev)
+         | JOIN uf ON b.cur = uf.term CROSS JOIN tot
+         |GROUP BY doc_id""".stripMargin,
     // Parallel unnests zip in DuckDB, giving (line, idx); string_agg with
     // ORDER BY idx mirrors Spark's array_sort-by-position reassembly.
     "x34_line_dedup" ->

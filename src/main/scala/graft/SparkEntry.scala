@@ -826,6 +826,11 @@ object SparkEntry {
     "x33_unigram_surprise" -> ((s, dir) =>
       graft.text.TfIdf.unigramSurprise(T(s, dir, "documents"),
         col("doc_id"), col("text"))),
+    // interpolated bigram LM (0.75 bigram + 0.25 unigram back-off) — the
+    // order-aware rung above x33 on the perplexity-gate ladder
+    "x52_bigram_surprise" -> ((s, dir) =>
+      graft.text.TfIdf.bigramSurprise(T(s, dir, "documents"),
+        col("doc_id"), col("text"))),
     "x34_line_dedup" -> ((s, dir) => {
       // inject a shared two-line footer into a third of the docs; the
       // line-level pass must strip exactly those lines and keep the docs

@@ -78,6 +78,49 @@ object TfIdf {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** Interpolated bigram language-model surprise — the next rung above
+    * [[unigramSurprise]] on the KenLM-perplexity ladder: per document, the
+    * mean negative log of `λ·p(cur|prev) + (1−λ)·p(cur)` over its token
+    * bigrams, self-scored against the corpus's own counts. The unigram
+    * back-off keeps unseen-in-context tokens finite; word-salad text
+    * (every bigram rare relative to its parts) scores high where
+    * repetitive boilerplate scores low — a sharper quality gate than
+    * unigram frequency alone, which is blind to word ORDER.
+    *
+    * Scale shape: the positional bigram stream is a narrow explode
+    * (struct pairs from one `sequence` transform); its two LM aggregates
+    * are bigram- and history-vocabulary-sized; the stream joins each on
+    * the shuffle key it already needs, picks up unigram counts by the
+    * `cur` key, and the token total rides in as one broadcast scalar.
+    * Nothing exceeds the bigram stream itself — the same discipline as
+    * the unigram operator and DSIR weighting.
+    */
+  def bigramSurprise(df: DataFrame, id: Column, text: Column,
+      lambda: Double = 0.75): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    val toks = df.select(id.as("doc_id"), TextAnalysis.tokens(text).as("__t"))
+      .filter(size(col("__t")) >= 2)
+    val big = toks.select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("__t")) - 1), i =>
+          struct(element_at(col("__t"), i).as("prev"),
+            element_at(col("__t"), i + 1).as("cur")))).as("__b"))
+      .select(col("doc_id"), col("__b.prev").as("prev"), col("__b.cur").as("cur"))
+    val uni = df.select(explode(TextAnalysis.tokens(text)).as("term"))
+    val uf = uni.groupBy(col("term")).agg(count(lit(1)).as("__uc"))
+    val total = uni.agg(count(lit(1)).as("__tt"))
+    val bf = big.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("__bc"))
+    val hf = big.groupBy(col("prev")).agg(count(lit(1)).as("__hc"))
+    val p = lit(lambda) * (col("__bc").cast("double") / col("__hc").cast("double")) +
+      lit(1.0 - lambda) * (col("__uc").cast("double") / col("__tt").cast("double"))
+    big.join(bf, Seq("prev", "cur"))
+      .join(hf, Seq("prev"))
+      .join(uf.select(col("term").as("cur"), col("__uc")), Seq("cur"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(-log(p)), 6).as("surprise"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
   /** Corpus-level heavy hitters: the `topK` most frequent terms with total
     * occurrences and document frequency. `orderBy(...).limit(k)` plans as
     * TakeOrderedAndProject — per-partition top-k heaps merged on one

@@ -55,6 +55,37 @@ class TfIdfSpec extends SparkSpec {
     assert(out(1L) === expected)
   }
 
+  test("bigramSurprise matches the closed form; 1-token docs drop out") {
+    // tokens [a,b,a,b] + [a,c] + [z]: uni a=3 b=2 c=1 z=1 (total 7);
+    // bigrams d1: (a,b)x2 (b,a); d2: (a,c); histories a=3, b=1
+    val df = Seq((1L, "a b a b"), (2L, "a c"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val got = graft.text.TfIdf.bigramSurprise(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    def p(bc: Double, hc: Double, uc: Double) =
+      0.75 * (bc / hc) + 0.25 * (uc / 7.0)
+    def r6(d: Double) = math.rint(d * 1e6) / 1e6
+    val d1 = r6((-math.log(p(2, 3, 2)) + -math.log(p(1, 1, 3)) +
+      -math.log(p(2, 3, 2))) / 3.0)
+    val d2 = r6(-math.log(p(1, 3, 1)))
+    assert(got.keySet === Set(1L, 2L), "the 1-token doc has no bigrams")
+    assert(math.abs(got(1L)._1 - d1) < 1e-6 && got(1L)._2 === 3L)
+    assert(math.abs(got(2L)._1 - d2) < 1e-6 && got(2L)._2 === 1L)
+  }
+
+  test("bigramSurprise ranks shuffled word order above repeated phrasing") {
+    // same unigram bag, different order: the unigram gate cannot separate
+    // them, the bigram gate must
+    val repetitive = Seq.fill(12)("the quick brown fox").mkString(" ")
+    val shuffled = "fox the brown quick the fox quick brown " +
+      Seq.fill(10)("quick the fox brown the quick fox brown").mkString(" ")
+    val df = Seq((1L, repetitive), (2L, shuffled)).toDF("doc_id", "text")
+    val s = graft.text.TfIdf.bigramSurprise(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s(2L) > s(1L),
+      s"shuffled order must surprise a bigram LM more: $s")
+  }
+
   test("vocabStats plans TakeOrderedAndProject, not a global sort") {
     val plan = TfIdf.vocabStats(docs, col("doc_id"), col("text"), topK = 2)
       .queryExecution.executedPlan.toString
