@@ -1044,6 +1044,19 @@ object OracleSql {
         |SELECT e.event_id, e.event_type FROM events e
         |JOIN stats s ON e.event_type = s.event_type
         |WHERE s.sd > 0 AND abs((e.value - s.mu) / s.sd) > 3.0""".stripMargin,
+    // median = percentile_cont(0.5), the same interpolated definition as
+    // Spark's exact percentile; (3.5 * 1.4826) folds to the identical
+    // IEEE product the Spark side computes at plan time
+    "a20_mad_outliers" ->
+      """WITH m AS (SELECT event_type AS g, median(value) AS med
+        | FROM events GROUP BY 1),
+        |d AS (SELECT e.event_id, e.event_type, e.value, m.med
+        | FROM events e JOIN m ON e.event_type = m.g),
+        |md AS (SELECT event_type AS g2, median(abs(value - med)) AS mad
+        | FROM d GROUP BY 1)
+        |SELECT d.event_id, d.event_type FROM d
+        |JOIN md ON d.event_type = md.g2
+        |WHERE md.mad > 0 AND abs(d.value - d.med) > (3.5 * 1.4826) * md.mad""".stripMargin,
     // Mirrors QualityRules.report with its default Thresholds: the mean
     // word length divides as double/double in the same order; list len is
     // 32-bit in Spark

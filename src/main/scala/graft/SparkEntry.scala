@@ -847,6 +847,12 @@ object SparkEntry {
       graft.analytics.Alerts.zscoreOutliers(T(s, dir, "events"),
           col("event_type"), col("value"), 3.0)
         .select(col("event_id"), col("event_type"))),
+    // robust twin of a17: median/MAD instead of mean/stddev — immune to
+    // the masking that lets an outlier cluster inflate its own stddev
+    "a20_mad_outliers" -> ((s, dir) =>
+      graft.analytics.Alerts.madOutliers(T(s, dir, "events"),
+          col("event_type"), col("value"), 3.5)
+        .select(col("event_id"), col("event_type"))),
     "x36_bm25_topk" -> ((s, dir) =>
       graft.text.Bm25.topK(T(s, dir, "documents"), col("doc_id"), col("text"),
         Bm25Terms, k = 25)),

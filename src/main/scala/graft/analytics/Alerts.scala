@@ -45,4 +45,32 @@ object Alerts {
         abs((value - col("__mu")) / col("__sd")) > threshold)
       .drop("__g", "__mu", "__sd")
   }
+
+  /** Per-group ROBUST (median/MAD) outliers: rows whose `value` sits more
+    * than `threshold` scaled median-absolute-deviations from the group
+    * median — the screen [[zscoreOutliers]] cannot be: a cluster of
+    * extreme readings inflates the mean and stddev enough to hide itself
+    * (masking), while the median and MAD barely move. The 1.4826 factor
+    * makes MAD consistent with the stddev of a normal distribution, so
+    * `threshold` reads in the same sigma-like units as the z-score's.
+    *
+    * Shape: two grouped EXACT-percentile aggregates (median, then the
+    * median of absolute deviations), each reduced to |groups| rows and
+    * broadcast back — group stats move, rows never shuffle, the
+    * [[zscoreOutliers]] discipline. Groups with MAD 0 (over half the
+    * group identical) or null values produce no outliers.
+    */
+  def madOutliers(df: DataFrame, group: Column, value: Column,
+      threshold: Double): DataFrame = {
+    require(threshold > 0, "threshold must be positive")
+    val med = df.groupBy(group.as("__g"))
+      .agg(percentile(value, lit(0.5)).as("__med"))
+    val withMed = df.join(broadcast(med), group === col("__g"))
+    val mad = withMed.groupBy(col("__g").as("__g2"))
+      .agg(percentile(abs(value - col("__med")), lit(0.5)).as("__mad"))
+    withMed.join(broadcast(mad), col("__g") === col("__g2"))
+      .filter(col("__mad") > 0.0 &&
+        abs(value - col("__med")) > lit(threshold * 1.4826) * col("__mad"))
+      .drop("__g", "__g2", "__med", "__mad")
+  }
 }

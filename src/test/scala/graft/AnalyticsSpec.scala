@@ -64,6 +64,35 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("MAD outliers catch the cluster that masks itself from the z-score") {
+    import graft.analytics.Alerts
+    // 20 tight readings near 10 plus a 5-reading fault cluster near 100:
+    // the cluster is 20% of the group, inflating the stddev enough that
+    // its own z-scores sit near 2 (masking); median/MAD barely notice
+    val rows = (0 until 20).map(i => (i.toLong, "s", 10.0 + (i % 5) * 0.01)) ++
+      (0 until 5).map(i => (100L + i, "s", 100.0 + i))
+    val df = rows.toDF("event_id", "event_type", "value")
+    val z = Alerts.zscoreOutliers(df, col("event_type"), col("value"), 3.0)
+      .collect().map(_.getLong(0)).toSet
+    val m = Alerts.madOutliers(df, col("event_type"), col("value"), 3.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(z.isEmpty, s"the cluster must mask itself from the z-score: $z")
+    assert(m === (100L until 105L).toSet, s"MAD must catch all five: $m")
+  }
+
+  test("MAD outliers: zero-MAD and null-value groups emit nothing") {
+    import graft.analytics.Alerts
+    val df = (Seq((1L, "const", 5.0), (2L, "const", 5.0), (3L, "const", 5.0),
+      (4L, "const", 99.0)) ++
+      Seq((5L, "nulls", Double.NaN)).map(t => (t._1, t._2, t._3)))
+      .toDF("event_id", "event_type", "value")
+      .withColumn("value", when(isnan(col("value")), lit(null)).otherwise(col("value")))
+    val out = Alerts.madOutliers(df, col("event_type"), col("value"), 3.0)
+      .collect().map(_.getLong(0)).toSet
+    // "const": over half identical -> MAD 0 -> no outliers (even 99.0)
+    assert(out.isEmpty, s"zero-MAD group must emit nothing: $out")
+  }
+
   test("O1/P13/P14 ranking and recency windows") {
     val ranked = Ranking.rankByAggregate(df, col("station"),
       sum(col("power")), "total").collect()
