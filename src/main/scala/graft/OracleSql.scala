@@ -463,6 +463,10 @@ object OracleSql {
     // breaks the hash match instead of being unverifiable.
     "a07_approx_distinct" ->
       "SELECT event_type, TRUE AS within_5pct FROM events GROUP BY event_type",
+    // same tolerance-oracle pattern: the merged-sketch estimate must sit
+    // within 5% of exact for EVERY key, or the hash match breaks
+    "a21_hll_merge" ->
+      "SELECT event_type, TRUE AS within_5pct FROM events GROUP BY event_type",
     "a08_describe" ->
       """SELECT event_type, count(value) AS cnt,
         | round(avg(round(value * 100.0)) / 100.0, 6) AS mean,

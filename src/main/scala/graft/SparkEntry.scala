@@ -313,6 +313,14 @@ object SparkEntry {
         col("event_type"), col("user_id"))),
     "a19_cms_frequency" -> ((s, dir) =>
       Distribution.cmsFrequencyReport(T(s, dir, "events"), col("event_type"))),
+    // incremental distinct: the stream split into two halves, each
+    // sketched independently, sketches merged — within 5% of the exact
+    // distinct over the union (mergeable-state face of a07)
+    "a21_hll_merge" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      Distribution.hllMergeReport(ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 =!= 0), col("event_type"), col("user_id"))
+    }),
     "a08_describe" -> ((s, dir) =>
       Aggregates.describe(T(s, dir, "events"), col("event_type"), col("value"),
         valueScale = 2)),

@@ -69,6 +69,46 @@ object Distribution {
           .as(outName))
   }
 
+  /** Incremental distinct counting via MERGEABLE Datasketches HLL state:
+    * each input frame sketches independently per key (the daily-partition
+    * face — sketch partials are associative, so yesterday's data is never
+    * rescanned), the per-key sketches merge with `hll_union`, and the
+    * merged estimate is tolerance-checked against the exact distinct of
+    * the union. This is the INCREMENTAL face [[approxDistinctWithinTolerance]]
+    * lacks: its one-shot HLL must see every row, while here the stored
+    * state per (partition, key) is a few-KB sketch column and cross-window
+    * questions ("distinct users this month") are sketch merges, no rescan.
+    * At 100 TB the exact side of this report disappears (it exists for
+    * the correctness gate, the a07 pattern) and the sketch column IS the
+    * operator output.
+    */
+  def hllMergeReport(a: DataFrame, b: DataFrame, key: Column, value: Column,
+      lgK: Int = 12, tol: Double = 0.05,
+      outName: String = "within_5pct"): DataFrame = {
+    require(lgK >= 4 && lgK <= 21, s"lgK must be in [4,21], got $lgK")
+    val keyName = a.select(key).columns.head
+    def sketch(df: DataFrame, out: String): DataFrame =
+      df.groupBy(key.as("__k"))
+        .agg(hll_sketch_agg(value, lit(lgK)).as(out))
+    val merged = sketch(a, "__sa").join(sketch(b, "__sb"), Seq("__k"), "full_outer")
+      .select(col("__k"),
+        hll_sketch_estimate(
+          when(col("__sa").isNull, col("__sb"))
+            .when(col("__sb").isNull, col("__sa"))
+            .otherwise(hll_union(col("__sa"), col("__sb")))).as("__est"))
+    // exact side over the UNION, deduped before counting (the a07
+    // two-stage rationale: map-side combine, no Expand doubling)
+    val exact = a.select(key.as("__k"), value.as("__v"))
+      .unionByName(b.select(key.as("__k"), value.as("__v")))
+      .groupBy(col("__k"), col("__v")).agg(lit(1))
+      .groupBy(col("__k"))
+      .agg(count(when(col("__v").isNotNull, lit(1))).as("__exact"))
+    merged.join(exact, Seq("__k"))
+      .select(col("__k").as(keyName),
+        coalesce(abs(col("__est") - col("__exact")) <= col("__exact") * tol,
+          col("__exact") === 0).as(outName))
+  }
+
   /** Count-Min-Sketch frequency estimates, tolerance-checked: builds the
     * sketch with Spark's `count_min_sketch` aggregate (partials merge
     * associatively — ONE narrow pass over the stream, a sketch-sized

@@ -170,6 +170,33 @@ class RetrievalSpec extends SparkSpec {
       s"largest cell ${cells.max} is not a meaningful split of ${n / 3}")
   }
 
+  test("hll merge: split sketches union within tolerance, equal the one-shot sketch") {
+    import graft.analytics.Distribution
+    val ev = (1L to 2000L).map(i => (i, s"t${i % 3}", s"u${i % 137}"))
+      .toDF("event_id", "event_type", "user_id")
+    val a = ev.filter(col("event_id") % 2 === 0)
+    val b = ev.filter(col("event_id") % 2 =!= 0)
+    val rep = Distribution.hllMergeReport(a, b, col("event_type"), col("user_id"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(rep.size === 3 && rep.values.forall(identity), rep.toString)
+    // mergeability contract: union of the halves' sketches estimates
+    // EXACTLY like one sketch over the whole stream — that equality is
+    // what makes per-partition sketch state rescan-free
+    def est(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sa = a.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sa"))
+    val sb = b.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sb"))
+    val merged = sa.join(sb, "event_type")
+      .select(col("event_type"),
+        hll_sketch_estimate(hll_union(col("sa"), col("sb"))).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged === est(ev))
+  }
+
   test("cms frequency: estimates satisfy the bound; tiny key sets are exact") {
     val ev = (1L to 1000L).map(i => (i, s"type_${i % 5}"))
       .toDF("event_id", "event_type")
