@@ -182,6 +182,38 @@ object OracleSql {
       |  SELECT vec_id, s, cid, row_number() OVER (
       |    PARTITION BY vec_id, s ORDER BY dist ASC, cid ASC) AS rn FROM d2) WHERE rn = 1)""".stripMargin
 
+  /** BM25 batch chain shared by x45 (the ranking itself) and x53 (rank
+    * fusion): the x36 scoring tree over a query TABLE — distinct (query,
+    * term) pairs join the token stream, df stays corpus-wide per term,
+    * per-(query, doc) scores re-rank in `r`.
+    */
+  private lazy val Bm25BatchChain =
+    s"""q AS (SELECT CAST(query_id AS BIGINT) AS query_id, query_text
+       | FROM (VALUES (1, 'vector hash'), (2, 'stream merge sort'))
+       |  AS q(query_id, query_text)),
+       |qt AS (SELECT DISTINCT query_id,
+       |  unnest(string_split_regex(trim(lower(query_text)), '\\s+')) AS term FROM q),
+       |t AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS doc_len,
+       |  unnest(toks) AS term FROM (SELECT doc_id, $Toks AS toks FROM documents)),
+       |tc AS (SELECT qt.query_id, t.doc_id, t.doc_len, t.term,
+       |  CAST(count(*) AS BIGINT) AS cnt
+       | FROM t JOIN qt USING (term) GROUP BY 1, 2, 3, 4),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |  avg(CAST(len($Toks) AS INTEGER)) AS avgdl FROM documents),
+       |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS dfreq FROM (
+       |  SELECT DISTINCT doc_id, term FROM tc) GROUP BY term),
+       |sc AS (SELECT tc.query_id, tc.doc_id,
+       |  ln(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(dfq.dfreq AS DOUBLE) + 0.5) /
+       |    (CAST(dfq.dfreq AS DOUBLE) + 0.5)) *
+       |  ((CAST(tc.cnt AS DOUBLE) * 2.2) / (CAST(tc.cnt AS DOUBLE) + 1.2 *
+       |    (0.25 + 0.75 * (CAST(tc.doc_len AS DOUBLE) / st.avgdl)))) AS term_score
+       | FROM tc JOIN dfq USING (term) CROSS JOIN st),
+       |g AS (SELECT query_id, doc_id, round(sum(term_score), 6) AS score
+       | FROM sc GROUP BY 1, 2),
+       |r AS (SELECT query_id, doc_id, score, CAST(row_number() OVER (
+       |  PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rnk
+       | FROM g)""".stripMargin
+
   /** IVF+PQ search, shared by x44 (per-query face) and x47 (batch
     * query-table face): x09's coarse assignment/probe chain composed with
     * x43's code/ADC chain — candidates are vectors whose coarse list is
@@ -1235,32 +1267,33 @@ object OracleSql {
     // same scoring tree as x36 with a query TABLE: distinct (query, term)
     // pairs join the token stream; df stays corpus-wide per term
     "x45_bm25_batch" ->
-      s"""WITH q AS (SELECT CAST(query_id AS BIGINT) AS query_id, query_text
-         | FROM (VALUES (1, 'vector hash'), (2, 'stream merge sort'))
-         |  AS q(query_id, query_text)),
-         |qt AS (SELECT DISTINCT query_id,
-         |  unnest(string_split_regex(trim(lower(query_text)), '\\s+')) AS term FROM q),
-         |t AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS doc_len,
-         |  unnest(toks) AS term FROM (SELECT doc_id, $Toks AS toks FROM documents)),
-         |tc AS (SELECT qt.query_id, t.doc_id, t.doc_len, t.term,
-         |  CAST(count(*) AS BIGINT) AS cnt
-         | FROM t JOIN qt USING (term) GROUP BY 1, 2, 3, 4),
-         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |  avg(CAST(len($Toks) AS INTEGER)) AS avgdl FROM documents),
-         |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS dfreq FROM (
-         |  SELECT DISTINCT doc_id, term FROM tc) GROUP BY term),
-         |sc AS (SELECT tc.query_id, tc.doc_id,
-         |  ln(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(dfq.dfreq AS DOUBLE) + 0.5) /
-         |    (CAST(dfq.dfreq AS DOUBLE) + 0.5)) *
-         |  ((CAST(tc.cnt AS DOUBLE) * 2.2) / (CAST(tc.cnt AS DOUBLE) + 1.2 *
-         |    (0.25 + 0.75 * (CAST(tc.doc_len AS DOUBLE) / st.avgdl)))) AS term_score
-         | FROM tc JOIN dfq USING (term) CROSS JOIN st),
-         |g AS (SELECT query_id, doc_id, round(sum(term_score), 6) AS score
-         | FROM sc GROUP BY 1, 2),
-         |r AS (SELECT query_id, doc_id, score, CAST(row_number() OVER (
-         |  PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rnk
-         | FROM g)
+      s"""WITH $Bm25BatchChain
          |SELECT query_id, doc_id, score, rnk FROM r WHERE rnk <= 10""".stripMargin,
+    // lexical (x45 chain, k=10) + semantic (x08 chain over queries 1/2,
+    // k=10) rankings fused by reciprocal rank: 1/(60+rnk) summed, rounded
+    // at 6, re-ranked. Doc-id domains of the two rankers are opaque to
+    // the fusion — a doc missing from one side contributes 0 from it.
+    "x53_rrf_fusion" ->
+      s"""WITH $Bm25BatchChain,
+         |lex AS (SELECT query_id, doc_id, rnk FROM r WHERE rnk <= 10),
+         |v2 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+         | FROM embeddings),
+         |qv AS (SELECT vec_id AS qid, ve AS qvec FROM v2 WHERE vec_id IN (1, 2)),
+         |asim AS (SELECT qv.qid, v2.vec_id AS nid, ${cosineSql("qv.qvec", "v2.ve")} AS cosine
+         | FROM v2 CROSS JOIN qv WHERE v2.vec_id <> qv.qid),
+         |ar AS (SELECT qid, nid, CAST(row_number() OVER (
+         |  PARTITION BY qid ORDER BY cosine DESC, nid) AS INTEGER) AS rnk FROM asim),
+         |ann AS (SELECT qid AS query_id, nid AS doc_id, rnk FROM ar WHERE rnk <= 10),
+         |f AS (SELECT coalesce(a.query_id, b.query_id) AS query_id,
+         |  coalesce(a.doc_id, b.doc_id) AS doc_id,
+         |  round(coalesce(1.0 / (60.0 + CAST(a.rnk AS DOUBLE)), 0.0)
+         |    + coalesce(1.0 / (60.0 + CAST(b.rnk AS DOUBLE)), 0.0), 6) AS rrf_score
+         | FROM lex a FULL OUTER JOIN ann b
+         |  ON a.query_id = b.query_id AND a.doc_id = b.doc_id)
+         |SELECT query_id, doc_id, rrf_score, rnk FROM (
+         | SELECT query_id, doc_id, rrf_score, CAST(row_number() OVER (
+         |  PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC) AS INTEGER) AS rnk
+         | FROM f) WHERE rnk <= 10""".stripMargin,
     // x11's candidate chain (Planes6 buckets, id_a < id_b, round-6 cosine)
     // with the greedy keep-lowest-id apply: drop every distinct id_b of a
     // >= 0.9 pair, keep the rest of the corpus

@@ -873,6 +873,22 @@ object SparkEntry {
       graft.text.Bm25.topKBatch(T(s, dir, "documents"), col("doc_id"),
         col("text"), qs, col("query_id"), col("query_text"), k = 10)
     }),
+    // hybrid retrieval: the x45 lexical ranking fused with a semantic
+    // (cosine kNN) ranking for the same query ids by reciprocal rank —
+    // rank domains are opaque to the fusion, raw scores never compared
+    "x53_rrf_fusion" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((1L, "vector hash"), (2L, "stream merge sort"))
+        .toDF("query_id", "query_text")
+      val lex = graft.text.Bm25.topKBatch(T(s, dir, "documents"),
+        col("doc_id"), col("text"), qs, col("query_id"), col("query_text"),
+        k = 10)
+      val emb = T(s, dir, "embeddings")
+      val sem = Similarity.bruteForceKnn(emb,
+          emb.filter(col("vec_id").isin(1L, 2L)), 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rnk"))
+      graft.text.Fusion.rrfFuse(lex, sem, k = 10)
+    }),
     // SemDeDup-style apply: LSH-bucketed cosine pairs (x11's candidate
     // shape) → greedy keep-lowest-id — the O(1)-round embedding dedup an
     // ε-ball semantic dedup actually wants (no transitive components).

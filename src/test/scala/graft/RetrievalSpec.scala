@@ -170,6 +170,22 @@ class RetrievalSpec extends SparkSpec {
       s"largest cell ${cells.max} is not a meaningful split of ${n / 3}")
   }
 
+  test("rrf fusion matches the closed form, missing side contributes zero") {
+    import graft.text.Fusion
+    val lex = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("query_id", "doc_id", "rnk")
+    val sem = Seq((1L, 11L, 1), (1L, 13L, 2))
+      .toDF("query_id", "doc_id", "rnk")
+    val got = Fusion.rrfFuse(lex, sem, k = 10)
+      .collect().map(r => r.getLong(1) -> (r.getDouble(2), r.getInt(3))).toMap
+    def r6(d: Double) = math.rint(d * 1e6) / 1e6
+    // doc 11 ranks in both (2 lexical, 1 semantic) and must fuse on top
+    assert(got(11L) === ((r6(1.0 / 62 + 1.0 / 61), 1)))
+    assert(got(10L) === ((r6(1.0 / 61), 2)))
+    assert(got(13L) === ((r6(1.0 / 62), 3)))
+    assert(got(12L) === ((r6(1.0 / 63), 4)))
+  }
+
   test("hll merge: split sketches union within tolerance, equal the one-shot sketch") {
     import graft.analytics.Distribution
     val ev = (1L to 2000L).map(i => (i, s"t${i % 3}", s"u${i % 137}"))
