@@ -1203,6 +1203,43 @@ object OracleSql {
          | round(avg(-ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))), 6) AS surprise,
          | CAST(count(*) AS BIGINT) AS n_tokens
          |FROM t JOIN f USING (term) CROSS JOIN tot GROUP BY doc_id""".stripMargin,
+    // the PMI tree mirrors the Spark expression operation-for-operation:
+    // (pair/nbig) / ((up/ntok) * (uc/ntok)), ln, round 6; (prev, cur) is
+    // unique in bf so the top-k boundary has no tie ambiguity
+    "x54_pmi_collocations" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |u AS (SELECT unnest(toks) AS term FROM t),
+         |uf AS (SELECT term, CAST(count(*) AS BIGINT) AS uc FROM u GROUP BY 1),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS ntok FROM u),
+         |b AS (SELECT unnest(toks[1:len(toks) - 1]) AS prev,
+         |  unnest(toks[2:len(toks)]) AS cur FROM t WHERE len(toks) >= 2),
+         |nb AS (SELECT CAST(count(*) AS BIGINT) AS nbig FROM b),
+         |bf AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS pair_count
+         | FROM b GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT prev, cur, pair_count,
+         | round(ln((CAST(pair_count AS DOUBLE) / CAST(nbig AS DOUBLE)) /
+         |   ((CAST(up.uc AS DOUBLE) / CAST(ntok AS DOUBLE)) *
+         |    (CAST(ucr.uc AS DOUBLE) / CAST(ntok AS DOUBLE)))), 6) AS pmi
+         |FROM bf JOIN uf up ON bf.prev = up.term
+         | JOIN uf ucr ON bf.cur = ucr.term
+         | CROSS JOIN nb CROSS JOIN nt
+         |ORDER BY pmi DESC, prev ASC, cur ASC LIMIT 50""".stripMargin,
+    // fingerprint = md5 of ws-normalized text (the x04 expression), so
+    // whitespace churn is not a "change"; statuses partition the id union
+    "x55_snapshot_diff" ->
+      """WITH bf AS (SELECT doc_id,
+        |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS f
+        | FROM documents WHERE doc_id % 13 <> 0),
+        |af AS (SELECT doc_id,
+        |  md5(regexp_replace(trim(lower(CASE WHEN doc_id % 7 = 0
+        |    THEN text || ' [edited]' ELSE text END)), '\s+', ' ', 'g')) AS f
+        | FROM documents WHERE doc_id % 11 <> 0)
+        |SELECT coalesce(bf.doc_id, af.doc_id) AS doc_id,
+        | CASE WHEN bf.doc_id IS NULL THEN 'added'
+        |      WHEN af.doc_id IS NULL THEN 'removed'
+        |      WHEN af.f IS NOT DISTINCT FROM bf.f THEN 'unchanged'
+        |      ELSE 'changed' END AS status
+        |FROM bf FULL OUTER JOIN af ON bf.doc_id = af.doc_id""".stripMargin,
     // parallel unnests of the two token slices zip positionally in DuckDB
     // — the same (prev, cur) stream as Spark's sequence-of-structs
     // explode; the interpolation tree mirrors the Spark expression

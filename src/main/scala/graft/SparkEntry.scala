@@ -839,6 +839,24 @@ object SparkEntry {
     "x52_bigram_surprise" -> ((s, dir) =>
       graft.text.TfIdf.bigramSurprise(T(s, dir, "documents"),
         col("doc_id"), col("text"))),
+    // top collocations by pointwise mutual information — the
+    // corpus-analysis face of the bigram tier
+    "x54_pmi_collocations" -> ((s, dir) =>
+      graft.text.TfIdf.pmiCollocations(T(s, dir, "documents"),
+        col("doc_id"), col("text"), minCount = 2, topK = 50)),
+    // corpus snapshot diff: before drops every 13th doc (-> added), after
+    // drops every 11th (-> removed) and edits every 7th (-> changed);
+    // fingerprints compare, text never crosses the join
+    "x55_snapshot_diff" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val before = docs.filter(col("doc_id") % 13 =!= 0)
+      val after = docs.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [edited]")))
+            .otherwise(col("text")).as("text"))
+      graft.analytics.Comparison.snapshotDiff(before, after,
+        col("doc_id"), col("text"))
+    }),
     "x34_line_dedup" -> ((s, dir) => {
       // inject a shared two-line footer into a third of the docs; the
       // line-level pass must strip exactly those lines and keep the docs

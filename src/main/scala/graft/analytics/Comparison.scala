@@ -34,4 +34,34 @@ object Comparison {
         col("api_value"), col("rt_value"),
         (col("rt_value") - col("api_value")).as("difference"))
   }
+
+  /** Corpus snapshot diff — the data-versioning primitive behind "what
+    * changed between yesterday's crawl and today's": every doc id in
+    * either snapshot labeled `added` / `removed` / `changed` / `unchanged`
+    * by its content fingerprint ([[graft.text.TextAnalysis.fingerprint]]
+    * — md5 of normalized text, so whitespace/case churn is not a change).
+    *
+    * Scale shape: each side reduces to (id, 32-byte fingerprint) in its
+    * scan projection; one full-outer equi-join on the id carries those
+    * narrow rows only — document text never crosses the shuffle. Emitting
+    * `unchanged` rows keeps the output a total function of the id union
+    * (filter them out when only the delta matters).
+    */
+  def snapshotDiff(before: DataFrame, after: DataFrame,
+      id: Column, text: Column): DataFrame = {
+    // presence flags, not fingerprint nullness, drive the membership
+    // verdict: a present doc with null text must read changed/unchanged
+    // (null-safe compare), never added/removed
+    def fp(df: DataFrame, out: String, mark: String): DataFrame =
+      df.select(id.as("doc_id"),
+        graft.text.TextAnalysis.fingerprint(text).as(out),
+        lit(true).as(mark))
+    fp(before, "__fb", "__pb")
+      .join(fp(after, "__fa", "__pa"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("__pb").isNull, lit("added"))
+          .when(col("__pa").isNull, lit("removed"))
+          .when(col("__fa") <=> col("__fb"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
 }

@@ -95,16 +95,23 @@ object TfIdf {
     * Nothing exceeds the bigram stream itself — the same discipline as
     * the unigram operator and DSIR weighting.
     */
-  def bigramSurprise(df: DataFrame, id: Column, text: Column,
-      lambda: Double = 0.75): DataFrame = {
-    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
-    val toks = df.select(id.as("doc_id"), TextAnalysis.tokens(text).as("__t"))
+  /** Positional (doc_id, prev, cur) bigram stream — one narrow
+    * sequence-of-structs explode per doc; shared by the bigram LM and the
+    * PMI collocation operators so their token pairing can never drift.
+    */
+  private def bigramStream(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"), TextAnalysis.tokens(text).as("__t"))
       .filter(size(col("__t")) >= 2)
-    val big = toks.select(col("doc_id"),
+      .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("__t")) - 1), i =>
           struct(element_at(col("__t"), i).as("prev"),
             element_at(col("__t"), i + 1).as("cur")))).as("__b"))
       .select(col("doc_id"), col("__b.prev").as("prev"), col("__b.cur").as("cur"))
+
+  def bigramSurprise(df: DataFrame, id: Column, text: Column,
+      lambda: Double = 0.75): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    val big = bigramStream(df, id, text)
     val uni = df.select(explode(TextAnalysis.tokens(text)).as("term"))
     val uf = uni.groupBy(col("term")).agg(count(lit(1)).as("__uc"))
     val total = uni.agg(count(lit(1)).as("__tt"))
@@ -119,6 +126,44 @@ object TfIdf {
       .groupBy(col("doc_id"))
       .agg(round(avg(-log(p)), 6).as("surprise"),
         count(lit(1)).as("n_bigrams"))
+  }
+
+  /** Pointwise-mutual-information collocations: the `topK` adjacent token
+    * pairs (with at least `minCount` occurrences) whose co-occurrence most
+    * exceeds chance — `pmi = ln(p(prev,cur) / (p(prev)·p(cur)))`. The
+    * corpus-analysis face of the bigram tier: multi-word terms, named
+    * entities, and templated phrases surface at the top, which feeds
+    * tokenizer vocab decisions and boilerplate pattern discovery.
+    *
+    * Scale shape: the bigram stream aggregates to a pair-vocabulary frame
+    * (minCount-filtered before any join), unigram counts join it by each
+    * side's key, the two totals ride in as broadcast scalars, and the
+    * top-k plans as TakeOrderedAndProject over the pair vocabulary —
+    * nothing after the two stream aggregates is corpus-sized.
+    */
+  def pmiCollocations(df: DataFrame, id: Column, text: Column,
+      minCount: Long = 2, topK: Int = 50): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val big = bigramStream(df, id, text)
+    val uni = df.select(explode(TextAnalysis.tokens(text)).as("term"))
+    val uf = uni.groupBy(col("term")).agg(count(lit(1)).as("__uc"))
+    val nTok = uni.agg(count(lit(1)).as("__nt"))
+    val nBig = big.agg(count(lit(1)).as("__nb"))
+    val bf = big.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= minCount)
+    bf.join(uf.select(col("term").as("prev"), col("__uc").as("__up")), Seq("prev"))
+      .join(uf.select(col("term").as("cur"), col("__uc").as("__ucr")), Seq("cur"))
+      .crossJoin(broadcast(nBig))
+      .crossJoin(broadcast(nTok))
+      .select(col("prev"), col("cur"), col("pair_count"),
+        round(log((col("pair_count").cast("double") / col("__nb").cast("double")) /
+          ((col("__up").cast("double") / col("__nt").cast("double")) *
+            (col("__ucr").cast("double") / col("__nt").cast("double")))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("prev").asc, col("cur").asc)
+      .limit(topK)
   }
 
   /** Corpus-level heavy hitters: the `topK` most frequent terms with total

@@ -93,6 +93,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.isEmpty, s"zero-MAD group must emit nothing: $out")
   }
 
+  test("snapshotDiff labels added/removed/changed/unchanged; ws churn is not a change") {
+    import graft.analytics.Comparison
+    val before = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "kept text"))
+      .toDF("doc_id", "text")
+    val after = Seq((1L, "alpha  BETA "), // normalization folds this
+      (2L, "gamma delta edited"), (4L, "brand new doc"))
+      .toDF("doc_id", "text")
+    val got = Comparison.snapshotDiff(before, after, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("O1/P13/P14 ranking and recency windows") {
     val ranked = Ranking.rankByAggregate(df, col("station"),
       sum(col("power")), "total").collect()

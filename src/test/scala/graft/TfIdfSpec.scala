@@ -86,6 +86,25 @@ class TfIdfSpec extends SparkSpec {
       s"shuffled order must surprise a bigram LM more: $s")
   }
 
+  test("pmiCollocations: fixed phrases beat chance pairs, closed form holds") {
+    // "new york" always co-occurs; "the" pairs promiscuously
+    val df = Seq(
+      (1L, "new york is big the city the place"),
+      (2L, "new york was the start the end"),
+      (3L, "the city saw new york")).toDF("doc_id", "text")
+    val out = graft.text.TfIdf.pmiCollocations(df, col("doc_id"), col("text"),
+        minCount = 2, topK = 10)
+      .collect().map(r => (r.getString(1), r.getString(0)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // hand form: tokens total 20 (8+7+5), "new"=3, "york"=3, bigrams
+    // total 17 (7+6+4), (new,york)=3 -> pmi = ln((3/17) / ((3/20)*(3/20)))
+    val want = math.rint(math.log((3.0 / 17.0) / ((3.0 / 20.0) * (3.0 / 20.0))) * 1e6) / 1e6
+    val ny = out(("york", "new"))
+    assert(ny._1 === 3L && math.abs(ny._2 - want) < 1e-6, out.toString)
+    // the ubiquitous "the" never outranks the fixed phrase
+    assert(out.keys.forall { case (c, p) => !(p == "the" && out((c, p))._2 > ny._2) })
+  }
+
   test("vocabStats plans TakeOrderedAndProject, not a global sort") {
     val plan = TfIdf.vocabStats(docs, col("doc_id"), col("text"), topK = 2)
       .queryExecution.executedPlan.toString
