@@ -773,6 +773,37 @@ object OracleSql {
          |SELECT doc_id, CASE $cases ELSE '${ts.last._1}' END AS split
          |FROM b""".stripMargin
     },
+    // x06's verified-pair chain labeled by the x19 split rule on each
+    // side — pure functions of the ids, so the oracle composes the two
+    // existing chains verbatim
+    "x57_split_leakage" -> {
+      val ts = graft.sampling.Sampling.thresholds(SparkEntry.TrainSplit)
+      def splitCase(idExpr: String): String = {
+        val cases = ts.init.map { case (n, t) =>
+          s"WHEN ${bucketSql(idExpr, "split")} < $t THEN '$n'" }.mkString(" ")
+        s"CASE $cases ELSE '${ts.last._1}' END"
+      }
+      s"""WITH $NearDupChain,
+         |pr AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.3),
+         |lab AS (SELECT doc_a, doc_b,
+         |  ${splitCase("doc_a")} AS split_a,
+         |  ${splitCase("doc_b")} AS split_b FROM pr)
+         |SELECT doc_a, doc_b, split_a, split_b FROM lab
+         |WHERE split_a <> split_b""".stripMargin
+    },
+    // the x40 rank decomposition with one "token" per doc: rnk is the
+    // inclusive running count in (score DESC, tie ASC, id ASC) order,
+    // pct_rank = (rnk-1)/(n-1)
+    "x56_percentile_rank" ->
+      s"""WITH t AS (SELECT doc_id, text, $Toks AS toks FROM documents),
+         |q AS (SELECT doc_id, $QualitySql AS score,
+         |  ${hashKeySql("doc_id", "budget")} AS tie FROM t),
+         |r AS (SELECT doc_id, score, CAST(row_number() OVER (
+         |  ORDER BY score DESC, tie ASC, doc_id ASC) AS BIGINT) AS rnk,
+         |  count(*) OVER () AS n FROM q)
+         |SELECT doc_id, score, rnk,
+         | round(CAST(rnk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE), 6) AS pct_rank
+         |FROM r""".stripMargin,
     "x20_stratified_sample" -> {
       val conds = SparkEntry.StratFractions.toSeq.sortBy(_._1)
         .map { case (k, f) =>

@@ -950,6 +950,17 @@ object SparkEntry {
       graft.sampling.BudgetSelect.selectUnderBudget(T(s, dir, "documents"),
         col("doc_id"), TextAnalysis.qualityScore(col("text")),
         TextAnalysis.tokenCount(col("text")), budget = TokenBudget)),
+    // exact global percentile rank of the quality score without a global
+    // sort — the x40 decomposition with one "token" per doc
+    "x56_percentile_rank" -> ((s, dir) =>
+      graft.sampling.BudgetSelect.percentileRanks(T(s, dir, "documents"),
+        col("doc_id"), TextAnalysis.qualityScore(col("text")))),
+    // split-integrity audit: near-dup pairs (x06's chain) whose members
+    // landed in different train/val/test splits — eval leakage evidence
+    "x57_split_leakage" -> ((s, dir) =>
+      graft.sampling.Sampling.splitLeakage(
+        Dedup.nearDuplicates(T(s, dir, "documents"), col("doc_id"),
+          col("text"), threshold = 0.3), TrainSplit)),
     "x39_zorder_layout" -> ((s, dir) => {
       val ev = T(s, dir, "events")
       val z = graft.warehouse.Layout.zValue(

@@ -121,4 +121,31 @@ object BudgetSelect {
       .filter(col("cum_tokens") <= budget)
       .select(col("doc_id"), col("score"), col("n_tokens"), col("cum_tokens"))
   }
+
+  /** Percentile-rank calibration of a score column: every doc's exact
+    * global rank (1 = best, the [[selectUnderBudget]] order: score DESC,
+    * salted hash tie, id) and its percentile `(rnk − 1)/(n − 1)` — the
+    * "keep the top 30% by quality" gate without a token budget, and the
+    * calibration that makes scores from different scorers comparable.
+    *
+    * The naive form is `percent_rank()` over an unpartitioned window —
+    * the single-reducer global sort. Here the rank IS the inclusive
+    * running sum of [[selectUnderBudget]] with one token per doc, so the
+    * whole two-level (bucket, hash-cell) machinery — including the
+    * repeated-score split — applies unchanged; no reducer ever sees more
+    * than one cell's docs.
+    */
+  def percentileRanks(df: DataFrame, id: Column, score: Column,
+      numBuckets: Int = 1024, subBuckets: Int = 32,
+      salt: String = "budget"): DataFrame = {
+    val ranked = selectUnderBudget(df, id, score, lit(1L), Long.MaxValue,
+        numBuckets, subBuckets, salt)
+      .select(col("doc_id"), col("score"), col("cum_tokens").as("rnk"))
+    val n = ranked.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(n))
+      .select(col("doc_id"), col("score"), col("rnk"),
+        round(when(col("__n") === 1, lit(0.0))
+          .otherwise((col("rnk") - 1).cast("double") /
+            (col("__n") - 1).cast("double")), 6).as("pct_rank"))
+  }
 }

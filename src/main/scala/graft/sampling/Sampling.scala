@@ -66,6 +66,23 @@ object Sampling {
     }
   }
 
+  /** Split-integrity audit: pairs of related documents (near-dups,
+    * decontamination hits — any `(doc_a, doc_b)` evidence frame) whose
+    * members landed in DIFFERENT splits. A near-duplicate straddling
+    * train/test silently inflates eval scores; this is the leakage check
+    * a split pipeline runs after dedup evidence exists.
+    *
+    * Because [[splitLabel]] is a pure function of the id, the audit is a
+    * zero-join, zero-shuffle projection + filter on the pair frame — no
+    * label table materializes at any scale.
+    */
+  def splitLeakage(pairs: DataFrame, weights: Seq[(String, Double)],
+      salt: String = "split"): DataFrame =
+    pairs.select(col("doc_a"), col("doc_b"),
+        splitLabel(col("doc_a"), weights, salt).as("split_a"),
+        splitLabel(col("doc_b"), weights, salt).as("split_b"))
+      .filter(col("split_a") =!= col("split_b"))
+
   /** Keep a deterministic `fraction` of rows (by id hash). */
   def sampleBy(df: DataFrame, id: Column, fraction: Double,
       salt: String = "sample"): DataFrame = {

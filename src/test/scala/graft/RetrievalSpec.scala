@@ -170,6 +170,40 @@ class RetrievalSpec extends SparkSpec {
       s"largest cell ${cells.max} is not a meaningful split of ${n / 3}")
   }
 
+  test("percentileRanks equals row_number even on a 3-score tie domain") {
+    // discrete scores — the degenerate the hash-cell split exists for
+    val corpus = (1L to 900L).map(i => (i, (i % 3).toDouble))
+    val df = corpus.toDF("doc_id", "score")
+    val got = graft.sampling.BudgetSelect.percentileRanks(df,
+        col("doc_id"), col("score"), numBuckets = 16, subBuckets = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    val tie = tieHashes(corpus.map(_._1), "budget")
+    val want = corpus.sortBy { case (id, s) => (-s, tie(id), id) }
+      .zipWithIndex.map { case ((id, _), i) =>
+        id -> (i + 1L, math.rint(i.toDouble / 899.0 * 1e6) / 1e6) }.toMap
+    assert(got === want)
+  }
+
+  test("splitLeakage flags only pairs straddling splits, zero shuffle") {
+    import graft.sampling.Sampling
+    val w = Seq("train" -> 0.8, "test" -> 0.2)
+    // read the deterministic labels back, then build one same-split and
+    // one cross-split pair from them
+    val labels = (1L to 200L).toDF("doc_id")
+      .select(col("doc_id"), Sampling.splitLabel(col("doc_id"), w).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sameSplit = labels.toSeq.filter(_._2 == "train").take(2).map(_._1)
+    val crossA = labels.find(_._2 == "train").get._1
+    val crossB = labels.find(_._2 == "test").get._1
+    val pairs = Seq((sameSplit(0), sameSplit(1)), (crossA, crossB))
+      .toDF("doc_a", "doc_b")
+    val out = Sampling.splitLeakage(pairs, w)
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((crossA, crossB)))
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+      "leakage audit must be a pure projection + filter")
+  }
+
   test("rrf fusion matches the closed form, missing side contributes zero") {
     import graft.text.Fusion
     val lex = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
