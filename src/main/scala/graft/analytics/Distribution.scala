@@ -87,23 +87,28 @@ object Distribution {
       outName: String = "within_5pct"): DataFrame = {
     require(lgK >= 4 && lgK <= 21, s"lgK must be in [4,21], got $lgK")
     val keyName = a.select(key).columns.head
-    def sketch(df: DataFrame, out: String): DataFrame =
-      df.groupBy(key.as("__k"))
+    def sketch(df: DataFrame, keyOut: String, out: String): DataFrame =
+      df.groupBy(key.as(keyOut))
         .agg(hll_sketch_agg(value, lit(lgK)).as(out))
-    val merged = sketch(a, "__sa").join(sketch(b, "__sb"), Seq("__k"), "full_outer")
-      .select(col("__k"),
+    // joins are NULL-SAFE (<=>): a null key is a legitimate group on both
+    // sides — plain equality would silently drop it from the report while
+    // the oracle (GROUP BY) emits it, the same hazard cmsFrequencyReport
+    // guards against
+    val merged = sketch(a, "__ka", "__sa")
+      .join(sketch(b, "__kb", "__sb"), col("__ka") <=> col("__kb"), "full_outer")
+      .select(coalesce(col("__ka"), col("__kb")).as("__k"),
         hll_sketch_estimate(
           when(col("__sa").isNull, col("__sb"))
             .when(col("__sb").isNull, col("__sa"))
             .otherwise(hll_union(col("__sa"), col("__sb")))).as("__est"))
     // exact side over the UNION, deduped before counting (the a07
     // two-stage rationale: map-side combine, no Expand doubling)
-    val exact = a.select(key.as("__k"), value.as("__v"))
-      .unionByName(b.select(key.as("__k"), value.as("__v")))
-      .groupBy(col("__k"), col("__v")).agg(lit(1))
-      .groupBy(col("__k"))
+    val exact = a.select(key.as("__ke"), value.as("__v"))
+      .unionByName(b.select(key.as("__ke"), value.as("__v")))
+      .groupBy(col("__ke"), col("__v")).agg(lit(1))
+      .groupBy(col("__ke"))
       .agg(count(when(col("__v").isNotNull, lit(1))).as("__exact"))
-    merged.join(exact, Seq("__k"))
+    merged.join(exact, col("__k") <=> col("__ke"))
       .select(col("__k").as(keyName),
         coalesce(abs(col("__est") - col("__exact")) <= col("__exact") * tol,
           col("__exact") === 0).as(outName))

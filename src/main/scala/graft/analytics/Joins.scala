@@ -71,11 +71,8 @@ object Joins {
       .withColumn("__v", explode(deletionNeighborhood(col("left_key"))))
     val r = right.select(rightId.as("right_id"), rightKey.as("right_key"))
       .withColumn("__v", explode(deletionNeighborhood(col("right_key"))))
-    val win = org.apache.spark.sql.expressions.Window.partitionBy(col("__v"))
     def capped(df: DataFrame): DataFrame =
-      df.withColumn("__bc", count(lit(1)).over(win))
-        .filter(col("__bc") <= maxBucket)
-        .drop("__bc")
+      graft.dedup.Dedup.capBuckets(df, Seq(col("__v")), maxBucket)
     capped(l).join(capped(r), Seq("__v"))
       .select(col("left_id"), col("right_id"), col("left_key"), col("right_key"))
       .distinct()

@@ -23,6 +23,23 @@ import graft.text.TextAnalysis
   */
 object Dedup {
 
+  /** The blocking-bucket skew guard every candidate generator in this
+    * library carries (MinHash/SimHash bands, cosine LSH buckets, winnow
+    * fingerprints, fuzzy-join deletion neighborhoods): drop the rows of
+    * any `keys` bucket holding more than `maxBucket` rows BEFORE the
+    * self-join, so degenerate blocks (boilerplate, duplicate floods,
+    * ubiquitous tokens) can never make the within-bucket work quadratic
+    * in the corpus. The count window hash-partitions on the same keys as
+    * the downstream join, so the guard adds no extra exchange.
+    */
+  private[graft] def capBuckets(df: DataFrame, keys: Seq[Column],
+      maxBucket: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)
+    df.withColumn("__bc", count(lit(1)).over(w))
+      .filter(col("__bc") <= maxBucket)
+      .drop("__bc")
+  }
+
   /** Exact dedup by content fingerprint: each row keeps its fingerprint and
     * the canonical (minimum) id sharing it. One shuffle on the fingerprint.
     */
@@ -91,10 +108,7 @@ object Dedup {
           col(s"sig${b * rowsPerBand + r}")): _*).as("band"),
         lit(b + 1).as("band_id"))
     }.reduce(_.unionByName(_))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_id"))
-    bands.withColumn("__bc", count(lit(1)).over(w))
-      .filter(col("__bc") <= maxBucket)
-      .drop("__bc")
+    capBuckets(bands, Seq(col("band"), col("band_id")), maxBucket)
   }
 
   /** Signature column expression for `numHashes` hashes: the plain 4-slice
@@ -211,10 +225,7 @@ object Dedup {
         shiftright(col("simhash"), 8).as("band"), lit(1).as("band_id"))
       .unionByName(sig.select(col("doc_id"), col("simhash"),
         col("simhash").bitwiseAND(255).as("band"), lit(2).as("band_id")))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_id"))
-    val capped = bands.withColumn("__bc", count(lit(1)).over(w))
-      .filter(col("__bc") <= maxBucket)
-      .drop("__bc")
+    val capped = capBuckets(bands, Seq(col("band"), col("band_id")), maxBucket)
     val a = capped.select(col("band"), col("band_id"),
       col("doc_id").as("doc_a"), col("simhash").as("__sa"))
     val b = capped.select(col("band"), col("band_id"),
@@ -248,10 +259,7 @@ object Dedup {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     val fp = df.select(id.as("doc_id"),
       explode(graft.text.TextAnalysis.winnowFingerprints(text, k, w)).as("fp"))
-    val win = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
-    val capped = fp.withColumn("__fc", count(lit(1)).over(win))
-      .filter(col("__fc") <= maxBucket)
-      .drop("__fc")
+    val capped = capBuckets(fp, Seq(col("fp")), maxBucket)
     val a = capped.select(col("fp"), col("doc_id").as("doc_a"))
     val b = capped.select(col("fp"), col("doc_id").as("doc_b"))
     a.join(b, Seq("fp"))

@@ -141,11 +141,13 @@ object BudgetSelect {
     val ranked = selectUnderBudget(df, id, score, lit(1L), Long.MaxValue,
         numBuckets, subBuckets, salt)
       .select(col("doc_id"), col("score"), col("cum_tokens").as("rnk"))
-    val n = ranked.agg(count(lit(1)).as("__n"))
-    ranked.crossJoin(broadcast(n))
-      .select(col("doc_id"), col("score"), col("rnk"),
-        round(when(col("__n") === 1, lit(0.0))
-          .otherwise((col("rnk") - 1).cast("double") /
-            (col("__n") - 1).cast("double")), 6).as("pct_rank"))
+    // n from a narrow count of the INPUT (the unlimited budget keeps every
+    // row, so the counts agree) — counting `ranked` would re-execute the
+    // whole join+window machinery just to size the denominator
+    val n = df.select(id).count()
+    val pct =
+      if (n <= 1) lit(0.0)
+      else round((col("rnk") - 1).cast("double") / lit((n - 1).toDouble), 6)
+    ranked.select(col("doc_id"), col("score"), col("rnk"), pct.as("pct_rank"))
   }
 }

@@ -212,6 +212,7 @@ object Similarity {
     */
   private def requireAllQueries(op: String, requested: Seq[Long],
       found: Seq[Long]): Unit = {
+    require(requested.nonEmpty, s"$op needs at least one query id")
     val missing = requested.distinct.toSet -- found.toSet
     require(missing.isEmpty,
       s"$op: query ids not present in the corpus: ${missing.toSeq.sorted.mkString(", ")}")
@@ -440,10 +441,7 @@ object Similarity {
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     val emb = df.select(id.as("vec_id"), asDouble(vec).as("v"))
       .withColumn("bucket", hyperplaneBucket(col("v"), planes))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
-    val capped = emb.withColumn("__bc", count(lit(1)).over(w))
-      .filter(col("__bc") <= maxBucket)
-      .drop("__bc")
+    val capped = graft.dedup.Dedup.capBuckets(emb, Seq(col("bucket")), maxBucket)
     val a = capped.select(col("bucket"), col("vec_id").as("id_a"), col("v").as("va"))
     val b = capped.select(col("bucket"), col("vec_id").as("id_b"), col("v").as("vb"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))

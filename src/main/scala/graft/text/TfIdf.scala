@@ -78,23 +78,6 @@ object TfIdf {
         count(lit(1)).as("n_tokens"))
   }
 
-  /** Interpolated bigram language-model surprise — the next rung above
-    * [[unigramSurprise]] on the KenLM-perplexity ladder: per document, the
-    * mean negative log of `λ·p(cur|prev) + (1−λ)·p(cur)` over its token
-    * bigrams, self-scored against the corpus's own counts. The unigram
-    * back-off keeps unseen-in-context tokens finite; word-salad text
-    * (every bigram rare relative to its parts) scores high where
-    * repetitive boilerplate scores low — a sharper quality gate than
-    * unigram frequency alone, which is blind to word ORDER.
-    *
-    * Scale shape: the positional bigram stream is a narrow explode
-    * (struct pairs from one `sequence` transform); its two LM aggregates
-    * are bigram- and history-vocabulary-sized; the stream joins each on
-    * the shuffle key it already needs, picks up unigram counts by the
-    * `cur` key, and the token total rides in as one broadcast scalar.
-    * Nothing exceeds the bigram stream itself — the same discipline as
-    * the unigram operator and DSIR weighting.
-    */
   /** Positional (doc_id, prev, cur) bigram stream — one narrow
     * sequence-of-structs explode per doc; shared by the bigram LM and the
     * PMI collocation operators so their token pairing can never drift.
@@ -108,18 +91,45 @@ object TfIdf {
             element_at(col("__t"), i + 1).as("cur")))).as("__b"))
       .select(col("doc_id"), col("__b.prev").as("prev"), col("__b.cur").as("cur"))
 
+  /** Unigram frequency frame (term, __uc), checkpointed: it is
+    * vocabulary-sized, and the token total derives from it by one more
+    * aggregate — the corpus explode behind it runs exactly once.
+    */
+  private def unigramCounts(df: DataFrame, text: Column): DataFrame =
+    df.select(explode(TextAnalysis.tokens(text)).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("__uc"))
+      .localCheckpoint(true)
+
+  /** Interpolated bigram language-model surprise — the next rung above
+    * [[unigramSurprise]] on the KenLM-perplexity ladder: per document, the
+    * mean negative log of `λ·p(cur|prev) + (1−λ)·p(cur)` over its token
+    * bigrams, self-scored against the corpus's own counts. The unigram
+    * back-off keeps unseen-in-context tokens finite; word-salad text
+    * (every bigram rare relative to its parts) scores high where
+    * repetitive boilerplate scores low — a sharper quality gate than
+    * unigram frequency alone, which is blind to word ORDER.
+    *
+    * Scale shape: everything derivable derives from TWO checkpointed
+    * vocabulary-sized aggregates — pair counts (histories = their
+    * per-prev sums) and unigram counts (token total = their sum) — so the
+    * corpus is scanned once for each stream plus once for the scoring
+    * join; no aggregate re-runs the tokenize. The scoring join picks up
+    * each LM piece on the shuffle key the stream already needs, and the
+    * token total rides in as one broadcast scalar.
+    */
   def bigramSurprise(df: DataFrame, id: Column, text: Column,
       lambda: Double = 0.75): DataFrame = {
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
     val big = bigramStream(df, id, text)
-    val uni = df.select(explode(TextAnalysis.tokens(text)).as("term"))
-    val uf = uni.groupBy(col("term")).agg(count(lit(1)).as("__uc"))
-    val total = uni.agg(count(lit(1)).as("__tt"))
-    val bf = big.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("__bc"))
-    val hf = big.groupBy(col("prev")).agg(count(lit(1)).as("__hc"))
+    val bfAll = big.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("__bc"))
+      .localCheckpoint(true)
+    val hf = bfAll.groupBy(col("prev")).agg(sum(col("__bc")).as("__hc"))
+    val uf = unigramCounts(df, text)
+    val total = uf.agg(sum(col("__uc")).as("__tt"))
     val p = lit(lambda) * (col("__bc").cast("double") / col("__hc").cast("double")) +
       lit(1.0 - lambda) * (col("__uc").cast("double") / col("__tt").cast("double"))
-    big.join(bf, Seq("prev", "cur"))
+    big.join(bfAll, Seq("prev", "cur"))
       .join(hf, Seq("prev"))
       .join(uf.select(col("term").as("cur"), col("__uc")), Seq("cur"))
       .crossJoin(broadcast(total))
@@ -135,24 +145,25 @@ object TfIdf {
     * entities, and templated phrases surface at the top, which feeds
     * tokenizer vocab decisions and boilerplate pattern discovery.
     *
-    * Scale shape: the bigram stream aggregates to a pair-vocabulary frame
-    * (minCount-filtered before any join), unigram counts join it by each
-    * side's key, the two totals ride in as broadcast scalars, and the
-    * top-k plans as TakeOrderedAndProject over the pair vocabulary —
-    * nothing after the two stream aggregates is corpus-sized.
+    * Scale shape: the bigram stream aggregates ONCE to a checkpointed
+    * pair-vocabulary frame (its sum is the bigram total, its
+    * minCount-filter the join input), unigram counts come from the shared
+    * checkpointed frequency frame (their sum is the token total), so each
+    * corpus stream is scanned exactly once; the top-k plans as
+    * TakeOrderedAndProject over the pair vocabulary.
     */
   def pmiCollocations(df: DataFrame, id: Column, text: Column,
       minCount: Long = 2, topK: Int = 50): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     require(topK >= 1, s"topK must be >= 1, got $topK")
-    val big = bigramStream(df, id, text)
-    val uni = df.select(explode(TextAnalysis.tokens(text)).as("term"))
-    val uf = uni.groupBy(col("term")).agg(count(lit(1)).as("__uc"))
-    val nTok = uni.agg(count(lit(1)).as("__nt"))
-    val nBig = big.agg(count(lit(1)).as("__nb"))
-    val bf = big.groupBy(col("prev"), col("cur"))
+    val bfAll = bigramStream(df, id, text)
+      .groupBy(col("prev"), col("cur"))
       .agg(count(lit(1)).as("pair_count"))
-      .filter(col("pair_count") >= minCount)
+      .localCheckpoint(true)
+    val uf = unigramCounts(df, text)
+    val nTok = uf.agg(sum(col("__uc")).as("__nt"))
+    val nBig = bfAll.agg(sum(col("pair_count")).as("__nb"))
+    val bf = bfAll.filter(col("pair_count") >= minCount)
     bf.join(uf.select(col("term").as("prev"), col("__uc").as("__up")), Seq("prev"))
       .join(uf.select(col("term").as("cur"), col("__uc").as("__ucr")), Seq("cur"))
       .crossJoin(broadcast(nBig))
