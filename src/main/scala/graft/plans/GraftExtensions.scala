@@ -65,9 +65,33 @@ object GraftExtensions {
       }
     })
 
+  /** `winnow(text, k, w)` — k-gram width and window size are codegen-time
+    * constants of the kernel, so both must be integer literals.
+    */
+  val winnow: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("winnow"),
+    new ExpressionInfo(classOf[Winnow].getName, "winnow"),
+    (children: Seq[Expression]) => {
+      if (children.size != 3)
+        ColumnBridge.wrongNumArgs("winnow", 3, children.size)
+      (children(1), children(2)) match {
+        case (org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _),
+              org.apache.spark.sql.catalyst.expressions.Literal(w: Int, _)) =>
+          Winnow(children.head, k, w)
+        case other => throw new IllegalArgumentException(
+          s"winnow k and w must be integer literals, got $other")
+      }
+    })
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     turbinePower,
     shingleSet,
+    winnow,
+    fromColumns("subword_count", 1, cs => TextAnalysis.subwordCount(cs.head)),
+    fromColumns("punct_ratio", 1, cs => TextAnalysis.punctRatio(cs.head)),
+    fromColumns("stopword_ratio", 1, cs => TextAnalysis.stopwordRatio(cs.head)),
+    fromColumns("avg_token_len", 1, cs => TextAnalysis.avgTokenLen(cs.head)),
+    fromColumns("normalize_text", 1, cs => TextAnalysis.normalized(cs.head)),
     fromColumns("quality_score", 1, cs => TextAnalysis.qualityScore(cs.head)),
     fromColumns("token_count", 1, cs => TextAnalysis.tokenCount(cs.head)),
     fromColumns("doc_fingerprint", 1, cs => TextAnalysis.fingerprint(cs.head)),

@@ -183,6 +183,51 @@ class ScaleGrowthSpec extends SparkSpec {
     assert(g < 25.0, s"candidate pairs grew ${g}x for 10x input ($small -> $large)")
   }
 
+  test("wide near-dup shuffle bytes grow ~linearly from 1x to 10x docs") {
+    def wide(n: Int): DataFrame =
+      Dedup.nearDuplicatesWide(docs(n), col("doc_id"), col("text"),
+        threshold = 0.3, numHashes = 8, rowsPerBand = 2)
+    val small = shuffleBytes(run(wide(500)))
+    val large = shuffleBytes(run(wide(5000)))
+    val g = growth(small, large)
+    assert(small > 0, "listener captured no shuffle writes")
+    // 2x the bands of the narrow chain, same capped-bucket shape: widening
+    // the signature must scale the CONSTANT, not the growth exponent
+    assert(g < 25.0, s"wide near-dup shuffle grew ${g}x for 10x input ($small -> $large)")
+  }
+
+  test("winnow-pair shuffle bytes grow ~linearly from 1x to 10x docs") {
+    def pairs(n: Int): DataFrame =
+      Dedup.winnowPairs(docs(n), col("doc_id"), col("text"),
+        k = 4, w = 4, minShared = 2)
+    val small = shuffleBytes(run(pairs(500)))
+    val large = shuffleBytes(run(pairs(5000)))
+    val g = growth(small, large)
+    assert(small > 0, "listener captured no shuffle writes")
+    // fingerprints per doc are bounded by doc length; the guarded failure
+    // is an uncapped ubiquitous-fingerprint bucket going quadratic
+    assert(g < 25.0, s"winnow-pair shuffle grew ${g}x for 10x input ($small -> $large)")
+  }
+
+  test("fuzzy-join shuffle bytes grow ~linearly from 1x to 10x rows") {
+    // station-code keys with a typo'd right side: deletion neighborhoods
+    // are |key|+1 variants per row, so the blocked shuffle is linear
+    def side(n: Int, typo: Boolean): DataFrame =
+      spark.range(0, n).select(col("id"),
+        concat(lit("unit-"), pmod(col("id"), lit(n / 5)).cast("string")).as("key"))
+        .select(col("id"), when(lit(typo) && col("id") % 7 === 0,
+          substring(col("key"), 2, 100)).otherwise(col("key")).as("key"))
+    def fj(n: Int): DataFrame =
+      graft.analytics.Joins.fuzzyJoin(
+        side(n, typo = false), col("id"), col("key"),
+        side(n, typo = true), col("id"), col("key"))
+    val small = shuffleBytes(run(fj(600)))
+    val large = shuffleBytes(run(fj(6000)))
+    val g = growth(small, large)
+    assert(small > 0, "listener captured no shuffle writes")
+    assert(g < 25.0, s"fuzzy-join shuffle grew ${g}x for 10x input ($small -> $large)")
+  }
+
   test("budget select shuffle bytes grow ~linearly from 1x to 10x docs") {
     def sel(n: Int): DataFrame =
       graft.sampling.BudgetSelect.selectUnderBudget(docs(n),

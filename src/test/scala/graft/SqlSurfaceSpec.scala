@@ -74,6 +74,33 @@ class SqlSurfaceSpec extends SparkSpec {
         s2.sql("SELECT shingle_set('a b', token_count('x'))").collect()
       }
       assert(err.getMessage.contains("integer literal"))
+      // round-6: winnowing fingerprints + the remaining scalar text metrics
+      val w6 = s2.sql(
+        """SELECT
+          |  winnow('a b c d e f g h i j', 4, 4) AS fp,
+          |  size(array_intersect(
+          |    winnow('one two three four five six seven eight', 4, 4),
+          |    winnow('zzz one two three four five six seven eight yyy', 4, 4)))
+          |    AS shared,
+          |  subword_count('hello world') AS sw,
+          |  round(punct_ratio('a, b. c!'), 6) AS pr,
+          |  round(stopword_ratio('the cat and the hat'), 6) AS sr,
+          |  round(avg_token_len('ab abcd'), 6) AS atl,
+          |  normalize_text('  A   B  ') AS norm
+          |""".stripMargin).head()
+      assert(w6.getSeq[Long](0).nonEmpty, "winnow emitted no fingerprints")
+      assert(w6.getSeq[Long](0) === w6.getSeq[Long](0).sorted.distinct)
+      // winnowing guarantee: a shared >= w+k-1-token span shares a fingerprint
+      assert(w6.getInt(1) >= 1, "shared span produced no shared fingerprint")
+      assert(w6.getLong(2) > 0)
+      assert(w6.getDouble(3) > 0.0 && w6.getDouble(3) < 1.0)
+      assert(w6.getDouble(4) > 0.0 && w6.getDouble(4) <= 1.0)
+      assert(w6.getDouble(5) === 3.0)
+      assert(w6.getString(6) === "a b")
+      val werr = intercept[Exception] {
+        s2.sql("SELECT winnow('a b', 4, token_count('x'))").collect()
+      }
+      assert(werr.getMessage.contains("integer literal"))
     } finally {
       org.apache.spark.sql.graftbridge.ColumnBridge.restoreSessions(prev)
     }
