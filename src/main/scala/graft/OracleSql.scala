@@ -1443,6 +1443,116 @@ object OracleSql {
       s"""SELECT event_id,
          |  ${zValueSql("floor(value)", "user_id", SparkEntry.ZBits)} AS zval,
          |  (${zValueSql("floor(value)", "user_id", SparkEntry.ZBits)} >> ${2 * SparkEntry.ZBits - 4}) AS file_bucket
-         |FROM events""".stripMargin
+         |FROM events""".stripMargin,
+    // one round-6 projection per plane, zipped with its 0-based component
+    // index (the x42 parallel-unnest pattern); 1/sqrt(16) = 0.25 exactly
+    "x58_jl_projection" -> {
+      val inv = 1.0 / math.sqrt(SparkEntry.PlanesJL.size.toDouble)
+      val comps = SparkEntry.PlanesJL.map(p =>
+        s"round(list_dot_product(v, ${planeList(p)}) * $inv, 6)")
+        .mkString("[", ",\n  ", "]")
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         | FROM embeddings)
+         |SELECT vec_id,
+         | CAST(unnest(range(0, ${SparkEntry.PlanesJL.size})) AS INTEGER) AS dim,
+         | unnest($comps) AS val
+         |FROM e""".stripMargin
+    },
+    // fixed-point moments (scale 4): round(x*1e4) is an exact integer in
+    // double, so avg's internal sums match Spark's at any merge order
+    "x59_embed_standardize" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |d AS (SELECT vec_id, CAST(unnest(range(0, len(v))) AS INTEGER) AS dim,
+        |  unnest(v) AS x FROM e),
+        |s AS (SELECT dim, avg(round(x * 10000.0)) / 10000.0 AS m,
+        |  avg(round(x * 10000.0) * round(x * 10000.0)) / 100000000.0 AS m2
+        | FROM d GROUP BY dim),
+        |s2 AS (SELECT dim, m, sqrt(m2 - m * m) AS sd FROM s)
+        |SELECT d.vec_id, d.dim,
+        | CASE WHEN sd = 0 THEN 0.0 ELSE round((x - m) / sd, 6) END AS z
+        |FROM d JOIN s2 ON d.dim = s2.dim""".stripMargin,
+    // list(ORDER BY) states the naive sorted posting list; the Spark side
+    // builds it through the bounded heap — the hash match proves the heap
+    // emits exactly the ascending-id prefix
+    "x60_posting_lists" ->
+      s"""WITH t AS (SELECT doc_id, unnest(toks) AS term
+         |  FROM (SELECT doc_id, $Toks AS toks FROM documents)),
+         |tc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS cnt
+         | FROM t GROUP BY 1, 2),
+         |l AS (SELECT term, CAST(count(*) AS BIGINT) AS doc_freq,
+         |  CAST(sum(cnt) AS BIGINT) AS term_freq,
+         |  list_slice(list(doc_id ORDER BY doc_id), 1, 32) AS ids
+         | FROM tc GROUP BY term HAVING count(*) >= 3)
+         |SELECT term, doc_freq, term_freq,
+         | CAST(unnest(range(0, len(ids))) AS INTEGER) AS pos,
+         | unnest(list_transform(range(1, len(ids) + 1),
+         |  i -> CASE WHEN i = 1 THEN ids[i] ELSE ids[i] - ids[i - 1] END)) AS delta
+         |FROM l""".stripMargin,
+    // powered masses quantized to integers (x1e6) before the denominator
+    // sum — merge-order-exact, same construction as fixedPointAvg
+    "x61_temperature_mix" ->
+      s"""WITH c AS (SELECT source, CAST(sum(len($Toks)) AS BIGINT) AS n_tokens
+         | FROM documents GROUP BY source),
+         |p AS (SELECT source, n_tokens,
+         |  round(power(CAST(n_tokens AS DOUBLE), 0.3) * 1000000.0) AS pw FROM c),
+         |d AS (SELECT sum(pw) AS dn FROM p)
+         |SELECT source, n_tokens, round(pw / dn, 6) AS weight,
+         | round(pw / dn * 200000.0 / CAST(n_tokens AS DOUBLE), 6) AS epochs
+         |FROM p CROSS JOIN d""".stripMargin,
+    // five chained integer-arithmetic rank rounds over the co-citation
+    // graph of x32-style deterministic outlinks: every op is BIGINT
+    // (// division, * damping, + base), so ranks are exact integers and
+    // the iterative loop hash-matches with no float tolerance anywhere
+    "x62_domain_pagerank" -> {
+      val rounds = (1 to 5).map { k =>
+        s"""rk$k AS (SELECT n0.node,
+           | base.b + ((CAST(85 AS BIGINT) * (COALESCE(c.inn, CAST(0 AS BIGINT))
+           |   + (d$k.dm // nn.cnt))) // 100) AS rank_fp
+           | FROM nodes n0
+           | CROSS JOIN base CROSS JOIN nn
+           | CROSS JOIN (SELECT CAST(COALESCE(sum(rank_fp), 0) AS BIGINT) AS dm
+           |   FROM rk${k - 1} WHERE node NOT IN (SELECT node FROM deg)) d$k
+           | LEFT JOIN (SELECT e.dst AS node,
+           |    CAST(sum(r.rank_fp // g.dg) AS BIGINT) AS inn
+           |   FROM ed e JOIN rk${k - 1} r ON e.src = r.node
+           |   JOIN deg g ON e.src = g.node
+           |   GROUP BY e.dst) c ON n0.node = c.node)"""
+      }.mkString(",\n")
+      s"""WITH p AS (SELECT doc_id, text ||
+         |  CASE WHEN doc_id % 2 = 0 THEN ' see https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/' || CAST(doc_id AS VARCHAR) ELSE '' END ||
+         |  CASE WHEN doc_id % 3 = 0 THEN ' via https://hub' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/h' ELSE '' END ||
+         |  CASE WHEN doc_id % 6 = 0 THEN ' and http://cdn.example.net/x' ELSE '' END AS text
+         | FROM documents),
+         |dom AS (SELECT DISTINCT doc_id, domain FROM (SELECT doc_id,
+         |  unnest(regexp_extract_all(text, 'https?://([^/ ]+)', 1)) AS domain FROM p)),
+         |ed AS (SELECT a.domain AS src, b.domain AS dst FROM dom a
+         | JOIN dom b ON a.doc_id = b.doc_id AND a.domain <> b.domain),
+         |nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM nodes),
+         |base AS (SELECT CAST(1000000000 AS BIGINT) // cnt AS init,
+         | (CAST(15 AS BIGINT) * (CAST(1000000000 AS BIGINT) // cnt)) // 100 AS b
+         | FROM nn),
+         |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS dg
+         | FROM ed GROUP BY src),
+         |rk0 AS (SELECT node, init AS rank_fp FROM nodes CROSS JOIN base),
+         |$rounds
+         |SELECT node AS domain, CAST(rank_fp AS BIGINT) AS rank_fp FROM rk5""".stripMargin
+    },
+    // GROUPING() in DuckDB and grouping_id() in Spark both put the FIRST
+    // cube column in the most significant bit (Postgres bit order)
+    "a22_cube_report" ->
+      """WITH e AS (SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour, value
+        | FROM events)
+        |SELECT event_type, hour, CAST(count(*) AS BIGINT) AS cnt,
+        | round(sum(value), 2) AS sum_value,
+        | CAST(GROUPING(event_type, hour) AS INTEGER) AS gid
+        |FROM e GROUP BY CUBE(event_type, hour)""".stripMargin,
+    // capacity 8 > 5 distinct keys: no Misra-Gries decrement ever fires,
+    // so the summary equals the exact counts the oracle states
+    "a23_heavy_hitters" ->
+      """SELECT event_type AS item, CAST(count(*) AS BIGINT) AS est_count
+        |FROM events GROUP BY event_type""".stripMargin
   )
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.analytics.{Aggregates, Comparison, Correlation, Distribution, Ranking, Sessions, Temporal}
+import graft.analytics.{Aggregates, Comparison, Correlation, Distribution, Graph, Ranking, Sessions, Temporal}
 import graft.clean.Validation
 import graft.dedup.{Decontaminate, Dedup}
 import graft.features.Features
@@ -58,6 +58,8 @@ object SparkEntry {
   // deterministic hyperplanes shared by x10/x11 and their oracles
   private val Planes8 = Similarity.deterministicPlanes(8, 64)
   private val Planes6 = Similarity.deterministicPlanes(6, 64, seed = 7L)
+  // JL projection planes shared by x58 and its oracle
+  private[graft] val PlanesJL = Similarity.deterministicPlanes(16, 64, seed = 13L)
 
   // split weights / stratum fractions shared by x19/x20 and their oracles
   val TrainSplit: Seq[(String, Double)] =
@@ -968,6 +970,71 @@ object SparkEntry {
       ev.select(col("event_id"), z.as("zval"),
         graft.warehouse.Layout.zBucket(z, ZBits, numBuckets = 16)
           .as("file_bucket"))
+    }),
+    // JL random projection 64 → 16 dims — the dim-reduction front of the
+    // ANN tier (pure projection, planes pinned so DuckDB re-derives them)
+    "x58_jl_projection" -> ((s, dir) =>
+      graft.similarity.Reduce.jlProject(T(s, dir, "embeddings"),
+        col("vec_id"), col("embedding"), PlanesJL)),
+    // per-dimension z-scores via merge-order-exact fixed-point moments
+    "x59_embed_standardize" -> ((s, dir) =>
+      graft.similarity.Reduce.standardizeDims(T(s, dir, "embeddings"),
+        col("vec_id"), col("embedding"))),
+    // delta-encoded inverted index through the bounded-heap aggregate —
+    // at most maxPostings ids per term cross the shuffle per map task
+    "x60_posting_lists" -> ((s, dir) =>
+      graft.text.Postings.postingLists(T(s, dir, "documents"),
+        col("doc_id"), col("text"), maxPostings = 32, minDf = 3)),
+    // temperature-scaled (alpha = 0.3) per-source sampling weights and
+    // implied epochs at a 200k-token training budget
+    "x61_temperature_mix" -> ((s, dir) =>
+      graft.sampling.Temperature.mixtureWeights(T(s, dir, "documents"),
+        col("source"), TextAnalysis.tokenCount(col("text")), alpha = 0.3,
+        budgetTokens = 200000L)),
+    // domain-authority PageRank over the co-citation graph of synthetic
+    // outlinks (x32's deterministic-link construction, mirrored in the
+    // oracle): 5 fixed-point rounds, ranks exact integers so the
+    // iterative float-free loop hash-matches across engines
+    "x62_domain_pagerank" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val withUrls = docs.select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" see https://site"), (col("doc_id") % 7).cast("string"),
+            lit(".example.com/p/"), col("doc_id").cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" via https://hub"), (col("doc_id") % 5).cast("string"),
+            lit(".example.org/h"))).otherwise(lit("")),
+        when(col("doc_id") % 6 === 0, lit(" and http://cdn.example.net/x"))
+          .otherwise(lit(""))).as("text"))
+      val dom = graft.text.Urls.extractDomains(withUrls, col("doc_id"),
+        col("text")).distinct()
+      val edges = dom.select(col("doc_id"), col("domain").as("src"))
+        .join(dom.select(col("doc_id").as("__d2"), col("domain").as("dst")),
+          col("doc_id") === col("__d2") && col("src") =!= col("dst"))
+        .select(col("src"), col("dst"))
+      Graph.pageRank(edges, col("src"), col("dst"), iterations = 5)
+        .select(col("node").as("domain"), col("rank_fp"))
+    }),
+    // CUBE over (event_type, hour): all grouping sets in one pass with the
+    // grouping-id disambiguator — the OLAP subtotal surface
+    "a22_cube_report" -> ((s, dir) =>
+      T(s, dir, "events").withColumn("hour", hour(col("ts")))
+        .cube(col("event_type"), col("hour"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("value")), 2).as("sum_value"),
+          grouping_id().cast("int").as("gid"))),
+    // Misra-Gries heavy hitters: capacity 8 > 5 distinct event types, so
+    // no decrement ever fires and the summary is EXACT — the oracle is the
+    // plain exact count; eviction/merge bounds are spec-tested
+    "a23_heavy_hitters" -> ((s, dir) => {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val mg = graft.plans.MisraGries(
+        ColumnBridge.expression(col("event_type")), capacity = 8)
+      T(s, dir, "events")
+        .agg(ColumnBridge.column(mg.toAggregateExpression()).as("__hh"))
+        .select(explode(col("__hh")).as("e"))
+        .select(col("e.item").as("item"), col("e.est_count").as("est_count"))
     })
   )
 

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Graph
+
+/** Fixed-point PageRank: ordering on a known graph, mass conservation,
+  * dangling redistribution, and partitioning-independence (the property the
+  * integer formulation exists to guarantee).
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Scale = 1000000000L
+
+  private def ranks(edges: Seq[(String, String)], iters: Int,
+      parts: Int = 4): Map[String, Long] =
+    Graph.pageRank(edges.toDF("src", "dst").repartition(parts),
+        col("src"), col("dst"), iters, Scale)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("hub of a star graph outranks the spokes") {
+    // a, c, d all cite b; b cites a — b should dominate, a second
+    val out = ranks(Seq("a" -> "b", "c" -> "b", "d" -> "b", "b" -> "a"), 5)
+    assert(out.keySet === Set("a", "b", "c", "d"))
+    assert(out("b") > out("a"))
+    assert(out("a") > out("c"))
+    assert(out("c") === out("d")) // symmetric spokes tie exactly
+  }
+
+  test("total mass is conserved up to integer-truncation dust") {
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a", "c" -> "b", "d" -> "a")
+    val iters = 5
+    val out = ranks(edges, iters)
+    val n = out.size
+    val total = out.values.sum
+    // per round the DIV ops can only LOSE mass: <= deg-1 per sharing node,
+    // <= 99 per node at the damping DIV, <= n-1 at the dangling split
+    val dust = iters.toLong * (edges.size + 101L * n + n) + n
+    assert(total <= Scale)
+    assert(total >= Scale - dust)
+  }
+
+  test("dangling mass redistributes uniformly") {
+    // b has no out-edges: its whole rank is dangling mass each round
+    val out = ranks(Seq("a" -> "b"), 1)
+    val init = Scale / 2
+    val base = (15L * init) / 100L
+    // a receives only the dangling share; b receives a's full rank too
+    val expectA = base + (85L * (init / 2)) / 100L
+    val expectB = base + (85L * (init + init / 2)) / 100L
+    assert(out("a") === expectA)
+    assert(out("b") === expectB)
+  }
+
+  test("ranks are exactly partitioning-independent") {
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a", "c" -> "b",
+      "d" -> "a", "d" -> "c", "a" -> "d")
+    assert(ranks(edges, 4, parts = 1) === ranks(edges, 4, parts = 7))
+  }
+
+  test("multi-edges weight the contribution") {
+    // a cites b twice and c once: b gets 2/3 of a's shared rank
+    val out = ranks(Seq("a" -> "b", "a" -> "b", "a" -> "c"), 1)
+    assert(out("b") > out("c"))
+  }
+}

@@ -242,4 +242,35 @@ class ScaleGrowthSpec extends SparkSpec {
     // guarded failure is a global-sort single-partition cumsum
     assert(g < 20.0, s"budget-select shuffle grew ${g}x for 10x input ($small -> $large)")
   }
+
+  test("posting-list shuffle bytes grow ~linearly from 1x to 10x docs") {
+    def post(n: Int): DataFrame =
+      graft.text.Postings.postingLists(docs(n), col("doc_id"), col("text"),
+        maxPostings = 32, minDf = 2)
+    val small = shuffleBytes(run(post(500)))
+    val large = shuffleBytes(run(post(5000)))
+    val g = growth(small, large)
+    assert(small > 0, "listener captured no shuffle writes")
+    // the (doc, term) frame shuffles once and the heap buffers cap at
+    // maxPostings ids per (term, map task) — both linear in the corpus
+    assert(g < 20.0, s"posting-list shuffle grew ${g}x for 10x input ($small -> $large)")
+  }
+
+  test("pagerank per-round shuffle bytes grow ~linearly from 1x to 10x edges") {
+    // ring-of-cliques graph: n nodes, 3 out-edges each, node domain grows
+    // with the edge count (the real web-graph shape for this operator)
+    def pr(n: Int): DataFrame = {
+      val ed = spark.range(0, n).select(col("id"))
+        .select(concat(lit("n"), pmod(col("id"), lit(n / 3)).cast("string")).as("src"),
+          concat(lit("n"), pmod(col("id") * 7 + 1, lit(n / 3)).cast("string")).as("dst"))
+      graft.analytics.Graph.pageRank(ed, col("src"), col("dst"), iterations = 3)
+    }
+    val small = shuffleBytes(run(pr(900)))
+    val large = shuffleBytes(run(pr(9000)))
+    val g = growth(small, large)
+    assert(small > 0, "listener captured no shuffle writes")
+    // each round: one edge-keyed join + one dst-keyed sum — linear in
+    // edges; the guarded failure is an accidental node x node product
+    assert(g < 20.0, s"pagerank shuffle grew ${g}x for 10x input ($small -> $large)")
+  }
 }
