@@ -1553,6 +1553,34 @@ object OracleSql {
     // so the summary equals the exact counts the oracle states
     "a23_heavy_hitters" ->
       """SELECT event_type AS item, CAST(count(*) AS BIGINT) AS est_count
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+    // roundtrip identity through the JSONL format: the oracle states the
+    // aggregate over the original table (the s05 proof shape)
+    "s07_jsonl_roundtrip" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    // pair explode over the distinct-word vocabulary, weighted by word
+    // count; l/r char extraction via the parallel-unnest zip; ties are a
+    // total lexicographic order so both engines cut the same top-20
+    "x63_bpe_pairs" ->
+      s"""WITH t AS (SELECT unnest($Toks) AS term FROM documents),
+         |v AS (SELECT term, CAST(count(*) AS BIGINT) AS wc FROM t GROUP BY term),
+         |p AS (SELECT wc,
+         |  unnest(list_transform(range(1, length(term)), i -> term[i:i])) AS lhs,
+         |  unnest(list_transform(range(1, length(term)), i -> term[i+1:i+1])) AS rhs
+         | FROM v WHERE length(term) >= 2)
+         |SELECT lhs, rhs, CAST(sum(wc) AS BIGINT) AS pair_count
+         |FROM p GROUP BY lhs, rhs
+         |ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 20""".stripMargin,
+    // naive statement of the reservoir rule: per-lang row_number over the
+    // full hash order; the Spark side never materializes a group's
+    // membership (bounded heap) — the hash match proves the equivalence
+    "x64_reservoir_sample" ->
+      s"""WITH h AS (SELECT lang, doc_id,
+         |  ${hashKeySql("doc_id", "reservoir")} AS hk FROM documents),
+         |r AS (SELECT lang, doc_id, CAST(row_number() OVER (
+         |  PARTITION BY lang ORDER BY hk ASC, doc_id ASC) AS INTEGER) AS rnk
+         | FROM h)
+         |SELECT lang, doc_id, rnk FROM r WHERE rnk <= 25""".stripMargin
   )
 }

@@ -558,6 +558,24 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
     }),
+    // JSONL interchange roundtrip (schema-on-read, no inference pass) —
+    // same identity-through-the-format proof shape as s05
+    "s07_jsonl_roundtrip" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_s07_jsonl"
+      val ev = T(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      Sources.writeJsonl(ev, path)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      Sources.jsonl(s, path, schema)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+    }),
 
     // ── X: LLM-pipeline operators (documents / embeddings) ───────────────
     "x01_token_counts" -> ((s, dir) =>
@@ -1035,7 +1053,18 @@ object SparkEntry {
         .agg(ColumnBridge.column(mg.toAggregateExpression()).as("__hh"))
         .select(explode(col("__hh")).as("e"))
         .select(col("e.item").as("item"), col("e.est_count").as("est_count"))
-    })
+    }),
+    // one BPE merge iteration's pair counting: corpus pass -> vocabulary,
+    // pair explode over the VOCABULARY (never the corpus), ranked merges
+    "x63_bpe_pairs" -> ((s, dir) =>
+      graft.text.Bpe.pairCounts(T(s, dir, "documents"), col("text"),
+        topK = 20)),
+    // fixed-size per-language uniform sample through the bounded heap —
+    // the oracle states the naive per-group hash-order window rule
+    "x64_reservoir_sample" -> ((s, dir) =>
+      graft.sampling.Sampling.reservoirSample(T(s, dir, "documents"),
+          col("lang"), col("doc_id"), k = 25)
+        .select(col("group").as("lang"), col("id").as("doc_id"), col("rnk")))
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

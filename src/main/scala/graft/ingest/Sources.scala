@@ -103,6 +103,20 @@ object Sources {
   def writeCsv(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).option("header", "true").csv(path)
 
+  /** JSON-lines batch source with EXPLICIT schema. Schema-on-read, never
+    * inference: `spark.read.json` without a schema runs a full extra pass
+    * over the data to infer types — at 100 TB that doubles the scan and
+    * yields whatever types the sample happened to contain.
+    */
+  def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** JSON-lines append sink — the interchange format for corpus handoff
+    * (one JSON object per line, splittable, schema carried by the reader).
+    */
+  def writeJsonl(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).json(path)
+
   /** Layout-controlled parquet writer — the 100 TB sink discipline in one
     * call. `partitionCols` become hive-style directory partitions (readers
     * prune whole directories on those predicates); within each partition

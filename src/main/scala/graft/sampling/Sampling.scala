@@ -149,4 +149,22 @@ object Sampling {
       .reduce(_ || _)
     df.filter(keep)
   }
+
+  /** Deterministic fixed-SIZE per-group uniform sample: the `k` rows per
+    * group with the smallest [[hashKey]] — a count-based complement to
+    * [[stratifiedSample]]'s fraction-based keep (use this when every group
+    * must contribute exactly k rows regardless of its size, e.g. "1 000
+    * eval docs per language").
+    *
+    * The hash order makes it a uniform draw; the bounded-heap aggregate
+    * ([[graft.analytics.Ranking.topKPerGroup]]) makes it scale-safe — k
+    * ids per (group × map task) cross the shuffle, never a group's full
+    * membership (the reservoir discipline, deterministically). Emits
+    * `(group, id, rnk)`; ties (hash collisions) break by id.
+    */
+  def reservoirSample(df: DataFrame, group: Column, id: Column, k: Int,
+      salt: String = "reservoir"): DataFrame =
+    graft.analytics.Ranking.topKPerGroup(df, group,
+        -hashKey(id, lit(salt)).cast("double"), id, k)
+      .select(col("group"), col("id"), col("rnk"))
 }

@@ -91,4 +91,21 @@ class SamplingSpec extends SparkSpec {
     assert(out("hi") === 3334L) // 100%: every 'hi' row kept
     assert(math.abs(out("lo") / 3333.0 - 0.1) < 0.03)
   }
+
+  test("reservoirSample draws exactly k per group, stable across partitionings") {
+    val df = ids.withColumn("g",
+      when(col("id") % 2 === 0, "even").otherwise("odd"))
+    val out = Sampling.reservoirSample(df, col("g"), col("id"), k = 100)
+    val sizes = out.groupBy("group").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes === Map("even" -> 100L, "odd" -> 100L))
+    // deterministic: identical membership under a different partitioning
+    val again = Sampling.reservoirSample(df.repartition(13), col("g"),
+      col("id"), k = 100)
+    assert(out.collect().map(_.toSeq).toSet === again.collect().map(_.toSeq).toSet)
+    // a group smaller than k yields its full membership
+    val tiny = Sampling.reservoirSample(df.filter(col("id") < 10), col("g"),
+      col("id"), k = 100)
+    assert(tiny.count() === 10L)
+  }
 }

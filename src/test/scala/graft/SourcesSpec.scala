@@ -72,6 +72,17 @@ class SourcesSpec extends SparkSpec {
     assert(back.map(_.getDouble(2)).toSeq === Seq(1.5, 2.5))
   }
 
+  test("jsonl sink + schema'd source roundtrip preserves values and nulls") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val df = Seq((1L, Some("a"), 1.5), (2L, None, 2.5)).toDF("id", "k", "v")
+    Sources.writeJsonl(df, dir)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("k", StringType), StructField("v", DoubleType)))
+    val back = Sources.jsonl(spark, dir, schema).orderBy("id").collect()
+    assert(back.map(_.getDouble(2)).toSeq === Seq(1.5, 2.5))
+    assert(back(1).isNullAt(1)) // JSON null/absent field -> SQL null
+  }
+
   test("multimodal: deterministic decode + metadata pass drop the blob") {
     val docs = Seq((1L, "hello world", "src0"), (2L, "hello world", "src1"))
       .toDF("doc_id", "text", "source")
