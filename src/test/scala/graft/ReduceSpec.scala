@@ -56,6 +56,28 @@ class ReduceSpec extends SparkSpec {
     assert(out((3L, 1)) === 0.0)
   }
 
+  test("jlProject is a pure projection: zero exchanges in the plan") {
+    val planes = Similarity.deterministicPlanes(8, 4, seed = 3L)
+    val df = (1 to 20).map(i => (i.toLong,
+      Seq(i.toFloat, 1f, 2f, 3f))).toDF("vec_id", "embedding")
+    val plan = Reduce.jlProject(df, col("vec_id"), col("embedding"), planes)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"projection must not shuffle, plan:\n$plan")
+  }
+
+  test("standardizeDims shuffles only the dim-keyed stats aggregate") {
+    val df = (1 to 20).map(i => (i.toLong,
+      Seq(i.toFloat, 1f, 2f, 3f))).toDF("vec_id", "embedding")
+    val plan = Reduce.standardizeDims(df, col("vec_id"), col("embedding"))
+      .queryExecution.executedPlan.toString
+    // one dim-keyed exchange for the 64-row stats; the join back is
+    // broadcast — the corpus-sized frame never shuffles on vec_id
+    val shuffles = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles === 1, s"expected 1 shuffle, plan:\n$plan")
+  }
+
   test("standardized output has mean ~0 and std ~1 per dimension") {
     val df = (1 to 50).map(i => (i.toLong,
       Seq((i % 11).toFloat, (i % 5).toFloat * 3f + 1f))).toDF("vec_id", "embedding")
