@@ -1572,6 +1572,22 @@ object OracleSql {
          |SELECT lhs, rhs, CAST(sum(wc) AS BIGINT) AS pair_count
          |FROM p GROUP BY lhs, rhs
          |ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 20""".stripMargin,
+    // naive statement of the per-source calibration rule: one window per
+    // source over (score desc, tie hash, id); the Spark side runs the
+    // grouped bucket/cell decomposition — the hash match proves it exact
+    "x65_source_calibration" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $Toks AS toks FROM documents),
+         |q AS (SELECT source, doc_id, $QualitySql AS score,
+         |  ${hashKeySql("doc_id", "budget")} AS tie FROM t),
+         |r AS (SELECT source, doc_id, score,
+         |  CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY score DESC, tie ASC, doc_id ASC) AS BIGINT) AS rnk,
+         |  count(*) OVER (PARTITION BY source) AS n FROM q)
+         |SELECT source, doc_id, score, rnk,
+         | CASE WHEN n <= 1 THEN 0.0
+         |  ELSE round(CAST(rnk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE), 6)
+         | END AS pct_rank
+         |FROM r""".stripMargin,
     // naive statement of the reservoir rule: per-lang row_number over the
     // full hash order; the Spark side never materializes a group's
     // membership (bounded heap) — the hash match proves the equivalence

@@ -1064,7 +1064,16 @@ object SparkEntry {
     "x64_reservoir_sample" -> ((s, dir) =>
       graft.sampling.Sampling.reservoirSample(T(s, dir, "documents"),
           col("lang"), col("doc_id"), k = 25)
-        .select(col("group").as("lang"), col("id").as("doc_id"), col("rnk")))
+        .select(col("group").as("lang"), col("id").as("doc_id"), col("rnk"))),
+    // per-source quality calibration: exact within-group percentile ranks
+    // through the grouped x40 decomposition; oracle states the naive
+    // per-group window rule
+    "x65_source_calibration" -> ((s, dir) =>
+      graft.sampling.BudgetSelect.percentileRanksByGroup(
+          T(s, dir, "documents"), col("source"), col("doc_id"),
+          TextAnalysis.qualityScore(col("text")))
+        .select(col("group").as("source"), col("doc_id"), col("score"),
+          col("rnk"), col("pct_rank")))
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

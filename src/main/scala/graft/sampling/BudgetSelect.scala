@@ -150,4 +150,69 @@ object BudgetSelect {
       else round((col("rnk") - 1).cast("double") / lit((n - 1).toDouble), 6)
     ranked.select(col("doc_id"), col("score"), col("rnk"), pct.as("pct_rank"))
   }
+
+  /** Per-GROUP percentile-rank calibration: every doc's exact rank and
+    * percentile within its group, same total order as [[percentileRanks]]
+    * (`score DESC, tie_hash, id`). This is the "normalize quality scores
+    * within each source before a global gate" step — a raw threshold on
+    * heterogeneous scorers keeps whole sources or drops them; calibrating
+    * per source first makes "top 30% of EACH source" expressible.
+    *
+    * Same two-level decomposition as [[selectUnderBudget]], grouped:
+    * global equal-width score buckets (bucketing is monotonic in score, so
+    * it is monotonic WITHIN every group), per-(group, bucket) purity
+    * check, hash cells inside heavy pure buckets, ranks = bounded-frame
+    * prefix + a within-cell window. Two deltas from the ungrouped path,
+    * both because |groups| multiplies the bounded frames: the split
+    * decision joins back as a broadcast frame instead of a collected
+    * literal set, and the prefix is a window over the per-cell totals
+    * partitioned by group (≤ numBuckets·subBuckets rows per group on one
+    * reducer — a bounded constant, never corpus-scaled) instead of a
+    * driver scanLeft. No reducer ever sees more than one cell of one
+    * group's docs.
+    */
+  def percentileRanksByGroup(df: DataFrame, group: Column, id: Column,
+      score: Column, numBuckets: Int = 1024, subBuckets: Int = 32,
+      salt: String = "budget"): DataFrame = {
+    require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
+    require(subBuckets >= 1 && subBuckets <= 65536,
+      s"subBuckets must be in [1, 65536], got $subBuckets")
+    val base = df.select(group.as("group"), id.as("doc_id"),
+      score.cast("double").as("score"),
+      Sampling.hashKey(id, lit(salt)).as("__tie")).localCheckpoint(true)
+    val statsRow = base.agg(min(col("score")), max(col("score"))).head()
+    if (statsRow.isNullAt(0))
+      return base.select(col("group"), col("doc_id"), col("score"),
+        lit(0L).as("rnk"), lit(0.0).as("pct_rank")).limit(0)
+    val (lo, hi) = (statsRow.getDouble(0), statsRow.getDouble(1))
+    val bucketed = base.withColumn("__b",
+      least(width_bucket(col("score"), lit(lo), lit(hi + math.ulp(hi)),
+        lit(numBuckets)), lit(numBuckets.toLong)))
+    val info = bucketed.groupBy(col("group"), col("__b"))
+      .agg(count(lit(1)).as("__c"), min(col("score")).as("__lo"),
+        max(col("score")).as("__hi"))
+      .select(col("group"), col("__b"),
+        (col("__c") > subBuckets && col("__lo") === col("__hi")).as("__split"))
+    val celled = bucketed.join(broadcast(info), Seq("group", "__b"))
+      .withColumn("__sb", when(col("__split"),
+        floor(col("__tie") * lit(subBuckets.toLong) / lit(HashSpace)).cast("long"))
+        .otherwise(lit(0L)))
+    val wPrefix = Window.partitionBy(col("group"))
+      .orderBy(col("__b").desc, col("__sb").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val perCell = celled.groupBy(col("group"), col("__b"), col("__sb"))
+      .agg(count(lit(1)).as("__t"))
+      .withColumn("__prefix", coalesce(sum(col("__t")).over(wPrefix), lit(0L)))
+      .select(col("group"), col("__b"), col("__sb"), col("__prefix"))
+    val sizes = base.groupBy(col("group")).agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col("group"), col("__b"), col("__sb"))
+      .orderBy(col("score").desc, col("__tie").asc, col("doc_id").asc)
+    celled.join(broadcast(perCell), Seq("group", "__b", "__sb"))
+      .withColumn("rnk", col("__prefix") + row_number().over(w))
+      .join(broadcast(sizes), Seq("group"))
+      .select(col("group"), col("doc_id"), col("score"), col("rnk"),
+        when(col("__n") <= 1, lit(0.0))
+          .otherwise(round((col("rnk") - 1).cast("double") /
+            (col("__n") - 1).cast("double"), 6)).as("pct_rank"))
+  }
 }

@@ -184,6 +184,32 @@ class RetrievalSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("percentileRanksByGroup equals the per-group window rule, any partitioning") {
+    // two groups of different sizes, discrete scores (tie-split degenerate),
+    // plus a singleton group (pct must be 0.0, not 0/0)
+    val corpus = (1L to 600L).map(i =>
+      (if (i <= 400) "web" else "curated", i, (i % 3).toDouble)) :+
+      (("solo", 9999L, 1.0))
+    val tie = tieHashes(corpus.map(_._2), "budget")
+    val want = corpus.groupBy(_._1).flatMap { case (g, rows) =>
+      val n = rows.size
+      rows.sortBy { case (_, id, s) => (-s, tie(id), id) }
+        .zipWithIndex.map { case ((_, id, _), i) =>
+          (g, id) -> (i + 1L,
+            if (n <= 1) 0.0 else math.rint(i.toDouble / (n - 1) * 1e6) / 1e6) }
+    }
+    for (parts <- Seq(1, 7)) {
+      val df = corpus.toDF("src", "doc_id", "score").repartition(parts)
+      val got = graft.sampling.BudgetSelect.percentileRanksByGroup(df,
+          col("src"), col("doc_id"), col("score"),
+          numBuckets = 16, subBuckets = 8)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(3), r.getDouble(4)))
+        .toMap
+      assert(got === want, s"parts=$parts")
+    }
+  }
+
   test("splitLeakage flags only pairs straddling splits, zero shuffle") {
     import graft.sampling.Sampling
     val w = Seq("train" -> 0.8, "test" -> 0.2)
