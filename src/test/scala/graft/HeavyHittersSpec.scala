@@ -54,6 +54,30 @@ class HeavyHittersSpec extends SparkSpec {
     assert(mg(df, 4) === Map("a" -> 2L, "b" -> 1L))
   }
 
+  test("streaming: summary stays exact across incremental micro-batches") {
+    // the mergeable buffer is what makes the aggregate legal in a
+    // streaming global aggregation: each micro-batch UPDATES the state
+    // buffer rather than recomputing from scratch
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val agg = MisraGries(ColumnBridge.expression(col("value")), 8)
+    val out = input.toDF()
+      .agg(ColumnBridge.column(agg.toAggregateExpression()).as("__hh"))
+      .select(explode(col("__hh")).as("e"))
+      .select(col("e.item"), col("e.est_count"))
+    val q = out.writeStream.format("memory").queryName("mg_out")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
+    try {
+      input.addData("a", "b", "a")
+      q.processAllAvailable()
+      input.addData("a", "c", "b", "a")
+      q.processAllAvailable()
+      val got = spark.table("mg_out")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
+    } finally q.stop()
+  }
+
   test("eval orders by count desc then item asc") {
     val agg = MisraGries(ColumnBridge.expression(col("k")), 8)
     val rows = Seq("b", "b", "a", "a", "c").toDF("k")
