@@ -1572,6 +1572,29 @@ object OracleSql {
          |SELECT lhs, rhs, CAST(sum(wc) AS BIGINT) AS pair_count
          |FROM p GROUP BY lhs, rhs
          |ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 20""".stripMargin,
+    // grid from each key's own bounds; bracketing observations via the
+    // j07 row_number-asof idiom in both directions; interpolation ratio
+    // in integer microseconds so the double math mirrors Spark's tree
+    "d24_resample_interpolate" ->
+      """WITH o AS (SELECT event_type AS k, ts AS t, max(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT k, min(t) AS lo, max(t) AS hi FROM o GROUP BY k),
+        |g AS (SELECT k, unnest(generate_series(lo, hi, INTERVAL 21600 SECOND)) AS t
+        | FROM b),
+        |p AS (SELECT g.k, g.t, o.t AS pt, o.v AS pv, row_number() OVER (
+        |  PARTITION BY g.k, g.t ORDER BY o.t DESC) AS rn
+        | FROM g JOIN o ON g.k = o.k AND o.t <= g.t),
+        |pp AS (SELECT k, t, pt, pv FROM p WHERE rn = 1),
+        |n AS (SELECT g.k, g.t, o.t AS nt, o.v AS nv, row_number() OVER (
+        |  PARTITION BY g.k, g.t ORDER BY o.t ASC) AS rn
+        | FROM g JOIN o ON g.k = o.k AND o.t >= g.t),
+        |nx AS (SELECT k, t, nt, nv FROM n WHERE rn = 1)
+        |SELECT pp.k AS event_type, pp.t AS ts,
+        | round(CASE WHEN epoch_us(nt) = epoch_us(pt) THEN pv
+        |  ELSE pv + (nv - pv) *
+        |   (CAST(epoch_us(pp.t) - epoch_us(pt) AS DOUBLE) /
+        |    CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE)) END, 6) AS value
+        |FROM pp JOIN nx ON pp.k = nx.k AND pp.t = nx.t""".stripMargin,
     // naive statement of the per-source calibration rule: one window per
     // source over (score desc, tie hash, id); the Spark side runs the
     // grouped bucket/cell decomposition — the hash match proves it exact

@@ -1073,7 +1073,13 @@ object SparkEntry {
           T(s, dir, "documents"), col("source"), col("doc_id"),
           TextAnalysis.qualityScore(col("text")))
         .select(col("group").as("source"), col("doc_id"), col("score"),
-          col("rnk"), col("pct_rank")))
+          col("rnk"), col("pct_rank"))),
+    // irregular telemetry -> regular 6-hour grid with linear
+    // interpolation, composed from the backward + forward as-of joins;
+    // integer-microsecond ratio inputs keep both engines bit-identical
+    "d24_resample_interpolate" -> ((s, dir) =>
+      Temporal.resampleInterpolate(T(s, dir, "events"), "event_type", "ts",
+        col("value"), stepSeconds = 21600L))
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -169,4 +169,44 @@ object Temporal {
       .filter(col("__t") >= col("__s") && col("__t") <= col("__e"))
       .select(outCols: _*)
   }
+
+  /** Time-grid resampling with linear interpolation: per key, a regular
+    * `stepSeconds` grid spanning that key's own first-to-last observation,
+    * each grid point valued by interpolating between its neighboring
+    * observations (pandas `resample().interpolate()` for irregular IoT
+    * telemetry — the step before any fixed-frequency model consumes the
+    * feed). Duplicate (key, time) observations collapse to their max
+    * first, so neighbors are unique and the result deterministic.
+    *
+    * Built from the existing shuffle-once primitives: one backward and one
+    * forward [[asofJoin]] attach the bracketing observations, then the
+    * interpolation is a pure projection in integer microseconds (exact
+    * ratio inputs — no float time arithmetic). A grid point that lands
+    * exactly on an observation (or a single-observation key, where both
+    * brackets are the same row) takes the observed value — never a 0/0.
+    *
+    * Scale shape: the grid explodes from a key-sized bounds frame
+    * (|keys| × span/step rows, generated — never read); each as-of join is
+    * the standard single (key)-shuffle window. At 100 TB the cost is two
+    * keyed shuffles of grid + observations, linear in both.
+    */
+  def resampleInterpolate(df: DataFrame, key: String, time: String,
+      value: org.apache.spark.sql.Column, stepSeconds: Long): DataFrame = {
+    require(stepSeconds >= 1, s"stepSeconds must be >= 1, got $stepSeconds")
+    val obs = df.groupBy(col(key), col(time)).agg(max(value).as("v"))
+    val grid = obs.groupBy(col(key))
+      .agg(min(col(time)).as("__lo"), max(col(time)).as("__hi"))
+      .select(col(key), explode(sequence(col("__lo"), col("__hi"),
+        expr(s"INTERVAL $stepSeconds SECONDS"))).as(time))
+    val both = asofJoin(
+      asofJoin(grid, obs, key, time, prefix = "prev_", direction = "backward"),
+      obs, key, time, prefix = "next_", direction = "forward")
+    val t = unix_micros(col(time))
+    val pt = unix_micros(col(s"prev_$time"))
+    val nt = unix_micros(col(s"next_$time"))
+    val interp = when(nt === pt, col("prev_v"))
+      .otherwise(col("prev_v") + (col("next_v") - col("prev_v")) *
+        ((t - pt).cast("double") / (nt - pt).cast("double")))
+    both.select(col(key), col(time), round(interp, 6).as("value"))
+  }
 }

@@ -159,4 +159,25 @@ class TemporalSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("cnt"), r.getAs[Double]("sum_v")))
     assert(out.toSeq === Seq((2L, 3.0), (1L, 3.0)))
   }
+
+  test("resampleInterpolate: closed-form grid values, exact hits, singleton key") {
+    val obs = Seq(
+      ("A", ts("2025-01-01 00:00:00"), 0.0),
+      ("A", ts("2025-01-01 00:00:10"), 100.0),
+      ("A", ts("2025-01-01 00:00:20"), 40.0),
+      ("B", ts("2025-01-01 05:00:00"), 7.5)) // single observation
+      .toDF("k", "t", "v")
+    val out = Temporal.resampleInterpolate(obs, "k", "t", col("v"),
+        stepSeconds = 5L)
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getDouble(2)))
+      .toSet
+    assert(out === Set(
+      ("A", "2025-01-01 00:00:00.0", 0.0),   // exact hit
+      ("A", "2025-01-01 00:00:05.0", 50.0),  // interior midpoint
+      ("A", "2025-01-01 00:00:10.0", 100.0), // exact hit
+      ("A", "2025-01-01 00:00:15.0", 70.0),  // downward segment midpoint
+      ("A", "2025-01-01 00:00:20.0", 40.0),  // exact end
+      ("B", "2025-01-01 05:00:00.0", 7.5)))  // singleton: both brackets same
+  }
 }
