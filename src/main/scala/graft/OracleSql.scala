@@ -1572,6 +1572,32 @@ object OracleSql {
          |SELECT lhs, rhs, CAST(sum(wc) AS BIGINT) AS pair_count
          |FROM p GROUP BY lhs, rhs
          |ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 20""".stripMargin,
+    // x29's tf-idf tree quantized at 1e-4 over df<=25 terms (the
+    // synthetic topic/aspect markers); the pair self-join, dot, norms,
+    // and ratio mirror the Spark association order
+    "x66_sparse_allpairs" ->
+      s"""WITH p0 AS (SELECT doc_id, text || ' topic' || CAST(doc_id % 25 AS VARCHAR)
+         |   || ' aspect' || CAST(doc_id % 40 AS VARCHAR) AS text
+         | FROM documents),
+         |t AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS doc_len,
+         |  unnest(toks) AS term FROM (SELECT doc_id, $Toks AS toks FROM p0)),
+         |tc AS (SELECT doc_id, doc_len, term, CAST(count(*) AS BIGINT) AS cnt
+         | FROM t GROUP BY 1, 2, 3),
+         |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS dfreq FROM tc GROUP BY term),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |w AS (SELECT doc_id, term,
+         |  round((CAST(cnt AS DOUBLE) / CAST(doc_len AS DOUBLE)) *
+         |    ln(CAST(n_docs AS DOUBLE) / CAST(dfreq AS DOUBLE)) * 10000.0) AS wq
+         | FROM tc JOIN dfq USING (term) CROSS JOIN nn WHERE dfreq <= 25),
+         |norms AS (SELECT doc_id, sqrt(sum(wq * wq)) AS nrm FROM w GROUP BY doc_id),
+         |d AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.wq * b.wq) AS dot
+         | FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+         | GROUP BY 1, 2),
+         |s AS (SELECT doc_a, doc_b,
+         |  round(dot / (na.nrm * nb.nrm), 6) AS cosine
+         | FROM d JOIN norms na ON d.doc_a = na.doc_id
+         |  JOIN norms nb ON d.doc_b = nb.doc_id)
+         |SELECT doc_a, doc_b, cosine FROM s WHERE cosine >= 0.05""".stripMargin,
     // grid from each key's own bounds; bracketing observations via the
     // j07 row_number-asof idiom in both directions; interpolation ratio
     // in integer microseconds so the double math mirrors Spark's tree

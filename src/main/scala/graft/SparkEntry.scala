@@ -1079,7 +1079,23 @@ object SparkEntry {
     // integer-microsecond ratio inputs keep both engines bit-identical
     "d24_resample_interpolate" -> ((s, dir) =>
       Temporal.resampleInterpolate(T(s, dir, "events"), "event_type", "ts",
-        col("value"), stepSeconds = 21600L))
+        col("value"), stepSeconds = 21600L)),
+    // DISCO-style sparse all-pairs cosine: the df cap prunes the pair
+    // fan-out structurally (a stop word can never go quadratic); weights
+    // quantize at 1e-4 so sums are merge-order exact and the scale
+    // cancels in the ratio. The fixture vocabulary is ~31 near-ubiquitous
+    // terms (no rare-term signal exists), so deterministic topic/aspect
+    // markers are appended (the x32 synthetic-enrichment pattern,
+    // mirrored in the oracle) — docs sharing a marker pair up with
+    // doc_len-varying cosines
+    "x66_sparse_allpairs" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" topic"), (col("doc_id") % 25).cast("string"),
+          lit(" aspect"), (col("doc_id") % 40).cast("string")).as("text"))
+      graft.similarity.SparsePairs.tfidfPairs(docs,
+        col("doc_id"), col("text"), maxDf = 25L, threshold = 0.05)
+    })
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
