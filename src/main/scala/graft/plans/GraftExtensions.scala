@@ -83,10 +83,48 @@ object GraftExtensions {
       }
     })
 
+  /** `misra_gries(item, k)` — the mergeable heavy-hitter summary as a SQL
+    * aggregate; capacity must be an integer literal (it sizes the
+    * aggregation buffer, never data-dependent). The analyzer wraps the
+    * returned AggregateFunction in an AggregateExpression on resolution.
+    */
+  val misraGries: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("misra_gries"),
+    new ExpressionInfo(classOf[MisraGries].getName, "misra_gries"),
+    (children: Seq[Expression]) => {
+      if (children.size != 2)
+        ColumnBridge.wrongNumArgs("misra_gries", 2, children.size)
+      children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _) =>
+          MisraGries(children.head, k)
+        case other => throw new IllegalArgumentException(
+          s"misra_gries capacity must be an integer literal, got $other")
+      }
+    })
+
+  /** `top_k_by_score(score, id, k)` — the bounded-heap top-k aggregate on
+    * the SQL surface; k must be an integer literal.
+    */
+  val topKByScore: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("top_k_by_score"),
+    new ExpressionInfo(classOf[TopKByScore].getName, "top_k_by_score"),
+    (children: Seq[Expression]) => {
+      if (children.size != 3)
+        ColumnBridge.wrongNumArgs("top_k_by_score", 3, children.size)
+      children(2) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _) =>
+          TopKByScore(children.head, children(1), k)
+        case other => throw new IllegalArgumentException(
+          s"top_k_by_score k must be an integer literal, got $other")
+      }
+    })
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     turbinePower,
     shingleSet,
     winnow,
+    misraGries,
+    topKByScore,
     fromColumns("subword_count", 1, cs => TextAnalysis.subwordCount(cs.head)),
     fromColumns("punct_ratio", 1, cs => TextAnalysis.punctRatio(cs.head)),
     fromColumns("stopword_ratio", 1, cs => TextAnalysis.stopwordRatio(cs.head)),

@@ -101,6 +101,24 @@ class SqlSurfaceSpec extends SparkSpec {
         s2.sql("SELECT winnow('a b', 4, token_count('x'))").collect()
       }
       assert(werr.getMessage.contains("integer literal"))
+      // round-6 second batch: the custom AGGREGATES on the SQL surface —
+      // the analyzer must wrap the AggregateFunction on resolution
+      val ag = s2.sql(
+        """WITH ev(item, score, id) AS (VALUES
+          |  ('a', 3.0D, 1L), ('a', 1.0D, 2L), ('b', 2.0D, 3L), ('a', 5.0D, 4L))
+          |SELECT misra_gries(item, 4) AS hh,
+          |  top_k_by_score(score, id, 2) AS tk
+          |FROM ev""".stripMargin).head()
+      val hh = ag.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => r.getString(0) -> r.getLong(1))
+      assert(hh === Seq("a" -> 3L, "b" -> 1L))
+      val tk = ag.getSeq[org.apache.spark.sql.Row](1)
+        .map(r => (r.getDouble(0), r.getLong(1)))
+      assert(tk === Seq((5.0, 4L), (3.0, 1L)))
+      val aerr = intercept[Exception] {
+        s2.sql("SELECT misra_gries('x', token_count('y'))").collect()
+      }
+      assert(aerr.getMessage.contains("integer literal"))
     } finally {
       org.apache.spark.sql.graftbridge.ColumnBridge.restoreSessions(prev)
     }
