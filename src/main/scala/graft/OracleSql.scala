@@ -33,7 +33,8 @@ object OracleSql {
     * narrow chain x06/x18/x27 have always used, character-for-character in
     * semantics.
     */
-  private def nearDupChainSql(numHashes: Int, rowsPerBand: Int): String = {
+  private def nearDupChainSql(numHashes: Int, rowsPerBand: Int,
+      src: String = "documents"): String = {
     val sigExprs = (0 until numHashes).map { i =>
       val g = i / 4
       val s = i % 4
@@ -45,7 +46,7 @@ object OracleSql {
         .mkString(" || ")
       s"SELECT doc_id, $c AS band, ${b + 1} AS band_id FROM sig"
     }.mkString("\n UNION ALL ")
-    s"""t AS (SELECT doc_id, $Toks AS toks FROM documents),
+    s"""t AS (SELECT doc_id, $Toks AS toks FROM $src),
        |g AS (SELECT doc_id, $DistinctGrams AS grams FROM t),
        |sig AS (SELECT doc_id,
        | $sigExprs
@@ -1572,6 +1573,20 @@ object OracleSql {
          |SELECT lhs, rhs, CAST(sum(wc) AS BIGINT) AS pair_count
          |FROM p GROUP BY lhs, rhs
          |ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 20""".stripMargin,
+    // the x06 chain instantiated over the corpus ∪ clone batch, filtered
+    // to pairs touching the batch — the incremental pass must equal the
+    // full-union pass minus old x old (its defining property)
+    "x67_delta_neardup" -> {
+      val chain = nearDupChainSql(4, 2, src = "p0")
+      s"""WITH p0 AS (SELECT doc_id, text FROM documents
+         | UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents
+         |  WHERE doc_id % 20 = 0),
+         |$chain
+         |SELECT doc_a, doc_b, jaccard,
+         | doc_a >= 100000 AS new_a, doc_b >= 100000 AS new_b
+         |FROM scored
+         |WHERE jaccard >= 0.3 AND (doc_a >= 100000 OR doc_b >= 100000)""".stripMargin
+    },
     // x29's tf-idf tree quantized at 1e-4 over df<=25 terms (the
     // synthetic topic/aspect markers); the pair self-join, dot, norms,
     // and ratio mirror the Spark association order

@@ -1095,6 +1095,17 @@ object SparkEntry {
           lit(" aspect"), (col("doc_id") % 40).cast("string")).as("text"))
       graft.similarity.SparsePairs.tfidfPairs(docs,
         col("doc_id"), col("text"), maxDf = 25L, threshold = 0.05)
+    }),
+    // incremental ingestion dedup: every 20th doc re-arrives as a clone
+    // (id + 100000, x37's pattern); the delta pass pairs the new batch
+    // against corpus + batch without ever re-pairing old x old. Oracle:
+    // the x06 chain over the union, filtered to new-touching pairs
+    "x67_delta_neardup" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val newBatch = docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      Dedup.incrementalNearDuplicates(docs, newBatch, col("doc_id"),
+        col("text"), threshold = 0.3)
     })
   )
 

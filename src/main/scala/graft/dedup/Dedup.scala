@@ -165,6 +165,67 @@ object Dedup {
     nearDuplicatesWide(df, id, text, threshold, numHashes = 4,
       rowsPerBand = 2, maxBucket = maxBucket)
 
+  /** Incremental (delta) near-dup: near-duplicate pairs TOUCHING THE NEW
+    * BATCH — each new doc pairs against the existing corpus and the other
+    * new docs, but old×old pairs are never generated. This is the daily-
+    * ingestion shape at corpus scale: the historical corpus contributes
+    * one band-frame scan per increment (linear), while the quadratic-ish
+    * candidate work is confined to buckets the new batch actually
+    * touches. Re-running [[nearDuplicates]] over the whole union would
+    * redo every historical pairing on every increment.
+    *
+    * Semantics: identical to [[nearDuplicates]] over `old ∪ new` with
+    * old×old pairs dropped (spec-asserted) — the band construction, the
+    * bucket cap (applied over the UNION's bands, so a bucket's guard
+    * doesn't depend on which side its rows came from), and the exact
+    * Jaccard verify are the same chain. Ids must be unique across both
+    * frames. Output adds `new_a`/`new_b` side flags.
+    */
+  def incrementalNearDuplicates(oldDf: DataFrame, newDf: DataFrame,
+      id: Column, text: Column, threshold: Double = 0.7,
+      maxBucket: Int = 1000): DataFrame = {
+    val all = oldDf.select(id.as("did"), text.as("__text"), lit(false).as("is_new"))
+      .unionByName(
+        newDf.select(id.as("did"), text.as("__text"), lit(true).as("is_new")))
+    val grams = all.select(col("did"), col("is_new"),
+        Native.bigrams(col("__text")).as("grams"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val signed = grams
+      .select(col("did").as("doc_id"), col("is_new"),
+        sliceExpr(col("grams"), 4).as("__sig"))
+      .select((Seq(col("doc_id"), col("is_new")) ++
+        (0 until 4).map(i => element_at(col("__sig"), i + 1).as(s"sig$i"))): _*)
+    val bands = (0 until 2).map { b =>
+      signed.select(col("doc_id"), col("is_new"),
+        concat(col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")).as("band"),
+        lit(b + 1).as("band_id"))
+    }.reduce(_.unionByName(_))
+    val capped = capBuckets(bands, Seq(col("band"), col("band_id")), maxBucket)
+    // one-sided join: new-batch bands probe the union's bands — candidate
+    // work is proportional to the buckets the increment touches, never to
+    // the historical corpus pairing with itself
+    val probe = capped.filter(col("is_new"))
+      .select(col("band"), col("band_id"), col("doc_id").as("__n"))
+    val build = capped.select(col("band"), col("band_id"), col("doc_id").as("__o"))
+    val cands = probe.join(build, Seq("band", "band_id"))
+      .filter(col("__n") =!= col("__o"))
+      .select(least(col("__n"), col("__o")).as("doc_a"),
+        greatest(col("__n"), col("__o")).as("doc_b"))
+      .distinct()
+    val flags = grams.select(col("did"), col("is_new"))
+    val verified = cands
+      .join(grams.select(col("did").as("doc_a"), col("grams").as("ga")), "doc_a")
+      .join(grams.select(col("did").as("doc_b"), col("grams").as("gb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), jaccard(col("ga"), col("gb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .join(flags.select(col("did").as("doc_a"), col("is_new").as("new_a")), "doc_a")
+      .join(flags.select(col("did").as("doc_b"), col("is_new").as("new_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("new_a"), col("new_b"))
+    val out = verified.localCheckpoint(true)
+    grams.unpersist(false)
+    out
+  }
+
   /** [[nearDuplicates]] with a WIDE signature: `numHashes` minhashes (a
     * multiple of 4 — the seeded kernel hashes a fresh md5 stream per group
     * of 4) banded as `numHashes / rowsPerBand` bands of `rowsPerBand`.

@@ -210,4 +210,32 @@ class DedupSpec extends SparkSpec {
     assert(r.getInt(1) === 2)
     assert(r.getString(2).length === 32)
   }
+
+  test("incremental near-dup = full union pass minus old x old pairs") {
+    // docs 1-5 are the old corpus (1,2,5 mutually dup; 3 near-dups them);
+    // the batch re-delivers doc 1 as 101 and adds one fresh doc
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog"),
+      (102L, "fresh unseen material with no sibling anywhere")
+    ).toDF("doc_id", "text")
+    val inc = Dedup.incrementalNearDuplicates(docs, batch, col("doc_id"),
+        col("text"), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getBoolean(3), r.getBoolean(4))).toMap
+    // its defining property: equal to the full pass over the union,
+    // filtered to pairs touching the batch
+    val full = Dedup.nearDuplicates(docs.unionByName(batch), col("doc_id"),
+        col("text"), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val wantKeys = full.keySet.filter { case (a, b) => a > 100L || b > 100L }
+    assert(inc.keySet === wantKeys)
+    assert(wantKeys.nonEmpty, "fixture produced no new-touching pairs")
+    inc.foreach { case (k, (j, _, _)) => assert(j === full(k)) }
+    // no old x old pair leaks through; side flags mark the batch member
+    assert(inc.keySet.forall { case (a, b) => a > 100L || b > 100L })
+    assert(inc((1L, 101L))._1 === 1.0)
+    assert(inc((1L, 101L))._2 === false && inc((1L, 101L))._3 === true)
+    assert(!inc.keySet.exists { case (a, b) => b == 102L || a == 102L },
+      "the fresh doc must pair with nothing")
+  }
 }
