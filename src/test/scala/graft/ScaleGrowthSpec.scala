@@ -256,6 +256,57 @@ class ScaleGrowthSpec extends SparkSpec {
     assert(g < 20.0, s"posting-list shuffle grew ${g}x for 10x input ($small -> $large)")
   }
 
+  test("sparse all-pairs shuffle bytes grow ~linearly under the df cap") {
+    // rare markers are a fixed fraction of each doc: term df grows with
+    // the corpus, so the cap's pruning keeps pair work from going
+    // quadratic as the same marker accumulates more documents
+    def pairs(n: Int): DataFrame = {
+      val marked = docs(n).select(col("doc_id"),
+        concat(col("text"), lit(" tag"),
+          pmod(col("doc_id"), lit(n / 10)).cast("string")).as("text"))
+      graft.similarity.SparsePairs.tfidfPairs(marked, col("doc_id"),
+        col("text"), maxDf = 15L, threshold = 0.0)
+    }
+    val small = shuffleBytes(run(pairs(500)))
+    val large = shuffleBytes(run(pairs(5000)))
+    val g = growth(small, large)
+    assert(small > 0, "listener captured no shuffle writes")
+    assert(g < 25.0, s"sparse-pairs shuffle grew ${g}x for 10x input ($small -> $large)")
+  }
+
+  test("delta near-dup shuffle grows ~linearly in the corpus for a fixed batch") {
+    // a fixed-size increment against a growing corpus: the corpus
+    // contributes one linear band scan; the quadratic-ish candidate work
+    // stays confined to batch-touched buckets
+    def delta(n: Int): DataFrame = {
+      val corpus = docs(n)
+      val batch = corpus.filter(col("doc_id") % (n / 50) === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+        .limit(50)
+      Dedup.incrementalNearDuplicates(corpus, batch, col("doc_id"),
+        col("text"), threshold = 0.3)
+    }
+    val small = shuffleBytes(run(delta(500)))
+    val large = shuffleBytes(run(delta(5000)))
+    val g = growth(small, large)
+    assert(small > 0, "listener captured no shuffle writes")
+    assert(g < 20.0, s"delta near-dup shuffle grew ${g}x for 10x corpus ($small -> $large)")
+  }
+
+  test("resample+interpolate shuffle bytes grow ~linearly from 1x to 10x events") {
+    def rs(n: Int): DataFrame =
+      Temporal.resampleInterpolate(
+        events(n, keys = 20).select(col("uid"), col("t"), col("eid").cast("double").as("v")),
+        "uid", "t", col("v"), stepSeconds = 3600L)
+    val small = shuffleBytes(run(rs(6000)))
+    val large = shuffleBytes(run(rs(60000)))
+    val g = growth(small, large)
+    assert(small > 0, "listener captured no shuffle writes")
+    // two keyed as-of shuffles over grid + observations, both linear; the
+    // grid itself is key-count x span/step, independent of event volume
+    assert(g < 20.0, s"resample shuffle grew ${g}x for 10x input ($small -> $large)")
+  }
+
   test("pagerank per-round shuffle bytes grow ~linearly from 1x to 10x edges") {
     // ring-of-cliques graph: n nodes, 3 out-edges each, node domain grows
     // with the edge count (the real web-graph shape for this operator)
