@@ -1573,6 +1573,18 @@ object OracleSql {
          |SELECT lhs, rhs, CAST(sum(wc) AS BIGINT) AS pair_count
          |FROM p GROUP BY lhs, rhs
          |ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 20""".stripMargin,
+    // naive global-sort statement of the E-S rule on the same
+    // deterministic keys; ln and division are bit-identical on identical
+    // inputs, so the orderings agree and the bounded heap must match
+    "x68_weighted_sample" ->
+      s"""WITH t AS (SELECT doc_id, text, $Toks AS toks FROM documents),
+         |q AS (SELECT doc_id, $QualitySql AS w,
+         |  (${hashKeySql("doc_id", "wsample")} + 1) / 4294967296.0 AS u FROM t),
+         |k AS (SELECT doc_id, CASE WHEN w <= 0.0 THEN CAST('-infinity' AS DOUBLE)
+         |  ELSE ln(u) / w END AS ky FROM q),
+         |r AS (SELECT doc_id, ky, CAST(row_number() OVER (
+         |  ORDER BY ky DESC, doc_id ASC) AS INTEGER) AS rnk FROM k)
+         |SELECT doc_id, round(ky, 6) AS es_key, rnk FROM r WHERE rnk <= 100""".stripMargin,
     // the x06 chain instantiated over the corpus ∪ clone batch, filtered
     // to pairs touching the batch — the incremental pass must equal the
     // full-union pass minus old x old (its defining property)

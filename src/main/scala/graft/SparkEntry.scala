@@ -1106,7 +1106,13 @@ object SparkEntry {
         .select((col("doc_id") + 100000).as("doc_id"), col("text"))
       Dedup.incrementalNearDuplicates(docs, newBatch, col("doc_id"),
         col("text"), threshold = 0.3)
-    })
+    }),
+    // Efraimidis-Spirakis weighted sampling without replacement, weights
+    // = quality scores; oracle states the naive global-sort rule over the
+    // same deterministic ln(u)/w keys
+    "x68_weighted_sample" -> ((s, dir) =>
+      graft.sampling.Sampling.weightedSample(T(s, dir, "documents"),
+        col("doc_id"), TextAnalysis.qualityScore(col("text")), k = 100))
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

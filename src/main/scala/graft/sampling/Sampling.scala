@@ -167,4 +167,31 @@ object Sampling {
     graft.analytics.Ranking.topKPerGroup(df, group,
         -hashKey(id, lit(salt)).cast("double"), id, k)
       .select(col("group"), col("id"), col("rnk"))
+
+  /** Deterministic weighted sampling WITHOUT replacement
+    * (Efraimidis–Spirakis): each row draws `u = (hash+1)/2³²` ∈ (0, 1]
+    * and competes with key `ln(u)/w` — the `k` largest keys are exactly a
+    * weight-proportional without-replacement draw. The quality-weighted
+    * "sample 100k docs favoring high scores" selection, reproducible
+    * across runs and engines because `u` is the salted content hash, not
+    * a RNG.
+    *
+    * Scale shape: a pure key projection into the bounded-heap aggregate —
+    * k candidates per map task cross the single merge shuffle, never a
+    * sort of the corpus. Non-positive weights map to −∞ (never selected;
+    * also keeps NaN out of the heap order). Emits
+    * `(doc_id, es_key, rnk)`, key rounded to 6 dp.
+    */
+  def weightedSample(df: DataFrame, id: Column, weight: Column, k: Int,
+      salt: String = "wsample"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = (hashKey(id, lit(salt)) + 1).cast("double") / lit(4294967296.0)
+    val key = when(weight <= 0.0, lit(Double.NegativeInfinity))
+      .otherwise(log(u) / weight)
+    graft.analytics.Ranking.topKPerGroup(
+        df.select(id.as("__id"), key.as("__key")), lit(1), col("__key"),
+        col("__id"), k)
+      .select(col("id").as("doc_id"), round(col("score"), 6).as("es_key"),
+        col("rnk"))
+  }
 }

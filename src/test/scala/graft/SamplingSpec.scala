@@ -108,4 +108,26 @@ class SamplingSpec extends SparkSpec {
       col("id"), k = 100)
     assert(tiny.count() === 10L)
   }
+
+  test("weightedSample favors heavy weights, excludes zero, stays deterministic") {
+    val df = ids.limit(200).select(col("id"),
+      when(col("id") === 7, 50.0).when(col("id") === 13, 0.0)
+        .otherwise(1.0).as("w"))
+    // the weight-50 doc wins a k=20 slot in (nearly) every independent
+    // draw; the zero-weight doc never can
+    val hits = (1 to 10).count { s =>
+      val picked = Sampling.weightedSample(df, col("id"), col("w"), k = 20,
+          salt = s"t$s")
+        .collect().map(_.getLong(0)).toSet
+      assert(!picked.contains(13L), s"salt t$s selected the zero-weight doc")
+      picked.contains(7L)
+    }
+    assert(hits >= 8, s"weight-50 doc selected only $hits/10 draws")
+    // exact determinism across partitionings
+    val a = Sampling.weightedSample(df.repartition(1), col("id"), col("w"), 20)
+      .collect().map(_.toSeq)
+    val b = Sampling.weightedSample(df.repartition(9), col("id"), col("w"), 20)
+      .collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
 }

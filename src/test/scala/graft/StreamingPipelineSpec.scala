@@ -39,6 +39,33 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static broadcast enrichment joins a dimension onto the stream") {
+    // the standard enrichment pattern: a streaming fact joins a static
+    // catalog; with the static side broadcast, each micro-batch adds no
+    // stream-side shuffle and no state store
+    implicit val sqlCtx = spark.sqlContext
+    val catalog = Seq(("S1", "north", 2500.0), ("S2", "south", 1800.0))
+      .toDF("station_id", "region", "rated_kw")
+    val input = MemoryStream[Tele]
+    val out = input.toDF()
+      .join(org.apache.spark.sql.functions.broadcast(catalog), "station_id")
+      .select(col("station_id"), col("region"),
+        org.apache.spark.sql.functions.round(
+          col("value") / col("rated_kw") * 100.0, 6).as("pct_of_rated"))
+    val q = out.writeStream.format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Tele("S1", ts("2025-01-01 10:00:00"), 250.0),
+        Tele("S2", ts("2025-01-01 10:00:00"), 900.0),
+        Tele("S9", ts("2025-01-01 10:00:00"), 5.0)) // not in the catalog
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out").collect()
+        .map(r => r.getString(0) -> (r.getString(1), r.getDouble(2))).toMap
+      assert(rows === Map("S1" -> ("north", 10.0), "S2" -> ("south", 50.0)))
+    } finally q.stop()
+  }
+
   test("streaming content-dedup keeps first arrival per fingerprint") {
     implicit val sqlCtx = spark.sqlContext
     case class Doc(doc_id: Long, timestamp: Timestamp, text: String)
