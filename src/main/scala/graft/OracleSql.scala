@@ -1470,9 +1470,10 @@ object OracleSql {
         |s AS (SELECT dim, avg(round(x * 10000.0)) / 10000.0 AS m,
         |  avg(round(x * 10000.0) * round(x * 10000.0)) / 100000000.0 AS m2
         | FROM d GROUP BY dim),
-        |s2 AS (SELECT dim, m, sqrt(m2 - m * m) AS sd FROM s)
+        |s2 AS (SELECT dim, m, sqrt(greatest(m2 - m * m, 0.0)) AS sd FROM s)
         |SELECT d.vec_id, d.dim,
-        | CASE WHEN sd = 0 THEN 0.0 ELSE round((x - m) / sd, 6) END AS z
+        | CASE WHEN sd = 0 OR isnan(sd) THEN 0.0
+        |      ELSE round((x - m) / sd, 6) END AS z
         |FROM d JOIN s2 ON d.dim = s2.dim""".stripMargin,
     // list(ORDER BY) states the naive sorted posting list; the Spark side
     // builds it through the bounded heap — the hash match proves the heap
@@ -1673,6 +1674,34 @@ object OracleSql {
          |r AS (SELECT lang, doc_id, CAST(row_number() OVER (
          |  PARTITION BY lang ORDER BY hk ASC, doc_id ASC) AS INTEGER) AS rnk
          | FROM h)
-         |SELECT lang, doc_id, rnk FROM r WHERE rnk <= 25""".stripMargin
+         |SELECT lang, doc_id, rnk FROM r WHERE rnk <= 25""".stripMargin,
+    // the naive substring rule: positional 4-grams, exact gram equality,
+    // maximal consecutive runs per alignment diagonal (gaps-and-islands).
+    // The Spark side reaches the same spans through winnow-fingerprint
+    // candidate pre-filtering + capped gram blocking — hash equality
+    // proves the two-stage plan drops no span on this fixture
+    "x69_shared_spans" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 40 = 0 THEN text || ' ${SparkEntry.SharedSpan1}'
+         |       WHEN doc_id % 40 = 7 THEN text || ' ${SparkEntry.SharedSpan2}'
+         |       ELSE text END AS text FROM documents),
+         |t AS (SELECT doc_id, $Toks AS toks FROM d),
+         |tf AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 4),
+         |p AS (SELECT doc_id, toks,
+         |  CAST(unnest(range(0, len(toks) - 3)) AS INTEGER) AS pos FROM tf),
+         |g AS (SELECT doc_id, pos,
+         |  array_to_string(toks[pos+1:pos+4], ' ') AS gram FROM p),
+         |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  a.pos AS apos, b.pos AS bpos
+         | FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+         |r AS (SELECT doc_a, doc_b, apos - bpos AS diag, apos,
+         |  apos - row_number() OVER (PARTITION BY doc_a, doc_b, apos - bpos
+         |    ORDER BY apos) AS island FROM m),
+         |s AS (SELECT doc_a, doc_b, diag, island, min(apos) AS a_start,
+         |  count(*) + 3 AS span_len FROM r GROUP BY 1, 2, 3, 4)
+         |SELECT doc_a, doc_b, CAST(a_start AS BIGINT) AS a_start,
+         | CAST(a_start - diag AS BIGINT) AS b_start,
+         | CAST(span_len AS BIGINT) AS span_len
+         |FROM s WHERE span_len >= 12""".stripMargin
   )
 }

@@ -561,7 +561,10 @@ object SparkEntry {
     // JSONL interchange roundtrip (schema-on-read, no inference pass) —
     // same identity-through-the-format proof shape as s05
     "s07_jsonl_roundtrip" -> ((s, dir) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_s07_jsonl"
+      // suffix the sink path with a hash of the data dir so two concurrent
+      // harness runs on the same machine never overwrite each other
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_s07_jsonl_" +
+        Integer.toHexString(dir.hashCode)
       val ev = T(s, dir, "events")
         .select(col("event_id"), col("event_type"), col("value"))
       Sources.writeJsonl(ev, path)
@@ -629,7 +632,7 @@ object SparkEntry {
           .select(col("query_id"), col("neighbor_id"))
           .join(brute, Seq("query_id", "neighbor_id"))
           .agg(count(lit(1)).as("hits"))
-        hits.crossJoin(total).select(lit(np).as("nprobe"),
+        hits.crossJoin(broadcast(total)).select(lit(np).as("nprobe"),
           round(col("hits").cast("double") / col("total").cast("double"), 6)
             .as("recall"))
       }
@@ -1112,8 +1115,35 @@ object SparkEntry {
     // same deterministic ln(u)/w keys
     "x68_weighted_sample" -> ((s, dir) =>
       graft.sampling.Sampling.weightedSample(T(s, dir, "documents"),
-        col("doc_id"), TextAnalysis.qualityScore(col("text")), k = 100))
+        col("doc_id"), TextAnalysis.qualityScore(col("text")), k = 100)),
+    // cross-document substring-level dedup: plant two distinct ~20-token
+    // boilerplate spans (every 40th doc gets the license block, every
+    // 40th+7 the export-tool block — the x32 synthetic-enrichment
+    // pattern), then extract every maximal shared span >= 12 tokens.
+    // The oracle states the naive positional-gram rule; hash equality
+    // proves the winnow-prefiltered two-stage plan drops no span.
+    "x69_shared_spans" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val enriched = docs.select(col("doc_id"),
+        when(col("doc_id") % 40 === 0,
+            concat(col("text"), lit(" " + SharedSpan1)))
+          .when(col("doc_id") % 40 === 7,
+            concat(col("text"), lit(" " + SharedSpan2)))
+          .otherwise(col("text")).as("text"))
+      Dedup.sharedSpans(enriched, col("doc_id"), col("text"),
+        minSpanTokens = 12)
+    })
   )
+
+  /** Planted boilerplate spans for x69 — mirrored verbatim in the DuckDB
+    * oracle ([[OracleSql]]).
+    */
+  private[graft] val SharedSpan1: String =
+    "this corpus is distributed under the creative commons attribution " +
+      "license and may be used for research purposes only without warranty"
+  private[graft] val SharedSpan2: String =
+    "the following section is auto generated boilerplate inserted by the " +
+      "export tool and should be removed before model training begins"
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -53,6 +53,9 @@ object Graph {
       .distinct().localCheckpoint(true)
     val n = nodes.count()
     require(n > 0, "pageRank needs at least one node")
+    require(n <= scale,
+      s"node count $n exceeds fixed-point scale $scale — every initial " +
+        "rank would truncate to 0; raise `scale` above the node count")
     val initFp = scale / n
     val baseFp = ((100L - dampNum) * initFp) / 100L
     val deg = ed.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))

@@ -330,6 +330,93 @@ object Dedup {
       .filter(col("shared_fingerprints") >= minShared)
   }
 
+  /** Cross-document substring-level dedup (the Lee et al. exact-substring
+    * case, arXiv:2107.06499 §4.1, re-expressed as a Spark plan instead of
+    * a suffix array): every MAXIMAL token span of at least `minSpanTokens`
+    * tokens shared verbatim between two documents, as
+    * `(doc_a, doc_b, a_start, b_start, span_len)` with 0-based token
+    * offsets. This is the dedup tier between [[exactDuplicates]] (whole
+    * doc) and line-level boilerplate removal: it finds the 200-token
+    * license block shared by 10 000 otherwise-distinct pages.
+    *
+    * Plan, both stages linear with capped fan-out:
+    *  1. CANDIDATE DOCS — winnow fingerprints with window
+    *     `w = minSpanTokens − k + 1`, so any shared span of
+    *     `w + k − 1 = minSpanTokens` tokens is GUARANTEED to share a
+    *     fingerprint (the winnowing guarantee); docs sharing no
+    *     fingerprint are dropped before their positional grams ever
+    *     cross a shuffle. At corpus scale most documents share no span,
+    *     so this prefilter is what keeps stage 2 from shipping every
+    *     token position of every document.
+    *  2. SPAN EXTRACTION over survivors — positional k-grams
+    *     (`posexplode` of a `transform(sequence(...))` projection, pure
+    *     codegen), equi-join on the gram TEXT (exact, no hash
+    *     collisions), then gaps-and-islands along each alignment
+    *     diagonal `a_pos − b_pos`: consecutive matching positions merge
+    *     into one maximal run of `matches + k − 1` tokens. The
+    *     `row_number` window partitions by (pair, diagonal) — bounded by
+    *     document length, never corpus size.
+    *
+    * Both the fingerprint and the gram joins route through
+    * [[capBuckets]]: a ubiquitous gram ("in the United States") is
+    * dropped before it can go quadratic, which truncates spans built on
+    * it — the standard recall/size dial every blocking generator here
+    * carries (the cap never binds on the test fixture, so the oracle
+    * states the uncapped naive rule).
+    */
+  def sharedSpans(df: DataFrame, id: Column, text: Column,
+      minSpanTokens: Int, k: Int = 4, maxBucket: Int = 1000): DataFrame = {
+    require(k >= 1 && k <= 13, s"k-gram width must be in [1,13], got $k")
+    val w = minSpanTokens - k + 1
+    require(w >= 1 && w <= 256,
+      s"minSpanTokens must be in [$k, ${k + 255}], got $minSpanTokens")
+
+    val base = df
+      .select(id.cast("long").as("doc_id"), TextAnalysis.tokens(text).as("__toks"))
+      .filter(size(col("__toks")) >= k)
+      .localCheckpoint(true)
+
+    // stage 1: docs that share at least one winnow fingerprint — a
+    // superset of all docs sharing a span of >= minSpanTokens tokens
+    val fp = base.select(col("doc_id"), explode(Native.winnow(
+      concat_ws(" ", col("__toks")), k, w)).as("__fp"))
+    val fpc = capBuckets(fp, Seq(col("__fp")), maxBucket)
+    val cand = fpc.select(col("__fp"), col("doc_id"))
+      .join(fpc.select(col("__fp"), col("doc_id").as("__other")), Seq("__fp"))
+      .filter(col("doc_id") =!= col("__other"))
+      .select(col("doc_id")).distinct()
+
+    // stage 2: positional k-grams of candidate docs only
+    val grams = base.join(cand, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(__toks) - $k), " +
+          "i -> concat_ws(' ', slice(__toks, i + 1, " + k + ")))"))
+        .as(Seq("pos", "gram")))
+    val gc = capBuckets(grams, Seq(col("gram")), maxBucket)
+    val matches = gc
+      .select(col("gram"), col("doc_id").as("doc_a"), col("pos").as("apos"))
+      .join(gc.select(col("gram"), col("doc_id").as("doc_b"),
+        col("pos").as("bpos")), Seq("gram"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("apos"), col("bpos"))
+
+    // gaps-and-islands per alignment diagonal: consecutive positions
+    // (apos unique within a diagonal) collapse to one maximal span
+    val diag = matches.withColumn("diag", col("apos") - col("bpos"))
+    val byDiag = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("apos"))
+    diag.withColumn("__island", col("apos") - row_number().over(byDiag))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("__island"))
+      .agg(min(col("apos")).as("__a0"), count(lit(1)).as("__n"))
+      .withColumn("span_len", col("__n") + lit(k - 1).cast("long"))
+      .filter(col("span_len") >= minSpanTokens)
+      .select(col("doc_a"), col("doc_b"),
+        col("__a0").cast("long").as("a_start"),
+        (col("__a0") - col("diag")).cast("long").as("b_start"),
+        col("span_len"))
+  }
+
   /** Embedding-cosine near-duplicate detection over candidate pairs.
     * `pairs` must carry `vec_a`/`vec_b` array columns; emits cosine + flag.
     * For corpus-scale use, generate pairs via LSH bucketing

@@ -96,7 +96,10 @@ object GraftExtensions {
         ColumnBridge.wrongNumArgs("misra_gries", 2, children.size)
       children(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _) =>
-          MisraGries(children.head, k)
+          // cast the item so any atomic type works on the SQL surface;
+          // the aggregate itself type-checks for a string child
+          MisraGries(org.apache.spark.sql.catalyst.expressions.Cast(
+            children.head, org.apache.spark.sql.types.StringType), k)
         case other => throw new IllegalArgumentException(
           s"misra_gries capacity must be an integer literal, got $other")
       }
@@ -113,7 +116,13 @@ object GraftExtensions {
         ColumnBridge.wrongNumArgs("top_k_by_score", 3, children.size)
       children(2) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _) =>
-          TopKByScore(children.head, children(1), k)
+          // cast score/id so integer columns work on the SQL surface; the
+          // aggregate itself type-checks for (double, bigint) children
+          TopKByScore(
+            org.apache.spark.sql.catalyst.expressions.Cast(
+              children.head, org.apache.spark.sql.types.DoubleType),
+            org.apache.spark.sql.catalyst.expressions.Cast(
+              children(1), org.apache.spark.sql.types.LongType), k)
         case other => throw new IllegalArgumentException(
           s"top_k_by_score k must be an integer literal, got $other")
       }

@@ -5,6 +5,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -41,6 +42,15 @@ case class MisraGries(
   extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
 
   require(capacity > 0, "capacity must be positive")
+
+  // update() casts the item to UTF8String, so a non-string column must be
+  // rejected at analysis time, not with a ClassCastException mid-task.
+  // (ExpectsInputTypes is private[sql] in Spark 4, hence the manual check;
+  // the SQL registration casts the item, so any atomic type works there.)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"misra_gries expects a string item, got ${child.dataType.simpleString}")
 
   override def createAggregationBuffer(): mutable.HashMap[String, Long] =
     mutable.HashMap.empty

@@ -5,6 +5,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -30,6 +31,18 @@ case class TopKByScore(
   extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]] {
 
   require(k > 0, "k must be positive")
+
+  // update() trusts these exact runtime classes, so misuse (a string score
+  // on the SQL surface) must fail at analysis time, not with a
+  // ClassCastException mid-task. (ExpectsInputTypes is private[sql] in
+  // Spark 4, hence the manual check; the SQL registration additionally
+  // casts, so integer scores/ids still work there.)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (score.dataType == DoubleType && id.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"top_k_by_score expects (double score, bigint id), got " +
+        s"(${score.dataType.simpleString}, ${id.dataType.simpleString})")
 
   /** Heap max = the WORST kept pair (lowest score; tie: highest id), so
     * dequeue evicts it when the heap exceeds k.

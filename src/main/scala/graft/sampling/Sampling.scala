@@ -186,7 +186,11 @@ object Sampling {
       salt: String = "wsample"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val u = (hashKey(id, lit(salt)) + 1).cast("double") / lit(4294967296.0)
-    val key = when(weight <= 0.0, lit(Double.NegativeInfinity))
+    // !(w > 0) also catches NaN weights (NaN <= 0.0 is false), which would
+    // otherwise produce a NaN key that Double.compare ranks above every
+    // real key in the heap.
+    val key = when(!(weight > 0.0) || weight.isNaN,
+        lit(Double.NegativeInfinity))
       .otherwise(log(u) / weight)
     graft.analytics.Ranking.topKPerGroup(
         df.select(id.as("__id"), key.as("__key")), lit(1), col("__key"),

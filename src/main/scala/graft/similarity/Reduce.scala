@@ -66,10 +66,14 @@ object Reduce {
     val q = round(col("x") * f)
     val stats = dims.groupBy(col("dim"))
       .agg((avg(q) / f).as("__mean"), (avg(q * q) / (f * f)).as("__m2"))
-      .withColumn("__std", sqrt(col("__m2") - col("__mean") * col("__mean")))
+      // clamp the variance at 0: for a near-constant dimension at large n,
+      // floating-point rounding can make m2 − mean² slightly negative and
+      // sqrt would emit NaN z-scores the zero-std guard can't catch
+      .withColumn("__std",
+        sqrt(greatest(col("__m2") - col("__mean") * col("__mean"), lit(0.0))))
     dims.join(broadcast(stats), "dim")
       .select(col("vec_id"), col("dim"),
-        when(col("__std") === 0.0, lit(0.0))
+        when(col("__std") === 0.0 || col("__std").isNaN, lit(0.0))
           .otherwise(round((col("x") - col("__mean")) / col("__std"), 6))
           .as("z"))
   }

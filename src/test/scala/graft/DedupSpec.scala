@@ -238,4 +238,61 @@ class DedupSpec extends SparkSpec {
     assert(!inc.keySet.exists { case (a, b) => b == 102L || a == 102L },
       "the fresh doc must pair with nothing")
   }
+
+  private val span12 =
+    "one two three four five six seven eight nine ten eleven twelve"
+
+  test("sharedSpans finds a planted 12-token span with exact bounds") {
+    // exactly minSpanTokens long — the winnowing guarantee's edge case
+    val corpus = Seq(
+      (1L, s"aaa bbb ccc $span12 ddd eee"),
+      (2L, s"xxx $span12 yyy zzz www qqq"),
+      (3L, "totally unrelated filler words here only")
+    ).toDF("doc_id", "text")
+    val out = Dedup.sharedSpans(corpus, col("doc_id"), col("text"),
+        minSpanTokens = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq((1L, 2L, 3L, 1L, 12L)))
+  }
+
+  test("sharedSpans merges a longer overlap into ONE maximal span") {
+    val span15 = span12 + " thirteen fourteen fifteen"
+    val corpus = Seq(
+      (1L, s"aaa $span15 bbb"),
+      (2L, s"$span15 ccc ddd")
+    ).toDF("doc_id", "text")
+    val out = Dedup.sharedSpans(corpus, col("doc_id"), col("text"),
+        minSpanTokens = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq((1L, 2L, 1L, 0L, 15L)),
+      "a 15-token overlap must emit one maximal span, not sub-spans")
+  }
+
+  test("sharedSpans reports two distinct spans on their own diagonals") {
+    val spanB = "red orange yellow green blue indigo violet black " +
+      "white gray pink brown" // 12 tokens, disjoint vocabulary
+    val corpus = Seq(
+      (1L, s"aaa $span12 bbb ccc $spanB ddd"),
+      (2L, s"$spanB xxx yyy $span12 zzz")
+    ).toDF("doc_id", "text")
+    val out = Dedup.sharedSpans(corpus, col("doc_id"), col("text"),
+        minSpanTokens = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // span12: doc1 pos 1, doc2 pos 14; spanB: doc1 pos 15, doc2 pos 0
+    assert(out === Set((1L, 2L, 1L, 14L, 12L), (1L, 2L, 15L, 0L, 12L)))
+  }
+
+  test("sharedSpans drops overlaps shorter than minSpanTokens") {
+    val short8 = "one two three four five six seven eight"
+    val corpus = Seq(
+      (1L, s"aaa bbb $short8 ccc"),
+      (2L, s"$short8 ddd eee fff")
+    ).toDF("doc_id", "text")
+    val out = Dedup.sharedSpans(corpus, col("doc_id"), col("text"),
+      minSpanTokens = 12)
+    assert(out.count() === 0L)
+  }
 }
