@@ -1702,6 +1702,44 @@ object OracleSql {
          |SELECT doc_a, doc_b, CAST(a_start AS BIGINT) AS a_start,
          | CAST(a_start - diag AS BIGINT) AS b_start,
          | CAST(span_len AS BIGINT) AS span_len
-         |FROM s WHERE span_len >= 12""".stripMargin
+         |FROM s WHERE span_len >= 12""".stripMargin,
+    // chained-CTE replay of the 8-round BPE training loop over the same
+    // marker-delimited segmentation: round i recounts adjacent symbol
+    // pairs from v{i-1}, cuts the deterministic argmax m{i}, and applies
+    // the literal "(l) (r)" -> "(lr)" replace to form v{i}
+    "x70_bpe_train" -> bpeTrainSql(8)
   )
+
+  /** Chained-CTE replay of [[graft.text.Bpe.train]]'s merge loop (see the
+    * x70 map comment). `replace` scans left-to-right non-overlapping in
+    * both engines, so the re-segmentation is bit-identical; ties in the
+    * argmax are a total (count desc, lhs, rhs) order so both engines cut
+    * the same merge every round.
+    */
+  private def bpeTrainSql(numMerges: Int): String = {
+    // AS MATERIALIZED is load-bearing: each round references the previous
+    // segmentation twice and the argmax row four times, so inlined CTEs
+    // would expand to ~5^numMerges copies of the corpus scan
+    val rounds = (1 to numMerges).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT lhs, rhs, CAST(sum(wc) AS BIGINT) AS pair_count
+         | FROM (SELECT wc,
+         |   unnest(list_transform(range(1, len(syms)), j -> syms[j][2:-2])) AS lhs,
+         |   unnest(list_transform(range(1, len(syms)), j -> syms[j+1][2:-2])) AS rhs
+         |  FROM (SELECT string_split(seg, ' ') AS syms, wc FROM v${i - 1}))
+         | GROUP BY lhs, rhs),
+         |m$i AS MATERIALIZED (SELECT CAST($i AS INTEGER) AS merge_rank, lhs, rhs, pair_count
+         | FROM p$i ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 1),
+         |v$i AS MATERIALIZED (SELECT replace(seg,
+         |   '(' || (SELECT lhs FROM m$i) || ') (' || (SELECT rhs FROM m$i) || ')',
+         |   '(' || (SELECT lhs FROM m$i) || (SELECT rhs FROM m$i) || ')') AS seg, wc
+         | FROM v${i - 1})""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to numMerges).map(i => s"SELECT * FROM m$i")
+      .mkString(" UNION ALL ")
+    s"""WITH t AS (SELECT unnest($Toks) AS term FROM documents),
+       |w AS MATERIALIZED (SELECT term, CAST(count(*) AS BIGINT) AS wc FROM t GROUP BY term),
+       |v0 AS MATERIALIZED (SELECT trim(regexp_replace(term, '(.)', '(\\1) ', 'g')) AS seg, wc FROM w),
+       |$rounds
+       |SELECT merge_rank, lhs, rhs, pair_count FROM ($union)""".stripMargin
+  }
 }

@@ -1132,7 +1132,13 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       Dedup.sharedSpans(enriched, col("doc_id"), col("text"),
         minSpanTokens = 12)
-    })
+    }),
+    // full BPE training loop: one corpus pass, then 8 vocabulary-sized
+    // recount->argmax->re-segment rounds; the oracle replays the same 8
+    // rounds in chained CTEs over the same literal-replace encoding
+    "x70_bpe_train" -> ((s, dir) =>
+      graft.text.Bpe.train(T(s, dir, "documents"), col("text"),
+        numMerges = 8))
   )
 
   /** Planted boilerplate spans for x69 — mirrored verbatim in the DuckDB

@@ -45,4 +45,82 @@ object Bpe {
       .orderBy(col("pair_count").desc, col("lhs").asc, col("rhs").asc)
       .limit(topK)
   }
+
+  /** Initial character segmentation of a word as a marker-delimited symbol
+    * string: `"abc"` → `"(a) (b) (c)"`. The parenthesized-symbol encoding
+    * is what makes a merge round a LITERAL string replace — `"(l) (r)"` →
+    * `"(lr)"` — with exactly BPE's greedy left-to-right non-overlapping
+    * semantics (both engines' `replace` scans left to right and resumes
+    * after each match) and boundary safety for multi-char symbols (the
+    * pattern `"(b) (c)"` can never match inside `"(ab) (c)"` because the
+    * open-paren anchors the symbol start). Tokens containing `(`/`)` would
+    * alias the markers; both engines alias identically, so determinism
+    * holds, but symbol identity assumes marker-free input.
+    */
+  def segment(term: Column): Column =
+    trim(regexp_replace(term, "(.)", "($1) "))
+
+  /** Adjacent symbol-pair counts over a segmented vocabulary frame
+    * `(seg, __wc)` — the per-iteration recount of the training loop. The
+    * explode runs over the VOCABULARY (≤ |symbols|−1 rows per distinct
+    * word), never the corpus; map-side partial sums combine the counts
+    * before the single vocabulary-sized shuffle.
+    */
+  def pairCountsSeg(vocabSeg: DataFrame): DataFrame = {
+    val syms = split(col("seg"), " ")
+    def strip(c: Column): Column = c.substr(lit(2), length(c) - 2)
+    vocabSeg.filter(size(syms) >= 2)
+      .select(col("__wc"),
+        explode(transform(sequence(lit(1), size(syms) - 1), i =>
+          struct(strip(element_at(syms, i)).as("l"),
+            strip(element_at(syms, i + 1)).as("r")))).as("__p"))
+      .groupBy(col("__p.l").as("lhs"), col("__p.r").as("rhs"))
+      .agg(sum(col("__wc")).as("pair_count"))
+  }
+
+  /** Full BPE training loop: `numMerges` iterations of
+    * recount → argmax → re-segment over the vocabulary frame. Returns the
+    * learned merge table `(merge_rank, lhs, rhs, pair_count)` in merge
+    * order (stops early if the vocabulary runs out of adjacent pairs).
+    *
+    * Scale shape: ONE corpus pass ([[wordCounts]]) ever; every iteration
+    * after that is vocabulary-sized — a pair recount (two narrow ops + one
+    * small shuffle), a 1-row argmax (TakeOrderedAndProject; collected to
+    * the driver exactly like [[graft.similarity.Similarity.planeCountFor]]'s
+    * bounded scalar action — the merge table IS the model, it lives on the
+    * driver by construction), and a literal-replace projection. The
+    * re-segmented vocabulary is `localCheckpoint`ed each round so lineage
+    * stays O(1) across hundreds of merges — the
+    * [[graft.similarity.Similarity.trainCodebook]] pattern.
+    */
+  def train(df: DataFrame, text: Column, numMerges: Int): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var vocab = wordCounts(df, text)
+      .select(segment(col("term")).as("seg"), col("__wc"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var i = 0
+    var exhausted = false
+    while (i < numMerges && !exhausted) {
+      val top = pairCountsSeg(vocab)
+        .orderBy(col("pair_count").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val lhs = top(0).getString(0)
+        val rhs = top(0).getString(1)
+        merges += ((i + 1, lhs, rhs, top(0).getLong(2)))
+        vocab = vocab.select(
+            replace(col("seg"), lit(s"($lhs) ($rhs)"), lit(s"($lhs$rhs)"))
+              .as("seg"),
+            col("__wc"))
+          .localCheckpoint(true)
+        i += 1
+      }
+    }
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+  }
 }

@@ -43,4 +43,36 @@ class BpeSpec extends SparkSpec {
     assert(out(("l", "l")) === 200L)
     assert(out(("h", "e")) === 200L)
   }
+
+  private def trained(texts: Seq[String], n: Int): Seq[(Int, String, String, Long)] =
+    Bpe.train(texts.toDF("text"), col("text"), numMerges = n)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+
+  test("train learns merges in frequency order with recounted pairs") {
+    // vocab: ab:3 ac:2 bc:1 -> merges (a,b):3 then (a,c):2 then (b,c):1;
+    // the first merge removes ab's pairs from later rounds
+    val m = trained(Seq("ab ab ac", "ab ac bc"), n = 3)
+    assert(m === Seq((1, "a", "b", 3L), (2, "a", "c", 2L), (3, "b", "c", 1L)))
+  }
+
+  test("train builds multi-character symbols across rounds") {
+    // abc:2 abd:1 -> round 1 merges (a,b):3; rounds 2-3 see the MERGED
+    // symbol "ab" on the left: (ab,c):2 then (ab,d):1
+    val m = trained(Seq("abc abc abd"), n = 3)
+    assert(m === Seq((1, "a", "b", 3L), (2, "ab", "c", 2L), (3, "ab", "d", 1L)))
+  }
+
+  test("train applies merges greedily left-to-right without overlap") {
+    // "aaaa": round 1 counts 3 adjacent (a,a) slots; the replace yields
+    // (aa)(aa), so round 2's pair is (aa,aa):1, never a stale (a,a)
+    val m = trained(Seq("aaaa"), n = 2)
+    assert(m === Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
+  }
+
+  test("train stops early when the vocabulary runs out of pairs") {
+    val m = trained(Seq("ab a b"), n = 5)
+    assert(m === Seq((1, "a", "b", 1L)))
+  }
 }
