@@ -43,6 +43,62 @@ object Graph {
   def pageRank(edges: DataFrame, src: Column, dst: Column, iterations: Int,
       scale: Long = 1000000000L, dampNum: Long = 85L): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val st = prepare(edges, src, dst, scale, dampNum)
+    var ranks = st.nodes.select(col("node"), lit(st.initFp).as("rank_fp"))
+    var i = 0
+    while (i < iterations) {
+      ranks = step(ranks, st, dampNum)
+      i += 1
+    }
+    ranks
+  }
+
+  /** [[pageRank]] with EXACT early termination: runs synchronous rounds
+    * until the total absolute rank change `sum(abs(rank − prev_rank))` is
+    * ≤ `epsilonFp` (fixed-point units; 0 = the exact fixed point), capped
+    * at `maxIter`. Returns `(ranks, roundsRun)`.
+    *
+    * The integer fixed-point formulation is what makes this a convergence
+    * TEST rather than a tolerance judgement: once two consecutive rounds
+    * agree bit-for-bit the iteration is at a true fixed point and every
+    * further round reproduces it, so stopping is lossless. Cost per round
+    * over [[pageRank]]: one self-join of consecutive rank frames (both
+    * already checkpointed, co-partitioned on `node` by the producing
+    * joins) reduced to a single driver scalar — the same bounded-action
+    * class as the node count.
+    */
+  def pageRankConverged(edges: DataFrame, src: Column, dst: Column,
+      maxIter: Int, epsilonFp: Long = 0L, scale: Long = 1000000000L,
+      dampNum: Long = 85L): (DataFrame, Int) = {
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    require(epsilonFp >= 0L, s"epsilonFp must be >= 0, got $epsilonFp")
+    val st = prepare(edges, src, dst, scale, dampNum)
+    var ranks = st.nodes.select(col("node"), lit(st.initFp).as("rank_fp"))
+      .localCheckpoint(true)
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      val next = step(ranks, st, dampNum)
+      val delta = next
+        .join(ranks.select(col("node"), col("rank_fp").as("__prev")),
+          Seq("node"))
+        .agg(sum(abs(col("rank_fp") - col("__prev"))).as("__delta"))
+        .first().getLong(0)
+      ranks = next
+      i += 1
+      if (delta <= epsilonFp) converged = true
+    }
+    (ranks, i)
+  }
+
+  /** Checkpointed edge/node/degree frames plus the fixed-point constants
+    * shared by both PageRank faces.
+    */
+  private case class Prepared(ed: DataFrame, nodes: DataFrame,
+    deg: DataFrame, n: Long, initFp: Long, baseFp: Long)
+
+  private def prepare(edges: DataFrame, src: Column, dst: Column,
+      scale: Long, dampNum: Long): Prepared = {
     require(dampNum >= 0 && dampNum <= 100,
       s"dampNum must be a percentage in [0,100], got $dampNum")
     require(scale >= 100, s"scale must be >= 100, got $scale")
@@ -60,30 +116,30 @@ object Graph {
     val baseFp = ((100L - dampNum) * initFp) / 100L
     val deg = ed.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
       .localCheckpoint(true)
+    Prepared(ed, nodes, deg, n, initFp, baseFp)
+  }
 
-    var ranks = nodes.select(col("node"), lit(initFp).as("rank_fp"))
-    var i = 0
-    while (i < iterations) {
-      val withDeg = ranks.join(deg, ranks("node") === deg("__src"), "left")
-      // nodes with no out-edges: their whole rank is dangling mass
-      val dangling = withDeg.filter(col("__deg").isNull)
-        .agg(coalesce(sum(col("rank_fp")), lit(0L)).as("__dm"))
-      val contrib = ed
-        .join(withDeg.filter(col("__deg").isNotNull)
-            .select(col("node").as("__cn"),
-              expr("rank_fp DIV __deg").as("__share")),
-          col("__src") === col("__cn"))
-        .groupBy(col("__dst")).agg(sum(col("__share")).as("__in"))
-        .select(col("__dst").as("node"), col("__in"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
-        .crossJoin(broadcast(dangling))
-        .select(col("node"),
-          expr(s"CAST($baseFp AS BIGINT) + ((CAST($dampNum AS BIGINT) * " +
-            s"(coalesce(__in, CAST(0 AS BIGINT)) + (__dm DIV CAST($n AS BIGINT)))) DIV 100)")
-            .as("rank_fp"))
-        .localCheckpoint(true)
-      i += 1
-    }
-    ranks
+  /** One synchronous PageRank round — the shared loop body of
+    * [[pageRank]] and [[pageRankConverged]].
+    */
+  private def step(ranks: DataFrame, st: Prepared, dampNum: Long): DataFrame = {
+    val withDeg = ranks.join(st.deg, ranks("node") === st.deg("__src"), "left")
+    // nodes with no out-edges: their whole rank is dangling mass
+    val dangling = withDeg.filter(col("__deg").isNull)
+      .agg(coalesce(sum(col("rank_fp")), lit(0L)).as("__dm"))
+    val contrib = st.ed
+      .join(withDeg.filter(col("__deg").isNotNull)
+          .select(col("node").as("__cn"),
+            expr("rank_fp DIV __deg").as("__share")),
+        col("__src") === col("__cn"))
+      .groupBy(col("__dst")).agg(sum(col("__share")).as("__in"))
+      .select(col("__dst").as("node"), col("__in"))
+    st.nodes.join(contrib, Seq("node"), "left")
+      .crossJoin(broadcast(dangling))
+      .select(col("node"),
+        expr(s"CAST(${st.baseFp} AS BIGINT) + ((CAST($dampNum AS BIGINT) * " +
+          s"(coalesce(__in, CAST(0 AS BIGINT)) + (__dm DIV CAST(${st.n} AS BIGINT)))) DIV 100)")
+          .as("rank_fp"))
+      .localCheckpoint(true)
   }
 }

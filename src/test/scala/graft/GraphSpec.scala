@@ -64,4 +64,45 @@ class GraphSpec extends SparkSpec {
     val out = ranks(Seq("a" -> "b", "a" -> "b", "a" -> "c"), 1)
     assert(out("b") > out("c"))
   }
+
+  private def converged(edges: Seq[(String, String)], maxIter: Int,
+      epsilonFp: Long = 0L): (Map[String, Long], Int) = {
+    val (df, rounds) = Graph.pageRankConverged(edges.toDF("src", "dst"),
+      col("src"), col("dst"), maxIter, epsilonFp, Scale)
+    (df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap, rounds)
+  }
+
+  test("symmetric cycle stops after one round at the exact fixed point") {
+    // 2-cycle: the uniform init IS the fixed point, so round 1's delta is
+    // exactly 0 and the loop stops 9 rounds short of the cap
+    val (out, rounds) = converged(Seq("a" -> "b", "b" -> "a"), maxIter = 10)
+    assert(rounds === 1)
+    assert(out === Map("a" -> Scale / 2, "b" -> Scale / 2))
+  }
+
+  test("star graph stops early at an exact integer fixed point") {
+    val edges = Seq("a" -> "b", "c" -> "b", "d" -> "b", "b" -> "a")
+    val (out, rounds) = converged(edges, maxIter = 200)
+    assert(rounds < 200)
+    // lossless stop: the converged face reproduces the fixed-round face
+    // run for the same number of rounds, bit for bit
+    assert(out === ranks(edges, rounds))
+    // and one more fixed round does not move any rank
+    assert(out === ranks(edges, rounds + 1))
+  }
+
+  test("still-moving chain runs to the iteration cap") {
+    val edges = Seq("a" -> "b", "b" -> "c")
+    val (out, rounds) = converged(edges, maxIter = 3)
+    assert(rounds === 3)
+    assert(out === ranks(edges, 3))
+  }
+
+  test("epsilon in fixed-point units stops once movement falls below it") {
+    // with a loose epsilon the chain stops before the cap; the exact
+    // (epsilon 0) run at the same cap keeps moving
+    val edges = Seq("a" -> "b", "b" -> "c")
+    val (_, loose) = converged(edges, maxIter = 50, epsilonFp = Scale / 100)
+    assert(loose < 50)
+  }
 }
