@@ -226,6 +226,57 @@ object Dedup {
     out
   }
 
+  /** Threshold-driven (b, r) auto-tuning for MinHash LSH banding: the
+    * banding S-curve `P(catch at Jaccard s) = 1 − (1 − s^r)^b` has its
+    * steep midpoint near `s* = (1/b)^(1/r)` (MMDS §3.4.3), so the right
+    * (bands, rowsPerBand) for a target similarity threshold is the pair
+    * whose midpoint sits closest to it — pairs below the midpoint are
+    * mostly filtered, pairs above mostly caught, and verification stays
+    * exact either way. Search space: every (b, r) with `b·r ≤ maxHashes`
+    * (the signature budget — each hash is one md5 slice per doc).
+    * Ties break toward MORE total hashes (a sharper S-curve at the same
+    * midpoint — b and r both grow, so the transition narrows) and then
+    * toward fewer rows per band. Pure arithmetic on (threshold,
+    * maxHashes): no data pass, deterministic, and the returned pair
+    * always satisfies [[nearDuplicatesWide]]'s divisibility contract
+    * (`numHashes = b·r` is a multiple of `r` by construction).
+    */
+  def bandingFor(threshold: Double, maxHashes: Int = 64): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0,1), got $threshold")
+    require(maxHashes >= 2 && maxHashes <= 256,
+      s"maxHashes must be in [2,256], got $maxHashes")
+    val candidates = for {
+      r <- 1 to maxHashes
+      b <- 1 to maxHashes / r
+      if b * r >= 2
+    } yield (b, r)
+    candidates.minBy { case (b, r) =>
+      (math.abs(math.pow(1.0 / b, 1.0 / r) - threshold), -b * r, r)
+    }
+  }
+
+  /** The S-curve itself: probability that a pair at Jaccard `s` shares at
+    * least one of `b` bands of `r` rows. Exposed for tuning reports and
+    * the spec's bracketing assertions.
+    */
+  def catchProbability(s: Double, b: Int, r: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, r), b)
+
+  /** [[nearDuplicatesWide]] with (bands, rowsPerBand) chosen by
+    * [[bandingFor]] from the verify threshold — the "just give me
+    * near-dups at 0.8" face: the signature budget is the only knob left,
+    * and the LSH dial lands where the S-curve midpoint brackets the
+    * threshold instead of wherever a hand-picked (b, r) happened to sit.
+    */
+  def nearDuplicatesAuto(df: DataFrame, id: Column, text: Column,
+      threshold: Double = 0.7, maxHashes: Int = 64,
+      maxBucket: Int = 1000): DataFrame = {
+    val (b, r) = bandingFor(threshold, maxHashes)
+    nearDuplicatesWide(df, id, text, threshold, numHashes = b * r,
+      rowsPerBand = r, maxBucket = maxBucket)
+  }
+
   /** [[nearDuplicates]] with a WIDE signature: `numHashes` minhashes (a
     * multiple of 4 — the seeded kernel hashes a fresh md5 stream per group
     * of 4) banded as `numHashes / rowsPerBand` bands of `rowsPerBand`.

@@ -131,6 +131,37 @@ class DedupSpec extends SparkSpec {
     assert(wide.contains((1L, 3L)), "the known near-dup pair must survive")
   }
 
+  test("bandingFor picks the S-curve midpoint bracketing the threshold") {
+    // textbook anchors (MMDS §3.4): midpoint s* = (1/b)^(1/r)
+    for (t <- Seq(0.3, 0.5, 0.7, 0.8, 0.9); budget <- Seq(16, 64, 128)) {
+      val (b, r) = Dedup.bandingFor(t, budget)
+      assert(b * r <= budget && b * r % r === 0)
+      val mid = math.pow(1.0 / b, 1.0 / r)
+      // no other (b', r') within the budget sits closer to the threshold
+      val best = (for { rr <- 1 to budget; bb <- 1 to budget / rr
+        if bb * rr >= 2 } yield math.abs(math.pow(1.0 / bb, 1.0 / rr) - t)).min
+      assert(math.abs(math.abs(mid - t) - best) < 1e-12)
+      // the S-curve actually separates: catch prob well above the midpoint
+      // beats catch prob well below it
+      assert(Dedup.catchProbability(math.min(t + 0.15, 0.99), b, r) >
+        Dedup.catchProbability(math.max(t - 0.15, 0.01), b, r))
+    }
+    // determinism + divisibility contract on the default budget
+    assert(Dedup.bandingFor(0.7) === Dedup.bandingFor(0.7))
+  }
+
+  test("nearDuplicatesAuto = nearDuplicatesWide at bandingFor's (b, r)") {
+    val (b, r) = Dedup.bandingFor(0.5, maxHashes = 16)
+    val auto = Dedup.nearDuplicatesAuto(docs, col("doc_id"), col("text"), 0.5,
+        maxHashes = 16)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    val manual = Dedup.nearDuplicatesWide(docs, col("doc_id"), col("text"), 0.5,
+        numHashes = b * r, rowsPerBand = r)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    assert(auto === manual)
+    assert(auto.contains((1L, 2L)), "exact dup always survives auto banding")
+  }
+
   test("winnow: matches the independent md5 reference, short docs empty") {
     // independent reference: positional 4-grams, first-8-hex md5 value,
     // window-4 minima, distinct sorted — recomputed here from first
