@@ -500,6 +500,11 @@ object OracleSql {
     // within 5% of exact for EVERY key, or the hash match breaks
     "a21_hll_merge" ->
       "SELECT event_type, TRUE AS within_5pct FROM events GROUP BY event_type",
+    "a24_quantile_merge" ->
+      """SELECT event_type, q, TRUE AS within_tol
+        |FROM (SELECT DISTINCT event_type FROM events)
+        |CROSS JOIN (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+        |            (CAST(0.75 AS DOUBLE))) AS qs(q)""".stripMargin,
     "a08_describe" ->
       """SELECT event_type, count(value) AS cnt,
         | round(avg(round(value * 100.0)) / 100.0, 6) AS mean,
@@ -651,6 +656,22 @@ object OracleSql {
         |FROM c JOIN e ON c.user_id = e.user_id
         | AND c.ts >= e.error_ts AND c.ts <= e.until_ts""".stripMargin,
 
+    "j11_scd2" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, min(event_type) AS event_type
+        |  FROM events WHERE user_id < 20 GROUP BY 1, 2
+        |), h AS (
+        |  SELECT user_id, ts, event_type,
+        |    (row_number() OVER w = 1 OR
+        |     event_type IS DISTINCT FROM lag(event_type) OVER w) AS chg
+        |  FROM g WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), c AS (
+        |  SELECT user_id, event_type, ts AS valid_from FROM h WHERE chg
+        |)
+        |SELECT user_id, event_type, valid_from,
+        |  lead(valid_from) OVER w2 AS valid_to,
+        |  lead(valid_from) OVER w2 IS NULL AS is_current
+        |FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)""".stripMargin,
     "j10_salted_join" ->
       """SELECT o_orderpriority, count(*) AS cnt,
         | round(sum(l_quantity), 2) AS sum_qty

@@ -323,6 +323,15 @@ object SparkEntry {
       Distribution.hllMergeReport(ev.filter(col("event_id") % 2 === 0),
         ev.filter(col("event_id") % 2 =!= 0), col("event_type"), col("user_id"))
     }),
+    // mergeable KLL quantile sketches: two disjoint halves sketched
+    // independently, sketches merged, each quantile estimate rank-checked
+    // against the exact union (mergeable-state face of a08, the a21
+    // pattern for quantiles)
+    "a24_quantile_merge" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      Distribution.quantileMergeReport(ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 =!= 0), col("event_type"), col("value"))
+    }),
     "a08_describe" -> ((s, dir) =>
       Aggregates.describe(T(s, dir, "events"), col("event_type"), col("value"),
         valueScale = 2)),
@@ -474,6 +483,17 @@ object SparkEntry {
       Temporal.rangeJoin(clicks, errors, "user_id", "ts",
           "error_ts", "until_ts", grainSeconds = 600)
         .select(col("user_id"), col("click_id"), col("iv_error_id").as("error_id"))
+    }),
+    // SCD2 dimension build from a change history: each user's event_type
+    // timeline collapses into effective-dated version rows (half-open
+    // [valid_from, valid_to), last version current). Pre-aggregated to the
+    // (user, ts) grain first so row order inside a timestamp can never
+    // make the window tiebreak engine-dependent.
+    "j11_scd2" -> ((s, dir) => {
+      val changes = T(s, dir, "events").filter(col("user_id") < 20)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(min(col("event_type")).as("event_type"))
+      StarSchema.scd2FromHistory(changes, Seq("user_id"), Seq("event_type"), "ts")
     }),
     "j10_salted_join" -> ((s, dir) =>
       // must equal the plain lineitem-orders inner join (oracle is the

@@ -114,6 +114,69 @@ object Distribution {
           col("__exact") === 0).as(outName))
   }
 
+  /** Incremental quantiles via MERGEABLE Datasketches KLL state — the
+    * quantile twin of [[hllMergeReport]]: each input frame sketches
+    * independently per key (`kll_sketch_agg_double`, a single pass whose
+    * partials merge associatively), the per-key sketches combine with the
+    * scalar `kll_sketch_merge_double`, and each requested quantile
+    * estimate is RANK-checked against the exact union: the estimate's
+    * feasible rank interval `[count(v < est), count(v <= est)] / n` must
+    * come within `tol` of the requested `q`. Rank (not value) is the
+    * property KLL guarantees — ~1.6% normalized rank error at the default
+    * k=200 — so `tol = 0.05` leaves a 3× margin and the emitted boolean is
+    * stable across partitionings and sketch randomization.
+    *
+    * This is the growing-corpus calibration face `approx_percentile`
+    * lacks: its GK summary is internal state, not a column you can store
+    * per snapshot and merge later, while a KLL sketch column per
+    * (partition, key) is a few KB and cross-window percentiles are sketch
+    * merges, no rescan. The exact side here exists for the correctness
+    * gate (the a07/a21 pattern); at 100 TB the sketch column IS the
+    * operator output.
+    */
+  def quantileMergeReport(a: DataFrame, b: DataFrame, key: Column, value: Column,
+      qs: Seq[Double] = Seq(0.25, 0.5, 0.75), sketchK: Int = 200,
+      tol: Double = 0.05, outName: String = "within_tol"): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q < 1.0),
+      s"quantiles must be in (0,1), got $qs")
+    require(sketchK >= 8 && sketchK <= 65535, s"sketchK out of range: $sketchK")
+    require(tol > 0.0 && tol < 0.5, s"tol must be in (0,0.5), got $tol")
+    val keyName = a.select(key).columns.head
+    def sketch(df: DataFrame, keyOut: String, out: String): DataFrame =
+      df.select(key.as(keyOut), value.cast("double").as("__v"))
+        .groupBy(col(keyOut))
+        .agg(expr(s"kll_sketch_agg_double(__v, $sketchK)").as(out))
+    // null-safe full-outer join, same rationale as hllMergeReport: a null
+    // key is a legitimate group on both sides
+    val merged = sketch(a, "__ka", "__sa")
+      .join(sketch(b, "__kb", "__sb"), col("__ka") <=> col("__kb"), "full_outer")
+      .select(coalesce(col("__ka"), col("__kb")).as("__k"),
+        when(col("__sa").isNull, col("__sb"))
+          .when(col("__sb").isNull, col("__sa"))
+          .otherwise(expr("kll_sketch_merge_double(__sa, __sb)")).as("__sk"))
+    // the quantile rank argument must be foldable, so each q is its own
+    // projection over the (tiny, keys-sized) sketch frame
+    val est = qs.map(q =>
+      merged.select(col("__k"), lit(q).as("q"),
+        expr(s"kll_sketch_get_quantile_double(__sk, ${q}d)").as("__est")))
+      .reduce(_.unionByName(_))
+    // exact rank check over the union; est is keys × quantiles — tiny —
+    // so it broadcasts into the union scan and the only shuffle is the
+    // (key, q) aggregate
+    val union = a.select(key.as("__ke"), value.cast("double").as("__v"))
+      .unionByName(b.select(key.as("__ke"), value.cast("double").as("__v")))
+    union.join(broadcast(est), col("__ke") <=> col("__k"))
+      .groupBy(col("__k").as(keyName), col("q"))
+      .agg(count(when(col("__v").isNotNull, lit(1))).as("__n"),
+        count(when(col("__v") < col("__est"), lit(1))).as("__lt"),
+        count(when(col("__v") <= col("__est"), lit(1))).as("__le"))
+      .select(col(keyName), col("q"),
+        coalesce(
+          col("__lt").cast("double") / col("__n") - tol <= col("q") &&
+            col("q") <= col("__le").cast("double") / col("__n") + tol,
+          col("__n") === 0).as(outName))
+  }
+
   /** Count-Min-Sketch frequency estimates, tolerance-checked: builds the
     * sketch with Spark's `count_min_sketch` aggregate (partials merge
     * associatively — ONE narrow pass over the stream, a sketch-sized

@@ -1,6 +1,7 @@
 package graft.warehouse
 
-import org.apache.spark.sql.Column
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multi-dimensional data layout: Z-order (Morton) clustering keys, the
@@ -47,5 +48,67 @@ object Layout {
         "distinct z-values")
     val shift = 2 * bits - Integer.numberOfTrailingZeros(numBuckets)
     shiftright(z, shift)
+  }
+
+  /** Parquet compaction — the `OPTIMIZE` maintenance pass a streaming
+    * parquet sink needs: an append-mode micro-batch sink
+    * ([[graft.streaming.Pipeline.parquetSink]]) accumulates one small file
+    * per trigger forever, and at 100 TB that's the classic small-files
+    * killer (every scan pays per-file open + footer-read + scheduling; the
+    * NameNode/listing layer pays per-file metadata). This rewrites the
+    * directory into `ceil(actual bytes / targetFileBytes)` files and
+    * atomically swaps it in, so readers either see the old layout or the
+    * new one, never a mix.
+    *
+    * Layout of the rewrite:
+    *  - no `zorderCols`: round-robin `repartition(n)` — even file sizes,
+    *    one shuffle of the data being compacted, no ordering promise.
+    *  - `zorderCols = Some((x, y))`: files are contiguous ranges of the
+    *    Morton interleave [[zValue]] — `repartitionByRange` on the z-key
+    *    plus an intra-partition sort, so min/max footer stats on BOTH
+    *    columns become selective and range predicates on either prune most
+    *    files (the Delta/Iceberg `OPTIMIZE ZORDER BY` shape).
+    *
+    * The swap is rename-based (tmp → live with the old dir parked then
+    * deleted), the same recipe table formats use under one writer;
+    * concurrent WRITERS need a real table format's transaction log —
+    * documented contract, not a silent hazard. Returns the file count
+    * after compaction.
+    */
+  def compact(spark: SparkSession, path: String, targetFileBytes: Long,
+      zorderCols: Option[(Column, Column)] = None, zBits: Int = 16): Long = {
+    require(targetFileBytes >= (1L << 20),
+      s"targetFileBytes must be >= 1 MiB, got $targetFileBytes")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = fs.makeQualified(new Path(path))
+    val dataBytes = fs.listStatus(live).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val numFiles = math.max(1L, (dataBytes + targetFileBytes - 1) / targetFileBytes).toInt
+
+    val df = spark.read.parquet(path)
+    val tmp = new Path(live.getParent, live.getName + "__compact_tmp")
+    val packed = zorderCols match {
+      case Some((x, y)) =>
+        val keyed = df.withColumn("__z", zValue(x, y, zBits))
+        keyed.repartitionByRange(numFiles, col("__z"))
+          .sortWithinPartitions(col("__z"))
+          .drop("__z")
+      case None => df.repartition(numFiles)
+    }
+    packed.write.mode("overwrite").parquet(tmp.toString)
+
+    // atomic-ish swap: park the live dir, promote tmp, drop the parked copy
+    val parked = new Path(live.getParent, live.getName + "__compact_old")
+    fs.delete(parked, true)
+    if (!fs.rename(live, parked))
+      throw new IllegalStateException(s"compact: could not park $live")
+    if (!fs.rename(tmp, live)) {
+      fs.rename(parked, live) // roll back — the old layout is still intact
+      throw new IllegalStateException(s"compact: could not promote $tmp")
+    }
+    fs.delete(parked, true)
+    fs.listStatus(live).count(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet")).toLong
   }
 }

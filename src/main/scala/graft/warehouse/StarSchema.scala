@@ -79,6 +79,84 @@ object StarSchema {
     resolved.select((dims.map(_._3) ++ measures).map(col): _*)
   }
 
+  /** Slowly-changing-dimension type 2 from an attribute-change history:
+    * collapse each natural key's timeline into effective-dated version
+    * rows `(naturalKey, attrs, valid_from, valid_to, is_current)` —
+    * consecutive rows whose tracked attributes are unchanged (null-safe)
+    * merge into one version; a version's `valid_to` is the next version's
+    * `valid_from` (half-open `[valid_from, valid_to)`), and the last
+    * version per key is current (`valid_to` null). The reference DWH
+    * (`dwh.docx:2-89`) snapshots station/weather attributes statically;
+    * this is what those dims need once attributes drift in reality
+    * (capacity upgrades, renamed stations).
+    *
+    * Scale shape: two window passes partitioned BY THE NATURAL KEY (lag
+    * to detect changes, lead to close versions) — per-key work bounded by
+    * that key's history, no global sort, one hash exchange on the key
+    * that both windows share. Rows must be unique per (key,
+    * `effectiveTs`); pre-aggregate snapshot feeds to that grain first.
+    */
+  def scd2FromHistory(changes: DataFrame, naturalKey: Seq[String],
+      attrs: Seq[String], effectiveTs: String): DataFrame = {
+    require(attrs.nonEmpty, "scd2 needs at least one tracked attribute")
+    val byKey = Window.partitionBy(naturalKey.map(col): _*)
+      .orderBy(col(effectiveTs))
+    val changed = attrs.map(a => !(col(a) <=> lag(col(a), 1).over(byKey)))
+      .reduce(_ || _) || row_number().over(byKey) === 1
+    changes
+      .withColumn("__chg", changed)
+      .filter(col("__chg"))
+      .withColumn("valid_from", col(effectiveTs))
+      .withColumn("valid_to",
+        lead(col("valid_from"), 1).over(
+          Window.partitionBy(naturalKey.map(col): _*).orderBy(col("valid_from"))))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select((naturalKey ++ attrs).map(col) ++
+        Seq(col("valid_from"), col("valid_to"), col("is_current")): _*)
+  }
+
+  /** SCD2 MERGE: fold a batch of updates `(naturalKey, attrs,
+    * effectiveTs)` into an existing SCD2 dimension. Expressed as replay:
+    * the dimension's versions re-enter as change rows at their
+    * `valid_from`, union the updates, and [[scd2FromHistory]] re-collapses
+    * — updates that change nothing merge into the surrounding version
+    * (no-op), changed attributes close the overlapping version and open a
+    * new one, unseen keys appear with one open version, and LATE-ARRIVING
+    * updates splice into history correctly instead of stacking at the
+    * end. Re-merging the same batch is a fixed point (spec-asserted), so
+    * a replayed ingestion day cannot corrupt the dimension.
+    *
+    * The union is two narrow projections; cost stays the two key-
+    * partitioned windows. For a 100 TB fact this dim-side work is
+    * negligible; what matters is the resolve side staying an as-of join
+    * ([[resolveScd2]]) rather than a between-predicate theta join.
+    */
+  def scd2Merge(dim: DataFrame, updates: DataFrame, naturalKey: Seq[String],
+      attrs: Seq[String], effectiveTs: String): DataFrame = {
+    val cols = naturalKey ++ attrs
+    val history = dim
+      .select(cols.map(col) :+ col("valid_from").as(effectiveTs): _*)
+      .unionByName(updates.select(cols.map(col) :+ col(effectiveTs): _*))
+    scd2FromHistory(history, naturalKey, attrs, effectiveTs)
+  }
+
+  /** Resolve a fact against an SCD2 dimension: attach the version whose
+    * `[valid_from, valid_to)` interval covers each event's time. Because
+    * versions are contiguous per key by construction, "the covering
+    * version" IS "the latest version with `valid_from <= event time`" —
+    * a backward as-of join ([[graft.analytics.Temporal.asofJoin]]: one
+    * key-partitioned window over the union, no between-predicate theta
+    * join, no per-version fan-out). Events before a key's first version
+    * get null attributes, the standard unknown-member outcome.
+    */
+  def resolveScd2(fact: DataFrame, dim: DataFrame, naturalKey: String,
+      eventTs: String, attrs: Seq[String], prefix: String = "dim_"): DataFrame =
+    graft.analytics.Temporal.asofJoin(
+      fact,
+      dim.select((naturalKey +: attrs).map(col) :+
+        col("valid_from").as(eventTs): _*),
+      naturalKey, eventTs, prefix = prefix)
+
   /** `Fact_Solar` assembly (ref `dwh.docx:65-75`): station + datetime +
     * weather surrogate keys, measures power_kW / energy_kWh_10min.
     * `cleaned` is the processed solar frame (post P1-P5 / D1-D6).

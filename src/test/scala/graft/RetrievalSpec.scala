@@ -273,6 +273,39 @@ class RetrievalSpec extends SparkSpec {
     assert(merged === est(ev))
   }
 
+  test("kll merge: split sketches answer union quantiles within rank tolerance") {
+    import graft.analytics.Distribution
+    val ev = (1L to 3000L).map(i => (i, s"t${i % 3}", (i % 1000).toDouble))
+      .toDF("event_id", "event_type", "value")
+    val a = ev.filter(col("event_id") % 2 === 0)
+    val b = ev.filter(col("event_id") % 2 =!= 0)
+    val rep = Distribution.quantileMergeReport(a, b, col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getBoolean(2)).toMap
+    assert(rep.size === 9 && rep.values.forall(identity), rep.toString)
+    // keys living on only ONE side still report (null-safe full outer)
+    val oneSided = Distribution.quantileMergeReport(
+      a.filter(col("event_type") === "t0"),
+      b.filter(col("event_type") =!= "t0"), col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getBoolean(2)).toMap
+    assert(oneSided.size === 9 && oneSided.values.forall(identity), oneSided.toString)
+    // mergeability contract: the merged halves track the one-shot sketch
+    // over the whole stream — values are uniform on [0, 1000), so a 6%
+    // value gap is a generous 3× the k=200 rank-error bound
+    def sk(df: org.apache.spark.sql.DataFrame, out: String) =
+      df.groupBy(col("event_type"))
+        .agg(expr("kll_sketch_agg_double(value, 200)").as(out))
+    val m = sk(a, "sa").join(sk(b, "sb"), "event_type")
+      .select(col("event_type"), expr(
+        "kll_sketch_get_quantile_double(kll_sketch_merge_double(sa, sb), 0.5)")
+        .as("m"))
+    val o = sk(ev, "s")
+      .select(col("event_type"), expr(
+        "kll_sketch_get_quantile_double(s, 0.5)").as("o"))
+    m.join(o, "event_type").collect().foreach(r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) <= 60.0,
+        s"merged median ${r.getDouble(1)} vs one-shot ${r.getDouble(2)}"))
+  }
+
   test("cms frequency: estimates satisfy the bound; tiny key sets are exact") {
     val ev = (1L to 1000L).map(i => (i, s"type_${i % 5}"))
       .toDF("event_id", "event_type")

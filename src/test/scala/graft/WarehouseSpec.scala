@@ -34,6 +34,114 @@ class WarehouseSpec extends SparkSpec {
     assert(math.abs(total - fromStar) < 1e-6)
   }
 
+  private def t(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+
+  private lazy val scd2History = Seq(
+    (1L, t("2024-01-01"), "A"),
+    (1L, t("2024-01-02"), "A"), // unchanged — merges into the A version
+    (1L, t("2024-01-03"), "B"), // change — closes A, opens B
+    (2L, t("2024-01-01"), "X")
+  ).toDF("k", "ts", "attr")
+
+  test("SCD2 from history: unchanged runs collapse, versions are contiguous") {
+    val dim = StarSchema.scd2FromHistory(scd2History, Seq("k"), Seq("attr"), "ts")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getTimestamp(2), Option(r.getTimestamp(3)), r.getBoolean(4))).toMap
+    assert(dim.size === 3)
+    assert(dim((1L, "A")) === ((t("2024-01-01"), Some(t("2024-01-03")), false)))
+    assert(dim((1L, "B")) === ((t("2024-01-03"), None, true)))
+    assert(dim((2L, "X")) === ((t("2024-01-01"), None, true)))
+  }
+
+  test("scd2Merge: change / no-op / new key / late arrival / idempotence") {
+    val dim = StarSchema.scd2FromHistory(scd2History, Seq("k"), Seq("attr"), "ts")
+    val updates = Seq(
+      (1L, t("2024-01-04"), "C"), // change → closes B, opens C
+      (2L, t("2024-01-05"), "X"), // no-op → merges into the open X version
+      (3L, t("2024-01-02"), "Z")  // new key → one open version
+    ).toDF("k", "ts", "attr")
+    val merged = StarSchema.scd2Merge(dim, updates, Seq("k"), Seq("attr"), "ts")
+    val got = merged.collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getTimestamp(2), Option(r.getTimestamp(3)), r.getBoolean(4))).toMap
+    assert(got.size === 5)
+    assert(got((1L, "B")) === ((t("2024-01-03"), Some(t("2024-01-04")), false)))
+    assert(got((1L, "C")) === ((t("2024-01-04"), None, true)))
+    assert(got((2L, "X")) === ((t("2024-01-01"), None, true)))
+    assert(got((3L, "Z")) === ((t("2024-01-02"), None, true)))
+    // replayed batch is a fixed point — at-least-once ingestion is safe
+    val again = StarSchema.scd2Merge(merged, updates, Seq("k"), Seq("attr"), "ts")
+    assert(again.collect().toSet === merged.collect().toSet)
+    // a late-arriving change SPLICES into history instead of stacking at
+    // the end: B at noon of Jan 2 splits the A version and absorbs the
+    // pre-existing Jan 3 B row into one run
+    val late = Seq((1L, java.sql.Timestamp.valueOf("2024-01-02 12:00:00"), "B"))
+      .toDF("k", "ts", "attr")
+    val spliced = StarSchema.scd2Merge(merged, late, Seq("k"), Seq("attr"), "ts")
+      .filter(col("k") === 1L).collect()
+      .map(r => r.getString(1) -> (r.getTimestamp(2), Option(r.getTimestamp(3))))
+      .toMap
+    assert(spliced("A") ===
+      ((t("2024-01-01"), Some(java.sql.Timestamp.valueOf("2024-01-02 12:00:00")))))
+    assert(spliced("B") ===
+      ((java.sql.Timestamp.valueOf("2024-01-02 12:00:00"), Some(t("2024-01-04")))))
+  }
+
+  test("resolveScd2 attaches the version valid at each event time") {
+    val dim = StarSchema.scd2FromHistory(scd2History, Seq("k"), Seq("attr"), "ts")
+    val facts = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 05:00:00"), 10.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-02 05:00:00"), 20.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-03 05:00:00"), 30.0),
+      (1L, java.sql.Timestamp.valueOf("2023-12-31 05:00:00"), 40.0) // pre-history
+    ).toDF("k", "ts", "v")
+    val resolved = StarSchema.resolveScd2(facts, dim, "k", "ts", Seq("attr"))
+      .collect().map(r => r.getDouble(2) -> Option(r.getString(3))).toMap
+    assert(resolved === Map(10.0 -> Some("A"), 20.0 -> Some("A"),
+      30.0 -> Some("B"), 40.0 -> None))
+  }
+
+  test("compact rewrites a small-files directory into few files, rows intact") {
+    import graft.warehouse.Layout
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toFile
+    val path = new java.io.File(dir, "t").getAbsolutePath
+    // a streaming sink's worth of fragments: 40 files for ~3 MiB of data
+      val df = spark.range(120000)
+        .select(col("id"), (col("id") % 97).as("x"), (col("id") % 89).as("y"),
+          concat(lit("padpadpadpadpadpadpadpad-"), col("id")).as("payload"))
+      df.repartition(40).write.parquet(path)
+      def files() = new java.io.File(path).listFiles
+        .count(f => f.getName.endsWith(".parquet"))
+      val before = files()
+      assert(before === 40)
+      def rowHash(df: org.apache.spark.sql.DataFrame) = df
+        .agg(sum(xxhash64(col("id"), col("x"), col("y"), col("payload"))
+          .cast("decimal(38,0)"))).head().getDecimal(0)
+      val hashBefore = rowHash(spark.read.parquet(path))
+      val n = Layout.compact(spark, path, targetFileBytes = 1L << 20)
+      assert(n === files() && n < before && n >= 1)
+      val after = spark.read.parquet(path)
+      assert(after.count() === 120000)
+      assert(rowHash(after) === hashBefore)
+      // z-order rewrite: same rows, and each file's footer min/max on x
+      // is a narrow slice of the domain (the pruning the interleave buys)
+      val nz = Layout.compact(spark, path, targetFileBytes = 1L << 20,
+        zorderCols = Some((col("x"), col("y"))), zBits = 7)
+      assert(nz === files())
+      val zed = spark.read.parquet(path)
+      assert(zed.count() === 120000)
+      assert(rowHash(zed) === hashBefore)
+      if (nz > 1) {
+        val spans = spark.read.parquet(path)
+          .select(input_file_name().as("f"), col("x"))
+          .groupBy(col("f")).agg((max(col("x")) - min(col("x"))).as("span"))
+          .collect().map(_.getLong(1))
+        assert(spans.min < 96, s"z-ordered files should not all span the " +
+          s"full x domain, got ${spans.toSeq}")
+      }
+  }
+
   test("J5 Fact_Solar builds with the solar weather grain") {
     val cleaned = Pipeline.solarBatch(Sources.csvWithTimestamp(spark,
       "/root/reference/solar_farm_data_log.csv", Schemas.solarRaw))
