@@ -146,6 +146,51 @@ object Pipeline {
     else w
   }
 
+  /** Streaming face of [[graft.dedup.Dedup.incrementalNearDuplicates]]:
+    * each micro-batch probes the parquet-backed historical corpus for
+    * near-duplicate pairs it touches, appends the verified pairs to
+    * `pairsPath`, and appends itself to the corpus at `corpusPath` — the
+    * continuous-ingestion shape where candidate work per trigger is
+    * proportional to the buckets the batch touches, never to |corpus|²
+    * (old×old pairs are never generated; re-running the batch near-dup
+    * over the whole corpus every trigger would).
+    *
+    * Both sinks are partitioned by micro-batch id and written with
+    * DYNAMIC partition overwrite, so a replayed batch (foreachBatch is
+    * at-least-once on failure) overwrites its own partition instead of
+    * duplicating rows — idempotent without a transaction log. Pair
+    * emission order across batches follows arrival order: a pair is
+    * emitted by whichever side arrived LATER, so the union of all
+    * `pairsPath` partitions equals the one-shot batch near-dup over the
+    * concatenated input (spec-asserted).
+    */
+  def nearDupSink(df: DataFrame, idCol: String, textCol: String,
+      corpusPath: String, pairsPath: String, checkpoint: String,
+      threshold: Double = 0.7, maxBucket: Int = 1000): DataStreamWriter[Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val docs = batch.select(col(idCol), col(textCol))
+        val fs = new org.apache.hadoop.fs.Path(corpusPath)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val old =
+          if (fs.exists(new org.apache.hadoop.fs.Path(corpusPath)))
+            s.read.parquet(corpusPath).select(col(idCol), col(textCol))
+          else docs.limit(0)
+        val pairs = graft.dedup.Dedup.incrementalNearDuplicates(
+          old, docs, col(idCol), col(textCol), threshold, maxBucket)
+        pairs.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(pairsPath)
+        docs.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(corpusPath)
+      }
+
   /** T5/A14: watermarked sliding-window aggregation — the streaming form of
     * the dashboards' recency stats (`Wind_Genration.py:466-478`).
     */

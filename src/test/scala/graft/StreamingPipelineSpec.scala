@@ -89,6 +89,43 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupSink: micro-batched incremental pairs equal the one-shot dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndsink").toString
+    val d1 = "the quick brown fox jumps over the lazy dog"
+    val d2 = d1 // exact dup, same batch
+    val d3 = "the quick brown fox leaps over the lazy dog" // near dup, LATER batch
+    val d4 = "completely different content about spark engines"
+    val d5 = "unrelated text entirely about streaming state stores"
+    val input = MemoryStream[(Long, String)]
+    val q = Pipeline.nearDupSink(input.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/corpus", s"$dir/pairs", s"$dir/ckpt",
+      threshold = 0.5).start()
+    try {
+      input.addData((1L, d1), (2L, d2), (4L, d4))
+      q.processAllAvailable()
+      input.addData((3L, d3), (5L, d5))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$dir/pairs")
+      .select(col("doc_a"), col("doc_b"), col("jaccard")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // every pair lands exactly once, emitted by whichever side arrived
+    // later — so the union over micro-batches IS the one-shot batch result
+    val all = Seq((1L, d1), (2L, d2), (3L, d3), (4L, d4), (5L, d5))
+      .toDF("doc_id", "text")
+    val oneShot = graft.dedup.Dedup
+      .nearDuplicates(all, col("doc_id"), col("text"), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed === oneShot)
+    assert(streamed.exists { case (a, b, _) => (a, b) == ((1L, 2L)) },
+      "same-batch exact dup must pair")
+    assert(streamed.exists { case (a, b, _) => (a, b) == ((1L, 3L)) },
+      "cross-batch near dup must pair against the stored corpus")
+    // the corpus state table accumulated both micro-batches
+    assert(spark.read.parquet(s"$dir/corpus").count() === 5)
+  }
+
   test("batch content-dedup keeps the EARLIEST row per fingerprint") {
     // reversed arrival order: the later timestamp is listed first — an
     // arbitrary-winner dedup (plain dropDuplicates) could keep doc 4
