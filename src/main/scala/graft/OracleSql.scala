@@ -222,30 +222,71 @@ object OracleSql {
     * codes. One SQL for both keys: the batch plan must be
     * result-identical to the per-query plan on the same probes.
     */
-  private lazy val IvfPqSql =
-    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings),
+  /** CTEs shared by every IVF-PQ face: doubled vectors, seed centroids,
+    * coarse assignment ranks, plus [[PqChainSql]]'s subspace distances and
+    * codes. Search chains ([[ivfPqSearchCtes]]) build on these.
+    */
+  private lazy val IvfPqSharedCtes =
+    s"""v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings),
        |cent AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id % 50 = 0),
        |rnks AS (SELECT v.vec_id, c.cid,
        |  row_number() OVER (PARTITION BY v.vec_id
        |   ORDER BY ${cosineSql("v.ve", "c.cv")} DESC, c.cid) AS rn
        | FROM v CROSS JOIN cent c),
        |asg AS (SELECT vec_id, cid FROM rnks WHERE rn = 1),
-       |probes AS (SELECT vec_id AS qid, cid FROM rnks
-       | WHERE rn <= 2 AND vec_id IN (0, 1)),
-       |$PqChainSql,
-       |cand AS (SELECT p.qid AS query_id, a.vec_id AS neighbor_id
-       | FROM probes p JOIN asg a ON a.cid = p.cid
-       | WHERE a.vec_id <> p.qid),
-       |adc AS (SELECT ca.query_id, ca.neighbor_id,
+       |$PqChainSql""".stripMargin
+
+  /** The probe→candidate→ADC→rank chain at a given `nprobe`, CTE names
+    * prefixed by `p` so two search passes can share one WITH clause (the
+    * x71 recall face runs nprobe 1 and 2 side by side).
+    */
+  private def ivfPqSearchCtes(p: String, nprobe: Int): String =
+    s"""${p}probes AS (SELECT vec_id AS qid, cid FROM rnks
+       | WHERE rn <= $nprobe AND vec_id IN (0, 1)),
+       |${p}cand AS (SELECT pp.qid AS query_id, a.vec_id AS neighbor_id
+       | FROM ${p}probes pp JOIN asg a ON a.cid = pp.cid
+       | WHERE a.vec_id <> pp.qid),
+       |${p}adc AS (SELECT ca.query_id, ca.neighbor_id,
        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(qd.dist ORDER BY qd.s)), (a, b) -> a + b) AS adist
-       | FROM cand ca
+       | FROM ${p}cand ca
        | JOIN codes c2 ON c2.vec_id = ca.neighbor_id
        | JOIN d2 qd ON qd.vec_id = ca.query_id AND qd.cid = c2.code AND qd.s = c2.s
        | GROUP BY 1, 2),
-       |r AS (SELECT query_id, neighbor_id, round(adist, 6) AS adc_dist,
+       |${p}r AS (SELECT query_id, neighbor_id, round(adist, 6) AS adc_dist,
        |  CAST(row_number() OVER (PARTITION BY query_id
-       |    ORDER BY round(adist, 6) ASC, neighbor_id ASC) AS INTEGER) AS rnk FROM adc)
+       |    ORDER BY round(adist, 6) ASC, neighbor_id ASC) AS INTEGER) AS rnk FROM ${p}adc)""".stripMargin
+
+  private lazy val IvfPqSql =
+    s"""WITH $IvfPqSharedCtes,
+       |${ivfPqSearchCtes("", 2)}
        |SELECT query_id, neighbor_id, adc_dist, rnk FROM r WHERE rnk <= 5""".stripMargin
+
+  /** x71: end-to-end recall of the compressed (IVF-PQ) tier against exact
+    * brute-force cosine top-5, per nprobe — the quantization-loss gauge
+    * x09_recall provides for the uncompressed IVF tier. Both sides are
+    * deterministic, so the recall rows are exact (no tolerance needed).
+    */
+  private lazy val IvfPqRecallSql =
+    s"""WITH $IvfPqSharedCtes,
+       |${ivfPqSearchCtes("p1", 1)},
+       |${ivfPqSearchCtes("p2", 2)},
+       |brute AS (SELECT qid, nid FROM (
+       |  SELECT q.qid, v.vec_id AS nid,
+       |   row_number() OVER (PARTITION BY q.qid
+       |    ORDER BY ${cosineSql("q.qv", "v.ve")} DESC, v.vec_id) AS rnk
+       |  FROM v CROSS JOIN (SELECT vec_id AS qid, ve AS qv FROM v
+       |   WHERE vec_id IN (0, 1)) q
+       |  WHERE v.vec_id <> q.qid) WHERE rnk <= 5),
+       |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM brute),
+       |h1 AS (SELECT CAST(count(*) AS DOUBLE) AS hits FROM p1r
+       | JOIN brute ON p1r.query_id = brute.qid AND p1r.neighbor_id = brute.nid
+       | WHERE p1r.rnk <= 5),
+       |h2 AS (SELECT CAST(count(*) AS DOUBLE) AS hits FROM p2r
+       | JOIN brute ON p2r.query_id = brute.qid AND p2r.neighbor_id = brute.nid
+       | WHERE p2r.rnk <= 5)
+       |SELECT CAST(1 AS INTEGER) AS nprobe, round(h1.hits / tot.total, 6) AS recall FROM h1, tot
+       |UNION ALL
+       |SELECT CAST(2 AS INTEGER) AS nprobe, round(h2.hits / tot.total, 6) AS recall FROM h2, tot""".stripMargin
 
   /** Winnowing fingerprint chain shared by x48 (per-doc fingerprints) and
     * x49 (copy-detection pairs) — mirrors `Kernels.winnow` exactly:
@@ -1008,6 +1049,7 @@ object OracleSql {
     // codes-frame pass — same oracle: the hash match proves the batch
     // plan result-identical to the per-query plan
     "x47_ivfpq_batch" -> IvfPqSql,
+    "x71_pq_recall" -> IvfPqRecallSql,
     "x48_winnow_fingerprints" ->
       s"""WITH $WinnowSql
          |SELECT doc_id, fingerprint FROM fp""".stripMargin,

@@ -686,6 +686,30 @@ object SparkEntry {
         queryId = col("vec_id"), queryVec = col("embedding"),
         m = 8, k = 5, nprobe = 2)
     }),
+    // recall@5 of the COMPRESSED ANN tier (IVF-PQ) against exact cosine
+    // brute force, per nprobe — x09_recall gauges coarse-probe loss on the
+    // uncompressed tier; this adds the quantization loss end-to-end, the
+    // number a pipeline watches when it turns PQ on
+    "x71_pq_recall" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") % 50 === 0)
+      val qframe = emb.filter(col("vec_id").isin(0L, 1L))
+      val brute = Similarity.bruteForceKnn(emb, qframe, 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val total = brute.agg(count(lit(1)).as("total"))
+      def recallOf(np: Int): DataFrame = {
+        val hits = Similarity.ivfPqKnnBatch(emb, cents, queries = qframe,
+            queryId = col("vec_id"), queryVec = col("embedding"),
+            m = 8, k = 5, nprobe = np)
+          .select(col("query_id"), col("neighbor_id"))
+          .join(brute, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("hits"))
+        hits.crossJoin(broadcast(total)).select(lit(np).as("nprobe"),
+          round(col("hits").cast("double") / col("total").cast("double"), 6)
+            .as("recall"))
+      }
+      recallOf(1).unionByName(recallOf(2))
+    }),
     "x16_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(T(s, dir, "documents"), col("doc_id"), col("text"),
         maxHamming = 2)),

@@ -254,6 +254,28 @@ class SimilaritySpec extends SparkSpec {
       s"ADC must appear once (plus partial agg), not per query:\n$plan")
   }
 
+  test("pq recall against brute force rises from coarse to full probe") {
+    val corpus = (0L until 60L).map(i =>
+      (i, Array.tabulate(8)(d => (math.sin(i * 0.7 + d) * 2).toFloat)))
+      .toDF("vec_id", "embedding").repartition(5)
+    val cents = corpus.filter(col("vec_id") % 15 === 0)
+    val qf = corpus.filter(col("vec_id").isInCollection(Seq(0L, 7L, 23L)))
+    val brute = Similarity.bruteForceKnn(corpus, qf, 5)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(np: Int): Double = {
+      val got = Similarity.ivfPqKnnBatch(corpus, cents, qf,
+          col("vec_id"), col("embedding"), m = 4, k = 5, nprobe = np)
+        .select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(brute).size.toDouble / brute.size
+    }
+    val r1 = recall(1)
+    val r4 = recall(4) // full probe: quantization is the only loss left
+    assert(r1 > 0.0, "coarse probe must still find some true neighbors")
+    assert(r4 >= r1, s"recall must not fall as probes widen: $r1 -> $r4")
+  }
+
   test("cosineCandidates drops flooded buckets, keeps healthy ones") {
     // 12 identical vectors flood one bucket; 2 identical opposite-sign
     // vectors share another (every sign bit flips, so the buckets differ)
