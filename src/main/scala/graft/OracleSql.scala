@@ -1770,7 +1770,8 @@ object OracleSql {
     // marker-delimited segmentation: round i recounts adjacent symbol
     // pairs from v{i-1}, cuts the deterministic argmax m{i}, and applies
     // the literal "(l) (r)" -> "(lr)" replace to form v{i}
-    "x70_bpe_train" -> bpeTrainSql(8)
+    "x70_bpe_train" -> bpeTrainSql(8),
+    "x72_bpe_encode" -> bpeEncodeSql(8)
   )
 
   /** Chained-CTE replay of [[graft.text.Bpe.train]]'s merge loop (see the
@@ -1804,5 +1805,44 @@ object OracleSql {
        |v0 AS MATERIALIZED (SELECT trim(regexp_replace(term, '(.)', '(\\1) ', 'g')) AS seg, wc FROM w),
        |$rounds
        |SELECT merge_rank, lhs, rhs, pair_count FROM ($union)""".stripMargin
+  }
+
+  /** x72: tokenizer inference replayed in SQL. Same training chain as
+    * [[bpeTrainSql]] but the vocabulary rounds CARRY THE TERM, so the final
+    * round's segmentation IS each term's encoding (the exact-replay
+    * equivalence the Spark face relies on); document tokens then join that
+    * term→pieces map and re-assemble in token order.
+    */
+  private def bpeEncodeSql(numMerges: Int): String = {
+    val rounds = (1 to numMerges).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT lhs, rhs, CAST(sum(wc) AS BIGINT) AS pair_count
+         | FROM (SELECT wc,
+         |   unnest(list_transform(range(1, len(syms)), j -> syms[j][2:-2])) AS lhs,
+         |   unnest(list_transform(range(1, len(syms)), j -> syms[j+1][2:-2])) AS rhs
+         |  FROM (SELECT string_split(seg, ' ') AS syms, wc FROM v${i - 1}))
+         | GROUP BY lhs, rhs),
+         |m$i AS MATERIALIZED (SELECT lhs, rhs
+         | FROM p$i ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 1),
+         |v$i AS MATERIALIZED (SELECT term, replace(seg,
+         |   '(' || (SELECT lhs FROM m$i) || ') (' || (SELECT rhs FROM m$i) || ')',
+         |   '(' || (SELECT lhs FROM m$i) || (SELECT rhs FROM m$i) || ')') AS seg, wc
+         | FROM v${i - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (SELECT unnest($Toks) AS term FROM documents),
+       |w AS MATERIALIZED (SELECT term, CAST(count(*) AS BIGINT) AS wc FROM t GROUP BY term),
+       |v0 AS MATERIALIZED (SELECT term,
+       |  trim(regexp_replace(term, '(.)', '(\\1) ', 'g')) AS seg, wc FROM w),
+       |$rounds,
+       |enc AS (SELECT term,
+       |  list_transform(string_split(seg, ' '), s -> s[2:-2]) AS pieces
+       | FROM v$numMerges),
+       |dt AS (SELECT doc_id, unnest(toks) AS term,
+       |  CAST(unnest(range(len(toks))) AS INTEGER) AS pos
+       | FROM (SELECT doc_id, $Toks AS toks FROM documents)),
+       |agg AS (SELECT dt.doc_id, flatten(list(enc.pieces ORDER BY dt.pos)) AS allp
+       | FROM dt JOIN enc USING (term) GROUP BY dt.doc_id)
+       |SELECT d.doc_id, coalesce(array_to_string(agg.allp, ' '), '') AS encoded,
+       | CAST(coalesce(len(agg.allp), 0) AS INTEGER) AS n_pieces
+       |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin
   }
 }

@@ -550,7 +550,8 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
     }),
     "s06_partitioned_parquet" -> ((s, dir) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_s06_parquet"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_s06_parquet_" +
+        Integer.toHexString(dir.hashCode)
       Sources.writePartitionedParquet(
         T(s, dir, "events").select(col("event_id"), col("event_type"),
           col("user_id"), col("value")),
@@ -563,7 +564,8 @@ object SparkEntry {
           countDistinct(col("user_id")).as("users"))
     }),
     "s05_csv_roundtrip" -> ((s, dir) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_s05_csv"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_s05_csv_" +
+        Integer.toHexString(dir.hashCode)
       val ev = T(s, dir, "events")
         .select(col("event_id"), col("event_type"), col("value"))
       Sources.writeCsv(ev, path)
@@ -1182,7 +1184,17 @@ object SparkEntry {
     // rounds in chained CTEs over the same literal-replace encoding
     "x70_bpe_train" -> ((s, dir) =>
       graft.text.Bpe.train(T(s, dir, "documents"), col("text"),
-        numMerges = 8))
+        numMerges = 8)),
+    // tokenizer inference: the x70-trained merge table replayed over the
+    // corpus as a map-only replace chain — the 8-row model collect is the
+    // documented driver-held-model pattern (the merge table IS the model)
+    "x72_bpe_encode" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val merges = graft.text.Bpe.train(docs, col("text"), numMerges = 8)
+        .orderBy(col("merge_rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.text.Bpe.encode(docs, col("doc_id"), col("text"), merges)
+    })
   )
 
   /** Planted boilerplate spans for x69 — mirrored verbatim in the DuckDB

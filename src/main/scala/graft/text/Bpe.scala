@@ -123,4 +123,38 @@ object Bpe {
     }
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
   }
+
+  /** Apply a trained merge table to text — the tokenizer-INFERENCE face of
+    * [[train]]: each token is character-segmented and the merges replay in
+    * rank order as the same literal `"(l) (r)" → "(lr)"` replaces the
+    * training loop used, so a term's encoding is bit-identical to its
+    * final training segmentation (each training round applies exactly one
+    * merge to the vocabulary with this replace; replaying them in order on
+    * a single term performs the identical operations). Emits
+    * `(doc_id, encoded, n_pieces)` with `encoded` the space-joined symbol
+    * sequence.
+    *
+    * Scale shape: pure map-only projection — the merge table is the MODEL
+    * (driver-held, merges-sized), the replace chain compiles into the
+    * per-token lambda, and no shuffle or join touches the corpus. `2 +
+    * numMerges` expression nodes per token; for tokenizer-sized merge
+    * tables (10k+) callers should pre-encode the DISTINCT vocabulary and
+    * broadcast-join it back instead — this face is the exact-replay
+    * substrate that pattern builds on.
+    */
+  def encode(df: DataFrame, id: Column, text: Column,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "encode needs at least one merge")
+    def applyMerges(seg: Column): Column =
+      merges.foldLeft(seg) { case (c, (l, r)) =>
+        replace(c, lit(s"($l) ($r)"), lit(s"($l$r)"))
+      }
+    val pieces = flatten(transform(TextAnalysis.tokens(text), t =>
+      transform(split(applyMerges(segment(t)), " "),
+        s => s.substr(lit(2), length(s) - 2))))
+    df.select(id.as("doc_id"), pieces.as("__pieces"))
+      .select(col("doc_id"),
+        concat_ws(" ", col("__pieces")).as("encoded"),
+        size(col("__pieces")).as("n_pieces"))
+  }
 }

@@ -75,4 +75,42 @@ class BpeSpec extends SparkSpec {
     val m = trained(Seq("ab a b"), n = 5)
     assert(m === Seq((1, "a", "b", 1L)))
   }
+
+  test("encode replays the learned merges; pieces reconstruct the tokens") {
+    // abc:2 abd:1 -> merges (a,b), (ab,c), (ab,d): "abc" becomes one
+    // symbol, "abd" becomes one symbol, unseen "xbc" stays characters
+    // except no merge applies to it at all
+    val docs = Seq((1L, "abc abc abd"), (2L, "abc xbc")).toDF("doc_id", "text")
+    val merges = trained(Seq("abc abc abd"), n = 3).map(m => (m._2, m._3))
+    val got = Bpe.encode(docs, col("doc_id"), col("text"), merges)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(got(1L) === (("abc abc abd", 3)))
+    // "xbc": (a,b) doesn't apply; (ab,c)/(ab,d) need the merged "ab"
+    // symbol, so x b c stay split
+    assert(got(2L) === (("abc x b c", 4)))
+    // invariant: concatenating pieces reproduces the raw characters
+    val all = Bpe.encode(docs, col("doc_id"), col("text"), merges)
+      .select(col("doc_id"), regexp_replace(col("encoded"), " ", "").as("flat"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(all(1L) === "abcabcabd" && all(2L) === "abcxbc")
+  }
+
+  test("encode matches the final training segmentation term-for-term") {
+    // the exact-replay equivalence the x72 oracle relies on: applying the
+    // merge list to a term equals the term's end-of-training segmentation
+    val texts = Seq("lower lower lowest low low low newer newest")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val merges = trained(texts, n = 6).map(m => (m._2, m._3))
+    val enc = Bpe.encode(docs, col("doc_id"), col("text"), merges)
+      .head().getString(1)
+    // per-token encodings must concatenate to the same character stream
+    // and every multi-char symbol must be buildable from the merge list
+    val symbols = enc.split(" ").toSeq
+    val buildable = merges.foldLeft(Set[String]()) { case (s, (l, r)) =>
+      s + (l + r)
+    }
+    symbols.filter(_.length > 1).foreach(sym =>
+      assert(buildable.contains(sym), s"symbol $sym not produced by a merge"))
+  }
 }
