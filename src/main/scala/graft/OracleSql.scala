@@ -288,6 +288,36 @@ object OracleSql {
        |UNION ALL
        |SELECT CAST(2 AS INTEGER) AS nprobe, round(h2.hits / tot.total, 6) AS recall FROM h2, tot""".stripMargin
 
+  /** Shared-span chain for x69 (span extraction) and x73 (span removal):
+    * the planted-boilerplate enrichment, the naive positional-4-gram
+    * self-join, and the gaps-and-islands collapse to maximal spans ≥ 12
+    * tokens (`sp`). The naive rule needs no winnow prefilter — the Spark
+    * side's two-stage plan must drop no span to hash-match it.
+    */
+  private lazy val SharedSpanChainSql =
+    s"""d AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 40 = 0 THEN text || ' ${SparkEntry.SharedSpan1}'
+       |       WHEN doc_id % 40 = 7 THEN text || ' ${SparkEntry.SharedSpan2}'
+       |       ELSE text END AS text FROM documents),
+       |t AS (SELECT doc_id, $Toks AS toks FROM d),
+       |tf AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 4),
+       |p AS (SELECT doc_id, toks,
+       |  CAST(unnest(range(0, len(toks) - 3)) AS INTEGER) AS pos FROM tf),
+       |g AS (SELECT doc_id, pos,
+       |  array_to_string(toks[pos+1:pos+4], ' ') AS gram FROM p),
+       |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  a.pos AS apos, b.pos AS bpos
+       | FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+       |r AS (SELECT doc_a, doc_b, apos - bpos AS diag, apos,
+       |  apos - row_number() OVER (PARTITION BY doc_a, doc_b, apos - bpos
+       |    ORDER BY apos) AS island FROM m),
+       |s AS (SELECT doc_a, doc_b, diag, island, min(apos) AS a_start,
+       |  count(*) + 3 AS span_len FROM r GROUP BY 1, 2, 3, 4),
+       |sp AS (SELECT doc_a, doc_b, CAST(a_start AS BIGINT) AS a_start,
+       |  CAST(a_start - diag AS BIGINT) AS b_start,
+       |  CAST(span_len AS BIGINT) AS span_len
+       | FROM s WHERE span_len >= 12)""".stripMargin
+
   /** Winnowing fingerprint chain shared by x48 (per-doc fingerprints) and
     * x49 (copy-detection pairs) — mirrors `Kernels.winnow` exactly:
     * positional 4-gram hashes (unsigned value of the first 8 md5 hex
@@ -1744,28 +1774,32 @@ object OracleSql {
     // candidate pre-filtering + capped gram blocking — hash equality
     // proves the two-stage plan drops no span on this fixture
     "x69_shared_spans" ->
-      s"""WITH d AS (SELECT doc_id,
-         |  CASE WHEN doc_id % 40 = 0 THEN text || ' ${SparkEntry.SharedSpan1}'
-         |       WHEN doc_id % 40 = 7 THEN text || ' ${SparkEntry.SharedSpan2}'
-         |       ELSE text END AS text FROM documents),
-         |t AS (SELECT doc_id, $Toks AS toks FROM d),
-         |tf AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 4),
-         |p AS (SELECT doc_id, toks,
-         |  CAST(unnest(range(0, len(toks) - 3)) AS INTEGER) AS pos FROM tf),
-         |g AS (SELECT doc_id, pos,
-         |  array_to_string(toks[pos+1:pos+4], ' ') AS gram FROM p),
-         |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  a.pos AS apos, b.pos AS bpos
-         | FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
-         |r AS (SELECT doc_a, doc_b, apos - bpos AS diag, apos,
-         |  apos - row_number() OVER (PARTITION BY doc_a, doc_b, apos - bpos
-         |    ORDER BY apos) AS island FROM m),
-         |s AS (SELECT doc_a, doc_b, diag, island, min(apos) AS a_start,
-         |  count(*) + 3 AS span_len FROM r GROUP BY 1, 2, 3, 4)
-         |SELECT doc_a, doc_b, CAST(a_start AS BIGINT) AS a_start,
-         | CAST(a_start - diag AS BIGINT) AS b_start,
-         | CAST(span_len AS BIGINT) AS span_len
-         |FROM s WHERE span_len >= 12""".stripMargin,
+      s"""WITH $SharedSpanChainSql
+         |SELECT doc_a, doc_b, a_start, b_start, span_len FROM sp""".stripMargin,
+    // the apply step over the same span evidence: intervals explode to
+    // (doc, position) rows (DISTINCT collapses overlapping spans), an
+    // anti-join drops them from the token stream, and each doc
+    // re-assembles in position order — the higher-id copy of every span
+    // is removed, the lowest-id copy survives
+    "x73_span_removal" ->
+      s"""WITH $SharedSpanChainSql,
+         |iv AS (SELECT doc_b AS doc_id,
+         |  CAST(unnest(range(b_start, b_start + span_len)) AS INTEGER) AS pos
+         | FROM sp),
+         |dp AS (SELECT DISTINCT doc_id, pos FROM iv),
+         |tp AS (SELECT doc_id,
+         |  CAST(unnest(range(0, len(toks))) AS INTEGER) AS pos,
+         |  unnest(toks) AS tok FROM t),
+         |kept AS (SELECT tp.doc_id, tp.pos, tp.tok
+         | FROM tp ANTI JOIN dp USING (doc_id, pos)),
+         |ka AS (SELECT doc_id,
+         |  array_to_string(list(tok ORDER BY pos), ' ') AS text_clean
+         | FROM kept GROUP BY doc_id),
+         |rm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+         | FROM dp GROUP BY doc_id)
+         |SELECT t.doc_id, coalesce(ka.text_clean, '') AS text_clean,
+         | coalesce(rm.n_removed, 0) AS n_removed
+         |FROM t LEFT JOIN ka USING (doc_id) LEFT JOIN rm USING (doc_id)""".stripMargin,
     // chained-CTE replay of the 8-round BPE training loop over the same
     // marker-delimited segmentation: round i recounts adjacent symbol
     // pairs from v{i-1}, cuts the deterministic argmax m{i}, and applies

@@ -1179,6 +1179,22 @@ object SparkEntry {
       Dedup.sharedSpans(enriched, col("doc_id"), col("text"),
         minSpanTokens = 12)
     }),
+    // the APPLY step of the substring tier: every span x69 finds is
+    // removed from its higher-id copy (one surviving copy per duplicated
+    // span, the Lee et al. rule), re-emitting the whole corpus with
+    // token-level surgery done
+    "x73_span_removal" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val enriched = docs.select(col("doc_id"),
+        when(col("doc_id") % 40 === 0,
+            concat(col("text"), lit(" " + SharedSpan1)))
+          .when(col("doc_id") % 40 === 7,
+            concat(col("text"), lit(" " + SharedSpan2)))
+          .otherwise(col("text")).as("text"))
+      val spans = Dedup.sharedSpans(enriched, col("doc_id"), col("text"),
+        minSpanTokens = 12)
+      Dedup.removeSpans(enriched, col("doc_id"), col("text"), spans)
+    }),
     // full BPE training loop: one corpus pass, then 8 vocabulary-sized
     // recount->argmax->re-segment rounds; the oracle replays the same 8
     // rounds in chained CTEs over the same literal-replace encoding

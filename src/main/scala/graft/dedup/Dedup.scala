@@ -468,6 +468,48 @@ object Dedup {
         col("span_len"))
   }
 
+  /** Apply substring-level dedup: rewrite each document with the token
+    * spans [[sharedSpans]] attributed to it as the HIGHER-id pair member
+    * removed — every duplicated span keeps exactly its lowest-id copy
+    * (the Lee et al. one-copy rule, the greedy-survivor convention of
+    * [[greedySurvivors]] at span granularity). Emits every input doc as
+    * `(doc_id, text_clean, n_removed)` with `text_clean` the surviving
+    * tokens space-joined (token-normalized, like every text operator
+    * here) and `n_removed` the count of removed token positions.
+    *
+    * Overlapping spans need no interval merging: intervals explode to
+    * (doc, position) rows and a `distinct` collapses overlaps before the
+    * anti-join, so nested/staggered span evidence cannot double-remove.
+    * Scale shape: the drop set is bounded by total span tokens (span
+    * evidence, not corpus size); the anti-join is ONE keyed shuffle of
+    * the token stream — the x34 line-dedup class — and the per-doc
+    * reassembly window is bounded by document length.
+    */
+  def removeSpans(docs: DataFrame, id: Column, text: Column,
+      spans: DataFrame): DataFrame = {
+    val toks = docs.select(id.cast("long").as("doc_id"),
+      TextAnalysis.tokens(text).as("__toks"))
+    val pos = toks.select(col("doc_id"),
+      posexplode(col("__toks")).as(Seq("pos", "tok")))
+    val drop = spans.select(col("doc_b").cast("long").as("doc_id"),
+        explode(sequence(col("b_start").cast("int"),
+          (col("b_start") + col("span_len") - 1).cast("int"))).as("pos"))
+      .distinct()
+    val kept = pos.join(drop, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("text_clean"))
+    val removed = drop.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_removed"))
+    toks.select(col("doc_id"))
+      .join(kept, Seq("doc_id"), "left")
+      .join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
   /** Embedding-cosine near-duplicate detection over candidate pairs.
     * `pairs` must carry `vec_a`/`vec_b` array columns; emits cosine + flag.
     * For corpus-scale use, generate pairs via LSH bucketing

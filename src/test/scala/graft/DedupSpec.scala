@@ -326,4 +326,54 @@ class DedupSpec extends SparkSpec {
       minSpanTokens = 12)
     assert(out.count() === 0L)
   }
+
+  test("removeSpans cuts the higher-id copy only, keeps the lowest") {
+    val corpus = Seq(
+      (1L, s"aaa bbb ccc $span12 ddd eee"),
+      (2L, s"xxx $span12 yyy zzz www qqq"),
+      (3L, "totally unrelated filler words here only")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.sharedSpans(corpus, col("doc_id"), col("text"), 12)
+    val got = Dedup.removeSpans(corpus, col("doc_id"), col("text"), spans)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got(1L) === ((s"aaa bbb ccc $span12 ddd eee", 0L)),
+      "the lowest-id copy keeps its span")
+    assert(got(2L) === (("xxx yyy zzz www qqq", 12L)),
+      "the higher-id copy loses exactly the 12 span tokens")
+    assert(got(3L) === (("totally unrelated filler words here only", 0L)))
+  }
+
+  test("removeSpans collapses overlapping span evidence before cutting") {
+    // doc 3 shares the same region with docs 1 AND 2 at staggered offsets
+    // (a 13-token overlap with doc 1, a 12-token suffix with doc 2): the
+    // two intervals overlap inside doc 3 and must not double-remove
+    val span13 = span12 + " thirteen"
+    val corpus = Seq(
+      (1L, s"$span13 aaa bbb"),
+      (2L, s"${span12.split(" ").drop(1).mkString(" ")} thirteen pad0 pad1 " +
+        "pad2 pad3 pad4 pad5 pad6 pad7 pad8 pad9 padA"),
+      (3L, s"hhh $span13 ggg")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.sharedSpans(corpus, col("doc_id"), col("text"), 12)
+      .filter(col("doc_b") === 3L)
+    val dropTotal = spans.collect().map(_.getLong(4)).sum
+    val got = Dedup.removeSpans(corpus, col("doc_id"), col("text"), spans)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // evidence totals >= 13 interval slots but only 13 DISTINCT positions
+    assert(dropTotal >= 13L)
+    assert(got(3L) === (("hhh ggg", 13L)),
+      "overlapping intervals collapse to distinct positions before the cut")
+  }
+
+  test("removeSpans on a fully-duplicated doc leaves an empty survivor row") {
+    val corpus = Seq(
+      (1L, span12),
+      (2L, span12)
+    ).toDF("doc_id", "text")
+    val spans = Dedup.sharedSpans(corpus, col("doc_id"), col("text"), 12)
+    val got = Dedup.removeSpans(corpus, col("doc_id"), col("text"), spans)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got(1L) === ((span12, 0L)))
+    assert(got(2L) === (("", 12L)), "a fully-removed doc still emits its row")
+  }
 }

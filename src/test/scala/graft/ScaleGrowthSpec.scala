@@ -90,6 +90,19 @@ class ScaleGrowthSpec extends SparkSpec {
     assert(g < 25.0, s"near-dup shuffle grew ${g}x for 10x input ($small -> $large)")
   }
 
+  test("shared-span extraction shuffle bytes grow ~linearly from 1x to 10x docs") {
+    // the substring-dedup pair path: winnow prefilter + positional-gram
+    // join, both behind capBuckets — an uncapped ubiquitous gram would
+    // send this quadratic
+    def spans(n: Int) =
+      Dedup.sharedSpans(docs(n), col("doc_id"), col("text"), minSpanTokens = 8)
+    val small = shuffleBytes(run(spans(500)))
+    val large = shuffleBytes(run(spans(5000)))
+    val g = growth(small, large)
+    assert(small > 0, "listener captured no shuffle writes")
+    assert(g < 25.0, s"shared-span shuffle grew ${g}x for 10x input ($small -> $large)")
+  }
+
   test("as-of join shuffle bytes grow ~linearly from 1x to 10x events") {
     def asof(n: Int): DataFrame = {
       val ev = events(n, keys = 50)
