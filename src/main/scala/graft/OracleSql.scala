@@ -571,6 +571,29 @@ object OracleSql {
     // within 5% of exact for EVERY key, or the hash match breaks
     "a21_hll_merge" ->
       "SELECT event_type, TRUE AS within_5pct FROM events GROUP BY event_type",
+    // CUSUM closed form: running sum of drift increments minus the
+    // clamped running min — centi-unit quantization keeps every
+    // statistic integer-valued, so the hash compare is exact
+    "a25_cusum_drift" ->
+      """WITH q0 AS (SELECT user_id, ts, event_id,
+        |  round(value * 100) AS vq FROM events),
+        |s AS (SELECT user_id, ts, event_id, vq,
+        |  sum(vq - 6000.0) OVER w AS sh,
+        |  sum(4000.0 - vq) OVER w AS sl
+        | FROM q0
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (SELECT user_id, ts, event_id, vq,
+        |  sh - least(min(sh) OVER w, 0) AS hi,
+        |  sl - least(min(sl) OVER w, 0) AS lo
+        | FROM s
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s,
+        | event_id, CAST(vq AS BIGINT) AS value_centi,
+        | CAST(hi AS BIGINT) AS cusum_hi, CAST(lo AS BIGINT) AS cusum_lo,
+        | (hi > 20000.0 OR lo > 20000.0) AS drift
+        |FROM m""".stripMargin,
     "a24_quantile_merge" ->
       """SELECT event_type, q, TRUE AS within_tol
         |FROM (SELECT DISTINCT event_type FROM events)

@@ -12,7 +12,7 @@ import graft.multimodal.{MediaHeaders, Multimodal}
 import graft.normalize.ColumnDetect
 import graft.physics.Power
 import graft.similarity.Similarity
-import graft.streaming.Ewma
+import graft.streaming.{Cusum, Ewma}
 import graft.text.TextAnalysis
 import graft.warehouse.StarSchema
 
@@ -332,6 +332,20 @@ object SparkEntry {
       Distribution.quantileMergeReport(ev.filter(col("event_id") % 2 === 0),
         ev.filter(col("event_id") % 2 =!= 0), col("event_type"), col("value"))
     }),
+    // two-sided CUSUM drift per user over the event stream; value
+    // quantized to centi-units so every running statistic is an
+    // integer-valued double — EXACT in any summation order (the x62
+    // fixed-point discipline), hence bit-stable against the oracle
+    "a25_cusum_drift" -> ((s, dir) =>
+      Cusum.batch(
+          T(s, dir, "events").select(col("user_id"), col("ts"),
+            col("event_id"), round(col("value") * 100, 0).as("vq")),
+          col("user_id"), Seq(col("ts"), col("event_id")), col("vq"),
+          target = 5000.0, slack = 1000.0, threshold = 20000.0)
+        .select(col("user_id"), unix_timestamp(col("ts")).as("ts_s"),
+          col("event_id"), col("vq").cast("long").as("value_centi"),
+          col("cusum_hi").cast("long").as("cusum_hi"),
+          col("cusum_lo").cast("long").as("cusum_lo"), col("drift"))),
     "a08_describe" -> ((s, dir) =>
       Aggregates.describe(T(s, dir, "events"), col("event_type"), col("value"),
         valueScale = 2)),
