@@ -571,6 +571,15 @@ object OracleSql {
     // within 5% of exact for EVERY key, or the hash match breaks
     "a21_hll_merge" ->
       "SELECT event_type, TRUE AS within_5pct FROM events GROUP BY event_type",
+    "a26_sensor_gaps" ->
+      """WITH o AS (SELECT user_id, ts,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        | FROM events)
+        |SELECT user_id, epoch_us(prev) AS gap_start_us,
+        | epoch_us(ts) AS gap_end_us,
+        | (epoch_us(ts) - epoch_us(prev)) // 1000000 AS gap_secs
+        |FROM o WHERE prev IS NOT NULL
+        | AND epoch_us(ts) - epoch_us(prev) > CAST(21600000000 AS BIGINT)""".stripMargin,
     // CUSUM closed form: running sum of drift increments minus the
     // clamped running min — centi-unit quantization keeps every
     // statistic integer-valued, so the hash compare is exact

@@ -332,6 +332,14 @@ object SparkEntry {
       Distribution.quantileMergeReport(ev.filter(col("event_id") % 2 === 0),
         ev.filter(col("event_id") % 2 =!= 0), col("event_type"), col("value"))
     }),
+    // interior silences > 6 h per user — the downtime complement of
+    // a18's sessionization; micros-precision bounds, gap-sized output
+    "a26_sensor_gaps" -> ((s, dir) =>
+      Temporal.gaps(T(s, dir, "events"), "user_id", "ts",
+          minGapSeconds = 21600, order = Seq("event_id"))
+        .select(col("user_id"),
+          unix_micros(col("gap_start")).as("gap_start_us"),
+          unix_micros(col("gap_end")).as("gap_end_us"), col("gap_secs"))),
     // two-sided CUSUM drift per user over the event stream; value
     // quantized to centi-units so every running statistic is an
     // integer-valued double — EXACT in any summation order (the x62

@@ -209,4 +209,37 @@ object Temporal {
         ((t - pt).cast("double") / (nt - pt).cast("double")))
     both.select(col(key), col(time), round(interp, 6).as("value"))
   }
+
+  /** Sensor-downtime report: for each key, every silence between two
+    * consecutive observations longer than `minGapSeconds` — the health
+    * screen behind "station X sent nothing for 6 hours" alerts, and the
+    * crawl-side screen for source feeds that stalled mid-ingest. The
+    * complement of [[graft.analytics.Sessions.sessionize]]: sessions keep
+    * the rows BETWEEN gaps, this reports the gaps themselves.
+    *
+    * Emits `(key, gap_start, gap_end, gap_secs)` — `gap_start` the last
+    * observation before the silence, `gap_end` the first after it.
+    * Whole-second timestamps compare in `unix_micros`, so sub-second
+    * spacing is honored (strictly-greater-than the threshold).
+    *
+    * Scale shape: ONE shuffle on `key`, one lag window, then a narrow
+    * filter — output is gap-sized, never observation-sized. Pass `order`
+    * columns breaking exact-timestamp ties (the [[Sessions.sessionize]]
+    * determinism contract); a hot key serializes in one task.
+    */
+  def gaps(df: DataFrame, key: String, time: String, minGapSeconds: Long,
+      order: Seq[String] = Nil): DataFrame = {
+    require(minGapSeconds > 0, s"minGapSeconds must be > 0, got $minGapSeconds")
+    val sort = (col(time) +: order.map(col)).map(_.asc)
+    val w = Window.partitionBy(col(key)).orderBy(sort: _*)
+    df.select(col(key) +: col(time) +: order.map(col): _*)
+      .withColumn("__prev", lag(col(time), 1).over(w))
+      .filter(col("__prev").isNotNull &&
+        unix_micros(col(time)) - unix_micros(col("__prev")) >
+          minGapSeconds * 1000000L)
+      .select(col(key), col("__prev").as("gap_start"),
+        col(time).as("gap_end"),
+        ((unix_micros(col(time)) - unix_micros(col("__prev"))) / 1000000L)
+          .cast("long").as("gap_secs"))
+  }
 }

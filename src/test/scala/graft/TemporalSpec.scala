@@ -180,4 +180,25 @@ class TemporalSpec extends SparkSpec {
       ("A", "2025-01-01 00:00:20.0", 40.0),  // exact end
       ("B", "2025-01-01 05:00:00.0", 7.5)))  // singleton: both brackets same
   }
+
+  test("gaps reports interior silences over the threshold, micros-exact") {
+    val obs = Seq(
+      ("A", ts("2025-01-01 10:00:00")),
+      ("A", ts("2025-01-01 10:00:30")),   // 30 s gap: below threshold
+      ("A", ts("2025-01-01 11:00:30")),   // 3600 s gap: reported
+      ("A", Timestamp.valueOf("2025-01-01 11:01:30.5")), // 60.5 s: reported
+      ("B", ts("2025-01-01 10:00:00")),   // singleton key: no interior gap
+      ("C", ts("2025-01-01 10:00:00")),
+      ("C", ts("2025-01-01 10:01:00")))   // exactly 60 s: NOT > threshold
+      .toDF("k", "t").repartition(3)
+    val out = Temporal.gaps(obs, "k", "t", minGapSeconds = 60)
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq === Seq(
+      ("A", "2025-01-01 10:00:30.0", "2025-01-01 11:00:30.0", 3600L),
+      ("A", "2025-01-01 11:00:30.0", "2025-01-01 11:01:30.5", 60L)),
+      "strictly-greater threshold, sub-second spacing honored, truncated secs")
+  }
 }
