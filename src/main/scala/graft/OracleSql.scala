@@ -571,6 +571,19 @@ object OracleSql {
     // within 5% of exact for EVERY key, or the hash match breaks
     "a21_hll_merge" ->
       "SELECT event_type, TRUE AS within_5pct FROM events GROUP BY event_type",
+    // the naive ntile rule stated directly: global row_number in
+    // (value ASC, tie, id) order, bin = floor((rnk-1)*bins/n)
+    "a27_equidepth_hist" ->
+      s"""WITH q AS (SELECT event_id, value AS v,
+         |  ${hashKeySql("event_id", "eqdepth")} AS tie FROM events),
+         |r AS (SELECT v, CAST(row_number() OVER (
+         |  ORDER BY (0 - v) DESC, tie ASC, event_id ASC) AS BIGINT) AS rnk,
+         |  count(*) OVER () AS n FROM q),
+         |b AS (SELECT v,
+         |  least(CAST(floor((rnk - 1) * 16.0 / n) AS BIGINT),
+         |    CAST(15 AS BIGINT)) AS bin FROM r)
+         |SELECT bin, count(*) AS cnt, min(v) AS lo, max(v) AS hi
+         |FROM b GROUP BY bin""".stripMargin,
     "a26_sensor_gaps" ->
       """WITH o AS (SELECT user_id, ts,
         |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev

@@ -332,6 +332,11 @@ object SparkEntry {
       Distribution.quantileMergeReport(ev.filter(col("event_id") % 2 === 0),
         ev.filter(col("event_id") % 2 =!= 0), col("event_type"), col("value"))
     }),
+    // 16 equal-population value bins via the exact distributed rank —
+    // the quantile-binned histogram a fixed-width a09 can't give on skew
+    "a27_equidepth_hist" -> ((s, dir) =>
+      Distribution.equiDepthHistogram(T(s, dir, "events"), col("event_id"),
+        col("value"), bins = 16)),
     // interior silences > 6 h per user — the downtime complement of
     // a18's sessionization; micros-precision bounds, gap-sized output
     "a26_sensor_gaps" -> ((s, dir) =>

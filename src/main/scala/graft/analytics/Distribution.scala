@@ -21,6 +21,41 @@ object Distribution {
       .withColumn("bucket_lo", col("bucket") * width)
   }
 
+  /** Equi-DEPTH histogram: `bins` buckets of (near-)equal row count in
+    * ascending value order — the quantile-binned view a fixed-width
+    * [[histogram]] cannot give on a skewed distribution (one hot bucket,
+    * everything else empty). Bucket populations differ by at most one row.
+    *
+    * The naive form is `ntile(bins)` over an unpartitioned window — a
+    * single-reducer global sort. Here the bin is a pure function of the
+    * EXACT distributed rank from
+    * [[graft.sampling.BudgetSelect.percentileRanks]] (the x40 two-level
+    * bucket/hash-cell decomposition — no reducer ever holds more than one
+    * cell): `bin = floor((rnk−1)·bins/n)`, ranked ascending by value with
+    * the salted-hash tie split, so boundary ties land deterministically.
+    *
+    * Emits `(bin, cnt, lo, hi)`, 0-based ascending bins — bin edges and
+    * populations in one result, exact at any scale.
+    */
+  def equiDepthHistogram(df: DataFrame, id: Column, value: Column,
+      bins: Int, numBuckets: Int = 1024, subBuckets: Int = 32,
+      salt: String = "eqdepth"): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val base = df.select(id.as("__id"), value.cast("double").as("__v"))
+    // score = −value: rank 1 = smallest value, so bins ascend in value
+    val ranked = graft.sampling.BudgetSelect.percentileRanks(
+      base, col("__id"), -col("__v"), numBuckets, subBuckets, salt)
+    val n = base.count()
+    // (rnk−1)·bins stays integer-exact in a double below 2^53; an exact
+    // multiple of n divides to an exact integer, so floor is boundary-safe
+    val bin = least(floor((col("rnk") - 1) * lit(bins.toLong) / lit(n.toDouble)),
+      lit((bins - 1).toLong)).cast("long")
+    ranked.select(bin.as("bin"), (-col("score")).as("__v"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("cnt"), min(col("__v")).as("lo"),
+        max(col("__v")).as("hi"))
+  }
+
   /** A6: counts per category (ref `value_counts()`, `Wind_Dashboard.py:361`). */
   def countPerCategory(df: DataFrame, key: Column): DataFrame =
     df.groupBy(key).agg(count(lit(1)).as("cnt"))

@@ -118,4 +118,22 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(latest === Map("S1" -> 3, "S2" -> 2))
   }
+
+  test("equi-depth histogram: near-equal populations, ordered disjoint edges") {
+    // 103 rows over a heavily skewed distribution (99 small + 4 huge):
+    // fixed-width binning would put 99 rows in one bucket; equi-depth
+    // must spread them 26/26/26/25 (populations differ by at most 1)
+    val df = ((1 to 99).map(i => (i.toLong, i / 100.0)) ++
+      Seq((100L, 1e6), (101L, 2e6), (102L, 3e6), (103L, 4e6)))
+      .toDF("id", "v").repartition(5)
+    val out = Distribution.equiDepthHistogram(df, col("id"), col("v"), bins = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(out.map(_._2).toSeq === Seq(26L, 26L, 26L, 25L))
+    // bins ascend in value and never overlap
+    assert(out.forall(b => b._3 <= b._4))
+    assert(out.sliding(2).forall { case Array(a, b) => a._4 < b._3 })
+    assert(out.last._4 === 4e6 && out.head._3 === 0.01)
+  }
 }
