@@ -1244,6 +1244,14 @@ object OracleSql {
          |dropped AS (SELECT u FROM (SELECT u, min(r) AS mr FROM reach GROUP BY u)
          | WHERE u <> mr)
          |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT u FROM dropped)""".stripMargin,
+    "a28_seasonal_outliers" ->
+      """WITH stats AS (SELECT event_type, hour(ts) AS hr,
+        |  avg(value) AS mu, stddev_samp(value) AS sd
+        | FROM events GROUP BY 1, 2)
+        |SELECT e.event_id, e.event_type, CAST(hour(e.ts) AS INTEGER) AS hr
+        |FROM events e
+        |JOIN stats s ON e.event_type = s.event_type AND hour(e.ts) = s.hr
+        |WHERE s.sd > 0 AND abs((e.value - s.mu) / s.sd) > 3.0""".stripMargin,
     "a17_zscore_outliers" ->
       """WITH stats AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
         | FROM events GROUP BY event_type)

@@ -965,6 +965,13 @@ object SparkEntry {
       graft.text.Boilerplate.dropBoilerplateLines(withBp,
         col("doc_id"), col("text"), maxDocs = 5)
     }),
+    // a17 against the (type × hour-of-day) profile: catches readings
+    // normal for the day but anomalous for their hour
+    "a28_seasonal_outliers" -> ((s, dir) =>
+      graft.analytics.Alerts.seasonalOutliers(T(s, dir, "events"),
+          col("event_type"), hour(col("ts")), col("value"), 3.0)
+        .select(col("event_id"), col("event_type"),
+          hour(col("ts")).as("hr"))),
     "a17_zscore_outliers" -> ((s, dir) =>
       graft.analytics.Alerts.zscoreOutliers(T(s, dir, "events"),
           col("event_type"), col("value"), 3.0)

@@ -46,6 +46,29 @@ object Alerts {
       .drop("__g", "__mu", "__sd")
   }
 
+  /** SEASONAL-baseline outliers: z-score against the (group × hour-of-day)
+    * profile instead of the flat group mean — a reading that is normal at
+    * noon can be a fault at 3 am, and [[zscoreOutliers]]'s all-day baseline
+    * cannot see it (solar output being the canonical case: the daily cycle
+    * IS the signal). The profile key is derived, so any seasonality column
+    * works (hour, day-of-week) by passing a different `season` expression.
+    *
+    * Shape: one grouped aggregate to |groups × seasons| rows (bounded:
+    * ≤ 24·|groups| for hourly), broadcast back, narrow filter — rows never
+    * shuffle, the [[zscoreOutliers]] discipline. Zero-variance and
+    * singleton cells emit nothing.
+    */
+  def seasonalOutliers(df: DataFrame, group: Column, season: Column,
+      value: Column, threshold: Double): DataFrame = {
+    require(threshold > 0, "threshold must be positive")
+    val stats = df.groupBy(group.as("__g"), season.as("__s"))
+      .agg(avg(value).as("__mu"), stddev(value).as("__sd"))
+    df.join(broadcast(stats), group === col("__g") && season === col("__s"))
+      .filter(col("__sd") > 0.0 &&
+        abs((value - col("__mu")) / col("__sd")) > threshold)
+      .drop("__g", "__s", "__mu", "__sd")
+  }
+
   /** Per-group ROBUST (median/MAD) outliers: rows whose `value` sits more
     * than `threshold` scaled median-absolute-deviations from the group
     * median — the screen [[zscoreOutliers]] cannot be: a cluster of

@@ -136,4 +136,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.sliding(2).forall { case Array(a, b) => a._4 < b._3 })
     assert(out.last._4 === 4e6 && out.head._3 === 0.01)
   }
+
+  test("seasonal outliers catch the in-band-for-the-day, wrong-for-the-hour reading") {
+    // night readings ~0, day readings ~100; a 60 at night is far outside
+    // its hour cell but inside the all-day spread — the flat z-score
+    // (a17 semantics) must miss it, the seasonal profile must catch it
+    val night = (1 to 20).map(i => (i.toLong, 0, 0.0 + (i % 3) * 0.5))
+    val day = (21 to 40).map(i => (i.toLong, 12, 100.0 + (i % 3) * 0.5))
+    val df = (night ++ day :+ ((41L, 0, 60.0)))
+      .toDF("id", "hr", "v").repartition(4)
+    val seasonal = graft.analytics.Alerts.seasonalOutliers(
+        df, lit("x"), col("hr"), col("v"), 3.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(seasonal === Set(41L))
+    val flat = graft.analytics.Alerts.zscoreOutliers(
+        df, lit("x"), col("v"), 3.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(!flat.contains(41L), "flat baseline misses the seasonal fault")
+  }
 }
