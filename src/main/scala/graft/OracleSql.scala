@@ -1438,6 +1438,26 @@ object OracleSql {
          |FROM b JOIN bf USING (prev, cur) JOIN hf USING (prev)
          | JOIN uf ON b.cur = uf.term CROSS JOIN tot
          |GROUP BY doc_id""".stripMargin,
+    // interpolated Kneser-Ney: max(bc-d,0)/hc + (d*n1p/hc)*(n1c/types);
+    // every aggregate derives from the bigram pair counts, as in Spark
+    "x74_kn_surprise" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |b AS (SELECT doc_id, unnest(toks[1:len(toks) - 1]) AS prev,
+         |  unnest(toks[2:len(toks)]) AS cur FROM t WHERE len(toks) >= 2),
+         |bf AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS bc FROM b GROUP BY 1, 2),
+         |hf AS (SELECT prev, CAST(sum(bc) AS BIGINT) AS hc,
+         |  CAST(count(*) AS BIGINT) AS n1p FROM bf GROUP BY 1),
+         |cf AS (SELECT cur, CAST(count(*) AS BIGINT) AS n1c FROM bf GROUP BY 1),
+         |ty AS (SELECT CAST(count(*) AS BIGINT) AS bt FROM bf)
+         |SELECT doc_id,
+         | round(avg(-ln((greatest(CAST(bc AS DOUBLE) - 0.75, 0.0)
+         |   + 0.75 * CAST(n1p AS DOUBLE)
+         |     * (CAST(n1c AS DOUBLE) / CAST(bt AS DOUBLE)))
+         |   / CAST(hc AS DOUBLE))), 6) AS kn_surprise,
+         | CAST(count(*) AS BIGINT) AS n_bigrams
+         |FROM b JOIN bf USING (prev, cur) JOIN hf USING (prev)
+         | JOIN cf USING (cur) CROSS JOIN ty
+         |GROUP BY doc_id""".stripMargin,
     // Parallel unnests zip in DuckDB, giving (line, idx); string_agg with
     // ORDER BY idx mirrors Spark's array_sort-by-position reassembly.
     "x34_line_dedup" ->

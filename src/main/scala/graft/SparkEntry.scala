@@ -935,6 +935,12 @@ object SparkEntry {
     "x52_bigram_surprise" -> ((s, dir) =>
       graft.text.TfIdf.bigramSurprise(T(s, dir, "documents"),
         col("doc_id"), col("text"))),
+    // x52 with Kneser-Ney smoothing: the back-off mass goes to the
+    // continuation probability (distinct-context counts), not raw
+    // unigram frequency
+    "x74_kn_surprise" -> ((s, dir) =>
+      graft.text.TfIdf.kneserNeySurprise(T(s, dir, "documents"),
+        col("doc_id"), col("text"))),
     // top collocations by pointwise mutual information — the
     // corpus-analysis face of the bigram tier
     "x54_pmi_collocations" -> ((s, dir) =>

@@ -138,6 +138,56 @@ object TfIdf {
         count(lit(1)).as("n_bigrams"))
   }
 
+  /** Interpolated Kneser–Ney bigram surprise — the smoothing KenLM
+    * actually ships, one rung above [[bigramSurprise]]'s linear
+    * interpolation: instead of backing off to RAW unigram frequency, the
+    * lower-order weight goes to the CONTINUATION probability
+    * `p_cont(w) = |{v : c(v,w) > 0}| / |bigram types|` — how many distinct
+    * contexts a word follows, not how often it occurs. The classic
+    * motivation: "francisco" is frequent but follows almost nothing except
+    * "san", so raw-frequency back-off badly overestimates it in fresh
+    * contexts while KN does not.
+    *
+    * {{{
+    *   p_kn(w|v) = max(c(v,w) − d, 0)/c(v·) + d·N1+(v,·)/c(v·) · p_cont(w)
+    * }}}
+    *
+    * Self-scored against the corpus's own counts, so every scored bigram
+    * has c(v,w) ≥ 1 and the probability is always finite — no unseen-mass
+    * edge case in this face. Per doc: mean −log p over its bigrams.
+    *
+    * Scale shape: the [[bigramSurprise]] discipline exactly — ONE
+    * checkpointed pair-count frame; histories, continuation counts, and
+    * the type total all derive from it by vocabulary-sized aggregates
+    * (the corpus explode runs once); the scoring joins ride the keys the
+    * bigram stream already shuffles on, and the type total is one
+    * broadcast scalar.
+    */
+  def kneserNeySurprise(df: DataFrame, id: Column, text: Column,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0,1), got $discount")
+    val big = bigramStream(df, id, text)
+    val bfAll = big.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("__bc"))
+      .localCheckpoint(true)
+    val hist = bfAll.groupBy(col("prev"))
+      .agg(sum(col("__bc")).as("__hc"), count(lit(1)).as("__n1p"))
+    val cont = bfAll.groupBy(col("cur")).agg(count(lit(1)).as("__n1c"))
+    val types = bfAll.agg(count(lit(1)).as("__bt"))
+    val p = (greatest(col("__bc").cast("double") - lit(discount), lit(0.0)) +
+        lit(discount) * col("__n1p").cast("double") *
+          (col("__n1c").cast("double") / col("__bt").cast("double"))) /
+      col("__hc").cast("double")
+    big.join(bfAll, Seq("prev", "cur"))
+      .join(hist, Seq("prev"))
+      .join(cont, Seq("cur"))
+      .crossJoin(broadcast(types))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(-log(p)), 6).as("kn_surprise"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
   /** Pointwise-mutual-information collocations: the `topK` adjacent token
     * pairs (with at least `minCount` occurrences) whose co-occurrence most
     * exceeds chance — `pmi = ln(p(prev,cur) / (p(prev)·p(cur)))`. The

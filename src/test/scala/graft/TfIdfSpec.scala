@@ -105,6 +105,39 @@ class TfIdfSpec extends SparkSpec {
     assert(out.keys.forall { case (c, p) => !(p == "the" && out((c, p))._2 > ny._2) })
   }
 
+  test("kneserNeySurprise matches the closed form; context mass sums to 1") {
+    // bigrams: (a,b)x2, (c,b), (a,d) -> bf {ab:2, cb:1, ad:1}
+    // hist a: hc=3 n1p=2; c: hc=1 n1p=1 | cont b: 2, d: 1 | types = 3
+    // p(b|a) = 1.25/3 + 0.75*(2/3)*(2/3) = 0.75
+    // p(b|c) = 0.25   + 0.75*1*(2/3)    = 0.75
+    // p(d|a) = 0.25/3 + 0.75*(2/3)*(1/3) = 0.25  (so p(.|a) sums to 1)
+    val corpus = Seq((1L, "a b"), (2L, "a b"), (3L, "c b"), (4L, "a d"))
+      .toDF("doc_id", "text")
+    val out = TfIdf.kneserNeySurprise(corpus, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(out(1L) === ((math.rint(-math.log(0.75) * 1e6) / 1e6, 1L)))
+    assert(out(3L) === out(1L), "same probability, different context route")
+    assert(out(4L) === ((math.rint(-math.log(0.25) * 1e6) / 1e6, 1L)))
+  }
+
+  test("kneserNey beats raw-frequency back-off on the san-francisco case") {
+    // "f" is frequent (follows only "s"); "q" is rarer but follows many
+    // contexts. In a FRESH context, KN must prefer q over f, while x52's
+    // raw-frequency interpolation prefers f.
+    val corpus = (1 to 8).map(i => (i.toLong, "s f")) ++
+      Seq((9L, "a q"), (10L, "b q"), (11L, "c q"), (12L, "d q"),
+        (13L, "e q"), (14L, "x f"), (15L, "x q"))
+    val df = corpus.toDF("doc_id", "text")
+    val kn = TfIdf.kneserNeySurprise(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val raw = TfIdf.bigramSurprise(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // docs 14/15 share the fresh context "x": KN scores (x,q) as LESS
+    // surprising than (x,f); raw-frequency interpolation says the opposite
+    assert(kn(15L) < kn(14L), s"KN: q should beat f in a fresh context ($kn)")
+    assert(raw(14L) < raw(15L), s"raw back-off prefers the frequent f ($raw)")
+  }
+
   test("vocabStats plans TakeOrderedAndProject, not a global sort") {
     val plan = TfIdf.vocabStats(docs, col("doc_id"), col("text"), topK = 2)
       .queryExecution.executedPlan.toString
