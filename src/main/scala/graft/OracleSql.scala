@@ -571,6 +571,13 @@ object OracleSql {
     // within 5% of exact for EVERY key, or the hash match breaks
     "a21_hll_merge" ->
       "SELECT event_type, TRUE AS within_5pct FROM events GROUP BY event_type",
+    // the one-shot rule the three-way partial merge must reproduce
+    "a29_rollup_merge" ->
+      """SELECT event_type AS event_type, count(*) AS rows, count(value) AS cnt,
+        | round(sum(value), 6) AS sum, min(value) AS min, max(value) AS max,
+        | CASE WHEN count(value) > 0
+        |   THEN round(sum(value) / count(value), 6) END AS avg
+        |FROM events GROUP BY 1""".stripMargin,
     // the naive ntile rule stated directly: global row_number in
     // (value ASC, tie, id) order, bin = floor((rnk-1)*bins/n)
     "a27_equidepth_hist" ->

@@ -332,6 +332,16 @@ object SparkEntry {
       Distribution.quantileMergeReport(ev.filter(col("event_id") % 2 === 0),
         ev.filter(col("event_id") % 2 =!= 0), col("event_type"), col("value"))
     }),
+    // three per-day-shard partial rollups merged ≡ a one-shot aggregate
+    // over the union — incremental MV maintenance, no rescan
+    "a29_rollup_merge" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      def part(m: Int) = Aggregates.partialRollup(
+        ev.filter(col("event_id") % 3 === m), col("event_type"), col("value"))
+      Aggregates.finishRollup(
+        Aggregates.mergeRollups(part(0), part(1), part(2)))
+        .withColumnRenamed("key", "event_type")
+    }),
     // 16 equal-population value bins via the exact distributed rank —
     // the quantile-binned histogram a fixed-width a09 can't give on skew
     "a27_equidepth_hist" -> ((s, dir) =>

@@ -135,6 +135,47 @@ object Aggregates {
       .groupBy(key)
       .agg(round(sum(col("__partial")), 2).as(outName))
 
+  /** Mergeable rollup state for the algebraic aggregates — incremental
+    * materialized-view maintenance without rescans. [[partialRollup]]
+    * reduces one snapshot/partition/day to per-key state rows
+    * `(key, rows, cnt, sum, min, max)`; [[mergeRollups]] combines ANY
+    * number of such frames by re-aggregating the state with each
+    * statistic's merge operator (sum of sums, min of mins, …), which is
+    * exactly Spark's own partial-aggregate contract lifted to a stored
+    * column format. Associative and commutative, so daily rollups compose
+    * into monthly ones in any order — the a21/a24 sketch-merge pattern for
+    * the EXACT aggregates. `avg` is derived at [[finishRollup]] time
+    * (sum/cnt), never merged: mean of means is the classic MV bug.
+    *
+    * Scale shape: each partial is one map-side-combined hash aggregate to
+    * |keys| rows; a merge shuffles only state rows (key-cardinality,
+    * never row-cardinality). `rows` counts every record, `cnt`/`sum`/
+    * `min`/`max` ignore nulls (a key whose values are all null merges as
+    * null, matching a direct one-shot aggregate).
+    */
+  def partialRollup(df: DataFrame, key: Column, value: Column): DataFrame =
+    df.groupBy(key.as("key"))
+      .agg(count(lit(1)).as("rows"), count(value).as("cnt"),
+        sum(value).as("sum"), min(value).as("min"), max(value).as("max"))
+
+  /** Merge rollup-state frames from [[partialRollup]] (or earlier
+    * merges — the state is closed under merging).
+    */
+  def mergeRollups(parts: DataFrame*): DataFrame = {
+    require(parts.nonEmpty, "need at least one rollup frame")
+    parts.reduce(_.unionByName(_))
+      .groupBy(col("key"))
+      .agg(sum(col("rows")).as("rows"), sum(col("cnt")).as("cnt"),
+        sum(col("sum")).as("sum"), min(col("min")).as("min"),
+        max(col("max")).as("max"))
+  }
+
+  /** Derive the non-mergeable statistics from rollup state. */
+  def finishRollup(state: DataFrame, scale: Int = 6): DataFrame =
+    state.select(col("key"), col("rows"), col("cnt"),
+      round(col("sum"), scale).as("sum"), col("min"), col("max"),
+      when(col("cnt") > 0, round(col("sum") / col("cnt"), scale)).as("avg"))
+
   /** A14 / T5: tumbling-window aggregation over event time — the batch
     * equivalent of the streaming windowed agg. `window()` is a plain
     * projection before the group-by (no extra shuffle vs. groupBy).

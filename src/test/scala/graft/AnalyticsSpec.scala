@@ -137,6 +137,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.last._4 === 4e6 && out.head._3 === 0.01)
   }
 
+  test("rollup merge ≡ one-shot aggregate; state is closed under re-merging") {
+    val rows = Seq[(String, java.lang.Double)](
+      ("a", 1.0), ("a", 2.0), ("a", null), ("b", 5.0),
+      ("c", null), ("d", 7.0), ("d", 9.0))
+    val df = rows.toDF("k", "v").repartition(3)
+    def canon(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4)), Option(r.get(5)),
+        Option(r.get(6)))).sortBy(_._1).toSeq
+    val oneShot = canon(Aggregates.finishRollup(
+      Aggregates.partialRollup(df, col("k"), col("v"))))
+    // split 3 ways (one shard misses most keys), merge, then merge the
+    // merge with an EMPTY state frame — closure under re-merging
+    val shard = abs(coalesce(hash(col("v")), lit(0))) % 3
+    val parts = (0 until 3).map(i =>
+      Aggregates.partialRollup(df.filter(shard === i), col("k"), col("v")))
+    val merged = Aggregates.mergeRollups(
+      Aggregates.mergeRollups(parts: _*),
+      Aggregates.partialRollup(df.limit(0), col("k"), col("v")))
+    assert(canon(Aggregates.finishRollup(merged)) === oneShot)
+    // null-value key: cnt 0, null sum/min/max/avg, rows preserved
+    val c = oneShot.find(_._1 == "c").get
+    assert(c._2 === 1L && c._3 === 0L && c._4.isEmpty && c._7.isEmpty)
+  }
+
   test("seasonal outliers catch the in-band-for-the-day, wrong-for-the-hour reading") {
     // night readings ~0, day readings ~100; a 60 at night is far outside
     // its hour cell but inside the all-day spread — the flat z-score
