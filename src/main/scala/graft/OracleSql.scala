@@ -318,6 +318,34 @@ object OracleSql {
        |  CAST(span_len AS BIGINT) AS span_len
        | FROM s WHERE span_len >= 12)""".stripMargin
 
+  /** Intra-doc repeat chain for x75 (spans) and x76 (fraction): the
+    * double-stamp enrichment, the naive per-doc positional-4-gram
+    * self-join (apos < bpos), and the diagonal islands collapse.
+    */
+  private lazy val SelfSpanChainSql =
+    s"""d AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 25 = 0 THEN text || ' ${SparkEntry.SharedSpan1}' ||
+       |    ' ${SparkEntry.SelfRepeatFiller} ${SparkEntry.SharedSpan1}'
+       |       ELSE text END AS text FROM documents),
+       |t AS (SELECT doc_id, $Toks AS toks FROM d),
+       |tf AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 4),
+       |p AS (SELECT doc_id, toks,
+       |  CAST(unnest(range(0, len(toks) - 3)) AS INTEGER) AS pos FROM tf),
+       |g AS (SELECT doc_id, pos,
+       |  array_to_string(toks[pos+1:pos+4], ' ') AS gram FROM p),
+       |m AS (SELECT a.doc_id AS doc_id, a.pos AS apos, b.pos AS bpos
+       | FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.gram = b.gram
+       |  AND a.pos < b.pos),
+       |r AS (SELECT doc_id, bpos - apos AS diag, apos,
+       |  apos - row_number() OVER (PARTITION BY doc_id, bpos - apos
+       |    ORDER BY apos) AS island FROM m),
+       |s AS (SELECT doc_id, diag, island, min(apos) AS a_start,
+       |  count(*) + 3 AS span_len FROM r GROUP BY 1, 2, 3),
+       |sp AS (SELECT doc_id, CAST(a_start AS BIGINT) AS a_start,
+       |  CAST(a_start + diag AS BIGINT) AS b_start,
+       |  CAST(span_len AS BIGINT) AS span_len
+       | FROM s WHERE span_len >= 12)""".stripMargin
+
   /** Winnowing fingerprint chain shared by x48 (per-doc fingerprints) and
     * x49 (copy-detection pairs) — mirrors `Kernels.winnow` exactly:
     * positional 4-gram hashes (unsigned value of the first 8 md5 hex
@@ -1853,6 +1881,23 @@ object OracleSql {
     // The Spark side reaches the same spans through winnow-fingerprint
     // candidate pre-filtering + capped gram blocking — hash equality
     // proves the two-stage plan drops no span on this fixture
+    "x75_self_repeats" ->
+      s"""WITH $SelfSpanChainSql
+         |SELECT doc_id, a_start, b_start, span_len FROM sp""".stripMargin,
+    "x76_repeat_fraction" ->
+      s"""WITH $SelfSpanChainSql,
+         |iv AS (SELECT doc_id,
+         |  CAST(unnest(range(b_start, b_start + span_len)) AS INTEGER) AS pos
+         | FROM sp),
+         |dp AS (SELECT DISTINCT doc_id, pos FROM iv),
+         |rc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_repeated
+         | FROM dp GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         | coalesce(rc.n_repeated, 0) AS n_repeated,
+         | CASE WHEN len(toks) > 0
+         |   THEN round(coalesce(rc.n_repeated, 0) / len(toks), 6)
+         |   ELSE 0.0 END AS rep_fraction
+         |FROM t LEFT JOIN rc USING (doc_id)""".stripMargin,
     "x69_shared_spans" ->
       s"""WITH $SharedSpanChainSql
          |SELECT doc_a, doc_b, a_start, b_start, span_len FROM sp""".stripMargin,

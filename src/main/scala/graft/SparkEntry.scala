@@ -1212,6 +1212,20 @@ object SparkEntry {
     "x68_weighted_sample" -> ((s, dir) =>
       graft.sampling.Sampling.weightedSample(T(s, dir, "documents"),
         col("doc_id"), TextAnalysis.qualityScore(col("text")), k = 100)),
+    // INTRA-document repeats: every 25th doc gets the license block
+    // stamped twice with filler between — the template/degenerate-
+    // generation pattern a distinct-bigram ratio (x21) cannot see
+    "x75_self_repeats" -> ((s, dir) =>
+      Dedup.selfRepeatedSpans(selfRepeatEnrich(T(s, dir, "documents")),
+        col("doc_id"), col("text"), minSpanTokens = 12)),
+    // the per-doc gate over the same evidence: fraction of positions
+    // covered by a repeated span's later occurrence
+    "x76_repeat_fraction" -> ((s, dir) => {
+      val enriched = selfRepeatEnrich(T(s, dir, "documents"))
+      Dedup.selfRepeatFraction(enriched, col("doc_id"), col("text"),
+        Dedup.selfRepeatedSpans(enriched, col("doc_id"), col("text"),
+          minSpanTokens = 12))
+    }),
     // cross-document substring-level dedup: plant two distinct ~20-token
     // boilerplate spans (every 40th doc gets the license block, every
     // 40th+7 the export-tool block — the x32 synthetic-enrichment
@@ -1266,6 +1280,17 @@ object SparkEntry {
   /** Planted boilerplate spans for x69 — mirrored verbatim in the DuckDB
     * oracle ([[OracleSql]]).
     */
+  /** x75/x76 fixture: stamp the license block twice into every 25th doc. */
+  private def selfRepeatEnrich(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 25 === 0,
+          concat(col("text"), lit(" " + SharedSpan1 + " " + SelfRepeatFiller +
+            " " + SharedSpan1)))
+        .otherwise(col("text")).as("text"))
+
+  private[graft] val SelfRepeatFiller: String =
+    "meanwhile unrelated narrative content continues between the stamps"
+
   private[graft] val SharedSpan1: String =
     "this corpus is distributed under the creative commons attribution " +
       "license and may be used for research purposes only without warranty"

@@ -468,6 +468,86 @@ object Dedup {
         col("span_len"))
   }
 
+  /** INTRA-document repeated spans: maximal token spans of at least
+    * `minSpanTokens` that occur twice or more WITHIN one document — the
+    * self-similarity counterpart of [[sharedSpans]], and the span-level
+    * repetition gate [[graft.text.TextAnalysis.repetitionScore]] (a
+    * distinct-bigram ratio) cannot express: template text that repeats a
+    * whole 50-token block once keeps a near-perfect bigram ratio but is
+    * exactly the degenerate-generation/boilerplate pattern a training
+    * corpus should flag.
+    *
+    * Emits `(doc_id, a_start, b_start, span_len)` with `a_start < b_start`
+    * (token offsets of the two occurrences). One maximal span per
+    * alignment diagonal: a token block stamped at shift p emits once, a
+    * fully degenerate "w w w …" run emits one span per qualifying shift
+    * (every pair of occurrences is still summarized by its diagonal, never
+    * enumerated pairwise beyond it).
+    *
+    * Shape: positional k-grams self-joined per (doc, gram) — no cross-doc
+    * traffic at all, so the join key carries the doc id and the blocking
+    * is structural; a degenerate "word word word …" doc is bounded by the
+    * shared `capBuckets` guard on its per-doc gram groups, the same skew
+    * discipline as every other candidate generator here. Then the
+    * [[sharedSpans]] gaps-and-islands collapse per alignment diagonal.
+    */
+  def selfRepeatedSpans(df: DataFrame, id: Column, text: Column,
+      minSpanTokens: Int, k: Int = 4, maxBucket: Int = 1000): DataFrame = {
+    require(k >= 1 && k <= 13, s"k-gram width must be in [1,13], got $k")
+    require(minSpanTokens >= k, s"minSpanTokens must be >= $k")
+    val base = df
+      .select(id.cast("long").as("doc_id"), TextAnalysis.tokens(text).as("__toks"))
+      .filter(size(col("__toks")) >= k)
+    val grams = base.select(col("doc_id"), posexplode(expr(
+      s"transform(sequence(0, size(__toks) - $k), " +
+        "i -> concat_ws(' ', slice(__toks, i + 1, " + k + ")))"))
+      .as(Seq("pos", "gram")))
+    val gc = capBuckets(grams, Seq(col("doc_id"), col("gram")), maxBucket)
+    val matches = gc
+      .select(col("doc_id"), col("gram"), col("pos").as("apos"))
+      .join(gc.select(col("doc_id"), col("gram"), col("pos").as("bpos")),
+        Seq("doc_id", "gram"))
+      .filter(col("apos") < col("bpos"))
+      .select(col("doc_id"), col("apos"), col("bpos"))
+    val diag = matches.withColumn("diag", col("bpos") - col("apos"))
+    val byDiag = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("diag"))
+      .orderBy(col("apos"))
+    diag.withColumn("__island", col("apos") - row_number().over(byDiag))
+      .groupBy(col("doc_id"), col("diag"), col("__island"))
+      .agg(min(col("apos")).as("__a0"), count(lit(1)).as("__n"))
+      .withColumn("span_len", col("__n") + lit(k - 1).cast("long"))
+      .filter(col("span_len") >= minSpanTokens)
+      .select(col("doc_id"), col("__a0").cast("long").as("a_start"),
+        (col("__a0") + col("diag")).cast("long").as("b_start"),
+        col("span_len"))
+  }
+
+  /** Per-doc summary of [[selfRepeatedSpans]] evidence: the fraction of
+    * token positions covered by the LATER occurrence of some repeated
+    * span — 0 for clean prose, → 1 for a document that is one block
+    * stamped over and over. Overlapping span evidence collapses to
+    * distinct positions first (the [[removeSpans]] rationale), so the
+    * fraction can never exceed 1. Every input doc emits a row.
+    */
+  def selfRepeatFraction(docs: DataFrame, id: Column, text: Column,
+      spans: DataFrame): DataFrame = {
+    val toks = docs.select(id.cast("long").as("doc_id"),
+      size(TextAnalysis.tokens(text)).cast("long").as("n_tokens"))
+    val rep = spans.select(col("doc_id"),
+        explode(sequence(col("b_start").cast("int"),
+          (col("b_start") + col("span_len") - 1).cast("int"))).as("pos"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_repeated"))
+    toks.join(rep, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_repeated"), lit(0L)).as("n_repeated"),
+        when(col("n_tokens") > 0,
+          round(coalesce(col("n_repeated"), lit(0L)).cast("double") /
+            col("n_tokens").cast("double"), 6))
+          .otherwise(lit(0.0)).as("rep_fraction"))
+  }
+
   /** Apply substring-level dedup: rewrite each document with the token
     * spans [[sharedSpans]] attributed to it as the HIGHER-id pair member
     * removed — every duplicated span keeps exactly its lowest-id copy

@@ -327,6 +327,39 @@ class DedupSpec extends SparkSpec {
     assert(out.count() === 0L)
   }
 
+  test("selfRepeatedSpans finds the doc-internal double stamp with exact bounds") {
+    val corpus = Seq(
+      // span12 at 2 and at 17 (3 filler tokens between): one span pair
+      (1L, s"aaa bbb $span12 fill gap pad $span12 zzz"),
+      (2L, "totally clean prose with no internal repetition at all"),
+      // degenerate repeat: 16 copies of one token — one maximal span per
+      // qualifying shift (period p gives span 16-1-p >= 12 for p <= 4)
+      (3L, ("w " * 16).trim)
+    ).toDF("doc_id", "text")
+    val out = Dedup.selfRepeatedSpans(corpus, col("doc_id"), col("text"), 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._3))
+    assert(out.filter(_._1 == 2L).isEmpty, "clean doc emits nothing")
+    assert(out.filter(_._1 == 1L).toSeq === Seq((1L, 2L, 17L, 12L)),
+      "exact offsets of both occurrences")
+    assert(out.filter(_._1 == 3L).toSeq === Seq((3L, 0L, 1L, 15L),
+      (3L, 0L, 2L, 14L), (3L, 0L, 3L, 13L), (3L, 0L, 4L, 12L)),
+      "one maximal span per alignment diagonal")
+  }
+
+  test("selfRepeatFraction: covered later-occurrence positions over doc length") {
+    val corpus = Seq(
+      (1L, s"aaa bbb $span12 fill gap pad $span12 zzz"),  // 30 tokens, 12 repeated
+      (2L, "short clean doc")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.selfRepeatedSpans(corpus, col("doc_id"), col("text"), 12)
+    val got = Dedup.selfRepeatFraction(corpus, col("doc_id"), col("text"), spans)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got(1L) === ((30L, 12L, 0.4)))
+    assert(got(2L) === ((3L, 0L, 0.0)), "every doc emits, clean fraction 0")
+  }
+
   test("removeSpans cuts the higher-id copy only, keeps the lowest") {
     val corpus = Seq(
       (1L, s"aaa bbb ccc $span12 ddd eee"),

@@ -103,6 +103,19 @@ class ScaleGrowthSpec extends SparkSpec {
     assert(g < 25.0, s"shared-span shuffle grew ${g}x for 10x input ($small -> $large)")
   }
 
+  test("intra-doc repeat shuffle bytes grow ~linearly from 1x to 10x docs") {
+    // per-(doc, gram) self-join: blocking carries the doc id, so pair
+    // work is bounded per doc and total traffic tracks corpus size
+    def spans(n: Int) =
+      Dedup.selfRepeatedSpans(docs(n), col("doc_id"), col("text"),
+        minSpanTokens = 8)
+    val small = shuffleBytes(run(spans(500)))
+    val large = shuffleBytes(run(spans(5000)))
+    val g = growth(small, large)
+    assert(small > 0, "listener captured no shuffle writes")
+    assert(g < 25.0, s"self-repeat shuffle grew ${g}x for 10x input ($small -> $large)")
+  }
+
   test("as-of join shuffle bytes grow ~linearly from 1x to 10x events") {
     def asof(n: Int): DataFrame = {
       val ev = events(n, keys = 50)
