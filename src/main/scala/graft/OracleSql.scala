@@ -1202,6 +1202,27 @@ object OracleSql {
          | FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
          |sc AS (SELECT id_a, id_b, ${cosineSql("va", "vb")} AS cosine FROM p)
          |SELECT id_a, id_b, cosine, cosine >= 0.9 AS is_near_dup FROM sc""".stripMargin,
+    // x08's naive rule with a NOT-EXISTS against x11's near-dup pairs
+    // (symmetrized): exclusion precedes the per-query top-5
+    "x77_hard_negatives" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+         | FROM embeddings),
+         |q AS (SELECT vec_id AS qid, ve AS qv FROM v WHERE vec_id < 5),
+         |b AS (SELECT vec_id, ve, CAST(${bucketExpr(Planes6, "ve")} AS BIGINT) AS bucket FROM v),
+         |pp AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+         |  ${cosineSql("a.ve", "b2.ve")} AS cosine
+         | FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+         |dup AS (SELECT id_a, id_b FROM pp WHERE cosine >= 0.9),
+         |ds AS (SELECT id_a AS qid, id_b AS nid FROM dup
+         | UNION SELECT id_b, id_a FROM dup),
+         |sc AS (SELECT q.qid, v.vec_id AS nid, ${cosineSql("q.qv", "v.ve")} AS cosine
+         | FROM v CROSS JOIN q WHERE v.vec_id <> q.qid
+         |  AND NOT EXISTS (SELECT 1 FROM ds
+         |   WHERE ds.qid = q.qid AND ds.nid = v.vec_id))
+         |SELECT qid AS query_id, nid AS neighbor_id, cosine, CAST(rnk AS INTEGER) AS rnk
+         |FROM (SELECT qid, nid, cosine,
+         | row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk FROM sc)
+         |WHERE rnk <= 5""".stripMargin,
     "x12_media_metadata" ->
       """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS byte_len, md5(text) AS content_id,
         | CAST(floor(strlen(text) / 100.0) AS BIGINT) AS size_bucket

@@ -666,6 +666,18 @@ object SparkEntry {
       val emb = T(s, dir, "embeddings")
       Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 5), 3)
     }),
+    // x08's exact top-k with the x11 near-dup pairs excluded BEFORE the
+    // heap — the contrastive-training negatives that are close but not
+    // duplicates
+    "x77_hard_negatives" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val dups = Dedup.cosinePairs(
+        Similarity.cosineCandidates(emb, col("vec_id"), col("embedding"),
+          Planes6), col("va"), col("vb"))
+        .filter(col("is_near_dup"))
+        .select(col("id_a"), col("id_b"))
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 5), dups, 5)
+    }),
     "x09_knn_ivf" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       Similarity.ivfKnn(emb, emb.filter(col("vec_id") % 50 === 0),

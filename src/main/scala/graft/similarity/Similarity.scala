@@ -76,6 +76,36 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training: for each query, the
+    * exact top-k most-similar corpus vectors that are NOT known positives/
+    * near-duplicates — the "close but wrong" examples a retrieval model
+    * learns the most from (mining them from the near-dup band instead
+    * would poison training with unlabeled positives, which is why the
+    * exclusion happens BEFORE the heap, not by post-filtering a top-k that
+    * could then come up short).
+    *
+    * `positives` carries undirected `(id_a, id_b)` pairs (e.g. the
+    * [[graft.dedup.Dedup.cosinePairs]] near-dup output or a labeled
+    * relevance set); it is symmetrized and semi-join-restricted to pairs
+    * touching a query — workload-sized, broadcast into the corpus scan —
+    * so the plan keeps [[bruteForceKnn]]'s shape: one shuffle-free corpus
+    * pass, then the bounded [[topKPerQuery]] heap merge.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+      positives: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cvec"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val p = positives.select(col("id_a"), col("id_b"))
+    val sym = p.unionByName(p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"))
+      .distinct()
+    val qex = sym.join(q.select(col("query_id")), Seq("query_id"), "left_semi")
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("qvec"), col("cvec")))
+      .join(broadcast(qex), Seq("query_id", "neighbor_id"), "left_anti")
+    topKPerQuery(scored, k)
+  }
+
   /** Collect a (small) centroid frame to a sorted (ids, vectors) pair — the
     * IVF "model" artifact. Centroids are ~√n by construction, so this is a
     * driver-side object of megabytes even at corpus scale, broadcast into

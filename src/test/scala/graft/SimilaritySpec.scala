@@ -345,4 +345,29 @@ class SimilaritySpec extends SparkSpec {
     assert(again === vecs.select(col("vec_id")).collect()
       .map(r => b(r.getLong(0))).toSeq)
   }
+
+  test("hardNegatives excludes positives before the heap; empty set ≡ brute kNN") {
+    import spark.implicits._
+    // query 0's nearest is 1 (a known positive) — it must vanish and the
+    // NEXT one (4) surface at rank 1, with rank 2 backfilled, not short
+    val positives = Seq((0L, 1L)).toDF("id_a", "id_b")
+    val out = Similarity.hardNegatives(vecs,
+        vecs.filter(col("vec_id") === 0), positives, 2)
+      .collect().sortBy(_.getInt(3))
+    assert(out.map(_.getLong(1)).toSeq === Seq(4L, 2L))
+    assert(out.map(_.getInt(3)).toSeq === Seq(1, 2))
+    // the pair is undirected: listing it reversed excludes the same way
+    val rev = Similarity.hardNegatives(vecs,
+        vecs.filter(col("vec_id") === 0),
+        Seq((1L, 0L)).toDF("id_a", "id_b"), 2)
+      .collect().sortBy(_.getInt(3)).map(_.getLong(1)).toSeq
+    assert(rev === Seq(4L, 2L))
+    // no positives -> exactly bruteForceKnn
+    val brute = Similarity.bruteForceKnn(vecs, vecs.filter(col("vec_id") === 0), 2)
+      .collect().sortBy(_.getInt(3)).map(r => (r.getLong(1), r.getDouble(2)))
+    val none = Similarity.hardNegatives(vecs, vecs.filter(col("vec_id") === 0),
+        Seq.empty[(Long, Long)].toDF("id_a", "id_b"), 2)
+      .collect().sortBy(_.getInt(3)).map(r => (r.getLong(1), r.getDouble(2)))
+    assert(none.toSeq === brute.toSeq)
+  }
 }
