@@ -1124,27 +1124,17 @@ object SparkEntry {
     // outlinks (x32's deterministic-link construction, mirrored in the
     // oracle): 5 fixed-point rounds, ranks exact integers so the
     // iterative float-free loop hash-matches across engines
-    "x62_domain_pagerank" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      val withUrls = docs.select(col("doc_id"), concat(col("text"),
-        when(col("doc_id") % 2 === 0,
-          concat(lit(" see https://site"), (col("doc_id") % 7).cast("string"),
-            lit(".example.com/p/"), col("doc_id").cast("string")))
-          .otherwise(lit("")),
-        when(col("doc_id") % 3 === 0,
-          concat(lit(" via https://hub"), (col("doc_id") % 5).cast("string"),
-            lit(".example.org/h"))).otherwise(lit("")),
-        when(col("doc_id") % 6 === 0, lit(" and http://cdn.example.net/x"))
-          .otherwise(lit(""))).as("text"))
-      val dom = graft.text.Urls.extractDomains(withUrls, col("doc_id"),
-        col("text")).distinct()
-      val edges = dom.select(col("doc_id"), col("domain").as("src"))
-        .join(dom.select(col("doc_id").as("__d2"), col("domain").as("dst")),
-          col("doc_id") === col("__d2") && col("src") =!= col("dst"))
-        .select(col("src"), col("dst"))
-      Graph.pageRank(edges, col("src"), col("dst"), iterations = 5)
-        .select(col("node").as("domain"), col("rank_fp"))
-    }),
+    "x62_domain_pagerank" -> ((s, dir) =>
+      Graph.pageRank(domainCooccurrenceEdges(T(s, dir, "documents")),
+          col("src"), col("dst"), iterations = 5)
+        .select(col("node").as("domain"), col("rank_fp"))),
+    // community labels over the same co-citation graph: 4 synchronous
+    // majority rounds, min-label ties — the grouping behind per-community
+    // sampling caps (a link farm is ONE community)
+    "x78_domain_communities" -> ((s, dir) =>
+      Graph.labelPropagation(domainCooccurrenceEdges(T(s, dir, "documents")),
+          col("src"), col("dst"), rounds = 4)
+        .select(col("node").as("domain"), col("label").as("community"))),
     // CUBE over (event_type, hour): all grouping sets in one pass with the
     // grouping-id disambiguator — the OLAP subtotal surface
     "a22_cube_report" -> ((s, dir) =>
@@ -1292,6 +1282,29 @@ object SparkEntry {
   /** Planted boilerplate spans for x69 — mirrored verbatim in the DuckDB
     * oracle ([[OracleSql]]).
     */
+  /** x62/x78 fixture: the synthetic-URL enrichment and the co-citation
+    * edge frame (two domains linked when one doc cites both; both
+    * directions present, multi-edges acting as weights).
+    */
+  private def domainCooccurrenceEdges(docs: DataFrame): DataFrame = {
+    val withUrls = docs.select(col("doc_id"), concat(col("text"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit(" see https://site"), (col("doc_id") % 7).cast("string"),
+          lit(".example.com/p/"), col("doc_id").cast("string")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" via https://hub"), (col("doc_id") % 5).cast("string"),
+          lit(".example.org/h"))).otherwise(lit("")),
+      when(col("doc_id") % 6 === 0, lit(" and http://cdn.example.net/x"))
+        .otherwise(lit(""))).as("text"))
+    val dom = graft.text.Urls.extractDomains(withUrls, col("doc_id"),
+      col("text")).distinct()
+    dom.select(col("doc_id"), col("domain").as("src"))
+      .join(dom.select(col("doc_id").as("__d2"), col("domain").as("dst")),
+        col("doc_id") === col("__d2") && col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+  }
+
   /** x75/x76 fixture: stamp the license block twice into every 25th doc. */
   private def selfRepeatEnrich(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),

@@ -142,4 +142,59 @@ object Graph {
           .as("rank_fp"))
       .localCheckpoint(true)
   }
+
+  /** Synchronous label propagation — community detection on an undirected
+    * graph, the clustering companion to [[pageRank]]'s authority scoring:
+    * domains that co-cite each other collapse into one community label,
+    * which is the corpus-curation grouping behind per-community sampling
+    * caps (a link farm is one community, however many domains it spans).
+    *
+    * Every node starts labeled with itself; each round every node adopts
+    * the most frequent label among its neighbors, ties broken by SMALLEST
+    * label — both resolved by a single `min(struct(−count, label))`
+    * aggregate, so a round is two keyed shuffles (join labels onto edges,
+    * per-node argmax) with NO window and no driver-side state, and the
+    * update is exact string/integer logic: bit-identical at any
+    * partitioning, replayable round-for-round in SQL (the [[pageRank]]
+    * determinism contract).
+    *
+    * Rounds are capped by `rounds`; a round that changes no label is a
+    * fixed point (the update is a pure function of the label frame, so
+    * every later round would repeat it) and the loop stops early —
+    * result-identical to running the full cap, which is what the oracle
+    * replays. Synchronous LPA can oscillate with period 2 (a star flips
+    * center/leaf labels forever); the cap bounds that, and determinism
+    * makes the capped result stable. Edges are symmetrized internally;
+    * multi-edges act as weights.
+    */
+  def labelPropagation(edges: DataFrame, src: Column, dst: Column,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e0 = edges.select(src.cast("string").as("src"),
+      dst.cast("string").as("dst"))
+    val und = e0.unionByName(e0.select(col("dst").as("src"),
+      col("src").as("dst"))).localCheckpoint(true)
+    var labels = und.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      val next = und
+        .join(labels.select(col("node").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("node"))
+        .agg(min(struct((-col("__c")).as("nc"), col("label").as("l"))).as("__m"))
+        .select(col("node"), col("__m.l").as("label"))
+        .localCheckpoint(true)
+      converged = labels.select(col("node"), col("label").as("__prev"))
+        .join(next, Seq("node"))
+        .filter(col("__prev") =!= col("label"))
+        .isEmpty
+      labels = next
+      r += 1
+    }
+    labels
+  }
 }
