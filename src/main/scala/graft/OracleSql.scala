@@ -1764,6 +1764,37 @@ object OracleSql {
          |$rounds
          |SELECT node AS domain, CAST(rank_fp AS BIGINT) AS rank_fp FROM rk5""".stripMargin
     },
+    // synchronous majority label propagation replayed as 4 chained CTE
+    // rounds on the x62 co-citation graph: per node the most frequent
+    // neighbor label, ties to the MIN label — exactly Spark's
+    // min(struct(-count, label)). The edge frame is symmetrized the same
+    // way on both sides (each direction appears twice; uniform doubling
+    // preserves every majority and every tie). If Spark's early-convergence
+    // check stops before round 4, the labels are a fixed point and the
+    // oracle's extra rounds are the identity, so equality still holds.
+    "x78_domain_communities" -> {
+      val rounds = (1 to 4).map { k =>
+        s"""lp$k AS (SELECT node, label FROM (
+           | SELECT node, label,
+           |  row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+           | FROM (SELECT u.dst AS node, l.label, count(*) AS c
+           |  FROM und u JOIN lp${k - 1} l ON u.src = l.node
+           |  GROUP BY u.dst, l.label)) WHERE rn = 1)"""
+      }.mkString(",\n")
+      s"""WITH p AS (SELECT doc_id, text ||
+         |  CASE WHEN doc_id % 2 = 0 THEN ' see https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/' || CAST(doc_id AS VARCHAR) ELSE '' END ||
+         |  CASE WHEN doc_id % 3 = 0 THEN ' via https://hub' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/h' ELSE '' END ||
+         |  CASE WHEN doc_id % 6 = 0 THEN ' and http://cdn.example.net/x' ELSE '' END AS text
+         | FROM documents),
+         |dom AS (SELECT DISTINCT doc_id, domain FROM (SELECT doc_id,
+         |  unnest(regexp_extract_all(text, 'https?://([^/ ]+)', 1)) AS domain FROM p)),
+         |ed AS (SELECT a.domain AS src, b.domain AS dst FROM dom a
+         | JOIN dom b ON a.doc_id = b.doc_id AND a.domain <> b.domain),
+         |und AS (SELECT src, dst FROM ed UNION ALL SELECT dst AS src, src AS dst FROM ed),
+         |lp0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+         |$rounds
+         |SELECT node AS domain, label AS community FROM lp4""".stripMargin
+    },
     // GROUPING() in DuckDB and grouping_id() in Spark both put the FIRST
     // cube column in the most significant bit (Postgres bit order)
     "a22_cube_report" ->
