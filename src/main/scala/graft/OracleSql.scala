@@ -1618,6 +1618,36 @@ object OracleSql {
          | CAST(count(*) AS BIGINT) AS n_tokens
          |FROM toks JOIN fs USING (term) LEFT JOIN ft USING (term) CROSS JOIN sc
          |GROUP BY doc_id""".stripMargin,
+    // two-class naive-Bayes LLR: smoothing constants are exact BIGINTs;
+    // the OOV branch is a single ln of a quotient on both sides and the
+    // in-vocab branch mirrors the Spark expression order term-for-term,
+    // so the per-token doubles are bit-identical and round-6 absorbs the
+    // avg merge jitter (the x38 argument)
+    "x79_quality_classifier" ->
+      s"""WITH tkp AS (SELECT unnest(toks) AS term FROM (
+         |  SELECT $Toks AS toks FROM documents WHERE source = 'src0')),
+         |tkn AS (SELECT unnest(toks) AS term FROM (
+         |  SELECT $Toks AS toks FROM documents WHERE source = 'src1')),
+         |fp AS (SELECT term, CAST(count(*) AS BIGINT) AS cp FROM tkp GROUP BY term),
+         |fn AS (SELECT term, CAST(count(*) AS BIGINT) AS cn FROM tkn GROUP BY term),
+         |m AS (SELECT term, cp, cn FROM fp FULL OUTER JOIN fn USING (term)),
+         |sc AS (SELECT CAST(sum(coalesce(cp, 0)) AS BIGINT) AS tp,
+         |  CAST(sum(coalesce(cn, 0)) AS BIGINT) AS tn,
+         |  CAST(count(*) AS BIGINT) AS v FROM m),
+         |toks AS (SELECT doc_id, unnest(toks) AS term FROM (
+         |  SELECT doc_id, $Toks AS toks FROM documents
+         |  WHERE source <> 'src0' AND source <> 'src1')),
+         |s AS (SELECT doc_id,
+         |  CASE WHEN m.cp IS NULL AND m.cn IS NULL
+         |   THEN ln((CAST(tn AS DOUBLE) + CAST(v AS DOUBLE)) / (CAST(tp AS DOUBLE) + CAST(v AS DOUBLE)))
+         |   ELSE ln((CAST(coalesce(cp, 0) AS DOUBLE) + 1.0) / (CAST(tp AS DOUBLE) + CAST(v AS DOUBLE))) -
+         |    ln((CAST(coalesce(cn, 0) AS DOUBLE) + 1.0) / (CAST(tn AS DOUBLE) + CAST(v AS DOUBLE)))
+         |  END AS llr
+         | FROM toks LEFT JOIN m USING (term) CROSS JOIN sc)
+         |SELECT doc_id, round(avg(llr), 6) AS llr_score,
+         | CAST(count(*) AS BIGINT) AS n_tokens,
+         | round(avg(llr), 6) > 0.0 AS is_positive
+         |FROM s GROUP BY doc_id""".stripMargin,
     // the oracle states the SELECTION RULE directly (global-order running
     // sum <= budget, score ties broken by the salted content hash then
     // id); the Spark side reproduces it with a two-level bucket-prefix

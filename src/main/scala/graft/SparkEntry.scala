@@ -1063,6 +1063,18 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 === 0),
         col("doc_id"), col("text"))
     }),
+    // fastText-style two-class LLR quality filter: src0 docs are the
+    // positive seeds, src1 the negative, and the rest of the corpus is
+    // scored against the trained weight table (OOV tokens land on the
+    // smoothed-zero constant, so disjoint-vocabulary docs still score)
+    "x79_quality_classifier" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.text.Classifier.scoreLlr(
+        docs.filter(col("source") =!= "src0" && col("source") =!= "src1"),
+        col("doc_id"), col("text"),
+        docs.filter(col("source") === "src0"),
+        docs.filter(col("source") === "src1"))
+    }),
     // best-k docs per language by quality through the bounded-heap
     // aggregate — the corpus-curation face of the top-k kernel (x08/x43
     // use it for ANN; here groups are few and large, exactly where a

@@ -1,0 +1,107 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Two-class naive-Bayes / log-likelihood-ratio quality classifier — the
+  * "train a cheap linear classifier on labeled seed sets, score the whole
+  * crawl" pattern (GPT-3's WebText-vs-CommonCrawl filter, CCNet's quality
+  * buckets; ref `Solar_Processing.py` has no analog — this is the
+  * LLM-curation tier). Unlike [[graft.sampling.Importance]] (which scores a
+  * corpus against a single target LM and its OWN counts), this trains a
+  * standalone per-term weight table from POSITIVE and NEGATIVE seed sets and
+  * scores a third, disjoint corpus against it — including tokens the model
+  * has never seen.
+  *
+  * Model: per term `w`, `llr(w) = ln p(w|pos) − ln p(w|neg)` with add-one
+  * smoothing over the UNION vocabulary `V` of both seed sets:
+  * `p(w|pos) = (c_pos(w)+1)/(t_pos+|V|)`. A scored token absent from `V`
+  * gets the smoothed-zero constant `ln((t_neg+|V|)/(t_pos+|V|))` (both
+  * numerators are 1). A document's score is the MEAN token llr; positive
+  * means "looks like the positive seeds".
+  *
+  * Scale shape: each seed set is tokenized exactly once into a
+  * vocabulary-sized frequency frame; the model is their one full-outer
+  * join. Seed sets are small by construction (curated samples), so the
+  * model frame broadcasts into the corpus token stream — the corpus is ONE
+  * tokenize→explode pass with a broadcast probe and a per-doc aggregate,
+  * no corpus-side vocabulary shuffle at all (cheaper than DSIR, which must
+  * join the corpus's own frequency frame). The three smoothing scalars
+  * ride in one broadcast cross-join.
+  */
+object Classifier {
+
+  /** Train the weight table from labeled seed sets. Emits one row per
+    * union-vocabulary term: `(term, llr)`, with `llr` left as an exact
+    * double (it is consumed by [[scoreLlr]], not compared directly).
+    */
+  def trainLlr(pos: DataFrame, neg: DataFrame, text: Column): DataFrame = {
+    val fp = counts(pos, text, "__cp")
+    val fn = counts(neg, text, "__cn")
+    // fail fast: an empty seed set makes every llr the same constant and
+    // the classifier a coin — surface the bad label filter instead
+    require(!fp.isEmpty && !fn.isEmpty,
+      "LLR training needs non-empty positive AND negative seed sets")
+    fp.join(fn, Seq("term"), "full_outer")
+      .crossJoin(broadcast(scalars(fp, fn)))
+      .select(col("term"),
+        (log((coalesce(col("__cp"), lit(0L)).cast("double") + lit(1.0)) /
+            (col("__tp").cast("double") + col("__v").cast("double"))) -
+          log((coalesce(col("__cn"), lit(0L)).cast("double") + lit(1.0)) /
+            (col("__tn").cast("double") + col("__v").cast("double"))))
+          .as("llr"))
+  }
+
+  /** Score a corpus against a [[trainLlr]] model built from the given seed
+    * sets. Emits `(doc_id, llr_score, n_tokens, is_positive)` for every
+    * corpus document; out-of-vocabulary tokens contribute the smoothed-zero
+    * constant, so empty-intersection docs still score (they land exactly on
+    * the prior odds, not on null).
+    */
+  def scoreLlr(corpus: DataFrame, id: Column, text: Column,
+      pos: DataFrame, neg: DataFrame): DataFrame = {
+    val fp = counts(pos, text, "__cp")
+    val fn = counts(neg, text, "__cn")
+    require(!fp.isEmpty && !fn.isEmpty,
+      "LLR scoring needs non-empty positive AND negative seed sets")
+    val sc = scalars(fp, fn)
+    // the model is seed-vocabulary-sized (curated samples, not the crawl):
+    // broadcast it so the corpus token stream is probed at the scan and
+    // the only corpus shuffle is the per-doc aggregate
+    val model = broadcast(fp.join(fn, Seq("term"), "full_outer"))
+    val oov = log((col("__tn").cast("double") + col("__v").cast("double")) /
+      (col("__tp").cast("double") + col("__v").cast("double")))
+    val llr =
+      log((coalesce(col("__cp"), lit(0L)).cast("double") + lit(1.0)) /
+          (col("__tp").cast("double") + col("__v").cast("double"))) -
+        log((coalesce(col("__cn"), lit(0L)).cast("double") + lit(1.0)) /
+          (col("__tn").cast("double") + col("__v").cast("double")))
+    corpus.select(id.as("doc_id"),
+        explode(TextAnalysis.tokens(text)).as("term"))
+      .join(model, Seq("term"), "left")
+      .crossJoin(broadcast(sc))
+      .withColumn("__llr",
+        when(col("__cp").isNull && col("__cn").isNull, oov).otherwise(llr))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(col("__llr")), 6).as("llr_score"),
+        count(lit(1)).as("n_tokens"))
+      .withColumn("is_positive", col("llr_score") > 0.0)
+  }
+
+  /** Vocabulary-sized term-frequency frame, checkpointed: it feeds both
+    * the model join and the scalar totals, and must not re-tokenize.
+    */
+  private def counts(df: DataFrame, text: Column, alias: String): DataFrame =
+    df.select(explode(TextAnalysis.tokens(text)).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as(alias))
+      .localCheckpoint(true)
+
+  /** One-row smoothing-constant frame: total pos tokens, total neg tokens,
+    * union vocabulary size.
+    */
+  private def scalars(fp: DataFrame, fn: DataFrame): DataFrame =
+    fp.join(fn, Seq("term"), "full_outer")
+      .agg(sum(coalesce(col("__cp"), lit(0L))).as("__tp"),
+        sum(coalesce(col("__cn"), lit(0L))).as("__tn"),
+        count(lit(1)).as("__v"))
+}
