@@ -31,6 +31,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -39,14 +40,21 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").write.format("noop")
       .mode("overwrite").save()
     // noop sink: forces full evaluation of every output column (a count()
-    // would let Catalyst prune the per-row expression work away)
-    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // would let Catalyst prune the per-row expression work away).
+    // A failed query returns Left(error), NOT a timing — r7 shipped four
+    // analysis-time failures as healthy 0.07 s "timings" because the old
+    // version caught Throwable and recorded elapsed time anyway. Failures
+    // must be loud: they go into an "errors" array in the JSON line and are
+    // excluded from "total".
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
       }
-      (System.nanoTime() - t0) / 1e9
     }
     // optional arg: comma-separated name prefixes for targeted iteration
     // (e.g. `runMain graft.Bench j09,x06`); full-run output files are only
@@ -67,14 +75,31 @@ object Bench {
     }
     val passes = passStamps.map(_._1)
     val passLoads = passStamps.map(_._2)
-    val results = passes.flatten.groupBy(_._1).map { case (n, ts) => n -> ts.map(_._2).min }
+    val byName = passes.flatten.groupBy(_._1)
+    // a query succeeds iff at least one pass succeeded (min over successes);
+    // a query with zero successful passes is an error entry, never a timing
+    val results = byName.collect { case (n, ts) if ts.exists(_._2.isRight) =>
+      n -> ts.collect { case (_, Right(v)) => v }.min
+    }
+    val errors = byName.collect { case (n, ts) if !ts.exists(_._2.isRight) =>
+      n -> ts.collectFirst { case (_, Left(m)) => m }.getOrElse("unknown")
+    }.toSeq.sortBy(_._1)
     val load = passLoads.max
     def ms(v: Double): String = (math.rint(v * 1000) / 1000).toString
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => " "
+        case c => c.toString
+      } + "\""
     def jsonLine(entries: Seq[(String, Double)], total: Double): String = {
       val qs = entries.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
         .mkString("{", ",", "}")
       val loads = passLoads.map(ms).mkString("[", ",", "]")
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","load":${ms(load)},"loads":$loads,"queries":$qs,"sf":"$sfDir"}"""
+      val errs = errors.map { case (k, m) => s"\"" + k + "\":" + jstr(m) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","load":${ms(load)},"loads":$loads,"errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val all = results.toSeq.sortBy(_._1)
@@ -87,7 +112,9 @@ object Bench {
     // query payload so line + sbt's trailing "[success] ..." both fit the
     // driver's 2000-char tail window
     val bySlow = results.toSeq.sortBy(-_._2)
-    var budget = 1500
+    // errors ride in both lines; shrink the query budget so the compact
+    // line still fits the tail window even on a broken round
+    var budget = 1500 - errors.map { case (k, m) => k.length + m.length + 8 }.sum
     val top = bySlow.takeWhile { case (k, v) =>
       val cost = k.length + ms(v).length + 4
       val fits = budget - cost >= 0

@@ -14,11 +14,18 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.parquet` stores `ts` as TIMESTAMP(NANOS), which Spark 4 refuses
-    * by default. Read nanos as long (legacy conf) and convert to a proper
-    * TimestampType via integer division — the data is µs-aligned, so the
-    * ns→µs truncation is exact. `ts div 1000` stays in Long (a double-based
-    * division would lose precision above 2^53 ns).
+  /** The testdata's `ts` physical type has changed across driver rounds —
+    * TIMESTAMP(NANOS) through r6, TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * (= Spark's TIMESTAMP_NTZ) from r7 — so this loader normalizes BOTH to
+    * a session-tz TimestampType in one place rather than teaching every
+    * operator about parquet footer variants:
+    *   - nanos: read as long (legacy conf) and `ts div 1000` in Long space
+    *     (µs-aligned data, so the truncation is exact; a double division
+    *     would lose precision above 2^53 ns);
+    *   - NTZ: cast to TimestampType. All entry points pin
+    *     `spark.sql.session.timeZone=UTC`, so the cast relabels the same
+    *     instant — bit-exact, no wall-clock shift.
+    * Downstream `unix_micros`/window arithmetic then always sees TIMESTAMP.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // nanosAsLong only needs to hold while the parquet footer is resolved
@@ -43,6 +50,10 @@ object Tables {
         raw.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }
