@@ -1932,6 +1932,71 @@ object OracleSql {
         |   (CAST(epoch_us(pp.t) - epoch_us(pt) AS DOUBLE) /
         |    CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE)) END, 6) AS value
         |FROM pp JOIN nx ON pp.k = nx.k AND pp.t = nx.t""".stripMargin,
+    // NOAA sunrise/sunset worksheet transliterated, mirroring the Spark
+    // expression tree's association order exactly (radians/degrees written
+    // as explicit multiplies by pi()/180-style folded constants so both
+    // engines run the same double ops); outputs round at 6 dp so 1-ulp
+    // trig differences can't flip the hash
+    "d25_astral_gate" ->
+      """WITH e AS (SELECT event_id, ts, value,
+        |  CASE event_id % 3 WHEN 0 THEN 'BSPP' WHEN 1 THEN 'KOSPP'
+        |   ELSE 'ZFSPP' END AS station_id,
+        |  CASE event_id % 3 WHEN 0 THEN 24.4539 WHEN 1 THEN 24.4764
+        |   ELSE 29.1097 END AS lat,
+        |  CASE event_id % 3 WHEN 0 THEN 32.7469 WHEN 1 THEN 32.9447
+        |   ELSE 32.5964 END AS lon,
+        |  (CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS DOUBLE)
+        |   + 2440588.0 - 2451545.0) / 36525.0 AS t,
+        |  CAST(epoch_us(ts) - epoch_us(date_trunc('day', ts)) AS DOUBLE)
+        |   / 6.0e7 AS mins
+        | FROM events),
+        |c1 AS (SELECT *,
+        |  fmod(280.46646 + t * (36000.76983 + t * 0.0003032), 360.0) AS l0,
+        |  357.52911 + t * (35999.05029 - t * 0.0001537) AS m,
+        |  0.016708634 - t * (0.000042037 + t * 0.0000001267) AS e,
+        |  125.04 - t * 1934.136 AS omega
+        | FROM e),
+        |c2 AS (SELECT *,
+        |  l0 + (sin(m * (pi() / 180.0))
+        |        * (1.914602 - t * (0.004817 + t * 0.000014))
+        |      + sin((m * 2) * (pi() / 180.0)) * (0.019993 - t * 0.000101)
+        |      + sin((m * 3) * (pi() / 180.0)) * 0.000289)
+        |    - 0.00569 - sin(omega * (pi() / 180.0)) * 0.00478 AS app,
+        |  (23.0 + (26.0 + (21.448 - t * (46.815 + t * (0.00059
+        |     - t * 0.001813))) / 60.0) / 60.0)
+        |    + cos(omega * (pi() / 180.0)) * 0.00256 AS eps
+        | FROM c1),
+        |c3 AS (SELECT *,
+        |  asin(sin(eps * (pi() / 180.0)) * sin(app * (pi() / 180.0)))
+        |    * (180.0 / pi()) AS decl,
+        |  power(tan((eps / 2) * (pi() / 180.0)), 2) AS y
+        | FROM c2),
+        |c4 AS (SELECT *,
+        |  ((y * sin((l0 * 2) * (pi() / 180.0))
+        |    - e * sin(m * (pi() / 180.0)) * 2
+        |    + e * y * sin(m * (pi() / 180.0))
+        |        * cos((l0 * 2) * (pi() / 180.0)) * 4
+        |    - y * y * sin((l0 * 4) * (pi() / 180.0)) * 0.5
+        |    - e * e * sin((m * 2) * (pi() / 180.0)) * 1.25)
+        |   * (180.0 / pi())) * 4 AS eot,
+        |  acos(greatest(-1.0, least(1.0,
+        |    cos(90.833 * (pi() / 180.0))
+        |      / (cos(lat * (pi() / 180.0)) * cos(decl * (pi() / 180.0)))
+        |    - tan(lat * (pi() / 180.0)) * tan(decl * (pi() / 180.0)))))
+        |   * (180.0 / pi()) AS ha
+        | FROM c3),
+        |c5 AS (SELECT *,
+        |  (720.0 - lon * 4 - eot) - ha * 4 AS sunrise,
+        |  (720.0 - lon * 4 - eot) + ha * 4 AS sunset
+        | FROM c4)
+        |SELECT station_id,
+        | count(CASE WHEN mins >= sunrise AND mins <= sunset THEN 1 END)
+        |   AS day_rows,
+        | round(sum(CASE WHEN mins >= sunrise AND mins <= sunset THEN value
+        |   ELSE 0.0 END), 2) AS sum_gated,
+        | round(min(sunrise), 6) AS min_sunrise,
+        | round(max(sunset), 6) AS max_sunset
+        |FROM c5 GROUP BY station_id""".stripMargin,
     // naive statement of the per-source calibration rule: one window per
     // source over (score desc, tie hash, id); the Spark side runs the
     // grouped bucket/cell decomposition — the hash match proves it exact

@@ -1193,6 +1193,38 @@ object SparkEntry {
     "d24_resample_interpolate" -> ((s, dir) =>
       Temporal.resampleInterpolate(T(s, dir, "events"), "event_type", "ts",
         col("value"), stepSeconds = 21600L)),
+    // D16's astral-fidelity face: NOAA per-lat/lon sunrise/sunset instead
+    // of the fixed 06-18 window (ref Solar_Generation.py:110-125 via
+    // astral). Stations assigned round-robin by event_id (the x32
+    // synthetic-enrichment pattern, mirrored in the oracle). Sun times are
+    // pure trig columns; the oracle mirrors the association order of every
+    // expression, and outputs round at 6 dp (60 µs) so a 1-ulp libm
+    // difference between engines can't flip the hash. Gate decisions
+    // compare whole-second event times against sub-second sun times, so
+    // no decision sits on a float boundary.
+    "d25_astral_gate" -> ((s, dir) => {
+      val st = col("event_id") % 3
+      val ev = T(s, dir, "events")
+        .withColumn("station_id",
+          when(st === 0, "BSPP").when(st === 1, "KOSPP").otherwise("ZFSPP"))
+        .withColumn("lat",
+          when(st === 0, 24.4539).when(st === 1, 24.4764).otherwise(29.1097))
+        .withColumn("lon",
+          when(st === 0, 32.7469).when(st === 1, 32.9447).otherwise(32.5964))
+      val (sr, ss) = graft.physics.SunTimes.sunriseSunsetUtcMinutes(
+        to_date(col("ts")), col("lat"), col("lon"))
+      val mins = graft.physics.SunTimes.minutesOfDayUtc(col("ts"))
+      ev.withColumn("sr", sr).withColumn("ss", ss)
+        .withColumn("gated",
+          when(mins >= col("sr") && mins <= col("ss"), col("value"))
+            .otherwise(0.0))
+        .withColumn("is_day", mins >= col("sr") && mins <= col("ss"))
+        .groupBy(col("station_id"))
+        .agg(count(when(col("is_day"), 1)).as("day_rows"),
+          round(sum(col("gated")), 2).as("sum_gated"),
+          round(min(col("sr")), 6).as("min_sunrise"),
+          round(max(col("ss")), 6).as("max_sunset"))
+    }),
     // DISCO-style sparse all-pairs cosine: the df cap prunes the pair
     // fan-out structurally (a stop word can never go quadratic); weights
     // quantize at 1e-4 so sums are merge-order exact and the scale

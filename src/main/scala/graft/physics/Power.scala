@@ -94,6 +94,19 @@ object Power {
   def gateDaytime(value: Column, hourCol: Column): Column =
     when(hourCol >= 6 && hourCol < 18, value).otherwise(0.0)
 
+  /** D16 with a fidelity switch: `astral = false` (default) keeps the
+    * hour-window simplification above — the behavior every existing oracle
+    * pins; `astral = true` swaps in the NOAA per-lat/lon sunrise/sunset
+    * closed form ([[SunTimes.gate]]), reproducing the reference's
+    * `is_daytime` (`Solar_Generation.py:110-125`) bit-for-bit in intent:
+    * real sun times instead of a fixed 06–18 window. Both faces are pure
+    * column arithmetic — same scan, same codegen, no shuffle.
+    */
+  def gateDaytimeMode(value: Column, ts: Column, lat: Column, lon: Column,
+      astral: Boolean = false): Column =
+    if (astral) SunTimes.gate(value, ts, lat, lon)
+    else gateDaytime(value, hour(ts))
+
   /** D17: electrical power from V·I (ref `Solar_Dashboard.py:117-121`). */
   def powerFromVI(voltage: Column, current: Column): Column =
     voltage * current / 1000.0

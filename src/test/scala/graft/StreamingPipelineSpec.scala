@@ -200,6 +200,43 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionize labels events identically to the batch face") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Sessionize
+    // two keys, three sessions for S1 (gap 1800 s), one for S2; split across
+    // micro-batches so the (lastTs, idx) state must carry over — batch 2
+    // both EXTENDS S1's second session (11:20 is within 30 min of 11:00)
+    // and OPENS its third (13:00)
+    val batch1 = Seq(
+      Sessionize.Event("S1", ts("2025-01-01 10:00:00"), 1.0),
+      Sessionize.Event("S1", ts("2025-01-01 10:10:00"), 2.0),
+      Sessionize.Event("S1", ts("2025-01-01 11:00:00"), 3.0),
+      Sessionize.Event("S2", ts("2025-01-01 10:00:00"), 9.0))
+    val batch2 = Seq(
+      Sessionize.Event("S1", ts("2025-01-01 11:20:00"), 4.0),
+      Sessionize.Event("S1", ts("2025-01-01 13:00:00"), 5.0),
+      Sessionize.Event("S2", ts("2025-01-01 10:20:00"), 8.0))
+    val input = MemoryStream[Sessionize.Event]
+    val labeled = Sessionize.streaming(spark, input.toDS(), gapSeconds = 1800)
+    val q = labeled.writeStream.format("memory").queryName("sessionize_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("station_id"), r.getAs[Timestamp]("timestamp").getTime)
+    val streamed = spark.table("sessionize_out").collect()
+      .map(r => key(r) -> r.getAs[Long]("session_idx")).toMap
+    val batchFace = graft.analytics.Sessions.sessionize(
+      (batch1 ++ batch2).toDF(), "station_id", "timestamp", gapSeconds = 1800)
+      .collect().map(r => key(r) -> r.getAs[Long]("session_idx")).toMap
+    assert(streamed === batchFace)
+    assert(streamed.values.max === 3L) // S1 reached its third session
+  }
+
   test("T5 windowed stats aggregate per station and window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Tele]
