@@ -1794,16 +1794,19 @@ object OracleSql {
          |$rounds
          |SELECT node AS domain, CAST(rank_fp AS BIGINT) AS rank_fp FROM rk5""".stripMargin
     },
-    // synchronous majority label propagation replayed as 4 chained CTE
-    // rounds on the x62 co-citation graph: per node the most frequent
-    // neighbor label, ties to the MIN label — exactly Spark's
-    // min(struct(-count, label)). The edge frame is symmetrized the same
-    // way on both sides (each direction appears twice; uniform doubling
-    // preserves every majority and every tie). If Spark's early-convergence
-    // check stops before round 4, the labels are a fixed point and the
-    // oracle's extra rounds are the identity, so equality still holds.
+    // synchronous majority label propagation replayed as CommunityRounds
+    // chained CTE rounds on the x62 co-citation graph (the round count
+    // derives from the SAME SparkEntry.CommunityRounds constant the Spark
+    // entry passes, so the two sides cannot desynchronize): per node the
+    // most frequent neighbor label, ties to the MIN label — exactly
+    // Spark's min(struct(-count, label)). The edge frame is symmetrized
+    // the same way on both sides (each direction appears twice; uniform
+    // doubling preserves every majority and every tie). If Spark's
+    // early-convergence check stops before the last round, the labels are
+    // a fixed point and the oracle's extra rounds are the identity, so
+    // equality still holds.
     "x78_domain_communities" -> {
-      val rounds = (1 to 4).map { k =>
+      val rounds = (1 to SparkEntry.CommunityRounds).map { k =>
         s"""lp$k AS (SELECT node, label FROM (
            | SELECT node, label,
            |  row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
@@ -1823,7 +1826,8 @@ object OracleSql {
          |und AS (SELECT src, dst FROM ed UNION ALL SELECT dst AS src, src AS dst FROM ed),
          |lp0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
          |$rounds
-         |SELECT node AS domain, label AS community FROM lp4""".stripMargin
+         |SELECT node AS domain, label AS community
+         | FROM lp${SparkEntry.CommunityRounds}""".stripMargin
     },
     // GROUPING() in DuckDB and grouping_id() in Spark both put the FIRST
     // cube column in the most significant bit (Postgres bit order)

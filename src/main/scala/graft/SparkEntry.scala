@@ -67,10 +67,12 @@ object SparkEntry {
   val StratFractions: Map[String, Double] =
     Map("view" -> 0.05, "click" -> 0.2, "purchase" -> 1.0, "error" -> 1.0)
 
-  // BM25 query terms / Z-order bit width / token budget shared with oracles
+  // BM25 query terms / Z-order bit width / token budget / label-prop
+  // rounds shared with oracles (single source of truth on both sides)
   val Bm25Terms: Seq[String] = Seq("vector", "hash", "stream")
   val ZBits: Int = 10
   val TokenBudget: Long = 15000L
+  val CommunityRounds: Int = 4
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── P: projection / filter / cleaning ────────────────────────────────
@@ -1140,12 +1142,12 @@ object SparkEntry {
       Graph.pageRank(domainCooccurrenceEdges(T(s, dir, "documents")),
           col("src"), col("dst"), iterations = 5)
         .select(col("node").as("domain"), col("rank_fp"))),
-    // community labels over the same co-citation graph: 4 synchronous
-    // majority rounds, min-label ties — the grouping behind per-community
-    // sampling caps (a link farm is ONE community)
+    // community labels over the same co-citation graph: CommunityRounds
+    // synchronous majority rounds, min-label ties — the grouping behind
+    // per-community sampling caps (a link farm is ONE community)
     "x78_domain_communities" -> ((s, dir) =>
       Graph.labelPropagation(domainCooccurrenceEdges(T(s, dir, "documents")),
-          col("src"), col("dst"), rounds = 4)
+          col("src"), col("dst"), rounds = CommunityRounds)
         .select(col("node").as("domain"), col("label").as("community"))),
     // CUBE over (event_type, hour): all grouping sets in one pass with the
     // grouping-id disambiguator — the OLAP subtotal surface

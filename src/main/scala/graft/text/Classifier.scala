@@ -33,75 +33,98 @@ object Classifier {
 
   /** Train the weight table from labeled seed sets. Emits one row per
     * union-vocabulary term: `(term, llr)`, with `llr` left as an exact
-    * double (it is consumed by [[scoreLlr]], not compared directly).
+    * double. [[trainLlr]] and [[scoreLlr]] both evaluate [[llrCol]], the
+    * single source of truth for the smoothed ratio — the two faces cannot
+    * drift.
     */
   def trainLlr(pos: DataFrame, neg: DataFrame, text: Column): DataFrame = {
     val fp = counts(pos, text, "__cp")
     val fn = counts(neg, text, "__cn")
-    // fail fast: an empty seed set makes every llr the same constant and
-    // the classifier a coin — surface the bad label filter instead
-    require(!fp.isEmpty && !fn.isEmpty,
-      "LLR training needs non-empty positive AND negative seed sets")
+    val s = scalars(fp, fn)
     fp.join(fn, Seq("term"), "full_outer")
-      .crossJoin(broadcast(scalars(fp, fn)))
-      .select(col("term"),
-        (log((coalesce(col("__cp"), lit(0L)).cast("double") + lit(1.0)) /
-            (col("__tp").cast("double") + col("__v").cast("double"))) -
-          log((coalesce(col("__cn"), lit(0L)).cast("double") + lit(1.0)) /
-            (col("__tn").cast("double") + col("__v").cast("double"))))
-          .as("llr"))
+      .select(col("term"), llrCol(s).as("llr"))
   }
 
-  /** Score a corpus against a [[trainLlr]] model built from the given seed
-    * sets. Emits `(doc_id, llr_score, n_tokens, is_positive)` for every
-    * corpus document; out-of-vocabulary tokens contribute the smoothed-zero
-    * constant, so empty-intersection docs still score (they land exactly on
-    * the prior odds, not on null).
+  /** Score a corpus against a [[trainLlr]]-equivalent model built from the
+    * given seed sets. Emits `(doc_id, llr_score, n_tokens, is_positive)`
+    * for every corpus document; out-of-vocabulary tokens contribute the
+    * smoothed-zero constant, so empty-intersection docs still score (they
+    * land exactly on the prior odds, not on null).
     */
   def scoreLlr(corpus: DataFrame, id: Column, text: Column,
       pos: DataFrame, neg: DataFrame): DataFrame = {
     val fp = counts(pos, text, "__cp")
     val fn = counts(neg, text, "__cn")
-    require(!fp.isEmpty && !fn.isEmpty,
-      "LLR scoring needs non-empty positive AND negative seed sets")
-    val sc = scalars(fp, fn)
+    val s = scalars(fp, fn)
     // the model is seed-vocabulary-sized (curated samples, not the crawl):
     // broadcast it so the corpus token stream is probed at the scan and
     // the only corpus shuffle is the per-doc aggregate
     val model = broadcast(fp.join(fn, Seq("term"), "full_outer"))
-    val oov = log((col("__tn").cast("double") + col("__v").cast("double")) /
-      (col("__tp").cast("double") + col("__v").cast("double")))
-    val llr =
-      log((coalesce(col("__cp"), lit(0L)).cast("double") + lit(1.0)) /
-          (col("__tp").cast("double") + col("__v").cast("double"))) -
-        log((coalesce(col("__cn"), lit(0L)).cast("double") + lit(1.0)) /
-          (col("__tn").cast("double") + col("__v").cast("double")))
     corpus.select(id.as("doc_id"),
         explode(TextAnalysis.tokens(text)).as("term"))
       .join(model, Seq("term"), "left")
-      .crossJoin(broadcast(sc))
       .withColumn("__llr",
-        when(col("__cp").isNull && col("__cn").isNull, oov).otherwise(llr))
+        when(col("__cp").isNull && col("__cn").isNull, oovCol(s))
+          .otherwise(llrCol(s)))
       .groupBy(col("doc_id"))
       .agg(round(avg(col("__llr")), 6).as("llr_score"),
         count(lit(1)).as("n_tokens"))
       .withColumn("is_positive", col("llr_score") > 0.0)
   }
 
-  /** Vocabulary-sized term-frequency frame, checkpointed: it feeds both
-    * the model join and the scalar totals, and must not re-tokenize.
+  /** Vocabulary-sized term-frequency frame, checkpointed eagerly: it feeds
+    * both the model join and the scalar totals, and must not re-tokenize.
+    * `localCheckpoint` blocks live on executors and are lost on executor
+    * failure (unlike a reliable checkpoint) — acceptable for seed-sized
+    * frames, but rerun training rather than relying on recovery under
+    * dynamic allocation.
     */
   private def counts(df: DataFrame, text: Column, alias: String): DataFrame =
     df.select(explode(TextAnalysis.tokens(text)).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as(alias))
       .localCheckpoint(true)
 
-  /** One-row smoothing-constant frame: total pos tokens, total neg tokens,
-    * union vocabulary size.
+  /** Collected smoothing constants: total pos/neg tokens and the union
+    * vocabulary size. ONE action over the two checkpointed count frames —
+    * it doubles as the fail-fast check (a seed set that is empty, or
+    * tokenizes to nothing, shows up as a zero total; every llr would then
+    * be the same constant and the classifier a coin — surface the bad
+    * label filter instead). Totals are token counts, far below 2^53, so
+    * folding them into double literals is exact.
     */
-  private def scalars(fp: DataFrame, fn: DataFrame): DataFrame =
-    fp.join(fn, Seq("term"), "full_outer")
+  private case class Scalars(tp: Long, tn: Long, v: Long)
+
+  private def scalars(fp: DataFrame, fn: DataFrame): Scalars = {
+    val r = fp.join(fn, Seq("term"), "full_outer")
       .agg(sum(coalesce(col("__cp"), lit(0L))).as("__tp"),
         sum(coalesce(col("__cn"), lit(0L))).as("__tn"),
         count(lit(1)).as("__v"))
+      .head()
+    val s = Scalars(
+      if (r.isNullAt(0)) 0L else r.getLong(0),
+      if (r.isNullAt(1)) 0L else r.getLong(1),
+      r.getLong(2))
+    require(s.tp > 0 && s.tn > 0,
+      "LLR training needs positive AND negative seed sets with at least one token each")
+    s
+  }
+
+  /** The per-term smoothed ratio ln p(w|pos) − ln p(w|neg) over a model row
+    * (`__cp`, `__cn`, either nullable from the full-outer join). Shared by
+    * [[trainLlr]] and [[scoreLlr]]. The folded double denominators equal
+    * the previous column-arithmetic form bit-for-bit (exact long→double
+    * conversions, same addition), so the x79 oracle is unchanged.
+    */
+  private def llrCol(s: Scalars): Column =
+    log((coalesce(col("__cp"), lit(0L)).cast("double") + lit(1.0)) /
+        lit(s.tp.toDouble + s.v.toDouble)) -
+      log((coalesce(col("__cn"), lit(0L)).cast("double") + lit(1.0)) /
+        lit(s.tn.toDouble + s.v.toDouble))
+
+  /** Smoothed-zero constant for tokens outside the union vocabulary: both
+    * add-one numerators are 1, so the ratio collapses to
+    * ln((t_neg+|V|)/(t_pos+|V|)).
+    */
+  private def oovCol(s: Scalars): Column =
+    log(lit(s.tn.toDouble + s.v.toDouble) / lit(s.tp.toDouble + s.v.toDouble))
 }

@@ -103,6 +103,23 @@ class ScaleGrowthSpec extends SparkSpec {
     assert(g < 25.0, s"shared-span shuffle grew ${g}x for 10x input ($small -> $large)")
   }
 
+  test("span removal shuffle bytes grow ~linearly from 1x to 10x docs") {
+    // the x73 chain end-to-end: sharedSpans candidates -> per-position
+    // explode -> anti-join -> reassembly. The explode is bounded by
+    // span_len x pairs (both capped upstream), the rebuild by corpus
+    // tokens — an uncapped gram bucket or a spans x docs product blows it
+    def cleaned(n: Int) = {
+      val d = docs(n)
+      Dedup.removeSpans(d, col("doc_id"), col("text"),
+        Dedup.sharedSpans(d, col("doc_id"), col("text"), minSpanTokens = 8))
+    }
+    val small = shuffleBytes(run(cleaned(500)))
+    val large = shuffleBytes(run(cleaned(5000)))
+    val g = growth(small, large)
+    assert(small > 0, "listener captured no shuffle writes")
+    assert(g < 25.0, s"span-removal shuffle grew ${g}x for 10x input ($small -> $large)")
+  }
+
   test("intra-doc repeat shuffle bytes grow ~linearly from 1x to 10x docs") {
     // per-(doc, gram) self-join: blocking carries the doc id, so pair
     // work is bounded per doc and total traffic tracks corpus size
