@@ -102,12 +102,20 @@ object Dedup {
       numHashes: Int = 4, rowsPerBand: Int = 2): DataFrame = {
     require(numHashes % rowsPerBand == 0,
       s"rowsPerBand=$rowsPerBand must divide numHashes=$numHashes")
-    val bands = (0 until numHashes / rowsPerBand).map { b =>
-      signed.select(col("doc_id"),
+    // ONE pass: explode an inline array of (band, band_id) structs. A
+    // per-band union would scan the signature subtree b times and stack b
+    // extra stages onto the plan — pure overhead locally and b redundant
+    // scans of the signed frame at scale.
+    val bandStructs = (0 until numHashes / rowsPerBand).map { b =>
+      struct(
         concat((0 until rowsPerBand).map(r =>
           col(s"sig${b * rowsPerBand + r}")): _*).as("band"),
         lit(b + 1).as("band_id"))
-    }.reduce(_.unionByName(_))
+    }
+    val bands = signed
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("__bd"))
+      .select(col("doc_id"), col("__bd.band").as("band"),
+        col("__bd.band_id").as("band_id"))
     capBuckets(bands, Seq(col("band"), col("band_id")), maxBucket)
   }
 
@@ -125,13 +133,25 @@ object Dedup {
   }
 
   /** Candidate pairs (doc_a < doc_b, band_id) from a capped band frame. */
-  private def bandPairs(capped: DataFrame): DataFrame = {
+  private def bandPairs(capped: DataFrame): DataFrame =
+    rawBandPairs(capped)
+      .select(col("doc_a"), col("doc_b"), col("band_id"))
+      .distinct()
+
+  /** Candidate doc pairs with band_id dropped BEFORE the dedup — callers
+    * that don't expose which band matched (the verify pipelines) get one
+    * distinct instead of a per-band distinct followed by a second
+    * pair-level one (two full shuffles of the candidate frame).
+    */
+  private def bandPairDocs(capped: DataFrame): DataFrame =
+    rawBandPairs(capped).select(col("doc_a"), col("doc_b")).distinct()
+
+  private def rawBandPairs(capped: DataFrame): DataFrame = {
     val a = capped.select(col("band"), col("band_id"), col("doc_id").as("doc_a"))
     val b = capped.select(col("band"), col("band_id"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "band_id"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("band_id"))
-      .distinct()
   }
 
   /** MinHash + LSH banding: docs sharing any band of their signature are
@@ -195,11 +215,13 @@ object Dedup {
         sliceExpr(col("grams"), 4).as("__sig"))
       .select((Seq(col("doc_id"), col("is_new")) ++
         (0 until 4).map(i => element_at(col("__sig"), i + 1).as(s"sig$i"))): _*)
-    val bands = (0 until 2).map { b =>
-      signed.select(col("doc_id"), col("is_new"),
-        concat(col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")).as("band"),
-        lit(b + 1).as("band_id"))
-    }.reduce(_.unionByName(_))
+    val bands = signed.select(col("doc_id"), col("is_new"),
+        explode(array((0 until 2).map { b =>
+          struct(concat(col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")).as("band"),
+            lit(b + 1).as("band_id"))
+        }: _*)).as("__bd"))
+      .select(col("doc_id"), col("is_new"),
+        col("__bd.band").as("band"), col("__bd.band_id").as("band_id"))
     val capped = capBuckets(bands, Seq(col("band"), col("band_id")), maxBucket)
     // one-sided join: new-batch bands probe the union's bands — candidate
     // work is proportional to the buckets the increment touches, never to
@@ -295,8 +317,7 @@ object Dedup {
       .select(col("did").as("doc_id"), sliceExpr(col("grams"), numHashes).as("__sig"))
       .select((col("doc_id") +:
         (0 until numHashes).map(i => element_at(col("__sig"), i + 1).as(s"sig$i"))): _*)
-    val cands = bandPairs(cappedBands(signed, maxBucket, numHashes, rowsPerBand))
-      .select("doc_a", "doc_b").distinct()
+    val cands = bandPairDocs(cappedBands(signed, maxBucket, numHashes, rowsPerBand))
     val verified = cands
       .join(grams.select(col("did").as("doc_a"), col("grams").as("ga")), "doc_a")
       .join(grams.select(col("did").as("doc_b"), col("grams").as("gb")), "doc_b")
@@ -334,9 +355,12 @@ object Dedup {
       maxHamming: Int = 2, maxBucket: Int = 1000): DataFrame = {
     val sig = df.select(id.as("doc_id"), simhash16(text).as("simhash"))
     val bands = sig.select(col("doc_id"), col("simhash"),
-        shiftright(col("simhash"), 8).as("band"), lit(1).as("band_id"))
-      .unionByName(sig.select(col("doc_id"), col("simhash"),
-        col("simhash").bitwiseAND(255).as("band"), lit(2).as("band_id")))
+        explode(array(
+          struct(shiftright(col("simhash"), 8).as("band"), lit(1).as("band_id")),
+          struct(col("simhash").bitwiseAND(255).as("band"), lit(2).as("band_id"))))
+          .as("__bd"))
+      .select(col("doc_id"), col("simhash"),
+        col("__bd.band").as("band"), col("__bd.band_id").as("band_id"))
     val capped = capBuckets(bands, Seq(col("band"), col("band_id")), maxBucket)
     val a = capped.select(col("band"), col("band_id"),
       col("doc_id").as("doc_a"), col("simhash").as("__sa"))
