@@ -67,14 +67,16 @@ object BudgetSelect {
     require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
     require(subBuckets >= 1 && subBuckets <= 65536,
       s"subBuckets must be in [1, 65536], got $subBuckets")
-    // materialized once: (id, score, tokens, tie) is ~32 bytes/row — far
-    // smaller than the text it derives from — and three passes read it
-    // (min/max, the bounded totals, the final join+window); without the
-    // checkpoint each pass would re-run the scoring/tokenize expressions
-    // over the full corpus
+    // cached once: (id, score, tokens, tie) is ~32 bytes/row — far smaller
+    // than the text it derives from — and three passes read it (min/max,
+    // the bounded totals, the final join+window). The stats action below
+    // materializes the cache, so scoring/tokenize expressions run over the
+    // corpus exactly once (an eviction under memory pressure recomputes
+    // them — deterministic expressions, so correct, just slower).
     val base = df.select(id.as("doc_id"), score.cast("double").as("score"),
       tokens.cast("long").as("n_tokens"),
-      Sampling.hashKey(id, lit(salt)).as("__tie")).localCheckpoint(true)
+      Sampling.hashKey(id, lit(salt)).as("__tie"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val statsRow = base.agg(min(col("score")), max(col("score"))).head()
     // empty corpus (an upstream gate dropped everything): empty result,
     // not an NPE off the null min/max
@@ -87,27 +89,39 @@ object BudgetSelect {
     val bucketed = base.withColumn("__b",
       least(width_bucket(col("score"), lit(lo), lit(hi + math.ulp(hi)),
         lit(numBuckets)), lit(numBuckets.toLong)))
-    // pass 1 (bounded: numBuckets rows): which buckets are pure —
-    // min == max, one repeated score value — AND heavy enough to split
-    val splitBuckets = bucketed.groupBy(col("__b"))
+    // ONE bounded pass (<= numBuckets * subBuckets rows collected): stats
+    // per (bucket, candidate cell) — the cell key is computed
+    // unconditionally here, and the split DECISION is made on the driver
+    // by re-aggregating cells per bucket (count > subBuckets AND pure:
+    // min == max, one repeated score value). This replaces the former
+    // two-action sequence (per-bucket purity collect, then per-cell totals
+    // collect) with a single job; non-split buckets' cells merge back to
+    // cell 0 driver-side.
+    val cellAll = floor(col("__tie") * lit(subBuckets.toLong) / lit(HashSpace))
+      .cast("long")
+    val cellStats = bucketed.withColumn("__sba", cellAll)
+      .groupBy(col("__b"), col("__sba"))
       .agg(count(lit(1)).as("__c"), min(col("score")).as("__lo"),
-        max(col("score")).as("__hi"))
+        max(col("score")).as("__hi"), sum(col("n_tokens")).as("__t"))
       .collect()
-      .filter(r => r.getLong(1) > subBuckets && r.getDouble(2) == r.getDouble(3))
-      .map(_.getLong(0)).toSet
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5)))
+    val splitBuckets = cellStats.groupBy(_._1).collect {
+      case (b, rows) if rows.map(_._3).sum > subBuckets &&
+        rows.map(_._4).min == rows.map(_._5).max => b
+    }.toSet
     val cell =
       if (splitBuckets.isEmpty) lit(0L)
-      else when(col("__b").isInCollection(splitBuckets),
-        floor(col("__tie") * lit(subBuckets.toLong) / lit(HashSpace)).cast("long"))
+      else when(col("__b").isInCollection(splitBuckets), cellAll)
         .otherwise(lit(0L))
     val celled = bucketed.withColumn("__sb", cell)
-    // pass 2 (bounded: <= numBuckets * subBuckets rows): per-cell token
-    // totals -> driver-side prefix sums in selection order (bucket desc,
-    // cell asc), broadcast back as a lookup
-    val perCell = celled.groupBy(col("__b"), col("__sb"))
-      .agg(sum(col("n_tokens")).as("__t"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
-      .sortBy { case ((b, s), _) => (-b, s) }.toSeq
+    // per-cell token totals -> driver-side prefix sums in selection order
+    // (bucket desc, cell asc), broadcast back as a lookup
+    val perCell = cellStats
+      .map { case (b, sba, _, _, _, t) =>
+        (b, if (splitBuckets.contains(b)) sba else 0L) -> t }
+      .groupBy(_._1).map { case (k, ts) => k -> ts.map(_._2).sum }
+      .toSeq.sortBy { case ((b, s), _) => (-b, s) }
     val prefixBefore = perCell.scanLeft(((Long.MaxValue, Long.MinValue), 0L)) {
       case ((_, acc), (cellKey, t)) => (cellKey, acc + t)
     }.sliding(2).map { case Seq((_, acc), ((b, s), _)) => (b, s, acc) }.toSeq
