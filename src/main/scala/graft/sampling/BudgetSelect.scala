@@ -191,9 +191,13 @@ object BudgetSelect {
     require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
     require(subBuckets >= 1 && subBuckets <= 65536,
       s"subBuckets must be in [1, 65536], got $subBuckets")
+    // persist materialized by the stats action (the selectUnderBudget
+    // pattern): one evaluation of the scoring expressions, no separate
+    // checkpoint job, deterministic recompute if evicted
     val base = df.select(group.as("group"), id.as("doc_id"),
       score.cast("double").as("score"),
-      Sampling.hashKey(id, lit(salt)).as("__tie")).localCheckpoint(true)
+      Sampling.hashKey(id, lit(salt)).as("__tie"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val statsRow = base.agg(min(col("score")), max(col("score"))).head()
     if (statsRow.isNullAt(0))
       return base.select(col("group"), col("doc_id"), col("score"),
@@ -202,23 +206,37 @@ object BudgetSelect {
     val bucketed = base.withColumn("__b",
       least(width_bucket(col("score"), lit(lo), lit(hi + math.ulp(hi)),
         lit(numBuckets)), lit(numBuckets.toLong)))
-    val info = bucketed.groupBy(col("group"), col("__b"))
-      .agg(count(lit(1)).as("__c"), min(col("score")).as("__lo"),
-        max(col("score")).as("__hi"))
+    // ONE corpus aggregation to the bounded (group, bucket, candidate-cell)
+    // frame (<= |groups| * numBuckets * subBuckets rows, checkpointed);
+    // split decisions, per-cell prefix totals, and group sizes all derive
+    // from it with tiny re-aggregations — the former three separate
+    // corpus-frame scans (purity agg, per-cell totals, sizes) collapse
+    // into this single shuffle. Stays a broadcast frame, never a driver
+    // collect: |groups| scales with the corpus (the scaladoc contract).
+    val cellAll = floor(col("__tie") * lit(subBuckets.toLong) / lit(HashSpace))
+      .cast("long")
+    val stats = bucketed.withColumn("__sba", cellAll)
+      .groupBy(col("group"), col("__b"), col("__sba"))
+      .agg(count(lit(1)).as("__c"), min(col("score")).as("__slo"),
+        max(col("score")).as("__shi"))
+      .localCheckpoint(true)
+    val info = stats.groupBy(col("group"), col("__b"))
+      .agg(sum(col("__c")).as("__bc"), min(col("__slo")).as("__lo"),
+        max(col("__shi")).as("__hi"))
       .select(col("group"), col("__b"),
-        (col("__c") > subBuckets && col("__lo") === col("__hi")).as("__split"))
+        (col("__bc") > subBuckets && col("__lo") === col("__hi")).as("__split"))
     val celled = bucketed.join(broadcast(info), Seq("group", "__b"))
-      .withColumn("__sb", when(col("__split"),
-        floor(col("__tie") * lit(subBuckets.toLong) / lit(HashSpace)).cast("long"))
-        .otherwise(lit(0L)))
+      .withColumn("__sb", when(col("__split"), cellAll).otherwise(lit(0L)))
     val wPrefix = Window.partitionBy(col("group"))
       .orderBy(col("__b").desc, col("__sb").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val perCell = celled.groupBy(col("group"), col("__b"), col("__sb"))
-      .agg(count(lit(1)).as("__t"))
+    val perCell = stats.join(info, Seq("group", "__b"))
+      .withColumn("__sb", when(col("__split"), col("__sba")).otherwise(lit(0L)))
+      .groupBy(col("group"), col("__b"), col("__sb"))
+      .agg(sum(col("__c")).as("__t"))
       .withColumn("__prefix", coalesce(sum(col("__t")).over(wPrefix), lit(0L)))
       .select(col("group"), col("__b"), col("__sb"), col("__prefix"))
-    val sizes = base.groupBy(col("group")).agg(count(lit(1)).as("__n"))
+    val sizes = stats.groupBy(col("group")).agg(sum(col("__c")).as("__n"))
     val w = Window.partitionBy(col("group"), col("__b"), col("__sb"))
       .orderBy(col("score").desc, col("__tie").asc, col("doc_id").asc)
     celled.join(broadcast(perCell), Seq("group", "__b", "__sb"))

@@ -129,12 +129,20 @@ object TfIdf {
     val total = uf.agg(sum(col("__uc")).as("__tt"))
     val p = lit(lambda) * (col("__bc").cast("double") / col("__hc").cast("double")) +
       lit(1.0 - lambda) * (col("__uc").cast("double") / col("__tt").cast("double"))
-    big.join(bfAll, Seq("prev", "cur"))
+    // score the VOCABULARY frame, then join the occurrence stream ONCE:
+    // histories/unigrams/total attach to bigram TYPES (all
+    // vocabulary-sized frames), so the corpus-sized stream crosses exactly
+    // one join instead of three. Per-type doubles are the same expression
+    // tree as before, so per-occurrence values are bit-identical; round-6
+    // absorbs the avg's partial-merge jitter (the x38 argument).
+    val typeScored = bfAll
       .join(hf, Seq("prev"))
       .join(uf.select(col("term").as("cur"), col("__uc")), Seq("cur"))
       .crossJoin(broadcast(total))
+      .select(col("prev"), col("cur"), (-log(p)).as("__nlp"))
+    big.join(typeScored, Seq("prev", "cur"))
       .groupBy(col("doc_id"))
-      .agg(round(avg(-log(p)), 6).as("surprise"),
+      .agg(round(avg(col("__nlp")), 6).as("surprise"),
         count(lit(1)).as("n_bigrams"))
   }
 
@@ -179,12 +187,16 @@ object TfIdf {
         lit(discount) * col("__n1p").cast("double") *
           (col("__n1c").cast("double") / col("__bt").cast("double"))) /
       col("__hc").cast("double")
-    big.join(bfAll, Seq("prev", "cur"))
+    // same one-stream-join shape as [[bigramSurprise]]: probabilities
+    // attach to bigram types, the occurrence stream joins once
+    val typeScored = bfAll
       .join(hist, Seq("prev"))
       .join(cont, Seq("cur"))
       .crossJoin(broadcast(types))
+      .select(col("prev"), col("cur"), (-log(p)).as("__nlp"))
+    big.join(typeScored, Seq("prev", "cur"))
       .groupBy(col("doc_id"))
-      .agg(round(avg(-log(p)), 6).as("kn_surprise"),
+      .agg(round(avg(col("__nlp")), 6).as("kn_surprise"),
         count(lit(1)).as("n_bigrams"))
   }
 
