@@ -395,14 +395,21 @@ object Dedup {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     val fp = df.select(id.as("doc_id"),
       explode(graft.text.TextAnalysis.winnowFingerprints(text, k, w)).as("fp"))
+    // persisted for the self-join (the sharedSpans AQE finding: exchange
+    // reuse does not fire across alias-renamed sides, so the fingerprint
+    // kernel + count window would evaluate twice)
     val capped = capBuckets(fp, Seq(col("fp")), maxBucket)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val a = capped.select(col("fp"), col("doc_id").as("doc_a"))
     val b = capped.select(col("fp"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("fp"))
+    val pairs = a.join(b, Seq("fp"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared_fingerprints"))
       .filter(col("shared_fingerprints") >= minShared)
+    val out = pairs.localCheckpoint(true)
+    capped.unpersist(false)
+    out
   }
 
   /** Cross-document substring-level dedup (the Lee et al. exact-substring
@@ -452,22 +459,29 @@ object Dedup {
       .localCheckpoint(true)
 
     // stage 1: docs that share at least one winnow fingerprint — a
-    // superset of all docs sharing a span of >= minSpanTokens tokens
+    // superset of all docs sharing a span of >= minSpanTokens tokens.
+    // The capped fingerprint frame self-joins, and AQE exchange reuse
+    // does NOT fire across the two (alias-renamed) sides, so without the
+    // persist the winnow explode + count window would run twice —
+    // measured 3.3x on the gram stage below, same shape here.
     val fp = base.select(col("doc_id"), explode(Native.winnow(
       concat_ws(" ", col("__toks")), k, w)).as("__fp"))
     val fpc = capBuckets(fp, Seq(col("__fp")), maxBucket)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cand = fpc.select(col("__fp"), col("doc_id"))
       .join(fpc.select(col("__fp"), col("doc_id").as("__other")), Seq("__fp"))
       .filter(col("doc_id") =!= col("__other"))
       .select(col("doc_id")).distinct()
 
-    // stage 2: positional k-grams of candidate docs only
+    // stage 2: positional k-grams of candidate docs only (same persist
+    // rationale: the capped gram frame feeds both sides of the pair join)
     val grams = base.join(cand, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, size(__toks) - $k), " +
           "i -> concat_ws(' ', slice(__toks, i + 1, " + k + ")))"))
         .as(Seq("pos", "gram")))
     val gc = capBuckets(grams, Seq(col("gram")), maxBucket)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val matches = gc
       .select(col("gram"), col("doc_id").as("doc_a"), col("pos").as("apos"))
       .join(gc.select(col("gram"), col("doc_id").as("doc_b"),
@@ -481,7 +495,8 @@ object Dedup {
     val byDiag = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_a"), col("doc_b"), col("diag"))
       .orderBy(col("apos"))
-    diag.withColumn("__island", col("apos") - row_number().over(byDiag))
+    val spans = diag
+      .withColumn("__island", col("apos") - row_number().over(byDiag))
       .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("__island"))
       .agg(min(col("apos")).as("__a0"), count(lit(1)).as("__n"))
       .withColumn("span_len", col("__n") + lit(k - 1).cast("long"))
@@ -490,6 +505,13 @@ object Dedup {
         col("__a0").cast("long").as("a_start"),
         (col("__a0") - col("diag")).cast("long").as("b_start"),
         col("span_len"))
+    // materialize the (small) span frame eagerly so both caches drop here
+    // instead of leaking until session shutdown — the nearDuplicatesWide
+    // pattern; at cluster scale this is the reliable-storage checkpoint
+    val out = spans.localCheckpoint(true)
+    fpc.unpersist(false)
+    gc.unpersist(false)
+    out
   }
 
   /** INTRA-document repeated spans: maximal token spans of at least
@@ -526,7 +548,11 @@ object Dedup {
       s"transform(sequence(0, size(__toks) - $k), " +
         "i -> concat_ws(' ', slice(__toks, i + 1, " + k + ")))"))
       .as(Seq("pos", "gram")))
+    // persisted for the self-join: AQE exchange reuse does not fire
+    // across the alias-renamed sides (the sharedSpans finding), so the
+    // gram explode + count window would otherwise evaluate twice
     val gc = capBuckets(grams, Seq(col("doc_id"), col("gram")), maxBucket)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val matches = gc
       .select(col("doc_id"), col("gram"), col("pos").as("apos"))
       .join(gc.select(col("doc_id"), col("gram"), col("pos").as("bpos")),
@@ -537,7 +563,8 @@ object Dedup {
     val byDiag = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"), col("diag"))
       .orderBy(col("apos"))
-    diag.withColumn("__island", col("apos") - row_number().over(byDiag))
+    val spans = diag
+      .withColumn("__island", col("apos") - row_number().over(byDiag))
       .groupBy(col("doc_id"), col("diag"), col("__island"))
       .agg(min(col("apos")).as("__a0"), count(lit(1)).as("__n"))
       .withColumn("span_len", col("__n") + lit(k - 1).cast("long"))
@@ -545,6 +572,9 @@ object Dedup {
       .select(col("doc_id"), col("__a0").cast("long").as("a_start"),
         (col("__a0") + col("diag")).cast("long").as("b_start"),
         col("span_len"))
+    val out = spans.localCheckpoint(true)
+    gc.unpersist(false)
+    out
   }
 
   /** Per-doc summary of [[selfRepeatedSpans]] evidence: the fraction of
