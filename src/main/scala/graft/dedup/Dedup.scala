@@ -395,21 +395,19 @@ object Dedup {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     val fp = df.select(id.as("doc_id"),
       explode(graft.text.TextAnalysis.winnowFingerprints(text, k, w)).as("fp"))
-    // persisted for the self-join (the sharedSpans AQE finding: exchange
-    // reuse does not fire across alias-renamed sides, so the fingerprint
-    // kernel + count window would evaluate twice)
+    // deliberately NOT persisted across the self-join: this subtree is one
+    // cheap kernel + explode + count window, and measured wall-clock is
+    // better letting the two sides evaluate in parallel than serializing a
+    // materialize-then-join barrier (the sharedSpans gram stage, with its
+    // semi-join + heavier explode, lands on the other side of that trade)
     val capped = capBuckets(fp, Seq(col("fp")), maxBucket)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val a = capped.select(col("fp"), col("doc_id").as("doc_a"))
     val b = capped.select(col("fp"), col("doc_id").as("doc_b"))
-    val pairs = a.join(b, Seq("fp"))
+    a.join(b, Seq("fp"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared_fingerprints"))
       .filter(col("shared_fingerprints") >= minShared)
-    val out = pairs.localCheckpoint(true)
-    capped.unpersist(false)
-    out
   }
 
   /** Cross-document substring-level dedup (the Lee et al. exact-substring
@@ -548,11 +546,12 @@ object Dedup {
       s"transform(sequence(0, size(__toks) - $k), " +
         "i -> concat_ws(' ', slice(__toks, i + 1, " + k + ")))"))
       .as(Seq("pos", "gram")))
-    // persisted for the self-join: AQE exchange reuse does not fire
-    // across the alias-renamed sides (the sharedSpans finding), so the
-    // gram explode + count window would otherwise evaluate twice
+    // NOT persisted across the self-join (the winnowPairs tradeoff): this
+    // per-doc gram subtree is one explode + count window, cheap enough
+    // that letting the two join sides evaluate in parallel beats a
+    // materialize-then-join barrier; the cross-doc sharedSpans gram stage
+    // (semi-join + heavier fan-in) lands on the other side of that trade
     val gc = capBuckets(grams, Seq(col("doc_id"), col("gram")), maxBucket)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val matches = gc
       .select(col("doc_id"), col("gram"), col("pos").as("apos"))
       .join(gc.select(col("doc_id"), col("gram"), col("pos").as("bpos")),
@@ -563,8 +562,7 @@ object Dedup {
     val byDiag = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"), col("diag"))
       .orderBy(col("apos"))
-    val spans = diag
-      .withColumn("__island", col("apos") - row_number().over(byDiag))
+    diag.withColumn("__island", col("apos") - row_number().over(byDiag))
       .groupBy(col("doc_id"), col("diag"), col("__island"))
       .agg(min(col("apos")).as("__a0"), count(lit(1)).as("__n"))
       .withColumn("span_len", col("__n") + lit(k - 1).cast("long"))
@@ -572,9 +570,6 @@ object Dedup {
       .select(col("doc_id"), col("__a0").cast("long").as("a_start"),
         (col("__a0") + col("diag")).cast("long").as("b_start"),
         col("span_len"))
-    val out = spans.localCheckpoint(true)
-    gc.unpersist(false)
-    out
   }
 
   /** Per-doc summary of [[selfRepeatedSpans]] evidence: the fraction of
