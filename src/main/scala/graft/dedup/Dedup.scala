@@ -458,17 +458,20 @@ object Dedup {
 
     // stage 1: docs that share at least one winnow fingerprint — a
     // superset of all docs sharing a span of >= minSpanTokens tokens.
-    // The capped fingerprint frame self-joins, and AQE exchange reuse
-    // does NOT fire across the two (alias-renamed) sides, so without the
-    // persist the winnow explode + count window would run twice —
-    // measured 3.3x on the gram stage below, same shape here.
+    // No self-join needed to DETECT sharing: a doc shares its fingerprint
+    // bucket with another doc iff the bucket's min/max doc id differs
+    // from its own, and those min/max columns ride the SAME window
+    // partitioning the bucket cap already pays for — one shuffle, no
+    // second evaluation of the winnow subtree, no pair fan-out at all.
     val fp = base.select(col("doc_id"), explode(Native.winnow(
       concat_ws(" ", col("__toks")), k, w)).as("__fp"))
-    val fpc = capBuckets(fp, Seq(col("__fp")), maxBucket)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val cand = fpc.select(col("__fp"), col("doc_id"))
-      .join(fpc.select(col("__fp"), col("doc_id").as("__other")), Seq("__fp"))
-      .filter(col("doc_id") =!= col("__other"))
+    val wFp = org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))
+    val cand = fp
+      .withColumn("__bc", count(lit(1)).over(wFp))
+      .withColumn("__mn", min(col("doc_id")).over(wFp))
+      .withColumn("__mx", max(col("doc_id")).over(wFp))
+      .filter(col("__bc") <= maxBucket &&
+        (col("__mn") =!= col("doc_id") || col("__mx") =!= col("doc_id")))
       .select(col("doc_id")).distinct()
 
     // stage 2: positional k-grams of candidate docs only (same persist
@@ -503,11 +506,11 @@ object Dedup {
         col("__a0").cast("long").as("a_start"),
         (col("__a0") - col("diag")).cast("long").as("b_start"),
         col("span_len"))
-    // materialize the (small) span frame eagerly so both caches drop here
-    // instead of leaking until session shutdown — the nearDuplicatesWide
-    // pattern; at cluster scale this is the reliable-storage checkpoint
+    // materialize the (small) span frame eagerly so the gram cache drops
+    // here instead of leaking until session shutdown — the
+    // nearDuplicatesWide pattern; at cluster scale this is the
+    // reliable-storage checkpoint
     val out = spans.localCheckpoint(true)
-    fpc.unpersist(false)
     gc.unpersist(false)
     out
   }
