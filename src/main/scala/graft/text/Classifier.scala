@@ -38,11 +38,9 @@ object Classifier {
     * drift.
     */
   def trainLlr(pos: DataFrame, neg: DataFrame, text: Column): DataFrame = {
-    val fp = counts(pos, text, "__cp")
-    val fn = counts(neg, text, "__cn")
-    val s = scalars(fp, fn)
-    fp.join(fn, Seq("term"), "full_outer")
-      .select(col("term"), llrCol(s).as("llr"))
+    val m = model(pos, neg, text)
+    val s = scalars(m)
+    m.select(col("term"), llrCol(s).as("llr"))
   }
 
   /** Score a corpus against a [[trainLlr]]-equivalent model built from the
@@ -53,16 +51,17 @@ object Classifier {
     */
   def scoreLlr(corpus: DataFrame, id: Column, text: Column,
       pos: DataFrame, neg: DataFrame): DataFrame = {
-    val fp = counts(pos, text, "__cp")
-    val fn = counts(neg, text, "__cn")
-    val s = scalars(fp, fn)
+    val m = model(pos, neg, text)
+    val s = scalars(m)
     // the model is seed-vocabulary-sized (curated samples, not the crawl):
     // broadcast it so the corpus token stream is probed at the scan and
-    // the only corpus shuffle is the per-doc aggregate
-    val model = broadcast(fp.join(fn, Seq("term"), "full_outer"))
+    // the only corpus shuffle is the per-doc aggregate. A corpus term
+    // absent from the model leaves BOTH count columns null via the left
+    // join (in-vocab rows carry non-null counts, zero where one side
+    // lacks the term) — the OOV test below relies on that.
     corpus.select(id.as("doc_id"),
         explode(TextAnalysis.tokens(text)).as("term"))
-      .join(model, Seq("term"), "left")
+      .join(broadcast(m), Seq("term"), "left")
       .withColumn("__llr",
         when(col("__cp").isNull && col("__cn").isNull, oovCol(s))
           .otherwise(llrCol(s)))
@@ -72,21 +71,28 @@ object Classifier {
       .withColumn("is_positive", col("llr_score") > 0.0)
   }
 
-  /** Vocabulary-sized term-frequency frame, checkpointed eagerly: it feeds
-    * both the model join and the scalar totals, and must not re-tokenize.
-    * `localCheckpoint` blocks live on executors and are lost on executor
-    * failure (unlike a reliable checkpoint) — acceptable for seed-sized
-    * frames, but rerun training rather than relying on recovery under
-    * dynamic allocation.
+  /** Union-vocabulary model frame `(term, __cp, __cn)` in ONE aggregation:
+    * the two seed sets union with a side tag and tokenize in the same
+    * job, and the per-side counts are conditional aggregates — no
+    * separate per-side count frames, no full-outer join. Checkpointed
+    * eagerly: it feeds the scalar totals and the scoring/weight
+    * projection and must not re-tokenize. `localCheckpoint` blocks live
+    * on executors and are lost on executor failure (unlike a reliable
+    * checkpoint) — acceptable for seed-sized frames, but rerun training
+    * rather than relying on recovery under dynamic allocation.
     */
-  private def counts(df: DataFrame, text: Column, alias: String): DataFrame =
-    df.select(explode(TextAnalysis.tokens(text)).as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as(alias))
+  private def model(pos: DataFrame, neg: DataFrame, text: Column): DataFrame =
+    pos.select(lit(true).as("__pos"), explode(TextAnalysis.tokens(text)).as("term"))
+      .unionByName(neg.select(lit(false).as("__pos"),
+        explode(TextAnalysis.tokens(text)).as("term")))
+      .groupBy(col("term"))
+      .agg(count(when(col("__pos"), 1)).as("__cp"),
+        count(when(!col("__pos"), 1)).as("__cn"))
       .localCheckpoint(true)
 
   /** Collected smoothing constants: total pos/neg tokens and the union
-    * vocabulary size. ONE action over the two checkpointed count frames —
-    * it doubles as the fail-fast check (a seed set that is empty, or
+    * vocabulary size. ONE action over the checkpointed model frame — it
+    * doubles as the fail-fast check (a seed set that is empty, or
     * tokenizes to nothing, shows up as a zero total; every llr would then
     * be the same constant and the classifier a coin — surface the bad
     * label filter instead). Totals are token counts, far below 2^53, so
@@ -94,10 +100,8 @@ object Classifier {
     */
   private case class Scalars(tp: Long, tn: Long, v: Long)
 
-  private def scalars(fp: DataFrame, fn: DataFrame): Scalars = {
-    val r = fp.join(fn, Seq("term"), "full_outer")
-      .agg(sum(coalesce(col("__cp"), lit(0L))).as("__tp"),
-        sum(coalesce(col("__cn"), lit(0L))).as("__tn"),
+  private def scalars(m: DataFrame): Scalars = {
+    val r = m.agg(sum(col("__cp")).as("__tp"), sum(col("__cn")).as("__tn"),
         count(lit(1)).as("__v"))
       .head()
     val s = Scalars(
