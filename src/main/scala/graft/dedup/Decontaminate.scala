@@ -108,4 +108,32 @@ object Decontaminate {
       .select(col("doc_id").as("__contaminated"))
     corpus.join(hits, corpusId === col("__contaminated"), "left_anti")
   }
+
+  /** STREAMING decontamination gate: a pure per-row predicate usable on an
+    * unbounded stream (no join, no state store, no watermark) — the probe
+    * grams aggregate ONCE (batch, at stream-assembly time) into a
+    * plan-constant bloom filter, and each arriving doc is dropped iff ANY
+    * of its n-grams probably collides. This is the dual face of [[clean]]
+    * for ingestion-time filtering: a row survives ⇔ `exists` finds no
+    * probable collision.
+    *
+    * Semantics caveat, by design: the bloom answers "probably contains",
+    * so a ~`fpp` fraction of CLEAN docs is dropped too (one-sided error —
+    * contaminated docs are never kept, the safe direction for
+    * decontamination). The batch faces stay exact because an equi-join
+    * removes false positives; a stream cannot re-join without state, so
+    * the gate trades that sliver of recall for statelessness. Size
+    * `expectedGrams` generously — undersizing degrades fpp, never lets
+    * contamination through.
+    */
+  def streamingGate(stream: DataFrame, text: Column, probes: DataFrame,
+      probeText: Column, expectedGrams: Long, gramWidth: Int = 8,
+      fpp: Double = 0.01): DataFrame = {
+    val pg = probes
+      .select(explode(Native.shingles(probeText, gramWidth)).as("gram"))
+      .distinct()
+    val bf = graft.plans.BloomJoin.keyBloom(pg, col("gram"), expectedGrams, fpp)
+    stream.filter(!exists(Native.shingles(text, gramWidth),
+      g => graft.plans.BloomJoin.mightContain(bf, g)))
+  }
 }

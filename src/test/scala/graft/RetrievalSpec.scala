@@ -372,6 +372,43 @@ class RetrievalSpec extends SparkSpec {
     assert(broad.map(_._1) === Set(1L, 2L), "doc 3 shares no 8-gram")
   }
 
+  test("streamingGate drops colliding docs statelessly, batch and stream alike") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.dedup.Decontaminate
+    val probes = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val contaminated = "prefix alpha beta gamma delta epsilon zeta eta theta iota suffix"
+    val clean = "totally unrelated words that never collide with anything here"
+    // batch face of the same predicate (filter works on any DataFrame)
+    val batchKept = Decontaminate.streamingGate(
+        Seq((1L, contaminated), (2L, clean)).toDF("doc_id", "text"),
+        col("text"), probes, col("text"), expectedGrams = 1000L)
+      .collect().map(_.getLong(0)).toSet
+    assert(batchKept === Set(2L))
+    // streaming face: the gate is a stateless projection, so it runs in
+    // append mode with no watermark and no state store
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val gated = Decontaminate.streamingGate(
+      input.toDF().toDF("doc_id", "text"),
+      col("text"), probes, col("text"), expectedGrams = 1000L)
+    val q = gated.writeStream.format("memory").queryName("decon_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, contaminated), (2L, clean))
+      q.processAllAvailable()
+      input.addData((3L, contaminated + " again"), (4L, "another clean doc"))
+      q.processAllAvailable()
+      val kept = spark.table("decon_out").collect().map(_.getLong(0)).toSet
+      assert(kept === Set(2L, 4L),
+        "contaminated docs must drop across micro-batches")
+      assert(gated.queryExecution.analyzed.collectLeaves().nonEmpty)
+    } finally q.stop()
+  }
+
   test("bloom decontamination plan: might_contain probes below the join") {
     val corpus = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
     val plan = graft.dedup.Decontaminate.contaminationReportBloom(
