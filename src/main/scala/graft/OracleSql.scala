@@ -911,6 +911,20 @@ object OracleSql {
     "x51_neardup_wide" ->
       s"""WITH ${nearDupChainSql(8, 2)}
          |SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.3""".stripMargin,
+    // the x06 pair chain joined to each side's source, pair key normalized
+    // (least, greatest) so mirrored pairs land in one row; round-6 on the
+    // mean absorbs avg merge jitter (the x38 argument)
+    "x80_cross_source_dups" ->
+      s"""WITH $NearDupChain,
+         |pairs AS (SELECT doc_a, doc_b, jaccard FROM scored
+         |  WHERE jaccard >= 0.3),
+         |sp AS (SELECT least(sa.source, sb.source) AS source_a,
+         |   greatest(sa.source, sb.source) AS source_b, p.jaccard
+         | FROM pairs p JOIN documents sa ON p.doc_a = sa.doc_id
+         |  JOIN documents sb ON p.doc_b = sb.doc_id)
+         |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS dup_pairs,
+         | round(avg(jaccard), 6) AS avg_jaccard
+         |FROM sp GROUP BY source_a, source_b""".stripMargin,
     "x21_repetition" ->
       s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
          |g AS (SELECT doc_id, len(toks) AS nt, len($DistinctGrams) AS ng FROM t)

@@ -909,6 +909,15 @@ object SparkEntry {
       Dedup.survivors(docs.select(col("doc_id")), col("doc_id"),
         Dedup.nearDuplicates(docs, col("doc_id"), col("text"), threshold = 0.3))
     }),
+    // dedup-policy view: near-dup pair volume + mean jaccard per unordered
+    // source pair — which feeds mirror each other (the x06 chain's pairs,
+    // broadcast into the source lookup; only shuffle is the |sources|^2 agg)
+    "x80_cross_source_dups" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dedup.crossSourceReport(
+        Dedup.nearDuplicates(docs, col("doc_id"), col("text"), threshold = 0.3),
+        docs.select(col("doc_id"), col("source")))
+    }),
     "x28_quality_rules" -> ((s, dir) =>
       graft.text.QualityRules.report(T(s, dir, "documents"),
         col("doc_id"), col("text"))),

@@ -752,4 +752,35 @@ object Dedup {
     val drop = pairs.select(col("id_b").as("__dup")).distinct()
     docs.join(drop, id === col("__dup"), "left_anti")
   }
+
+  /** Cross-source duplication report: near-dup pair volume and mean
+    * Jaccard per unordered source pair — the dedup-POLICY view a corpus
+    * curator reads before choosing what to drop (a high within-source rate
+    * means a crawler re-fetching itself; a high cross-source rate means
+    * two feeds mirror each other, and deduplicating them jointly changes
+    * each one's effective mixture weight).
+    *
+    * Takes the verified pair frame (`doc_a`, `doc_b`, `jaccard` — e.g.
+    * [[nearDuplicates]]) plus a `(doc_id, source)` lookup. Scale shape:
+    * the PAIR frame is bounded by the dup volume, so it broadcasts into
+    * the corpus-sized source lookup twice (map-side, no corpus shuffle);
+    * the pair key is normalized `(least, greatest)` so A→B and B→A land
+    * in one report row; the only shuffle is the final source-pair
+    * aggregate, whose cardinality is |sources|².
+    */
+  def crossSourceReport(pairs: DataFrame, docSources: DataFrame): DataFrame = {
+    val src = docSources.select(col("doc_id"), col("source"))
+    val p = pairs.select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val withA = src.join(broadcast(p), src("doc_id") === p("doc_a"))
+      .select(col("doc_b"), col("jaccard"), col("source").as("__src_a"))
+    val withB = src.join(broadcast(withA), src("doc_id") === withA("doc_b"))
+      .select(col("__src_a"), col("source").as("__src_b"), col("jaccard"))
+    withB
+      .select(least(col("__src_a"), col("__src_b")).as("source_a"),
+        greatest(col("__src_a"), col("__src_b")).as("source_b"),
+        col("jaccard"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("dup_pairs"),
+        round(avg(col("jaccard")), 6).as("avg_jaccard"))
+  }
 }

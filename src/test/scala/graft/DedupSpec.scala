@@ -409,4 +409,24 @@ class DedupSpec extends SparkSpec {
     assert(got(1L) === ((span12, 0L)))
     assert(got(2L) === (("", 12L)), "a fully-removed doc still emits its row")
   }
+
+  test("crossSourceReport normalizes pair order and keeps within-source rows") {
+    import spark.implicits._
+    // hand-built pair frame: (1,2) crosses web->cur, (3,4) crosses
+    // cur->web (MIRRORED source order — must land in the same row), and
+    // (5,6) is within web
+    val pairs = Seq(
+      (1L, 2L, 0.9), (3L, 4L, 0.7), (5L, 6L, 0.5))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val sources = Seq(
+      1L -> "web", 2L -> "cur", 3L -> "cur", 4L -> "web",
+      5L -> "web", 6L -> "web").toDF("doc_id", "source")
+    val got = Dedup.crossSourceReport(pairs, sources)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === Map(
+      ("cur", "web") -> ((2L, 0.8)), // both cross pairs, either direction
+      ("web", "web") -> ((1L, 0.5))))
+  }
 }
