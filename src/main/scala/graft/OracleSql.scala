@@ -911,6 +911,21 @@ object OracleSql {
     "x51_neardup_wide" ->
       s"""WITH ${nearDupChainSql(8, 2)}
          |SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.3""".stripMargin,
+    // per-gram doc counts joined back to the distinct doc-gram pairs; the
+    // ratio arithmetic mirrors the Spark tree (1.0 − s/n, round 6)
+    "x81_gram_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |g AS (SELECT doc_id, unnest(${distinctGramsSql(8)}) AS gram FROM t),
+         |dfc AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+         |per AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(count(CASE WHEN df > 1 THEN 1 END) AS BIGINT) AS n_shared
+         | FROM g JOIN dfc USING (gram) GROUP BY g.doc_id)
+         |SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+         | coalesce(n_shared, 0) AS n_shared,
+         | CASE WHEN coalesce(n_grams, 0) > 0
+         |  THEN round(1.0 - CAST(n_shared AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+         |  ELSE 1.0 END AS novelty
+         |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin,
     // the x06 pair chain joined to each side's source, pair key normalized
     // (least, greatest) so mirrored pairs land in one row; round-6 on the
     // mean absorbs avg merge jitter (the x38 argument)

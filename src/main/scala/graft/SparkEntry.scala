@@ -909,6 +909,11 @@ object SparkEntry {
       Dedup.survivors(docs.select(col("doc_id")), col("doc_id"),
         Dedup.nearDuplicates(docs, col("doc_id"), col("text"), threshold = 0.3))
     }),
+    // memorization-risk scalar: fraction of each doc's distinct 8-grams
+    // found verbatim in another doc (cross-doc, where x76 is intra-doc);
+    // groupBy+join on the gram key, linear in total grams
+    "x81_gram_novelty" -> ((s, dir) =>
+      Dedup.gramNovelty(T(s, dir, "documents"), col("doc_id"), col("text"))),
     // dedup-policy view: near-dup pair volume + mean jaccard per unordered
     // source pair — which feeds mirror each other (the x06 chain's pairs,
     // broadcast into the source lookup; only shuffle is the |sources|^2 agg)

@@ -753,6 +753,43 @@ object Dedup {
     docs.join(drop, id === col("__dup"), "left_anti")
   }
 
+  /** Cross-document n-gram novelty: per document, how much of its content
+    * exists verbatim (at `gramWidth`-gram granularity) in at least one
+    * OTHER document — the memorization-risk / dedup-diagnostic view.
+    * Emits `(doc_id, n_grams, n_shared, novelty)` for EVERY input doc:
+    * `n_grams` distinct grams, `n_shared` of them seen elsewhere,
+    * `novelty = 1 − shared/n` (1.0 for gram-less docs — vacuously novel).
+    * Unlike [[sharedSpans]] this is a per-doc SCALAR, cheap enough to gate
+    * on; unlike [[graft.text.TextAnalysis.repetitionScore]] it measures
+    * CROSS-doc repetition, not self-repetition.
+    *
+    * Scale shape: the distinct-shingle kernel runs once per doc; the gram
+    * frame aggregates to per-gram doc counts and joins back on the same
+    * key (the unigramSurprise shape — groupBy+join rather than a count
+    * window, so a degenerate ubiquitous gram is an AQE-splittable skew
+    * join, not a single buffered window partition); per-doc totals are one
+    * more keyed aggregate. Everything is linear in total grams.
+    */
+  def gramNovelty(df: DataFrame, id: Column, text: Column,
+      gramWidth: Int = 8): DataFrame = {
+    val g = df.select(id.as("doc_id"),
+      explode(Native.shingles(text, gramWidth)).as("gram"))
+    // shingle sets are per-doc distinct, so per-gram row count = doc count
+    val dfc = g.groupBy(col("gram")).agg(count(lit(1)).as("__df"))
+    val per = g.join(dfc, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__n"),
+        count(when(col("__df") > 1, 1)).as("__s"))
+    df.select(id.as("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__n"), lit(0L)).as("n_grams"),
+        coalesce(col("__s"), lit(0L)).as("n_shared"),
+        when(coalesce(col("__n"), lit(0L)) > 0,
+          round(lit(1.0) - coalesce(col("__s"), lit(0L)).cast("double") /
+            col("__n").cast("double"), 6))
+          .otherwise(lit(1.0)).as("novelty"))
+  }
+
   /** Cross-source duplication report: near-dup pair volume and mean
     * Jaccard per unordered source pair — the dedup-POLICY view a corpus
     * curator reads before choosing what to drop (a high within-source rate

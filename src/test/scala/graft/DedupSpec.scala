@@ -410,6 +410,28 @@ class DedupSpec extends SparkSpec {
     assert(got(2L) === (("", 12L)), "a fully-removed doc still emits its row")
   }
 
+  test("gramNovelty separates cloned, partially-copied and unique docs") {
+    import spark.implicits._
+    val block = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val docs = Seq(
+      (1L, block),                          // fully cloned by doc 2
+      (2L, block),
+      (3L, s"$block unique tail of doc three entirely its own words here"),
+      (4L, "completely different content with no overlap whatsoever at all"),
+      (5L, "short")                         // < 8 tokens: no grams
+    ).toDF("doc_id", "text")
+    val got = Dedup.gramNovelty(docs, col("doc_id"), col("text"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((1L, 1L, 0.0)), "clone: zero novelty")
+    assert(got(2L) === ((1L, 1L, 0.0)))
+    // doc 3 shares exactly its first 8-gram (the block) with 1 and 2
+    assert(got(3L)._2 === 1L && got(3L)._3 > 0.0 && got(3L)._3 < 1.0)
+    assert(got(4L) === ((2L, 0L, 1.0)), "unique doc: full novelty")
+    assert(got(5L) === ((0L, 0L, 1.0)), "gram-less doc still emits a row")
+  }
+
   test("crossSourceReport normalizes pair order and keeps within-source rows") {
     import spark.implicits._
     // hand-built pair frame: (1,2) crosses web->cur, (3,4) crosses
