@@ -911,6 +911,19 @@ object OracleSql {
     "x51_neardup_wide" ->
       s"""WITH ${nearDupChainSql(8, 2)}
          |SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.3""".stripMargin,
+    // embedding decontamination vs the planted-clone probe set (x37's
+    // +100000 id pattern); cosineSql is the shared round-6 kernel mirror
+    "x82_semantic_decontaminate" ->
+      s"""WITH v AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+         | FROM embeddings),
+         |p AS (SELECT vec_id + 100000 AS pid, ve AS pv FROM v
+         | WHERE vec_id % 50 = 0),
+         |sc AS (SELECT v.vec_id, ${cosineSql("v.ve", "p.pv")} AS cos
+         | FROM v CROSS JOIN p WHERE v.vec_id <> p.pid)
+         |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_hits,
+         | max(cos) AS max_cosine
+         |FROM sc WHERE cos >= 0.9 GROUP BY vec_id""".stripMargin,
     // per-gram doc counts joined back to the distinct doc-gram pairs; the
     // ratio arithmetic mirrors the Spark tree (1.0 − s/n, round 6)
     "x81_gram_novelty" ->

@@ -909,6 +909,16 @@ object SparkEntry {
       Dedup.survivors(docs.select(col("doc_id")), col("doc_id"),
         Dedup.nearDuplicates(docs, col("doc_id"), col("text"), threshold = 0.3))
     }),
+    // embedding-space decontamination: the probe "eval suite" contains an
+    // exact clone of every 50th training vector (ids +100000, the x37
+    // planting pattern, mirrored in the oracle) — those sources must flag
+    // at cos 1.0 while the fixture's background cosines stay < 0.46
+    "x82_semantic_decontaminate" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val probes = emb.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      Similarity.semanticContamination(emb, probes, threshold = 0.9)
+    }),
     // memorization-risk scalar: fraction of each doc's distinct 8-grams
     // found verbatim in another doc (cross-doc, where x76 is intra-doc);
     // groupBy+join on the gram key, linear in total grams

@@ -76,6 +76,33 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Semantic (embedding-space) decontamination report: every corpus
+    * vector whose cosine against ANY probe vector reaches `threshold`,
+    * with its hit count and max similarity — the embedding-space
+    * counterpart of [[graft.dedup.Decontaminate.contaminationReport]]'s
+    * n-gram collision test, catching paraphrased/reformatted benchmark
+    * leakage that verbatim n-grams miss. Rows absent from the result are
+    * clean; an anti-join applies the drop.
+    *
+    * Scale shape: the probe set is an eval suite — small by construction —
+    * so it broadcasts into ONE shuffle-free corpus scan (the
+    * [[bruteForceKnn]] shape); the only shuffle is the contaminated-rows
+    * aggregate, bounded by contamination volume. A probe set too large to
+    * broadcast goes through the IVF path ([[ivfPqKnnBatch]]) instead.
+    */
+  def semanticContamination(corpus: DataFrame, probes: DataFrame,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val c = corpus.select(col("vec_id"), col("embedding"))
+    val p = probes.select(col("vec_id").as("__pid"), col("embedding").as("__pv"))
+    c.join(broadcast(p), col("vec_id") =!= col("__pid"))
+      .withColumn("__cos", cosine(col("embedding"), col("__pv")))
+      .filter(col("__cos") >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_hits"), max(col("__cos")).as("max_cosine"))
+  }
+
   /** Hard-negative mining for contrastive training: for each query, the
     * exact top-k most-similar corpus vectors that are NOT known positives/
     * near-duplicates — the "close but wrong" examples a retrieval model

@@ -370,4 +370,25 @@ class SimilaritySpec extends SparkSpec {
       .collect().sortBy(_.getInt(3)).map(r => (r.getLong(1), r.getDouble(2)))
     assert(none.toSeq === brute.toSeq)
   }
+
+  test("semanticContamination flags only vectors near a probe") {
+    // corpus: an exact probe clone (cos 1.0), a scaled copy (cos 1.0 —
+    // cosine ignores magnitude), a near-miss at ~0.97, and an orthogonal
+    // vector; threshold 0.99 keeps the near-miss and orthogonal out
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(3.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(1.0f, 0.25f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val probes = Seq((100L, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticContamination(corpus, probes, threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === Map(1L -> ((1L, 1.0)), 2L -> ((1L, 1.0))))
+    // lowering the threshold pulls in the near-miss, never the orthogonal
+    val loose = Similarity.semanticContamination(corpus, probes, threshold = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(loose === Set(1L, 2L, 3L))
+  }
 }
