@@ -911,6 +911,28 @@ object OracleSql {
     "x51_neardup_wide" ->
       s"""WITH ${nearDupChainSql(8, 2)}
          |SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.3""".stripMargin,
+    // the x27 survivors rule (reachability-min over the near-dup graph)
+    // grouped by source; shares mirror the Spark division tree at round 6
+    "x83_dedup_mixture_shift" ->
+      s"""WITH RECURSIVE $NearDupChain,
+         |pairs AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.3),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         | UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+         | UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+         |dropped AS (SELECT u FROM (SELECT u, min(r) AS mr FROM reach GROUP BY u)
+         | WHERE u <> mr),
+         |flags AS (SELECT doc_id, source,
+         |  CASE WHEN doc_id NOT IN (SELECT u FROM dropped) THEN 1 END AS kept
+         | FROM documents),
+         |persrc AS (SELECT source, CAST(count(*) AS BIGINT) AS docs_before,
+         |  CAST(count(kept) AS BIGINT) AS docs_after FROM flags GROUP BY source),
+         |tot AS (SELECT CAST(sum(docs_before) AS BIGINT) AS tb,
+         |  CAST(sum(docs_after) AS BIGINT) AS ta FROM persrc)
+         |SELECT source, docs_before, docs_after,
+         | round(CAST(docs_before AS DOUBLE) / CAST(tb AS DOUBLE), 6) AS share_before,
+         | round(CAST(docs_after AS DOUBLE) / CAST(ta AS DOUBLE), 6) AS share_after
+         |FROM persrc CROSS JOIN tot""".stripMargin,
     // embedding decontamination vs the planted-clone probe set (x37's
     // +100000 id pattern); cosineSql is the shared round-6 kernel mirror
     "x82_semantic_decontaminate" ->

@@ -909,6 +909,15 @@ object SparkEntry {
       Dedup.survivors(docs.select(col("doc_id")), col("doc_id"),
         Dedup.nearDuplicates(docs, col("doc_id"), col("text"), threshold = 0.3))
     }),
+    // dedup as implicit re-weighting: per-source corpus share before vs
+    // after the x27 survivors pass (one keyed join + |sources| aggregate)
+    "x83_dedup_mixture_shift" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val kept = Dedup.survivors(docs.select(col("doc_id")), col("doc_id"),
+        Dedup.nearDuplicates(docs, col("doc_id"), col("text"), threshold = 0.3))
+      Dedup.mixtureShift(docs.select(col("doc_id"), col("source")),
+        col("doc_id"), col("source"), kept)
+    }),
     // embedding-space decontamination: the probe "eval suite" contains an
     // exact clone of every 50th training vector (ids +100000, the x37
     // planting pattern, mirrored in the oracle) — those sources must flag

@@ -790,6 +790,36 @@ object Dedup {
           .otherwise(lit(1.0)).as("novelty"))
   }
 
+  /** Mixture-shift report: each source's share of the corpus BEFORE and
+    * AFTER a dedup pass — the number a curator must re-check before
+    * training, because dedup is never source-neutral (the feed with the
+    * most internal duplication silently loses mixture weight, which is a
+    * de-facto re-weighting of the training distribution). Emits one row
+    * per source: doc counts and round-6 shares on both sides.
+    *
+    * `kept` is the surviving-id frame (e.g. [[survivors]]); corpus-sized,
+    * so it joins on the id key (one linear keyed shuffle, never a
+    * broadcast), then everything collapses to a |sources|-sized aggregate
+    * whose totals ride back in one broadcast cross-join.
+    */
+  def mixtureShift(docSources: DataFrame, id: Column, source: Column,
+      kept: DataFrame): DataFrame = {
+    val src = docSources.select(id.as("doc_id"), source.as("source"))
+    val k = kept.select(col("doc_id").as("__kid"))
+    val per = src.join(k, col("doc_id") === col("__kid"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_before"),
+        count(col("__kid")).as("docs_after"))
+    val totals = per.agg(sum(col("docs_before")).as("__tb"),
+      sum(col("docs_after")).as("__ta"))
+    per.crossJoin(broadcast(totals))
+      .select(col("source"), col("docs_before"), col("docs_after"),
+        round(col("docs_before").cast("double") / col("__tb").cast("double"), 6)
+          .as("share_before"),
+        round(col("docs_after").cast("double") / col("__ta").cast("double"), 6)
+          .as("share_after"))
+  }
+
   /** Cross-source duplication report: near-dup pair volume and mean
     * Jaccard per unordered source pair — the dedup-POLICY view a corpus
     * curator reads before choosing what to drop (a high within-source rate

@@ -432,6 +432,20 @@ class DedupSpec extends SparkSpec {
     assert(got(5L) === ((0L, 0L, 1.0)), "gram-less doc still emits a row")
   }
 
+  test("mixtureShift reports per-source shares before and after dedup") {
+    import spark.implicits._
+    // web: 4 docs, 2 dropped; cur: 2 docs, none dropped -> web's share
+    // falls from 4/6 to 2/4
+    val docs = Seq(1L -> "web", 2L -> "web", 3L -> "web", 4L -> "web",
+      5L -> "cur", 6L -> "cur").toDF("doc_id", "source")
+    val kept = Seq(1L, 2L, 5L, 6L).toDF("doc_id")
+    val got = Dedup.mixtureShift(docs, col("doc_id"), col("source"), kept)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got("web") === ((4L, 2L, math.rint(4.0 / 6.0 * 1e6) / 1e6, 0.5)))
+    assert(got("cur") === ((2L, 2L, math.rint(2.0 / 6.0 * 1e6) / 1e6, 0.5)))
+  }
+
   test("crossSourceReport normalizes pair order and keeps within-source rows") {
     import spark.implicits._
     // hand-built pair frame: (1,2) crosses web->cur, (3,4) crosses

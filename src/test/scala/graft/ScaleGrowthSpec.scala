@@ -120,6 +120,19 @@ class ScaleGrowthSpec extends SparkSpec {
     assert(g < 25.0, s"span-removal shuffle grew ${g}x for 10x input ($small -> $large)")
   }
 
+  test("gram-novelty shuffle bytes grow ~linearly from 1x to 10x docs") {
+    // per-gram doc counts groupBy+joined back on the gram key: both
+    // exchanges ship (gram, small-int) pairs, linear in total grams; the
+    // guarded failure is a pair-style quadratic on a shared gram
+    def novelty(n: Int) =
+      Dedup.gramNovelty(docs(n), col("doc_id"), col("text"), gramWidth = 8)
+    val small = shuffleBytes(run(novelty(500)))
+    val large = shuffleBytes(run(novelty(5000)))
+    val g = growth(small, large)
+    assert(small > 0, "listener captured no shuffle writes")
+    assert(g < 20.0, s"gram-novelty shuffle grew ${g}x for 10x input ($small -> $large)")
+  }
+
   test("intra-doc repeat shuffle bytes grow ~linearly from 1x to 10x docs") {
     // per-(doc, gram) self-join: blocking carries the doc id, so pair
     // work is bounded per doc and total traffic tracks corpus size
