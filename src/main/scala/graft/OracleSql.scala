@@ -2140,6 +2140,57 @@ object OracleSql {
          |SELECT t.doc_id, coalesce(ka.text_clean, '') AS text_clean,
          | coalesce(rm.n_removed, 0) AS n_removed
          |FROM t LEFT JOIN ka USING (doc_id) LEFT JOIN rm USING (doc_id)""".stripMargin,
+    // the x69 naive positional-gram chain over probes ∪ shifted corpus,
+    // restricted to cross-boundary pairs, then the x73 removal rule over
+    // the corpus side only; the id shift is undone in the final select
+    "x84_surgical_decontaminate" ->
+      s"""WITH cor AS (SELECT doc_id + 1000000 AS doc_id,
+         |  CASE WHEN doc_id % 40 = 0 THEN text || ' ${SparkEntry.SharedSpan1}'
+         |       WHEN doc_id % 40 = 7 THEN text || ' ${SparkEntry.SharedSpan2}'
+         |       ELSE text END AS text FROM documents),
+         |pr AS (SELECT CAST(1 AS BIGINT) AS doc_id,
+         |   '${SparkEntry.SharedSpan1}' AS text
+         | UNION ALL SELECT CAST(2 AS BIGINT), '${SparkEntry.SharedSpan2}'),
+         |ad AS (SELECT doc_id, text FROM pr
+         | UNION ALL SELECT doc_id, text FROM cor),
+         |t AS (SELECT doc_id, $Toks AS toks FROM ad),
+         |tf AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 4),
+         |p AS (SELECT doc_id, toks,
+         |  CAST(unnest(range(0, len(toks) - 3)) AS INTEGER) AS pos FROM tf),
+         |g AS (SELECT doc_id, pos,
+         |  array_to_string(toks[pos+1:pos+4], ' ') AS gram FROM p),
+         |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  a.pos AS apos, b.pos AS bpos
+         | FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+         |r AS (SELECT doc_a, doc_b, apos - bpos AS diag, apos,
+         |  apos - row_number() OVER (PARTITION BY doc_a, doc_b, apos - bpos
+         |    ORDER BY apos) AS island FROM m),
+         |s AS (SELECT doc_a, doc_b, diag, island, min(apos) AS a_start,
+         |  count(*) + 3 AS span_len FROM r GROUP BY 1, 2, 3, 4),
+         |sp AS (SELECT doc_a, doc_b, CAST(a_start AS BIGINT) AS a_start,
+         |  CAST(a_start - diag AS BIGINT) AS b_start,
+         |  CAST(span_len AS BIGINT) AS span_len
+         | FROM s WHERE span_len >= 12),
+         |cx AS (SELECT * FROM sp WHERE doc_a < 1000000 AND doc_b >= 1000000),
+         |iv AS (SELECT doc_b AS doc_id,
+         |  CAST(unnest(range(b_start, b_start + span_len)) AS INTEGER) AS pos
+         | FROM cx),
+         |dp AS (SELECT DISTINCT doc_id, pos FROM iv),
+         |tc AS (SELECT doc_id, $Toks AS toks FROM cor),
+         |tp AS (SELECT doc_id,
+         |  CAST(unnest(range(0, len(toks))) AS INTEGER) AS pos,
+         |  unnest(toks) AS tok FROM tc),
+         |kept AS (SELECT tp.doc_id, tp.pos, tp.tok
+         | FROM tp ANTI JOIN dp USING (doc_id, pos)),
+         |ka AS (SELECT doc_id,
+         |  array_to_string(list(tok ORDER BY pos), ' ') AS text_clean
+         | FROM kept GROUP BY doc_id),
+         |rm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+         | FROM dp GROUP BY doc_id)
+         |SELECT tc.doc_id - 1000000 AS doc_id,
+         | coalesce(ka.text_clean, '') AS text_clean,
+         | coalesce(rm.n_removed, 0) AS n_removed
+         |FROM tc LEFT JOIN ka USING (doc_id) LEFT JOIN rm USING (doc_id)""".stripMargin,
     // chained-CTE replay of the 8-round BPE training loop over the same
     // marker-delimited segmentation: round i recounts adjacent symbol
     // pairs from v{i-1}, cuts the deterministic argmax m{i}, and applies

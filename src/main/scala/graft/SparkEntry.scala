@@ -1340,6 +1340,27 @@ object SparkEntry {
         minSpanTokens = 12)
       Dedup.removeSpans(enriched, col("doc_id"), col("text"), spans)
     }),
+    // surgical decontamination: the two planted x69 passages act as the
+    // leaked benchmark set; every corpus copy of a probe span is excised
+    // (unlike x73, where the lowest-id copy survives) while corpus-corpus
+    // duplication is untouched. Probe ids sit below the shifted corpus
+    // ids per the surgical() contract; the shift is undone on output.
+    "x84_surgical_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val docs = T(s, dir, "documents")
+      val corpus = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        when(col("doc_id") % 40 === 0,
+            concat(col("text"), lit(" " + SharedSpan1)))
+          .when(col("doc_id") % 40 === 7,
+            concat(col("text"), lit(" " + SharedSpan2)))
+          .otherwise(col("text")).as("text"))
+      val probes = Seq((1L, SharedSpan1), (2L, SharedSpan2))
+        .toDF("doc_id", "text")
+      graft.dedup.Decontaminate.surgical(corpus, col("doc_id"), col("text"),
+          probes, col("doc_id"), col("text"), minSpanTokens = 12)
+        .select((col("doc_id") - 1000000L).as("doc_id"),
+          col("text_clean"), col("n_removed"))
+    }),
     // full BPE training loop: one corpus pass, then 8 vocabulary-sized
     // recount->argmax->re-segment rounds; the oracle replays the same 8
     // rounds in chained CTEs over the same literal-replace encoding

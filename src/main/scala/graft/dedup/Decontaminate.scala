@@ -109,6 +109,44 @@ object Decontaminate {
     corpus.join(hits, corpusId === col("__contaminated"), "left_anti")
   }
 
+  /** SURGICAL decontamination: instead of dropping every document that
+    * overlaps the probe/benchmark set ([[clean]]), remove only the leaked
+    * token SPANS and keep the rest of each document — the Lee-et-al.
+    * substring machinery ([[Dedup.sharedSpans]]/[[Dedup.removeSpans]])
+    * pointed across the corpus/probe boundary. Unlike [[Dedup.removeSpans]]
+    * over a corpus (where the lowest-id copy of a span survives), EVERY
+    * corpus copy of a probe span is removed — the benchmark text must not
+    * survive anywhere in training data.
+    *
+    * ID CONTRACT: probe ids must be strictly below every corpus id (and
+    * disjoint). sharedSpans orients pairs `doc_a < doc_b`, so the contract
+    * makes the probe side always `doc_a` and the corpus side always
+    * `doc_b` — the side [[Dedup.removeSpans]] removes from. Corpus-corpus
+    * and probe-probe pairs are filtered out: duplication WITHIN the corpus
+    * is [[Dedup.removeSpans]]'s job, not decontamination's.
+    *
+    * Scale shape: exactly [[Dedup.sharedSpans]]'s two capped stages over
+    * `probes ∪ corpus` (the probe set adds a sliver to the corpus scan),
+    * plus the probe-id semi/anti joins (probe sets are small — broadcast)
+    * and the removeSpans reassembly.
+    */
+  def surgical(corpus: DataFrame, corpusId: Column, corpusText: Column,
+      probes: DataFrame, probeId: Column, probeText: Column,
+      minSpanTokens: Int, k: Int = 4, maxBucket: Int = 1000): DataFrame = {
+    val c = corpus.select(corpusId.cast("long").as("doc_id"),
+      corpusText.as("text"))
+    val p = probes.select(probeId.cast("long").as("doc_id"),
+      probeText.as("text"))
+    val spans = Dedup.sharedSpans(p.unionByName(c), col("doc_id"),
+      col("text"), minSpanTokens, k, maxBucket)
+    val cross = spans
+      .join(broadcast(p.select(col("doc_id").as("__pa"))),
+        col("doc_a") === col("__pa"), "left_semi")
+      .join(broadcast(p.select(col("doc_id").as("__pb"))),
+        col("doc_b") === col("__pb"), "left_anti")
+    Dedup.removeSpans(c, col("doc_id"), col("text"), cross)
+  }
+
   /** STREAMING decontamination gate: a pure per-row predicate usable on an
     * unbounded stream (no join, no state store, no watermark) — the probe
     * grams aggregate ONCE (batch, at stream-assembly time) into a

@@ -432,6 +432,35 @@ class DedupSpec extends SparkSpec {
     assert(got(5L) === ((0L, 0L, 1.0)), "gram-less doc still emits a row")
   }
 
+  test("surgical decontamination removes EVERY corpus copy of a probe span") {
+    import spark.implicits._
+    val leak = "one two three four five six seven eight nine ten eleven twelve"
+    val corpus = Seq(
+      (100L, s"intro words here $leak"),
+      (101L, s"$leak trailing content words"),
+      (102L, "entirely clean document with no benchmark overlap at all")
+    ).toDF("doc_id", "text")
+    val probes = Seq((1L, leak)).toDF("doc_id", "text")
+    val got = graft.dedup.Decontaminate.surgical(corpus, col("doc_id"),
+        col("text"), probes, col("doc_id"), col("text"), minSpanTokens = 12)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // BOTH copies excised (removeSpans over corpus-only pairs would keep
+    // the lowest-id copy); the clean doc is untouched
+    assert(got(100L) === (("intro words here", 12L)))
+    assert(got(101L) === (("trailing content words", 12L)))
+    assert(got(102L)._2 === 0L)
+    // corpus-corpus duplication is NOT decontamination's job: two docs
+    // sharing a non-probe span keep it
+    val corpus2 = Seq(
+      (100L, s"alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu shared"),
+      (101L, s"alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu other")
+    ).toDF("doc_id", "text")
+    val got2 = graft.dedup.Decontaminate.surgical(corpus2, col("doc_id"),
+        col("text"), probes, col("doc_id"), col("text"), minSpanTokens = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got2 === Map(100L -> 0L, 101L -> 0L))
+  }
+
   test("mixtureShift reports per-source shares before and after dedup") {
     import spark.implicits._
     // web: 4 docs, 2 dropped; cur: 2 docs, none dropped -> web's share
