@@ -621,12 +621,18 @@ object Dedup {
       spans: DataFrame): DataFrame = {
     val toks = docs.select(id.cast("long").as("doc_id"),
       TextAnalysis.tokens(text).as("__toks"))
-    val pos = toks.select(col("doc_id"),
-      posexplode(col("__toks")).as(Seq("pos", "tok")))
     val drop = spans.select(col("doc_b").cast("long").as("doc_id"),
         explode(sequence(col("b_start").cast("int"),
           (col("b_start") + col("span_len") - 1).cast("int"))).as("pos"))
       .distinct()
+    val touchedIds = drop.select(col("doc_id")).distinct()
+    // positional surgery ONLY for span-touched docs — a small fraction of
+    // the corpus (bounded by span evidence). Untouched docs short-circuit
+    // below as a map-only projection, so the token-level explode +
+    // keyed shuffle never carries the whole corpus.
+    val touched = toks.join(touchedIds, Seq("doc_id"), "left_semi")
+    val pos = touched.select(col("doc_id"),
+      posexplode(col("__toks")).as(Seq("pos", "tok")))
     val kept = pos.join(drop, Seq("doc_id", "pos"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(concat_ws(" ",
@@ -634,12 +640,20 @@ object Dedup {
           s => s.getField("tok"))).as("text_clean"))
     val removed = drop.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_removed"))
-    toks.select(col("doc_id"))
+    val fixed = touchedIds
       .join(kept, Seq("doc_id"), "left")
       .join(removed, Seq("doc_id"), "left")
       .select(col("doc_id"),
+        // a fully-removed doc has no kept rows: empty survivor text
         coalesce(col("text_clean"), lit("")).as("text_clean"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+    // untouched docs: token-normalized passthrough (space-joined tokens —
+    // exactly what the positional reassembly produces when nothing drops)
+    val untouched = toks.join(touchedIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        concat_ws(" ", col("__toks")).as("text_clean"),
+        lit(0L).as("n_removed"))
+    untouched.unionByName(fixed)
   }
 
   /** Embedding-cosine near-duplicate detection over candidate pairs.
