@@ -89,6 +89,39 @@ object OracleSql {
   private def cosineSql(a: String, b: String): String =
     s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
 
+  /** Gopher-style quality-rule metric chain (mirrors
+    * [[graft.text.QualityRules.report]]), ending with
+    * `r(doc_id, n_words, mean_len, n_stop, alpha_ratio, bullet_ratio,
+    * ellipsis_ratio)`. Shared by x28 (per-doc report) and x85 (PSI across
+    * the gate) so the rule arithmetic cannot drift between them.
+    */
+  private lazy val QualityRuleChainSql =
+    s"""t AS (SELECT doc_id, text, $Toks AS toks FROM documents),
+       |m AS (SELECT doc_id,
+       |  CAST(len(toks) AS INTEGER) AS n_words,
+       |  CAST(list_sum(list_transform(toks, tk -> length(tk))) AS DOUBLE)
+       |    / CAST(greatest(len(toks), 1) AS DOUBLE) AS mean_len,
+       |  CAST(len(list_intersect(list_distinct(toks),
+       |    ['the', 'a', 'an', 'of', 'and', 'to', 'in', 'is'])) AS INTEGER) AS n_stop,
+       |  CAST(len(list_filter(toks, tk -> regexp_matches(tk, '[a-z]'))) AS DOUBLE)
+       |    / CAST(greatest(len(toks), 1) AS DOUBLE) AS alpha_ratio,
+       |  string_split(text, chr(10)) AS lines
+       | FROM t),
+       |r AS (SELECT doc_id, n_words, mean_len, n_stop, alpha_ratio,
+       |  CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
+       |    / CAST(greatest(len(lines), 1) AS DOUBLE) AS bullet_ratio,
+       |  CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$'))) AS DOUBLE)
+       |    / CAST(greatest(len(lines), 1) AS DOUBLE) AS ellipsis_ratio
+       | FROM m)""".stripMargin
+
+  /** The x28 pass-all predicate over the `r` CTE's columns — one constant
+    * consumed by both x28 and x85.
+    */
+  private val PassesAllSql =
+    """(n_words >= 25 AND n_words <= 80) AND (mean_len >= 3.0 AND mean_len <= 10.0)
+      |  AND n_stop >= 2 AND alpha_ratio >= 0.8
+      |  AND (bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3)""".stripMargin
+
   /** 16 SimHash bit terms mirroring [[graft.dedup.Dedup.simhash16]]. */
   private val SimhashExpr = (0 until 16).map { i =>
     s"""(CASE WHEN list_sum(list_transform(dt, w ->
@@ -1395,23 +1428,7 @@ object OracleSql {
     // word length divides as double/double in the same order; list len is
     // 32-bit in Spark
     "x28_quality_rules" ->
-      s"""WITH t AS (SELECT doc_id, text, $Toks AS toks FROM documents),
-         |m AS (SELECT doc_id,
-         |  CAST(len(toks) AS INTEGER) AS n_words,
-         |  CAST(list_sum(list_transform(toks, tk -> length(tk))) AS DOUBLE)
-         |    / CAST(greatest(len(toks), 1) AS DOUBLE) AS mean_len,
-         |  CAST(len(list_intersect(list_distinct(toks),
-         |    ['the', 'a', 'an', 'of', 'and', 'to', 'in', 'is'])) AS INTEGER) AS n_stop,
-         |  CAST(len(list_filter(toks, tk -> regexp_matches(tk, '[a-z]'))) AS DOUBLE)
-         |    / CAST(greatest(len(toks), 1) AS DOUBLE) AS alpha_ratio,
-         |  string_split(text, chr(10)) AS lines
-         | FROM t),
-         |r AS (SELECT doc_id, n_words, mean_len, n_stop, alpha_ratio,
-         |  CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
-         |    / CAST(greatest(len(lines), 1) AS DOUBLE) AS bullet_ratio,
-         |  CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$'))) AS DOUBLE)
-         |    / CAST(greatest(len(lines), 1) AS DOUBLE) AS ellipsis_ratio
-         | FROM m)
+      s"""WITH $QualityRuleChainSql
          |SELECT doc_id, n_words, round(mean_len, 6) AS mean_word_len,
          | n_stop AS n_distinct_stopwords,
          | n_words >= 25 AND n_words <= 80 AS ok_word_count,
@@ -1419,10 +1436,32 @@ object OracleSql {
          | n_stop >= 2 AS ok_stopwords,
          | alpha_ratio >= 0.8 AS ok_alpha_words,
          | bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3 AS ok_lines,
-         | (n_words >= 25 AND n_words <= 80) AND (mean_len >= 3.0 AND mean_len <= 10.0)
-         |  AND n_stop >= 2 AND alpha_ratio >= 0.8
-         |  AND (bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3) AS passes_all
+         | $PassesAllSql AS passes_all
          |FROM r""".stripMargin,
+    // PSI of the token-count distribution across the x28 quality gate:
+    // fixed 64-token buckets capped at index 16, add-one smoothed shares,
+    // arithmetic mirroring Drift.psiGateShift's expression tree
+    "x85_quality_gate_psi" ->
+      s"""WITH $QualityRuleChainSql,
+         |f AS (SELECT least(CAST(floor(CAST(n_words AS DOUBLE) / 64.0)
+         |    AS BIGINT), 16) AS bucket,
+         |  $PassesAllSql AS passes FROM r),
+         |cb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_before,
+         |  CAST(count(CASE WHEN passes THEN 1 END) AS BIGINT) AS c_after
+         | FROM f GROUP BY bucket),
+         |tot AS (SELECT CAST(sum(c_before) AS BIGINT) AS tb,
+         |  CAST(sum(c_after) AS BIGINT) AS ta,
+         |  CAST(count(*) AS BIGINT) AS nb FROM cb)
+         |SELECT bucket, c_before, c_after,
+         | round(((CAST(c_before AS DOUBLE) + 1.0)
+         |     / (CAST(tb AS DOUBLE) + CAST(nb AS DOUBLE))
+         |   - (CAST(c_after AS DOUBLE) + 1.0)
+         |     / (CAST(ta AS DOUBLE) + CAST(nb AS DOUBLE)))
+         |  * ln(((CAST(c_before AS DOUBLE) + 1.0)
+         |     / (CAST(tb AS DOUBLE) + CAST(nb AS DOUBLE)))
+         |   / ((CAST(c_after AS DOUBLE) + 1.0)
+         |     / (CAST(ta AS DOUBLE) + CAST(nb AS DOUBLE)))), 6) AS psi_term
+         |FROM cb CROSS JOIN tot""".stripMargin,
     // tf = cnt/doc_len, idf = ln(N/df) — doubles divide/multiply in the
     // same order as the Spark expressions; ln is transcendental so values
     // are far from 6-dp rounding knife edges. row_number is 32-bit.

@@ -945,6 +945,14 @@ object SparkEntry {
     "x28_quality_rules" -> ((s, dir) =>
       graft.text.QualityRules.report(T(s, dir, "documents"),
         col("doc_id"), col("text"))),
+    // monitoring face of the x28 gate: how the quality filter reshapes the
+    // token-count distribution (PSI over fixed 64-token buckets) — one
+    // corpus scan (the pass flag rides the report), bucket-keyed aggregate
+    "x85_quality_gate_psi" -> ((s, dir) =>
+      graft.analytics.Drift.psiGateShift(
+        graft.text.QualityRules.report(T(s, dir, "documents"),
+          col("doc_id"), col("text")),
+        col("n_words"), col("passes_all"), bucketWidth = 64, maxBucketIdx = 16)),
     "x29_tfidf_topk" -> ((s, dir) =>
       graft.text.TfIdf.tfidfTopK(T(s, dir, "documents"),
         col("doc_id"), col("text"), k = 3)),

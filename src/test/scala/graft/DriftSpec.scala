@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Drift
+
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("psiGateShift matches a hand-computed PSI on an asymmetric gate") {
+    // bucket 0 (values < 10): 4 rows, 1 kept; bucket 1 (>= 10, capped): 2
+    // rows, 2 kept — the gate shifts mass toward bucket 1
+    val df = Seq((1L, 1L, false), (2L, 2L, false), (3L, 3L, false),
+      (4L, 4L, true), (5L, 15L, true), (6L, 25L, true))
+      .toDF("id", "v", "keep")
+    val got = Drift.psiGateShift(df, col("v"), col("keep"),
+        bucketWidth = 10L, maxBucketIdx = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // Laplace-smoothed shares, totals tb = 6 rows / ta = 3 kept, nb = 2
+    // observed buckets: bucket 0 pa = 5/8, pb = 2/5; bucket 1 pa = 3/8,
+    // pb = 3/5
+    def term(ca: Long, cb: Long): Double = {
+      val pa = (ca + 1.0) / (6.0 + 2.0)
+      val pb = (cb + 1.0) / (3.0 + 2.0)
+      math.rint((pa - pb) * math.log(pa / pb) * 1e6) / 1e6
+    }
+    assert(got(0L) === ((4L, 1L, term(4L, 1L))))
+    assert(got(1L) === ((2L, 2L, term(2L, 2L))))
+    // each signed term is nonnegative by construction
+    got.values.foreach { case (_, _, t) => assert(t >= 0.0) }
+  }
+
+  test("a uniform gate yields near-zero PSI everywhere") {
+    // keep every other row in every bucket: shares unchanged up to the
+    // smoothing epsilon, so each term stays tiny
+    val df = (0 until 400).map(i => (i.toLong, (i % 40).toLong, i % 2 == 0))
+      .toDF("id", "v", "keep")
+    val terms = Drift.psiGateShift(df, col("v"), col("keep"),
+        bucketWidth = 10L, maxBucketIdx = 8)
+      .collect().map(_.getDouble(3))
+    assert(terms.nonEmpty)
+    terms.foreach(t => assert(t < 1e-4, s"uniform gate produced PSI term $t"))
+  }
+
+  test("values beyond the cap fold into the top bucket") {
+    val df = Seq((1L, 5L, true), (2L, 1000000L, true), (3L, 999L, false))
+      .toDF("id", "v", "keep")
+    val buckets = Drift.psiGateShift(df, col("v"), col("keep"),
+        bucketWidth = 10L, maxBucketIdx = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(buckets === Set(0L, 3L))
+  }
+}
