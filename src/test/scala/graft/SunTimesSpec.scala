@@ -51,6 +51,35 @@ class SunTimesSpec extends SparkSpec {
     }
   }
 
+  test("sun-time invariants hold across a full year for all stations") {
+    // astronomy-grounded properties, independent of the worksheet values:
+    // sunrise < solar noon < sunset; day length within the bounds these
+    // latitudes (24-29°N) allow; June day longer than December
+    val days = (1 to 12).map(m => f"2025-$m%02d-15")
+    val df = days.flatMap(d => Schemas.solarStations.map(s => (d, s.station_id)))
+      .toDF("date", "station_id")
+      .join(broadcast(stations), "station_id")
+    val (sr, ss) = SunTimes.sunriseSunsetUtcMinutes(
+      to_date(col("date")), col("lat"), col("lon"))
+    val rows = df.select(col("date"), col("station_id"),
+        sr.as("sr"), ss.as("ss"),
+        (lit(720.0) - col("lon") * 4).as("approxNoon"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    rows.foreach { case (d, st, rise, set) =>
+      assert(rise < set, s"$st $d: sunrise $rise !< sunset $set")
+      val dayLen = set - rise
+      // 24-29°N: day length stays within ~10.2h..13.9h over the year
+      assert(dayLen > 9.5 * 60 && dayLen < 14.5 * 60,
+        s"$st $d: implausible day length ${dayLen / 60} h")
+    }
+    val byKey = rows.map { case (d, st, rise, set) => (d.substring(5, 7), st) -> (set - rise) }.toMap
+    Schemas.solarStations.map(_.station_id).foreach { st =>
+      assert(byKey(("06", st)) > byKey(("12", st)) + 60,
+        s"$st: June day not meaningfully longer than December")
+    }
+  }
+
   test("astral gate opens exactly between sunrise and sunset") {
     // BSPP on 2025-01-01: sunrise 273.07 min (04:33:04), sunset 912.32 min
     // (15:12:19). Probe one minute either side of both edges, plus the
