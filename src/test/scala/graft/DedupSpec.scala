@@ -410,6 +410,38 @@ class DedupSpec extends SparkSpec {
     assert(got(2L) === (("", 12L)), "a fully-removed doc still emits its row")
   }
 
+  test("gramNovelty stays in [0,1] and ignores row order and partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector.tabulate(30)(i => s"w$i")
+    val docs = (0 until 60).map { i =>
+      val base = Seq.fill(12)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      (i.toLong, if (i % 5 == 0) "shared tail alpha beta gamma delta epsilon zeta eta theta " + base else base)
+    }
+    val a = docs.toDF("doc_id", "text")
+    val b = scala.util.Random.shuffle(docs).toDF("doc_id", "text").repartition(7)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      Dedup.gramNovelty(df, col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val ra = canon(a)
+    assert(ra === canon(b), "novelty must be partitioning/order independent")
+    ra.foreach { case (_, n, s, nov) =>
+      assert(s <= n, "shared grams cannot exceed total grams")
+      assert(nov >= 0.0 && nov <= 1.0, s"novelty out of range: $nov")
+    }
+  }
+
+  test("crossSourceReport conserves the input pair count") {
+    import spark.implicits._
+    val pairs = (0 until 50).map(i => (i.toLong, (i + 100).toLong, 0.5 + (i % 5) / 10.0))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val sources = (0 until 200).map(i => (i.toLong, s"s${i % 3}"))
+      .toDF("doc_id", "source")
+    val total = Dedup.crossSourceReport(pairs, sources)
+      .agg(org.apache.spark.sql.functions.sum(col("dup_pairs"))).head().getLong(0)
+    assert(total === 50L, "every input pair must land in exactly one report row")
+  }
+
   test("gramNovelty separates cloned, partially-copied and unique docs") {
     import spark.implicits._
     val block = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens

@@ -43,6 +43,18 @@ class DriftSpec extends SparkSpec {
     terms.foreach(t => assert(t < 1e-4, s"uniform gate produced PSI term $t"))
   }
 
+  test("a keep-everything gate has PSI exactly zero in every bucket") {
+    // c_after == c_before and ta == tb, so the smoothed shares are equal
+    // and each term is EXACTLY 0.0 — no tolerance needed
+    val df = (0 until 100).map(i => (i.toLong, (i * 7 % 90).toLong, true))
+      .toDF("id", "v", "keep")
+    val terms = Drift.psiGateShift(df, col("v"), col("keep"),
+        bucketWidth = 16L, maxBucketIdx = 4)
+      .collect().map(_.getDouble(3))
+    assert(terms.nonEmpty)
+    assert(terms.forall(_ == 0.0), terms.mkString(","))
+  }
+
   test("values beyond the cap fold into the top bucket") {
     val df = Seq((1L, 5L, true), (2L, 1000000L, true), (3L, 999L, false))
       .toDF("id", "v", "keep")
