@@ -112,23 +112,17 @@ object Decontaminate {
   /** SURGICAL decontamination: instead of dropping every document that
     * overlaps the probe/benchmark set ([[clean]]), remove only the leaked
     * token SPANS and keep the rest of each document — the Lee-et-al.
-    * substring machinery ([[Dedup.sharedSpans]]/[[Dedup.removeSpans]])
-    * pointed across the corpus/probe boundary. Unlike [[Dedup.removeSpans]]
-    * over a corpus (where the lowest-id copy of a span survives), EVERY
-    * corpus copy of a probe span is removed — the benchmark text must not
-    * survive anywhere in training data.
-    *
-    * ID CONTRACT: probe ids must be strictly below every corpus id (and
-    * disjoint). sharedSpans orients pairs `doc_a < doc_b`, so the contract
-    * makes the probe side always `doc_a` and the corpus side always
-    * `doc_b` — the side [[Dedup.removeSpans]] removes from. Corpus-corpus
-    * and probe-probe pairs are filtered out: duplication WITHIN the corpus
-    * is [[Dedup.removeSpans]]'s job, not decontamination's.
-    *
-    * Scale shape: exactly [[Dedup.sharedSpans]]'s two capped stages over
-    * `probes ∪ corpus` (the probe set adds a sliver to the corpus scan),
-    * plus the probe-id semi/anti joins (probe sets are small — broadcast)
-    * and the removeSpans reassembly.
+    * substring machinery pointed across the corpus/probe boundary via
+    * [[Dedup.crossSharedSpans]] (probe always the `doc_a` side, corpus
+    * always `doc_b` — the side [[Dedup.removeSpans]] removes from).
+    * Unlike [[Dedup.removeSpans]] over a corpus (where the lowest-id copy
+    * of a span survives), EVERY corpus copy of a probe span is removed —
+    * the benchmark text must not survive anywhere in training data.
+    * Corpus-corpus pairs are never generated: duplication WITHIN the
+    * corpus is the dedup tier's job, not decontamination's, and skipping
+    * it is what makes this linear in the corpus for a small probe set.
+    * Ids must be disjoint across the two frames (orientation is
+    * structural, not id-ordered).
     */
   def surgical(corpus: DataFrame, corpusId: Column, corpusText: Column,
       probes: DataFrame, probeId: Column, probeText: Column,
@@ -137,13 +131,8 @@ object Decontaminate {
       corpusText.as("text"))
     val p = probes.select(probeId.cast("long").as("doc_id"),
       probeText.as("text"))
-    val spans = Dedup.sharedSpans(p.unionByName(c), col("doc_id"),
-      col("text"), minSpanTokens, k, maxBucket)
-    val cross = spans
-      .join(broadcast(p.select(col("doc_id").as("__pa"))),
-        col("doc_a") === col("__pa"), "left_semi")
-      .join(broadcast(p.select(col("doc_id").as("__pb"))),
-        col("doc_b") === col("__pb"), "left_anti")
+    val cross = Dedup.crossSharedSpans(p, col("doc_id"), col("text"),
+      c, col("doc_id"), col("text"), minSpanTokens, k, maxBucket)
     Dedup.removeSpans(c, col("doc_id"), col("text"), cross)
   }
 

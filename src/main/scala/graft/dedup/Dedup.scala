@@ -490,14 +490,26 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("apos"), col("bpos"))
 
-    // gaps-and-islands per alignment diagonal: consecutive positions
-    // (apos unique within a diagonal) collapse to one maximal span
+    // materialize the (small) span frame eagerly so the gram cache drops
+    // here instead of leaking until session shutdown — the
+    // nearDuplicatesWide pattern; at cluster scale this is the
+    // reliable-storage checkpoint
+    val out = diagonalIslands(matches, k, minSpanTokens).localCheckpoint(true)
+    gc.unpersist(false)
+    out
+  }
+
+  /** Gaps-and-islands per alignment diagonal — the span collapse shared by
+    * [[sharedSpans]] and [[crossSharedSpans]]: consecutive positions (apos
+    * unique within a diagonal) merge into one maximal span.
+    */
+  private def diagonalIslands(matches: DataFrame, k: Int,
+      minSpanTokens: Int): DataFrame = {
     val diag = matches.withColumn("diag", col("apos") - col("bpos"))
     val byDiag = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_a"), col("doc_b"), col("diag"))
       .orderBy(col("apos"))
-    val spans = diag
-      .withColumn("__island", col("apos") - row_number().over(byDiag))
+    diag.withColumn("__island", col("apos") - row_number().over(byDiag))
       .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("__island"))
       .agg(min(col("apos")).as("__a0"), count(lit(1)).as("__n"))
       .withColumn("span_len", col("__n") + lit(k - 1).cast("long"))
@@ -506,14 +518,67 @@ object Dedup {
         col("__a0").cast("long").as("a_start"),
         (col("__a0") - col("diag")).cast("long").as("b_start"),
         col("span_len"))
-    // materialize the (small) span frame eagerly so the gram cache drops
-    // here instead of leaking until session shutdown — the
-    // nearDuplicatesWide pattern; at cluster scale this is the
-    // reliable-storage checkpoint
-    val out = spans.localCheckpoint(true)
-    gc.unpersist(false)
-    out
   }
+
+  /** Maximal shared spans BETWEEN two frames only — probe (doc_a side)
+    * against corpus (doc_b side) — with no within-frame pair work at all.
+    * Same output shape and island collapse as [[sharedSpans]]; for a small
+    * probe set this is the decontamination-shaped variant: the union-based
+    * chain would pay the full corpus×corpus candidate machinery and throw
+    * those pairs away.
+    *
+    * Plan: probe fingerprints/grams are probe-sized and broadcast; the
+    * corpus contributes one winnow pass (candidates = corpus docs sharing
+    * a fingerprint with ANY probe — a broadcast semi-probe, no self-join,
+    * no min/max window) and one positional-gram pass over candidates only.
+    * Buckets cap over the CROSS-RELEVANT population (corpus rows matching
+    * probe fingerprints / candidate grams), so a degenerate probe
+    * fingerprint still can't fan out unboundedly; relative to filtering
+    * [[sharedSpans]] over the union this cap binds less often (corpus-
+    * corpus volume no longer counts against it) — it can only RECOVER
+    * cross spans the union cap would truncate, never lose one. Pair
+    * orientation is structural (probe is always `doc_a`), so ids need only
+    * be disjoint across the frames, not ordered.
+    */
+  def crossSharedSpans(probes: DataFrame, probeId: Column, probeText: Column,
+      corpus: DataFrame, corpusId: Column, corpusText: Column,
+      minSpanTokens: Int, k: Int = 4, maxBucket: Int = 1000): DataFrame = {
+    require(k >= 1 && k <= 13, s"k-gram width must be in [1,13], got $k")
+    val w = minSpanTokens - k + 1
+    require(w >= 1 && w <= 256,
+      s"minSpanTokens must be in [$k, ${k + 255}], got $minSpanTokens")
+    def prep(df: DataFrame, id: Column, text: Column) = df
+      .select(id.cast("long").as("doc_id"), TextAnalysis.tokens(text).as("__toks"))
+      .filter(size(col("__toks")) >= k)
+      .localCheckpoint(true)
+    val pbase = prep(probes, probeId, probeText)
+    val cbase = prep(corpus, corpusId, corpusText)
+    def winnowFp(base: DataFrame) = base.select(col("doc_id"),
+      explode(Native.winnow(concat_ws(" ", col("__toks")), k, w)).as("__fp"))
+    def posGrams(base: DataFrame) = base.select(col("doc_id"),
+      posexplode(expr(s"transform(sequence(0, size(__toks) - $k), " +
+        "i -> concat_ws(' ', slice(__toks, i + 1, " + k + ")))"))
+        .as(Seq("pos", "gram")))
+    // stage 1: corpus docs sharing a winnow fingerprint with any probe —
+    // the winnow guarantee makes this a superset of every cross span
+    val pfps = pfpDistinct(winnowFp(pbase))
+    val cand = capBuckets(
+        winnowFp(cbase).join(broadcast(pfps), Seq("__fp")),
+        Seq(col("__fp")), maxBucket)
+      .select(col("doc_id")).distinct()
+    // stage 2: candidate corpus grams against ALL probe grams (broadcast)
+    val cgc = capBuckets(posGrams(cbase.join(cand, Seq("doc_id"), "left_semi")),
+      Seq(col("gram")), maxBucket)
+    val matches = cgc
+      .select(col("gram"), col("doc_id").as("doc_b"), col("pos").as("bpos"))
+      .join(broadcast(posGrams(pbase).select(col("gram"),
+        col("doc_id").as("doc_a"), col("pos").as("apos"))), Seq("gram"))
+      .select(col("doc_a"), col("doc_b"), col("apos"), col("bpos"))
+    diagonalIslands(matches, k, minSpanTokens).localCheckpoint(true)
+  }
+
+  private def pfpDistinct(pfp: DataFrame): DataFrame =
+    pfp.select(col("__fp")).distinct()
 
   /** INTRA-document repeated spans: maximal token spans of at least
     * `minSpanTokens` that occur twice or more WITHIN one document — the

@@ -464,6 +464,38 @@ class DedupSpec extends SparkSpec {
     assert(got(5L) === ((0L, 0L, 1.0)), "gram-less doc still emits a row")
   }
 
+  test("crossSharedSpans equals the filtered union chain, minus corpus-corpus work") {
+    import spark.implicits._
+    val leak = "one two three four five six seven eight nine ten eleven twelve"
+    val dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    // corpus docs 100/101 share a NON-probe span with each other (must not
+    // surface); 100 and 102 carry the probe span at different offsets
+    val corpus = Seq(
+      (100L, s"$dup and then $leak"),
+      (101L, s"$dup trailing words here"),
+      (102L, s"$leak leading this time"),
+      (103L, "clean unrelated content with nothing shared anywhere at all")
+    ).toDF("doc_id", "text")
+    val probes = Seq((1L, leak)).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val cross = canon(Dedup.crossSharedSpans(probes, col("doc_id"), col("text"),
+      corpus, col("doc_id"), col("text"), minSpanTokens = 12))
+    val union = canon(Dedup.sharedSpans(
+        probes.unionByName(corpus), col("doc_id"), col("text"), minSpanTokens = 12)
+      .filter(col("doc_a") === 1L && col("doc_b") =!= 1L))
+    assert(cross === union, "cross chain must equal the filtered union chain")
+    assert(cross.map(_._2) === Set(100L, 102L), "only probe-overlapping docs")
+    // orientation is structural: probe id needn't be the smallest
+    val probesHi = Seq((999999L, leak)).toDF("doc_id", "text")
+    val crossHi = Dedup.crossSharedSpans(probesHi, col("doc_id"), col("text"),
+        corpus, col("doc_id"), col("text"), minSpanTokens = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(crossHi === Set((999999L, 100L), (999999L, 102L)),
+      "probe stays doc_a even with the largest id")
+  }
+
   test("surgical decontamination removes EVERY corpus copy of a probe span") {
     import spark.implicits._
     val leak = "one two three four five six seven eight nine ten eleven twelve"
