@@ -700,6 +700,43 @@ object OracleSql {
       """SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket, event_type, count(*) AS cnt,
         | CAST(floor(value / 25.0) AS BIGINT) * CAST(25.0 AS DOUBLE) AS bucket_lo
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // one window pass computes all three lag columns (mirror of the
+    // Spark single-window array-of-lags), stacked then corr'd per
+    // (type, lag); round-6 absorbs co-moment merge jitter (a10 rationale)
+    "a30_autocorr" ->
+      """WITH o AS (SELECT event_type, value AS v,
+        |  lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2,
+        |  lag(value, 3) OVER w AS l3
+        | FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+        |u AS (SELECT event_type, 1 AS lg, v, l1 AS lv FROM o WHERE l1 IS NOT NULL
+        | UNION ALL SELECT event_type, 2, v, l2 FROM o WHERE l2 IS NOT NULL
+        | UNION ALL SELECT event_type, 3, v, l3 FROM o WHERE l3 IS NOT NULL)
+        |SELECT event_type, CAST(lg AS INTEGER) AS lag, round(corr(v, lv), 6) AS acf,
+        | CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM u GROUP BY event_type, lg""".stripMargin,
+    // staged min-timestamp chain: stage i's min ts is taken only over
+    // events at-or-after the entity's stage i-1 min — the Funnel.funnel
+    // semantics stated directly
+    "a31_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= s1.t GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY e.user_id),
+        |c AS (SELECT 1 AS stage_idx, 'view' AS stage, count(*) AS n FROM s1
+        | UNION ALL SELECT 2, 'click', count(*) FROM s2
+        | UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+        |SELECT CAST(stage_idx AS INTEGER) AS stage_idx, stage,
+        | CAST(n AS BIGINT) AS n_entities,
+        | round(CASE WHEN lag(n) OVER (ORDER BY stage_idx) IS NULL THEN 1.0
+        |  ELSE CAST(n AS DOUBLE) / CAST(lag(n) OVER (ORDER BY stage_idx) AS DOUBLE)
+        |  END, 6) AS conversion,
+        | round(CAST(n AS DOUBLE) /
+        |  CAST(first_value(n) OVER (ORDER BY stage_idx) AS DOUBLE), 6) AS overall
+        |FROM c""".stripMargin,
     "a10_corr" ->
       """SELECT event_type, round(corr(value, hour(ts)), 6) AS corr
         |FROM events GROUP BY event_type""".stripMargin,
@@ -946,6 +983,75 @@ object OracleSql {
          |SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.3""".stripMargin,
     // the x27 survivors rule (reachability-min over the near-dup graph)
     // grouped by source; shares mirror the Spark division tree at round 6
+    // x18's recursive component labels → 1/size micro-unit weights →
+    // per-source mass sums; every sum is integer-valued in double space
+    // (fixedPointAvg construction), so the compare is exact
+    "x86_soft_dedup_weights" ->
+      s"""WITH RECURSIVE $NearDupChain,
+         |pairs AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.3),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         | UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+         | UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+         |lab AS (SELECT u, min(r) AS cid FROM reach GROUP BY u),
+         |sz AS (SELECT cid, count(*) AS csz FROM lab GROUP BY cid),
+         |w AS (SELECT u AS doc_id, round(1000000.0 / csz) AS wfp
+         | FROM lab JOIN sz USING (cid))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         | round(sum(coalesce(wfp, 1000000.0)) / 1000000.0, 6) AS effective_docs,
+         | CAST(sum(n_chars) AS BIGINT) AS char_mass,
+         | round(sum(CAST(n_chars AS DOUBLE) * coalesce(wfp, 1000000.0)) / 1000000.0, 6)
+         |  AS effective_chars
+         |FROM documents LEFT JOIN w USING (doc_id) GROUP BY source""".stripMargin,
+    // per-(doc, term) counts → -Σ p·ln p; the per-row expression mirrors
+    // the Spark tree ((-p) * ln(p)); round-6 absorbs sum merge order
+    "x87_token_entropy" ->
+      s"""WITH t AS (SELECT doc_id, unnest($Toks) AS term FROM documents),
+         |c AS (SELECT doc_id, term, count(*) AS cnt FROM t GROUP BY doc_id, term),
+         |l AS (SELECT doc_id, CAST(len($Toks) AS INTEGER) AS n_tokens FROM documents),
+         |h AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_distinct,
+         |  sum((-(CAST(cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE))) *
+         |   ln(CAST(cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE))) AS ent
+         | FROM c JOIN l USING (doc_id) GROUP BY c.doc_id)
+         |SELECT h.doc_id, l.n_tokens, n_distinct, round(ent, 6) AS entropy,
+         | round(CASE WHEN n_distinct > 1
+         |  THEN ent / ln(CAST(n_distinct AS DOUBLE)) ELSE 0.0 END, 6) AS norm_entropy,
+         | round(CAST(n_distinct AS DOUBLE) / CAST(l.n_tokens AS DOUBLE), 6) AS ttr
+         |FROM h JOIN l ON h.doc_id = l.doc_id""".stripMargin,
+    // fixed-point per-dim means (x17 mirror), then dot/norm sums in
+    // micro²-units — integer-valued doubles end to end, exact compare
+    "x88_centroid_similarity" ->
+      """WITH v AS (SELECT CAST(label AS BIGINT) AS g,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings),
+        |ex AS (SELECT g, CAST(r.range AS INTEGER) AS dim,
+        |  ve[CAST(r.range AS INTEGER) + 1] AS x
+        | FROM v CROSS JOIN range(0, 64) r),
+        |cent AS (SELECT g, dim,
+        |  round((sum(round(x * 1000000000.0)) / 1000000000.0) / count(*), 6) AS c
+        | FROM ex GROUP BY g, dim),
+        |norms AS (SELECT g, sum(round(c * c * 1000000000000.0)) AS n2fp
+        | FROM cent GROUP BY g),
+        |pair AS (SELECT a.g AS label_a, b.g AS label_b,
+        |  sum(round(a.c * b.c * 1000000000000.0)) AS dotfp
+        | FROM cent a JOIN cent b ON a.dim = b.dim AND a.g < b.g
+        | GROUP BY a.g, b.g)
+        |SELECT label_a, label_b,
+        | round(dotfp / sqrt(na.n2fp * nb.n2fp), 6) AS cosine
+        |FROM pair JOIN norms na ON pair.label_a = na.g
+        | JOIN norms nb ON pair.label_b = nb.g""".stripMargin,
+    // one scan, one per-lang aggregate; the distinct rides md5 digests
+    // exactly like the Spark side (never full bodies)
+    "x89_corpus_datacard" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         | CAST(sum(ntok) AS BIGINT) AS total_tokens,
+         | round(CAST(sum(ntok) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_tokens,
+         | round(1.0 - CAST(count(DISTINCT h) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         |  AS exact_dup_rate
+         |FROM (SELECT lang, source, n_chars, CAST(len($Toks) AS BIGINT) AS ntok,
+         |  md5(text) AS h FROM documents)
+         |GROUP BY lang""".stripMargin,
     "x83_dedup_mixture_shift" ->
       s"""WITH RECURSIVE $NearDupChain,
          |pairs AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.3),

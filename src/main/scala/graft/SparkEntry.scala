@@ -344,6 +344,18 @@ object SparkEntry {
         Aggregates.mergeRollups(part(0), part(1), part(2)))
         .withColumnRenamed("key", "event_type")
     }),
+    // per-type autocorrelation of the value series at lags 1..3 (one
+    // window pass computes all lags; event_id breaks ts ties so the
+    // series order is total) — the seasonality/persistence probe
+    "a30_autocorr" -> ((s, dir) =>
+      Correlation.autocorrelation(T(s, dir, "events"), col("event_type"),
+          Seq(col("ts"), col("event_id")), col("value"), maxLag = 3)
+        .withColumnRenamed("key", "event_type")),
+    // ordered view→click→purchase funnel per user: stage i qualifies only
+    // at-or-after the user's earliest qualifying stage i-1 event
+    "a31_funnel" -> ((s, dir) =>
+      graft.analytics.Funnel.funnel(T(s, dir, "events"), col("user_id"),
+        col("ts"), col("event_type"), Seq("view", "click", "purchase"))),
     // 16 equal-population value bins via the exact distributed rank —
     // the quantile-binned histogram a fixed-width a09 can't give on skew
     "a27_equidepth_hist" -> ((s, dir) =>
@@ -942,6 +954,30 @@ object SparkEntry {
         Dedup.nearDuplicates(docs, col("doc_id"), col("text"), threshold = 0.3),
         docs.select(col("doc_id"), col("source")))
     }),
+    // soft dedup: 1/cluster_size weights over the x18 cluster graph
+    // instead of dropping — per-source raw vs effective doc/char mass
+    "x86_soft_dedup_weights" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dedup.softDedupWeights(docs, col("doc_id"), col("source"),
+        col("n_chars"),
+        Dedup.nearDuplicates(docs, col("doc_id"), col("text"), threshold = 0.3))
+    }),
+    // per-doc lexical diversity: word-histogram entropy, normalized
+    // entropy, type-token ratio (Gopher-rule signals the adjacency-based
+    // x28 repetition check can miss)
+    "x87_token_entropy" -> ((s, dir) =>
+      graft.text.TfIdf.tokenEntropy(T(s, dir, "documents"),
+        col("doc_id"), col("text"))),
+    // pairwise cosine between per-label embedding centroids — the
+    // label-collapse / crawl-redundancy audit over embedding space
+    "x88_centroid_similarity" -> ((s, dir) =>
+      Similarity.centroidSimilarity(T(s, dir, "embeddings"),
+        col("label"), col("embedding"))),
+    // per-language corpus datacard: doc/source/char/token totals and the
+    // exact-dup rate, distinct'd over md5 digests (never full bodies)
+    "x89_corpus_datacard" -> ((s, dir) =>
+      graft.text.Datacard.byLang(T(s, dir, "documents"), col("lang"),
+        col("source"), col("text"), col("n_chars"))),
     "x28_quality_rules" -> ((s, dir) =>
       graft.text.QualityRules.report(T(s, dir, "documents"),
         col("doc_id"), col("text"))),

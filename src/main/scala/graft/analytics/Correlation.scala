@@ -32,6 +32,43 @@ object Correlation {
       agg: Column): DataFrame =
     df.groupBy(index).pivot(pivotCol, values).agg(agg)
 
+  /** Autocorrelation function per key: Pearson correlation of the value
+    * series with itself at lags `1..maxLag`, ordered by `order` within each
+    * key (pass a tie-breaking column — e.g. an id — after the timestamp so
+    * the series order, and therefore the ACF, is deterministic). The
+    * seasonality/persistence probe that sits beside the A12 trend fit and
+    * the a28 seasonal baseline: a sensor whose lag-1 ACF collapses has lost
+    * temporal coherence (stuck or noisy), and a strong lag-k peak exposes a
+    * periodic process.
+    *
+    * Scale shape: ONE window pass computes all `maxLag` lagged columns (the
+    * per-key sort is paid once, not per lag), an inline stack turns them
+    * into (key, lag, v, lv) rows, and `corr` is a declarative aggregate —
+    * partial-aggregated map-side. The window partitions by key, so skew is
+    * bounded by the largest single key's row count — the same contract as
+    * every per-key window in the library (a key too big for one partition
+    * needs time-bucketed pre-aggregation first, not a different ACF).
+    */
+  def autocorrelation(df: DataFrame, key: Column, order: Seq[Column],
+      value: Column, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k")).orderBy((1 to order.size).map(i => col(s"__o$i")): _*)
+    val base = df.select(
+      (key.as("__k") +: order.zipWithIndex.map { case (o, i) => o.as(s"__o${i + 1}") } :+
+        value.cast("double").as("__v")): _*)
+    val lagged = base.select(
+      col("__k"), col("__v"),
+      array((1 to maxLag).map(l =>
+        struct(lit(l).as("lag"), lag(col("__v"), l).over(w).as("lv"))): _*).as("__ls"))
+    lagged
+      .select(col("__k"), col("__v"), explode(col("__ls")).as("__e"))
+      .filter(col("__e.lv").isNotNull)
+      .groupBy(col("__k").as("key"), col("__e.lag").as("lag"))
+      .agg(round(corr(col("__v"), col("__e.lv")), 6).as("acf"),
+        count(lit(1)).as("n_pairs"))
+  }
+
   /** A11: correlation matrix across keys aligned on a time bucket
     * (ref station×station corr, `Wind_Dashboard.py:629-648`).
     *

@@ -899,6 +899,48 @@ object Dedup {
           .as("share_after"))
   }
 
+  /** Soft dedup: instead of DROPPING non-canonical cluster members
+    * ([[survivors]]), down-weight every member of a duplicate cluster to
+    * `1/cluster_size` and report each source's raw vs effective mass —
+    * the policy modern pipelines increasingly prefer over hard dedup
+    * (duplication frequency carries signal; deleting it is a lossy,
+    * irreversible mixture edit, while soft weights preserve the corpus and
+    * let the sampler equalize). One row per source: doc count, effective
+    * doc count, char mass, effective char mass.
+    *
+    * Weights are fixed-point micro-units (`round(1e6/size)/1e6`) so every
+    * sum is a merge-order-exact integer sum in double space (the
+    * [[graft.analytics.Aggregates.fixedPointAvg]] construction) —
+    * deterministic under any partitioning.
+    *
+    * Scale shape: [[duplicateClusters]] over the pair frame (pair-volume
+    * sized), one |clusters|-sized aggregate for sizes, and the weight
+    * frame — only docs that appear in a pair — broadcasts into the
+    * corpus scan (same contract as [[survivors]]); unpaired docs take
+    * weight 1 via the left-join miss. The only corpus-wide shuffle is the
+    * final |sources|-sized aggregate.
+    */
+  def softDedupWeights(docs: DataFrame, id: Column, source: Column,
+      mass: Column, pairs: DataFrame): DataFrame = {
+    val clusters = duplicateClusters(pairs) // checkpointed fixed point
+    val sizes = clusters
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("__csz"))
+    val weights = clusters.join(sizes, "cluster_id")
+      .select(col("doc_id").as("__wid"),
+        round(lit(1.0e6) / col("__csz").cast("double")).as("__wfp"))
+    docs.select(id.as("doc_id"), source.as("source"),
+        mass.cast("long").as("__m"))
+      .join(broadcast(weights), col("doc_id") === col("__wid"), "left")
+      .select(col("source"), col("__m"),
+        coalesce(col("__wfp"), lit(1.0e6)).as("__w"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("__w")) / 1.0e6, 6).as("effective_docs"),
+        sum(col("__m")).as("char_mass"),
+        round(sum(col("__m").cast("double") * col("__w")) / 1.0e6, 6)
+          .as("effective_chars"))
+  }
+
   /** Cross-source duplication report: near-dup pair volume and mean
     * Jaccard per unordered source pair — the dedup-POLICY view a corpus
     * curator reads before choosing what to drop (a high within-source rate

@@ -505,6 +505,45 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("va"), col("vb"))
   }
 
+  /** Group-centroid geometry report: the mean embedding per group (label,
+    * source, cluster) and the pairwise cosine between every two group
+    * centroids — the corpus-audit view of embedding space ("are my two
+    * crawls semantically redundant?", "did this label collapse onto that
+    * one?") that sits upstream of mixture and dedup decisions.
+    *
+    * Determinism: per-dim means use the fixed-point construction
+    * (`sum(round(x·1e9))` then divide — merge-order-exact integer sums,
+    * the [[kmeansStep]] rationale) and are rounded to 6 dp; the dot and
+    * norm sums over dims then run in micro²-units (`round(ca·cb·1e12)` is
+    * exactly the integer product of the 6-dp means), so the whole report
+    * is bit-stable under any partitioning.
+    *
+    * Scale shape: one posexplode pass, a (|groups|·dim)-sized aggregate,
+    * then all pairwise work happens on the MODEL-sized centroid frame
+    * (|groups|·dim rows self-joined on dim, |groups|² output) — corpus
+    * size only ever touches the first aggregate, which partial-aggregates
+    * map-side.
+    */
+  def centroidSimilarity(df: DataFrame, group: Column, vec: Column): DataFrame = {
+    val cent = df
+      .select(group.cast("long").as("g"), posexplode(asDouble(vec)).as(Seq("dim", "x")))
+      .groupBy(col("g"), col("dim"))
+      .agg((sum(round(col("x") * 1.0e9)) / 1.0e9 / count(lit(1))).as("__m"))
+      .select(col("g"), col("dim"), round(col("__m"), 6).as("c"))
+      .localCheckpoint(true) // model-sized; feeds three consumers below
+    val norms = cent.groupBy(col("g"))
+      .agg(sum(round(col("c") * col("c") * 1.0e12)).as("__n2fp"))
+    val a = cent.select(col("dim"), col("g").as("label_a"), col("c").as("__ca"))
+    val b = cent.select(col("dim"), col("g").as("label_b"), col("c").as("__cb"))
+    a.join(b, Seq("dim")).filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(round(col("__ca") * col("__cb") * 1.0e12)).as("__dotfp"))
+      .join(norms.select(col("g").as("label_a"), col("__n2fp").as("__na")), "label_a")
+      .join(norms.select(col("g").as("label_b"), col("__n2fp").as("__nb")), "label_b")
+      .select(col("label_a"), col("label_b"),
+        round(col("__dotfp") / sqrt(col("__na") * col("__nb")), 6).as("cosine"))
+  }
+
   /** Count-based face of [[cosineCandidates]]: sizes the plane space from
     * a cheap narrow count of `df` via [[planeCountFor]], so bucket
     * occupancy stays near `targetBucketSize` as the corpus grows. Harness

@@ -78,6 +78,35 @@ object TfIdf {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** Per-document token-distribution diagnostics: Shannon entropy of the
+    * word histogram, entropy normalized by its `ln(n_distinct)` maximum,
+    * and type-token ratio — the lexical-diversity tier of the quality
+    * ladder. Near-zero normalized entropy means one token dominates
+    * (keyword-stuffing / SEO spam that the x28 repetition rule can miss
+    * when the repeats are non-adjacent); a TTR near 1 with high entropy is
+    * natural prose. These are standard corpus-filter signals (Gopher-style
+    * rules threshold exactly these quantities).
+    *
+    * Scale shape: rides [[termCounts]] — one tokenize+explode pass,
+    * (doc, term) counts partial-aggregated map-side, then a per-doc
+    * aggregate over the already-aggregated frame. Nothing holds a whole
+    * document's tokens in one row.
+    */
+  def tokenEntropy(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val p = col("cnt").cast("double") / col("doc_len").cast("double")
+    termCounts(df, id, text)
+      .groupBy(col("doc_id"), col("doc_len").as("n_tokens"))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(-p * log(p)).as("__h"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(col("__h"), 6).as("entropy"),
+        round(when(col("n_distinct") > 1,
+          col("__h") / log(col("n_distinct").cast("double")))
+          .otherwise(lit(0.0)), 6).as("norm_entropy"),
+        round(col("n_distinct").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("ttr"))
+  }
+
   /** Positional (doc_id, prev, cur) bigram stream — one narrow
     * sequence-of-structs explode per doc; shared by the bigram LM and the
     * PMI collocation operators so their token pairing can never drift.

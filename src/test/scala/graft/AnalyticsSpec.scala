@@ -179,4 +179,50 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(!flat.contains(41L), "flat baseline misses the seasonal fault")
   }
+
+  test("a30 autocorrelation: perfect line is +1, alternating series is -1 at lag 1") {
+    // ramp 1..6 → every lag's pairs are perfectly linearly related (ACF 1);
+    // alternating ±1 → lag-1 pairs perfectly anti-related, lag-2 perfect
+    val ramp = (1 to 6).map(i => ("ramp", i.toLong, i.toDouble))
+    val alt = (1 to 6).map(i => ("alt", i.toLong, if (i % 2 == 0) 1.0 else -1.0))
+    val df = (ramp ++ alt).toDF("k", "t", "v").repartition(4)
+    val out = Correlation.autocorrelation(df, col("k"), Seq(col("t")), col("v"), 2)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(out(("ramp", 1)) === ((1.0, 5L)))
+    assert(out(("ramp", 2)) === ((1.0, 4L)))
+    assert(out(("alt", 1)) === ((-1.0, 5L)))
+    assert(out(("alt", 2)) === ((1.0, 4L)))
+  }
+
+  test("a30 autocorrelation: tie-break column makes equal timestamps deterministic") {
+    // two rows share t=2; the id tie-break pins the order so the ACF is
+    // stable across partitionings
+    val df = Seq(("k", 1L, 10L, 1.0), ("k", 2L, 30L, 3.0), ("k", 2L, 20L, 2.0),
+      ("k", 3L, 40L, 4.0)).toDF("k", "t", "id", "v")
+    val a = Correlation.autocorrelation(df, col("k"),
+      Seq(col("t"), col("id")), col("v"), 1).collect().head
+    // order by (t, id): 1,2,3,4 → lag-1 ACF of a perfect ramp
+    assert(a.getDouble(2) === 1.0 && a.getLong(3) === 3L)
+  }
+
+  test("a31 funnel: stage order is enforced, not just event presence") {
+    import java.sql.Timestamp
+    def ts(m: Int) = new Timestamp(m * 60000L)
+    // u1 completes in order; u2 clicked BEFORE its first view (must stop
+    // at view); u3 views only; u4 click-at-same-instant counts (>=)
+    val ev = Seq(
+      (1L, ts(1), "view"), (1L, ts(2), "click"), (1L, ts(3), "purchase"),
+      (2L, ts(1), "click"), (2L, ts(2), "view"),
+      (3L, ts(1), "view"),
+      (4L, ts(5), "view"), (4L, ts(5), "click")
+    ).toDF("u", "ts", "step").repartition(3)
+    val out = graft.analytics.Funnel.funnel(ev, col("u"), col("ts"), col("step"),
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getString(1) -> (r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(out("view") === ((4L, 1.0, 1.0)))
+    assert(out("click") === ((2L, 0.5, 0.5))) // u1 and u4 (same-instant tie)
+    assert(out("purchase") === ((1L, 0.5, 0.25)))
+  }
 }

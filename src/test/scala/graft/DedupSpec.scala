@@ -558,4 +558,28 @@ class DedupSpec extends SparkSpec {
       ("cur", "web") -> ((2L, 0.8)), // both cross pairs, either direction
       ("web", "web") -> ((1L, 0.5))))
   }
+
+  test("x86 softDedupWeights: cluster members weigh 1/size, unpaired docs weigh 1") {
+    import spark.implicits._
+    // pairs chain 1-2-3 into one cluster (transitively, no 1-3 pair);
+    // doc 4 and 5 are unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val docs = Seq(
+      (1L, "web", 100L), (2L, "web", 200L), (3L, "cur", 300L),
+      (4L, "web", 50L), (5L, "cur", 60L)
+    ).toDF("doc_id", "source", "n_chars").repartition(3)
+    val got = Dedup.softDedupWeights(docs, col("doc_id"), col("source"),
+        col("n_chars"), pairs)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))).toMap
+    val w3 = math.rint(1e6 / 3.0) // micro-unit weight for a 3-cluster
+    // web: docs 1,2 at w3 each + doc 4 at weight 1
+    assert(got("web") === ((3L,
+      math.rint(w3 * 2 + 1e6) / 1e6, 350L,
+      math.rint(100 * w3 + 200 * w3 + 50 * 1e6) / 1e6)))
+    // cur: doc 3 at w3 + doc 5 at weight 1
+    assert(got("cur") === ((2L,
+      math.rint(w3 + 1e6) / 1e6, 360L,
+      math.rint(300 * w3 + 60 * 1e6) / 1e6)))
+  }
 }

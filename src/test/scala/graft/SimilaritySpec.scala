@@ -391,4 +391,30 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(loose === Set(1L, 2L, 3L))
   }
+
+  test("x88 centroidSimilarity: orthogonal, identical and mixed centroids") {
+    // label 0 averages to (1,0); label 1 to (0,1) (orthogonal to 0);
+    // label 2 is a single (1,1) vector — cos 1/√2 against both axes
+    val df = Seq(
+      (0, Array(1.0f, 0.0f)), (0, Array(1.0f, 0.0f)),
+      (1, Array(0.0f, 2.0f)), (1, Array(0.0f, 4.0f)),
+      (2, Array(1.0f, 1.0f))
+    ).toDF("label", "embedding").repartition(3)
+    val got = Similarity.centroidSimilarity(df, col("label"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.size === 3)
+    assert(got((0L, 1L)) === 0.0)
+    assert(math.abs(got((0L, 2L)) - 1.0 / math.sqrt(2.0)) < 1e-6)
+    assert(math.abs(got((1L, 2L)) - 1.0 / math.sqrt(2.0)) < 1e-6)
+  }
+
+  test("x88 centroidSimilarity is partitioning-independent") {
+    val base = (0 until 40).map(i =>
+      (i % 4, Array.tabulate(8)(d => ((i * 7 + d * 3) % 11 - 5) / 5.0f)))
+    val a = Similarity.centroidSimilarity(base.toDF("label", "embedding").repartition(1),
+      col("label"), col("embedding")).collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val b = Similarity.centroidSimilarity(base.toDF("label", "embedding").repartition(7),
+      col("label"), col("embedding")).collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(a === b)
+  }
 }

@@ -138,6 +138,25 @@ class TfIdfSpec extends SparkSpec {
     assert(raw(14L) < raw(15L), s"raw back-off prefers the frequent f ($raw)")
   }
 
+  test("x87 tokenEntropy: degenerate repetition scores 0, uniform scores ln(n)") {
+    val df = Seq(
+      (1L, "a a a a"),        // one type: H = 0, TTR = 0.25
+      (2L, "a b c d"),        // uniform over 4: H = ln 4, norm = 1
+      (3L, "a a b b b c")     // p = (2/6, 3/6, 1/6)
+    ).toDF("doc_id", "text").repartition(3)
+    val out = TfIdf.tokenEntropy(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(out(1L) === ((4, 1L, 0.0, 0.0, 0.25)))
+    assert(out(2L)._3 === math.rint(math.log(4.0) * 1e6) / 1e6)
+    assert(out(2L)._4 === 1.0 && out(2L)._5 === 1.0)
+    val h3 = -(2.0 / 6 * math.log(2.0 / 6) + 3.0 / 6 * math.log(3.0 / 6) +
+      1.0 / 6 * math.log(1.0 / 6))
+    assert(math.abs(out(3L)._3 - h3) < 1e-6)
+    assert(math.abs(out(3L)._4 - h3 / math.log(3.0)) < 1e-6)
+  }
+
   test("vocabStats plans TakeOrderedAndProject, not a global sort") {
     val plan = TfIdf.vocabStats(docs, col("doc_id"), col("text"), topK = 2)
       .queryExecution.executedPlan.toString
