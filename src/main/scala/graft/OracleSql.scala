@@ -983,6 +983,36 @@ object OracleSql {
          |SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.3""".stripMargin,
     // the x27 survivors rule (reachability-min over the near-dup graph)
     // grouped by source; shares mirror the Spark division tree at round 6
+    // the x01 token/subword kernels restated per row, then one per-lang
+    // aggregate; ratios of exact integer sums, round-6 on both sides
+    "x90_token_fertility" ->
+      s"""WITH d AS (SELECT lang, n_chars AS nc,
+         |  CAST(len($Toks) AS BIGINT) AS w,
+         |  CAST(list_sum(list_transform($Toks,
+         |   t -> CAST(greatest(ceil(length(t) / 4.0), 1) AS BIGINT))) AS BIGINT) AS sw
+         | FROM documents)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(w) AS BIGINT) AS n_words,
+         | CAST(sum(sw) AS BIGINT) AS n_subwords,
+         | round(CAST(sum(sw) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 6) AS fertility,
+         | round(CAST(sum(nc) AS DOUBLE) / CAST(sum(sw) AS DOUBLE), 6)
+         |  AS chars_per_subword
+         |FROM d GROUP BY lang""".stripMargin,
+    // per-row rate arithmetic on exact integer micros — bit-identical
+    // across engines, so even the boolean flag compares exactly
+    "a32_rate_spikes" ->
+      """WITH o AS (SELECT event_id, event_type, value,
+        |  epoch_us(ts) AS us, lag(value) OVER w AS lv,
+        |  lag(epoch_us(ts)) OVER w AS lus
+        | FROM events
+        | WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts), event_id))
+        |SELECT event_id, event_type, us - lus AS dt_us,
+        | round(CASE WHEN us - lus > 0
+        |  THEN (value - lv) / (CAST(us - lus AS DOUBLE) / 1000000.0) END, 6) AS rate,
+        | coalesce(abs(CASE WHEN us - lus > 0
+        |  THEN (value - lv) / (CAST(us - lus AS DOUBLE) / 1000000.0) END) > 0.5,
+        |  FALSE) AS is_spike
+        |FROM o WHERE lus IS NOT NULL""".stripMargin,
     // x18's recursive component labels → 1/size micro-unit weights →
     // per-source mass sums; every sum is integer-valued in double space
     // (fixedPointAvg construction), so the compare is exact

@@ -978,6 +978,20 @@ object SparkEntry {
     "x89_corpus_datacard" -> ((s, dir) =>
       graft.text.Datacard.byLang(T(s, dir, "documents"), col("lang"),
         col("source"), col("text"), col("n_chars"))),
+    // tokenizer-equity audit: subwords/word and chars/subword per lang
+    // under the x01 subword model — two codegen kernels, one aggregate
+    "x90_token_fertility" -> ((s, dir) =>
+      graft.text.Datacard.tokenizerFertility(T(s, dir, "documents"),
+        col("lang"), col("text"), col("n_chars"))),
+    // physical-plausibility screen: per-type first difference over elapsed
+    // seconds, flagged at |rate| > 0.5/s; dt-0 ties are rate-null (a rate
+    // across zero elapsed time is undefined, not infinite)
+    "a32_rate_spikes" -> ((s, dir) =>
+      graft.analytics.Alerts.rateSpikes(T(s, dir, "events"), col("event_type"),
+          col("ts"), Seq(col("event_id")), col("event_id"), col("value"),
+          threshold = 0.5)
+        .withColumnRenamed("id", "event_id")
+        .withColumnRenamed("key", "event_type")),
     "x28_quality_rules" -> ((s, dir) =>
       graft.text.QualityRules.report(T(s, dir, "documents"),
         col("doc_id"), col("text"))),

@@ -96,4 +96,45 @@ object Alerts {
         abs(value - col("__med")) > lit(threshold * 1.4826) * col("__mad"))
       .drop("__g", "__g2", "__med", "__mad")
   }
+
+  /** Rate-of-change screen: per key, the first difference of the value
+    * series divided by the elapsed seconds to the previous reading, with a
+    * spike flag at `|rate| > threshold` — the physical-plausibility rule
+    * (a temperature cannot move 50°/minute) that catches transients the
+    * LEVEL-based screens above are blind to: a reading can be inside the
+    * group's z-score and MAD bands and still be an impossible jump.
+    *
+    * Emits every row that HAS a predecessor (`dt_us` exact integer micros,
+    * `rate` per second, `is_spike`), not just the alarms, so downstream
+    * dashboards can threshold differently without a rescan. Events at
+    * duplicate timestamps (dt 0) are rate-null and never flagged — a rate
+    * across zero elapsed time is undefined, not infinite.
+    *
+    * Shape: one per-key window (sort paid once, same contract as the
+    * sessionize/gap operators) and a narrow projection — no joins, no
+    * second scan. The flag compares the UNROUNDED rate; per-row arithmetic
+    * on exact integer micros and raw doubles is deterministic, so the flag
+    * can't flip under partitioning.
+    */
+  def rateSpikes(df: DataFrame, key: Column, time: Column, order: Seq[Column],
+      id: Column, value: Column, threshold: Double): DataFrame = {
+    require(threshold > 0, "threshold must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k"))
+      .orderBy(col("__us").asc +: (1 to order.size).map(i => col(s"__o$i").asc): _*)
+    val base = df.select(
+      (id.as("id") +: key.as("__k") +: unix_micros(time).as("__us") +:
+        value.cast("double").as("__v") +:
+        order.zipWithIndex.map { case (o, i) => o.as(s"__o${i + 1}") }): _*)
+    val stepped = base.select(col("id"), col("__k").as("key"),
+      (col("__us") - lag(col("__us"), 1).over(w)).as("dt_us"),
+      (col("__v") - lag(col("__v"), 1).over(w)).as("__dv"))
+    val rate = when(col("dt_us") > 0,
+      col("__dv") / (col("dt_us").cast("double") / 1.0e6))
+    stepped
+      .filter(col("dt_us").isNotNull)
+      .select(col("id"), col("key"), col("dt_us"),
+        round(rate, 6).as("rate"),
+        coalesce(abs(rate) > threshold, lit(false)).as("is_spike"))
+  }
 }

@@ -39,4 +39,32 @@ object Datacard {
           .as("avg_tokens"),
         round(lit(1.0) - col("n_distinct_texts").cast("double") /
           col("n_docs").cast("double"), 6).as("exact_dup_rate"))
+
+  /** Tokenizer-fertility audit per language: subwords-per-word and
+    * chars-per-subword under the 4-chars-per-piece subword model
+    * ([[TextAnalysis.subwordCount]]) — the pre-training check for whether
+    * a tokenizer will inflate one language's sequence lengths relative to
+    * another (fertility is THE standard metric for tokenizer equity
+    * across languages; a language at 2× fertility pays 2× compute per
+    * word and fits half the text per context window).
+    *
+    * Scale shape: both counters are per-row codegen'd kernels (no
+    * explode), so this is one corpus scan into a |langs|-sized aggregate.
+    */
+  def tokenizerFertility(df: DataFrame, lang: Column, text: Column,
+      nChars: Column): DataFrame =
+    df.select(lang.as("lang"),
+        TextAnalysis.tokenCount(text).cast("long").as("__w"),
+        TextAnalysis.subwordCount(text).as("__sw"),
+        nChars.cast("long").as("__nc"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__w")).as("n_words"),
+        sum(col("__sw")).as("n_subwords"),
+        sum(col("__nc")).as("__chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_subwords"),
+        round(col("n_subwords").cast("double") / col("n_words").cast("double"), 6)
+          .as("fertility"),
+        round(col("__chars").cast("double") / col("n_subwords").cast("double"), 6)
+          .as("chars_per_subword"))
 }

@@ -206,6 +206,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(a.getDouble(2) === 1.0 && a.getLong(3) === 3L)
   }
 
+  test("a32 rateSpikes: flags fast moves, leaves slow ones, nulls dt-0 ties") {
+    import java.sql.Timestamp
+    def ts(s: Int) = new Timestamp(s * 1000L)
+    val ev = Seq(
+      (1L, "k", ts(0), 0.0),    // first reading: no predecessor, no row
+      (2L, "k", ts(10), 10.0),  // +10 over 10 s → rate 1.0 → spike
+      (3L, "k", ts(20), 11.0),  // +1 over 10 s → rate 0.1 → quiet
+      (4L, "k", ts(20), 99.0)   // duplicate ts → dt 0 → rate null, unflagged
+    ).toDF("id", "k", "ts", "v").repartition(3)
+    val out = graft.analytics.Alerts.rateSpikes(ev, col("k"), col("ts"),
+        Seq(col("id")), col("id"), col("v"), threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), Option(r.get(3)), r.getBoolean(4)))).toMap
+    assert(out.keySet === Set(2L, 3L, 4L))
+    assert(out(2L) === ((10000000L, Some(1.0), true)))
+    assert(out(3L) === ((10000000L, Some(0.1), false)))
+    assert(out(4L) === ((0L, None, false)))
+  }
+
   test("a31 funnel: stage order is enforced, not just event presence") {
     import java.sql.Timestamp
     def ts(m: Int) = new Timestamp(m * 60000L)

@@ -28,6 +28,23 @@ class DatacardSpec extends SparkSpec {
     assert(got("fr") === ((2L, 2L, 27L, 5L, 2.5, 0.0)))
   }
 
+  test("x90 tokenizerFertility: subword model ratios per language") {
+    val docs = Seq(
+      // en: "aaaa bb" → 2 words, 1+1 subwords; "abcdefgh x" → 2 words, 2+1
+      (1L, "en", "aaaa bb", 7L),
+      (2L, "en", "abcdefgh x", 10L),
+      // zh: one 9-char word → ceil(9/4)=3 subwords
+      (3L, "zh", "abcdefghi", 9L)
+    ).toDF("doc_id", "lang", "text", "n_chars").repartition(2)
+    val got = Datacard.tokenizerFertility(docs, col("lang"), col("text"),
+        col("n_chars"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(got("en") === ((2L, 4L, 5L, 1.25, 3.4)))
+    assert(got("zh") === ((1L, 1L, 3L, 3.0, 3.0)))
+  }
+
   test("x89 byLang: byte-identical texts in different languages don't cross-collapse") {
     val docs = Seq(
       (1L, "en", "s1", "hello", 5L),
