@@ -983,6 +983,61 @@ object OracleSql {
          |SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.3""".stripMargin,
     // the x27 survivors rule (reachability-min over the near-dup graph)
     // grouped by source; shares mirror the Spark division tree at round 6
+    // per-row norms via the same sequential list_dot_product kernel the
+    // cosine mirrors use; mean norm in micro-units (fixed-point, exact);
+    // the %97 zeroing mirrors the Spark fixture
+    "x91_embedding_qa" ->
+      """WITH v AS (SELECT CAST(label AS BIGINT) AS label,
+        |  CASE WHEN vec_id % 97 = 0
+        |   THEN list_transform(embedding, x -> CAST(0.0 AS DOUBLE))
+        |   ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS ve,
+        |  CAST(len(embedding) AS INTEGER) AS d
+        | FROM embeddings),
+        |n AS (SELECT label, sqrt(list_dot_product(ve, ve)) AS nrm, d FROM v)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        | CAST(count(CASE WHEN nrm = 0.0 THEN 1 END) AS BIGINT) AS n_zero,
+        | CAST(count(CASE WHEN nrm IS NULL THEN 1 END) AS BIGINT) AS n_bad,
+        | CAST(count(DISTINCT d) AS BIGINT) AS n_dims_distinct,
+        | round((sum(round(nrm * 1000000.0)) / 1000000.0) / count(*), 6) AS mean_norm,
+        | round(min(nrm), 6) AS min_norm, round(max(nrm), 6) AS max_norm
+        |FROM n GROUP BY label""".stripMargin,
+    // (source, term) counts once; corpus counts/totals re-aggregate that
+    // frame; the per-term ratio tree mirrors the Spark association order
+    "x92_source_divergence" ->
+      s"""WITH st AS (SELECT source, unnest($Toks) AS term FROM documents),
+         |c AS (SELECT source, term, count(*) AS cnt FROM st GROUP BY source, term),
+         |ct AS (SELECT term, sum(cnt) AS cc FROM c GROUP BY term),
+         |stot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS stn FROM c GROUP BY source),
+         |ctot AS (SELECT sum(cnt) AS ctn FROM c)
+         |SELECT c.source, stot.stn AS n_tokens,
+         | round(sum((CAST(cnt AS DOUBLE) / CAST(stn AS DOUBLE)) *
+         |  ln((CAST(cnt AS DOUBLE) / CAST(stn AS DOUBLE)) /
+         |   (CAST(cc AS DOUBLE) / CAST(ctn AS DOUBLE)))), 6) AS kl
+         |FROM c JOIN ct USING (term) JOIN stot USING (source) CROSS JOIN ctot
+         |GROUP BY c.source, stot.stn""".stripMargin,
+    // parallel slice-unnest bigrams (x52 pattern) keyed by source; the
+    // bigram distinct key is the same RS-joined string as the Spark side
+    "x93_ngram_diversity" ->
+      s"""WITH t AS (SELECT source, $Toks AS toks FROM documents),
+         |u AS (SELECT source, unnest(toks) AS term FROM t),
+         |us AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(count(DISTINCT term) AS BIGINT) AS n_distinct_tokens
+         | FROM u GROUP BY source),
+         |b AS (SELECT source, unnest(toks[1:len(toks) - 1]) || chr(30) ||
+         |   unnest(toks[2:len(toks)]) AS bg
+         | FROM t WHERE len(toks) >= 2),
+         |bs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(count(DISTINCT bg) AS BIGINT) AS n_distinct_bigrams
+         | FROM b GROUP BY source)
+         |SELECT us.source, n_tokens, n_distinct_tokens,
+         | round(CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         |  AS uni_diversity,
+         | coalesce(n_bigrams, 0) AS n_bigrams,
+         | coalesce(n_distinct_bigrams, 0) AS n_distinct_bigrams,
+         | CASE WHEN n_bigrams > 0
+         |  THEN round(CAST(n_distinct_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6)
+         |  END AS bi_diversity
+         |FROM us LEFT JOIN bs ON us.source = bs.source""".stripMargin,
     // the x01 token/subword kernels restated per row, then one per-lang
     // aggregate; ratios of exact integer sums, round-6 on both sides
     "x90_token_fertility" ->

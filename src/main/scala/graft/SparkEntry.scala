@@ -983,6 +983,27 @@ object SparkEntry {
     "x90_token_fertility" -> ((s, dir) =>
       graft.text.Datacard.tokenizerFertility(T(s, dir, "documents"),
         col("lang"), col("text"), col("n_chars"))),
+    // embedding QA gate: corpus has no broken rows, so every 97th vector
+    // is zeroed (deterministic fixture, mirrored in the oracle) — the
+    // zero-norm accounting and norm envelope are what's under test
+    "x91_embedding_qa" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val withBroken = emb.select(col("vec_id"), col("label"),
+        when(col("vec_id") % 97 === 0,
+          transform(col("embedding"), _ => lit(0.0f)))
+          .otherwise(col("embedding")).as("embedding"))
+      Similarity.embeddingQa(withBroken, col("label"), col("embedding"))
+    }),
+    // per-source unigram KL from the corpus distribution — the
+    // information-theoretic mixture diagnostic beside x83/x85
+    "x92_source_divergence" -> ((s, dir) =>
+      graft.text.TfIdf.sourceDivergence(T(s, dir, "documents"),
+        col("source"), col("text"))),
+    // per-source distinct-n diversity (self-BLEU-style mode-collapse
+    // check for synthetic feeds) — cross-doc, where x87 is per-doc
+    "x93_ngram_diversity" -> ((s, dir) =>
+      graft.text.TfIdf.ngramDiversity(T(s, dir, "documents"),
+        col("source"), col("text"))),
     // physical-plausibility screen: per-type first difference over elapsed
     // seconds, flagged at |rate| > 0.5/s; dt-0 ties are rate-null (a rate
     // across zero elapsed time is undefined, not infinite)

@@ -544,6 +544,38 @@ object Similarity {
         round(col("__dotfp") / sqrt(col("__na") * col("__nb")), 6).as("cosine"))
   }
 
+  /** Embedding QA report: per group, vector count, zero-norm count,
+    * null/ragged count, distinct-dimension count and the norm envelope —
+    * the validation gate an embedding table must pass BEFORE any ANN /
+    * dedup / centroid stage consumes it (a zero vector silently matches
+    * nothing under cosine; a ragged or null row poisons every kernel;
+    * norm collapse reveals a broken encoder batch).
+    *
+    * Determinism: per-row norms are the same sequential-sum kernel the
+    * cosine operators use (bit-stable per row); the mean norm is
+    * micro-unit fixed-point; min/max are order-free.
+    *
+    * Scale shape: one corpus scan into a |groups|-sized aggregate —
+    * map-side partials for everything including the distinct (dimension
+    * cardinality per group is tiny).
+    */
+  def embeddingQa(df: DataFrame, group: Column, vec: Column): DataFrame = {
+    val n = norm(asDouble(vec))
+    df.select(group.cast("long").as("label"), n.as("__n"),
+        size(vec).as("__d"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        count(when(col("__n") === 0.0, 1)).as("n_zero"),
+        count(when(col("__n").isNull, 1)).as("n_bad"),
+        countDistinct(col("__d")).as("n_dims_distinct"),
+        (sum(round(col("__n") * 1.0e6)) / 1.0e6 / count(lit(1))).as("__mean"),
+        round(min(col("__n")), 6).as("min_norm"),
+        round(max(col("__n")), 6).as("max_norm"))
+      .select(col("label"), col("n_vecs"), col("n_zero"), col("n_bad"),
+        col("n_dims_distinct"), round(col("__mean"), 6).as("mean_norm"),
+        col("min_norm"), col("max_norm"))
+  }
+
   /** Count-based face of [[cosineCandidates]]: sizes the plane space from
     * a cheap narrow count of `df` via [[planeCountFor]], so bucket
     * occupancy stays near `targetBucketSize` as the corpus grows. Harness

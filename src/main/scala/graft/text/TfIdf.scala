@@ -107,6 +107,79 @@ object TfIdf {
           .as("ttr"))
   }
 
+  /** Per-source unigram KL divergence from the corpus distribution:
+    * `KL(source ‖ corpus) = Σ_t p_s(t)·ln(p_s(t)/p_c(t))` — the
+    * mixture-diagnostics number that ranks which feeds are lexically
+    * off-center (a crawl of code or boilerplate stands out immediately)
+    * and the information-theoretic complement of the share-based x83 and
+    * bucket-based x85 drift reports. No smoothing is needed: every
+    * source term is by construction in the corpus, so p_c > 0 wherever
+    * p_s > 0.
+    *
+    * Scale shape: ONE tokenize+explode pass into the (source, term)
+    * count frame (checkpointed — vocabulary×|sources| sized); corpus
+    * term counts, per-source totals and the corpus total all derive from
+    * THAT frame by further aggregation, so the corpus text is scanned
+    * exactly once; totals join back broadcast.
+    */
+  def sourceDivergence(df: DataFrame, source: Column, text: Column): DataFrame = {
+    val st = df.select(source.as("source"),
+        explode(TextAnalysis.tokens(text)).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val ct = st.groupBy(col("term")).agg(sum(col("__c")).as("__cc"))
+    val stot = st.groupBy(col("source")).agg(sum(col("__c")).as("__st"))
+    val ctot = st.agg(sum(col("__c")).as("__ct"))
+    val ps = col("__c").cast("double") / col("__st").cast("double")
+    val pc = col("__cc").cast("double") / col("__ct").cast("double")
+    st.join(ct, "term")
+      .join(broadcast(stot), "source")
+      .crossJoin(broadcast(ctot))
+      .groupBy(col("source"), col("__st").as("n_tokens"))
+      .agg(round(sum(ps * log(ps / pc)), 6).as("kl"))
+  }
+
+  /** Per-source n-gram diversity: distinct-unigram and distinct-bigram
+    * ratios — the self-BLEU-style mode-collapse diagnostic that matters
+    * most for SYNTHETIC data feeds (a generator stuck in a template
+    * produces fluent, quality-gate-passing text whose cross-document
+    * bigram diversity collapses; per-document signals like x87 entropy or
+    * the x28 repetition rule cannot see it because every single document
+    * looks fine). Low bi_diversity with normal uni_diversity is the
+    * template-generator signature.
+    *
+    * Scale shape: one scan, two explodes off the same tokenized
+    * projection; both counts are per-source aggregates whose distincts
+    * partial-aggregate map-side. Bigram keys travel as one
+    * separator-joined string, not a struct — half the shuffle width.
+    * Sources whose documents are all shorter than two tokens report
+    * bigram diversity as null (undefined, not 0 or 1).
+    */
+  def ngramDiversity(df: DataFrame, key: Column, text: Column): DataFrame = {
+    val toks = df.select(key.as("source"), TextAnalysis.tokens(text).as("__t"))
+    val us = toks.select(col("source"), explode(col("__t")).as("term"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("term")).as("n_distinct_tokens"))
+    val bs = toks.filter(size(col("__t")) >= 2)
+      .select(col("source"),
+        explode(transform(sequence(lit(1), size(col("__t")) - 1), i =>
+          concat(element_at(col("__t"), i), lit("\u001e"),
+            element_at(col("__t"), i + 1)))).as("__bg"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        countDistinct(col("__bg")).as("n_distinct_bigrams"))
+    us.join(bs, Seq("source"), "left")
+      .select(col("source"), col("n_tokens"), col("n_distinct_tokens"),
+        round(col("n_distinct_tokens").cast("double") /
+          col("n_tokens").cast("double"), 6).as("uni_diversity"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_distinct_bigrams"), lit(0L)).as("n_distinct_bigrams"),
+        when(col("n_bigrams") > 0,
+          round(col("n_distinct_bigrams").cast("double") /
+            col("n_bigrams").cast("double"), 6)).as("bi_diversity"))
+  }
+
   /** Positional (doc_id, prev, cur) bigram stream — one narrow
     * sequence-of-structs explode per doc; shared by the bigram LM and the
     * PMI collocation operators so their token pairing can never drift.

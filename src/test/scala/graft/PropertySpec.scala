@@ -106,4 +106,48 @@ class PropertySpec extends SparkSpec {
     assert(small.subsetOf(big), "growing the budget must never drop a doc")
     assert(big.size > small.size)
   }
+
+  test("token entropy obeys its information bounds on random corpora") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "c", "dd", "eee", "ffff")
+    val docs = Seq.tabulate(40)(i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")))
+      .toDF("doc_id", "text")
+    graft.text.TfIdf.tokenEntropy(docs, col("doc_id"), col("text"))
+      .collect().foreach { r =>
+        val (nTok, nDis) = (r.getInt(1), r.getLong(2))
+        val (h, hn, ttr) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+        assert(h >= 0.0 && h <= math.log(nDis.toDouble) + 1e-9,
+          s"0 <= H <= ln(n_distinct): $r")
+        assert(hn >= 0.0 && hn <= 1.0 + 1e-9, s"normalized entropy in [0,1]: $r")
+        assert(ttr > 0.0 && ttr <= 1.0 && nDis <= nTok, s"TTR sane: $r")
+      }
+  }
+
+  test("source KL divergence is non-negative, zero only at the corpus distribution") {
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("x", "y", "z", "w")
+    val docs = Seq.tabulate(30)(i =>
+      (i.toLong, s"s${i % 3}",
+        Seq.fill(5 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val kls = graft.text.TfIdf.sourceDivergence(docs, col("source"), col("text"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2))
+    assert(kls.length === 3)
+    kls.foreach { case (s, kl) => assert(kl >= 0.0, s"KL($s) = $kl < 0") }
+  }
+
+  test("funnel reach is monotonically non-increasing stage over stage") {
+    val rnd = new scala.util.Random(17)
+    val steps = Vector("s1", "s2", "s3")
+    val ev = Seq.tabulate(400)(i =>
+      (i.toLong % 37, new java.sql.Timestamp(rnd.nextInt(100000).toLong * 1000L),
+        steps(rnd.nextInt(steps.size))))
+      .toDF("u", "ts", "step")
+    val ns = graft.analytics.Funnel.funnel(ev, col("u"), col("ts"), col("step"), steps)
+      .collect().sortBy(_.getInt(0)).map(_.getLong(2))
+    assert(ns.zip(ns.tail).forall { case (a, b) => b <= a },
+      s"reach must shrink: ${ns.mkString(",")}")
+  }
 }

@@ -408,6 +408,21 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got((1L, 2L)) - 1.0 / math.sqrt(2.0)) < 1e-6)
   }
 
+  test("x91 embeddingQa: zero norms, norm envelope and ragged dimensions") {
+    val df = Seq(
+      (0, Array(3.0f, 4.0f)),        // norm 5
+      (0, Array(0.0f, 0.0f)),        // zero vector
+      (1, Array(1.0f, 0.0f)),        // norm 1
+      (1, Array(0.0f, 1.0f, 0.0f))   // ragged: 3 dims
+    ).toDF("label", "embedding").repartition(2)
+    val got = Similarity.embeddingQa(df, col("label"), col("embedding"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
+    assert(got(0L) === ((2L, 1L, 0L, 1L, 2.5, 0.0, 5.0)))
+    assert(got(1L) === ((2L, 0L, 0L, 2L, 1.0, 1.0, 1.0)))
+  }
+
   test("x88 centroidSimilarity is partitioning-independent") {
     val base = (0 until 40).map(i =>
       (i % 4, Array.tabulate(8)(d => ((i * 7 + d * 3) % 11 - 5) / 5.0f)))

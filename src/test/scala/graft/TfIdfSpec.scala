@@ -157,6 +157,50 @@ class TfIdfSpec extends SparkSpec {
     assert(math.abs(out(3L)._4 - h3 / math.log(3.0)) < 1e-6)
   }
 
+  test("x92 sourceDivergence: hand-computed KL against the pooled corpus") {
+    val df = Seq(
+      (1L, "s1", "a a b"),
+      (2L, "s2", "b c")
+    ).toDF("doc_id", "source", "text").repartition(2)
+    val got = TfIdf.sourceDivergence(df, col("source"), col("text"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // corpus: a:2 b:2 c:1 of 5
+    val kl1 = 2.0 / 3 * math.log((2.0 / 3) / (2.0 / 5)) +
+      1.0 / 3 * math.log((1.0 / 3) / (2.0 / 5))
+    val kl2 = 0.5 * math.log(0.5 / (2.0 / 5)) + 0.5 * math.log(0.5 / (1.0 / 5))
+    assert(got("s1")._1 === 3L && math.abs(got("s1")._2 - kl1) < 1e-6)
+    assert(got("s2")._1 === 2L && math.abs(got("s2")._2 - kl2) < 1e-6)
+    // a source identical to the corpus distribution diverges by 0
+    val same = Seq((1L, "x", "a b"), (2L, "y", "a b"))
+      .toDF("doc_id", "source", "text")
+    val zero = TfIdf.sourceDivergence(same, col("source"), col("text"))
+      .collect().map(_.getDouble(2))
+    assert(zero.forall(_ === 0.0))
+  }
+
+  test("x93 ngramDiversity: template collapse shows in bigrams, not unigrams") {
+    val df = Seq(
+      // tmpl: every doc is the same 3-token template → 4 distinct unigram
+      // types but only 2 distinct bigrams out of 6
+      (1L, "tmpl", "buy cheap pills"), (2L, "tmpl", "buy cheap pills"),
+      (3L, "tmpl", "buy cheap now"),
+      // nat: all-distinct bigrams
+      (4L, "nat", "the quick brown fox"),
+      // single-token source: bigram diversity undefined
+      (5L, "solo", "hello")
+    ).toDF("doc_id", "source", "text").repartition(3)
+    val got = TfIdf.ngramDiversity(df, col("source"), col("text"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5),
+          Option(r.get(6)).map(_.asInstanceOf[Double])))).toMap
+    // tmpl unigrams: buy, cheap, pills, now → 4/9; bigrams: buy·cheap ×3,
+    // cheap·pills ×2, cheap·now → 3 distinct of 6
+    assert(got("tmpl") === ((9L, 4L, math.rint(4.0 / 9 * 1e6) / 1e6, 6L, 3L,
+      Some(0.5))))
+    assert(got("nat") === ((4L, 4L, 1.0, 3L, 3L, Some(1.0))))
+    assert(got("solo") === ((1L, 1L, 1.0, 0L, 0L, None)))
+  }
+
   test("vocabStats plans TakeOrderedAndProject, not a global sort") {
     val plan = TfIdf.vocabStats(docs, col("doc_id"), col("text"), topK = 2)
       .queryExecution.executedPlan.toString
