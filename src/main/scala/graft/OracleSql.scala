@@ -1053,6 +1053,47 @@ object OracleSql {
          | round(CAST(sum(nc) AS DOUBLE) / CAST(sum(sw) AS DOUBLE), 6)
          |  AS chars_per_subword
          |FROM d GROUP BY lang""".stripMargin,
+    // the a26 gap rule rolled up per key in exact integer micros; the
+    // ratio is the only double and rounds identically on both sides
+    "a33_availability" ->
+      """WITH o AS (SELECT user_id, epoch_us(ts) AS us,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |   PARTITION BY user_id ORDER BY ts, event_id) AS dt
+        | FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,
+        | CAST(max(us) - min(us) AS BIGINT) AS span_us,
+        | CAST(count(CASE WHEN dt > 21600000000 THEN 1 END) AS BIGINT) AS n_gaps,
+        | CAST(coalesce(sum(CASE WHEN dt > 21600000000 THEN dt END), 0) AS BIGINT)
+        |  AS downtime_us,
+        | CASE WHEN max(us) - min(us) > 0 THEN
+        |  round(1.0 - CAST(coalesce(sum(CASE WHEN dt > 21600000000 THEN dt END), 0)
+        |    AS DOUBLE) / CAST(max(us) - min(us) AS DOUBLE), 6) END AS availability
+        |FROM o GROUP BY user_id""".stripMargin,
+    // backward and forward candidates picked independently (the j07
+    // rule each way), then the nearer wins; exact-µs distances, ties to
+    // the past — the CASE mirrors the Spark pick expression
+    "j12_asof_nearest" ->
+      """WITH c AS (SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, max(value) AS pv FROM events
+        |  WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |b AS (SELECT event_id, pts, pv FROM (
+        | SELECT c.event_id, p.ts AS pts, p.pv,
+        |  row_number() OVER (PARTITION BY c.event_id ORDER BY p.ts DESC) AS rn
+        | FROM c JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts) WHERE rn = 1),
+        |f AS (SELECT event_id, pts, pv FROM (
+        | SELECT c.event_id, p.ts AS pts, p.pv,
+        |  row_number() OVER (PARTITION BY c.event_id ORDER BY p.ts ASC) AS rn
+        | FROM c JOIN p ON c.user_id = p.user_id AND p.ts >= c.ts) WHERE rn = 1)
+        |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS t_us, c.value,
+        | CASE WHEN b.pts IS NOT NULL AND (f.pts IS NULL OR
+        |   epoch_us(c.ts) - epoch_us(b.pts) <= epoch_us(f.pts) - epoch_us(c.ts))
+        |  THEN epoch_us(b.pts) ELSE epoch_us(f.pts) END AS near_t_us,
+        | CASE WHEN b.pts IS NOT NULL AND (f.pts IS NULL OR
+        |   epoch_us(c.ts) - epoch_us(b.pts) <= epoch_us(f.pts) - epoch_us(c.ts))
+        |  THEN b.pv ELSE f.pv END AS purchase_value
+        |FROM c LEFT JOIN b ON c.event_id = b.event_id
+        | LEFT JOIN f ON c.event_id = f.event_id""".stripMargin,
     // per-row rate arithmetic on exact integer micros — bit-identical
     // across engines, so even the boolean flag compares exactly
     "a32_rate_spikes" ->

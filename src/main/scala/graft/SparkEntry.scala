@@ -1004,6 +1004,26 @@ object SparkEntry {
     "x93_ngram_diversity" -> ((s, dir) =>
       graft.text.TfIdf.ngramDiversity(T(s, dir, "documents"),
         col("source"), col("text"))),
+    // per-sensor SLA rollup of the a26 gap rule: span, downtime from
+    // >6 h silences, availability ratio; singleton keys report null
+    "a33_availability" -> ((s, dir) =>
+      Temporal.availability(T(s, dir, "events"), "user_id", "ts",
+        minGapSeconds = 21600, order = Seq("event_id"))),
+    // nearest-in-time join (either direction, ties favor the past) —
+    // the sensor-fusion alignment beside j07's point-in-time backward face
+    "j12_asof_nearest" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("purchase_value"))
+      Temporal.asofNearest(clicks, purchases, "user_id", "ts")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("t_us"), col("value"),
+          unix_micros(col("near_ts")).as("near_t_us"),
+          col("near_purchase_value").as("purchase_value"))
+    }),
     // physical-plausibility screen: per-type first difference over elapsed
     // seconds, flagged at |rate| > 0.5/s; dt-0 ties are rate-null (a rate
     // across zero elapsed time is undefined, not infinite)

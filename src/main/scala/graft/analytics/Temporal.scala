@@ -43,6 +43,39 @@ object Temporal {
     asofImpl(left, right, key, time, rightTiebreak, prefix, direction,
       saltBuckets = 1, saltSource = Nil)
 
+  /** Nearest-in-time as-of join: match each left row to the right row
+    * closest in EITHER direction — sensor fusion's default alignment
+    * (pair a reading with the nearest calibration/weather sample, not
+    * just the most recent), where [[asofJoin]]'s backward face is the
+    * point-in-time-correctness rule. Exact distance ties favor the past
+    * (backward) match, and a timestamp tie is distance 0 both ways, so
+    * ties are deterministic given the [[asofJoin]] tiebreak contract.
+    *
+    * Implementation: one backward and one forward [[asofJoin]], then a
+    * per-row pick by |Δt| in exact integer micros. Two key-partitioned
+    * window passes instead of one — the compose keeps both faces
+    * row-identical to their singly-used selves (and oracle-checkable
+    * through them); a fused single-window variant would save one sort at
+    * the cost of a third ordering semantics to verify.
+    */
+  def asofNearest(left: DataFrame, right: DataFrame, key: String, time: String,
+      rightTiebreak: Seq[String] = Nil, prefix: String = "near_"): DataFrame = {
+    val rightCols = right.columns.filterNot(_ == key).toSeq
+    val b = asofJoin(left, right, key, time, rightTiebreak, "__b_", "backward")
+    val bf = asofJoin(b, right, key, time, rightTiebreak, "__f_", "forward")
+    val lUs = unix_micros(col(time))
+    val bUs = unix_micros(col(s"__b_$time"))
+    val fUs = unix_micros(col(s"__f_$time"))
+    val useB = col(s"__b_$time").isNotNull &&
+      (col(s"__f_$time").isNull || (lUs - bUs) <= (fUs - lUs))
+    val picked = rightCols.map(c =>
+      when(useB, col(s"__b_$c")).otherwise(col(s"__f_$c")).as(s"$prefix$c"))
+    val passthrough = bf.columns
+      .filterNot(c => c.startsWith("__b_") || c.startsWith("__f_"))
+      .map(col).toSeq
+    bf.select(passthrough ++ picked: _*)
+  }
+
   /** [[asofJoin]] for a skewed key domain: the hot-key caveat above,
     * resolved. Left rows are spread across `saltBuckets` sub-partitions by
     * a hash of `saltSource` (any columns that vary within a key — an id,
@@ -241,5 +274,38 @@ object Temporal {
         col(time).as("gap_end"),
         ((unix_micros(col(time)) - unix_micros(col("__prev"))) / 1000000L)
           .cast("long").as("gap_secs"))
+  }
+
+  /** Availability / SLA report — the per-key rollup of [[gaps]]: observed
+    * span, gap count, total downtime (sum of inter-reading silences longer
+    * than `minGapSeconds`, same strict-> rule as [[gaps]]) and the
+    * availability ratio `1 − downtime/span`. A key with a single reading
+    * has zero span and reports availability null (undefined, not 100%).
+    *
+    * All statistics are exact integer micros until the final ratio, so the
+    * report is partitioning-deterministic with no fixed-point tricks.
+    * Scale shape: the [[gaps]] window (one shuffle on the key, lag only)
+    * feeding one per-key aggregate — output is |keys|-sized.
+    */
+  def availability(df: DataFrame, key: String, time: String,
+      minGapSeconds: Long, order: Seq[String] = Nil): DataFrame = {
+    require(minGapSeconds > 0, s"minGapSeconds must be > 0, got $minGapSeconds")
+    val sort = (col(time) +: order.map(col)).map(_.asc)
+    val w = Window.partitionBy(col(key)).orderBy(sort: _*)
+    val gapUs = minGapSeconds * 1000000L
+    df.select(col(key) +: col(time) +: order.map(col): _*)
+      .withColumn("__us", unix_micros(col(time)))
+      .withColumn("__dt", col("__us") - lag(col("__us"), 1).over(w))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_obs"),
+        (max(col("__us")) - min(col("__us"))).as("span_us"),
+        count(when(col("__dt") > gapUs, 1)).as("n_gaps"),
+        coalesce(sum(when(col("__dt") > gapUs, col("__dt"))), lit(0L))
+          .as("downtime_us"))
+      .select(col(key), col("n_obs"), col("span_us"), col("n_gaps"),
+        col("downtime_us"),
+        when(col("span_us") > 0,
+          round(lit(1.0) - col("downtime_us").cast("double") /
+            col("span_us").cast("double"), 6)).as("availability"))
   }
 }

@@ -201,4 +201,42 @@ class TemporalSpec extends SparkSpec {
       ("A", "2025-01-01 11:00:30.0", "2025-01-01 11:01:30.5", 60L)),
       "strictly-greater threshold, sub-second spacing honored, truncated secs")
   }
+
+  test("j12 asofNearest picks the closer side; distance ties favor the past") {
+    val right = Seq(
+      ("A", ts("2025-01-01 10:07:00"), 7.0),
+      ("A", ts("2025-01-01 10:12:00"), 12.0))
+      .toDF("sym", "qts", "px").repartition(2)
+    val left = Seq(
+      ("A", ts("2025-01-01 10:09:00"), 1L),  // 2 min back vs 3 fwd → 10:07
+      ("A", ts("2025-01-01 10:11:00"), 2L),  // 4 back vs 1 fwd → 10:12
+      ("A", ts("2025-01-01 10:09:30"), 3L),  // exact tie 2:30 each → past
+      ("A", ts("2025-01-01 10:01:00"), 4L),  // before all → forward only
+      ("Z", ts("2025-01-01 10:00:00"), 5L))  // no right rows → null
+      .toDF("sym", "qts", "trade_id").repartition(3)
+    val out = Temporal.asofNearest(left, right, "sym", "qts")
+      .collect().map(r => r.getAs[Long]("trade_id") ->
+        Option(r.getAs[Any]("near_px")).map(_.asInstanceOf[Double])).toMap
+    assert(out === Map(1L -> Some(7.0), 2L -> Some(12.0), 3L -> Some(7.0),
+      4L -> Some(7.0), 5L -> None))
+  }
+
+  test("a33 availability: downtime ratio, gap accounting, singleton null") {
+    val df = Seq(
+      ("A", ts("2025-01-01 00:00:00"), 1L),
+      ("A", ts("2025-01-01 01:00:00"), 2L),
+      ("A", ts("2025-01-01 10:00:00"), 3L), // 9 h silence > 6 h
+      ("A", ts("2025-01-01 11:00:00"), 4L),
+      ("B", ts("2025-01-01 05:00:00"), 5L)) // single reading
+      .toDF("k", "t", "id").repartition(3)
+    val got = Temporal.availability(df, "k", "t", minGapSeconds = 21600,
+        order = Seq("id"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
+    val h = 3600L * 1000000L
+    assert(got("A") === ((4L, 11 * h, 1L, 9 * h,
+      Some(math.rint((1.0 - 9.0 / 11.0) * 1e6) / 1e6))))
+    assert(got("B") === ((1L, 0L, 0L, 0L, None)))
+  }
 }
