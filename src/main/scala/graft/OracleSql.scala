@@ -923,6 +923,26 @@ object OracleSql {
     "s01_kafka_roundtrip" ->
       """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
+    "s08_orc_roundtrip" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    // x18's component labels, winner = argmax(n_chars, tie min id) per
+    // cluster; survivors = corpus minus the losers
+    "x94_dedup_keep_best" ->
+      s"""WITH RECURSIVE $NearDupChain,
+         |pairs AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.3),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         | UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+         | UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+         |lab AS (SELECT u, min(r) AS cid FROM reach GROUP BY u),
+         |sc AS (SELECT u, cid, n_chars FROM lab
+         | JOIN documents ON lab.u = documents.doc_id),
+         |losers AS (SELECT u FROM (SELECT u,
+         |  row_number() OVER (PARTITION BY cid ORDER BY n_chars DESC, u ASC) AS rn
+         | FROM sc) WHERE rn > 1)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT u FROM losers)""".stripMargin,
     "s05_csv_roundtrip" ->
       """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,

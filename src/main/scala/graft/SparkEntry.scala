@@ -631,6 +631,27 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
     }),
+    // ORC interchange roundtrip (schema travels in the file) — the s05
+    // identity-through-the-format proof shape for the Hive/Trino handoff
+    "s08_orc_roundtrip" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_s08_orc_" +
+        Integer.toHexString(dir.hashCode)
+      val ev = T(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      Sources.writeOrc(ev, path)
+      Sources.orc(s, path)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+    }),
+    // score-aware dedup apply: keep each cluster's LONGEST member (ties →
+    // min id) instead of x27's min-id rule
+    "x94_dedup_keep_best" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dedup.survivorsBy(docs.select(col("doc_id"), col("n_chars")),
+          col("doc_id"), col("n_chars"),
+          Dedup.nearDuplicates(docs, col("doc_id"), col("text"), threshold = 0.3))
+        .select(col("doc_id"))
+    }),
     // JSONL interchange roundtrip (schema-on-read, no inference pass) —
     // same identity-through-the-format proof shape as s05
     "s07_jsonl_roundtrip" -> ((s, dir) => {

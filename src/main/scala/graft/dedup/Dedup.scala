@@ -810,6 +810,35 @@ object Dedup {
     docs.join(broadcast(drop), id === col("__dup"), "left_anti")
   }
 
+  /** Score-aware dedup apply: keep the BEST-scoring member of each
+    * duplicate cluster (ties → minimum id) rather than [[survivors]]'s
+    * minimum-id member — what production dedup actually wants, because
+    * cluster members are near- but not exact-duplicates and the copies
+    * differ in exactly the ways quality gates measure (one copy is the
+    * clean article, another the same text wrapped in boilerplate or
+    * truncated; keep-longest / keep-highest-quality picks the clean one,
+    * keep-min-id picks whichever was crawled first).
+    *
+    * Scale shape: the cluster frame is pair-bounded, so scoring its
+    * members is one broadcast join into the corpus frame; the per-cluster
+    * argmax window runs on that SMALL frame only (never the corpus); the
+    * loser set broadcasts into the final anti-join — the [[survivors]]
+    * contract with one extra model-sized window.
+    */
+  def survivorsBy(docs: DataFrame, id: Column, score: Column,
+      pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val clusters = duplicateClusters(pairs, maxIter)
+      .select(col("doc_id").as("__cid_doc"), col("cluster_id"))
+    val scored = docs.select(id.as("__cid_doc"), score.as("__score"))
+      .join(broadcast(clusters), "__cid_doc")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("__score").desc, col("__cid_doc").asc)
+    val losers = scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1).select(col("__cid_doc").as("__dup"))
+    docs.join(broadcast(losers), id === col("__dup"), "left_anti")
+  }
+
   /** Greedy (SemDeDup-style) dedup apply: drop the HIGHER id of every
     * near-dup pair, keep everything else. `pairs` must carry
     * `id_a < id_b`; the drop set is `distinct id_b`, broadcast for the

@@ -117,6 +117,19 @@ object Sources {
   def writeJsonl(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).json(path)
 
+  /** ORC source — schema travels in the file (no schema argument, unlike
+    * [[csv]]/[[jsonl]]): columnar, predicate-pushdown-capable, the
+    * interchange format when the downstream warehouse is Hive/Trino
+    * rather than a parquet lake. Same vectorized-reader/pushdown defaults
+    * as the parquet path.
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** ORC batch sink, the [[writeCsv]] shape. */
+  def writeOrc(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).orc(path)
+
   /** Layout-controlled parquet writer — the 100 TB sink discipline in one
     * call. `partitionCols` become hive-style directory partitions (readers
     * prune whole directories on those predicates); within each partition

@@ -559,6 +559,24 @@ class DedupSpec extends SparkSpec {
       ("web", "web") -> ((1L, 0.5))))
   }
 
+  test("x94 survivorsBy keeps the best-scoring cluster member, min id on ties") {
+    import spark.implicits._
+    // cluster {1,2,3} via chain; {5,6} tie on score → min id 5 wins
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val docs = Seq(
+      (1L, 100L), (2L, 900L), (3L, 300L), // 2 is longest → kept
+      (4L, 10L),                          // unpaired → kept
+      (5L, 70L), (6L, 70L)                // tie → 5 kept
+    ).toDF("doc_id", "n_chars").repartition(3)
+    val kept = Dedup.survivorsBy(docs, col("doc_id"), col("n_chars"), pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 4L, 5L))
+    // contrast: the min-id rule would have kept 1, not 2
+    val minId = Dedup.survivors(docs, col("doc_id"), pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(minId === Set(1L, 4L, 5L))
+  }
+
   test("x86 softDedupWeights: cluster members weigh 1/size, unpaired docs weigh 1") {
     import spark.implicits._
     // pairs chain 1-2-3 into one cluster (transitively, no 1-3 pair);

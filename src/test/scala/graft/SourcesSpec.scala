@@ -83,6 +83,20 @@ class SourcesSpec extends SparkSpec {
     assert(back(1).isNullAt(1)) // JSON null/absent field -> SQL null
   }
 
+  test("s08 orc sink + source roundtrip preserves types without a schema arg") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val df = Seq(
+      (1L, "a", 1.5, java.sql.Timestamp.valueOf("2025-01-01 10:00:00")),
+      (2L, "b", 2.5, java.sql.Timestamp.valueOf("2025-01-01 11:00:00")))
+      .toDF("id", "k", "v", "t")
+    Sources.writeOrc(df, dir)
+    val back = Sources.orc(spark, dir)
+    // schema travels in the file: types come back exact, no read-side cast
+    assert(back.schema.map(f => (f.name, f.dataType)).toSeq ===
+      df.schema.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.orderBy("id").collect().toSeq === df.orderBy("id").collect().toSeq)
+  }
+
   test("multimodal: deterministic decode + metadata pass drop the blob") {
     val docs = Seq((1L, "hello world", "src0"), (2L, "hello world", "src1"))
       .toDF("doc_id", "text", "source")
