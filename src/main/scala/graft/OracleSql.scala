@@ -67,6 +67,23 @@ object OracleSql {
 
   private lazy val NearDupChain = nearDupChainSql(4, 2)
 
+  /** Shared domain co-citation graph chain (the x32-style deterministic
+    * outlink enrichment → distinct (doc, domain) → directed co-citation
+    * edges), ending with `ed(src, dst)`. Used by x62 (PageRank), x78
+    * (communities) and x95 (personalized PageRank) so the graph
+    * construction cannot drift between them.
+    */
+  private lazy val DomainGraphChainSql =
+    """p AS (SELECT doc_id, text ||
+      |  CASE WHEN doc_id % 2 = 0 THEN ' see https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/' || CAST(doc_id AS VARCHAR) ELSE '' END ||
+      |  CASE WHEN doc_id % 3 = 0 THEN ' via https://hub' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/h' ELSE '' END ||
+      |  CASE WHEN doc_id % 6 = 0 THEN ' and http://cdn.example.net/x' ELSE '' END AS text
+      | FROM documents),
+      |dom AS (SELECT DISTINCT doc_id, domain FROM (SELECT doc_id,
+      |  unnest(regexp_extract_all(text, 'https?://([^/ ]+)', 1)) AS domain FROM p)),
+      |ed AS (SELECT a.domain AS src, b.domain AS dst FROM dom a
+      | JOIN dom b ON a.doc_id = b.doc_id AND a.domain <> b.domain)""".stripMargin
+
   /** Distinct word n-gram list mirroring the `ShingleSet(n)` kernel. */
   private def distinctGramsSql(n: Int): String = {
     val parts = (0 until n).map(k => if (k == 0) "toks[i]" else s"toks[i + $k]").mkString(", ")
@@ -2114,6 +2131,42 @@ object OracleSql {
     // graph of x32-style deterministic outlinks: every op is BIGINT
     // (// division, * damping, + base), so ranks are exact integers and
     // the iterative loop hash-matches with no float tolerance anywhere
+    // x62's loop with the teleport (and dangling mass) restricted to the
+    // SparkEntry.PprSeeds set — seed list, seed count, and the derived
+    // base/init constants all come from the same Scala values the Spark
+    // entry uses, so the two sides cannot desynchronize
+    "x95_personalized_pagerank" -> {
+      val seeds = SparkEntry.PprSeeds
+      val sn = seeds.length.toLong
+      val seedList = seeds.map(d => s"'$d'").mkString(", ")
+      val seedInit = 1000000000L / sn
+      val seedBase = ((100L - 85L) * seedInit) / 100L
+      val rounds = (1 to 5).map { k =>
+        s"""rk$k AS (SELECT n0.node,
+           | CASE WHEN n0.node IN ($seedList)
+           |  THEN CAST($seedBase AS BIGINT) + ((CAST(85 AS BIGINT) *
+           |   (COALESCE(c.inn, CAST(0 AS BIGINT)) + (d$k.dm // CAST($sn AS BIGINT)))) // 100)
+           |  ELSE (CAST(85 AS BIGINT) * COALESCE(c.inn, CAST(0 AS BIGINT))) // 100
+           | END AS rank_fp
+           | FROM nodes n0
+           | CROSS JOIN (SELECT CAST(COALESCE(sum(rank_fp), 0) AS BIGINT) AS dm
+           |   FROM rk${k - 1} WHERE node NOT IN (SELECT node FROM deg)) d$k
+           | LEFT JOIN (SELECT e.dst AS node,
+           |    CAST(sum(r.rank_fp // g.dg) AS BIGINT) AS inn
+           |   FROM ed e JOIN rk${k - 1} r ON e.src = r.node
+           |   JOIN deg g ON e.src = g.node
+           |   GROUP BY e.dst) c ON n0.node = c.node)"""
+      }.mkString(",\n")
+      s"""WITH $DomainGraphChainSql,
+         |nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+         |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS dg
+         | FROM ed GROUP BY src),
+         |rk0 AS (SELECT node,
+         | CASE WHEN node IN ($seedList) THEN CAST($seedInit AS BIGINT)
+         |  ELSE CAST(0 AS BIGINT) END AS rank_fp FROM nodes),
+         |$rounds
+         |SELECT node AS domain, CAST(rank_fp AS BIGINT) AS rank_fp FROM rk5""".stripMargin
+    },
     "x62_domain_pagerank" -> {
       val rounds = (1 to 5).map { k =>
         s"""rk$k AS (SELECT n0.node,
@@ -2129,15 +2182,7 @@ object OracleSql {
            |   JOIN deg g ON e.src = g.node
            |   GROUP BY e.dst) c ON n0.node = c.node)"""
       }.mkString(",\n")
-      s"""WITH p AS (SELECT doc_id, text ||
-         |  CASE WHEN doc_id % 2 = 0 THEN ' see https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/' || CAST(doc_id AS VARCHAR) ELSE '' END ||
-         |  CASE WHEN doc_id % 3 = 0 THEN ' via https://hub' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/h' ELSE '' END ||
-         |  CASE WHEN doc_id % 6 = 0 THEN ' and http://cdn.example.net/x' ELSE '' END AS text
-         | FROM documents),
-         |dom AS (SELECT DISTINCT doc_id, domain FROM (SELECT doc_id,
-         |  unnest(regexp_extract_all(text, 'https?://([^/ ]+)', 1)) AS domain FROM p)),
-         |ed AS (SELECT a.domain AS src, b.domain AS dst FROM dom a
-         | JOIN dom b ON a.doc_id = b.doc_id AND a.domain <> b.domain),
+      s"""WITH $DomainGraphChainSql,
          |nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
          |nn AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM nodes),
          |base AS (SELECT CAST(1000000000 AS BIGINT) // cnt AS init,
@@ -2169,15 +2214,7 @@ object OracleSql {
            |  FROM und u JOIN lp${k - 1} l ON u.src = l.node
            |  GROUP BY u.dst, l.label)) WHERE rn = 1)"""
       }.mkString(",\n")
-      s"""WITH p AS (SELECT doc_id, text ||
-         |  CASE WHEN doc_id % 2 = 0 THEN ' see https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/' || CAST(doc_id AS VARCHAR) ELSE '' END ||
-         |  CASE WHEN doc_id % 3 = 0 THEN ' via https://hub' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/h' ELSE '' END ||
-         |  CASE WHEN doc_id % 6 = 0 THEN ' and http://cdn.example.net/x' ELSE '' END AS text
-         | FROM documents),
-         |dom AS (SELECT DISTINCT doc_id, domain FROM (SELECT doc_id,
-         |  unnest(regexp_extract_all(text, 'https?://([^/ ]+)', 1)) AS domain FROM p)),
-         |ed AS (SELECT a.domain AS src, b.domain AS dst FROM dom a
-         | JOIN dom b ON a.doc_id = b.doc_id AND a.domain <> b.domain),
+      s"""WITH $DomainGraphChainSql,
          |und AS (SELECT src, dst FROM ed UNION ALL SELECT dst AS src, src AS dst FROM ed),
          |lp0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
          |$rounds

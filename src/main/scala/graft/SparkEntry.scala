@@ -73,6 +73,9 @@ object SparkEntry {
   val ZBits: Int = 10
   val TokenBudget: Long = 15000L
   val CommunityRounds: Int = 4
+  // personalized-PageRank seed domains (x95) — must exist in the x62
+  // co-citation graph; shared with the oracle
+  val PprSeeds: Seq[String] = Seq("cdn.example.net", "site0.example.com")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── P: projection / filter / cleaning ────────────────────────────────
@@ -1294,6 +1297,14 @@ object SparkEntry {
     "x62_domain_pagerank" -> ((s, dir) =>
       Graph.pageRank(domainCooccurrenceEdges(T(s, dir, "documents")),
           col("src"), col("dst"), iterations = 5)
+        .select(col("node").as("domain"), col("rank_fp"))),
+    // teleport restricted to the PprSeeds trust set: rank = authority as
+    // seen FROM the seeds (linked-trust distance), same integer
+    // fixed-point loop as x62
+    "x95_personalized_pagerank" -> ((s, dir) =>
+      Graph.personalizedPageRank(
+          domainCooccurrenceEdges(T(s, dir, "documents")),
+          col("src"), col("dst"), PprSeeds, iterations = 5)
         .select(col("node").as("domain"), col("rank_fp"))),
     // community labels over the same co-citation graph: CommunityRounds
     // synchronous majority rounds, min-label ties — the grouping behind

@@ -103,6 +103,75 @@ object Graph {
   private case class Prepared(ed: DataFrame, nodes: DataFrame,
     deg: DataFrame, n: Long, initFp: Long, baseFp: Long)
 
+  /** Personalized PageRank: teleport (and dangling) mass restarts
+    * uniformly over `seeds` instead of over all nodes — rank becomes
+    * "authority AS SEEN FROM the seed set", the standard
+    * relevance-propagation tool (seed a few trusted domains and the
+    * scores rank every other domain by linked-trust distance; seed a
+    * topic's hub pages and you have topical corpus weighting). Same
+    * integer fixed-point contract as [[pageRank]]: per-round ops are
+    * exact long arithmetic, bit-identical at any partitioning and
+    * replayable in SQL.
+    *
+    * Update per round, mirrored literally in the oracle:
+    * {{{
+    *   seed:     base + (damp · (in + dm DIV |seeds|)) DIV 100
+    *   non-seed:        (damp ·  in                  ) DIV 100
+    * }}}
+    * with `base = ((100−damp) · (scale DIV |seeds|)) DIV 100` and `dm`
+    * the dangling mass. Every seed must be a node of the graph (checked
+    * with one bounded count — a missing seed would silently leak its
+    * share of every round's teleport mass).
+    *
+    * Scale shape per round: identical to [[pageRank]] — the seed test is
+    * a broadcast-literal `isin` (seed sets are small by construction;
+    * for a corpus-sized personalization vector, join a seed frame
+    * instead).
+    */
+  def personalizedPageRank(edges: DataFrame, src: Column, dst: Column,
+      seeds: Seq[String], iterations: Int, scale: Long = 1000000000L,
+      dampNum: Long = 85L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(seeds.nonEmpty, "personalizedPageRank needs at least one seed")
+    require(seeds.distinct == seeds, s"duplicate seeds: $seeds")
+    val st = prepare(edges, src, dst, scale, dampNum)
+    val s = seeds.length.toLong
+    val present = st.nodes.filter(col("node").isin(seeds: _*)).count()
+    require(present == s,
+      s"only $present of ${seeds.length} seeds are nodes of the graph")
+    val isSeed = col("node").isin(seeds: _*)
+    val seedInit = scale / s
+    val seedBase = ((100L - dampNum) * seedInit) / 100L
+    var ranks = st.nodes.select(col("node"),
+        when(isSeed, lit(seedInit)).otherwise(lit(0L)).as("rank_fp"))
+      .localCheckpoint(true)
+    var i = 0
+    while (i < iterations) {
+      val withDeg = ranks.join(st.deg, ranks("node") === st.deg("__src"), "left")
+      val dangling = withDeg.filter(col("__deg").isNull)
+        .agg(coalesce(sum(col("rank_fp")), lit(0L)).as("__dm"))
+      val contrib = st.ed
+        .join(withDeg.filter(col("__deg").isNotNull)
+            .select(col("node").as("__cn"),
+              expr("rank_fp DIV __deg").as("__share")),
+          col("__src") === col("__cn"))
+        .groupBy(col("__dst")).agg(sum(col("__share")).as("__in"))
+        .select(col("__dst").as("node"), col("__in"))
+      ranks = st.nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          when(isSeed,
+            expr(s"CAST($seedBase AS BIGINT) + ((CAST($dampNum AS BIGINT) * " +
+              s"(coalesce(__in, CAST(0 AS BIGINT)) + (__dm DIV CAST($s AS BIGINT)))) DIV 100)"))
+            .otherwise(
+              expr(s"(CAST($dampNum AS BIGINT) * coalesce(__in, CAST(0 AS BIGINT))) DIV 100"))
+            .as("rank_fp"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    ranks
+  }
+
   private def prepare(edges: DataFrame, src: Column, dst: Column,
       scale: Long, dampNum: Long): Prepared = {
     require(dampNum >= 0 && dampNum <= 100,

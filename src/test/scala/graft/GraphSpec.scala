@@ -105,4 +105,41 @@ class GraphSpec extends SparkSpec {
     val (_, loose) = converged(edges, maxIter = 50, epsilonFp = Scale / 100)
     assert(loose < 50)
   }
+
+  private def ppr(edges: Seq[(String, String)], seeds: Seq[String], iters: Int,
+      parts: Int = 4): Map[String, Long] =
+    Graph.personalizedPageRank(edges.toDF("src", "dst").repartition(parts),
+        col("src"), col("dst"), seeds, iters, Scale)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("x95 personalized PageRank: hand-traced two rounds, exact fixed point") {
+    // a -> b, seed {a}: round 1 a=base=1.5e8, b=0.85e9; round 2 the
+    // dangling b-mass teleports back to the seed
+    val out = ppr(Seq("a" -> "b"), Seq("a"), iters = 2)
+    assert(out === Map("a" -> 872500000L, "b" -> 127500000L))
+    assert(out.values.sum === Scale) // mass conserved exactly here
+  }
+
+  test("x95 personalized PageRank concentrates rank near the seed") {
+    // symmetric triangle: uniform PR is symmetric, PPR is not
+    val tri = Seq("a" -> "b", "b" -> "a", "b" -> "c", "c" -> "b",
+      "a" -> "c", "c" -> "a")
+    val out = ppr(tri, Seq("a"), iters = 8)
+    assert(out("a") > out("b") && out("b") === out("c"),
+      s"seed must dominate, non-seeds symmetric: $out")
+    val uniform = ranks(tri, iters = 8)
+    assert(uniform("a") === uniform("b"), "sanity: unpersonalized is symmetric")
+  }
+
+  test("x95 personalized PageRank is partitioning-independent") {
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c", "d" -> "a")
+    assert(ppr(edges, Seq("a", "d"), 5, parts = 1) ===
+      ppr(edges, Seq("a", "d"), 5, parts = 7))
+  }
+
+  test("x95 personalized PageRank fails loudly on a seed missing from the graph") {
+    intercept[IllegalArgumentException] {
+      ppr(Seq("a" -> "b"), Seq("zz"), iters = 1)
+    }
+  }
 }
