@@ -775,6 +775,16 @@ object OracleSql {
         | round(avg(round(value * 100.0)) FILTER (WHERE event_type = 'signup') / 100.0, 6) AS signup,
         | round(avg(round(value * 100.0)) FILTER (WHERE event_type = 'view') / 100.0, 6) AS view
         |FROM events GROUP BY 1""".stripMargin,
+    // hopping membership stated directly: each event belongs to its
+    // 30-min bucket's window and the one starting 30 min earlier
+    "a34_hopping_window" ->
+      """WITH e AS (SELECT event_type, value,
+        |  time_bucket(INTERVAL '30 minutes', ts) AS b FROM events),
+        |u AS (SELECT event_type, value, b AS w FROM e
+        | UNION ALL SELECT event_type, value, b - INTERVAL '30 minutes' FROM e)
+        |SELECT CAST(epoch(w) AS BIGINT) AS ws, event_type,
+        | round(sum(value), 2) AS sum_value, count(*) AS cnt
+        |FROM u GROUP BY 1, 2""".stripMargin,
     "a14_tumbling_window" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,
         | round(sum(value), 2) AS sum_value, count(*) AS cnt

@@ -411,6 +411,15 @@ object SparkEntry {
             count(lit(1)).as("cnt")))
         .select(unix_timestamp(col("window_start")).as("ws"),
           col("sum_value"), col("cnt"))),
+    // 1 h windows hopping every 30 min: every event in exactly two
+    // windows — the overlapping face beside a14's tumbling one
+    "a34_hopping_window" -> ((s, dir) =>
+      Aggregates.hoppingAgg(T(s, dir, "events"), col("ts"), "1 hour",
+          "30 minutes", Seq(col("event_type")),
+          Seq(round(sum(col("value")), 2).as("sum_value"),
+            count(lit(1)).as("cnt")))
+        .select(unix_timestamp(col("window_start")).as("ws"),
+          col("event_type"), col("sum_value"), col("cnt"))),
     "a18_sessions" -> ((s, dir) =>
       Sessions.sessionize(
           T(s, dir, "events")

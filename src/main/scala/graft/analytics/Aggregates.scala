@@ -185,4 +185,25 @@ object Aggregates {
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("window_start", col("w.start"))
       .drop("w")
+
+  /** Hopping (sliding) window aggregation: windows of `width` starting
+    * every `slide` — each event lands in `width/slide` overlapping
+    * windows, the dashboard smoothing a tumbling window can't give (a
+    * tumbling hourly mean jumps at each boundary; an hourly window
+    * sliding every 30 min updates twice as often over the same span).
+    * Optional extra grouping keys ride along.
+    *
+    * Scale shape: `window(ts, width, slide)` EXPLODES each row into its
+    * window memberships before the group-by — shuffle volume is
+    * width/slide × the tumbling case (inherent to hopping semantics, the
+    * same cost Flink/KSQL pay), and the aggregate still partial-aggregates
+    * map-side. Keep the ratio small; a ratio of 60 (1 h window, 1 min
+    * slide) wants the incremental-rollup (a29) decomposition instead.
+    */
+  def hoppingAgg(df: DataFrame, ts: Column, width: String, slide: String,
+      keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.groupBy(window(ts, width, slide).as("w") +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", col("w.start"))
+      .drop("w")
 }

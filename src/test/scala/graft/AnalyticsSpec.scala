@@ -206,6 +206,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(a.getDouble(2) === 1.0 && a.getLong(3) === 3L)
   }
 
+  test("a34 hoppingAgg: each event lands in exactly width/slide windows") {
+    import java.sql.Timestamp
+    val ev = Seq(
+      ("k", Timestamp.valueOf("2025-01-01 10:15:00"), 1.0),
+      ("k", Timestamp.valueOf("2025-01-01 10:45:00"), 2.0))
+      .toDF("k", "ts", "v").repartition(2)
+    val out = Aggregates.hoppingAgg(ev, col("ts"), "1 hour", "30 minutes",
+        Seq(col("k")), Seq(round(sum(col("v")), 2).as("s"), count(lit(1)).as("c")))
+      .collect().map(r => r.getAs[java.sql.Timestamp]("window_start").toString ->
+        ((r.getAs[Double]("s"), r.getAs[Long]("c")))).toMap
+    // 10:15 → windows starting 09:30 and 10:00; 10:45 → 10:00 and 10:30
+    assert(out === Map(
+      "2025-01-01 09:30:00.0" -> ((1.0, 1L)),
+      "2025-01-01 10:00:00.0" -> ((3.0, 2L)),
+      "2025-01-01 10:30:00.0" -> ((2.0, 1L))))
+  }
+
   test("a32 rateSpikes: flags fast moves, leaves slow ones, nulls dt-0 ties") {
     import java.sql.Timestamp
     def ts(s: Int) = new Timestamp(s * 1000L)
