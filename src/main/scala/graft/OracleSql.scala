@@ -1116,6 +1116,21 @@ object OracleSql {
         |  round(1.0 - CAST(coalesce(sum(CASE WHEN dt > 21600000000 THEN dt END), 0)
         |    AS DOUBLE) / CAST(max(us) - min(us) AS DOUBLE), 6) END AS availability
         |FROM o GROUP BY user_id""".stripMargin,
+    // the Q5 join stated flat; per-row revenue quantized to 1e-4 before
+    // the sum (integer-valued → merge-order-exact on both sides)
+    "j13_region_revenue" ->
+      """SELECT n_name,
+        | sum(round(l_extendedprice * (1 - l_discount) * 10000)) / 10000 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+        | AND o_orderdate >= TIMESTAMP '1996-01-01'
+        | AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
     // backward and forward candidates picked independently (the j07
     // rule each way), then the nearer wins; exact-µs distances, ties to
     // the past — the CASE mirrors the Spark pick expression

@@ -1044,6 +1044,14 @@ object SparkEntry {
         minGapSeconds = 21600, order = Seq("event_id"))),
     // nearest-in-time join (either direction, ties favor the past) —
     // the sensor-fusion alignment beside j07's point-in-time backward face
+    // TPC-H Q5-shaped star join: nation/region/supplier broadcast, two
+    // corpus shuffles, date filter pushed to the orders scan; fixed-point
+    // revenue → hash-exact
+    "j13_region_revenue" -> ((s, dir) =>
+      StarSchema.regionRevenue(T(s, dir, "lineitem"), T(s, dir, "orders"),
+        T(s, dir, "customer"), T(s, dir, "supplier"), T(s, dir, "nation"),
+        T(s, dir, "region"), regionName = "ASIA",
+        fromDate = "1996-01-01 00:00:00", toDate = "1997-01-01 00:00:00")),
     "j12_asof_nearest" -> ((s, dir) => {
       val ev = T(s, dir, "events")
       val clicks = ev.filter(col("event_type") === "click")

@@ -196,4 +196,46 @@ object StarSchema {
         "wind_power_density"))
     (fact, dimStation, dimDateTime, dimWeather)
   }
+
+  /** TPC-H Q5-shaped star join: revenue per nation for one region and
+    * order-date year, with the local-commerce constraint (customer and
+    * supplier in the SAME nation) — the canonical multi-way
+    * fact-to-many-dims query and the join-planning showcase: region and
+    * nation are force-broadcast (they prune suppliers to the region
+    * BEFORE any big join), supplier rides that broadcast into the
+    * lineitem scan, and only two corpus-sized shuffles remain (lineitem ⋈
+    * filtered orders on orderkey, then ⋈ customer on custkey). The
+    * order-date filter lands on the orders SCAN (pushed down), so a year
+    * slice of a 100 TB orders table reads one partition's worth.
+    *
+    * Revenue is fixed-point: `round(price·(1−disc)·10⁴)` is integer-valued
+    * per row (2-dp × 2-dp data), so the sum is merge-order-exact and the
+    * result hash-comparable with no cent-boundary tolerance.
+    */
+  def regionRevenue(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      supplier: DataFrame, nation: DataFrame, region: DataFrame,
+      regionName: String, fromDate: String, toDate: String): DataFrame = {
+    val rn = nation.join(
+        broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val s = supplier.join(broadcast(rn),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val o = orders
+      .filter(col("o_orderdate") >= to_timestamp(lit(fromDate)) &&
+        col("o_orderdate") < to_timestamp(lit(toDate)))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = lineitem.select(col("l_orderkey"), col("l_suppkey"),
+      round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+        .as("__rev_fp"))
+    li.join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("__rev_fp")).as("__fp"))
+      .select(col("n_name"), (col("__fp") / 10000).as("revenue"))
+  }
 }

@@ -181,4 +181,45 @@ class WarehouseSpec extends SparkSpec {
     assert(out(("S1", "Farm Power Kw")) === ((110.0, 130.0, 20.0)))
     assert(!out.contains(("S2", "Wind Speed Mps"))) // no PREDICTION side
   }
+
+  test("j13 regionRevenue: Q5 semantics — region, date slice, local commerce") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val region = Seq((1L, "ASIA"), (2L, "EUROPE")).toDF("r_regionkey", "r_name")
+    val nation = Seq((10L, "JP", 1L), (11L, "DE", 2L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val supplier = Seq((100L, 10L), (101L, 11L)).toDF("s_suppkey", "s_nationkey")
+    val customer = Seq((200L, 10L), (201L, 11L)).toDF("c_custkey", "c_nationkey")
+    val orders = Seq(
+      (300L, 200L, ts("1996-06-01 00:00:00")), // in range, JP customer
+      (301L, 200L, ts("1997-06-01 00:00:00")), // out of range
+      (302L, 201L, ts("1996-06-01 00:00:00"))) // DE customer
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val lineitem = Seq(
+      (300L, 100L, 100.0, 0.10), // JP cust × JP supp → revenue 90
+      (300L, 101L, 50.0, 0.00),  // JP cust × DE supp → cross-nation, dropped
+      (301L, 100L, 70.0, 0.00),  // out-of-range order
+      (302L, 101L, 40.0, 0.25))  // DE customer: EUROPE region, dropped
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val out = StarSchema.regionRevenue(lineitem, orders, customer, supplier,
+        nation, region, "ASIA", "1996-01-01 00:00:00", "1997-01-01 00:00:00")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out === Map("JP" -> 90.0))
+    // plan shape: region/nation/supplier side arrives via broadcast joins
+    // (descend into the AQE wrapper — its inner plan is not a child)
+    val plan = StarSchema.regionRevenue(lineitem, orders, customer, supplier,
+        nation, region, "ASIA", "1996-01-01 00:00:00", "1997-01-01 00:00:00")
+      .queryExecution.executedPlan
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case _ => p +: p.children.flatMap(walk)
+      }
+    val broadcasts = walk(plan).count {
+      case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => true
+      case _ => false
+    }
+    assert(broadcasts >= 2, plan.toString.take(1500))
+  }
 }
