@@ -1100,6 +1100,23 @@ object OracleSql {
          | round(CAST(sum(nc) AS DOUBLE) / CAST(sum(sw) AS DOUBLE), 6)
          |  AS chars_per_subword
          |FROM d GROUP BY lang""".stripMargin,
+    // per-column stats stated as one UNION ALL branch per column; dtype
+    // literals mirror Spark's simpleString for the normalized events
+    // schema (ts arrives as TIMESTAMP via Tables.events)
+    "p15_profile" -> {
+      val cols = Seq("event_id" -> "bigint", "ts" -> "timestamp",
+        "user_id" -> "bigint", "event_type" -> "string",
+        "value" -> "double", "props" -> "string")
+      cols.map { case (c, t) =>
+        s"""SELECT '$c' AS "column", '$t' AS dtype,
+           | CAST(count(*) AS BIGINT) AS n_rows,
+           | CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           | CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           | CAST(min($c) AS VARCHAR) AS min_value,
+           | CAST(max($c) AS VARCHAR) AS max_value FROM events"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+    },
     // the a26 gap rule rolled up per key in exact integer micros; the
     // ratio is the only double and rounds identically on both sides
     "a33_availability" ->

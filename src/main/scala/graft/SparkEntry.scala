@@ -1037,6 +1037,10 @@ object SparkEntry {
     "x93_ngram_diversity" -> ((s, dir) =>
       graft.text.TfIdf.ngramDiversity(T(s, dir, "documents"),
         col("source"), col("text"))),
+    // one-pass generic column profiler (SUMMARIZE shape) over the raw
+    // events feed — the trust-a-new-feed gate before any cleaning rule
+    "p15_profile" -> ((s, dir) =>
+      graft.clean.Profile.profile(T(s, dir, "events"))),
     // per-sensor SLA rollup of the a26 gap rule: span, downtime from
     // >6 h silences, availability ratio; singleton keys report null
     "a33_availability" -> ((s, dir) =>

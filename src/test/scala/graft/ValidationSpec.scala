@@ -80,4 +80,21 @@ class ValidationSpec extends SparkSpec {
     assert(out.head().getAs[String]("payload") === "first")
     assert(!out.columns.contains(Sources.IngestOrderCol))
   }
+
+  test("p15 profile: one pass, one row per atomic column, arrays skipped") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a"), 2.5, Seq(1, 2)),
+      (2L, None, 1.5, Seq(3)),
+      (3L, Some("a"), 2.5, Seq.empty[Int]))
+      .toDF("id", "k", "v", "arr").repartition(2)
+    val got = graft.clean.Profile.profile(df)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getString(5), r.getString(6)))).toMap
+    assert(got.keySet === Set("id", "k", "v"), "array column must be skipped")
+    assert(got("id") === (("bigint", 3L, 0L, 3L, "1", "3")))
+    assert(got("k") === (("string", 3L, 1L, 1L, "a", "a")))
+    assert(got("v") === (("double", 3L, 0L, 2L, "1.5", "2.5")))
+  }
 }
