@@ -1062,6 +1062,13 @@ object OracleSql {
          |   (CAST(cc AS DOUBLE) / CAST(ctn AS DOUBLE)))), 6) AS kl
          |FROM c JOIN ct USING (term) JOIN stot USING (source) CROSS JOIN ctot
          |GROUP BY c.source, stot.stn""".stripMargin,
+    // the cap rule stated as the naive window: smallest (hash, id) per
+    // source — the heap implementation must agree row-for-row
+    "x96_group_cap" ->
+      s"""SELECT doc_id, source FROM (
+         | SELECT doc_id, source, row_number() OVER (PARTITION BY source
+         |   ORDER BY ${hashKeySql("doc_id", "cap")} ASC, doc_id ASC) AS rn
+         | FROM documents) WHERE rn <= 15""".stripMargin,
     // parallel slice-unnest bigrams (x52 pattern) keyed by source; the
     // bigram distinct key is the same RS-joined string as the Spark side
     "x93_ngram_diversity" ->

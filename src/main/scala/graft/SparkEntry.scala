@@ -1037,6 +1037,12 @@ object SparkEntry {
     "x93_ngram_diversity" -> ((s, dir) =>
       graft.text.TfIdf.ngramDiversity(T(s, dir, "documents"),
         col("source"), col("text"))),
+    // deterministic per-source cap (bounded-heap top-k on the salted
+    // hash): no source contributes more than 15 docs to the mixture
+    "x96_group_cap" -> ((s, dir) =>
+      graft.sampling.Sampling.capPerGroup(T(s, dir, "documents"),
+          col("source"), col("doc_id"), cap = 15, salt = "cap")
+        .select(col("id").as("doc_id"), col("group").as("source"))),
     // one-pass generic column profiler (SUMMARIZE shape) over the raw
     // events feed — the trust-a-new-feed gate before any cleaning rule
     "p15_profile" -> ((s, dir) =>

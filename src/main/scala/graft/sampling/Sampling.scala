@@ -198,4 +198,28 @@ object Sampling {
       .select(col("id").as("doc_id"), round(col("score"), 6).as("es_key"),
         col("rnk"))
   }
+
+  /** Cap every group at `cap` rows, chosen pseudo-randomly but
+    * DETERMINISTICALLY by the salted content hash — the per-source /
+    * per-community sampling cap from the curation playbook (bound how much
+    * any one crawl or link-farm community can contribute to the mixture;
+    * change the salt for an independent draw). The selection rule is
+    * "smallest `cap` values of (hashKey, id) per group", so re-runs,
+    * partitionings and engines agree row-for-row.
+    *
+    * Scale shape: rides the bounded-heap top-k aggregate
+    * ([[graft.analytics.Ranking.topKPerGroup]]) with score = −hashKey —
+    * its (score desc, id asc) heap order IS (hash asc, id asc). Only
+    * `cap` ids per (group × map task) cross the shuffle; no per-group
+    * window, no sort, so a group with a billion rows never serializes on
+    * one reducer.
+    */
+  def capPerGroup(df: DataFrame, group: Column, id: Column, cap: Int,
+      salt: String): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    graft.analytics.Ranking.topKPerGroup(
+        df.select(group.as("__g"), id.as("__cid")),
+        col("__g"), -hashKey(col("__cid"), lit(salt)), col("__cid"), cap)
+      .select(col("group"), col("id"))
+  }
 }

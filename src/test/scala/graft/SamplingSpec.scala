@@ -130,4 +130,27 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.toSeq)
     assert(a.toSeq === b.toSeq)
   }
+
+  test("x96 capPerGroup: heap pick equals the naive window rule, deterministic") {
+    import spark.implicits._
+    val df = (1 to 40).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "g")
+    def picked(parts: Int) = Sampling.capPerGroup(df.repartition(parts),
+        col("g"), col("id"), cap = 5, salt = "t")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = picked(2)
+    assert(got === picked(9), "partitioning must not change the pick")
+    // naive rule: smallest (hashKey, id) per group
+    val expected = df.select(col("g"), col("id"),
+        Sampling.hashKey(col("id"), lit("t")).as("hk"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+        rows.sortBy(t => (t._3, t._2)).take(5).map(t => (g, t._2)).toSeq
+      }.toSet
+    assert(got === expected)
+    assert(got.groupBy(_._1).forall(_._2.size == 5))
+    // a group smaller than the cap passes through whole
+    val small = Seq((1L, "solo"), (2L, "solo")).toDF("id", "g")
+    assert(Sampling.capPerGroup(small, col("g"), col("id"), 5, "t")
+      .count() === 2)
+  }
 }
