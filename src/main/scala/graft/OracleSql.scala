@@ -775,6 +775,24 @@ object OracleSql {
         | round(avg(round(value * 100.0)) FILTER (WHERE event_type = 'signup') / 100.0, 6) AS signup,
         | round(avg(round(value * 100.0)) FILTER (WHERE event_type = 'view') / 100.0, 6) AS view
         |FROM events GROUP BY 1""".stripMargin,
+    // the debounce rule stated as the window it is: IS DISTINCT FROM the
+    // previous row's watched value, first row always kept
+    "p16_debounce" ->
+      """WITH o AS (SELECT event_id, user_id, event_type,
+        |  lag(event_type) OVER w AS pv, row_number() OVER w AS rn
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id, user_id, event_type FROM o
+        |WHERE rn = 1 OR event_type IS DISTINCT FROM pv""".stripMargin,
+    // hop membership as in a34, exact windowed distinct
+    "a35_window_distinct" ->
+      """WITH e AS (SELECT user_id,
+        |  time_bucket(INTERVAL '30 minutes', ts) AS b FROM events),
+        |u AS (SELECT user_id, b AS w FROM e
+        | UNION ALL SELECT user_id, b - INTERVAL '30 minutes' FROM e)
+        |SELECT CAST(epoch(w) AS BIGINT) AS ws,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+        |FROM u GROUP BY 1""".stripMargin,
     // hopping membership stated directly: each event belongs to its
     // 30-min bucket's window and the one starting 30 min earlier
     "a34_hopping_window" ->

@@ -411,6 +411,22 @@ object SparkEntry {
             count(lit(1)).as("cnt")))
         .select(unix_timestamp(col("window_start")).as("ws"),
           col("sum_value"), col("cnt"))),
+    // report-by-exception compaction: keep a user's event only when its
+    // type changed from the previous row (first row always kept)
+    "p16_debounce" -> ((s, dir) =>
+      Validation.debounce(T(s, dir, "events"), Seq("user_id"),
+          Seq(col("ts").asc, col("event_id").asc), Seq(col("event_type")))
+        .select(col("event_id"), col("user_id"), col("event_type"))),
+    // exact distinct users per hopping window — the windowed face of a07
+    // (the 5%-sketch property stays with a07/a21, where per-key counts
+    // are large enough for the HLL bound to be meaningful; at ~5 users a
+    // window, ±1 is already 20%)
+    "a35_window_distinct" -> ((s, dir) =>
+      Aggregates.hoppingAgg(T(s, dir, "events"), col("ts"), "1 hour",
+          "30 minutes", Nil,
+          Seq(countDistinct(col("user_id")).as("exact_users")))
+        .select(unix_timestamp(col("window_start")).as("ws"),
+          col("exact_users"))),
     // 1 h windows hopping every 30 min: every event in exactly two
     // windows — the overlapping face beside a14's tumbling one
     "a34_hopping_window" -> ((s, dir) =>

@@ -84,6 +84,36 @@ object Validation {
       .drop("__rn")
   }
 
+  /** P16: report-by-exception compaction (debounce): within each key, in
+    * `order`, keep only rows where at least one of `watch` changed from
+    * the PREVIOUS ROW (the first row of a key always survives) — the
+    * standard IoT uplink compression (a sensor that reports the same
+    * state for an hour contributes one row, RLE-style) and, corpus-side,
+    * the crawl-snapshot compactor (keep a page only when its fingerprint
+    * changed since the last fetch).
+    *
+    * Row-to-row semantics, stated deliberately: change is measured
+    * against the previous OBSERVED row, not the last KEPT row — the
+    * last-kept variant is a running fold (not window-expressible) and
+    * differs only under slow drift within a tolerance band; for the
+    * exact-equality rule here the two coincide. NULL-safe comparison:
+    * null→value and value→null are changes, null→null is not.
+    *
+    * Scale shape: one per-key window (lag on the watched columns), narrow
+    * filter — the [[dedupeFirst]] cost envelope.
+    */
+  def debounce(df: DataFrame, keys: Seq[String], order: Seq[Column],
+      watch: Seq[Column]): DataFrame = {
+    require(watch.nonEmpty, "debounce needs at least one watched column")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val changed = watch.map(c => !(c <=> lag(c, 1).over(w)))
+    // first row of each key is kept explicitly: its lags are all null, and
+    // a leading null watch value (null <=> null → "unchanged") must not
+    // drop it
+    val keep = row_number().over(w) === 1 || changed.reduce(_ || _)
+    df.withColumn("__keep", keep).filter(col("__keep")).drop("__keep")
+  }
+
   /** Reference solar validation bounds (`Solar_Processing.py:23-26`). */
   val solarBounds: Map[String, (Double, Double)] = Map(
     "solar_irradiance_Wm2" -> (0.0, 1200.0),

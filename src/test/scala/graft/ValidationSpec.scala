@@ -81,6 +81,27 @@ class ValidationSpec extends SparkSpec {
     assert(!out.columns.contains(Sources.IngestOrderCol))
   }
 
+  test("p16 debounce: keeps first row and every change, null-safe") {
+    import spark.implicits._
+    val df = Seq(
+      ("k", 1L, Some("on")), ("k", 2L, Some("on")),   // repeat → dropped
+      ("k", 3L, Some("off")), ("k", 4L, None),        // change, value→null
+      ("k", 5L, None),                                // null→null → dropped
+      ("k", 6L, Some("on")),                          // null→value
+      ("z", 1L, None))                                // leading null kept
+      .toDF("k", "seq", "state").repartition(3)
+    val kept = Validation.debounce(df, Seq("k"), Seq(col("seq").asc),
+        Seq(col("state")))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(kept === Set(("k", 1L), ("k", 3L), ("k", 4L), ("k", 6L), ("z", 1L)))
+    // idempotent: debouncing the compacted stream changes nothing
+    val once = Validation.debounce(df, Seq("k"), Seq(col("seq").asc),
+      Seq(col("state")))
+    val twice = Validation.debounce(once, Seq("k"), Seq(col("seq").asc),
+      Seq(col("state")))
+    assert(once.collect().toSet === twice.collect().toSet)
+  }
+
   test("p15 profile: one pass, one row per atomic column, arrays skipped") {
     import spark.implicits._
     val df = Seq(
