@@ -1080,6 +1080,31 @@ object OracleSql {
          |   (CAST(cc AS DOUBLE) / CAST(ctn AS DOUBLE)))), 6) AS kl
          |FROM c JOIN ct USING (term) JOIN stot USING (source) CROSS JOIN ctot
          |GROUP BY c.source, stot.stn""".stripMargin,
+    // x03's marker-argmax chain joined to the ground-truth label, then
+    // the |langs|² cell aggregate with per-actual recall
+    "x97_lang_confusion" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |sc AS (SELECT doc_id,
+         | CAST(len(list_filter(toks, w -> list_contains(['der','die','und','nicht','das'], w))) AS INTEGER) AS score_de,
+         | CAST(len(list_filter(toks, w -> list_contains(['the','a','and','is','of'], w))) AS INTEGER) AS score_en,
+         | CAST(len(list_filter(toks, w -> list_contains(['el','la','que','los','una'], w))) AS INTEGER) AS score_es,
+         | CAST(len(list_filter(toks, w -> list_contains(['le','la','et','les','une'], w))) AS INTEGER) AS score_fr,
+         | CAST(len(list_filter(toks, w -> list_contains(['的','是','了','在','我'], w))) AS INTEGER) AS score_zh
+         | FROM t),
+         |d AS (SELECT doc_id,
+         | CASE WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+         |  WHEN score_en >= score_es AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+         |  WHEN score_es >= score_fr AND score_es >= score_zh THEN 'es'
+         |  WHEN score_fr >= score_zh THEN 'fr' ELSE 'zh' END AS predicted
+         | FROM sc),
+         |j AS (SELECT lang AS actual, predicted
+         | FROM documents JOIN d USING (doc_id)),
+         |pa AS (SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
+         | FROM j GROUP BY actual, predicted),
+         |tot AS (SELECT actual, sum(n) AS tn FROM pa GROUP BY actual)
+         |SELECT actual, predicted, n,
+         | round(CAST(n AS DOUBLE) / CAST(tn AS DOUBLE), 6) AS recall
+         |FROM pa JOIN tot USING (actual)""".stripMargin,
     // the cap rule stated as the naive window: smallest (hash, id) per
     // source — the heap implementation must agree row-for-row
     "x96_group_cap" ->

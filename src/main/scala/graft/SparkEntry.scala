@@ -1053,6 +1053,11 @@ object SparkEntry {
     "x93_ngram_diversity" -> ((s, dir) =>
       graft.text.TfIdf.ngramDiversity(T(s, dir, "documents"),
         col("source"), col("text"))),
+    // lang-id evaluated against the corpus's ground-truth labels:
+    // (actual, predicted) cells + per-actual recall — x03's report card
+    "x97_lang_confusion" -> ((s, dir) =>
+      TextAnalysis.langConfusion(T(s, dir, "documents"), col("lang"),
+        col("text"))),
     // deterministic per-source cap (bounded-heap top-k on the salted
     // hash): no source contributes more than 15 docs to the mixture
     "x96_group_cap" -> ((s, dir) =>

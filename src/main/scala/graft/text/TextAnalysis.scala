@@ -120,6 +120,28 @@ object TextAnalysis {
     scored.withColumn("detected_lang", best.getField("l"))
   }
 
+  /** Language-ID confusion matrix: [[withLangId]]'s prediction crossed
+    * with a ground-truth label column — the EVALUATION face of the
+    * classifier (a lang-id gate is only as good as its per-language
+    * recall, and the confusion pairs tell you which marker lists to
+    * extend). One row per (actual, predicted) cell with the count and the
+    * per-actual recall share.
+    *
+    * Scale shape: the scoring is per-row codegen kernels; the matrix is a
+    * |langs|²-sized aggregate and the recall denominator joins back as a
+    * broadcast of the |langs|-sized totals frame.
+    */
+  def langConfusion(df: DataFrame, actual: Column, text: Column): DataFrame = {
+    val pa = withLangId(df, text)
+      .groupBy(actual.as("actual"), col("detected_lang").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+    val tot = pa.groupBy(col("actual")).agg(sum(col("n")).as("__tn"))
+    pa.join(broadcast(tot), "actual")
+      .select(col("actual"), col("predicted"), col("n"),
+        round(col("n").cast("double") / col("__tn").cast("double"), 6)
+          .as("recall"))
+  }
+
   /** Normalized text: lower-case, collapse whitespace runs, trim. */
   def normalized(text: Column): Column =
     regexp_replace(trim(lower(text)), "\\s+", " ")

@@ -59,4 +59,20 @@ class QualityRulesSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept === Set(1L))
   }
+
+  test("x97 langConfusion: cells and per-actual recall on marker-laden docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "the cat is of the house"),   // en → en
+      (2L, "en", "el gato que la los una"),    // mislabeled: en → es
+      (3L, "de", "der hund und die katze"),    // de → de
+      (4L, "fr", "le chien et les chats une")) // fr → fr
+      .toDF("doc_id", "lang", "text").repartition(2)
+    val got = graft.text.TextAnalysis.langConfusion(docs, col("lang"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === Map(
+      ("en", "en") -> ((1L, 0.5)), ("en", "es") -> ((1L, 0.5)),
+      ("de", "de") -> ((1L, 1.0)), ("fr", "fr") -> ((1L, 1.0))))
+  }
 }
