@@ -1080,6 +1080,42 @@ object OracleSql {
          |   (CAST(cc AS DOUBLE) / CAST(ctn AS DOUBLE)))), 6) AS kl
          |FROM c JOIN ct USING (term) JOIN stot USING (source) CROSS JOIN ctot
          |GROUP BY c.source, stot.stn""".stripMargin,
+    // distinct (source, gram) sets with the same df cap on both sides;
+    // sizes measured on the capped frame so the Jaccard is consistent
+    "x98_source_overlap" ->
+      s"""WITH t AS (SELECT source, $Toks AS toks FROM documents),
+         |g AS (SELECT DISTINCT source, unnest(${distinctGramsSql(8)}) AS gram FROM t),
+         |gc AS (SELECT gram, count(*) AS c FROM g GROUP BY gram),
+         |k AS (SELECT g.source, g.gram FROM g JOIN gc USING (gram)
+         | WHERE c <= 1000),
+         |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM k
+         | GROUP BY source),
+         |i AS (SELECT a.source AS source_a, b.source AS source_b,
+         |  CAST(count(*) AS BIGINT) AS ni
+         | FROM k a JOIN k b ON a.gram = b.gram AND a.source < b.source
+         | GROUP BY a.source, b.source)
+         |SELECT source_a, source_b, ni AS n_shared_grams,
+         | round(CAST(ni AS DOUBLE) / CAST(na.n + nb.n - ni AS DOUBLE), 6)
+         |  AS jaccard
+         |FROM i JOIN sz na ON i.source_a = na.source
+         | JOIN sz nb ON i.source_b = nb.source""".stripMargin,
+    // distinct (user, type) baskets; lift = exact integer counts until
+    // one final double ratio mirroring the Spark association order
+    "a36_type_affinity" ->
+      """WITH ei AS (SELECT DISTINCT user_id AS e, event_type AS item
+        | FROM events),
+        |tot AS (SELECT CAST(count(DISTINCT e) AS BIGINT) AS nn FROM ei),
+        |per AS (SELECT item, CAST(count(*) AS BIGINT) AS c FROM ei
+        | GROUP BY item),
+        |co AS (SELECT a.item AS item_a, b.item AS item_b,
+        |  CAST(count(*) AS BIGINT) AS n_both
+        | FROM ei a JOIN ei b ON a.e = b.e AND a.item < b.item
+        | GROUP BY a.item, b.item)
+        |SELECT item_a, item_b, n_both,
+        | round((CAST(n_both AS DOUBLE) * CAST(nn AS DOUBLE)) /
+        |  (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)), 6) AS lift
+        |FROM co JOIN per ca ON co.item_a = ca.item
+        | JOIN per cb ON co.item_b = cb.item CROSS JOIN tot""".stripMargin,
     // x03's marker-argmax chain joined to the ground-truth label, then
     // the |langs|² cell aggregate with per-actual recall
     "x97_lang_confusion" ->

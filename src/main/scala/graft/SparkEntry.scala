@@ -1053,6 +1053,16 @@ object SparkEntry {
     "x93_ngram_diversity" -> ((s, dir) =>
       graft.text.TfIdf.ngramDiversity(T(s, dir, "documents"),
         col("source"), col("text"))),
+    // exact per-source-pair content Jaccard over distinct 8-gram sets —
+    // corpus-level mirror detection where x80 counts near-dup DOC pairs
+    "x98_source_overlap" -> ((s, dir) =>
+      Dedup.sourceOverlap(T(s, dir, "documents"), col("source"),
+        col("text"))),
+    // market-basket lift over per-user event-type baskets: which event
+    // types attract / repel within the same user population
+    "a36_type_affinity" -> ((s, dir) =>
+      Distribution.itemAffinity(T(s, dir, "events"), col("user_id"),
+        col("event_type"))),
     // lang-id evaluated against the corpus's ground-truth labels:
     // (actual, predicted) cells + per-actual recall — x03's report card
     "x97_lang_confusion" -> ((s, dir) =>

@@ -248,4 +248,39 @@ object Distribution {
         coalesce(est >= col("n_exact") && est <= col("n_exact") + lit(bound),
           col("key").isNull).as("within_bound"))
   }
+
+  /** Item-affinity (market-basket lift) matrix: for every pair of items
+    * that co-occur in at least one entity's basket,
+    * `lift = P(a,b) / (P(a)·P(b))` over the entity population — the
+    * "users who error also purchase?" dashboard and, corpus-side, the
+    * topic/tag co-occurrence audit. Lift > 1 means the pair attracts,
+    * < 1 repels; disjoint pairs are implicit zeros and not materialized.
+    *
+    * Scale shape: one distinct pass to (entity, item) baskets; the pair
+    * join fans out per entity as |basket|² — fine for small item domains
+    * (event types, tags; here ≤ |items| per entity by construction) but
+    * an unbounded item domain wants a basket-size cap first, the
+    * [[graft.dedup.Dedup.capBuckets]] discipline. Aggregates are
+    * |items|²-bounded; marginals join back broadcast. Lift arithmetic is
+    * exact integer counts until one final double ratio.
+    */
+  def itemAffinity(df: DataFrame, entity: Column, item: Column): DataFrame = {
+    val ei = df.select(entity.as("__e"), item.as("item")).distinct()
+      .localCheckpoint(true)
+    val tot = ei.agg(countDistinct(col("__e")).as("__N"))
+    val per = ei.groupBy(col("item")).agg(count(lit(1)).as("__c"))
+    val a = ei.select(col("__e"), col("item").as("item_a"))
+    val b = ei.select(col("__e"), col("item").as("item_b"))
+    a.join(b, "__e").filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("n_both"))
+      .join(broadcast(per.select(col("item").as("item_a"), col("__c").as("__ca"))),
+        "item_a")
+      .join(broadcast(per.select(col("item").as("item_b"), col("__c").as("__cb"))),
+        "item_b")
+      .crossJoin(broadcast(tot))
+      .select(col("item_a"), col("item_b"), col("n_both"),
+        round((col("n_both").cast("double") * col("__N").cast("double")) /
+          (col("__ca").cast("double") * col("__cb").cast("double")), 6)
+          .as("lift"))
+  }
 }

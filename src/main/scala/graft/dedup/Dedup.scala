@@ -898,6 +898,49 @@ object Dedup {
           .otherwise(lit(1.0)).as("novelty"))
   }
 
+  /** Exact source-level content-overlap matrix: Jaccard between each pair
+    * of sources' DISTINCT word-n-gram sets — the corpus-level answer to
+    * "are these two feeds mirrors of each other?", where [[crossSourceReport]]
+    * counts near-dup DOC pairs (two sources can share half their n-grams
+    * through templating without any single doc pair crossing the near-dup
+    * threshold). Emits one row per source pair with a shared gram
+    * (disjoint pairs are implicit zeros — at corpus scale most pairs are,
+    * and materializing |sources|² zeros helps nobody).
+    *
+    * Scale shape: one shingle pass → distinct (source, gram) frame
+    * (vocabulary-sized, checkpointed); grams present in more than `maxDf`
+    * sources are dropped before pairing (the DISCO stop-gram guard —
+    * boilerplate n-grams otherwise fan out quadratically in |sources|),
+    * and set sizes are measured on the SAME capped frame so the Jaccard
+    * stays internally consistent; the pair aggregate is |sources|²-bounded.
+    */
+  def sourceOverlap(df: DataFrame, source: Column, text: Column,
+      gramWidth: Int = 8, maxDf: Int = 1000): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    val gs = df.select(source.as("source"),
+        explode(Native.shingles(text, gramWidth)).as("gram"))
+      .distinct()
+      .localCheckpoint(true)
+    val counts = gs.groupBy(col("gram")).agg(count(lit(1)).as("__gc"))
+    val capped = gs.join(counts.filter(col("__gc") <= maxDf), "gram")
+      .select(col("gram"), col("source"))
+      .localCheckpoint(true)
+    val sizes = capped.groupBy(col("source")).agg(count(lit(1)).as("__n"))
+    val a = capped.select(col("gram"), col("source").as("source_a"))
+    val b = capped.select(col("gram"), col("source").as("source_b"))
+    a.join(b, "gram").filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b")).agg(count(lit(1)).as("__i"))
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("__n").as("__na"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("__n").as("__nb"))), "source_b")
+      .select(col("source_a"), col("source_b"),
+        col("__i").as("n_shared_grams"),
+        round(col("__i").cast("double") /
+          (col("__na") + col("__nb") - col("__i")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
   /** Mixture-shift report: each source's share of the corpus BEFORE and
     * AFTER a dedup pass — the number a curator must re-check before
     * training, because dedup is never source-neutral (the feed with the

@@ -206,6 +206,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(a.getDouble(2) === 1.0 && a.getLong(3) === 3L)
   }
 
+  test("a36 itemAffinity: hand lift, repeats collapse, disjoint pairs absent") {
+    // u1{A,B} u2{A,B} u3{A} u4{C}; duplicate (u1,A) rows must not inflate
+    val ev = Seq((1L, "A"), (1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"),
+      (3L, "A"), (4L, "C")).toDF("u", "it").repartition(3)
+    val got = Distribution.itemAffinity(ev, col("u"), col("it"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // lift(A,B) = (2·4)/(3·2) = 1.333333; (A,C)/(B,C) never co-occur
+    assert(got === Map(("A", "B") -> ((2L, math.rint(8.0 / 6 * 1e6) / 1e6))))
+  }
+
   test("a34 hoppingAgg: each event lands in exactly width/slide windows") {
     import java.sql.Timestamp
     val ev = Seq(

@@ -559,6 +559,26 @@ class DedupSpec extends SparkSpec {
       ("web", "web") -> ((1L, 0.5))))
   }
 
+  test("x98 sourceOverlap: exact pair Jaccard, disjoint pairs absent, df cap") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", "a b c"),   // 2-grams: {a b, b c}
+      (2L, "s2", "a b x"),   // {a b, b x}
+      (3L, "s3", "q r"))     // {q r} — disjoint from both
+      .toDF("doc_id", "source", "text").repartition(2)
+    val got = Dedup.sourceOverlap(docs, col("source"), col("text"), gramWidth = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === Map(("s1", "s2") -> ((1L, math.rint(1.0 / 3 * 1e6) / 1e6))))
+    // a gram present in more sources than maxDf is excluded from pairing
+    // AND from the set sizes: once "a b" reaches 3 sources under maxDf=2
+    // it dies, and no shared grams remain at all
+    val three = docs.union(Seq((4L, "s3", "a b z")).toDF("doc_id", "source", "text"))
+    val capped = Dedup.sourceOverlap(three, col("source"), col("text"),
+      gramWidth = 2, maxDf = 2)
+    assert(capped.count() === 0L)
+  }
+
   test("x94 survivorsBy keeps the best-scoring cluster member, min id on ties") {
     import spark.implicits._
     // cluster {1,2,3} via chain; {5,6} tie on score → min id 5 wins
