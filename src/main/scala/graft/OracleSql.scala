@@ -1080,6 +1080,67 @@ object OracleSql {
          |   (CAST(cc AS DOUBLE) / CAST(ctn AS DOUBLE)))), 6) AS kl
          |FROM c JOIN ct USING (term) JOIN stot USING (source) CROSS JOIN ctot
          |GROUP BY c.source, stot.stn""".stripMargin,
+    // x52's slice-unnest bigrams, space-joined, per-source ranked window
+    "x99_source_signatures" ->
+      s"""WITH t AS (SELECT source, $Toks AS toks FROM documents),
+         |b AS (SELECT source, unnest(toks[1:len(toks) - 1]) || ' ' ||
+         |   unnest(toks[2:len(toks)]) AS bigram
+         | FROM t WHERE len(toks) >= 2),
+         |c AS (SELECT source, bigram, CAST(count(*) AS BIGINT) AS cnt
+         | FROM b GROUP BY source, bigram)
+         |SELECT source, bigram, cnt, CAST(rnk AS INTEGER) AS rnk
+         |FROM (SELECT source, bigram, cnt, row_number() OVER (
+         |  PARTITION BY source ORDER BY cnt DESC, bigram ASC) AS rnk FROM c)
+         |WHERE rnk <= 5""".stripMargin,
+    // per-relation child/orphan counts; NOT IN is safe here because the
+    // parent key columns carry no nulls in this schema
+    "j14_ref_integrity" ->
+      """SELECT 'lineitem->orders' AS relation,
+        | (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_child,
+        | (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_orphans
+        |UNION ALL SELECT 'orders->customer',
+        | (SELECT CAST(count(*) AS BIGINT) FROM orders),
+        | (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |UNION ALL SELECT 'customer->nation',
+        | (SELECT CAST(count(*) AS BIGINT) FROM customer),
+        | (SELECT CAST(count(*) AS BIGINT) FROM customer
+        |   WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+        |UNION ALL SELECT 'nation->region',
+        | (SELECT CAST(count(*) AS BIGINT) FROM nation),
+        | (SELECT CAST(count(*) AS BIGINT) FROM nation
+        |   WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region))
+        |UNION ALL SELECT 'lineitem->orders_even',
+        | (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        | (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
+        |     WHERE o_orderkey % 2 = 0))""".stripMargin,
+    // centi-quantized prefix sums (a25 construction) → closed-form split
+    // score per row, mirrored association → argmax by (score desc, idx)
+    "a37_changepoint" ->
+      """WITH q AS (SELECT event_type AS k, ts, event_id,
+        |  round(value * 100) AS vq FROM events),
+        |s AS (SELECT k, ts, vq,
+        |  sum(vq) OVER w AS s, count(*) OVER w AS i,
+        |  sum(vq) OVER p AS tot, count(*) OVER p AS n
+        | FROM q
+        | WINDOW w AS (PARTITION BY k ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  p AS (PARTITION BY k)),
+        |sc AS (SELECT k, i AS split_idx, ts AS split_ts, n,
+        |  ((CAST(i AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(i AS DOUBLE))
+        |    / CAST(n AS DOUBLE)) *
+        |   (s / CAST(i AS DOUBLE) - (tot - s) / (CAST(n AS DOUBLE) - CAST(i AS DOUBLE))) *
+        |   (s / CAST(i AS DOUBLE) - (tot - s) / (CAST(n AS DOUBLE) - CAST(i AS DOUBLE))))
+        |   / (100.0 * 100.0) AS score
+        | FROM s WHERE n >= 2 AND i < n)
+        |SELECT k AS event_type, CAST(split_idx AS BIGINT) AS split_idx,
+        | CAST(epoch_us(split_ts) AS BIGINT) AS split_t_us,
+        | CAST(n AS BIGINT) AS n, round(score, 6) AS score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY k
+        |   ORDER BY score DESC, split_idx ASC) AS rn FROM sc)
+        |WHERE rn = 1""".stripMargin,
     // distinct (source, gram) sets with the same df cap on both sides;
     // sizes measured on the capped frame so the Jaccard is consistent
     "x98_source_overlap" ->

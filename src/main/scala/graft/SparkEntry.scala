@@ -1053,6 +1053,37 @@ object SparkEntry {
     "x93_ngram_diversity" -> ((s, dir) =>
       graft.text.TfIdf.ngramDiversity(T(s, dir, "documents"),
         col("source"), col("text"))),
+    // top-5 bigram signature phrases per source (post-aggregate window)
+    "x99_source_signatures" -> ((s, dir) =>
+      graft.text.TfIdf.signaturePhrases(T(s, dir, "documents"),
+        col("source"), col("text"), k = 5)),
+    // warehouse referential audit: intact star relations report 0; the
+    // even-orders relation is deliberately broken (mirrored in the
+    // oracle) so the orphan-counting path is actually exercised
+    "j14_ref_integrity" -> ((s, dir) => {
+      val orders = T(s, dir, "orders")
+      Validation.refIntegrity(Seq(
+        ("lineitem->orders", T(s, dir, "lineitem"), "l_orderkey",
+          orders, "o_orderkey"),
+        ("orders->customer", orders, "o_custkey",
+          T(s, dir, "customer"), "c_custkey"),
+        ("customer->nation", T(s, dir, "customer"), "c_nationkey",
+          T(s, dir, "nation"), "n_nationkey"),
+        ("nation->region", T(s, dir, "nation"), "n_regionkey",
+          T(s, dir, "region"), "r_regionkey"),
+        ("lineitem->orders_even", T(s, dir, "lineitem"), "l_orderkey",
+          orders.filter(col("o_orderkey") % 2 === 0), "o_orderkey")))
+    }),
+    // single change-point per event type: WHERE the mean shifted (a25's
+    // CUSUM says THAT it shifted) — max variance-reduction split
+    "a37_changepoint" -> ((s, dir) =>
+      graft.analytics.Drift.changePoint(T(s, dir, "events"),
+          col("event_type"), col("ts"), Seq(col("event_id")), col("value"),
+          valueScale = 2)
+        .withColumnRenamed("key", "event_type")
+        .select(col("event_type"), col("split_idx"),
+          unix_micros(col("split_ts")).as("split_t_us"), col("n"),
+          col("score"))),
     // exact per-source-pair content Jaccard over distinct 8-gram sets —
     // corpus-level mirror detection where x80 counts near-dup DOC pairs
     "x98_source_overlap" -> ((s, dir) =>

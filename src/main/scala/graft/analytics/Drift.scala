@@ -49,4 +49,61 @@ object Drift {
       .select(col("bucket"), col("c_before"), col("c_after"),
         round((pa - pb) * log(pa / pb), 6).as("psi_term"))
   }
+
+  /** Single change-point locator per key (binary-segmentation step 1):
+    * the split position that maximizes the between-segment variance
+    * reduction `(i·(n−i)/n)·(mean₁ − mean₂)²` — where the a25 CUSUM
+    * FLAGS that a mean shifted, this says WHERE, which is what turns a
+    * drift alarm into an actionable "sensor recalibrated at 14:07 /
+    * corpus mixture changed at snapshot 12" statement. Emits one row per
+    * key: the 1-based split index (first segment = rows 1..i), its
+    * timestamp, the score, and n; keys with fewer than 2 rows emit
+    * nothing (no interior split exists). Ties (equal score) resolve to
+    * the EARLIEST split.
+    *
+    * Determinism: values are quantized to `valueScale` fixed-point units
+    * BEFORE the prefix sums (the a25 construction), so every prefix sum
+    * is an exact integer and the score is the same double on any
+    * partitioning/engine that mirrors the expression tree.
+    *
+    * Scale shape: one per-key window (running sum + count — the
+    * sessionize cost envelope), one closed-form score per row, one
+    * per-key argmax via min(struct) — no second scan, no loop: binary
+    * segmentation's recursion would re-run this on each half.
+    */
+  def changePoint(df: DataFrame, key: Column, time: Column,
+      order: Seq[Column], value: Column, valueScale: Int): DataFrame = {
+    val scale = math.pow(10, valueScale)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc +: (1 to order.size).map(i => col(s"__o$i").asc): _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val base = df.select(
+      (key.as("__k") +: time.as("__t") +:
+        round(value.cast("double") * scale).as("__vq") +:
+        order.zipWithIndex.map { case (o, i) => o.as(s"__o${i + 1}") }): _*)
+    val stats = base
+      .withColumn("__s", sum(col("__vq")).over(w))
+      .withColumn("__i", count(lit(1)).over(w))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__k"))))
+      .withColumn("__tot", sum(col("__vq")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__k"))))
+    val i = col("__i").cast("double")
+    val n = col("__n").cast("double")
+    val m1 = col("__s") / i
+    val m2 = (col("__tot") - col("__s")) / (n - i)
+    val score = (i * (n - i) / n) * (m1 - m2) * (m1 - m2)
+    val scored = stats
+      .filter(col("__n") >= 2 && col("__i") < col("__n")) // interior splits only
+      .select(col("__k").as("key"), col("__i").as("split_idx"),
+        col("__t").as("split_ts"), col("__n").as("n"),
+        (score / (scale * scale)).as("__sc"))
+    scored.groupBy(col("key"))
+      .agg(min(struct((-col("__sc")).as("ns"), col("split_idx").as("si"),
+        col("split_ts").as("st"), col("n").as("nn"))).as("__best"))
+      .select(col("key"), col("__best.si").as("split_idx"),
+        col("__best.st").as("split_ts"), col("__best.nn").as("n"),
+        round(-col("__best.ns"), 6).as("score"))
+  }
 }

@@ -84,6 +84,33 @@ object Validation {
       .drop("__rn")
   }
 
+  /** Referential-integrity audit: for each named (child, fk, parent, pk)
+    * relation, the child row count and the count of orphans (child rows
+    * whose non-null FK matches no parent key) — the warehouse smoke test
+    * that runs before every star-schema load (j05/j13 joins silently DROP
+    * orphans; this makes the drop visible and attributable). Null FKs are
+    * not orphans (SQL semantics: a null FK is "unknown", not "dangling").
+    *
+    * Scale shape: per relation, one distinct on the parent KEY column
+    * (key-sized, not row-sized) and one anti-join — AQE broadcasts the
+    * parent side when it fits, exactly like the production join would.
+    * Output is |relations| rows.
+    */
+  def refIntegrity(
+      relations: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(relations.nonEmpty, "refIntegrity needs at least one relation")
+    relations.map { case (name, child, fk, parent, pk) =>
+      val orphans = child.select(col(fk).as("__fk"))
+        .filter(col("__fk").isNotNull)
+        .join(parent.select(col(pk).as("__pk")).distinct(),
+          col("__fk") === col("__pk"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      child.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans)
+        .select(lit(name).as("relation"), col("n_child"), col("n_orphans"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** P16: report-by-exception compaction (debounce): within each key, in
     * `order`, keep only rows where at least one of `watch` changed from
     * the PREVIOUS ROW (the first row of a key always survives) — the

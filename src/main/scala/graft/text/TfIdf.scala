@@ -139,6 +139,34 @@ object TfIdf {
       .agg(round(sum(ps * log(ps / pc)), 6).as("kl"))
   }
 
+  /** Per-source signature phrases: the top-`k` bigrams of each source by
+    * occurrence count (ties → lexicographic) — the quick-look answer to
+    * "what is this feed actually full of" that catches boilerplate
+    * headers and template phrases a vocabulary-level view (x30) averages
+    * away. The per-source twin of the corpus heavy-hitters report.
+    *
+    * Scale shape: one tokenize pass, bigram counts partial-aggregate
+    * map-side to a (source, bigram) frame; the ranking window runs over
+    * that ALREADY-AGGREGATED frame (per-source vocabulary, not corpus
+    * rows), the same post-aggregate window contract as tfidfTopK.
+    */
+  def signaturePhrases(df: DataFrame, source: Column, text: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counts = df
+      .select(source.as("source"), TextAnalysis.tokens(text).as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col("source"),
+        explode(transform(sequence(lit(1), size(col("__t")) - 1), i =>
+          concat(element_at(col("__t"), i), lit(" "),
+            element_at(col("__t"), i + 1)))).as("bigram"))
+      .groupBy(col("source"), col("bigram")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("cnt").desc, col("bigram").asc)
+    counts.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** Per-source n-gram diversity: distinct-unigram and distinct-bigram
     * ratios — the self-BLEU-style mode-collapse diagnostic that matters
     * most for SYNTHETIC data feeds (a generator stuck in a template

@@ -63,4 +63,22 @@ class DriftSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(buckets === Set(0L, 3L))
   }
+
+  test("a37 changePoint locates a planted mean shift with the exact score") {
+    import java.sql.Timestamp
+    def ts(i: Int) = new Timestamp(i * 1000L)
+    // key A: 10 readings at 0 then 10 at 5 → split at idx 10,
+    // score = (10·10/20)·(0−5)² = 125; key B: flat → score 0, earliest split
+    val rows = (1 to 10).map(i => ("A", ts(i), i.toLong, 0.0)) ++
+      (11 to 20).map(i => ("A", ts(i), i.toLong, 5.0)) ++
+      (1 to 4).map(i => ("B", ts(i), i.toLong, 7.0)) :+
+      (("C", ts(1), 1L, 9.9)) // single reading: no interior split, no row
+    val got = Drift.changePoint(rows.toDF("k", "t", "id", "v").repartition(3),
+        col("k"), col("t"), Seq(col("id")), col("v"), valueScale = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet === Set("A", "B"))
+    assert(got("A") === ((10L, 20L, 125.0)))
+    assert(got("B") === ((1L, 4L, 0.0))) // tie on 0 score → earliest
+  }
 }

@@ -178,6 +178,21 @@ class TfIdfSpec extends SparkSpec {
     assert(zero.forall(_ === 0.0))
   }
 
+  test("x99 signaturePhrases: top bigrams per source, count then lexicographic") {
+    val df = Seq(
+      (1L, "s1", "buy now buy now buy now"),
+      (2L, "s1", "one two"),
+      (3L, "s2", "alpha beta"))
+      .toDF("doc_id", "source", "text").repartition(2)
+    val got = TfIdf.signaturePhrases(df, col("source"), col("text"), k = 2)
+      .collect().map(r => (r.getString(0), r.getInt(3)) ->
+        ((r.getString(1), r.getLong(2)))).toMap
+    // s1 bigrams: "buy now"×3, "now buy"×2, "one two"×1
+    assert(got(("s1", 1)) === (("buy now", 3L)))
+    assert(got(("s1", 2)) === (("now buy", 2L)))
+    assert(got(("s2", 1)) === (("alpha beta", 1L)))
+  }
+
   test("x93 ngramDiversity: template collapse shows in bigrams, not unigrams") {
     val df = Seq(
       // tmpl: every doc is the same 3-token template → 4 distinct unigram

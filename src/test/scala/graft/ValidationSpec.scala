@@ -81,6 +81,16 @@ class ValidationSpec extends SparkSpec {
     assert(!out.columns.contains(Sources.IngestOrderCol))
   }
 
+  test("j14 refIntegrity: orphan counts per relation, null FKs not orphans") {
+    import spark.implicits._
+    val parent = Seq(1L, 2L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(9L), None)
+      .toDF("fk").repartition(2)
+    val got = Validation.refIntegrity(Seq(("c->p", child, "fk", parent, "pk")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("c->p", 4L, 1L)))
+  }
+
   test("p16 debounce: keeps first row and every change, null-safe") {
     import spark.implicits._
     val df = Seq(
