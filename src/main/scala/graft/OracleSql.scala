@@ -1080,6 +1080,47 @@ object OracleSql {
          |   (CAST(cc AS DOUBLE) / CAST(ctn AS DOUBLE)))), 6) AS kl
          |FROM c JOIN ct USING (term) JOIN stot USING (source) CROSS JOIN ctot
          |GROUP BY c.source, stot.stn""".stripMargin,
+    // per-doc md5-slice minima (the nearDupChain sig construction, 8
+    // hashes) → per-source element-wise min → pairwise match fraction
+    "x100_source_overlap_est" -> {
+      val sigExprs = (0 until 8).map { i =>
+        val g = i / 4
+        val sl = i % 4
+        val arg = if (g == 0) "x" else s"'$g:' || x"
+        s"list_min(list_transform(grams, x -> substring(md5($arg), ${sl * 8 + 1}, 8))) AS s$i"
+      }.mkString(",\n ")
+      val mins = (0 until 8).map(i => s"min(s$i) AS s$i").mkString(", ")
+      val matches = (0 until 8)
+        .map(i => s"CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT source, $Toks AS toks FROM documents),
+         |g AS (SELECT source, $DistinctGrams AS grams FROM t),
+         |sd AS (SELECT source,
+         | $sigExprs
+         | FROM g),
+         |ss AS (SELECT source, $mins FROM sd GROUP BY source)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         | CAST($matches AS INTEGER) AS n_matching,
+         | round(CAST($matches AS DOUBLE) / 8.0, 6) AS est_jaccard
+         |FROM ss a JOIN ss b ON a.source < b.source""".stripMargin
+    },
+    // the a18 gaps-and-islands chain (same strict-> boundary — verified
+    // against session_window's merge behavior in TemporalSpec) with
+    // session_window's reported end = last event + gap
+    "a38_session_window" ->
+      """WITH o AS (SELECT user_id, ts, event_id, value,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        | FROM events),
+        |s AS (SELECT user_id, ts, value,
+        |  sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL '1800 seconds'
+        |      THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        | FROM o)
+        |SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+        | epoch_us(max(ts) + INTERVAL '1800 seconds') AS session_end_us,
+        | count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     // x52's slice-unnest bigrams, space-joined, per-source ranked window
     "x99_source_signatures" ->
       s"""WITH t AS (SELECT source, $Toks AS toks FROM documents),

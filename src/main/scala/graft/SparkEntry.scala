@@ -1053,6 +1053,22 @@ object SparkEntry {
     "x93_ngram_diversity" -> ((s, dir) =>
       graft.text.TfIdf.ngramDiversity(T(s, dir, "documents"),
         col("source"), col("text"))),
+    // the x98 matrix via 8-hash source minhash signatures: one
+    // |sources|×8 aggregate, no gram-level join — the 100 TB face
+    "x100_source_overlap_est" -> ((s, dir) =>
+      Dedup.sourceOverlapEstimate(T(s, dir, "documents"), col("source"),
+        col("text"), numHashes = 8)),
+    // Spark's native session_window face of a18 — same strict-> boundary
+    // as sessionize (an exact-duration gap still MERGES, spec-asserted);
+    // only the reported end differs (last event + gap)
+    "a38_session_window" -> ((s, dir) =>
+      T(s, dir, "events").select(col("user_id"), col("ts"), col("value"))
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+          col("user_id"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
+          unix_micros(col("w.end")).as("session_end_us"), col("cnt"),
+          col("sum_value"))),
     // top-5 bigram signature phrases per source (post-aggregate window)
     "x99_source_signatures" -> ((s, dir) =>
       graft.text.TfIdf.signaturePhrases(T(s, dir, "documents"),

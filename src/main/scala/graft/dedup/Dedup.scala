@@ -941,6 +941,42 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** MinHash ESTIMATE of the source-overlap matrix — the 100 TB face of
+    * [[sourceOverlap]]: a source's signature is the element-wise MINIMUM
+    * of its documents' minhash signatures (min over a union = min of
+    * per-set minima), so the whole matrix reduces to one
+    * |sources|×numHashes aggregate and a model-sized pairwise compare —
+    * no gram-level join at all, where the exact matrix shuffles the full
+    * (source, gram) vocabulary. Estimate = matching-coordinate fraction
+    * (E[match] = Jaccard); `numHashes` sets the resolution (σ =
+    * √(j(1−j)/k)). Fully deterministic — the estimate is a pure function
+    * of the md5 minima, so it hash-compares exactly; it is the ESTIMATOR
+    * that is approximate, not the computation.
+    */
+  def sourceOverlapEstimate(df: DataFrame, source: Column, text: Column,
+      numHashes: Int = 8): DataFrame = {
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+    val signed = df
+      .select(source.as("source") +:
+        signatureFromGrams(Native.bigrams(text), numHashes): _*)
+      .groupBy(col("source"))
+      .agg(min(col("sig0")).as("sig0"),
+        (1 until numHashes).map(i => min(col(s"sig$i")).as(s"sig$i")): _*)
+    val a = signed.select(col("source").as("source_a") +:
+      (0 until numHashes).map(i => col(s"sig$i").as(s"__a$i")): _*)
+    val b = signed.select(col("source").as("source_b") +:
+      (0 until numHashes).map(i => col(s"sig$i").as(s"__b$i")): _*)
+    val matches = (0 until numHashes)
+      .map(i => when(col(s"__a$i") === col(s"__b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    a.crossJoin(broadcast(b))
+      .filter(col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        matches.as("n_matching"),
+        round(matches.cast("double") / numHashes.toDouble, 6)
+          .as("est_jaccard"))
+  }
+
   /** Mixture-shift report: each source's share of the corpus BEFORE and
     * AFTER a dedup pass — the number a curator must re-check before
     * training, because dedup is never source-neutral (the feed with the

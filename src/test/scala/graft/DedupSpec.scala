@@ -579,6 +579,21 @@ class DedupSpec extends SparkSpec {
     assert(capped.count() === 0L)
   }
 
+  test("x100 sourceOverlapEstimate: identical sources 1.0, disjoint 0.0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", "alpha beta gamma delta"),
+      (2L, "s2", "alpha beta gamma delta"), // clone of s1's gram set
+      (3L, "s3", "zz yy xx ww vv uu"))      // disjoint grams
+      .toDF("doc_id", "source", "text").repartition(2)
+    val got = Dedup.sourceOverlapEstimate(docs, col("source"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getInt(2), r.getDouble(3)))).toMap
+    assert(got(("s1", "s2")) === ((8, 1.0)))
+    assert(got(("s1", "s3")) === ((0, 0.0)))
+    assert(got(("s2", "s3")) === ((0, 0.0)))
+  }
+
   test("x94 survivorsBy keeps the best-scoring cluster member, min id on ties") {
     import spark.implicits._
     // cluster {1,2,3} via chain; {5,6} tie on score → min id 5 wins

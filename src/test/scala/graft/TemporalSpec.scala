@@ -202,6 +202,27 @@ class TemporalSpec extends SparkSpec {
       "strictly-greater threshold, sub-second spacing honored, truncated secs")
   }
 
+  test("a38 session_window boundary: exact-gap MERGES (the a18 strict-> rule), over-gap breaks") {
+    val ev = Seq(
+      ("u", ts("2025-01-01 10:00:00"), 1.0),
+      ("u", ts("2025-01-01 10:30:00"), 2.0),  // EXACTLY 30 min → merges
+      ("u", ts("2025-01-01 11:00:01"), 3.0))  // 30 min 1 s → breaks
+      .toDF("user_id", "t", "value")
+    val out = ev
+      .groupBy(org.apache.spark.sql.functions.session_window(col("t"),
+        "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").cast("string"), col("w.end").cast("string"),
+        col("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(out.toSeq === Seq(
+      ("2025-01-01 10:00:00", "2025-01-01 11:00:00", 2L),
+      ("2025-01-01 11:00:01", "2025-01-01 11:30:01", 1L)),
+      "exact-duration gap must merge; anything longer must break — the " +
+        "same boundary rule the a38 oracle's gaps-and-islands chain states")
+  }
+
   test("j12 asofNearest picks the closer side; distance ties favor the past") {
     val right = Seq(
       ("A", ts("2025-01-01 10:07:00"), 7.0),
