@@ -1080,6 +1080,31 @@ object OracleSql {
          |   (CAST(cc AS DOUBLE) / CAST(ctn AS DOUBLE)))), 6) AS kl
          |FROM c JOIN ct USING (term) JOIN stot USING (source) CROSS JOIN ctot
          |GROUP BY c.source, stot.stn""".stripMargin,
+    // strict local maxima: both neighbors exist and are smaller
+    "a39_peaks" ->
+      """WITH o AS (SELECT event_id, event_type, value,
+        |  lag(value) OVER w AS pv, lead(value) OVER w AS nv
+        | FROM events
+        | WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
+        |SELECT event_id, event_type, value
+        |FROM o WHERE pv IS NOT NULL AND nv IS NOT NULL
+        | AND value > pv AND value > nv AND value >= 200.0""".stripMargin,
+    // train counts from the hash-bucket split, Laplace (cnt+1)/(total+V),
+    // eval tokens left-joined; the per-token -ln tree mirrors Spark
+    "x101_heldout_surprise" ->
+      s"""WITH tk AS (SELECT doc_id, ${bucketSql("doc_id", "heldout")} AS b,
+         |  unnest($Toks) AS term FROM documents),
+         |tc AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tk
+         | WHERE b < 8000 GROUP BY term),
+         |sc AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+         |  CAST(count(*) AS BIGINT) AS v FROM tc)
+         |SELECT doc_id,
+         | round(avg(-ln(CAST(coalesce(cnt, 0) + 1 AS DOUBLE) /
+         |   CAST(total + v AS DOUBLE))), 6) AS surprise,
+         | CAST(count(*) AS BIGINT) AS n_tokens,
+         | CAST(count(CASE WHEN cnt IS NULL THEN 1 END) AS BIGINT) AS n_oov
+         |FROM tk LEFT JOIN tc USING (term) CROSS JOIN sc
+         |WHERE b >= 8000 GROUP BY doc_id""".stripMargin,
     // per-doc md5-slice minima (the nearDupChain sig construction, 8
     // hashes) → per-source element-wise min → pairwise match fraction
     "x100_source_overlap_est" -> {

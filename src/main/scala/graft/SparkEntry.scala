@@ -1053,6 +1053,18 @@ object SparkEntry {
     "x93_ngram_diversity" -> ((s, dir) =>
       graft.text.TfIdf.ngramDiversity(T(s, dir, "documents"),
         col("source"), col("text"))),
+    // strict local maxima ≥ 400 per event type (lag+lead share one sort)
+    "a39_peaks" -> ((s, dir) =>
+      graft.analytics.Alerts.localPeaks(T(s, dir, "events"),
+          col("event_type"), Seq(col("ts"), col("event_id")), col("event_id"),
+          col("value"), minHeight = 200.0)
+        .withColumnRenamed("id", "event_id")
+        .withColumnRenamed("key", "event_type")),
+    // leakage-free LM eval: eval-split docs scored under TRAIN-split
+    // counts with Laplace smoothing (x33's self-scoring is biased low)
+    "x101_heldout_surprise" -> ((s, dir) =>
+      graft.text.TfIdf.heldoutSurprise(T(s, dir, "documents"),
+        col("doc_id"), col("text"))),
     // the x98 matrix via 8-hash source minhash signatures: one
     // |sources|×8 aggregate, no gram-level join — the 100 TB face
     "x100_source_overlap_est" -> ((s, dir) =>

@@ -97,6 +97,34 @@ object Alerts {
       .drop("__g", "__g2", "__med", "__mad")
   }
 
+  /** Local-peak detector: rows strictly greater than BOTH neighbors in
+    * the per-key time order, at or above `minHeight` — the
+    * peak-load/spike-event extractor (demand peaks, power surges) that
+    * complements [[rateSpikes]] (a peak can build slowly enough that no
+    * single step trips the rate rule). First/last rows of a key have only
+    * one neighbor and are never peaks — an endpoint "peak" is a window
+    * artifact, not a detected event.
+    *
+    * Scale shape: one per-key window (lag + lead share the single sort),
+    * narrow filter; output is peak-sized.
+    */
+  def localPeaks(df: DataFrame, key: Column, order: Seq[Column], id: Column,
+      value: Column, minHeight: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k"))
+      .orderBy((1 to order.size).map(i => col(s"__o$i").asc): _*)
+    val base = df.select(
+      (id.as("id") +: key.as("__k") +: value.cast("double").as("__v") +:
+        order.zipWithIndex.map { case (o, i) => o.as(s"__o${i + 1}") }): _*)
+    base
+      .withColumn("__pv", lag(col("__v"), 1).over(w))
+      .withColumn("__nv", lead(col("__v"), 1).over(w))
+      .filter(col("__pv").isNotNull && col("__nv").isNotNull &&
+        col("__v") > col("__pv") && col("__v") > col("__nv") &&
+        col("__v") >= minHeight)
+      .select(col("id"), col("__k").as("key"), col("__v").as("value"))
+  }
+
   /** Rate-of-change screen: per key, the first difference of the value
     * series divided by the elapsed seconds to the previous reading, with a
     * spike flag at `|rate| > threshold` — the physical-plausibility rule

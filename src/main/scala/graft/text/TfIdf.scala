@@ -139,6 +139,46 @@ object TfIdf {
       .agg(round(sum(ps * log(ps / pc)), 6).as("kl"))
   }
 
+  /** Held-out unigram surprise: Laplace-smoothed negative log likelihood
+    * of each EVAL-split document under a model counted ONLY on the
+    * TRAIN split — the leakage-free eval loop that [[unigramSurprise]]'s
+    * self-scoring is not (a doc scored under counts that include itself
+    * is biased low, and the bias grows exactly for the rare-token docs a
+    * quality gate most needs to rank correctly). The split is the
+    * deterministic hash-bucket rule the x19 splitter uses (salt
+    * `"heldout"`, cutoff `trainPerMille` of [[graft.sampling.Sampling.Buckets]]),
+    * so the partition is reproducible and engine-mirrorable. Smoothing:
+    * `p(t) = (cnt(t)+1)/(total+V)` with `V` = train vocabulary size —
+    * out-of-vocabulary tokens get the finite floor `1/(total+V)` and are
+    * counted per doc (`n_oov`, the coverage signal).
+    *
+    * Scale shape: one explode over train into a vocabulary-sized count
+    * frame; scalars (total, V) derive from THAT frame and ride back as
+    * one broadcast; eval docs explode once and left-join the vocabulary.
+    */
+  def heldoutSurprise(df: DataFrame, id: Column, text: Column,
+      trainPerMille: Int = 8000): DataFrame = {
+    require(trainPerMille > 0 && trainPerMille < graft.sampling.Sampling.Buckets,
+      s"trainPerMille must be in (0, ${graft.sampling.Sampling.Buckets})")
+    val bucket = graft.sampling.Sampling.hashBucket(id, "heldout")
+    val toks = df.select(id.as("doc_id"), bucket.as("__b"),
+      explode(TextAnalysis.tokens(text)).as("term"))
+    val train = toks.filter(col("__b") < trainPerMille)
+    val counts = train.groupBy(col("term")).agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint(true)
+    val scalars = counts.agg(sum(col("__cnt")).as("__total"),
+      count(lit(1)).as("__V"))
+    val p = (coalesce(col("__cnt"), lit(0L)) + lit(1L)).cast("double") /
+      (col("__total") + col("__V")).cast("double")
+    toks.filter(col("__b") >= trainPerMille)
+      .join(counts, Seq("term"), "left")
+      .crossJoin(broadcast(scalars))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(-log(p)), 6).as("surprise"),
+        count(lit(1)).as("n_tokens"),
+        count(when(col("__cnt").isNull, 1)).as("n_oov"))
+  }
+
   /** Per-source signature phrases: the top-`k` bigrams of each source by
     * occurrence count (ties → lexicographic) — the quick-look answer to
     * "what is this feed actually full of" that catches boilerplate

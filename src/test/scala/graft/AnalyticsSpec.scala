@@ -206,6 +206,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(a.getDouble(2) === 1.0 && a.getLong(3) === 3L)
   }
 
+  test("a39 localPeaks: strict maxima only — plateaus, endpoints, sub-threshold out") {
+    val ev = Seq(
+      ("k", 1L, 10.0), ("k", 2L, 50.0), ("k", 3L, 20.0),  // 2 is a peak
+      ("k", 4L, 60.0), ("k", 5L, 60.0), ("k", 6L, 10.0),  // plateau: no strict peak
+      ("k", 7L, 30.0), ("k", 8L, 35.0), ("k", 9L, 20.0),  // 8 under threshold
+      ("k", 10L, 99.0))                                    // endpoint: not a peak
+      .toDF("k", "t", "v").repartition(3)
+    val got = graft.analytics.Alerts.localPeaks(ev, col("k"), Seq(col("t")),
+        col("t"), col("v"), minHeight = 40.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(2L))
+  }
+
   test("a36 itemAffinity: hand lift, repeats collapse, disjoint pairs absent") {
     // u1{A,B} u2{A,B} u3{A} u4{C}; duplicate (u1,A) rows must not inflate
     val ev = Seq((1L, "A"), (1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"),

@@ -178,6 +178,37 @@ class TfIdfSpec extends SparkSpec {
     assert(zero.forall(_ === 0.0))
   }
 
+  test("x101 heldoutSurprise: eval docs scored under train-only Laplace counts") {
+    import graft.sampling.Sampling
+    // each doc: one shared token + one doc-unique token → every eval
+    // doc's unique token is OOV by construction
+    val docs = (1 to 40).map(i => (i.toLong, s"common uniq$i"))
+      .toDF("doc_id", "text").repartition(3)
+    val buckets = docs
+      .select(col("doc_id"), Sampling.hashBucket(col("doc_id"), "heldout").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trainIds = buckets.filter(_._2 < 8000).keys.toSet
+    val evalIds = buckets.keys.toSet -- trainIds
+    assume(trainIds.nonEmpty && evalIds.nonEmpty)
+    val out = TfIdf.heldoutSurprise(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.keySet === evalIds, "only eval-split docs are scored")
+    // expected: train counts = {common -> |train|, uniq_i -> 1 each};
+    // total = 2|train|, V = |train|+1
+    val t = trainIds.size.toLong
+    val total = 2 * t
+    val v = t + 1
+    val pCommon = (t + 1).toDouble / (total + v).toDouble
+    val pOov = 1.0 / (total + v).toDouble
+    val expected = math.rint(
+      -(math.log(pCommon) + math.log(pOov)) / 2.0 * 1e6) / 1e6
+    out.values.foreach { case (s, nTok, nOov) =>
+      assert(nTok === 2L && nOov === 1L)
+      assert(math.abs(s - expected) < 1e-6, s"$s vs $expected")
+    }
+  }
+
   test("x99 signaturePhrases: top bigrams per source, count then lexicographic") {
     val df = Seq(
       (1L, "s1", "buy now buy now buy now"),
