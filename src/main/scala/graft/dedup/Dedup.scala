@@ -962,6 +962,9 @@ object Dedup {
       .groupBy(col("source"))
       .agg(min(col("sig0")).as("sig0"),
         (1 until numHashes).map(i => min(col(s"sig$i")).as(s"sig$i")): _*)
+      // model-sized (|sources|×k); both pairwise sides consume it — without
+      // this the broadcast side re-runs the whole corpus scan + aggregate
+      .localCheckpoint(true)
     val a = signed.select(col("source").as("source_a") +:
       (0 until numHashes).map(i => col(s"sig$i").as(s"__a$i")): _*)
     val b = signed.select(col("source").as("source_b") +:
