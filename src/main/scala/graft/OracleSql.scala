@@ -1080,6 +1080,34 @@ object OracleSql {
          |   (CAST(cc AS DOUBLE) / CAST(ctn AS DOUBLE)))), 6) AS kl
          |FROM c JOIN ct USING (term) JOIN stot USING (source) CROSS JOIN ctot
          |GROUP BY c.source, stot.stn""".stripMargin,
+    // the closed-form water level stated with the same windows: exclusive
+    // prefix sums over (cap, key) order, one valid segment, 1-row level
+    "x102_water_fill" -> {
+      val b = SparkEntry.TokenBudget
+      s"""WITH c AS (SELECT source AS key, CAST(sum(len($Toks)) AS BIGINT) AS cap
+         | FROM documents GROUP BY source),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(cap) AS BIGINT) AS tot FROM c),
+         |r AS (SELECT key, cap,
+         |  CAST(coalesce(sum(cap) OVER (ORDER BY cap, key
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS p,
+         |  CAST(row_number() OVER (ORDER BY cap, key) AS BIGINT) AS i,
+         |  CAST(coalesce(lag(cap) OVER (ORDER BY cap, key), 0) AS BIGINT) AS prev
+         | FROM c),
+         |lv AS (SELECT max((CAST($b AS DOUBLE) - CAST(p AS DOUBLE))
+         |   / CAST(n - i + 1 AS DOUBLE)) AS l
+         | FROM r CROSS JOIN t
+         | WHERE tot > $b
+         |  AND (CAST($b AS DOUBLE) - CAST(p AS DOUBLE)) / CAST(n - i + 1 AS DOUBLE)
+         |   >= CAST(prev AS DOUBLE)
+         |  AND (CAST($b AS DOUBLE) - CAST(p AS DOUBLE)) / CAST(n - i + 1 AS DOUBLE)
+         |   < CAST(cap AS DOUBLE))
+         |SELECT key AS source, cap AS cap_tokens,
+         | round(CASE WHEN l IS NULL THEN CAST(cap AS DOUBLE)
+         |  ELSE least(CAST(cap AS DOUBLE), l) END, 6) AS allocation,
+         | (l IS NULL OR CAST(cap AS DOUBLE) <= l) AS saturated
+         |FROM c CROSS JOIN lv""".stripMargin
+    },
     // strict local maxima: both neighbors exist and are smaller
     "a39_peaks" ->
       """WITH o AS (SELECT event_id, event_type, value,

@@ -1053,6 +1053,15 @@ object SparkEntry {
     "x93_ngram_diversity" -> ((s, dir) =>
       graft.text.TfIdf.ngramDiversity(T(s, dir, "documents"),
         col("source"), col("text"))),
+    // max-min-fair token allocation: the TokenBudget water level over
+    // per-source capacities, closed form (no iteration)
+    "x102_water_fill" -> ((s, dir) =>
+      graft.sampling.BudgetSelect.waterFill(
+          T(s, dir, "documents").groupBy(col("source"))
+            .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+              .as("cap")),
+          col("source"), col("cap"), budget = TokenBudget)
+        .withColumnRenamed("key", "source")),
     // strict local maxima ≥ 400 per event type (lag+lead share one sort)
     "a39_peaks" -> ((s, dir) =>
       graft.analytics.Alerts.localPeaks(T(s, dir, "events"),

@@ -247,4 +247,54 @@ object BudgetSelect {
           .otherwise(round((col("rnk") - 1).cast("double") /
             (col("__n") - 1).cast("double"), 6)).as("pct_rank"))
   }
+
+  /** Water-filling budget allocation across groups: give every group the
+    * same "water level" `L` of tokens, capped at the group's own capacity,
+    * with `L` chosen so the allocations sum to `budget` — the
+    * max-min-fair mixture plan (as uniform across sources as their sizes
+    * allow; small feeds contribute everything, big feeds are levelled),
+    * the principled answer to "how do I split a 2T-token budget over 500
+    * crawls of wildly different sizes". When `budget ≥ Σ caps`, every
+    * group simply gets its capacity.
+    *
+    * Closed form, not iteration: with capacities sorted ascending and
+    * exclusive prefix sums `P`, segment `i`'s candidate level is
+    * `(budget − P_{i−1})/(n − i + 1)`, and exactly one segment satisfies
+    * `c_{i−1} ≤ L < c_i` — one window pass finds it, a 1-row broadcast
+    * carries it back, nothing iterates.
+    *
+    * Scale shape: runs on the |groups|-sized CAPACITY frame (post
+    * aggregate), so the global-ordering window is over group count, not
+    * corpus rows — the same post-aggregate window contract as
+    * signaturePhrases; allocations are deterministic (exact long inputs,
+    * one double division).
+    */
+  def waterFill(caps: DataFrame, key: Column, cap: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be > 0, got $budget")
+    val c = caps.select(key.as("key"), cap.cast("long").as("cap"))
+      .localCheckpoint(true) // |groups|-sized; level scan + output both read it
+    val ord = Window.orderBy(col("cap").asc, col("key").asc)
+    val tot = c.agg(count(lit(1)).as("__n"), sum(col("cap")).as("__tot"))
+    val ranked = c
+      .withColumn("__p", coalesce(sum(col("cap")).over(
+        ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__i", row_number().over(ord).cast("long"))
+      .withColumn("__prev", coalesce(lag(col("cap"), 1).over(ord), lit(0L)))
+      .crossJoin(broadcast(tot))
+    val level = (lit(budget).cast("double") - col("__p").cast("double")) /
+      (col("__n") - col("__i") + 1).cast("double")
+    val l = ranked
+      .filter(col("__tot") > budget &&
+        level >= col("__prev").cast("double") &&
+        level < col("cap").cast("double"))
+      .agg(max(level).as("__L")) // exactly one row matches; null when budget ≥ Σ
+    c.crossJoin(broadcast(l))
+      .select(col("key"), col("cap").as("cap_tokens"),
+        round(when(col("__L").isNull, col("cap").cast("double"))
+          .otherwise(least(col("cap").cast("double"), col("__L"))), 6)
+          .as("allocation"),
+        (col("__L").isNull || col("cap").cast("double") <= col("__L"))
+          .as("saturated"))
+  }
 }

@@ -441,4 +441,36 @@ class RetrievalSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       "top-k must plan as per-partition heaps, not a global sort")
   }
+
+  test("x102 waterFill: level caps big groups, small groups saturate, sums to budget") {
+    import spark.implicits._
+    val caps = Seq(("a", 10L), ("b", 20L), ("c", 100L)).toDF("g", "cap")
+    val got = graft.sampling.BudgetSelect.waterFill(caps, col("g"), col("cap"),
+        budget = 60L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got("a") === ((10L, 10.0, true)))
+    assert(got("b") === ((20L, 20.0, true)))
+    assert(got("c") === ((100L, 30.0, false)))
+    assert(got.values.map(_._2).sum === 60.0)
+  }
+
+  test("x102 waterFill: budget above total capacity gives everyone their cap") {
+    import spark.implicits._
+    val caps = Seq(("a", 10L), ("b", 20L)).toDF("g", "cap")
+    val got = graft.sampling.BudgetSelect.waterFill(caps, col("g"), col("cap"),
+        budget = 200L)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got === Map("a" -> ((10.0, true)), "b" -> ((20.0, true))))
+  }
+
+  test("x102 waterFill: level exactly at a capacity boundary stays unique") {
+    import spark.implicits._
+    // L = 10 sits exactly on a and b's caps; only segment 3 validates it
+    val caps = Seq(("a", 10L), ("b", 10L), ("c", 40L)).toDF("g", "cap")
+    val got = graft.sampling.BudgetSelect.waterFill(caps, col("g"), col("cap"),
+        budget = 30L)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got === Map("a" -> 10.0, "b" -> 10.0, "c" -> 10.0))
+  }
 }
