@@ -1080,6 +1080,48 @@ object OracleSql {
          |   (CAST(cc AS DOUBLE) / CAST(ctn AS DOUBLE)))), 6) AS kl
          |FROM c JOIN ct USING (term) JOIN stot USING (source) CROSS JOIN ctot
          |GROUP BY c.source, stot.stn""".stripMargin,
+    // a34's hop membership + per-window ranking (count desc, type asc)
+    "a40_trending" ->
+      """WITH e AS (SELECT event_type,
+        |  time_bucket(INTERVAL '30 minutes', ts) AS b FROM events),
+        |u AS (SELECT event_type, b AS w FROM e
+        | UNION ALL SELECT event_type, b - INTERVAL '30 minutes' FROM e),
+        |c AS (SELECT w, event_type, CAST(count(*) AS BIGINT) AS cnt
+        | FROM u GROUP BY w, event_type)
+        |SELECT CAST(epoch(w) AS BIGINT) AS ws, event_type, cnt,
+        | CAST(rnk AS INTEGER) AS rnk
+        |FROM (SELECT w, event_type, cnt, row_number() OVER (
+        |  PARTITION BY w ORDER BY cnt DESC, event_type ASC) AS rnk FROM c)
+        |WHERE rnk <= 3""".stripMargin,
+    // the shared QualityRuleChain pass flag joined to source; the z
+    // arithmetic mirrors the Spark tree (pooled two-proportion test)
+    "x103_gate_bias" -> {
+      val z = """((CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE))
+        |   - ((CAST(kk AS DOUBLE) - CAST(n_pass AS DOUBLE))
+        |      / (CAST(nn AS DOUBLE) - CAST(n_docs AS DOUBLE))))
+        |  / sqrt((CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE))
+        |   * (1.0 - (CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE)))
+        |   * (1.0 / CAST(n_docs AS DOUBLE)
+        |      + 1.0 / (CAST(nn AS DOUBLE) - CAST(n_docs AS DOUBLE))))"""
+        .stripMargin
+      val den = """(CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE))
+        |   * (1.0 - (CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE)))
+        |   * (1.0 / CAST(n_docs AS DOUBLE)
+        |      + 1.0 / (CAST(nn AS DOUBLE) - CAST(n_docs AS DOUBLE)))"""
+        .stripMargin
+      s"""WITH $QualityRuleChainSql,
+         |p AS (SELECT doc_id, $PassesAllSql AS passes FROM r),
+         |j AS (SELECT d.source, p.passes FROM documents d JOIN p USING (doc_id)),
+         |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(CASE WHEN passes THEN 1 END) AS BIGINT) AS n_pass
+         | FROM j GROUP BY source),
+         |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nn,
+         |  CAST(sum(n_pass) AS BIGINT) AS kk FROM per)
+         |SELECT source, n_docs, n_pass,
+         | round(CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS pass_rate,
+         | round(CASE WHEN $den > 0.0 THEN $z END, 6) AS z
+         |FROM per CROSS JOIN tot""".stripMargin
+    },
     // the closed-form water level stated with the same windows: exclusive
     // prefix sums over (cap, key) order, one valid segment, 1-row level
     "x102_water_fill" -> {

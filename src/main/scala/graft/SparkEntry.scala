@@ -1053,6 +1053,33 @@ object SparkEntry {
     "x93_ngram_diversity" -> ((s, dir) =>
       graft.text.TfIdf.ngramDiversity(T(s, dir, "documents"),
         col("source"), col("text"))),
+    // top-3 trending event types per hopping window (a34 hop + a ranking
+    // window over the ALREADY-AGGREGATED (window, type) frame)
+    "a40_trending" -> ((s, dir) => {
+      val counts = Aggregates.hoppingAgg(T(s, dir, "events"), col("ts"),
+        "1 hour", "30 minutes", Seq(col("event_type")),
+        Seq(count(lit(1)).as("cnt")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("window_start"))
+        .orderBy(col("cnt").desc, col("event_type").asc)
+      counts.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(unix_timestamp(col("window_start")).as("ws"),
+          col("event_type"), col("cnt"), col("rnk"))
+    }),
+    // two-proportion z-test of each source's quality-gate pass rate vs
+    // the rest of the corpus — which feeds the x28 gate is biased against
+    "x103_gate_bias" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val rep = graft.text.QualityRules.report(docs, col("doc_id"), col("text"))
+        .select(col("doc_id"), col("passes_all"))
+      graft.analytics.Drift.proportionBias(
+          docs.select(col("doc_id"), col("source")).join(rep, "doc_id"),
+          col("source"), col("passes_all"))
+        .select(col("group").as("source"), col("n").as("n_docs"),
+          col("n_flagged").as("n_pass"), col("rate").as("pass_rate"),
+          col("z"))
+    }),
     // max-min-fair token allocation: the TokenBudget water level over
     // per-source capacities, closed form (no iteration)
     "x102_water_fill" -> ((s, dir) =>

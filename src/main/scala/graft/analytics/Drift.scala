@@ -50,6 +50,43 @@ object Drift {
         round((pa - pb) * log(pa / pb), 6).as("psi_term"))
   }
 
+  /** Per-group selection-bias screen: pooled two-proportion z-test of
+    * each group's flag rate against the REST of the population — the
+    * fairness/monitoring question "is the gate (or dedup, or sampler)
+    * treating this source/language differently than everyone else",
+    * answered with the standard significance scale (|z| > 2 ≈ p < .05)
+    * instead of an eyeballed rate table. Groups equal to the whole
+    * population (or a degenerate pooled rate of exactly 0 or 1) emit a
+    * null z — the test is undefined there, not zero.
+    *
+    * Scale shape: one grouped aggregate to |groups| rows, totals back as
+    * a 1-row broadcast, closed-form arithmetic — exact integer counts
+    * until the final ratios.
+    */
+  def proportionBias(df: DataFrame, group: Column, flag: Column): DataFrame = {
+    val per = df.select(group.as("group"), flag.as("__f"))
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n"), count(when(col("__f"), 1)).as("n_flagged"))
+    val tot = per.agg(sum(col("n")).as("__N"), sum(col("n_flagged")).as("__K"))
+    val n = col("n").cast("double")
+    val k = col("n_flagged").cast("double")
+    val bigN = col("__N").cast("double")
+    val bigK = col("__K").cast("double")
+    val p1 = k / n
+    val p0 = (bigK - k) / (bigN - n)
+    val pp = bigK / bigN
+    val den = pp * (lit(1.0) - pp) * (lit(1.0) / n + lit(1.0) / (bigN - n))
+    per.crossJoin(broadcast(tot))
+      .select(col("group"), col("n"), col("n_flagged"),
+        round(p1, 6).as("rate"),
+        // outer guard: a group equal to the whole population has no rest
+        // to test against — and under ANSI mode the p0/den divisions by
+        // (N−n)=0 would THROW, so they must sit inside the branch CaseWhen
+        // only evaluates when the guard holds
+        round(when(col("__N") > col("n"),
+          when(den > 0.0, (p1 - p0) / sqrt(den))), 6).as("z"))
+  }
+
   /** Single change-point locator per key (binary-segmentation step 1):
     * the split position that maximizes the between-segment variance
     * reduction `(i·(n−i)/n)·(mean₁ − mean₂)²` — where the a25 CUSUM

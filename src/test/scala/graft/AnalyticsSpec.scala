@@ -206,6 +206,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(a.getDouble(2) === 1.0 && a.getLong(3) === 3L)
   }
 
+  test("a40 trending composition: rank within window, count then name") {
+    import java.sql.Timestamp
+    val ev = Seq(
+      ("A", Timestamp.valueOf("2025-01-01 10:15:00")),
+      ("A", Timestamp.valueOf("2025-01-01 10:16:00")),
+      ("B", Timestamp.valueOf("2025-01-01 10:17:00")))
+      .toDF("event_type", "ts")
+    val counts = Aggregates.hoppingAgg(ev, col("ts"), "1 hour", "30 minutes",
+      Seq(col("event_type")), Seq(count(lit(1)).as("cnt")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start"))
+      .orderBy(col("cnt").desc, col("event_type").asc)
+    val top = counts.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("window_start").cast("string"), col("event_type"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // A dominates both windows the events fall into
+    assert(top === Map("2025-01-01 09:30:00" -> "A", "2025-01-01 10:00:00" -> "A"))
+  }
+
   test("a39 localPeaks: strict maxima only — plateaus, endpoints, sub-threshold out") {
     val ev = Seq(
       ("k", 1L, 10.0), ("k", 2L, 50.0), ("k", 3L, 20.0),  // 2 is a peak

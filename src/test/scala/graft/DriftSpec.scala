@@ -64,6 +64,26 @@ class DriftSpec extends SparkSpec {
     assert(buckets === Set(0L, 3L))
   }
 
+  test("x103 proportionBias: symmetric two-group z at the closed form") {
+    val rows = (1 to 10).map(i => ("g1", i <= 8)) ++
+      (1 to 10).map(i => ("g2", i <= 2))
+    val got = Drift.proportionBias(rows.toDF("g", "f").repartition(3),
+        col("g"), col("f"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // pooled p = .5, den = .5·.5·(1/10+1/10) = .05 → z = ±.6/√.05
+    val z = 0.6 / math.sqrt(0.05)
+    assert(got("g1") === ((10L, 8L, 0.8, math.rint(z * 1e6) / 1e6)))
+    assert(got("g2") === ((10L, 2L, 0.2, -math.rint(z * 1e6) / 1e6)))
+  }
+
+  test("x103 proportionBias: single-group population emits null z") {
+    val got = Drift.proportionBias(
+        Seq(("only", true), ("only", false)).toDF("g", "f"), col("g"), col("f"))
+      .collect().head
+    assert(got.isNullAt(4), "rest-population of zero has no defined test")
+  }
+
   test("a37 changePoint locates a planted mean shift with the exact score") {
     import java.sql.Timestamp
     def ts(i: Int) = new Timestamp(i * 1000L)
