@@ -1080,6 +1080,27 @@ object OracleSql {
          |   (CAST(cc AS DOUBLE) / CAST(ctn AS DOUBLE)))), 6) AS kl
          |FROM c JOIN ct USING (term) JOIN stot USING (source) CROSS JOIN ctot
          |GROUP BY c.source, stot.stn""".stripMargin,
+    // exhaustive truth over the SAME sampled gram frame the chain builds
+    // (g), production chain as `scored`; per-band recall
+    "x104_neardup_recall" ->
+      s"""WITH samp AS (SELECT doc_id, text FROM documents
+         | WHERE ${bucketSql("doc_id", "ndrecall")} < 5000),
+         |${nearDupChainSql(4, 2, "samp")},
+         |found AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.3),
+         |truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+         |   greatest(CAST(len(a.grams) + len(b.grams) AS DOUBLE)
+         |    - CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE), 1.0), 6)
+         |   AS jaccard
+         | FROM g a JOIN g b ON a.doc_id < b.doc_id),
+         |tt AS (SELECT doc_a, doc_b, jaccard FROM truth WHERE jaccard >= 0.3)
+         |SELECT least(CAST(floor(jaccard / 0.2) AS INTEGER), 4) AS band,
+         | CAST(count(*) AS BIGINT) AS n_truth,
+         | CAST(count(f.doc_a) AS BIGINT) AS n_found,
+         | round(CAST(count(f.doc_a) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         |  AS recall
+         |FROM tt LEFT JOIN found f USING (doc_a, doc_b)
+         |GROUP BY least(CAST(floor(jaccard / 0.2) AS INTEGER), 4)""".stripMargin,
     // a34's hop membership + per-window ranking (count desc, type asc)
     "a40_trending" ->
       """WITH e AS (SELECT event_type,

@@ -1053,6 +1053,11 @@ object SparkEntry {
     "x93_ngram_diversity" -> ((s, dir) =>
       graft.text.TfIdf.ngramDiversity(T(s, dir, "documents"),
         col("source"), col("text"))),
+    // recall of the production near-dup chain vs exhaustive truth on a
+    // 50% hash sample, per Jaccard band — the x71 harness for dedup
+    "x104_neardup_recall" -> ((s, dir) =>
+      Dedup.recallAudit(T(s, dir, "documents"), col("doc_id"), col("text"),
+        threshold = 0.3, sampleBuckets = 5000)),
     // top-3 trending event types per hopping window (a34 hop + a ranking
     // window over the ALREADY-AGGREGATED (window, type) frame)
     "a40_trending" -> ((s, dir) => {

@@ -941,6 +941,56 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** LSH recall audit — the dedup-tier twin of the x71 ANN recall
+    * harness: on a DETERMINISTIC hash sample of the corpus, compute the
+    * exhaustive ground truth (every pair at-or-above `threshold` by exact
+    * Jaccard) and measure what fraction the production
+    * [[nearDuplicates]] chain finds, per Jaccard band — because banding
+    * loss is concentrated just above the threshold (the S-curve's toe),
+    * a single recall number hides exactly the band a curator needs to
+    * see. "Measure, don't guess": the (b, r) dial is only defensible with
+    * this number attached.
+    *
+    * Scale shape: the exhaustive side is quadratic BY DESIGN and therefore
+    * runs only on the sample — `samplePerMille` bounds it at
+    * (rate·|corpus|)², the audit's explicit cost dial; the truth pair
+    * frame is broadcast-joined against the found pairs (truth is
+    * band-capped-free and tiny). The LSH side is the unmodified
+    * production chain on the same sample.
+    */
+  def recallAudit(df: DataFrame, id: Column, text: Column,
+      threshold: Double, sampleBuckets: Int,
+      salt: String = "ndrecall"): DataFrame = {
+    require(sampleBuckets >= 1 &&
+      sampleBuckets <= graft.sampling.Sampling.Buckets,
+      s"sampleBuckets out of range: $sampleBuckets")
+    val sampled = df
+      .filter(graft.sampling.Sampling.hashBucket(id, salt) < sampleBuckets)
+      .select(id.as("__sid"), text.as("__stext"))
+      .localCheckpoint(true) // truth AND the LSH chain both consume it
+    val g = sampled
+      .select(col("__sid").as("doc_id"), Native.bigrams(col("__stext")).as("grams"))
+      .localCheckpoint(true)
+    val truth = g.select(col("doc_id").as("doc_a"), col("grams").as("__ga"))
+      .join(broadcast(g.select(col("doc_id").as("doc_b"), col("grams").as("__gb"))),
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("__ga"), col("__gb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val found = nearDuplicates(sampled, col("__sid"), col("__stext"), threshold)
+      .select(col("doc_a").as("__fa"), col("doc_b").as("__fb"))
+    val band = least(floor(col("jaccard") / 0.2).cast("int"), lit(4))
+    truth
+      .join(broadcast(found),
+        col("doc_a") === col("__fa") && col("doc_b") === col("__fb"), "left")
+      .groupBy(band.as("band"))
+      .agg(count(lit(1)).as("n_truth"),
+        count(col("__fa")).as("n_found"))
+      .select(col("band"), col("n_truth"), col("n_found"),
+        round(col("n_found").cast("double") / col("n_truth").cast("double"), 6)
+          .as("recall"))
+  }
+
   /** MinHash ESTIMATE of the source-overlap matrix — the 100 TB face of
     * [[sourceOverlap]]: a source's signature is the element-wise MINIMUM
     * of its documents' minhash signatures (min over a union = min of

@@ -559,6 +559,24 @@ class DedupSpec extends SparkSpec {
       ("web", "web") -> ((1L, 0.5))))
   }
 
+  test("x104 recallAudit: perfect recall on clones, found never exceeds truth") {
+    import spark.implicits._
+    val clones = (1L to 5L).map(i => (i, "the quick brown fox jumps high"))
+    val rest = Seq((6L, "completely different words entirely"),
+      (7L, "another unrelated document body here"))
+    val docs = (clones ++ rest).toDF("doc_id", "text").repartition(3)
+    val got = Dedup.recallAudit(docs, col("doc_id"), col("text"),
+        threshold = 0.3, sampleBuckets = graft.sampling.Sampling.Buckets)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // the 5 clones: 10 truth pairs at jaccard 1.0 (band 4), all bands'
+    // found counts bounded by truth, clones fully recalled
+    assert(got(4) === ((10L, 10L, 1.0)))
+    got.values.foreach { case (t, f, r) =>
+      assert(f <= t && r <= 1.0 && r >= 0.0)
+    }
+  }
+
   test("x98 sourceOverlap: exact pair Jaccard, disjoint pairs absent, df cap") {
     import spark.implicits._
     val docs = Seq(
