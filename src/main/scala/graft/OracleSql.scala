@@ -1080,6 +1080,49 @@ object OracleSql {
          |   (CAST(cc AS DOUBLE) / CAST(ctn AS DOUBLE)))), 6) AS kl
          |FROM c JOIN ct USING (term) JOIN stot USING (source) CROSS JOIN ctot
          |GROUP BY c.source, stot.stn""".stripMargin,
+    // x17's assignment chain joined to ground-truth labels; per-cluster
+    // majority via the ranked window (count desc, label asc)
+    "x105_cluster_purity" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+         | FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id % 50 = 0),
+         |asg AS (SELECT vec_id, cid FROM (
+         | SELECT v.vec_id, c.cid,
+         |  row_number() OVER (PARTITION BY v.vec_id
+         |   ORDER BY ${cosineSql("v.ve", "c.cv")} DESC, c.cid) AS rn
+         | FROM v CROSS JOIN cent c) WHERE rn = 1),
+         |lab AS (SELECT a.cid, CAST(e.label AS BIGINT) AS lab
+         | FROM asg a JOIN embeddings e ON a.vec_id = e.vec_id),
+         |cl AS (SELECT cid, lab, CAST(count(*) AS BIGINT) AS c
+         | FROM lab GROUP BY cid, lab),
+         |best AS (SELECT cid, lab, c,
+         |  row_number() OVER (PARTITION BY cid ORDER BY c DESC, lab ASC) AS rn,
+         |  CAST(sum(c) OVER (PARTITION BY cid) AS BIGINT) AS n FROM cl)
+         |SELECT cid AS centroid_id, n AS n_vecs, lab AS majority_label,
+         | c AS n_majority, round(CAST(c AS DOUBLE) / CAST(n AS DOUBLE), 6) AS purity
+         |FROM best WHERE rn = 1""".stripMargin,
+    // full bucket×side grid from the margins (zero-observed cells count);
+    // the per-cell term mirrors the Spark tree
+    "x106_split_chisq" ->
+      s"""WITH b AS (SELECT least(CAST(floor(CAST(n_chars AS DOUBLE) / 64.0)
+         |   AS BIGINT), 8) AS bucket,
+         |  CAST(${bucketSql("doc_id", "chisq")} < 5000 AS INTEGER) AS side
+         | FROM documents),
+         |obs AS (SELECT bucket, side, CAST(count(*) AS BIGINT) AS o
+         | FROM b GROUP BY bucket, side),
+         |rt AS (SELECT bucket, CAST(sum(o) AS BIGINT) AS rt FROM obs GROUP BY bucket),
+         |ct AS (SELECT side, CAST(sum(o) AS BIGINT) AS ct FROM obs GROUP BY side),
+         |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+         |cells AS (SELECT rt.bucket, ct.side,
+         |  CAST(coalesce(obs.o, 0) AS DOUBLE) AS o,
+         |  CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / CAST(nn.n AS DOUBLE) AS e,
+         |  nn.n AS n
+         | FROM rt CROSS JOIN ct CROSS JOIN nn
+         | LEFT JOIN obs ON rt.bucket = obs.bucket AND ct.side = obs.side)
+         |SELECT round(sum(((o - e) * (o - e)) / e), 6) AS chi2,
+         | CAST(count(DISTINCT bucket) - 1 AS BIGINT) AS df,
+         | CAST(max(n) AS BIGINT) AS n
+         |FROM cells""".stripMargin,
     // exhaustive truth over the SAME sampled gram frame the chain builds
     // (g), production chain as `scored`; per-band recall
     "x104_neardup_recall" ->

@@ -1053,6 +1053,19 @@ object SparkEntry {
     "x93_ngram_diversity" -> ((s, dir) =>
       graft.text.TfIdf.ngramDiversity(T(s, dir, "documents"),
         col("source"), col("text"))),
+    // purity of the x17 nearest-centroid clusters vs the embeddings'
+    // ground-truth labels — the clustering report card beside x97
+    "x105_cluster_purity" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.clusterPurity(emb, emb.filter(col("vec_id") % 50 === 0),
+        col("label"))
+    }),
+    // split-exchangeability χ²: doc-length distribution between the two
+    // halves of a deterministic hash split (the pre-eval sanity gate)
+    "x106_split_chisq" -> ((s, dir) =>
+      graft.analytics.Drift.splitChiSquare(T(s, dir, "documents"),
+        col("doc_id"), col("n_chars"), bucketWidth = 64, maxBucketIdx = 8,
+        salt = "chisq", cutBuckets = 5000)),
     // recall of the production near-dup chain vs exhaustive truth on a
     // 50% hash sample, per Jaccard band — the x71 harness for dedup
     "x104_neardup_recall" -> ((s, dir) =>

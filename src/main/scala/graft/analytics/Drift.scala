@@ -50,6 +50,45 @@ object Drift {
         round((pa - pb) * log(pa / pb), 6).as("psi_term"))
   }
 
+  /** Split-homogeneity chi-square: Pearson's χ² of a bucketed metric's
+    * distribution between the two halves of a deterministic hash split —
+    * the exchangeability check a train/test split must pass BEFORE any
+    * eval number downstream of it means anything (a split whose length
+    * distribution differs between halves leaks difficulty, and the eval
+    * set silently stops representing the training distribution). Emits
+    * one row: χ², degrees of freedom (buckets − 1), and N.
+    *
+    * Scale shape: one scan into a (bucket × side) aggregate; margins
+    * re-aggregate that frame; expected counts via two broadcast joins.
+    * Zero-observed cells still contribute (the bucket×side grid is built
+    * from the margins, not from observed rows). Exact integer counts to
+    * one final double sum, rounded 6.
+    */
+  def splitChiSquare(df: DataFrame, id: Column, value: Column,
+      bucketWidth: Long, maxBucketIdx: Int, salt: String,
+      cutBuckets: Int): DataFrame = {
+    require(bucketWidth > 0 && maxBucketIdx >= 1, "bad bucketing")
+    val side = (graft.sampling.Sampling.hashBucket(id, salt) < cutBuckets)
+      .cast("int")
+    val bucket = least(floor(value.cast("double") / bucketWidth.toDouble)
+      .cast("long"), lit(maxBucketIdx.toLong))
+    val obs = df.select(bucket.as("bucket"), side.as("side"))
+      .groupBy(col("bucket"), col("side")).agg(count(lit(1)).as("__o"))
+      .localCheckpoint(true) // margins + cells all re-aggregate this frame
+    val rowT = obs.groupBy(col("bucket")).agg(sum(col("__o")).as("__rt"))
+    val colT = obs.groupBy(col("side")).agg(sum(col("__o")).as("__ct"))
+    val n = obs.agg(sum(col("__o")).as("__N"))
+    val e = col("__rt").cast("double") * col("__ct").cast("double") /
+      col("__N").cast("double")
+    val o = coalesce(col("__o"), lit(0L)).cast("double")
+    rowT.crossJoin(broadcast(colT)).crossJoin(broadcast(n))
+      .join(obs, Seq("bucket", "side"), "left")
+      .select((((o - e) * (o - e)) / e).as("__term"), col("bucket"), col("__N"))
+      .agg(round(sum(col("__term")), 6).as("chi2"),
+        (countDistinct(col("bucket")) - 1).as("df"),
+        max(col("__N")).as("n"))
+  }
+
   /** Per-group selection-bias screen: pooled two-proportion z-test of
     * each group's flag rate against the REST of the population — the
     * fairness/monitoring question "is the gate (or dedup, or sampler)

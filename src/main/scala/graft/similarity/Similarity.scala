@@ -175,6 +175,35 @@ object Similarity {
         lit(-1L)).as("centroid_id"),
       col("embedding").as("v"))
 
+  /** Cluster-purity evaluation: nearest-centroid clusters crossed with a
+    * ground-truth label column — per cluster, its size, majority label
+    * and purity (majority share). The x97-style report card for the
+    * embedding-clustering tier: purity collapsing toward 1/|labels| means
+    * the centroids (or the embeddings) carry no label signal, and a
+    * cluster whose majority label flips between runs of the trainer is
+    * the first symptom of seed sensitivity.
+    *
+    * Scale shape: assignment is the shuffle-free argmax projection
+    * ([[assignClusters]]); one (cluster, label) aggregate then a
+    * |clusters|-sized majority argmax via `min(struct)` — the label
+    * join is id-keyed, never wider than (id, cluster, label).
+    */
+  def clusterPurity(corpus: DataFrame, centroids: DataFrame,
+      label: Column): DataFrame = {
+    val asg = assignClusters(corpus, centroids)
+      .select(col("vec_id"), col("centroid_id"))
+    val lab = corpus.select(col("vec_id"), label.cast("long").as("__lab"))
+    asg.join(lab, "vec_id")
+      .groupBy(col("centroid_id"), col("__lab")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("centroid_id"))
+      .agg(sum(col("__c")).as("n_vecs"),
+        min(struct((-col("__c")).as("nc"), col("__lab").as("l"))).as("__m"))
+      .select(col("centroid_id"), col("n_vecs"),
+        col("__m.l").as("majority_label"), (-col("__m.nc")).as("n_majority"),
+        round((-col("__m.nc")).cast("double") / col("n_vecs").cast("double"), 6)
+          .as("purity"))
+  }
+
   /** Cluster-balanced sampling: deterministic top-`perCluster` vectors per
     * nearest-centroid cluster, ordered by a salted md5 hash (ties by id) —
     * the diversity-balanced subset selection step of embedding-driven data

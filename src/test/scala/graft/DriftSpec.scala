@@ -64,6 +64,34 @@ class DriftSpec extends SparkSpec {
     assert(buckets === Set(0L, 3L))
   }
 
+  test("x106 splitChiSquare equals the hand-computed Pearson statistic") {
+    import graft.sampling.Sampling
+    val rows = (1 to 60).map(i => (i.toLong, (i % 3) * 10L)) // buckets 0..2 @ width 10
+    val df = rows.toDF("id", "v").repartition(3)
+    val got = Drift.splitChiSquare(df, col("id"), col("v"), bucketWidth = 10,
+      maxBucketIdx = 8, salt = "t", cutBuckets = 5000).collect().head
+    // replicate: side from the same hash rule, then textbook chi-square
+    val sides = df.select(col("id"),
+        (Sampling.hashBucket(col("id"), "t") < 5000).cast("int").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cells = rows.groupBy { case (id, v) => (v / 10, sides(id)) }
+      .view.mapValues(_.size.toDouble).toMap
+    val buckets = rows.map(_._2 / 10).distinct
+    val rowT = buckets.map(b => b -> (cells.getOrElse((b, 0), 0.0) +
+      cells.getOrElse((b, 1), 0.0))).toMap
+    val colT = Seq(0, 1).map(s => s -> buckets.map(b =>
+      cells.getOrElse((b, s), 0.0)).sum).toMap
+    val n = 60.0
+    val chi2 = (for { b <- buckets; s <- Seq(0, 1) } yield {
+      val e = rowT(b) * colT(s) / n
+      val o = cells.getOrElse((b, s), 0.0)
+      (o - e) * (o - e) / e
+    }).sum
+    assert(math.abs(got.getDouble(0) - chi2) < 1e-6, s"$got vs $chi2")
+    assert(got.getLong(1) === buckets.size - 1L)
+    assert(got.getLong(2) === 60L)
+  }
+
   test("x103 proportionBias: symmetric two-group z at the closed form") {
     val rows = (1 to 10).map(i => ("g1", i <= 8)) ++
       (1 to 10).map(i => ("g2", i <= 2))

@@ -392,6 +392,22 @@ class SimilaritySpec extends SparkSpec {
     assert(loose === Set(1L, 2L, 3L))
   }
 
+  test("x105 clusterPurity: majority share per cluster, min label on ties") {
+    // centroid 0 = x-axis, centroid 1 = y-axis; labels: cluster 0 is
+    // pure label 7, cluster 1 is a 1-1 tie between labels 3 and 9
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 7), (2L, Array(0.9f, 0.1f), 7),
+      (3L, Array(0.8f, 0.05f), 7),
+      (1L, Array(0.0f, 1.0f), 9), (4L, Array(0.1f, 0.9f), 3))
+      .toDF("vec_id", "embedding", "label").repartition(2)
+    val cents = emb.filter(col("vec_id") < 2)
+    val got = Similarity.clusterPurity(emb, cents, col("label"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(0L) === ((3L, 7L, 3L, 1.0)))
+    assert(got(1L) === ((2L, 3L, 1L, 0.5))) // tie → min label 3
+  }
+
   test("x88 centroidSimilarity: orthogonal, identical and mixed centroids") {
     // label 0 averages to (1,0); label 1 to (0,1) (orthogonal to 0);
     // label 2 is a single (1,1) vector — cos 1/√2 against both axes
