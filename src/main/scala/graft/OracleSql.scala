@@ -1080,6 +1080,26 @@ object OracleSql {
          |   (CAST(cc AS DOUBLE) / CAST(ctn AS DOUBLE)))), 6) AS kl
          |FROM c JOIN ct USING (term) JOIN stot USING (source) CROSS JOIN ctot
          |GROUP BY c.source, stot.stn""".stripMargin,
+    // centi-quantized value × integer-ms hold interval; both sums exact
+    "a41_time_weighted" ->
+      """WITH o AS (SELECT event_type, value, epoch_us(ts) AS us,
+        |  lead(epoch_us(ts)) OVER (PARTITION BY event_type
+        |    ORDER BY ts, event_id) AS nus
+        | FROM events),
+        |d AS (SELECT event_type, value, (nus - us) // 1000 AS dt_ms
+        | FROM o WHERE nus IS NOT NULL)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_intervals,
+        | CAST(sum(dt_ms) AS BIGINT) AS total_ms,
+        | round(sum(round(value * 100) * dt_ms) / sum(dt_ms) / 100.0, 6)
+        |  AS tw_mean
+        |FROM d GROUP BY event_type""".stripMargin,
+    // sub-k (lang, source, len-bucket) classes stated directly
+    "x107_k_anonymity" ->
+      """SELECT lang, source,
+        | CAST(floor(n_chars / 128) AS BIGINT) AS len_bucket,
+        | CAST(count(*) AS BIGINT) AS class_size
+        |FROM documents GROUP BY lang, source, floor(n_chars / 128)
+        |HAVING count(*) < 5""".stripMargin,
     // x17's assignment chain joined to ground-truth labels; per-cluster
     // majority via the ranked window (count desc, label asc)
     "x105_cluster_purity" ->

@@ -1053,6 +1053,17 @@ object SparkEntry {
     "x93_ngram_diversity" -> ((s, dir) =>
       graft.text.TfIdf.ngramDiversity(T(s, dir, "documents"),
         col("source"), col("text"))),
+    // duration-weighted mean per type — the correct average for sampled
+    // state signals (row means are cadence artifacts)
+    "a41_time_weighted" -> ((s, dir) =>
+      Temporal.timeWeightedMean(T(s, dir, "events"), "event_type", "ts",
+        col("value"), order = Seq("event_id"))),
+    // sub-k quasi-identifier classes over (lang, source, length bucket) —
+    // the re-identification audit beside the x31 PII scrub
+    "x107_k_anonymity" -> ((s, dir) =>
+      Validation.kAnonymityViolations(T(s, dir, "documents"),
+        Seq(col("lang"), col("source"),
+          floor(col("n_chars") / 128).cast("long").as("len_bucket")), k = 5)),
     // purity of the x17 nearest-centroid clusters vs the embeddings'
     // ground-truth labels — the clustering report card beside x97
     "x105_cluster_purity" -> ((s, dir) => {

@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -274,6 +274,40 @@ object Temporal {
         col(time).as("gap_end"),
         ((unix_micros(col(time)) - unix_micros(col("__prev"))) / 1000000L)
           .cast("long").as("gap_secs"))
+  }
+
+  /** Time-weighted mean: each reading weighted by how long it HELD (the
+    * interval to the next reading) — the correct average for sampled
+    * state signals, where the plain row mean is an artifact of the
+    * sampling cadence (a sensor that reports every second while idle and
+    * every hour under load makes idle look dominant to a row mean;
+    * telemetry/SCADA averages are time-weighted for exactly this reason).
+    * The last reading of a key has no successor interval and contributes
+    * no weight.
+    *
+    * Determinism: values quantize to centi-units and intervals to exact
+    * integer milliseconds, so both sums are merge-order-exact integer
+    * sums (products bounded ≪ 2⁵³ at any realistic key size) and the
+    * final division is one deterministic double op.
+    *
+    * Scale shape: one per-key window (lead), one per-key aggregate.
+    */
+  def timeWeightedMean(df: DataFrame, key: String, time: String,
+      value: Column, order: Seq[String] = Nil): DataFrame = {
+    val sort = (col(time) +: order.map(col)).map(_.asc)
+    val w = Window.partitionBy(col(key)).orderBy(sort: _*)
+    df.select(col(key) +: col(time) +: value.as("__v") +: order.map(col): _*)
+      .withColumn("__us", unix_micros(col(time)))
+      .withColumn("__next_us", lead(col("__us"), 1).over(w))
+      .withColumn("__dt_ms", expr("(__next_us - __us) DIV 1000"))
+      .filter(col("__dt_ms").isNotNull)
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("__dt_ms")).as("total_ms"),
+        (sum(round(col("__v").cast("double") * 100) * col("__dt_ms")) /
+          sum(col("__dt_ms")) / 100.0).as("__twa"))
+      .select(col(key), col("n_intervals"), col("total_ms"),
+        round(col("__twa"), 6).as("tw_mean"))
   }
 
   /** Availability / SLA report — the per-key rollup of [[gaps]]: observed

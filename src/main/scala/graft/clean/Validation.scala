@@ -84,6 +84,26 @@ object Validation {
       .drop("__rn")
   }
 
+  /** k-anonymity audit: equivalence classes of the quasi-identifier
+    * columns with fewer than `k` members — the data-release check that
+    * complements PII scrubbing ([[graft.text.Redact]]): a corpus can be
+    * free of literal emails and still re-identify people through rare
+    * attribute COMBINATIONS (the classic zip+birthdate+sex result), and
+    * any class below k is such a fingerprint. Emits the violating classes
+    * with their sizes; an empty result is the release criterion.
+    *
+    * Scale shape: one grouped count over the quasi columns (map-side
+    * partials), one narrow filter — output is violation-sized.
+    */
+  def kAnonymityViolations(df: DataFrame, quasi: Seq[Column],
+      k: Int): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(quasi: _*)
+      .agg(count(lit(1)).as("class_size"))
+      .filter(col("class_size") < k)
+  }
+
   /** Referential-integrity audit: for each named (child, fk, parent, pk)
     * relation, the child row count and the count of orphans (child rows
     * whose non-null FK matches no parent key) — the warehouse smoke test

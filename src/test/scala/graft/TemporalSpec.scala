@@ -242,6 +242,20 @@ class TemporalSpec extends SparkSpec {
       4L -> Some(7.0), 5L -> None))
   }
 
+  test("a41 timeWeightedMean: hold durations weight the mean, cadence doesn't") {
+    // v=10 held 10 s, v=20 held 30 s, final reading holds nothing:
+    // tw = (10·10 + 20·30)/40 = 17.5 where the row mean is 40/3
+    val df = Seq(
+      ("k", ts("2025-01-01 00:00:00"), 1L, 10.0),
+      ("k", ts("2025-01-01 00:00:10"), 2L, 20.0),
+      ("k", ts("2025-01-01 00:00:40"), 3L, 999.0))
+      .toDF("k", "t", "id", "v").repartition(2)
+    val got = Temporal.timeWeightedMean(df, "k", "t", col("v"), Seq("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).head
+    assert(got === (("k", 2L, 40000L, 17.5)))
+  }
+
   test("a33 availability: downtime ratio, gap accounting, singleton null") {
     val df = Seq(
       ("A", ts("2025-01-01 00:00:00"), 1L),

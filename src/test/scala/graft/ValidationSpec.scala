@@ -81,6 +81,18 @@ class ValidationSpec extends SparkSpec {
     assert(!out.columns.contains(Sources.IngestOrderCol))
   }
 
+  test("x107 kAnonymityViolations: sub-k classes reported, k-sized ones clean") {
+    import spark.implicits._
+    val df = (Seq.fill(5)(("en", "s1")) ++ Seq.fill(2)(("en", "s2")) :+
+      (("fr", "s1"))).zipWithIndex
+      .map { case ((l, s), i) => (i.toLong, l, s) }
+      .toDF("id", "lang", "source").repartition(2)
+    val got = Validation.kAnonymityViolations(df,
+        Seq(col("lang"), col("source")), k = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(("en", "s2") -> 2L, ("fr", "s1") -> 1L))
+  }
+
   test("j14 refIntegrity: orphan counts per relation, null FKs not orphans") {
     import spark.implicits._
     val parent = Seq(1L, 2L).toDF("pk")
