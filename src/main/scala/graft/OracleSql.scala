@@ -1080,6 +1080,40 @@ object OracleSql {
          |   (CAST(cc AS DOUBLE) / CAST(ctn AS DOUBLE)))), 6) AS kl
          |FROM c JOIN ct USING (term) JOIN stot USING (source) CROSS JOIN ctot
          |GROUP BY c.source, stot.stn""".stripMargin,
+    // exact interpolated percentile bounds (a08 quantile_cont parity),
+    // per-row clip mirrored
+    "p18_winsorize" ->
+      """WITH b AS (SELECT event_type AS g,
+        |  quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+        | FROM events GROUP BY event_type)
+        |SELECT event_id, event_type,
+        | round(least(greatest(value, lo), hi), 6) AS clipped,
+        | (value < lo OR value > hi) AS was_clipped
+        |FROM events JOIN b ON event_type = g""".stripMargin,
+    // consecutive decreases per key; drop magnitudes are per-row exact
+    "a42_counter_monotonic" ->
+      """WITH o AS (SELECT user_id, value,
+        |  lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |   - value AS drop
+        | FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,
+        | CAST(count(CASE WHEN drop > 0.0 THEN 1 END) AS BIGINT) AS n_decreases,
+        | round(max(CASE WHEN drop > 0.0 THEN drop END), 6) AS max_drop,
+        | (count(CASE WHEN drop > 0.0 THEN 1 END) = 0) AS monotone
+        |FROM o GROUP BY user_id""".stripMargin,
+    // n·σ quantized to micro-units before the denominator sum (x61
+    // construction); σ rounds 6 first on both sides
+    "x109_neyman_alloc" ->
+      """WITH per AS (SELECT event_type AS stratum,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(stddev_samp(value), 6) AS sd FROM events GROUP BY event_type),
+        |pw AS (SELECT stratum, n, sd,
+        |  coalesce(round(CAST(n AS DOUBLE) * sd * 1000000.0), 0.0) AS pw
+        | FROM per),
+        |den AS (SELECT sum(pw) AS den FROM pw)
+        |SELECT stratum, n, sd, round(pw / den, 6) AS weight,
+        | round(CAST(1000 AS DOUBLE) * (pw / den), 6) AS alloc
+        |FROM pw CROSS JOIN den""".stripMargin,
     // centi-quantized value × integer-ms hold interval; both sums exact
     "a41_time_weighted" ->
       """WITH o AS (SELECT event_type, value, epoch_us(ts) AS us,

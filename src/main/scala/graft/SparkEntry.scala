@@ -1053,6 +1053,21 @@ object SparkEntry {
     "x93_ngram_diversity" -> ((s, dir) =>
       graft.text.TfIdf.ngramDiversity(T(s, dir, "documents"),
         col("source"), col("text"))),
+    // per-type winsorization at the exact [p05, p95]: clip, don't drop
+    "p18_winsorize" -> ((s, dir) =>
+      Validation.winsorize(T(s, dir, "events"), col("event_type"),
+          col("value"), pLow = 0.05, pHigh = 0.95)
+        .select(col("event_id"), col("event_type"), col("clipped"),
+          col("was_clipped"))),
+    // counter-reset audit per user: consecutive decreases + largest drop
+    "a42_counter_monotonic" -> ((s, dir) =>
+      Temporal.monotonicityAudit(T(s, dir, "events"), "user_id", "ts",
+        col("value"), order = Seq("event_id"))),
+    // variance-optimal (Neyman) sampling allocation per type — the
+    // estimator-variance counterpart of x102's fairness water level
+    "x109_neyman_alloc" -> ((s, dir) =>
+      graft.sampling.BudgetSelect.neymanAllocation(T(s, dir, "events"),
+        col("event_type"), col("value"), budget = 1000L)),
     // duration-weighted mean per type — the correct average for sampled
     // state signals (row means are cadence artifacts)
     "a41_time_weighted" -> ((s, dir) =>

@@ -310,6 +310,29 @@ object Temporal {
         round(col("__twa"), 6).as("tw_mean"))
   }
 
+  /** Monotonicity audit for cumulative-counter signals (energy meters,
+    * byte counters, event sequence numbers): per key, how many
+    * consecutive-reading DECREASES occur, and the largest one — a
+    * decrease in a counter is a reset, a device swap, or data corruption,
+    * and every rate computed across it is garbage. `monotone` is the
+    * per-key pass flag.
+    *
+    * Shape: one per-key lag window, one per-key aggregate.
+    */
+  def monotonicityAudit(df: DataFrame, key: String, time: String,
+      value: Column, order: Seq[String] = Nil): DataFrame = {
+    val sort = (col(time) +: order.map(col)).map(_.asc)
+    val w = Window.partitionBy(col(key)).orderBy(sort: _*)
+    df.select(col(key) +: col(time) +: value.cast("double").as("__v") +:
+        order.map(col): _*)
+      .withColumn("__drop", lag(col("__v"), 1).over(w) - col("__v"))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_obs"),
+        count(when(col("__drop") > 0.0, 1)).as("n_decreases"),
+        round(max(when(col("__drop") > 0.0, col("__drop"))), 6).as("max_drop"))
+      .withColumn("monotone", col("n_decreases") === 0L)
+  }
+
   /** Availability / SLA report — the per-key rollup of [[gaps]]: observed
     * span, gap count, total downtime (sum of inter-reading silences longer
     * than `minGapSeconds`, same strict-> rule as [[gaps]]) and the

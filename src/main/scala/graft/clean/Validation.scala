@@ -84,6 +84,33 @@ object Validation {
       .drop("__rn")
   }
 
+  /** P18: per-group winsorization — clip values to the group's exact
+    * [pLow, pHigh] interpolated percentiles and flag what was clipped:
+    * the robust-scaling cleaner for heavy-tailed sensor/metric columns
+    * where [[rangeFilter]]'s fixed physical bounds are right for
+    * impossibilities but wrong for legitimate-but-extreme tails (dropping
+    * tails biases means; clipping preserves the row and bounds the
+    * influence).
+    *
+    * Shape: one grouped exact-percentile aggregate to |groups| rows,
+    * broadcast back, narrow clip — the [[graft.analytics.Alerts.zscoreOutliers]]
+    * cost envelope (exact percentiles sort per group inside the
+    * aggregate; at extreme group sizes swap in approx_percentile).
+    */
+  def winsorize(df: DataFrame, group: Column, value: Column,
+      pLow: Double, pHigh: Double): DataFrame = {
+    require(pLow >= 0 && pHigh <= 1 && pLow < pHigh,
+      s"need 0 <= pLow < pHigh <= 1, got ($pLow, $pHigh)")
+    val bounds = df.groupBy(group.as("__g"))
+      .agg(percentile(value, lit(pLow)).as("__lo"),
+        percentile(value, lit(pHigh)).as("__hi"))
+    df.join(broadcast(bounds), group === col("__g"))
+      .withColumn("clipped", round(least(greatest(value, col("__lo")),
+        col("__hi")), 6))
+      .withColumn("was_clipped", value < col("__lo") || value > col("__hi"))
+      .drop("__g", "__lo", "__hi")
+  }
+
   /** k-anonymity audit: equivalence classes of the quasi-identifier
     * columns with fewer than `k` members — the data-release check that
     * complements PII scrubbing ([[graft.text.Redact]]): a corpus can be

@@ -248,6 +248,35 @@ object BudgetSelect {
             (col("__n") - 1).cast("double"), 6)).as("pct_rank"))
   }
 
+  /** Neyman (minimum-variance) sample allocation: distribute a sampling
+    * budget across strata proportionally to `n_s · σ_s` — the optimal
+    * allocation when the goal is the tightest estimate of a population
+    * mean (high-variance strata earn more samples per row than uniform
+    * ones), the survey-sampling classic and [[waterFill]]'s counterpart
+    * (fairness vs estimator variance). Singleton strata have undefined
+    * sample σ and weight 0 (documented: they contribute one point
+    * regardless of allocation).
+    *
+    * Determinism: σ rounds to 6 dp, then `n·σ` quantizes to integer
+    * micro-units before the denominator sum (the x61 powered-mass
+    * construction) — merge-order-exact.
+    */
+  def neymanAllocation(df: DataFrame, stratum: Column, value: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be > 0, got $budget")
+    val per = df.groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).as("n"),
+        round(stddev_samp(value), 6).as("sd"))
+      .withColumn("__pw",
+        coalesce(round(col("n").cast("double") * col("sd") * 1.0e6), lit(0.0)))
+    val den = per.agg(sum(col("__pw")).as("__den"))
+    per.crossJoin(broadcast(den))
+      .select(col("stratum"), col("n"), col("sd"),
+        round(col("__pw") / col("__den"), 6).as("weight"),
+        round(lit(budget).cast("double") * (col("__pw") / col("__den")), 6)
+          .as("alloc"))
+  }
+
   /** Water-filling budget allocation across groups: give every group the
     * same "water level" `L` of tokens, capped at the group's own capacity,
     * with `L` chosen so the allocations sum to `budget` — the

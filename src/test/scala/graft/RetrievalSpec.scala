@@ -442,6 +442,19 @@ class RetrievalSpec extends SparkSpec {
       "top-k must plan as per-partition heaps, not a global sort")
   }
 
+  test("x109 neymanAllocation: variance earns budget; flat and singleton strata get none") {
+    import spark.implicits._
+    val df = (Seq(("A", 0.0), ("A", 10.0)) ++ Seq.fill(3)(("B", 5.0)) :+
+      (("C", 9.0))).toDF("s", "v").repartition(2)
+    val got = graft.sampling.BudgetSelect.neymanAllocation(df, col("s"),
+        col("v"), budget = 1000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got("A") === ((2L, Some(7.071068), 1.0, 1000.0)))
+    assert(got("B") === ((3L, Some(0.0), 0.0, 0.0)))
+    assert(got("C")._1 === 1L && got("C")._2.isEmpty && got("C")._4 === 0.0)
+  }
+
   test("x102 waterFill: level caps big groups, small groups saturate, sums to budget") {
     import spark.implicits._
     val caps = Seq(("a", 10L), ("b", 20L), ("c", 100L)).toDF("g", "cap")

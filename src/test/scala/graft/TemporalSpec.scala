@@ -242,6 +242,24 @@ class TemporalSpec extends SparkSpec {
       4L -> Some(7.0), 5L -> None))
   }
 
+  test("a42 monotonicityAudit counts resets and the worst drop") {
+    val df = Seq(
+      ("m", ts("2025-01-01 00:00:01"), 1L, 1.0),
+      ("m", ts("2025-01-01 00:00:02"), 2L, 2.0),
+      ("m", ts("2025-01-01 00:00:03"), 3L, 5.0),
+      ("m", ts("2025-01-01 00:00:04"), 4L, 3.0), // reset: drop 2
+      ("m", ts("2025-01-01 00:00:05"), 5L, 4.0),
+      ("m", ts("2025-01-01 00:00:06"), 6L, 0.5), // reset: drop 3.5
+      ("ok", ts("2025-01-01 00:00:01"), 1L, 1.0),
+      ("ok", ts("2025-01-01 00:00:02"), 2L, 1.0)) // equal is NOT a decrease
+      .toDF("k", "t", "id", "v").repartition(3)
+    val got = Temporal.monotonicityAudit(df, "k", "t", col("v"), Seq("id"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)), r.getBoolean(4)))).toMap
+    assert(got("m") === ((6L, 2L, Some(3.5), false)))
+    assert(got("ok") === ((2L, 0L, None, true)))
+  }
+
   test("a41 timeWeightedMean: hold durations weight the mean, cadence doesn't") {
     // v=10 held 10 s, v=20 held 30 s, final reading holds nothing:
     // tw = (10·10 + 20·30)/40 = 17.5 where the row mean is 40/3

@@ -81,6 +81,20 @@ class ValidationSpec extends SparkSpec {
     assert(!out.columns.contains(Sources.IngestOrderCol))
   }
 
+  test("p18 winsorize clips to exact interpolated percentiles and flags") {
+    import spark.implicits._
+    val df = (1 to 20).map(i => (i.toLong, "g", i.toDouble))
+      .toDF("id", "g", "v").repartition(3)
+    val got = Validation.winsorize(df, col("g"), col("v"), 0.05, 0.95)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    // p05 = 1 + .05·19 = 1.95, p95 = 19.05 (linear interpolation)
+    assert(got(1L) === ((1.95, true)))
+    assert(got(20L) === ((19.05, true)))
+    assert(got(10L) === ((10.0, false)))
+    assert(got.values.count(_._2) === 2)
+  }
+
   test("x107 kAnonymityViolations: sub-k classes reported, k-sized ones clean") {
     import spark.implicits._
     val df = (Seq.fill(5)(("en", "s1")) ++ Seq.fill(2)(("en", "s2")) :+
