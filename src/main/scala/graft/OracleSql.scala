@@ -1080,6 +1080,35 @@ object OracleSql {
          |   (CAST(cc AS DOUBLE) / CAST(ctn AS DOUBLE)))), 6) AS kl
          |FROM c JOIN ct USING (term) JOIN stot USING (source) CROSS JOIN ctot
          |GROUP BY c.source, stot.stn""".stripMargin,
+    // heaviest keys + max/mean skew ratio over the aggregated key frame
+    "p19_key_skew" ->
+      """WITH c AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS cnt
+        | FROM events GROUP BY user_id),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS nk,
+        |  CAST(sum(cnt) AS BIGINT) AS tot, CAST(max(cnt) AS BIGINT) AS mx
+        | FROM c)
+        |SELECT CAST(rnk AS INTEGER) AS rnk, key, cnt,
+        | round(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share,
+        | round(CAST(mx AS DOUBLE) / (CAST(tot AS DOUBLE) / CAST(nk AS DOUBLE)), 6)
+        |  AS skew_ratio
+        |FROM (SELECT key, cnt, row_number() OVER (
+        |  ORDER BY cnt DESC, key ASC) AS rnk FROM c) CROSS JOIN st
+        |WHERE rnk <= 10""".stripMargin,
+    // per-user lagged state pairs → |states|² aggregate + row-conditional
+    // probabilities
+    "a43_transition_matrix" ->
+      """WITH o AS (SELECT event_type AS s,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |   AS prev
+        | FROM events),
+        |p AS (SELECT prev AS from_state, s AS to_state,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        | FROM o WHERE prev IS NOT NULL GROUP BY prev, s),
+        |ft AS (SELECT from_state, CAST(sum(cnt) AS BIGINT) AS ftot
+        | FROM p GROUP BY from_state)
+        |SELECT p.from_state, to_state, cnt,
+        | round(CAST(cnt AS DOUBLE) / CAST(ftot AS DOUBLE), 6) AS prob
+        |FROM p JOIN ft ON p.from_state = ft.from_state""".stripMargin,
     // exact interpolated percentile bounds (a08 quantile_cont parity),
     // per-row clip mirrored
     "p18_winsorize" ->

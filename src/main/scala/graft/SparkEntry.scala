@@ -1053,6 +1053,15 @@ object SparkEntry {
     "x93_ngram_diversity" -> ((s, dir) =>
       graft.text.TfIdf.ngramDiversity(T(s, dir, "documents"),
         col("source"), col("text"))),
+    // top-10 heaviest user keys + global skew ratio — the measurement
+    // that decides plain shuffle vs AQE-skew vs the salted twins
+    "p19_key_skew" -> ((s, dir) =>
+      Validation.keySkewAudit(T(s, dir, "events"), col("user_id"), topK = 10)),
+    // per-user event-type Markov matrix: every path and its mass (the
+    // funnel asserts one path; this shows all of them)
+    "a43_transition_matrix" -> ((s, dir) =>
+      Temporal.transitionMatrix(T(s, dir, "events"), "user_id", "ts",
+        col("event_type"), order = Seq("event_id"))),
     // per-type winsorization at the exact [p05, p95]: clip, don't drop
     "p18_winsorize" -> ((s, dir) =>
       Validation.winsorize(T(s, dir, "events"), col("event_type"),

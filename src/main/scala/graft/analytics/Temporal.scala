@@ -310,6 +310,34 @@ object Temporal {
         round(col("__twa"), 6).as("tw_mean"))
   }
 
+  /** First-order Markov transition matrix over per-key ordered state
+    * streams: counts and conditional probabilities of consecutive
+    * (state → state) transitions — the behavior model underneath the a31
+    * funnel (a funnel asserts ONE path; the matrix shows every path and
+    * its mass) and the IoT state-machine sanity check (a transition the
+    * device firmware cannot make, appearing with mass, is an ingestion
+    * bug).
+    *
+    * Shape: one per-key lag window; the (prev, cur) aggregate is
+    * |states|²-bounded; row totals join back broadcast.
+    */
+  def transitionMatrix(df: DataFrame, key: String, time: String,
+      state: Column, order: Seq[String] = Nil): DataFrame = {
+    val sort = (col(time) +: order.map(col)).map(_.asc)
+    val w = Window.partitionBy(col(key)).orderBy(sort: _*)
+    val pairs = df
+      .select(col(key) +: col(time) +: state.as("__s") +: order.map(col): _*)
+      .withColumn("__prev", lag(col("__s"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("from_state"), col("__s").as("to_state"))
+      .agg(count(lit(1)).as("cnt"))
+    val fromTot = pairs.groupBy(col("from_state")).agg(sum(col("cnt")).as("__ft"))
+    pairs.join(broadcast(fromTot), "from_state")
+      .select(col("from_state"), col("to_state"), col("cnt"),
+        round(col("cnt").cast("double") / col("__ft").cast("double"), 6)
+          .as("prob"))
+  }
+
   /** Monotonicity audit for cumulative-counter signals (energy meters,
     * byte counters, event sequence numbers): per key, how many
     * consecutive-reading DECREASES occur, and the largest one — a

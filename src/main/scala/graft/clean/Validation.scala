@@ -84,6 +84,37 @@ object Validation {
       .drop("__rn")
   }
 
+  /** P19: join/aggregation key-skew audit — the heaviest key values, each
+    * with its corpus share, plus the global skew ratio (heaviest key ÷
+    * mean key load). This is the measurement that DECIDES between a plain
+    * shuffle, AQE skew handling, and an explicit salted twin (the library
+    * ships salted faces — a02_salted_sum, j10 — precisely for the keys
+    * this report surfaces); running it before a 100 TB join is the
+    * difference between engineering and hoping.
+    *
+    * Shape: one grouped count; the ranking window and the stats run over
+    * the |keys|-sized AGGREGATED frame (post-aggregate window contract);
+    * totals ride back as a 1-row broadcast.
+    */
+  def keySkewAudit(df: DataFrame, key: Column, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // |keys|-sized; ranking + stats both read it
+    val stats = counts.agg(count(lit(1)).as("__nk"), sum(col("cnt")).as("__tot"),
+      max(col("cnt")).as("__mx"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("key").asc)
+    counts.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .crossJoin(broadcast(stats))
+      .select(col("rnk"), col("key"), col("cnt"),
+        round(col("cnt").cast("double") / col("__tot").cast("double"), 6)
+          .as("share"),
+        round(col("__mx").cast("double") /
+          (col("__tot").cast("double") / col("__nk").cast("double")), 6)
+          .as("skew_ratio"))
+  }
+
   /** P18: per-group winsorization — clip values to the group's exact
     * [pLow, pHigh] interpolated percentiles and flag what was clipped:
     * the robust-scaling cleaner for heavy-tailed sensor/metric columns

@@ -242,6 +242,24 @@ class TemporalSpec extends SparkSpec {
       4L -> Some(7.0), 5L -> None))
   }
 
+  test("a43 transitionMatrix: conditional probabilities per from-state") {
+    // u1: A→B→A→B ; u2: A→B — transitions: A→B ×3, B→A ×1
+    val df = Seq(
+      (1L, ts("2025-01-01 00:00:01"), 1L, "A"),
+      (1L, ts("2025-01-01 00:00:02"), 2L, "B"),
+      (1L, ts("2025-01-01 00:00:03"), 3L, "A"),
+      (1L, ts("2025-01-01 00:00:04"), 4L, "B"),
+      (2L, ts("2025-01-01 00:00:01"), 5L, "A"),
+      (2L, ts("2025-01-01 00:00:02"), 6L, "B"))
+      .toDF("u", "t", "id", "s").repartition(3)
+    val got = Temporal.transitionMatrix(df, "u", "t", col("s"), Seq("id"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === Map(
+      ("A", "B") -> ((3L, 1.0)),
+      ("B", "A") -> ((1L, 1.0))))
+  }
+
   test("a42 monotonicityAudit counts resets and the worst drop") {
     val df = Seq(
       ("m", ts("2025-01-01 00:00:01"), 1L, 1.0),

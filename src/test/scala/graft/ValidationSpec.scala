@@ -81,6 +81,19 @@ class ValidationSpec extends SparkSpec {
     assert(!out.columns.contains(Sources.IngestOrderCol))
   }
 
+  test("p19 keySkewAudit: heavy key ranked first with the max/mean ratio") {
+    import spark.implicits._
+    // key h: 6 rows; a, b: 1 row each → mean 8/3, skew = 6/(8/3) = 2.25
+    val df = (Seq.fill(6)("h") ++ Seq("a", "b")).toDF("k").repartition(3)
+    val got = Validation.keySkewAudit(df, col("k"), topK = 2)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got(1) === (("h", 6L, 0.75, 2.25)))
+    assert(got(2)._1 === "a") // tie between a and b → key order
+    assert(got.size === 2)
+  }
+
   test("p18 winsorize clips to exact interpolated percentiles and flags") {
     import spark.implicits._
     val df = (1 to 20).map(i => (i.toLong, "g", i.toDouble))
