@@ -46,8 +46,8 @@ object OracleSql {
         .mkString(" || ")
       s"SELECT doc_id, $c AS band, ${b + 1} AS band_id FROM sig"
     }.mkString("\n UNION ALL ")
-    s"""t AS (SELECT doc_id, $Toks AS toks FROM $src),
-       |g AS (SELECT doc_id, $DistinctGrams AS grams FROM t),
+    s"""ndt AS (SELECT doc_id, $Toks AS toks FROM $src),
+       |g AS (SELECT doc_id, $DistinctGrams AS grams FROM ndt),
        |sig AS (SELECT doc_id,
        | $sigExprs
        | FROM g),
@@ -1080,6 +1080,35 @@ object OracleSql {
          |   (CAST(cc AS DOUBLE) / CAST(ctn AS DOUBLE)))), 6) AS kl
          |FROM c JOIN ct USING (term) JOIN stot USING (source) CROSS JOIN ctot
          |GROUP BY c.source, stot.stn""".stripMargin,
+    // the three shared chains composed: quality gate (QualityRuleChain +
+    // PassesAll) → near-dup CC survivors over the GATED corpus
+    // (nearDupChainSql with src = the gated CTE) → datacard aggregation
+    "x110_pipeline_e2e" ->
+      s"""WITH RECURSIVE $QualityRuleChainSql,
+         |gated AS (SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+         | FROM documents d JOIN r ON d.doc_id = r.doc_id
+         | WHERE $PassesAllSql),
+         |${nearDupChainSql(4, 2, "gated")},
+         |pairs AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.3),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         | UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+         | UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+         |dropped AS (SELECT u FROM (SELECT u, min(r) AS mr FROM reach GROUP BY u)
+         | WHERE u <> mr),
+         |released AS (SELECT * FROM gated
+         | WHERE doc_id NOT IN (SELECT u FROM dropped))
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         | CAST(sum(ntok) AS BIGINT) AS total_tokens,
+         | round(CAST(sum(ntok) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         |  AS avg_tokens,
+         | round(1.0 - CAST(count(DISTINCT h) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         |  AS exact_dup_rate
+         |FROM (SELECT lang, source, n_chars, CAST(len($Toks) AS BIGINT) AS ntok,
+         |  md5(text) AS h FROM released)
+         |GROUP BY lang""".stripMargin,
     // heaviest keys + max/mean skew ratio over the aggregated key frame
     "p19_key_skew" ->
       """WITH c AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS cnt

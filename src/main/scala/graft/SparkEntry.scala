@@ -1053,6 +1053,19 @@ object SparkEntry {
     "x93_ngram_diversity" -> ((s, dir) =>
       graft.text.TfIdf.ngramDiversity(T(s, dir, "documents"),
         col("source"), col("text"))),
+    // END-TO-END pipeline: quality gate → near-dup survivors → per-lang
+    // datacard of the release corpus — the library's stages composed in
+    // one oracle-checked query (each stage's macro chain is the shared
+    // one its standalone query uses, so the composition cannot drift)
+    "x110_pipeline_e2e" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val gated = graft.text.QualityRules.filterPassing(docs, col("doc_id"),
+        col("text"))
+      val released = Dedup.survivors(gated, col("doc_id"),
+        Dedup.nearDuplicates(gated, col("doc_id"), col("text"), threshold = 0.3))
+      graft.text.Datacard.byLang(released, col("lang"), col("source"),
+        col("text"), col("n_chars"))
+    }),
     // top-10 heaviest user keys + global skew ratio — the measurement
     // that decides plain shuffle vs AQE-skew vs the salted twins
     "p19_key_skew" -> ((s, dir) =>
