@@ -974,6 +974,11 @@ object Dedup {
     val truth = g.select(col("doc_id").as("doc_a"), col("grams").as("__ga"))
       .join(broadcast(g.select(col("doc_id").as("doc_b"), col("grams").as("__gb"))),
         col("doc_a") < col("doc_b"))
+      // EXACT size-ratio prefilter (similarity-join prefix bound):
+      // j = |∩|/|∪| ≤ min/max, so a pair with min < t·max cannot reach the
+      // threshold — skip its intersection without touching the truth set
+      .filter(least(size(col("__ga")), size(col("__gb"))).cast("double") >=
+        lit(threshold) * greatest(size(col("__ga")), size(col("__gb"))).cast("double"))
       .select(col("doc_a"), col("doc_b"),
         jaccard(col("__ga"), col("__gb")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
