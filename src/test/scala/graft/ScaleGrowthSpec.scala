@@ -380,4 +380,56 @@ class ScaleGrowthSpec extends SparkSpec {
     // edges; the guarded failure is an accidental node x node product
     assert(g < 20.0, s"pagerank shuffle grew ${g}x for 10x input ($small -> $large)")
   }
+
+  test("source-overlap shuffle bytes grow ~linearly from 1x to 10x docs") {
+    // the (source, gram) distinct frame is linear in total grams and the
+    // pairwise stage is |sources|²-bounded; the guarded failure is the
+    // df-cap breaking and a ubiquitous gram pairing every source with
+    // every source ON EVERY OCCURRENCE
+    def overlap(n: Int) = {
+      val d = docs(n).withColumn("source",
+        concat(lit("s"), pmod(col("doc_id"), lit(20)).cast("string")))
+      Dedup.sourceOverlap(d, col("source"), col("text"), gramWidth = 8)
+    }
+    val small = shuffleBytes(run(overlap(500)))
+    val large = shuffleBytes(run(overlap(5000)))
+    val g = growth(small, large)
+    assert(small > 0, "listener captured no shuffle writes")
+    assert(g < 25.0, s"source-overlap shuffle grew ${g}x for 10x input ($small -> $large)")
+  }
+
+  test("item-affinity shuffle bytes grow ~linearly for 10x events at fixed domains") {
+    // baskets are (entity, item) DISTINCT pairs: with fixed item/entity
+    // domains the per-entity |basket|² fan-out is bounded, so 10x raw
+    // events must NOT produce 10x pair volume — the distinct is the guard
+    def affinity(n: Int) =
+      graft.analytics.Distribution.itemAffinity(
+        events(n, keys = 200).withColumn("item",
+          pmod(hash(col("eid")), lit(8)).cast("string")),
+        col("uid"), col("item"))
+    val small = shuffleBytes(run(affinity(2000)))
+    val large = shuffleBytes(run(affinity(20000)))
+    val g = growth(small, large)
+    assert(small > 0, "listener captured no shuffle writes")
+    // fixed domains: pair volume saturates — growth should be far below
+    // even linear; allow headroom for the pre-distinct scan shuffle
+    assert(g < 12.0, s"item-affinity shuffle grew ${g}x for 10x input ($small -> $large)")
+  }
+
+  test("recall-audit truth side stays sample-bounded as the corpus grows 10x") {
+    // the quadratic truth join runs on the HASH SAMPLE: with an absolute
+    // sample dial (same bucket count), a 10x corpus means a 10x sample
+    // and ~100x pairwise work — so the AUDIT contract is that cost tracks
+    // the sample, not the corpus. Hold the sampled-row count constant by
+    // shrinking the dial 10x and assert shuffle stays flat-ish.
+    def audit(n: Int, buckets: Int) =
+      Dedup.recallAudit(docs(n), col("doc_id"), col("text"),
+        threshold = 0.3, sampleBuckets = buckets)
+    val small = shuffleBytes(run(audit(500, 2000)))   // ~100 sampled docs
+    val large = shuffleBytes(run(audit(5000, 200)))   // ~100 sampled docs
+    val g = growth(small, large)
+    assert(small > 0, "listener captured no shuffle writes")
+    assert(g < 6.0, s"recall audit must track the sample, not the corpus " +
+      s"($small -> $large, ${g}x)")
+  }
 }
