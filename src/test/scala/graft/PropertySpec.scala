@@ -138,6 +138,42 @@ class PropertySpec extends SparkSpec {
     kls.foreach { case (s, kl) => assert(kl >= 0.0, s"KL($s) = $kl < 0") }
   }
 
+  test("water-fill allocations always sum to min(budget, total capacity)") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val caps = Seq.tabulate(12)(i => (s"g$i", 1L + rnd.nextInt(500).toLong))
+        .toDF("g", "cap")
+      val total = caps.agg(sum(col("cap"))).head().getLong(0)
+      for (budget <- Seq(total / 3, total - 1, total + 100)) {
+        val out = graft.sampling.BudgetSelect.waterFill(caps, col("g"),
+            col("cap"), math.max(budget, 1L))
+          .collect()
+        val allocSum = out.map(_.getDouble(2)).sum
+        val expected = math.min(math.max(budget, 1L), total).toDouble
+        assert(math.abs(allocSum - expected) < 1e-3,
+          s"trial $trial budget $budget: $allocSum != $expected")
+        out.foreach(r => assert(r.getDouble(2) <= r.getLong(1) + 1e-9,
+          "no group may exceed its capacity"))
+      }
+    }
+  }
+
+  test("transition-matrix probabilities sum to 1 per from-state") {
+    val rnd = new scala.util.Random(29)
+    val states = Vector("a", "b", "c", "d")
+    val ev = Seq.tabulate(300)(i =>
+      (i % 13, new java.sql.Timestamp(i * 1000L), i.toLong,
+        states(rnd.nextInt(states.size))))
+      .toDF("k", "t", "id", "s")
+    val rows = graft.analytics.Temporal.transitionMatrix(ev, "k", "t",
+        col("s"), Seq("id"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3))
+    rows.groupBy(_._1).foreach { case (from, ps) =>
+      val sum = ps.map(_._2).sum
+      assert(math.abs(sum - 1.0) < 1e-4, s"$from rows sum to $sum")
+    }
+  }
+
   test("funnel reach is monotonically non-increasing stage over stage") {
     val rnd = new scala.util.Random(17)
     val steps = Vector("s1", "s2", "s3")
