@@ -31,6 +31,16 @@ object FunnelStream {
   case class Transition(entity: Long, stage_idx: Int, stage: String,
       timestamp: java.sql.Timestamp)
 
+  /** Full-precision epoch micros. `getTime * 1000` truncates the
+    * sub-millisecond part a `java.sql.Timestamp` carries in `getNanos`,
+    * silently breaking the exact `unix_micros` parity with the batch face
+    * on microsecond-resolution ties (`>=` qualification) — so micros are
+    * derived from (epoch second, nanos) exactly, matching Catalyst's own
+    * Timestamp→micros conversion.
+    */
+  private[streaming] def micros(t: java.sql.Timestamp): Long =
+    t.toInstant.getEpochSecond * 1000000L + t.getNanos / 1000L
+
   def streaming(spark: SparkSession, input: Dataset[Event],
       stages: Seq[String]): Dataset[Transition] = {
     require(stages.nonEmpty, "funnel needs at least one stage")
@@ -46,11 +56,11 @@ object FunnelStream {
           // lets a same-timestamp view→click chain count (>=), so the
           // stream must see the earlier stage first to take both
           val sorted = rows.toSeq.sortBy(e =>
-            (e.timestamp.getTime, stageArr.indexOf(e.step)))
+            (micros(e.timestamp), stageArr.indexOf(e.step)))
           var (idx, qualUs) = state.getOption.getOrElse((0, Long.MinValue))
           val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
           sorted.foreach { e =>
-            val us = e.timestamp.getTime * 1000L
+            val us = micros(e.timestamp)
             if (idx < stageArr.length && e.step == stageArr(idx) &&
                 (idx == 0 || us >= qualUs)) {
               idx += 1

@@ -32,10 +32,13 @@ object RateSpike {
       .flatMapGroupsWithState[(Long, Double), Rated](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: String, rows: Iterator[Reading], state: GroupState[(Long, Double)]) =>
-          val sorted = rows.toSeq.sortBy(_.timestamp.getTime)
+          val sorted = rows.toSeq.sortBy(r => FunnelStream.micros(r.timestamp))
           var prev = state.getOption
           val out = sorted.flatMap { r =>
-            val us = r.timestamp.getTime * 1000L
+            // full-precision micros (FunnelStream.micros): getTime*1000
+            // would truncate sub-ms parts and break the exact unix_micros
+            // batch parity on microsecond dt/ties
+            val us = FunnelStream.micros(r.timestamp)
             val rec = prev.map { case (pUs, pV) =>
               val dt = us - pUs
               val rate =

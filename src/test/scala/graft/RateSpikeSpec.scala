@@ -17,13 +17,22 @@ class RateSpikeSpec extends SparkSpec {
 
   private def ts(i: Int) = Timestamp.valueOf(f"2025-01-01 10:00:$i%02d")
 
+  private def tsUs(i: Int, us: Int) = {
+    val t = Timestamp.valueOf(f"2025-01-01 10:00:$i%02d")
+    t.setNanos(us * 1000); t
+  }
+
   // A: quiet then a 10-units-in-1-s jump; B: steady; A has a duplicate
-  // timestamp at :04 (dt 0 → rate-null)
+  // timestamp at :04 (dt 0 → rate-null); C: two readings 500 MICROseconds
+  // apart — a millisecond-truncating micros conversion would report dt 0 /
+  // rate null while the batch face (exact unix_micros) reports dt_us 500
+  // (the ADVICE sub-ms parity hazard)
   private val readings = Seq(
     Reading("A", ts(1), 1.0), Reading("A", ts(2), 1.2),
     Reading("A", ts(3), 11.2), Reading("A", ts(4), 11.0),
     Reading("A", ts(4), 99.0),
-    Reading("B", ts(1), 5.0), Reading("B", ts(3), 5.4))
+    Reading("B", ts(1), 5.0), Reading("B", ts(3), 5.4),
+    Reading("C", tsUs(5, 250), 1.0), Reading("C", tsUs(5, 750), 1.0005))
 
   test("streaming face equals batch face across micro-batch boundaries") {
     implicit val sqlCtx = spark.sqlContext
@@ -54,6 +63,8 @@ class RateSpikeSpec extends SparkSpec {
       assert(got.toSeq === batch.toSeq)
       // and the jump row is actually flagged
       assert(got.count(_._4) === 1)
+      // the sub-ms pair survived at full precision (dt 500 µs, rate 1.0)
+      assert(got.exists(t => t._1 == "C" && t._2 == 500L))
     } finally q.stop()
   }
 
