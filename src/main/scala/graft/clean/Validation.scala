@@ -92,20 +92,28 @@ object Validation {
     * this report surfaces); running it before a 100 TB join is the
     * difference between engineering and hoping.
     *
-    * Shape: one grouped count; the ranking window and the stats run over
-    * the |keys|-sized AGGREGATED frame (post-aggregate window contract);
-    * totals ride back as a 1-row broadcast.
+    * Shape: one grouped count; the top-K cut is `orderBy+limit`, which
+    * Spark plans as TakeOrderedAndProject (per-partition bounded heaps,
+    * merge on the driver) — NOT a global row_number window, which would
+    * serialize every distinct key through one task, exactly the
+    * single-reducer shape this audit exists to prevent. The rank column
+    * is then a window over the ≤topK-row cut (dial-bounded, the
+    * post-aggregate window contract); totals ride back as a 1-row
+    * broadcast. The cut is deterministic: (cnt desc, key asc) is a total
+    * order because keys are distinct after the aggregate.
     */
   def keySkewAudit(df: DataFrame, key: Column, topK: Int): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true) // |keys|-sized; ranking + stats both read it
+      .localCheckpoint(true) // |keys|-sized; top-k + stats both read it
     val stats = counts.agg(count(lit(1)).as("__nk"), sum(col("cnt")).as("__tot"),
       max(col("cnt")).as("__mx"))
+    val top = counts.orderBy(col("cnt").desc, col("key").asc).limit(topK)
+      .localCheckpoint(true) // ≤topK rows; pins the cut so the rank window
+                             // below cannot re-derive it as a global sort
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("cnt").desc, col("key").asc)
-    counts.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= topK)
+    top.withColumn("rnk", row_number().over(w))
       .crossJoin(broadcast(stats))
       .select(col("rnk"), col("key"), col("cnt"),
         round(col("cnt").cast("double") / col("__tot").cast("double"), 6)
