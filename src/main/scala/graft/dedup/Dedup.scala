@@ -1093,17 +1093,27 @@ object Dedup {
       .groupBy(col("cluster_id")).agg(count(lit(1)).as("__csz"))
     val weights = clusters.join(sizes, "cluster_id")
       .select(col("doc_id").as("__wid"),
-        round(lit(1.0e6) / col("__csz").cast("double")).as("__wfp"))
+        round(lit(1.0e6) / col("__csz").cast("double")).cast("long")
+          .as("__wfp"))
+    // Exactness: the micro-unit weight and the per-row mass·weight product
+    // are LONGs (per-row product ≤ mass·1e6, so a single doc may carry up
+    // to ~9e12 chars before overflow), and the running sums accumulate as
+    // decimal(38,0) — exact to 1e38, so the merge-order-exact determinism
+    // claim holds at any corpus size, unlike a double sum which silently
+    // loses integer exactness past 2^53 (~1e6 10 KB docs per source).
+    // Both sides divide the SAME exact integer by 1e6 at the end, so the
+    // round-6 values agree bit-for-bit with the oracle's HUGEINT sums.
     docs.select(id.as("doc_id"), source.as("source"),
         mass.cast("long").as("__m"))
       .join(broadcast(weights), col("doc_id") === col("__wid"), "left")
       .select(col("source"), col("__m"),
-        coalesce(col("__wfp"), lit(1.0e6)).as("__w"))
+        coalesce(col("__wfp"), lit(1000000L)).as("__w"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        round(sum(col("__w")) / 1.0e6, 6).as("effective_docs"),
+        round(sum(col("__w").cast("decimal(38,0)")) / 1.0e6, 6)
+          .as("effective_docs"),
         sum(col("__m")).as("char_mass"),
-        round(sum(col("__m").cast("double") * col("__w")) / 1.0e6, 6)
+        round(sum((col("__m") * col("__w")).cast("decimal(38,0)")) / 1.0e6, 6)
           .as("effective_chars"))
   }
 
