@@ -73,16 +73,34 @@ object OracleSql {
     * (communities) and x95 (personalized PageRank) so the graph
     * construction cannot drift between them.
     */
-  private lazy val DomainGraphChainSql =
-    """p AS (SELECT doc_id, text ||
-      |  CASE WHEN doc_id % 2 = 0 THEN ' see https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/' || CAST(doc_id AS VARCHAR) ELSE '' END ||
-      |  CASE WHEN doc_id % 3 = 0 THEN ' via https://hub' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/h' ELSE '' END ||
-      |  CASE WHEN doc_id % 6 = 0 THEN ' and http://cdn.example.net/x' ELSE '' END AS text
-      | FROM documents),
-      |dom AS (SELECT DISTINCT doc_id, domain FROM (SELECT doc_id,
-      |  unnest(regexp_extract_all(text, 'https?://([^/ ]+)', 1)) AS domain FROM p)),
-      |ed AS (SELECT a.domain AS src, b.domain AS dst FROM dom a
-      | JOIN dom b ON a.doc_id = b.doc_id AND a.domain <> b.domain)""".stripMargin
+  /** Renders [[SparkEntry.UrlEnrichRule]]s as the SQL `text || CASE…`
+    * enrichment CTE — the single SQL-side renderer behind both the x32
+    * and the x62/x78/x95 oracles; neither the %2/%3/%6 rules nor the
+    * domain regex exists twice anywhere.
+    */
+  private def urlEnrichSql(rules: Seq[SparkEntry.UrlEnrichRule]): String = {
+    val cases = rules.map { r =>
+      val host =
+        if (r.hostMod > 0)
+          s"'${r.scheme}${r.hostPrefix}' || CAST(doc_id % ${r.hostMod} AS VARCHAR) || '${r.hostSuffix}'"
+        else s"'${r.scheme}${r.hostPrefix}${r.hostSuffix}'"
+      val url =
+        if (r.pathCarriesId) s"$host || '${r.path}' || CAST(doc_id AS VARCHAR)"
+        else s"$host || '${r.path}'"
+      s"CASE WHEN doc_id % ${r.docMod} = 0 THEN '${r.lead}' || $url ELSE '' END"
+    }.mkString(" ||\n  ")
+    s"""p AS (SELECT doc_id, text ||
+       |  $cases AS text
+       | FROM documents)""".stripMargin
+  }
+
+  private lazy val DomainGraphChainSql = {
+    s"""${urlEnrichSql(SparkEntry.UrlEnrichRules)},
+       |dom AS (SELECT DISTINCT doc_id, domain FROM (SELECT doc_id,
+       |  unnest(regexp_extract_all(text, '${graft.text.Urls.domainPattern}', 1)) AS domain FROM p)),
+       |ed AS (SELECT a.domain AS src, b.domain AS dst FROM dom a
+       | JOIN dom b ON a.doc_id = b.doc_id AND a.domain <> b.domain)""".stripMargin
+  }
 
   /** Distinct word n-gram list mirroring the `ShingleSet(n)` kernel. */
   private def distinctGramsSql(n: Int): String = {
@@ -1239,7 +1257,7 @@ object OracleSql {
     // (g), production chain as `scored`; per-band recall
     "x104_neardup_recall" ->
       s"""WITH samp AS (SELECT doc_id, text FROM documents
-         | WHERE ${bucketSql("doc_id", "ndrecall")} < 5000),
+         | WHERE ${bucketSql("doc_id", "ndrecall")} < ${SparkEntry.RecallSampleBuckets}),
          |${nearDupChainSql(4, 2, "samp")},
          |found AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.3),
          |truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1295,7 +1313,8 @@ object OracleSql {
          |  CAST(sum(n_pass) AS BIGINT) AS kk FROM per)
          |SELECT source, n_docs, n_pass,
          | round(CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS pass_rate,
-         | round(CASE WHEN $den > 0.0 THEN $z END, 6) AS z
+         | round(CASE WHEN nn > n_docs THEN
+         |   CASE WHEN $den > 0.0 THEN $z END END, 6) AS z
          |FROM per CROSS JOIN tot""".stripMargin
     },
     // the closed-form water level stated with the same windows: exclusive
@@ -1648,8 +1667,10 @@ object OracleSql {
         |  FALSE) AS is_spike
         |FROM o WHERE lus IS NOT NULL""".stripMargin,
     // x18's recursive component labels → 1/size micro-unit weights →
-    // per-source mass sums; every sum is integer-valued in double space
-    // (fixedPointAvg construction), so the compare is exact
+    // per-source mass sums; weights and mass·weight products are BIGINT
+    // and the sums are exact (DuckDB BIGINT-sum → HUGEINT; Spark side
+    // decimal(38,0)), both sides casting the SAME exact integer to double
+    // for the final /1e6 — so the compare is exact at any corpus size
     "x86_soft_dedup_weights" ->
       s"""WITH RECURSIVE $NearDupChain,
          |pairs AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.3),
@@ -1659,13 +1680,14 @@ object OracleSql {
          | UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
          |lab AS (SELECT u, min(r) AS cid FROM reach GROUP BY u),
          |sz AS (SELECT cid, count(*) AS csz FROM lab GROUP BY cid),
-         |w AS (SELECT u AS doc_id, round(1000000.0 / csz) AS wfp
+         |w AS (SELECT u AS doc_id, CAST(round(1000000.0 / csz) AS BIGINT) AS wfp
          | FROM lab JOIN sz USING (cid))
          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         | round(sum(coalesce(wfp, 1000000.0)) / 1000000.0, 6) AS effective_docs,
+         | round(CAST(sum(coalesce(wfp, 1000000)) AS DOUBLE) / 1000000.0, 6)
+         |  AS effective_docs,
          | CAST(sum(n_chars) AS BIGINT) AS char_mass,
-         | round(sum(CAST(n_chars AS DOUBLE) * coalesce(wfp, 1000000.0)) / 1000000.0, 6)
-         |  AS effective_chars
+         | round(CAST(sum(CAST(n_chars AS BIGINT) * coalesce(wfp, 1000000))
+         |   AS DOUBLE) / 1000000.0, 6) AS effective_chars
          |FROM documents LEFT JOIN w USING (doc_id) GROUP BY source""".stripMargin,
     // per-(doc, term) counts → -Σ p·ln p; the per-row expression mirrors
     // the Spark tree ((-p) * ln(p)); round-6 absorbs sum merge order
@@ -2276,14 +2298,11 @@ object OracleSql {
         | CAST(len(regexp_extract_all(after_email, '\+?\d[\d -]{7,}\d')) AS INTEGER) AS n_phones
         |FROM e""".stripMargin,
     "x32_domain_stats" ->
-      """WITH p AS (SELECT doc_id, text ||
-        |  CASE WHEN doc_id % 2 = 0 THEN ' see https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/' || CAST(doc_id AS VARCHAR) ELSE '' END ||
-        |  CASE WHEN doc_id % 6 = 0 THEN ' and http://cdn.example.net/x' ELSE '' END AS text
-        | FROM documents),
-        |d AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://([^/ ]+)', 1)) AS domain FROM p)
-        |SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-        | CAST(count(*) AS BIGINT) AS n_urls
-        |FROM d GROUP BY domain""".stripMargin,
+      s"""WITH ${urlEnrichSql(SparkEntry.DomainStatsRules)},
+         |d AS (SELECT doc_id, unnest(regexp_extract_all(text, '${graft.text.Urls.domainPattern}', 1)) AS domain FROM p)
+         |SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         | CAST(count(*) AS BIGINT) AS n_urls
+         |FROM d GROUP BY domain""".stripMargin,
     // Tolerance oracle, same pattern as a07: the Count-Min estimate is
     // sketch-valued (no cross-engine twin) but must satisfy the CMS
     // guarantee exact <= est <= exact + ceil(eps*N) deterministically at
@@ -2738,6 +2757,11 @@ object OracleSql {
         |FROM events GROUP BY event_type""".stripMargin,
     // roundtrip identity through the JSONL format: the oracle states the
     // aggregate over the original table (the s05 proof shape)
+    // the streaming drain emits each first-seen (user_id, event_type) once
+    // (watermark > span ⇒ no eviction ⇒ exact distinct)
+    "s08_stream_parity" ->
+      """SELECT user_id, event_type FROM events
+        |GROUP BY user_id, event_type""".stripMargin,
     "s07_jsonl_roundtrip" ->
       """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,

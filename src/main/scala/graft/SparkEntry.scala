@@ -76,6 +76,14 @@ object SparkEntry {
   // personalized-PageRank seed domains (x95) — must exist in the x62
   // co-citation graph; shared with the oracle
   val PprSeeds: Seq[String] = Seq("cdn.example.net", "site0.example.com")
+  // x104 recall-audit hash-sample dial (out of Sampling.Buckets = 10000):
+  // 20% — the exhaustive truth side is QUADRATIC in this dial, so the r8
+  // 50% default made x104 the slowest bench query for no audit benefit
+  // (a recall estimate needs a sample, not half the corpus); 20% keeps
+  // ~16% of that pair volume while the sf0.01 correctness fixture still
+  // contains truth pairs (doc-sampling keeps p² of pairs — below ~20% the
+  // sparse sf0.01 dup set vanishes entirely). Shared with the oracle.
+  val RecallSampleBuckets: Int = 2000
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── P: projection / filter / cleaning ────────────────────────────────
@@ -682,6 +690,17 @@ object SparkEntry {
     }),
     // JSONL interchange roundtrip (schema-on-read, no inference pass) —
     // same identity-through-the-format proof shape as s05
+    // T2/T3/T4 with a DuckDB oracle: events re-read as a bounded stream
+    // (4 files, maxFilesPerTrigger=1 → dedup state carries across ≥4
+    // micro-batches), watermarked dropDuplicates into the checkpointed
+    // parquet sink, AvailableNow drain, sink read back. Output = the
+    // dedup-key SET (survivor-invariant), watermark (60 d) > the events
+    // span (30 d) so nothing evicts mid-run and the result is exactly
+    // SELECT DISTINCT user_id, event_type — the statement the oracle makes
+    "s08_stream_parity" -> ((s, dir) =>
+      graft.streaming.Pipeline.dedupDrainParity(s, T(s, dir, "events"),
+        eventTimeCol = "ts", keys = Seq("user_id", "event_type"),
+        watermark = "60 days")),
     "s07_jsonl_roundtrip" -> ((s, dir) => {
       // suffix the sink path with a hash of the data dir so two concurrent
       // harness runs on the same machine never overwrite each other
@@ -1115,10 +1134,13 @@ object SparkEntry {
         col("doc_id"), col("n_chars"), bucketWidth = 64, maxBucketIdx = 8,
         salt = "chisq", cutBuckets = 5000)),
     // recall of the production near-dup chain vs exhaustive truth on a
-    // 50% hash sample, per Jaccard band — the x71 harness for dedup
+    // 20% hash sample, per Jaccard band — the x71 harness for dedup. The
+    // dial was 50% through r8, which made this the slowest bench query;
+    // a recall ESTIMATE does not need half the corpus, and at 100 TB the
+    // exhaustive truth side is exactly the thing to keep sample-sized
     "x104_neardup_recall" -> ((s, dir) =>
       Dedup.recallAudit(T(s, dir, "documents"), col("doc_id"), col("text"),
-        threshold = 0.3, sampleBuckets = 5000)),
+        threshold = 0.3, sampleBuckets = RecallSampleBuckets)),
     // top-3 trending event types per hopping window (a34 hop + a ranking
     // window over the ALREADY-AGGREGATED (window, type) frame)
     "a40_trending" -> ((s, dir) => {
@@ -1310,18 +1332,12 @@ object SparkEntry {
       graft.text.Redact.scrub(withPii, col("doc_id"), col("text"))
     }),
     "x32_domain_stats" -> ((s, dir) => {
-      // synthesize deterministic outlinks (mirrored in the oracle): the
-      // extraction + per-domain aggregation is what's under test
+      // synthesize deterministic outlinks (DomainStatsRules — the shared
+      // rule table the oracle renders too): the extraction + per-domain
+      // aggregation is what's under test
       val docs = T(s, dir, "documents")
-      val withUrls = docs.select(col("doc_id"),
-        concat(col("text"),
-          when(col("doc_id") % 2 === 0,
-            concat(lit(" see https://site"), (col("doc_id") % 7).cast("string"),
-              lit(".example.com/p/"), col("doc_id").cast("string")))
-            .otherwise(lit("")),
-          when(col("doc_id") % 6 === 0, lit(" and http://cdn.example.net/x"))
-            .otherwise(lit(""))).as("text"))
-      graft.text.Urls.domainStats(withUrls, col("doc_id"), col("text"))
+      graft.text.Urls.domainStats(urlEnrich(docs, DomainStatsRules),
+        col("doc_id"), col("text"))
     }),
     "a08_approx_quartiles" -> ((s, dir) =>
       Aggregates.approxQuartilesWithin(T(s, dir, "events"),
@@ -1732,21 +1748,62 @@ object SparkEntry {
   /** Planted boilerplate spans for x69 — mirrored verbatim in the DuckDB
     * oracle ([[OracleSql]]).
     */
+  /** One synthetic-URL enrichment rule of the x62/x78/x95 fixture: docs
+    * with `doc_id % docMod == 0` gain a URL whose host is
+    * `hostPrefix + (doc_id % hostMod) + hostSuffix` (a fixed host when
+    * `hostMod == 0`). Defined ONCE and rendered both as Spark columns
+    * ([[domainCooccurrenceEdges]]) and as the oracle's SQL CASE chain
+    * (`OracleSql.DomainGraphChainSql`), so the graph construction cannot
+    * drift between the two sides (the DomainGraphChainSql/
+    * QualityRuleChain shared-definition pattern).
+    */
+  private[graft] final case class UrlEnrichRule(docMod: Long, lead: String,
+      scheme: String, hostPrefix: String, hostMod: Long, hostSuffix: String,
+      path: String, pathCarriesId: Boolean)
+
+  private[graft] val UrlEnrichRules: Seq[UrlEnrichRule] = Seq(
+    UrlEnrichRule(2, " see ", "https://", "site", 7, ".example.com", "/p/",
+      pathCarriesId = true),
+    UrlEnrichRule(3, " via ", "https://", "hub", 5, ".example.org", "/h",
+      pathCarriesId = false),
+    UrlEnrichRule(6, " and ", "http://", "cdn", 0, ".example.net", "/x",
+      pathCarriesId = false))
+
+  /** Renders one [[UrlEnrichRule]] as the Spark column appended to
+    * `text` — the single Scala-side renderer behind both the x32 and the
+    * x62/x78/x95 fixtures.
+    */
+  private def urlEnrichColumn(r: UrlEnrichRule): org.apache.spark.sql.Column = {
+    val host =
+      if (r.hostMod > 0)
+        concat(lit(r.scheme + r.hostPrefix),
+          (col("doc_id") % r.hostMod).cast("string"), lit(r.hostSuffix))
+      else lit(r.scheme + r.hostPrefix + r.hostSuffix)
+    val url =
+      if (r.pathCarriesId)
+        concat(host, lit(r.path), col("doc_id").cast("string"))
+      else concat(host, lit(r.path))
+    when(col("doc_id") % r.docMod === 0, concat(lit(r.lead), url))
+      .otherwise(lit(""))
+  }
+
+  /** The x32 fixture enriches with the %2 and %6 rules only (one
+    * id-parameterized host family + one fixed host) — shared with its
+    * oracle via [[UrlEnrichRules]].
+    */
+  private[graft] val DomainStatsRules: Seq[UrlEnrichRule] =
+    UrlEnrichRules.filterNot(_.docMod == 3)
+
+  private def urlEnrich(docs: DataFrame, rules: Seq[UrlEnrichRule]): DataFrame =
+    docs.select(col("doc_id"),
+      concat(col("text") +: rules.map(urlEnrichColumn): _*).as("text"))
+
   /** x62/x78 fixture: the synthetic-URL enrichment and the co-citation
     * edge frame (two domains linked when one doc cites both; both
     * directions present, multi-edges acting as weights).
     */
   private def domainCooccurrenceEdges(docs: DataFrame): DataFrame = {
-    val withUrls = docs.select(col("doc_id"), concat(col("text"),
-      when(col("doc_id") % 2 === 0,
-        concat(lit(" see https://site"), (col("doc_id") % 7).cast("string"),
-          lit(".example.com/p/"), col("doc_id").cast("string")))
-        .otherwise(lit("")),
-      when(col("doc_id") % 3 === 0,
-        concat(lit(" via https://hub"), (col("doc_id") % 5).cast("string"),
-          lit(".example.org/h"))).otherwise(lit("")),
-      when(col("doc_id") % 6 === 0, lit(" and http://cdn.example.net/x"))
-        .otherwise(lit(""))).as("text"))
+    val withUrls = urlEnrich(docs, UrlEnrichRules)
     val dom = graft.text.Urls.extractDomains(withUrls, col("doc_id"),
       col("text")).distinct()
     dom.select(col("doc_id"), col("domain").as("src"))
