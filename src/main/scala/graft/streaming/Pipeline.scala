@@ -146,6 +146,43 @@ object Pipeline {
     else w
   }
 
+  /** T2/T3/T4 exercised end-to-end as an ORACLE-CHECKABLE batch query:
+    * materialize `batchDf` as `inputFiles` parquet files, re-read them as
+    * a bounded STREAM (`maxFilesPerTrigger = 1`, so the run crosses
+    * ≥ `inputFiles` micro-batches and dedup state genuinely carries
+    * between them), run watermarked `dropDuplicates(keys)` into the
+    * checkpointed append parquet sink under `Trigger.AvailableNow`, drain
+    * to termination, and return the sink's contents.
+    *
+    * Determinism contract: the output projects ONLY the dedup keys — the
+    * key SET is invariant to which physical row survives and to how files
+    * split into micro-batches — and the caller picks a watermark longer
+    * than the data's event-time span, so no state is evicted mid-run and
+    * the result equals exactly `SELECT DISTINCT keys FROM batch` (the
+    * DuckDB-checkable statement; with a shorter horizon, keys whose
+    * duplicates straddle an eviction would re-emit — real streaming
+    * semantics, but not a batch-expressible oracle). Every run uses a
+    * fresh input/checkpoint/sink directory, so each invocation times the
+    * FULL cold pipeline (no checkpoint reuse masquerading as work).
+    */
+  def dedupDrainParity(spark: org.apache.spark.sql.SparkSession,
+      batchDf: DataFrame, eventTimeCol: String, keys: Seq[String],
+      watermark: String, inputFiles: Int = 4): DataFrame = {
+    require(keys.nonEmpty, "dedup needs at least one key column")
+    val root = java.nio.file.Files.createTempDirectory("graft_s08_").toString
+    val in = s"$root/in"
+    batchDf.repartition(inputFiles).write.mode("overwrite").parquet(in)
+    val stream = spark.readStream.schema(batchDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicates(keys)
+      .select(keys.map(col): _*)
+    val q = parquetSink(stream, s"$root/out", s"$root/ckpt",
+      boundedDrain = true).start()
+    q.awaitTermination()
+    spark.read.parquet(s"$root/out")
+  }
+
   /** Streaming face of [[graft.dedup.Dedup.incrementalNearDuplicates]]:
     * each micro-batch probes the parquet-backed historical corpus for
     * near-duplicate pairs it touches, appends the verified pairs to
