@@ -304,6 +304,23 @@ object Similarity {
       s"$op: query ids not present in the corpus: ${missing.toSeq.sorted.mkString(", ")}")
   }
 
+  /** Hard bound on the ad-hoc per-query PQ faces ([[pqAdcKnn]],
+    * [[ivfPqKnn]]): they build ONE PLAN BRANCH per collected query and
+    * union them, which is the right shape for interactive "neighbors of
+    * these few vectors" asks but collapses the driver/optimizer when
+    * |queries| grows (hundreds of union branches = quadratic analysis
+    * time, one scheduled job per branch). Workloads past this bound must
+    * use [[ivfPqKnnBatch]] — same results (SimilaritySpec asserts
+    * face-equality), one codes-frame pass regardless of |queries|.
+    */
+  val MaxAdHocQueries = 64
+
+  private def requireAdHocBound(op: String, queryIds: Seq[Long]): Unit =
+    require(queryIds.distinct.size <= MaxAdHocQueries,
+      s"$op: ${queryIds.distinct.size} query ids exceeds the per-query-face " +
+        s"bound of $MaxAdHocQueries plan branches — use ivfPqKnnBatch, " +
+        "which handles any query-table size in one codes-frame pass")
+
   /** Bounded-heap top-k per query over `(query_id, neighbor_id, adc)`
     * rows, smallest rounded distance first, neighbor-id ties ascending.
     */
@@ -331,6 +348,7 @@ object Similarity {
     */
   def pqAdcKnn(corpus: DataFrame, centroids: DataFrame, queryIds: Seq[Long],
       m: Int, k: Int): DataFrame = {
+    requireAdHocBound("pqAdcKnn", queryIds)
     val cents = collectCentroids(centroids)
     val (ids, cvecs) = cents
     val dim = cvecs.head.length
@@ -362,6 +380,7 @@ object Similarity {
     */
   def ivfPqKnn(corpus: DataFrame, centroids: DataFrame, queryIds: Seq[Long],
       m: Int, k: Int, nprobe: Int = 2): DataFrame = {
+    requireAdHocBound("ivfPqKnn", queryIds)
     val cents = collectCentroids(centroids)
     val (ids, cvecs) = cents
     val dim = cvecs.head.length
