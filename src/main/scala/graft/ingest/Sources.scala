@@ -75,17 +75,32 @@ object Sources {
     else parsed
   }
 
-  /** Kafka streaming source (S1): subscribe + earliest offsets + JSON decode.
-    * Not exercised in tests (no broker in the container) but the decode path
-    * it shares with [[decodeJson]] is.
+  /** The exact option map [[kafkaJsonStream]] hands to the `kafka` format —
+    * exposed as a value so the spec asserts the REAL wiring (subscribe key,
+    * offsets default) rather than a copy. An embedded-broker smoke is not
+    * possible in this environment: `/opt/spark/jars` ships no Kafka
+    * connector or broker jars and dependency resolution is offline, so
+    * neither `spark-sql-kafka` nor an in-JVM broker can load. SourcesSpec
+    * therefore asserts (a) this option map, (b) that [[kafkaJsonStream]]
+    * genuinely reaches Spark's data-source resolution for "kafka" (the
+    * lookup error names the missing artifact), and (c) the wire-format
+    * roundtrip through [[toKafkaShape]]/[[decodeJson]], which is every
+    * byte of this path that doesn't require a live broker.
+    */
+  def kafkaSourceOptions(bootstrap: String, topic: String,
+      startingOffsets: String = "earliest"): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrap,
+    "subscribe" -> topic,
+    "startingOffsets" -> startingOffsets)
+
+  /** Kafka streaming source (S1): subscribe + earliest offsets + JSON
+    * decode (ref consumer poll loop `Solar_Processing.py:61-84`).
     */
   def kafkaJsonStream(spark: SparkSession, bootstrap: String, topic: String,
       schema: StructType, startingOffsets: String = "earliest"): DataFrame = {
     val raw = spark.readStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
+      .options(kafkaSourceOptions(bootstrap, topic, startingOffsets))
       .load()
     decodeJson(raw, schema)
   }

@@ -62,6 +62,29 @@ class SourcesSpec extends SparkSpec {
     assert(back.map(_.getDouble(2)).toSeq === Seq(10.5, 20.0))
   }
 
+  test("S1 kafka source: full option map + real data-source resolution") {
+    // no broker or connector jar ships in this offline container (see the
+    // kafkaSourceOptions scaladoc), so the live-poll tier can't run; what
+    // CAN be asserted without a broker is asserted here:
+    // (a) the exact options the stream builder hands to the kafka format
+    val opts = Sources.kafkaSourceOptions("broker:9092", "telemetry")
+    assert(opts === Map(
+      "kafka.bootstrap.servers" -> "broker:9092",
+      "subscribe" -> "telemetry",
+      "startingOffsets" -> "earliest"))
+    assert(Sources.kafkaSourceOptions("b", "t", "latest")("startingOffsets")
+      === "latest")
+    // (b) kafkaJsonStream reaches Spark's REAL data-source lookup for
+    // "kafka" (not a stub): the failure must be the missing-artifact
+    // resolution error, proving the builder/options path executes up to
+    // the point only a connector jar could take further
+    val schema = StructType(Seq(StructField("event_id", LongType)))
+    val err = intercept[Exception] {
+      Sources.kafkaJsonStream(spark, "broker:9092", "telemetry", schema)
+    }
+    assert(err.getMessage.toLowerCase.contains("kafka"))
+  }
+
   test("S5/S6 csv sink + schema'd source roundtrip") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
     val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "k", "v")
