@@ -69,7 +69,10 @@ object Bench {
     // the per-pass stamps let the JSON prove that (or name the dirty pass)
     // without a re-run. "load" reports the WORST pass; >> #cpus means the
     // box was contended and even the min-of-3 numbers are suspect.
-    val passStamps = Seq.fill(3) {
+    // SPARK_GRAFT_PASSES: pass count (default 3). The sf1 scale run pays
+    // ~10× per pass, where min-of-2 is the right cost/noise tradeoff.
+    val passCount = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    val passStamps = Seq.fill(passCount) {
       val r = ordered.map { case (n, f) => n -> runOnce(n, f) }
       (r, osBean.getSystemLoadAverage)
     }
@@ -104,8 +107,12 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val all = results.toSeq.sortBy(_._1)
     val full = jsonLine(all, total)
+    // SPARK_GRAFT_BENCH_OUT names the snapshot file so a scale run (sf1)
+    // can't clobber the committed sf0.1 BENCH_LOCAL.json
     if (!filtered)
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")),
         (full + "\n").getBytes("UTF-8"))
     println(full)
     // compact line last: slowest queries, greedily capped at 1500 chars of
