@@ -33,6 +33,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // SPARK_GRAFT_AQE=false for the skew-audit A/B: the salted twins
+      // (a02_salted_sum, j07_asof_salted, j10_salted_join) vs their plain
+      // faces under AQE skew handling vs plain shuffle with AQE off.
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/codegen/session init otherwise lands on the
