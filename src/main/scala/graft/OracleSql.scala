@@ -67,6 +67,37 @@ object OracleSql {
 
   private lazy val NearDupChain = nearDupChainSql(4, 2)
 
+  /** Shared duplicate-cluster chain: [[NearDupChain]]'s verified pairs at
+    * the 0.3 threshold → undirected edges → min-reachable-label connected
+    * components, ending with `clus(doc_id, cluster_id)` (cluster members
+    * only; singletons are absent, mirroring
+    * [[graft.dedup.Dedup.duplicateClusters]]). One definition behind x18
+    * (clusters), x111 (cluster-consistent split) and x112 (inflation
+    * histogram) so the clustering cannot drift between them. Callers must
+    * open with `WITH RECURSIVE`.
+    */
+  private lazy val ClusterChain =
+    s"""$NearDupChain,
+       |cpairs AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.3),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM cpairs
+       | UNION SELECT doc_b, doc_a FROM cpairs),
+       |reach AS (SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+       | UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+       |clus AS (SELECT CAST(u AS BIGINT) AS doc_id,
+       |  CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY u)""".stripMargin
+
+  /** The weighted-split CASE of [[graft.sampling.Sampling.splitLabel]]
+    * over an arbitrary id expression — the ONE SQL renderer behind x19,
+    * x57 and x111 (same thresholds, same `split` salt), so the split rule
+    * exists once on the SQL side.
+    */
+  private def splitCaseSql(idExpr: String): String = {
+    val ts = graft.sampling.Sampling.thresholds(SparkEntry.TrainSplit)
+    val cases = ts.init.map { case (n, t) =>
+      s"WHEN ${bucketSql(idExpr, "split")} < $t THEN '$n'" }.mkString(" ")
+    s"CASE $cases ELSE '${ts.last._1}' END"
+  }
+
   /** Shared domain co-citation graph chain (the x32-style deterministic
     * outlink enrichment → distinct (doc, domain) → directed co-citation
     * edges), ending with `ed(src, dst)`. Used by x62 (PageRank), x78
@@ -1826,33 +1857,36 @@ object OracleSql {
          |UNION ALL
          |SELECT doc_id, 'boiler' AS source FROM documents
          | WHERE doc_id % 3 = 2 AND ${bucketSql("doc_id", "mix/boiler")} < 1000""".stripMargin,
-    "x19_train_split" -> {
-      val ts = graft.sampling.Sampling.thresholds(SparkEntry.TrainSplit)
-      val cases = ts.init.map { case (n, t) => s"WHEN bk < $t THEN '$n'" }
-        .mkString(" ")
-      s"""WITH b AS (SELECT doc_id, ${bucketSql("doc_id", "split")} AS bk
-         | FROM documents)
-         |SELECT doc_id, CASE $cases ELSE '${ts.last._1}' END AS split
-         |FROM b""".stripMargin
-    },
+    "x19_train_split" ->
+      s"""SELECT doc_id, ${splitCaseSql("doc_id")} AS split
+         |FROM documents""".stripMargin,
+    // x19's split rule keyed by the near-dup CLUSTER id (singletons fall
+    // back to the doc id, so their label matches x19 exactly)
+    "x111_cluster_split" ->
+      s"""WITH RECURSIVE $ClusterChain
+         |SELECT d.doc_id,
+         | ${splitCaseSql("coalesce(c.cluster_id, d.doc_id)")} AS split
+         |FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id""".stripMargin,
+    "x112_dup_inflation" ->
+      s"""WITH RECURSIVE $ClusterChain,
+         |sz AS (SELECT coalesce(c.cluster_id, d.doc_id) AS cid,
+         |  count(*) AS cluster_size
+         | FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id GROUP BY 1)
+         |SELECT cluster_size, count(*) AS n_clusters,
+         | CAST(sum(cluster_size) AS BIGINT) AS n_docs,
+         | CAST(sum(cluster_size - 1) AS BIGINT) AS n_excess
+         |FROM sz GROUP BY 1""".stripMargin,
     // x06's verified-pair chain labeled by the x19 split rule on each
     // side — pure functions of the ids, so the oracle composes the two
     // existing chains verbatim
-    "x57_split_leakage" -> {
-      val ts = graft.sampling.Sampling.thresholds(SparkEntry.TrainSplit)
-      def splitCase(idExpr: String): String = {
-        val cases = ts.init.map { case (n, t) =>
-          s"WHEN ${bucketSql(idExpr, "split")} < $t THEN '$n'" }.mkString(" ")
-        s"CASE $cases ELSE '${ts.last._1}' END"
-      }
+    "x57_split_leakage" ->
       s"""WITH $NearDupChain,
          |pr AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.3),
          |lab AS (SELECT doc_a, doc_b,
-         |  ${splitCase("doc_a")} AS split_a,
-         |  ${splitCase("doc_b")} AS split_b FROM pr)
+         |  ${splitCaseSql("doc_a")} AS split_a,
+         |  ${splitCaseSql("doc_b")} AS split_b FROM pr)
          |SELECT doc_a, doc_b, split_a, split_b FROM lab
-         |WHERE split_a <> split_b""".stripMargin
-    },
+         |WHERE split_a <> split_b""".stripMargin,
     // the x40 rank decomposition with one "token" per doc: rnk is the
     // inclusive running count in (score DESC, tie ASC, id ASC) order,
     // pct_rank = (rnk-1)/(n-1)
@@ -1876,15 +1910,9 @@ object OracleSql {
          |SELECT event_id, event_type FROM b WHERE $conds""".stripMargin
     },
     "x18_dup_clusters" ->
-      s"""WITH RECURSIVE $NearDupChain,
-         |pairs AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.3),
-         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-         | UNION SELECT doc_b, doc_a FROM pairs),
-         |reach AS (SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
-         | UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u)
-         |SELECT CAST(u AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id,
-         | (u = min(r)) AS is_canonical
-         |FROM reach GROUP BY u""".stripMargin,
+      s"""WITH RECURSIVE $ClusterChain
+         |SELECT doc_id, cluster_id, (doc_id = cluster_id) AS is_canonical
+         |FROM clus""".stripMargin,
     "x07_simhash" ->
       s"""WITH t AS (SELECT doc_id, list_distinct($Toks) AS dt FROM documents),
          |s AS (SELECT doc_id, CAST($SimhashExpr AS BIGINT) AS simhash FROM t)
@@ -2762,6 +2790,12 @@ object OracleSql {
     "s08_stream_parity" ->
       """SELECT user_id, event_type FROM events
         |GROUP BY user_id, event_type""".stripMargin,
+    // the sentinel-flushed streaming window drain equals the full batch
+    // tumbling aggregate (see Pipeline.windowDrainParity)
+    "s09_window_drain" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,
+        | event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "s07_jsonl_roundtrip" ->
       """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,

@@ -701,6 +701,14 @@ object SparkEntry {
       graft.streaming.Pipeline.dedupDrainParity(s, T(s, dir, "events"),
         eventTimeCol = "ts", keys = Seq("user_id", "event_type"),
         watermark = "60 days")),
+    // T5's stateful windowed aggregation through a REAL checkpointed
+    // drain: span-length watermark (no drops under any file order) + a
+    // sentinel horizon row emitting every window → equals the a14-style
+    // batch tumbling aggregate, so DuckDB can check it
+    "s09_window_drain" -> ((s, dir) =>
+      graft.streaming.Pipeline.windowDrainParity(s, T(s, dir, "events"),
+        eventTimeCol = "ts", keyCol = "event_type", valueCol = "value",
+        width = "1 hour", delay = "60 days")),
     "s07_jsonl_roundtrip" -> ((s, dir) => {
       // suffix the sink path with a hash of the data dir so two concurrent
       // harness runs on the same machine never overwrite each other
@@ -1084,6 +1092,23 @@ object SparkEntry {
         Dedup.nearDuplicates(gated, col("doc_id"), col("text"), threshold = 0.3))
       graft.text.Datacard.byLang(released, col("lang"), col("source"),
         col("text"), col("n_chars"))
+    }),
+    // leakage-SAFE split: split drawn from the near-dup CLUSTER id, so
+    // the pairs x57 flags can never straddle train/test by construction
+    "x111_cluster_split" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val clusters = Dedup.duplicateClusters(
+        Dedup.nearDuplicates(docs, col("doc_id"), col("text"), threshold = 0.3))
+      graft.sampling.Sampling.clusterSplit(docs.select(col("doc_id")),
+        col("doc_id"), clusters, TrainSplit)
+    }),
+    // duplicate-cluster size histogram over the WHOLE corpus (singletons
+    // included): the datacard breakdown behind "dedup drops N rows"
+    "x112_dup_inflation" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val clusters = Dedup.duplicateClusters(
+        Dedup.nearDuplicates(docs, col("doc_id"), col("text"), threshold = 0.3))
+      Dedup.dupInflation(docs, col("doc_id"), clusters)
     }),
     // top-10 heaviest user keys + global skew ratio — the measurement
     // that decides plain shuffle vs AQE-skew vs the salted twins

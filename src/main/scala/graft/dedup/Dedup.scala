@@ -795,6 +795,32 @@ object Dedup {
       (col("u") === col("label")).as("is_canonical"))
   }
 
+  /** Duplicate-inflation histogram: the distribution of duplicate-cluster
+    * sizes over the WHOLE corpus — how much of the dataset is redundant
+    * copies, bucketed by family size (the datacard number behind "dedup
+    * removed N % of rows", broken down so a single 10 000-copy boilerplate
+    * family is distinguishable from five thousand pairs). Docs absent from
+    * `clusters` count as singletons (`cluster_size = 1`), so `sum(n_docs)`
+    * always equals the corpus row count and `sum(n_excess)` is exactly the
+    * row count [[survivors]] would drop.
+    *
+    * Scale shape: one left join against the pair-bounded cluster frame
+    * (AQE-broadcast), then two key-cardinality-shrinking aggregations
+    * (corpus → |clusters| → |distinct sizes|); nothing corpus-sized ever
+    * sits in one task.
+    */
+  def dupInflation(docs: DataFrame, id: Column, clusters: DataFrame): DataFrame = {
+    val c = clusters.select(col("doc_id").as("__cdoc"),
+      col("cluster_id").cast("long").as("__cluster"))
+    docs.join(c, id === col("__cdoc"), "left")
+      .select(coalesce(col("__cluster"), id.cast("long")).as("__cid"))
+      .groupBy(col("__cid")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"),
+        sum(col("cluster_size") - 1).as("n_excess"))
+  }
+
   /** Apply near-dedup to the corpus: drop every non-canonical member of
     * every duplicate cluster ([[duplicateClusters]] over `pairs`), keeping
     * the cluster's minimum-id doc plus all unpaired docs — the step that

@@ -83,6 +83,31 @@ object Sampling {
         splitLabel(col("doc_b"), weights, salt).as("split_b"))
       .filter(col("split_a") =!= col("split_b"))
 
+  /** Leakage-SAFE weighted split: every member of a duplicate cluster
+    * draws its split from the CLUSTER id, so near-duplicates can never
+    * straddle train/test (the failure [[splitLeakage]] detects —
+    * detection audits an id-keyed split after the fact; this prevents the
+    * leak by construction). `clusters` is any `(doc_id, cluster_id)`
+    * evidence frame ([[graft.dedup.Dedup.duplicateClusters]]); documents
+    * absent from it (singletons — the overwhelming majority) fall back to
+    * their own id, keeping their [[splitLabel]] assignment identical to a
+    * plain id-keyed split.
+    *
+    * Scale shape: one left equi-join against the pair-evidence-bounded
+    * cluster frame (≪ corpus; AQE broadcasts it when it fits) followed by
+    * a pure projection — no extra shuffle of the corpus beyond the join,
+    * and no label table ever materializes.
+    */
+  def clusterSplit(df: DataFrame, id: Column, clusters: DataFrame,
+      weights: Seq[(String, Double)], salt: String = "split"): DataFrame = {
+    val c = clusters.select(col("doc_id").as("__cdoc"),
+      col("cluster_id").cast("long").as("__cluster"))
+    df.join(c, id === col("__cdoc"), "left")
+      .withColumn("split",
+        splitLabel(coalesce(col("__cluster"), id.cast("long")), weights, salt))
+      .drop("__cdoc", "__cluster")
+  }
+
   /** Keep a deterministic `fraction` of rows (by id hash). */
   def sampleBy(df: DataFrame, id: Column, fraction: Double,
       salt: String = "sample"): DataFrame = {

@@ -183,6 +183,58 @@ object Pipeline {
     spark.read.parquet(s"$root/out")
   }
 
+  /** T5's streaming tumbling-window aggregation exercised end-to-end as an
+    * ORACLE-CHECKABLE drain (the [[dedupDrainParity]] pattern, lifted to
+    * stateful windows): materialize the batch as files, stream them with
+    * `maxFilesPerTrigger = 1` through a watermarked windowed
+    * count/sum into the checkpointed append parquet sink, drain under
+    * `Trigger.AvailableNow`, and return the sink's rows.
+    *
+    * Append mode only emits a window once the watermark passes its end —
+    * with a span-length delay nothing would ever emit, with a `0 seconds`
+    * delay out-of-order FILES would drop each other's rows. Both are
+    * solved by a SENTINEL row: the bulk files carry a `delay` (> the
+    * data's event-time span) watermark so no real row is ever late no
+    * matter how the source orders the files, and one final single-row file
+    * at `max(ts) + delay + 2·width` (written last, so the
+    * modification-time-ordered file source processes it last) pushes the
+    * watermark past every real window's end in the terminal no-data batch
+    * — every real window emits, the sentinel's own window (and its
+    * null-key group) stays in state and is discarded with the drain. The
+    * sink then equals exactly the BATCH tumbling aggregate — the
+    * DuckDB-checkable statement. This is also the production shape for
+    * "close the books at end of day": a horizon event, not a restart.
+    */
+  def windowDrainParity(spark: org.apache.spark.sql.SparkSession,
+      batchDf: DataFrame, eventTimeCol: String, keyCol: String,
+      valueCol: String, width: String, delay: String,
+      inputFiles: Int = 4): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_s09_").toString
+    val in = s"$root/in"
+    batchDf.repartition(inputFiles).write.mode("overwrite").parquet(in)
+    val sentinel = batchDf
+      .agg(max(col(eventTimeCol)).as("__mx"))
+      .select(batchDf.schema.fields.map { f =>
+        if (f.name == eventTimeCol)
+          (col("__mx") + expr(s"INTERVAL '$delay'") +
+            expr(s"2 * INTERVAL '$width'")).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    sentinel.coalesce(1).write.mode("append").parquet(in)
+    val stream = spark.readStream.schema(batchDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .withWatermark(eventTimeCol, delay)
+      .groupBy(window(col(eventTimeCol), width), col(keyCol))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col(valueCol)), 2).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("ws"), col(keyCol),
+        col("cnt"), col("sum_value"))
+    val q = parquetSink(stream, s"$root/out", s"$root/ckpt",
+      boundedDrain = true).start()
+    q.awaitTermination()
+    spark.read.parquet(s"$root/out")
+  }
+
   /** Streaming face of [[graft.dedup.Dedup.incrementalNearDuplicates]]:
     * each micro-batch probes the parquet-backed historical corpus for
     * near-duplicate pairs it touches, appends the verified pairs to

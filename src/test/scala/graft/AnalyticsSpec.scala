@@ -305,4 +305,5 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("click") === ((2L, 0.5, 0.5))) // u1 and u4 (same-instant tie)
     assert(out("purchase") === ((1L, 0.5, 0.25)))
   }
+
 }

@@ -82,6 +82,24 @@ class DedupSpec extends SparkSpec {
     assert(out.collect { case (id, (_, true)) => id }.toSet === Set(1L, 7L))
   }
 
+  test("dupInflation: size histogram conserves docs; excess = droppable rows") {
+    // clusters {1,2,3,4} and {7,8} from the pair evidence; docs 5,6,9,10
+    // are singletons → sizes: one 4, one 2, four 1s
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (7L, 8L))
+      .toDF("doc_a", "doc_b")
+    val corpus = (1L to 10L).toDF("doc_id")
+    val out = Dedup.dupInflation(corpus, col("doc_id"),
+        Dedup.duplicateClusters(pairs))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out === Map(1L -> (4L, 4L, 0L), 2L -> (1L, 2L, 1L),
+      4L -> (1L, 4L, 3L)))
+    // conservation: n_docs covers the corpus, n_excess = survivors' drop
+    assert(out.values.map(_._2).sum === 10L)
+    val dropped = 10L - Dedup.survivors(corpus, col("doc_id"), pairs).count()
+    assert(out.values.map(_._3).sum === dropped)
+  }
+
   test("duplicateClusters fails loudly when maxIter is too small") {
     val chain = (1L until 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     intercept[IllegalStateException] {

