@@ -2796,6 +2796,23 @@ object OracleSql {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,
         | event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // the ordered-replay EWMA drain equals the batch recursive filter;
+    // the CTE steps with the same double expression the fold computes
+    // (CASTs force double arithmetic — bare literals would be DECIMAL).
+    // 3-decimal rounding: see Ewma.drainParity on cross-engine fold ULPs
+    "s10_ewma_drain" ->
+      """WITH RECURSIVE o AS (SELECT CAST(user_id AS VARCHAR) AS station_id,
+        |  ts, value, row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        | FROM events),
+        |r AS (
+        | SELECT station_id, ts, value, rn, value AS ewma FROM o WHERE rn = 1
+        | UNION ALL
+        | SELECT o.station_id, o.ts, o.value, o.rn,
+        |  CAST(0.35 AS DOUBLE) * o.value +
+        |  (CAST(1 AS DOUBLE) - CAST(0.35 AS DOUBLE)) * r.ewma AS ewma
+        | FROM o JOIN r ON o.station_id = r.station_id AND o.rn = r.rn + 1)
+        |SELECT station_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, value,
+        | round(ewma, 3) AS ewma FROM r""".stripMargin,
     "s07_jsonl_roundtrip" ->
       """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,

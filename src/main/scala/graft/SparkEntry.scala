@@ -709,6 +709,13 @@ object SparkEntry {
       graft.streaming.Pipeline.windowDrainParity(s, T(s, dir, "events"),
         eventTimeCol = "ts", keyCol = "event_type", valueCol = "value",
         width = "1 hour", delay = "60 days")),
+    // T6's order-SENSITIVE stateful fold through a real drain: time-range
+    // files replayed in order carry the EWMA state across micro-batches →
+    // equals the batch recursive filter, restated as a recursive CTE
+    "s10_ewma_drain" -> ((s, dir) =>
+      graft.streaming.Ewma.drainParity(s,
+        T(s, dir, "events").select(col("user_id").as("station_id"),
+          col("ts").as("timestamp"), col("value")))),
     "s07_jsonl_roundtrip" -> ((s, dir) => {
       // suffix the sink path with a hash of the data dir so two concurrent
       // harness runs on the same machine never overwrite each other

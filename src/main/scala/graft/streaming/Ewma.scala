@@ -74,8 +74,13 @@ object Ewma {
       .flatMapGroupsWithState[Double, Smoothed](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: String, rows: Iterator[Reading], state: GroupState[Double]) =>
-          // micro-batches can carry several rows per key: fold in event order
-          val sorted = rows.toSeq.sortBy(_.timestamp.getTime)
+          // micro-batches can carry several rows per key: fold in event
+          // order at FULL microsecond precision — getTime truncates to ms
+          // and would leave sub-ms ties in arrival order (the a180f4e
+          // funnel/rate-spike fix, applied here)
+          val sorted = rows.toSeq.sortBy(r =>
+            r.timestamp.toInstant.getEpochSecond * 1000000L +
+              r.timestamp.getNanos / 1000)
           var prev = state.getOption
           val out = sorted.map { r =>
             val e = prev.fold(r.value)(p => alpha * r.value + (1 - alpha) * p)
@@ -85,5 +90,66 @@ object Ewma {
           prev.foreach(state.update)
           out.iterator
       }
+  }
+
+  /** T6's stateful streaming EWMA exercised end-to-end as an
+    * ORACLE-CHECKABLE drain (the s08/s09 pattern, lifted to
+    * order-sensitive state). Unlike dedup (order-free) and windows
+    * (watermark-flushed), the EWMA fold depends on EVENT ORDER across
+    * micro-batches, so the input files must replay in time order: the
+    * batch is sliced at exact percentile boundaries of the event time and
+    * each slice is written in its own sequential job — ascending file
+    * modification times, the order the file source replays under
+    * `maxFilesPerTrigger = 1`. Within a slice, [[streaming]]'s per-batch
+    * sort handles row order; across slices the carried state does. The
+    * drained sink then equals the batch recursive filter row for row
+    * (`0.35·new + 0.65·prev`), which a DuckDB recursive CTE can restate —
+    * the statement the oracle checks. The parity rounds at 3 decimals
+    * (one past the data's 2): the two engines' 60-odd-step double folds
+    * drift by ULPs (measured ~5e-11), and a 6-decimal rounding puts ~1 in
+    * 10⁴ rows on a tie boundary where the engines round apart; at 1e-3
+    * units the collision odds are ~1e-7 per row.
+    */
+  def drainParity(spark: SparkSession, batch: DataFrame,
+      alpha: Double = 0.35, inputFiles: Int = 4): DataFrame = {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_s10_").toString
+    val in = s"$root/in"
+    val shaped = batch.select(
+      col("station_id").cast("string").as("station_id"),
+      col("timestamp"), col("value").cast("double").as("value"))
+    val qs = (1 until inputFiles).map(_.toDouble / inputFiles)
+    val bounds = shaped
+      .agg(percentile(unix_micros(col("timestamp")), lit(qs.toArray)).as("b"))
+      .head().getSeq[Double](0).map(_.toLong)
+    val edges = (Long.MinValue +: bounds) :+ Long.MaxValue
+    // one physical file per slice, MOVED into the input dir under an
+    // index-ordered name: ascending in BOTH path and mtime, so the file
+    // source replays slices in time order whichever it sorts by (UUID
+    // part names in one dir do not guarantee that — observed reorders).
+    // coalesce(1) is harness-fidelity, not a 100 TB shape: production
+    // ordered replay is a Kafka partition, not a file queue.
+    val inPath = new org.apache.hadoop.fs.Path(in)
+    val fs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(inPath)
+    edges.sliding(2).zipWithIndex.foreach { case (w, i) =>
+      val tmp = s"$root/slice_$i"
+      shaped.filter(unix_micros(col("timestamp")) >= w(0) &&
+          unix_micros(col("timestamp")) < w(1))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val parts = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*"))
+      if (parts.nonEmpty) // a degenerate percentile edge can leave a slice empty
+        fs.rename(parts.head.getPath, new org.apache.hadoop.fs.Path(
+          f"$in/slice-$i%03d.parquet"))
+    }
+    val stream = spark.readStream.schema(shaped.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in).as[Reading]
+    val smoothed = streaming(spark, stream, alpha)
+      .select(col("station_id"), unix_micros(col("timestamp")).as("ts_us"),
+        col("value"), round(col("ewma"), 3).as("ewma"))
+    val q = Pipeline.parquetSink(smoothed, s"$root/out", s"$root/ckpt",
+      boundedDrain = true).start()
+    q.awaitTermination()
+    spark.read.parquet(s"$root/out")
   }
 }

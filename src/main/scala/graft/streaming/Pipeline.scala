@@ -220,7 +220,19 @@ object Pipeline {
             expr(s"2 * INTERVAL '$width'")).cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }: _*)
-    sentinel.coalesce(1).write.mode("append").parquet(in)
+    // the sentinel must replay LAST. A plain append would give it a UUID
+    // part name interleaving arbitrarily with the bulk files under a
+    // path-ordered listing (observed reorders in the s10 EWMA drain), so
+    // write it aside and MOVE it in under a name that sorts last — last
+    // in both path and mtime order, whichever the file source uses.
+    // (Bulk files may replay in any order: the span watermark drops
+    // nothing; only the sentinel's position matters.)
+    sentinel.coalesce(1).write.mode("overwrite").parquet(s"$root/sentinel")
+    val inPath = new org.apache.hadoop.fs.Path(in)
+    val fs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$root/sentinel/part-*")).head.getPath
+    fs.rename(part, new org.apache.hadoop.fs.Path(s"$in/zzz-sentinel.parquet"))
     val stream = spark.readStream.schema(batchDf.schema)
       .option("maxFilesPerTrigger", 1).parquet(in)
       .withWatermark(eventTimeCol, delay)

@@ -57,4 +57,27 @@ class EwmaSpec extends SparkSpec {
       assert(got.zip(want).forall { case (x, y) => math.abs(x - y) < 1e-12 })
     } finally q.stop()
   }
+
+  test("s10: ordered-replay drain equals batchRunning, incl. sub-ms order") {
+    // rows 2 and 3 sit 500 µs apart INSIDE one millisecond: a ms-truncated
+    // sort would fold them in arrival order and diverge from the batch face
+    def us(base: Int, micros: Int): Timestamp = {
+      val t = Timestamp.valueOf(f"2025-01-01 10:00:$base%02d")
+      t.setNanos(micros * 1000); t
+    }
+    val rows = Seq(
+      Reading("A", us(1, 0), 10.0), Reading("A", us(2, 200), 20.0),
+      Reading("A", us(2, 700), 15.0), Reading("A", us(30, 0), 40.0),
+      Reading("B", us(2, 0), 5.0), Reading("B", us(45, 0), 8.0))
+    val got = Ewma.drainParity(spark, rows.toDF(), inputFiles = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val want = Ewma.batchRunning(spark, rows.toDS())
+      .collect().map(s => (s.station_id,
+        s.timestamp.toInstant.getEpochSecond * 1000000L +
+          s.timestamp.getNanos / 1000) ->
+        (s.value, math.rint(s.ewma * 1e3) / 1e3)).toMap
+    assert(got === want)
+    assert(got.size === 6)
+  }
 }
