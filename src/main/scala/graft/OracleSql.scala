@@ -1860,6 +1860,34 @@ object OracleSql {
     "x19_train_split" ->
       s"""SELECT doc_id, ${splitCaseSql("doc_id")} AS split
          |FROM documents""".stripMargin,
+    // DuckDB mirror of Urls.canonicalUrl over the shared MessyUrlVariants
+    // fixture: same rule chain in the same order; the dialects differ only
+    // in replacement syntax (\1 vs $1) and the explicit 'g' flag (DuckDB
+    // replaces first-match by default, Spark replaces all)
+    "x113_url_canonical" -> {
+      val cases = SparkEntry.MessyUrlVariants.zipWithIndex.map {
+        case ((pre, suf), i) =>
+          s"WHEN doc_id % 6 = $i THEN '$pre' || CAST(doc_id // 6 AS VARCHAR) || '$suf'"
+      }.mkString(" ")
+      raw"""WITH u AS (SELECT doc_id, CASE $cases END AS url FROM documents),
+         |c0 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS u FROM u),
+         |c1 AS (SELECT doc_id,
+         |  lower(regexp_extract(u, '^(?i)(https?://[^/?#]*)', 1)) AS head, u
+         | FROM c0),
+         |c2 AS (SELECT doc_id, head || substr(u, length(head) + 1) AS u FROM c1),
+         |c3 AS (SELECT doc_id,
+         |  regexp_replace(u, '^(https?)://www\.', '\1://') AS u FROM c2),
+         |c4 AS (SELECT doc_id, regexp_replace(
+         |   regexp_replace(u, ':(?:80|443)$$', ''),
+         |   ':(?:80|443)([/?#])', '\1', 'g') AS u FROM c3),
+         |c5 AS (SELECT doc_id, regexp_replace(regexp_replace(
+         |   regexp_replace(u, '&utm_[^&#]*', '', 'g'),
+         |   '\?utm_[^&#]*&', '?'), '\?utm_[^&#]*$$', '') AS u FROM c4),
+         |c6 AS (SELECT doc_id, regexp_replace(u, '/+$$', '') AS u FROM c5)
+         |SELECT u AS canonical_url, min(doc_id) AS canonical_doc,
+         | count(*) AS n_variants
+         |FROM c6 GROUP BY 1""".stripMargin
+    },
     // x19's split rule keyed by the near-dup CLUSTER id (singletons fall
     // back to the doc id, so their label matches x19 exactly)
     "x111_cluster_split" ->

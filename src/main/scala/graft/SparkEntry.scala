@@ -1100,6 +1100,13 @@ object SparkEntry {
       graft.text.Datacard.byLang(released, col("lang"), col("source"),
         col("text"), col("n_chars"))
     }),
+    // first-tier crawl dedup: canonicalize six surface forms of each
+    // logical URL (case/www/port/fragment/utm/slash) and collapse — no
+    // document text is ever read
+    "x113_url_canonical" -> ((s, dir) =>
+      graft.text.Urls.canonicalDedup(
+        T(s, dir, "documents").select(col("doc_id"), messyUrlColumn.as("url")),
+        col("doc_id"), col("url"))),
     // leakage-SAFE split: split drawn from the near-dup CLUSTER id, so
     // the pairs x57 flags can never straddle train/test by construction
     "x111_cluster_split" -> ((s, dir) => {
@@ -1817,6 +1824,29 @@ object SparkEntry {
       else concat(host, lit(r.path))
     when(col("doc_id") % r.docMod === 0, concat(lit(r.lead), url))
       .otherwise(lit(""))
+  }
+
+  /** x113 fixture: six surface forms of the same logical URL per group
+    * (`doc_id / 6`) — one per canonicalization rule (host case, trailing
+    * slash, www+fragment, default port, lone utm, utm beside a real
+    * param). `(prefix, suffix)` templates shared with the oracle's SQL
+    * renderer so the fixture exists once.
+    */
+  private[graft] val MessyUrlVariants: Seq[(String, String)] = Seq(
+    ("https://Example.com/a/", ""),
+    ("https://example.com/a/", "/"),
+    ("https://www.example.com/a/", "#sec"),
+    ("https://example.com:443/a/", ""),
+    ("https://example.com/a/", "?utm_source=x"),
+    ("https://example.com/a/", "?id=1&utm_campaign=y"))
+
+  private def messyUrlColumn: org.apache.spark.sql.Column = {
+    val g = floor(col("doc_id") / 6).cast("long").cast("string")
+    MessyUrlVariants.zipWithIndex.foldRight(lit(""): org.apache.spark.sql.Column) {
+      case (((pre, suf), i), rest) =>
+        when(col("doc_id") % 6 === i, concat(lit(pre), g, lit(suf)))
+          .otherwise(rest)
+    }
   }
 
   /** The x32 fixture enriches with the %2 and %6 rules only (one

@@ -32,4 +32,37 @@ class UrlsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept === Set(2L, 3L))
   }
+
+  test("canonicalUrl applies each rule; non-targets pass through") {
+    val cases = Seq(
+      // fragment dropped, authority lowercased, PATH case preserved
+      "https://Example.com/A/B#frag" -> "https://example.com/A/B",
+      // scheme+www+default port+trailing slash in one URL
+      "HTTPS://WWW.Example.com:443/x/" -> "https://example.com/x",
+      // non-default port survives (':8080' must not match the ':80' rule)
+      "http://site.com:8080/p" -> "http://site.com:8080/p",
+      // utm beside a real param (leading), utm-only, and multiple utm
+      "https://e.com/p?utm_source=a&id=2" -> "https://e.com/p?id=2",
+      "https://e.com/p?utm_a=1&utm_b=2" -> "https://e.com/p",
+      "https://e.com/p?id=3&utm_a=1&utm_b=2" -> "https://e.com/p?id=3",
+      // not a URL: only the generic rules (here: none) touch it
+      "plain text" -> "plain text")
+    val got = cases.map(_._1).toDF("url")
+      .select(Urls.canonicalUrl(col("url"))).as[String].collect().toSeq
+    assert(got === cases.map(_._2))
+  }
+
+  test("canonicalDedup collapses the variant groups, keeps min id") {
+    // two logical URLs, three surface forms + one distinct-query form
+    val urls = Seq(
+      (10L, "https://E.com/a"), (11L, "https://e.com/a/"),
+      (12L, "https://www.e.com/a#x"), (13L, "https://e.com/a?id=1"),
+      (20L, "https://e.com/b")).toDF("doc_id", "url")
+    val out = Urls.canonicalDedup(urls, col("doc_id"), col("url"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === Map(
+      "https://e.com/a" -> (10L, 3L),
+      "https://e.com/a?id=1" -> (13L, 1L),
+      "https://e.com/b" -> (20L, 1L)))
+  }
 }
