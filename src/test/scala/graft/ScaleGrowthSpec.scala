@@ -416,6 +416,26 @@ class ScaleGrowthSpec extends SparkSpec {
     assert(g < 12.0, s"item-affinity shuffle grew ${g}x for 10x input ($small -> $large)")
   }
 
+  test("cluster split + inflation shuffle bytes grow ~linearly 1x to 10x") {
+    // the x111/x112 chain: near-dup pairs -> connected components -> one
+    // corpus-sized left join each; an accidental corpus-sized frame inside
+    // the CC loop or a non-broadcast cluster join would blow the bound
+    def pipeline(n: Int): Unit = {
+      val d = docs(n)
+      val clusters = Dedup.duplicateClusters(
+        Dedup.nearDuplicates(d, col("doc_id"), col("text"), 0.3))
+      run(graft.sampling.Sampling.clusterSplit(d.select(col("doc_id")),
+        col("doc_id"), clusters, Seq("train" -> 0.9, "test" -> 0.1)))
+      run(Dedup.dupInflation(d.select(col("doc_id")), col("doc_id"), clusters))
+    }
+    val small = shuffleBytes(pipeline(500))
+    val large = shuffleBytes(pipeline(5000))
+    val g = growth(small, large)
+    assert(small > 0, "listener captured no shuffle writes")
+    assert(g < 25.0, s"cluster split/inflation shuffle grew ${g}x for 10x " +
+      s"input ($small -> $large)")
+  }
+
   test("recall-audit truth side stays sample-bounded as the corpus grows 10x") {
     // the quadratic truth join runs on the HASH SAMPLE: with an absolute
     // sample dial (same bucket count), a 10x corpus means a 10x sample
