@@ -1174,6 +1174,23 @@ object OracleSql {
         |WHERE rnk <= 10""".stripMargin,
     // per-user lagged state pairs → |states|² aggregate + row-conditional
     // probabilities
+    // ISO-Monday week truncs in both engines; offsets exact day-diff // 7
+    "a44_cohort_retention" ->
+      """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+        | FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS period
+        | FROM events),
+        |c AS (SELECT f.cohort,
+        |  datediff('day', CAST(f.cohort AS DATE), CAST(a.period AS DATE)) // 7
+        |   AS week_offset,
+        |  count(*) AS active_users
+        | FROM a JOIN f USING (user_id) GROUP BY 1, 2),
+        |s AS (SELECT cohort, count(*) AS cohort_size FROM f GROUP BY 1)
+        |SELECT CAST(epoch(c.cohort) AS BIGINT) AS cohort_ws, week_offset,
+        | active_users, s.cohort_size,
+        | round(CAST(100 AS DOUBLE) * active_users / s.cohort_size, 4)
+        |  AS retention_pct
+        |FROM c JOIN s USING (cohort)""".stripMargin,
     "a43_transition_matrix" ->
       """WITH o AS (SELECT event_type AS s,
         |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)

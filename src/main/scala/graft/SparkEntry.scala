@@ -1133,6 +1133,11 @@ object SparkEntry {
     "a43_transition_matrix" -> ((s, dir) =>
       Temporal.transitionMatrix(T(s, dir, "events"), "user_id", "ts",
         col("event_type"), order = Seq("event_id"))),
+    // weekly cohort retention matrix: share of each first-seen-week
+    // cohort still active at each week offset
+    "a44_cohort_retention" -> ((s, dir) =>
+      Temporal.cohortRetention(T(s, dir, "events"), col("user_id"),
+        col("ts"))),
     // per-type winsorization at the exact [p05, p95]: clip, don't drop
     "p18_winsorize" -> ((s, dir) =>
       Validation.winsorize(T(s, dir, "events"), col("event_type"),

@@ -393,4 +393,36 @@ object Temporal {
           round(lit(1.0) - col("downtime_us").cast("double") /
             col("span_us").cast("double"), 6)).as("availability"))
   }
+
+  /** Cohort retention matrix: users bucketed by the week of their FIRST
+    * activity, then for each (cohort, week-offset) cell the share of the
+    * cohort still active — the standard product-analytics view of churn
+    * (and, for a corpus pipeline, of crawl-source longevity when "user"
+    * is a domain or feed).
+    *
+    * Shape: first-seen and per-week activity are both hash aggregates
+    * keyed on the user — they co-partition with the user-keyed equi-join
+    * between them, so the whole matrix costs ONE user-keyed exchange of
+    * distinct (user, week) rows plus week-cardinality-sized frames; the
+    * cohort-size join broadcasts (|weeks| rows). Weeks are ISO-Monday
+    * `date_trunc` in both engines; offsets are exact day-diff/7 on the
+    * truncated values.
+    */
+  def cohortRetention(df: DataFrame, user: Column, ts: Column): DataFrame = {
+    val first = df.groupBy(user.as("__u"))
+      .agg(date_trunc("week", min(ts)).as("cohort"))
+    val activity = df
+      .select(user.as("__ua"), date_trunc("week", ts).as("period")).distinct()
+    val counts = activity.join(first, col("__ua") === col("__u"))
+      .groupBy(col("cohort"),
+        (datediff(col("period"), col("cohort")) / 7).cast("long")
+          .as("week_offset"))
+      .agg(count(lit(1)).as("active_users"))
+    val sizes = first.groupBy(col("cohort")).agg(count(lit(1)).as("cohort_size"))
+    counts.join(broadcast(sizes), "cohort")
+      .select(unix_timestamp(col("cohort")).as("cohort_ws"),
+        col("week_offset"), col("active_users"), col("cohort_size"),
+        round(lit(100.0) * col("active_users") / col("cohort_size"), 4)
+          .as("retention_pct"))
+  }
 }

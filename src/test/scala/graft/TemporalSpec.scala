@@ -310,4 +310,26 @@ class TemporalSpec extends SparkSpec {
       Some(math.rint((1.0 - 9.0 / 11.0) * 1e6) / 1e6))))
     assert(got("B") === ((1L, 0L, 0L, 0L, None)))
   }
+
+  test("cohortRetention: first-seen-week cohorts, exact per-offset shares") {
+    // 2024-01-01 is an ISO Monday → weeks W0 = Jan 1, W1 = Jan 8, W2 = Jan 15.
+    // u1/u2 join in W0 (u1 stays 3 weeks, u2 lapses); u3 joins in W1.
+    val ev = Seq(
+      (1L, ts("2024-01-02 10:00:00")), (1L, ts("2024-01-10 09:00:00")),
+      (1L, ts("2024-01-16 08:00:00")),
+      (2L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-05 23:59:59")),
+      (3L, ts("2024-01-08 12:00:00")), (3L, ts("2024-01-21 12:00:00"))
+    ).toDF("user_id", "ts").repartition(3)
+    val w0 = ts("2024-01-01 00:00:00").toInstant.getEpochSecond
+    val week = 7L * 86400L
+    val got = Temporal.cohortRetention(ev, col("user_id"), col("ts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got === Map(
+      (w0, 0L) -> ((2L, 2L, 100.0)),          // both W0 users active in W0
+      (w0, 1L) -> ((1L, 2L, 50.0)),           // only u1 returns in W1
+      (w0, 2L) -> ((1L, 2L, 50.0)),
+      (w0 + week, 0L) -> ((1L, 1L, 100.0)),   // u3's own cohort
+      (w0 + week, 1L) -> ((1L, 1L, 100.0))))
+  }
 }
