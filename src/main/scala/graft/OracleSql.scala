@@ -67,6 +67,22 @@ object OracleSql {
 
   private lazy val NearDupChain = nearDupChainSql(4, 2)
 
+  /** Shared a31/a45 funnel chain: earliest QUALIFYING timestamp per stage
+    * (each stage's min ts at-or-after the previous stage's qualifying
+    * min — Funnel.reachedFrames' statement), ending with `s1`/`s2`/`s3`
+    * `(user_id, t)`. One definition behind both the reach counts (a31)
+    * and the transition timings (a45).
+    */
+  private val FunnelChain =
+    """s1 AS (SELECT user_id, min(ts) AS t FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      |  JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND e.ts >= s1.t GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      |  JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY e.user_id)""".stripMargin
+
   /** Shared duplicate-cluster chain: [[NearDupChain]]'s verified pairs at
     * the 0.3 threshold → undirected edges → min-reachable-label connected
     * components, ending with `clus(doc_id, cluster_id)` (cluster members
@@ -784,14 +800,7 @@ object OracleSql {
     // events at-or-after the entity's stage i-1 min — the Funnel.funnel
     // semantics stated directly
     "a31_funnel" ->
-      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
-        |  WHERE event_type = 'view' GROUP BY user_id),
-        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
-        |  JOIN s1 ON e.user_id = s1.user_id
-        |  WHERE e.event_type = 'click' AND e.ts >= s1.t GROUP BY e.user_id),
-        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
-        |  JOIN s2 ON e.user_id = s2.user_id
-        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY e.user_id),
+      s"""WITH $FunnelChain,
         |c AS (SELECT 1 AS stage_idx, 'view' AS stage, count(*) AS n FROM s1
         | UNION ALL SELECT 2, 'click', count(*) FROM s2
         | UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
@@ -803,6 +812,25 @@ object OracleSql {
         | round(CAST(n AS DOUBLE) /
         |  CAST(first_value(n) OVER (ORDER BY stage_idx) AS DOUBLE), 6) AS overall
         |FROM c""".stripMargin,
+    // a31's qualifying-timestamp chain with per-transition delays; stats
+    // at millisecond rounding (engine percentile lerps differ in the
+    // last ulp of µs-scale values — see Funnel.funnelTiming)
+    "a45_funnel_timing" ->
+      s"""WITH $FunnelChain,
+        |d AS (
+        | SELECT 1 AS idx, 'view->click' AS transition,
+        |  epoch_us(s2.t) - epoch_us(s1.t) AS d_us
+        | FROM s2 JOIN s1 USING (user_id)
+        | UNION ALL
+        | SELECT 2, 'click->purchase', epoch_us(s3.t) - epoch_us(s2.t)
+        | FROM s3 JOIN s2 USING (user_id))
+        |SELECT CAST(idx AS INTEGER) AS stage_idx, transition,
+        | count(*) AS n_entities,
+        | round(quantile_cont(d_us, 0.5) / CAST(1000000 AS DOUBLE), 3)
+        |  AS median_secs,
+        | round(quantile_cont(d_us, 0.9) / CAST(1000000 AS DOUBLE), 3)
+        |  AS p90_secs
+        |FROM d GROUP BY 1, 2""".stripMargin,
     "a10_corr" ->
       """SELECT event_type, round(corr(value, hour(ts)), 6) AS corr
         |FROM events GROUP BY event_type""".stripMargin,

@@ -1138,6 +1138,12 @@ object SparkEntry {
     "a44_cohort_retention" -> ((s, dir) =>
       Temporal.cohortRetention(T(s, dir, "events"), col("user_id"),
         col("ts"))),
+    // where the a31 funnel leaks TIME: per-transition delay count /
+    // median / p90 between qualifying timestamps
+    "a45_funnel_timing" -> ((s, dir) =>
+      graft.analytics.Funnel.funnelTiming(T(s, dir, "events"),
+        col("user_id"), col("ts"), col("event_type"),
+        Seq("view", "click", "purchase"))),
     // per-type winsorization at the exact [p05, p95]: clip, don't drop
     "p18_winsorize" -> ((s, dir) =>
       Validation.winsorize(T(s, dir, "events"), col("event_type"),

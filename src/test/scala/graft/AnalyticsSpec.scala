@@ -286,6 +286,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(4L) === ((0L, None, false)))
   }
 
+  test("a45 funnelTiming: per-transition delays from qualifying timestamps") {
+    import java.sql.Timestamp
+    def ts(m: Int) = new Timestamp(m * 60000L)
+    // u1: view@1 -> click@2 (60 s) -> purchase@3 (60 s);
+    // u4: view@5 -> click@5 (0 s, >= tie); u2/u3 never reach click in order
+    val ev = Seq(
+      (1L, ts(1), "view"), (1L, ts(2), "click"), (1L, ts(3), "purchase"),
+      (2L, ts(1), "click"), (2L, ts(2), "view"),
+      (3L, ts(1), "view"),
+      (4L, ts(5), "view"), (4L, ts(5), "click")
+    ).toDF("u", "ts", "step").repartition(3)
+    val out = graft.analytics.Funnel.funnelTiming(ev, col("u"), col("ts"),
+        col("step"), Seq("view", "click", "purchase"))
+      .collect().map(r => r.getString(1) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // delays {0, 60}: median = 30, p90 = interpolated 0.9*(60-0) = 54
+    assert(out("view->click") === ((2L, 30.0, 54.0)))
+    assert(out("click->purchase") === ((1L, 60.0, 60.0)))
+  }
+
   test("a31 funnel: stage order is enforced, not just event presence") {
     import java.sql.Timestamp
     def ts(m: Int) = new Timestamp(m * 60000L)
