@@ -1187,6 +1187,21 @@ object OracleSql {
          |  md5(text) AS h FROM released)
          |GROUP BY lang""".stripMargin,
     // heaviest keys + max/mean skew ratio over the aggregated key frame
+    "p20_disorder_audit" ->
+      """WITH o AS (SELECT epoch_us(ts) AS us,
+        |  max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        | FROM events),
+        |l AS (SELECT greatest(coalesce(pmax - us, 0), 0) AS late_us FROM o)
+        |SELECT count(*) AS n_events,
+        | CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_late,
+        | round(CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |  / CAST(count(*) AS DOUBLE), 6) AS disorder_pct,
+        | max(late_us) AS max_late_us,
+        | round(quantile_cont(late_us, 0.95) / CAST(1000000 AS DOUBLE), 3)
+        |  AS p95_late_secs
+        |FROM l""".stripMargin,
     "p19_key_skew" ->
       """WITH c AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS cnt
         | FROM events GROUP BY user_id),

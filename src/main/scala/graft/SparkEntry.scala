@@ -1128,6 +1128,11 @@ object SparkEntry {
     // that decides plain shuffle vs AQE-skew vs the salted twins
     "p19_key_skew" -> ((s, dir) =>
       Validation.keySkewAudit(T(s, dir, "events"), col("user_id"), topK = 10)),
+    // event-time disorder vs arrival order — the measurement that picks
+    // a streaming watermark delay (p19's sibling for the time axis)
+    "p20_disorder_audit" -> ((s, dir) =>
+      Validation.disorderAudit(T(s, dir, "events"), col("user_id"),
+        col("ts"), order = Seq(col("event_id")))),
     // per-user event-type Markov matrix: every path and its mass (the
     // funnel asserts one path; this shows all of them)
     "a43_transition_matrix" -> ((s, dir) =>

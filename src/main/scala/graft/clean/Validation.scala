@@ -123,6 +123,42 @@ object Validation {
           .as("skew_ratio"))
   }
 
+  /** P20: event-time disorder audit — the measurement that picks a
+    * streaming watermark delay the way [[keySkewAudit]] picks a join
+    * strategy. Within each key's ARRIVAL sequence (`order`: an ingest
+    * sequence number — the per-partition offset a queue would give), a
+    * row is "late" when its event time precedes the running max of what
+    * already arrived; `late_us` is by how much. A watermark shorter than
+    * the observed lateness tail silently drops those rows in every
+    * stateful streaming operator; one longer than needed holds state.
+    * Emits ONE row: totals, disorder fraction, max and p95 lateness.
+    *
+    * Shape: one KEY-partitioned running-max window (arrival order within
+    * an entity/partition is where out-of-orderness is even defined — a
+    * global cummax would both serialize the stream through one task and
+    * measure cross-partition interleaving that watermarks don't care
+    * about), then a single global aggregate. The p95 is exact
+    * `percentile` for the oracle; `percentile_approx` at the 100 TB tier.
+    */
+  def disorderAudit(df: DataFrame, key: Column, ts: Column,
+      order: Seq[Column]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(order: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val us = unix_micros(ts)
+    val lateUs = greatest(coalesce(max(us).over(w) - us, lit(0L)), lit(0L))
+    df.select(lateUs.as("__late_us"))
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("__late_us") > 0).cast("long")).as("n_late"),
+        round(sum((col("__late_us") > 0).cast("long")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("disorder_pct"),
+        max(col("__late_us")).as("max_late_us"),
+        // seconds at ms rounding: the engines' percentile lerps differ in
+        // the last ulp of µs-scale values (the a45 discipline)
+        round(percentile(col("__late_us"), lit(0.95)) / lit(1e6), 3)
+          .as("p95_late_secs"))
+  }
+
   /** P18: per-group winsorization — clip values to the group's exact
     * [pLow, pHigh] interpolated percentiles and flag what was clipped:
     * the robust-scaling cleaner for heavy-tailed sensor/metric columns

@@ -167,4 +167,23 @@ class ValidationSpec extends SparkSpec {
     assert(got("k") === (("string", 3L, 1L, 1L, "a", "a")))
     assert(got("v") === (("double", 3L, 0L, 2L, "1.5", "2.5")))
   }
+
+  test("p20 disorderAudit: lateness vs per-key running max, hand-computed") {
+    import java.sql.Timestamp
+    def ts(m: Int) = new Timestamp(3600000L + m * 60000L)
+    // A's third arrival carries an event time 3 min behind its running
+    // max (the only late row); B arrives in order
+    val ev = Seq(
+      (1L, "A", ts(0)), (2L, "A", ts(5)), (3L, "A", ts(2)), (4L, "A", ts(7)),
+      (5L, "B", ts(1)), (6L, "B", ts(9))
+    ).toDF("event_id", "k", "ts").repartition(3)
+    val r = Validation.disorderAudit(ev, col("k"), col("ts"),
+      order = Seq(col("event_id"))).head()
+    assert(r.getLong(0) === 6L)
+    assert(r.getLong(1) === 1L)
+    assert(r.getDouble(2) === math.rint(1.0 / 6.0 * 1e6) / 1e6)
+    assert(r.getLong(3) === 180L * 1000000L)
+    // sorted lateness [0,0,0,0,0,1.8e8]: p95 lerps idx 4..5 at 0.75 -> 135 s
+    assert(r.getDouble(4) === 135.0)
+  }
 }
