@@ -1955,6 +1955,16 @@ object OracleSql {
          |SELECT d.doc_id,
          | ${splitCaseSql("coalesce(c.cluster_id, d.doc_id)")} AS split
          |FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id""".stripMargin,
+    "x115_threshold_sweep" ->
+      s"""WITH $NearDupChain,
+         |b AS (SELECT CAST(floor(jaccard / CAST(0.05 AS DOUBLE)) AS BIGINT)
+         |   AS bk, count(*) AS n_pairs
+         | FROM scored GROUP BY 1)
+         |SELECT round(bk * CAST(0.05 AS DOUBLE), 2) AS threshold, n_pairs,
+         | CAST(sum(n_pairs) OVER (ORDER BY bk DESC
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |  AS n_at_or_above
+         |FROM b""".stripMargin,
     "x112_dup_inflation" ->
       s"""WITH RECURSIVE $ClusterChain,
          |sz AS (SELECT coalesce(c.cluster_id, d.doc_id) AS cid,

@@ -1116,6 +1116,11 @@ object SparkEntry {
       graft.sampling.Sampling.clusterSplit(docs.select(col("doc_id")),
         col("doc_id"), clusters, TrainSplit)
     }),
+    // verified-Jaccard histogram + descending cumulative over ALL LSH
+    // candidates: how many pairs each threshold would merge, in one pass
+    "x115_threshold_sweep" -> ((s, dir) =>
+      Dedup.thresholdSweep(T(s, dir, "documents"), col("doc_id"),
+        col("text"))),
     // duplicate-cluster size histogram over the WHOLE corpus (singletons
     // included): the datacard breakdown behind "dedup drops N rows"
     "x112_dup_inflation" -> ((s, dir) => {

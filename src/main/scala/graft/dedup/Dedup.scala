@@ -795,6 +795,37 @@ object Dedup {
       (col("u") === col("label")).as("is_canonical"))
   }
 
+  /** Dedup-threshold sensitivity sweep: the verified-Jaccard histogram
+    * over ALL LSH candidate pairs, with a descending cumulative count —
+    * "how many pairs would merge at each threshold" in ONE chain pass,
+    * the measurement that picks the near-dup threshold instead of
+    * folklore (0.7? 0.8?). Buckets are `step`-wide floors of the score;
+    * `n_at_or_above` for bucket t counts pairs with jaccard ≥ t.
+    *
+    * Shape: [[nearDuplicatesWide]] at threshold 0 (same banding, same
+    * caps — candidates, not all pairs), then a bucket aggregate to
+    * ≤ 1/step rows; the cumulative window runs over that dial-bounded
+    * frame only (post-aggregate window contract). The bucket boundary is
+    * `floor(jaccard / step)` computed with the SAME double literals in
+    * both engines, so boundary values land identically.
+    */
+  def thresholdSweep(df: DataFrame, id: Column, text: Column,
+      step: Double = 0.05, maxBucket: Int = 1000): DataFrame = {
+    require(step > 0 && step <= 1, s"step must be in (0, 1], got $step")
+    val pairs = nearDuplicatesWide(df, id, text, threshold = 0.0,
+      numHashes = 4, rowsPerBand = 2, maxBucket = maxBucket)
+    val counts = pairs
+      .groupBy(floor(col("jaccard") / step).cast("long").as("__b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__b").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    counts
+      .withColumn("n_at_or_above", sum(col("n_pairs")).over(w))
+      .select(round(col("__b") * step, 2).as("threshold"),
+        col("n_pairs"), col("n_at_or_above"))
+  }
+
   /** Duplicate-inflation histogram: the distribution of duplicate-cluster
     * sizes over the WHOLE corpus — how much of the dataset is redundant
     * copies, bucketed by family size (the datacard number behind "dedup

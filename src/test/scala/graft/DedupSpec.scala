@@ -82,6 +82,25 @@ class DedupSpec extends SparkSpec {
     assert(out.collect { case (id, (_, true)) => id }.toSet === Set(1L, 7L))
   }
 
+  test("thresholdSweep: histogram + cumulative equal the naive rule") {
+    val got = Dedup.thresholdSweep(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val scores = Dedup.nearDuplicatesWide(docs, col("doc_id"), col("text"),
+        threshold = 0.0, numHashes = 4, rowsPerBand = 2)
+      .collect().map(_.getDouble(2))
+    assert(scores.nonEmpty)
+    val want = scores.groupBy(j => math.floor(j / 0.05)).map { case (b, js) =>
+      (math.rint(b * 0.05 * 100) / 100,
+        (js.length.toLong,
+          scores.count(s => math.floor(s / 0.05) >= b).toLong))
+    }
+    assert(got === want)
+    // the exact-dup pair pins the top bucket; cumulative hits every pair
+    assert(got.keySet.max === 1.0)
+    assert(got.values.map(_._1).sum === scores.length.toLong)
+  }
+
   test("dupInflation: size histogram conserves docs; excess = droppable rows") {
     // clusters {1,2,3,4} and {7,8} from the pair evidence; docs 5,6,9,10
     // are singletons → sizes: one 4, one 2, four 1s
