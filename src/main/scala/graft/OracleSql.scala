@@ -1187,6 +1187,24 @@ object OracleSql {
          |  md5(text) AS h FROM released)
          |GROUP BY lang""".stripMargin,
     // heaviest keys + max/mean skew ratio over the aggregated key frame
+    // the overlap join's oracle IS the naive theta join — small data can
+    // afford what the bucketed rewrite exists to avoid
+    "j11_overlap_join" ->
+      """WITH sp AS (SELECT CAST(ts AS DATE) AS day, user_id,
+        |  min(ts) AS ls, max(ts) AS le FROM events GROUP BY 1, 2),
+        |d AS (SELECT DISTINCT day FROM sp),
+        |w AS (SELECT day, 1 AS window_id,
+        |  CAST(day AS TIMESTAMP) + INTERVAL 2 HOUR AS ws,
+        |  CAST(day AS TIMESTAMP) + INTERVAL 6 HOUR AS we FROM d
+        | UNION ALL
+        | SELECT day, 2, CAST(day AS TIMESTAMP) + INTERVAL 14 HOUR,
+        |  CAST(day AS TIMESTAMP) + INTERVAL 18 HOUR FROM d)
+        |SELECT sp.day, user_id, CAST(window_id AS BIGINT) AS window_id,
+        | CAST(epoch_us(greatest(ls, ws)) AS BIGINT) AS overlap_start_us,
+        | CAST(epoch_us(least(le, we)) AS BIGINT) AS overlap_end_us,
+        | CAST(epoch_us(least(le, we)) - epoch_us(greatest(ls, ws)) AS BIGINT)
+        |  AS overlap_us
+        |FROM sp JOIN w ON sp.day = w.day AND ls <= we AND ws <= le""".stripMargin,
     "p20_disorder_audit" ->
       """WITH o AS (SELECT epoch_us(ts) AS us,
         |  max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id

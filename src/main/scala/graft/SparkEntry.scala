@@ -1133,6 +1133,37 @@ object SparkEntry {
     // that decides plain shuffle vs AQE-skew vs the salted twins
     "p19_key_skew" -> ((s, dir) =>
       Validation.keySkewAudit(T(s, dir, "events"), col("user_id"), topK = 10)),
+    // interval×interval overlap join: per-user daily activity spans vs
+    // two fixed maintenance windows per day — bucketed equi-join with
+    // ownership dedup, never a BroadcastNestedLoop theta join
+    "j11_overlap_join" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val spans = ev
+        .groupBy(col("ts").cast("date").as("day"), col("user_id"))
+        .agg(min(col("ts")).as("span_start"), max(col("ts")).as("span_end"))
+      val windows = spans.select(col("day")).distinct()
+        .select(col("day"), explode(array(
+          struct(lit(1L).as("window_id"),
+            (col("day").cast("timestamp") + expr("INTERVAL 2 HOURS"))
+              .as("w_start"),
+            (col("day").cast("timestamp") + expr("INTERVAL 6 HOURS"))
+              .as("w_end")),
+          struct(lit(2L).as("window_id"),
+            (col("day").cast("timestamp") + expr("INTERVAL 14 HOURS"))
+              .as("w_start"),
+            (col("day").cast("timestamp") + expr("INTERVAL 18 HOURS"))
+              .as("w_end")))).as("w"))
+        .select(col("day"), col("w.window_id"), col("w.w_start"),
+          col("w.w_end"))
+      Temporal.intervalOverlapJoin(spans, windows, "day",
+          "span_start", "span_end", "w_start", "w_end",
+          grainSeconds = 21600)
+        .select(col("day"), col("user_id"),
+          col("r_window_id").as("window_id"),
+          unix_micros(col("overlap_start")).as("overlap_start_us"),
+          unix_micros(col("overlap_end")).as("overlap_end_us"),
+          col("overlap_us"))
+    }),
     // event-time disorder vs arrival order — the measurement that picks
     // a streaming watermark delay (p19's sibling for the time axis)
     "p20_disorder_audit" -> ((s, dir) =>

@@ -203,6 +203,59 @@ object Temporal {
       .select(outCols: _*)
   }
 
+  /** Interval-OVERLAP join: every pair of left/right intervals of the same
+    * `key` that overlap in time (bounds inclusive) — the interval×interval
+    * sibling of [[rangeJoin]]'s point×interval (sessions × outages,
+    * campaigns × visits, crawl windows × source embargoes). Spark has no
+    * native operator for this; the naive formulation is a theta join that
+    * BroadcastNestedLoops at any size.
+    *
+    * Plan shape: BOTH sides explode to their covered `grainSeconds`
+    * buckets and meet on a plain (key, bucket) equi-join + the exact
+    * overlap filter `lStart ≤ rEnd ∧ rStart ≤ lEnd`. A pair sharing many
+    * buckets would match once per shared bucket, so an OWNERSHIP filter
+    * keeps exactly one: the bucket containing `greatest(lStart, rStart)`
+    * — the first bucket where both intervals are live, which any
+    * overlapping pair shares by construction. No dedup shuffle needed.
+    * [[rangeJoin]]'s grain guidance applies to both sides' typical
+    * lengths.
+    *
+    * Output: every left column, every non-key right column prefixed with
+    * `prefix`, plus `overlap_start`/`overlap_end`/`overlap_us`.
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame, key: String,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      grainSeconds: Long, prefix: String = "r_"): DataFrame = {
+    require(grainSeconds > 0, "grainSeconds must be positive")
+    val rPayload = right.columns.filter(_ != key).toSeq
+    val outNames = rPayload.map(prefix + _) ++
+      Seq("overlap_start", "overlap_end", "overlap_us")
+    val collisions = left.columns.toSet.intersect(outNames.toSet)
+    require(collisions.isEmpty, s"overlap join output name collision: $collisions")
+    val grainUs = grainSeconds * 1000000L
+    def bucketOf(c: org.apache.spark.sql.Column) = floor(unix_micros(c) / grainUs)
+
+    val l = left.select(col(key).as("__k"),
+      explode(sequence(bucketOf(col(lStart)), bucketOf(col(lEnd)))).as("__b"),
+      col(lStart).as("__ls"), col(lEnd).as("__le"),
+      struct(left.columns.map(col): _*).as("__l"))
+    val r = right.select(col(key).as("__k"),
+      explode(sequence(bucketOf(col(rStart)), bucketOf(col(rEnd)))).as("__b"),
+      col(rStart).as("__rs"), col(rEnd).as("__re"),
+      struct(rPayload.map(col): _*).as("__r"))
+    val outCols =
+      left.columns.toSeq.map(c => col("__l").getField(c).as(c)) ++
+        rPayload.map(c => col("__r").getField(c).as(prefix + c)) ++ Seq(
+          greatest(col("__ls"), col("__rs")).as("overlap_start"),
+          least(col("__le"), col("__re")).as("overlap_end"),
+          (unix_micros(least(col("__le"), col("__re"))) -
+            unix_micros(greatest(col("__ls"), col("__rs")))).as("overlap_us"))
+    l.join(r, Seq("__k", "__b"))
+      .filter(col("__ls") <= col("__re") && col("__rs") <= col("__le"))
+      .filter(col("__b") === bucketOf(greatest(col("__ls"), col("__rs"))))
+      .select(outCols: _*)
+  }
+
   /** Time-grid resampling with linear interpolation: per key, a regular
     * `stepSeconds` grid spanning that key's own first-to-last observation,
     * each grid point valued by interpolating between its neighboring

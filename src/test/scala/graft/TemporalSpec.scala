@@ -311,6 +311,39 @@ class TemporalSpec extends SparkSpec {
     assert(got("B") === ((1L, 0L, 0L, 0L, None)))
   }
 
+  test("intervalOverlapJoin: exact overlaps, once each, inclusive bounds") {
+    // A spans many 1 h buckets (the ownership filter must still emit its
+    // pairs exactly once); D×W touch at a single instant (inclusive)
+    val left = Seq(
+      ("k", "A", ts("2025-01-01 00:00:00"), ts("2025-01-01 10:00:00")),
+      ("k", "B", ts("2025-01-01 05:00:00"), ts("2025-01-01 05:30:00")),
+      ("k", "C", ts("2025-01-01 20:00:00"), ts("2025-01-01 21:00:00")),
+      ("k", "D", ts("2025-01-01 12:00:00"), ts("2025-01-01 13:00:00"))
+    ).toDF("g", "name", "ls", "le")
+    val right = Seq(
+      ("k", "X", ts("2025-01-01 04:00:00"), ts("2025-01-01 06:00:00")),
+      ("k", "Y", ts("2025-01-01 09:30:00"), ts("2025-01-01 11:00:00")),
+      ("k", "Z", ts("2025-01-01 22:00:00"), ts("2025-01-01 23:00:00")),
+      ("k", "W", ts("2025-01-01 13:00:00"), ts("2025-01-01 14:00:00"))
+    ).toDF("g", "rname", "rs", "re")
+    val out = Temporal.intervalOverlapJoin(left, right, "g",
+        "ls", "le", "rs", "re", grainSeconds = 3600)
+      .collect().map(r => (r.getString(1), r.getString(4)) ->
+        (r.getTimestamp(7), r.getTimestamp(8), r.getLong(9))).toMap
+    assert(out.keySet === Set(("A", "X"), ("A", "Y"), ("B", "X"), ("D", "W")))
+    assert(out(("A", "X")) ===
+      ((ts("2025-01-01 04:00:00"), ts("2025-01-01 06:00:00"), 7200000000L)))
+    assert(out(("A", "Y")) ===
+      ((ts("2025-01-01 09:30:00"), ts("2025-01-01 10:00:00"), 1800000000L)))
+    assert(out(("B", "X")) ===
+      ((ts("2025-01-01 05:00:00"), ts("2025-01-01 05:30:00"), 1800000000L)))
+    assert(out(("D", "W")) ===
+      ((ts("2025-01-01 13:00:00"), ts("2025-01-01 13:00:00"), 0L)))
+    // the collect's size equals the key set: each pair appeared ONCE
+    assert(Temporal.intervalOverlapJoin(left, right, "g",
+      "ls", "le", "rs", "re", grainSeconds = 3600).count() === 4L)
+  }
+
   test("cohortRetention: first-seen-week cohorts, exact per-offset shares") {
     // 2024-01-01 is an ISO Monday → weeks W0 = Jan 1, W1 = Jan 8, W2 = Jan 15.
     // u1/u2 join in W0 (u1 stays 3 weeks, u2 lapses); u3 joins in W1.
