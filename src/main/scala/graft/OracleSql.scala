@@ -1187,6 +1187,20 @@ object OracleSql {
          |  md5(text) AS h FROM released)
          |GROUP BY lang""".stripMargin,
     // heaviest keys + max/mean skew ratio over the aggregated key frame
+    // p16's change-point rule + lead-closed validity ranges
+    "j12_scd2_dim" ->
+      """WITH o AS (SELECT event_id, user_id, event_type, ts,
+        |  lag(event_type) OVER w AS pv, row_number() OVER w AS rn
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (SELECT user_id, event_type, ts, event_id FROM o
+        | WHERE rn = 1 OR event_type IS DISTINCT FROM pv)
+        |SELECT user_id, event_type,
+        | CAST(epoch_us(ts) AS BIGINT) AS ef_us,
+        | CAST(epoch_us(lead(ts) OVER w2) AS BIGINT) AS et_us,
+        | (lead(ts) OVER w2 IS NULL) AS is_current,
+        | CAST(row_number() OVER w2 AS BIGINT) AS version
+        |FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
     // the overlap join's oracle IS the naive theta join — small data can
     // afford what the bucketed rewrite exists to avoid
     "j11_overlap_join" ->

@@ -1133,6 +1133,17 @@ object SparkEntry {
     // that decides plain shuffle vs AQE-skew vs the salted twins
     "p19_key_skew" -> ((s, dir) =>
       Validation.keySkewAudit(T(s, dir, "events"), col("user_id"), topK = 10)),
+    // SCD Type-2 dimension from the event stream: versioned validity
+    // ranges of each user's event_type state (p16's change points +
+    // lead-closed intervals)
+    "j12_scd2_dim" -> ((s, dir) =>
+      graft.warehouse.StarSchema.scd2(T(s, dir, "events"), key = "user_id",
+          time = "ts", order = Seq(col("ts"), col("event_id")),
+          attrs = Seq(col("event_type")))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("effective_from")).as("ef_us"),
+          unix_micros(col("effective_to")).as("et_us"),
+          col("is_current"), col("version"))),
     // interval×interval overlap join: per-user daily activity spans vs
     // two fixed maintenance windows per day — bucketed equi-join with
     // ownership dedup, never a BroadcastNestedLoop theta join

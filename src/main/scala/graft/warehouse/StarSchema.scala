@@ -238,4 +238,35 @@ object StarSchema {
       .agg(sum(col("__rev_fp")).as("__fp"))
       .select(col("n_name"), (col("__fp") / 10000).as("revenue"))
   }
+
+  /** SCD Type-2 dimension builder: collapse a keyed change-event stream to
+    * versioned validity rows — one row per (key, attribute-state) run with
+    * `effective_from`/`effective_to` (null = open), `is_current` and a
+    * per-key `version` — the standard warehouse answer to "what was this
+    * entity's state AT time t" (join on `t BETWEEN effective_from AND
+    * coalesce(effective_to, ∞)`).
+    *
+    * Change points come from [[graft.clean.Validation.debounce]] (first
+    * row per key + rows where any watched attribute differs from its
+    * predecessor, null-safe), so the run-collapse rule exists once;
+    * validity ranges are a `lead` over the ALREADY change-collapsed frame.
+    * Both windows partition on the key with the same ordering, so the
+    * whole build is one keyed exchange; the second sort runs on the
+    * run-cardinality frame (≪ events).
+    *
+    * `order` must be a deterministic total order within each key (e.g.
+    * event time + a sequence id): ties in raw event time otherwise make
+    * which state "wins" an instant partition-order-dependent.
+    */
+  def scd2(df: DataFrame, key: String, time: String, order: Seq[Column],
+      attrs: Seq[Column]): DataFrame = {
+    val changes = graft.clean.Validation.debounce(df, Seq(key), order, attrs)
+    val w = Window.partitionBy(col(key)).orderBy(order: _*)
+    changes.select(
+      (col(key) +: attrs) ++ Seq(
+        col(time).as("effective_from"),
+        lead(col(time), 1).over(w).as("effective_to"),
+        lead(col(time), 1).over(w).isNull.as("is_current"),
+        row_number().over(w).cast("long").as("version")): _*)
+  }
 }

@@ -222,4 +222,25 @@ class WarehouseSpec extends SparkSpec {
     }
     assert(broadcasts >= 2, plan.toString.take(1500))
   }
+
+  test("scd2: runs collapse to versioned validity rows, last one open") {
+    import java.sql.Timestamp
+    def ts(m: Int) = new Timestamp(m * 60000L)
+    // A: x,x,y,y,x → three runs; B: one event → one open row
+    val ev = Seq(
+      (1L, "A", ts(1), "x"), (2L, "A", ts(2), "x"), (3L, "A", ts(3), "y"),
+      (4L, "A", ts(4), "y"), (5L, "A", ts(5), "x"),
+      (6L, "B", ts(2), "q")
+    ).toDF("event_id", "k", "ts", "state").repartition(3)
+    val got = StarSchema.scd2(ev, key = "k", time = "ts",
+        order = Seq(col("ts"), col("event_id")), attrs = Seq(col("state")))
+      .collect().map(r => (r.getString(0), r.getLong(5)) ->
+        (r.getString(1), r.getTimestamp(2), Option(r.getTimestamp(3)),
+          r.getBoolean(4))).toMap
+    assert(got === Map(
+      ("A", 1L) -> (("x", ts(1), Some(ts(3)), false)),
+      ("A", 2L) -> (("y", ts(3), Some(ts(5)), false)),
+      ("A", 3L) -> (("x", ts(5), None, true)),
+      ("B", 1L) -> (("q", ts(2), None, true))))
+  }
 }
