@@ -1116,6 +1116,12 @@ object SparkEntry {
       graft.sampling.Sampling.clusterSplit(docs.select(col("doc_id")),
         col("doc_id"), clusters, TrainSplit)
     }),
+    // corpus concentration indices over the source mix (HHI / Gini /
+    // entropy / top share) — the one-row "is this corpus one crawl
+    // wearing twenty hats" datacard block
+    "x116_source_concentration" -> ((s, dir) =>
+      graft.analytics.Distribution.concentrationReport(
+        T(s, dir, "documents"), col("source"))),
     // verified-Jaccard histogram + descending cumulative over ALL LSH
     // candidates: how many pairs each threshold would merge, in one pass
     "x115_threshold_sweep" -> ((s, dir) =>

@@ -65,6 +65,45 @@ object Distribution {
     * two-phase aggregate; at the 100 TB tier prefer
     * [[approxDistinctPerGroup]] (HLL++, single pass, no expansion).
     */
+  /** Corpus concentration report over a categorical key (typically the
+    * document `source`): Herfindahl-Hirschman index, Gini coefficient,
+    * share entropy in bits, and the single largest share — the datacard
+    * numbers behind "is this corpus one crawl wearing twenty hats". A
+    * mixture that looks diverse by source COUNT can still concentrate its
+    * mass; these indices say so in one row.
+    *
+    * Shape: one hash aggregate to |categories| rows, a rank window over
+    * that tiny frame (post-aggregate window contract), one final
+    * aggregate. The Gini uses the exact rank identity
+    * G = 2·Σ(i·cᵢ)/(n·Σc) − (n+1)/n over ascending counts — integer sums
+    * until the final division, so partitioning cannot perturb it.
+    */
+  def concentrationReport(df: DataFrame, key: Column): DataFrame = {
+    val counts = df.groupBy(key.as("__k")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").asc, col("__k").asc)
+    counts.withColumn("__i", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).as("n_categories"),
+        sum(col("cnt")).as("__tot"),
+        sum(col("cnt") * col("cnt")).as("__s2"),
+        sum(col("__i") * col("cnt")).as("__w"),
+        max(col("cnt")).as("__top"),
+        sum(col("cnt").cast("double") * log(col("cnt").cast("double")))
+          .as("__clnc"))
+      .select(col("n_categories"),
+        round(col("__s2").cast("double") /
+          (col("__tot") * col("__tot")).cast("double"), 6).as("hhi"),
+        round(lit(2.0) * col("__w").cast("double") /
+          (col("n_categories") * col("__tot")).cast("double") -
+          (col("n_categories") + 1).cast("double") /
+            col("n_categories").cast("double"), 6).as("gini"),
+        round((log(col("__tot").cast("double")) -
+          col("__clnc") / col("__tot").cast("double")) / lit(math.log(2.0)), 6)
+          .as("entropy_bits"),
+        round(col("__top").cast("double") / col("__tot").cast("double"), 6)
+          .as("top_share"))
+  }
+
   def distinctPerGroup(df: DataFrame, key: Column, value: Column): DataFrame =
     df.groupBy(key).agg(countDistinct(value).as("n_distinct"))
 

@@ -286,6 +286,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(4L) === ((0L, None, false)))
   }
 
+  test("x116 concentrationReport: HHI/Gini/entropy on a hand distribution") {
+    // counts {a:1, b:2, c:3, d:4}: tot 10, HHI 30/100, Gini
+    // 2*30/(4*10) - 5/4 = 0.25, top 0.4; entropy from the closed form
+    val rows = Seq.fill(1)("a") ++ Seq.fill(2)("b") ++ Seq.fill(3)("c") ++
+      Seq.fill(4)("d")
+    val r = graft.analytics.Distribution.concentrationReport(
+      rows.toDF("src").repartition(3), col("src")).head()
+    assert(r.getLong(0) === 4L)
+    assert(r.getDouble(1) === 0.3)
+    assert(r.getDouble(2) === 0.25)
+    val clnc = 1 * math.log(1) + 2 * math.log(2) + 3 * math.log(3) +
+      4 * math.log(4)
+    assert(r.getDouble(3) ===
+      math.rint((math.log(10) - clnc / 10) / math.log(2.0) * 1e6) / 1e6)
+    assert(r.getDouble(4) === 0.4)
+  }
+
   test("a45 funnelTiming: per-transition delays from qualifying timestamps") {
     import java.sql.Timestamp
     def ts(m: Int) = new Timestamp(m * 60000L)
