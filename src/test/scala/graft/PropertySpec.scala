@@ -186,4 +186,88 @@ class PropertySpec extends SparkSpec {
     assert(ns.zip(ns.tail).forall { case (a, b) => b <= a },
       s"reach must shrink: ${ns.mkString(",")}")
   }
+
+  test("canonicalUrl is idempotent over messy generated URLs") {
+    // a canonicalizer that isn't a fixed point re-rewrites its own output
+    // and dedup keys drift between passes
+    val rnd = new scala.util.Random(11)
+    val schemes = Seq("https://", "HTTPS://", "http://")
+    val hosts = Seq("Example.com", "www.example.com", "a.B.org:443",
+      "x.net:80", "y.io:8080")
+    val paths = Seq("/", "/A/b", "/p/q/", "")
+    val tails = Seq("", "#frag", "?utm_a=1", "?id=2&utm_b=3",
+      "?utm_a=1&utm_b=2", "?utm_a=1&id=4&utm_b=5")
+    val urls = Seq.tabulate(300) { _ =>
+      schemes(rnd.nextInt(3)) + hosts(rnd.nextInt(5)) +
+        paths(rnd.nextInt(4)) + tails(rnd.nextInt(6))
+    }
+    val out = urls.toDF("u")
+      .select(graft.text.Urls.canonicalUrl(col("u")).as("c1"))
+      .select(col("c1"), graft.text.Urls.canonicalUrl(col("c1")).as("c2"))
+      .collect()
+    out.foreach(r => assert(r.getString(0) === r.getString(1),
+      s"not a fixed point: '${r.getString(0)}' -> '${r.getString(1)}'"))
+  }
+
+  test("intervalOverlapJoin equals the naive theta join on random intervals") {
+    val rnd = new scala.util.Random(7)
+    def iv(n: Int, tag: String) = Seq.tabulate(n) { i =>
+      val s = rnd.nextInt(500000)
+      ("k" + rnd.nextInt(3), s"$tag$i",
+        new java.sql.Timestamp(s * 1000L),
+        new java.sql.Timestamp((s + 1 + rnd.nextInt(40000)) * 1000L))
+    }
+    val l = iv(60, "L").toDF("g", "lid", "ls", "le")
+    val r = iv(60, "R").toDF("g", "rid", "rs", "re")
+    val got = graft.analytics.Temporal.intervalOverlapJoin(
+        l, r, "g", "ls", "le", "rs", "re", grainSeconds = 7200)
+      .select("lid", "r_rid").as[(String, String)].collect().sorted.toSeq
+    val naive = l.as("l").join(r.as("r"),
+        col("l.g") === col("r.g") && col("ls") <= col("re") &&
+          col("rs") <= col("le"))
+      .select("lid", "rid").as[(String, String)].collect().sorted.toSeq
+    assert(got === naive)
+    assert(naive.nonEmpty)
+  }
+
+  test("scd2 reconstruction: the covering version matches the last change") {
+    val rnd = new scala.util.Random(3)
+    val states = Seq("a", "b", "c")
+    val ev = Seq.tabulate(300)(i => (i.toLong, "u" + rnd.nextInt(9),
+        new java.sql.Timestamp(rnd.nextInt(90000).toLong * 1000L),
+        states(rnd.nextInt(3))))
+      .toDF("event_id", "k", "ts", "state")
+    val dim = graft.warehouse.StarSchema.scd2(ev, "k", "ts",
+        Seq(col("ts"), col("event_id")), Seq(col("state")))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getTimestamp(2).getTime, Option(r.getTimestamp(3)).map(_.getTime)))
+    val events = ev.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime, r.getString(3)))
+    // probe each key at several instants: the dim row covering t must
+    // carry the state of the latest event at-or-before t
+    val probes = events.map(_._3).distinct.sorted.grouped(7).map(_.head)
+    for (t <- probes; k <- events.map(_._2).distinct) {
+      val truth = events.filter(e => e._2 == k && e._3 <= t)
+        .sortBy(e => (e._3, e._1)).lastOption.map(_._4)
+      val covering = dim.filter(d => d._1 == k && d._3 <= t &&
+        d._4.forall(_ > t)).map(_._2)
+      assert(covering.toSeq.sorted === truth.toSeq.sorted,
+        s"k=$k t=$t truth=$truth covering=${covering.toSeq}")
+    }
+  }
+
+  test("cohortRetention: offset-0 cells are always exactly 100%") {
+    val rnd = new scala.util.Random(5)
+    val ev = Seq.tabulate(500)(i => (i.toLong % 83,
+        new java.sql.Timestamp(1704067200000L +
+          rnd.nextInt(45) * 86400000L + rnd.nextInt(86400000))))
+      .toDF("user_id", "ts")
+    val rows = graft.analytics.Temporal.cohortRetention(ev, col("user_id"),
+        col("ts"))
+      .collect().map(r => (r.getLong(1), r.getDouble(4)))
+    assert(rows.exists(_._1 == 0L))
+    rows.filter(_._1 == 0L).foreach { case (_, pct) =>
+      assert(pct === 100.0, "every user is active in their own first week")
+    }
+  }
 }
