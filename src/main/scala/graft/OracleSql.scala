@@ -1988,21 +1988,22 @@ object OracleSql {
          | ${splitCaseSql("coalesce(c.cluster_id, d.doc_id)")} AS split
          |FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id""".stripMargin,
     // ln(2) is interpolated from the JVM constant so both engines divide
-    // by bit-identical doubles; integer sums until the final divisions
+    // by bit-identical doubles; squared/rank-weighted sums in DOUBLE to
+    // mirror the Spark side's overflow-safe arithmetic op for op
     "x116_source_concentration" ->
       s"""WITH c AS (SELECT source AS k, count(*) AS cnt FROM documents
          | GROUP BY 1),
          |r AS (SELECT cnt, CAST(row_number() OVER (ORDER BY cnt ASC, k ASC)
          |  AS BIGINT) AS i FROM c),
          |a AS (SELECT count(*) AS n, CAST(sum(cnt) AS BIGINT) AS tot,
-         |  CAST(sum(cnt * cnt) AS BIGINT) AS s2,
-         |  CAST(sum(i * cnt) AS BIGINT) AS w, max(cnt) AS top,
+         |  sum(CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE)) AS s2,
+         |  sum(CAST(i AS DOUBLE) * CAST(cnt AS DOUBLE)) AS w, max(cnt) AS top,
          |  sum(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE))) AS clnc
          | FROM r)
          |SELECT n AS n_categories,
-         | round(CAST(s2 AS DOUBLE) / CAST(tot * tot AS DOUBLE), 6) AS hhi,
-         | round(CAST(2 AS DOUBLE) * CAST(w AS DOUBLE)
-         |   / CAST(n * tot AS DOUBLE)
+         | round(s2 / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS hhi,
+         | round(CAST(2 AS DOUBLE) * w
+         |   / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
          |  - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini,
          | round((ln(CAST(tot AS DOUBLE)) - clnc / CAST(tot AS DOUBLE))
          |  / CAST(${math.log(2.0)} AS DOUBLE), 6) AS entropy_bits,

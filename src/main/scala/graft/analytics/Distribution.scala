@@ -74,27 +74,31 @@ object Distribution {
     *
     * Shape: one hash aggregate to |categories| rows, a rank window over
     * that tiny frame (post-aggregate window contract), one final
-    * aggregate. The Gini uses the exact rank identity
-    * G = 2·Σ(i·cᵢ)/(n·Σc) − (n+1)/n over ascending counts — integer sums
-    * until the final division, so partitioning cannot perturb it.
+    * aggregate. The Gini uses the rank identity
+    * G = 2·Σ(i·cᵢ)/(n·Σc) − (n+1)/n over ascending counts. The squared
+    * and rank-weighted sums run in DOUBLE: a long `cnt²` silently wraps
+    * past ~3·10⁹ rows per category in non-ANSI Spark (the softDedupWeights
+    * overflow class) while the double loses only last-ulp precision,
+    * which the 6-dp rounding of these O(1) indices absorbs.
     */
   def concentrationReport(df: DataFrame, key: Column): DataFrame = {
     val counts = df.groupBy(key.as("__k")).agg(count(lit(1)).as("cnt"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("cnt").asc, col("__k").asc)
+    val cd = col("cnt").cast("double")
     counts.withColumn("__i", row_number().over(w).cast("long"))
       .agg(count(lit(1)).as("n_categories"),
         sum(col("cnt")).as("__tot"),
-        sum(col("cnt") * col("cnt")).as("__s2"),
-        sum(col("__i") * col("cnt")).as("__w"),
+        sum(cd * cd).as("__s2"),
+        sum(col("__i").cast("double") * cd).as("__w"),
         max(col("cnt")).as("__top"),
-        sum(col("cnt").cast("double") * log(col("cnt").cast("double")))
-          .as("__clnc"))
+        sum(cd * log(cd)).as("__clnc"))
       .select(col("n_categories"),
-        round(col("__s2").cast("double") /
-          (col("__tot") * col("__tot")).cast("double"), 6).as("hhi"),
-        round(lit(2.0) * col("__w").cast("double") /
-          (col("n_categories") * col("__tot")).cast("double") -
+        round(col("__s2") /
+          (col("__tot").cast("double") * col("__tot").cast("double")), 6)
+          .as("hhi"),
+        round(lit(2.0) * col("__w") /
+          (col("n_categories").cast("double") * col("__tot").cast("double")) -
           (col("n_categories") + 1).cast("double") /
             col("n_categories").cast("double"), 6).as("gini"),
         round((log(col("__tot").cast("double")) -

@@ -115,5 +115,10 @@ object Funnel {
           lit(s"${stages(i)}->${stages(i + 1)}").as("transition"),
           col("n_entities"), col("median_secs"), col("p90_secs"))
     }.reduce(_.unionByName(_))
+      // a transition nobody completed yields count=0 with null
+      // percentiles from the global agg; drop it so the output matches
+      // the relational statement (a GROUP BY simply has no such group —
+      // the x103 fixture-shape-parity discipline)
+      .filter(col("n_entities") > 0)
   }
 }

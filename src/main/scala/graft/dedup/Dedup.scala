@@ -840,16 +840,30 @@ object Dedup {
     * (corpus → |clusters| → |distinct sizes|); nothing corpus-sized ever
     * sits in one task.
     */
-  def dupInflation(docs: DataFrame, id: Column, clusters: DataFrame): DataFrame = {
-    val c = clusters.select(col("doc_id").as("__cdoc"),
-      col("cluster_id").cast("long").as("__cluster"))
-    docs.join(c, id === col("__cdoc"), "left")
-      .select(coalesce(col("__cluster"), id.cast("long")).as("__cid"))
+  def dupInflation(docs: DataFrame, id: Column, clusters: DataFrame): DataFrame =
+    withClusterKey(docs, id, clusters)
+      .select(col("__cid"))
       .groupBy(col("__cid")).agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"),
         sum(col("cluster_size")).as("n_docs"),
         sum(col("cluster_size") - 1).as("n_excess"))
+
+  /** Attach each row's duplicate-cluster key as `__cid`, falling back to
+    * the row's OWN id for singletons. The fallback is collision-safe by
+    * the [[duplicateClusters]] invariant that a cluster id is always some
+    * member's minimum doc id — a singleton's id can never collide with
+    * another cluster's label. The ONE definition behind [[dupInflation]]
+    * and [[graft.sampling.Sampling.clusterSplit]] (and, in SQL, the
+    * ClusterChain `coalesce`), so the fallback rule cannot drift.
+    */
+  private[graft] def withClusterKey(df: DataFrame, id: Column,
+      clusters: DataFrame): DataFrame = {
+    val c = clusters.select(col("doc_id").as("__cdoc"),
+      col("cluster_id").cast("long").as("__cluster"))
+    df.join(c, id === col("__cdoc"), "left")
+      .withColumn("__cid", coalesce(col("__cluster"), id.cast("long")))
+      .drop("__cdoc", "__cluster")
   }
 
   /** Apply near-dedup to the corpus: drop every non-canonical member of

@@ -99,14 +99,10 @@ object Sampling {
     * and no label table ever materializes.
     */
   def clusterSplit(df: DataFrame, id: Column, clusters: DataFrame,
-      weights: Seq[(String, Double)], salt: String = "split"): DataFrame = {
-    val c = clusters.select(col("doc_id").as("__cdoc"),
-      col("cluster_id").cast("long").as("__cluster"))
-    df.join(c, id === col("__cdoc"), "left")
-      .withColumn("split",
-        splitLabel(coalesce(col("__cluster"), id.cast("long")), weights, salt))
-      .drop("__cdoc", "__cluster")
-  }
+      weights: Seq[(String, Double)], salt: String = "split"): DataFrame =
+    graft.dedup.Dedup.withClusterKey(df, id, clusters)
+      .withColumn("split", splitLabel(col("__cid"), weights, salt))
+      .drop("__cid")
 
   /** Keep a deterministic `fraction` of rows (by id hash). */
   def sampleBy(df: DataFrame, id: Column, fraction: Double,

@@ -77,10 +77,8 @@ object Ewma {
           // micro-batches can carry several rows per key: fold in event
           // order at FULL microsecond precision — getTime truncates to ms
           // and would leave sub-ms ties in arrival order (the a180f4e
-          // funnel/rate-spike fix, applied here)
-          val sorted = rows.toSeq.sortBy(r =>
-            r.timestamp.toInstant.getEpochSecond * 1000000L +
-              r.timestamp.getNanos / 1000)
+          // funnel/rate-spike fix; one shared conversion, not a re-roll)
+          val sorted = rows.toSeq.sortBy(r => FunnelStream.micros(r.timestamp))
           var prev = state.getOption
           val out = sorted.map { r =>
             val e = prev.fold(r.value)(p => alpha * r.value + (1 - alpha) * p)
@@ -115,9 +113,13 @@ object Ewma {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_s10_").toString
     val in = s"$root/in"
+    // persist: the percentile scan plus every slice filter re-reads this
+    // frame — without the cache the upstream plan executes inputFiles+1
+    // times inside the timed drain
     val shaped = batch.select(
       col("station_id").cast("string").as("station_id"),
       col("timestamp"), col("value").cast("double").as("value"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qs = (1 until inputFiles).map(_.toDouble / inputFiles)
     val bounds = shaped
       .agg(percentile(unix_micros(col("timestamp")), lit(qs.toArray)).as("b"))
@@ -142,6 +144,7 @@ object Ewma {
         fs.rename(parts.head.getPath, new org.apache.hadoop.fs.Path(
           f"$in/slice-$i%03d.parquet"))
     }
+    shaped.unpersist(false)
     val stream = spark.readStream.schema(shaped.schema)
       .option("maxFilesPerTrigger", 1).parquet(in).as[Reading]
     val smoothed = streaming(spark, stream, alpha)
