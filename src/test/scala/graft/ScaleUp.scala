@@ -23,12 +23,18 @@ import org.apache.spark.sql.functions._
   *    join fan-outs, per-key row counts, group sizes and skew SHAPE are
   *    preserved exactly while distinct-key counts scale — the scaling a
   *    real corpus exhibits (more customers, not 10× rows per customer);
-  *  - `documents.text` in replicas r > 0 gains a 2-token deterministic
-  *    suffix varying by doc (`" rv{r} k{doc_id % 97}"`): WITHIN-replica
-  *    exact/near-dup structure is identical to the original (dup density
-  *    per doc constant, the honest scaling), but no artificial cross-
-  *    replica exact-duplicate families appear; `n_chars` is recomputed so
-  *    the `n_chars = length(text)` invariant holds;
+  *  - `documents.text` in replicas r > 0 is rewritten by a PER-REPLICA
+  *    character rotation (`translate` over [a-z] shifted 7r mod 26 and
+  *    [0-9] shifted r mod 10): a length-preserving bijection on tokens,
+  *    so WITHIN-replica exact/near-dup structure is isomorphic to the
+  *    original (dup density per doc constant — the honest scaling) while
+  *    cross-replica token sets are disjoint and shingle Jaccard ≈ 0. A
+  *    round-9 review measured that the earlier 2-token-suffix scheme left
+  *    cross-replica Jaccard ≈ 0.93 — every doc's replicas formed a
+  *    near-dup family and the dedup-tier scale measurements ran on a
+  *    dup-saturated corpus; the rotation removes that artifact. `n_chars`
+  *    is recomputed (and unchanged, the map is 1:1) so the
+  *    `n_chars = length(text)` invariant stays checkable;
   *  - `embeddings.embedding` in replicas r > 0 gains per-dimension
   *    deterministic jitter (±1%, `sin`-derived from (vec_id, dim, r)) so
   *    ANN/clustering geometry stays non-degenerate (no 10-way exact
@@ -101,9 +107,15 @@ object ScaleUp {
 
     val docs = read("documents")
     val dstride = stride(docs, "doc_id")
-    val docText = when(col("__r") === 0, col("text"))
-      .otherwise(concat(col("text"), lit(" rv"), col("__r").cast("string"),
-        lit(" k"), (col("doc_id") % 97).cast("string")))
+    val letters = "abcdefghijklmnopqrstuvwxyz"
+    val digits = "0123456789"
+    def rotated(r: Int): String =
+      letters.drop(r * 7 % 26) + letters.take(r * 7 % 26) +
+        digits.drop(r % 10) + digits.take(r % 10)
+    val docText = (1 until factor).foldLeft(col("text")) { (acc, r) =>
+      when(col("__r") === r,
+        translate(col("text"), letters + digits, rotated(r))).otherwise(acc)
+    }
     write(docs.select(col("*"), rep)
       .select((col("doc_id") + col("__r") * dstride).as("doc_id"),
         docText.as("text"), col("lang"), col("source"))
