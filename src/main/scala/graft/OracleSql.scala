@@ -1377,10 +1377,18 @@ object OracleSql {
          | CAST(max(n) AS BIGINT) AS n
          |FROM cells""".stripMargin,
     // exhaustive truth over the SAME sampled gram frame the chain builds
-    // (g), production chain as `scored`; per-band recall
+    // (g), production chain as `scored`; per-band recall. The dial CTE
+    // mirrors Dedup.bucketsForTargetRows bit-for-bit: ceiling division as
+    // BIGINT floor division ((t·B + n − 1) // n), clamped to [1, B]
     "x104_neardup_recall" ->
-      s"""WITH samp AS (SELECT doc_id, text FROM documents
-         | WHERE ${bucketSql("doc_id", "ndrecall")} < ${SparkEntry.RecallSampleBuckets}),
+      s"""WITH dial AS (SELECT greatest(CAST(1 AS BIGINT),
+         |  least(CAST(${graft.sampling.Sampling.Buckets} AS BIGINT),
+         |   (CAST(${SparkEntry.RecallTargetRows} AS BIGINT)
+         |     * ${graft.sampling.Sampling.Buckets}
+         |     + greatest(count(*), 1) - 1) // greatest(count(*), 1)))
+         |  AS nb FROM documents),
+         |samp AS (SELECT doc_id, text FROM documents
+         | WHERE ${bucketSql("doc_id", "ndrecall")} < (SELECT nb FROM dial)),
          |${nearDupChainSql(4, 2, "samp")},
          |found AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.3),
          |truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -2951,10 +2959,14 @@ object OracleSql {
     // the ordered-replay EWMA drain equals the batch recursive filter;
     // the CTE steps with the same double expression the fold computes
     // (CASTs force double arithmetic — bare literals would be DECIMAL).
-    // 3-decimal rounding: see Ewma.drainParity on cross-engine fold ULPs
+    // 3-decimal rounding: see Ewma.drainParity on cross-engine fold ULPs.
+    // rn orders by (ts, value) — the same deterministic tie-break the
+    // Spark fold sorts by, so same-microsecond rows fold identically on
+    // both engines ((ts, value) ties are order-invariant by algebra)
     "s10_ewma_drain" ->
       """WITH RECURSIVE o AS (SELECT CAST(user_id AS VARCHAR) AS station_id,
-        |  ts, value, row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        |  ts, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, value) AS rn
         | FROM events),
         |r AS (
         | SELECT station_id, ts, value, rn, value AS ewma FROM o WHERE rn = 1

@@ -76,14 +76,17 @@ object SparkEntry {
   // personalized-PageRank seed domains (x95) — must exist in the x62
   // co-citation graph; shared with the oracle
   val PprSeeds: Seq[String] = Seq("cdn.example.net", "site0.example.com")
-  // x104 recall-audit hash-sample dial (out of Sampling.Buckets = 10000):
-  // 20% — the exhaustive truth side is QUADRATIC in this dial, so the r8
-  // 50% default made x104 the slowest bench query for no audit benefit
-  // (a recall estimate needs a sample, not half the corpus); 20% keeps
-  // ~16% of that pair volume while the sf0.01 correctness fixture still
-  // contains truth pairs (doc-sampling keeps p² of pairs — below ~20% the
-  // sparse sf0.01 dup set vanishes entirely). Shared with the oracle.
-  val RecallSampleBuckets: Int = 2000
+  // x104 recall-audit dial — a target SAMPLED-ROW count, not a corpus
+  // fraction: the exhaustive truth side is QUADRATIC in the sampled rows,
+  // so a fixed bucket fraction grows as corpus² (measured 72.6× on the
+  // 10× sf1 replica). 1000 rows keeps today's sf0.1 sample exactly (5000
+  // docs → 2000 of 10000 buckets) while corpora ≤1000 docs clamp to the
+  // whole corpus (sf0.01's 500 docs → all buckets — safely above the
+  // truth-pair-extinction floor, since sampling MORE docs keeps MORE
+  // pairs). Both sides derive buckets = clamp(ceil(target·B / count), 1,
+  // B) with integer arithmetic; the oracle mirrors it as a BIGINT
+  // floor-division scalar subquery. Shared with the oracle.
+  val RecallTargetRows: Long = 1000L
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── P: projection / filter / cleaning ────────────────────────────────
@@ -1242,13 +1245,14 @@ object SparkEntry {
         col("doc_id"), col("n_chars"), bucketWidth = 64, maxBucketIdx = 8,
         salt = "chisq", cutBuckets = 5000)),
     // recall of the production near-dup chain vs exhaustive truth on a
-    // 20% hash sample, per Jaccard band — the x71 harness for dedup. The
-    // dial was 50% through r8, which made this the slowest bench query;
-    // a recall ESTIMATE does not need half the corpus, and at 100 TB the
-    // exhaustive truth side is exactly the thing to keep sample-sized
+    // FIXED-ROW-COUNT hash sample, per Jaccard band — the x71 harness for
+    // dedup. The dial is a target sampled-row count (not a corpus
+    // fraction): the truth side is quadratic in the sample, so only a
+    // fixed row count keeps the audit flat at 100 TB (a 20% fraction
+    // measured 72.6× growth on 10× data)
     "x104_neardup_recall" -> ((s, dir) =>
-      Dedup.recallAudit(T(s, dir, "documents"), col("doc_id"), col("text"),
-        threshold = 0.3, sampleBuckets = RecallSampleBuckets)),
+      Dedup.recallAuditAdaptive(T(s, dir, "documents"), col("doc_id"),
+        col("text"), threshold = 0.3, targetRows = RecallTargetRows)),
     // top-3 trending event types per hopping window (a34 hop + a ranking
     // window over the ALREADY-AGGREGATED (window, type) frame)
     "a40_trending" -> ((s, dir) => {

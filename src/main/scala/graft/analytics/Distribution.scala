@@ -299,16 +299,35 @@ object Distribution {
     * topic/tag co-occurrence audit. Lift > 1 means the pair attracts,
     * < 1 repels; disjoint pairs are implicit zeros and not materialized.
     *
-    * Scale shape: one distinct pass to (entity, item) baskets; the pair
-    * join fans out per entity as |basket|² — fine for small item domains
-    * (event types, tags; here ≤ |items| per entity by construction) but
-    * an unbounded item domain wants a basket-size cap first, the
-    * [[graft.dedup.Dedup.capBuckets]] discipline. Aggregates are
+    * Scale shape: one distinct pass to (entity, item) baskets, then a
+    * per-entity basket cap BEFORE the pair join — the pair fan-out is
+    * |basket|², so one hub entity holding 10⁵ distinct items would emit
+    * 10¹⁰ pairs from a single basket; `maxBasket` truncates every basket
+    * to its `maxBasket` smallest (salted-hash, item) entries — a
+    * deterministic pseudo-random selection with a total tiebreak, the
+    * capBuckets discipline enforced in code, not just documented. (A
+    * window, not [[graft.sampling.Sampling.capPerGroup]]'s bounded heap:
+    * items are any type — event types are strings — and the heap
+    * aggregate is long-keyed; the window partitions on the SAME entity
+    * key the pair join shuffles on and costs linear-per-basket vs the
+    * join's quadratic, so it is never the binding term.) Baskets at or
+    * under the cap pass through untouched, so small item domains (event
+    * types, tags) are exact. Marginals and the entity total are computed
+    * over the SAME capped frame, so the lift stays internally consistent
+    * (capped = the exact affinity of the capped corpus). Aggregates are
     * |items|²-bounded; marginals join back broadcast. Lift arithmetic is
     * exact integer counts until one final double ratio.
     */
-  def itemAffinity(df: DataFrame, entity: Column, item: Column): DataFrame = {
+  def itemAffinity(df: DataFrame, entity: Column, item: Column,
+      maxBasket: Int = 256, salt: String = "affinity"): DataFrame = {
+    require(maxBasket >= 2, s"maxBasket must be >= 2, got $maxBasket")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__e"))
+      .orderBy(graft.sampling.Sampling.hashKey(col("item"), lit(salt)).asc,
+        col("item").asc)
     val ei = df.select(entity.as("__e"), item.as("item")).distinct()
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxBasket)
+      .drop("__rn")
       .localCheckpoint(true)
     val tot = ei.agg(countDistinct(col("__e")).as("__N"))
     val per = ei.groupBy(col("item")).agg(count(lit(1)).as("__c"))

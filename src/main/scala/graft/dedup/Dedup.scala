@@ -1023,11 +1023,16 @@ object Dedup {
     * this number attached.
     *
     * Scale shape: the exhaustive side is quadratic BY DESIGN and therefore
-    * runs only on the sample — `samplePerMille` bounds it at
+    * runs only on the sample — `sampleBuckets` bounds it at
     * (rate·|corpus|)², the audit's explicit cost dial; the truth pair
     * frame is broadcast-joined against the found pairs (truth is
     * band-capped-free and tiny). The LSH side is the unmodified
     * production chain on the same sample.
+    *
+    * Prefer [[recallAuditAdaptive]] in harnesses: a FIXED bucket count is
+    * a corpus FRACTION, so the quadratic truth side grows as corpus² —
+    * the adaptive face fixes the SAMPLED ROW count instead, which is the
+    * only dial that stays flat at 100 TB.
     */
   def recallAudit(df: DataFrame, id: Column, text: Column,
       threshold: Double, sampleBuckets: Int,
@@ -1065,6 +1070,42 @@ object Dedup {
       .select(col("band"), col("n_truth"), col("n_found"),
         round(col("n_found").cast("double") / col("n_truth").cast("double"), 6)
           .as("recall"))
+  }
+
+  /** Bucket dial for a target SAMPLED-ROW count: the number of
+    * [[graft.sampling.Sampling.Buckets]]-space hash buckets that samples
+    * ~`targetRows` rows out of a corpus of `corpusRows`. Pure integer
+    * arithmetic (ceiling division, clamped to [1, Buckets]) so a SQL
+    * oracle can reproduce it bit-for-bit with BIGINT floor division.
+    *
+    * This is the self-scaling discipline for quadratic audits: cost
+    * ∝ sampledRows², so fixing the row count (not the corpus fraction)
+    * keeps the audit flat as the corpus grows — at 10× data the bucket
+    * count shrinks 10× and the truth side stays the same size. Corpora
+    * at or below `targetRows` clamp to the whole corpus (every bucket),
+    * which also preserves small-fixture truth pairs (no extinction).
+    */
+  def bucketsForTargetRows(targetRows: Long, corpusRows: Long): Int = {
+    require(targetRows >= 1, s"targetRows must be >= 1, got $targetRows")
+    require(corpusRows >= 1, s"corpusRows must be >= 1, got $corpusRows")
+    val b = graft.sampling.Sampling.Buckets.toLong
+    math.max(1L, math.min(b, (targetRows * b + corpusRows - 1) / corpusRows))
+      .toInt
+  }
+
+  /** Self-scaling face of [[recallAudit]]: derives the bucket dial from a
+    * target sampled-row count via one cheap corpus `count()` (a single
+    * column-pruned scan — the price of keeping the quadratic truth side
+    * O(targetRows²) instead of O(corpus²) at 100 TB). The count and the
+    * derived dial are exact, so the result stays hash-deterministic.
+    */
+  def recallAuditAdaptive(df: DataFrame, id: Column, text: Column,
+      threshold: Double, targetRows: Long,
+      salt: String = "ndrecall"): DataFrame = {
+    val n = df.select(id.as("__rid")).count()
+    recallAudit(df, id, text, threshold,
+      sampleBuckets = bucketsForTargetRows(targetRows, math.max(n, 1L)),
+      salt = salt)
   }
 
   /** MinHash ESTIMATE of the source-overlap matrix — the 100 TB face of

@@ -77,8 +77,13 @@ object Ewma {
           // micro-batches can carry several rows per key: fold in event
           // order at FULL microsecond precision — getTime truncates to ms
           // and would leave sub-ms ties in arrival order (the a180f4e
-          // funnel/rate-spike fix; one shared conversion, not a re-roll)
-          val sorted = rows.toSeq.sortBy(r => FunnelStream.micros(r.timestamp))
+          // funnel/rate-spike fix; one shared conversion, not a re-roll).
+          // value is the deterministic tie-break for same-microsecond
+          // rows (the s10 oracle's recursive CTE orders by (ts, value)
+          // identically); a (ts, value) tie is order-invariant — folding
+          // equal values in either order yields the same output multiset
+          val sorted = rows.toSeq
+            .sortBy(r => (FunnelStream.micros(r.timestamp), r.value))
           var prev = state.getOption
           val out = sorted.map { r =>
             val e = prev.fold(r.value)(p => alpha * r.value + (1 - alpha) * p)

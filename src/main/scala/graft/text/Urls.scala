@@ -83,13 +83,18 @@ object Urls {
         count(lit(1)).as("n_variants"))
 
   /** Corpus minus every doc that links to a blocked domain — the
-    * block-list gate. The block list is corpus-tiny: broadcast anti-join.
+    * block-list gate. The BLOCK LIST is corpus-tiny but the HIT SET is
+    * not bounded by it: one popular blocked domain makes `hits` a corpus
+    * fraction, so a forced `broadcast(hits)` is a driver/executor OOM at
+    * 100 TB. No hint — AQE broadcasts when the runtime size is small and
+    * falls back to a shuffled anti-join when it isn't (the same
+    * discipline as the C4-boilerplate anti-join).
     */
   def dropBlockedDomains(df: DataFrame, id: Column, text: Column,
       blocked: Seq[String]): DataFrame = {
     val hits = extractDomains(df, id, text)
       .filter(col("domain").isin(blocked: _*))
       .select(col("doc_id").as("__blocked"))
-    df.join(broadcast(hits), id === col("__blocked"), "left_anti")
+    df.join(hits, id === col("__blocked"), "left_anti")
   }
 }

@@ -250,6 +250,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === Map(("A", "B") -> ((2L, math.rint(8.0 / 6 * 1e6) / 1e6))))
   }
 
+  test("a36 itemAffinity: basket cap bounds pair fan-out, exact below cap") {
+    // hub entity with 50 distinct items, small entities with 3: uncapped
+    // the hub contributes C(50,2)=1225 pairs; capped at 8 it contributes
+    // at most C(8,2)=28 — the enforced capBuckets discipline
+    val hub = (1 to 50).map(i => (1L, f"item$i%03d"))
+    val smalls = (2L to 4L).flatMap(u => Seq("x", "y", "z").map(it => (u, it)))
+    val ev = (hub ++ smalls).toDF("u", "it").repartition(3)
+    val capped = Distribution.itemAffinity(ev, col("u"), col("it"), maxBasket = 8)
+      .collect()
+    // pairs FROM the hub basket alone: both items start with "item"
+    val hubPairs = capped.count(r =>
+      r.getString(0).startsWith("item") && r.getString(1).startsWith("item"))
+    assert(hubPairs <= 28, s"hub contributed $hubPairs pairs, cap allows 28")
+    assert(hubPairs > 0, "cap must truncate the basket, not drop the entity")
+    // the small baskets (3 ≤ cap) are exact: x/y/z co-occur in all of
+    // u2..u4 and never with hub items (different entities)
+    val xyz = capped.filter(r => !r.getString(0).startsWith("item"))
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(xyz === Map(("x", "y") -> 3L, ("x", "z") -> 3L, ("y", "z") -> 3L))
+    // determinism: same cap + salt -> identical survivor set
+    val again = Distribution.itemAffinity(ev, col("u"), col("it"), maxBasket = 8)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(again === capped.map(r => (r.getString(0), r.getString(1))).toSet)
+  }
+
   test("a34 hoppingAgg: each event lands in exactly width/slide windows") {
     import java.sql.Timestamp
     val ev = Seq(

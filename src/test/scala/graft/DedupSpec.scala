@@ -614,6 +614,44 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("x104 bucketsForTargetRows: ceiling division, clamps, fixed-row contract") {
+    import graft.sampling.Sampling.Buckets
+    // corpus at/below the target clamps to every bucket (whole corpus —
+    // the small-fixture truth-pair-extinction guard)
+    assert(Dedup.bucketsForTargetRows(1000L, 500L) === Buckets)
+    assert(Dedup.bucketsForTargetRows(1000L, 1000L) === Buckets)
+    // exact division and ceiling: 5000 docs -> 2000 buckets; 5001 -> still
+    // ceil up (1999.6 -> 2000); 50000 -> 200
+    assert(Dedup.bucketsForTargetRows(1000L, 5000L) === 2000)
+    assert(Dedup.bucketsForTargetRows(1000L, 5001L) === 2000)
+    assert(Dedup.bucketsForTargetRows(1000L, 50000L) === 200)
+    // the fixed-row contract: buckets/Buckets · corpus stays within one
+    // bucket's worth of the target as the corpus grows 10x, 100x, 1000x
+    Seq(5000L, 50000L, 500000L, 5000000L).foreach { n =>
+      val b = Dedup.bucketsForTargetRows(1000L, n)
+      val expectedRows = b.toDouble / Buckets * n
+      assert(expectedRows >= 1000.0 && expectedRows < 1000.0 + n.toDouble / Buckets,
+        s"n=$n buckets=$b expects $expectedRows sampled rows")
+    }
+    // floor clamp: corpus so large one bucket oversamples — still >= 1
+    assert(Dedup.bucketsForTargetRows(1L, Long.MaxValue / 20000) === 1)
+  }
+
+  test("x104 recallAuditAdaptive: small corpus samples everything (same as full audit)") {
+    import spark.implicits._
+    val clones = (1L to 5L).map(i => (i, "the quick brown fox jumps high"))
+    val rest = Seq((6L, "completely different words entirely"),
+      (7L, "another unrelated document body here"))
+    val docs = (clones ++ rest).toDF("doc_id", "text").repartition(3)
+    // 7 docs <= targetRows -> dial clamps to all buckets -> identical to
+    // the exhaustive-sample audit
+    val adaptive = Dedup.recallAuditAdaptive(docs, col("doc_id"), col("text"),
+        threshold = 0.3, targetRows = 1000L)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(adaptive(4) === ((10L, 10L, 1.0)))
+  }
+
   test("x98 sourceOverlap: exact pair Jaccard, disjoint pairs absent, df cap") {
     import spark.implicits._
     val docs = Seq(

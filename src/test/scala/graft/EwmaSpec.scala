@@ -65,9 +65,13 @@ class EwmaSpec extends SparkSpec {
       val t = Timestamp.valueOf(f"2025-01-01 10:00:$base%02d")
       t.setNanos(micros * 1000); t
     }
+    // the two sub-ms rows ARRIVE out of microsecond order (700 µs before
+    // 200 µs): a ms-truncated stable sort would keep arrival order and
+    // fold 15.0 before 20.0, diverging from the batch face — arriving
+    // pre-sorted would mask exactly the truncation regression this pins
     val rows = Seq(
-      Reading("A", us(1, 0), 10.0), Reading("A", us(2, 200), 20.0),
-      Reading("A", us(2, 700), 15.0), Reading("A", us(30, 0), 40.0),
+      Reading("A", us(1, 0), 10.0), Reading("A", us(2, 700), 15.0),
+      Reading("A", us(2, 200), 20.0), Reading("A", us(30, 0), 40.0),
       Reading("B", us(2, 0), 5.0), Reading("B", us(45, 0), 8.0))
     val got = Ewma.drainParity(spark, rows.toDF(), inputFiles = 3)
       .collect().map(r => (r.getString(0), r.getLong(1)) ->

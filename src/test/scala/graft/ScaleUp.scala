@@ -55,6 +55,14 @@ object ScaleUp {
     val factor = if (args.length > 2) args(2).toInt else 10
     require(new java.io.File(src).isDirectory, s"not a directory: $src")
     require(factor >= 1, s"factor must be >= 1, got $factor")
+    // the per-replica text rotation (7r mod 26 over letters, r mod 10 over
+    // digits) is only collision-free while both residues stay distinct:
+    // the letter shift repeats every 26 replicas and the digit shift every
+    // 10, so factor > 10 would hand two replicas the same digit mapping
+    // and silently reintroduce cross-replica near-dup families on
+    // digit-heavy tokens — refuse rather than measure on a tainted corpus
+    require(factor <= 10,
+      s"factor must be <= 10 (text-rotation aliasing above that), got $factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

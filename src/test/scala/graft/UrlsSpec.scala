@@ -33,6 +33,28 @@ class UrlsSpec extends SparkSpec {
     assert(kept === Set(2L, 3L))
   }
 
+  test("dropBlockedDomains: majority-blocked corpus, and no forced broadcast") {
+    // one popular blocked domain -> the hit set is a corpus FRACTION; a
+    // forced broadcast(hits) would ship most of the corpus's ids to every
+    // executor. Correctness on the majority-blocked shape:
+    val wide = (1L to 100L).map { i =>
+      val d = if (i <= 80) "blocked.example.org" else s"ok$i.example.com"
+      (i, s"see https://$d/page$i")
+    }.toDF("doc_id", "text")
+    val kept = Urls.dropBlockedDomains(wide, col("doc_id"), col("text"),
+        blocked = Seq("blocked.example.org"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === (81L to 100L).toSet)
+    // and the plan property: the anti-join carries NO broadcast hint —
+    // the strategy choice is AQE's (runtime-sized), not hard-coded
+    val plan = Urls.dropBlockedDomains(wide, col("doc_id"), col("text"),
+      blocked = Seq("blocked.example.org")).queryExecution.analyzed
+    val hinted = plan.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hinted.isEmpty, "blocked-domain anti-join must not force broadcast")
+  }
+
   test("canonicalUrl applies each rule; non-targets pass through") {
     val cases = Seq(
       // fragment dropped, authority lowercased, PATH case preserved
