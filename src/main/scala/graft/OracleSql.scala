@@ -1965,9 +1965,10 @@ object OracleSql {
     // in replacement syntax (\1 vs $1) and the explicit 'g' flag (DuckDB
     // replaces first-match by default, Spark replaces all)
     "x113_url_canonical" -> {
+      val nv = SparkEntry.MessyUrlVariants.size
       val cases = SparkEntry.MessyUrlVariants.zipWithIndex.map {
         case ((pre, suf), i) =>
-          s"WHEN doc_id % 6 = $i THEN '$pre' || CAST(doc_id // 6 AS VARCHAR) || '$suf'"
+          s"WHEN doc_id % $nv = $i THEN '$pre' || CAST(doc_id // $nv AS VARCHAR) || '$suf'"
       }.mkString(" ")
       raw"""WITH u AS (SELECT doc_id, CASE $cases END AS url FROM documents),
          |c0 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS u FROM u),

@@ -1899,10 +1899,16 @@ object SparkEntry {
       .otherwise(lit(""))
   }
 
-  /** x113 fixture: six surface forms of the same logical URL per group
-    * (`doc_id / 6`) — one per canonicalization rule (host case, trailing
-    * slash, www+fragment, default port, lone utm, utm beside a real
-    * param). `(prefix, suffix)` templates shared with the oracle's SQL
+  /** x113 fixture: surface forms of the same logical URL per group
+    * (`doc_id / |variants|`) — one per canonicalization rule (host case,
+    * trailing slash, www+fragment, default port, lone utm, utm beside a
+    * real param) PLUS the adversarial rows that pin the Java/RE2
+    * rule-for-rule agreement by data rather than authorship: mixed-case
+    * scheme with `:80` and a case-preserved path, `:8080` (must survive
+    * the `:80` rule), utm first+middle beside a trailing real param, a
+    * fragment containing `?` (fragment rule must win), trailing-slash
+    * runs, utm-only beside a fragment, and mixed-case scheme+www
+    * together. `(prefix, suffix)` templates shared with the oracle's SQL
     * renderer so the fixture exists once.
     */
   private[graft] val MessyUrlVariants: Seq[(String, String)] = Seq(
@@ -1911,13 +1917,21 @@ object SparkEntry {
     ("https://www.example.com/a/", "#sec"),
     ("https://example.com:443/a/", ""),
     ("https://example.com/a/", "?utm_source=x"),
-    ("https://example.com/a/", "?id=1&utm_campaign=y"))
+    ("https://example.com/a/", "?id=1&utm_campaign=y"),
+    ("HTTP://EXAMPLE.com:80/Path/", ""),
+    ("https://example.com:8080/a/", ""),
+    ("https://example.com/a/", "?utm_a=1&utm_b=2&id=3"),
+    ("https://example.com/a/", "#frag?x=1"),
+    ("https://example.com/a/", "///"),
+    ("https://example.com/b", "?utm_only=1#f"),
+    ("HTTPS://WWW.Example.COM/a/", ""))
 
   private def messyUrlColumn: org.apache.spark.sql.Column = {
-    val g = floor(col("doc_id") / 6).cast("long").cast("string")
+    val n = MessyUrlVariants.size
+    val g = floor(col("doc_id") / n).cast("long").cast("string")
     MessyUrlVariants.zipWithIndex.foldRight(lit(""): org.apache.spark.sql.Column) {
       case (((pre, suf), i), rest) =>
-        when(col("doc_id") % 6 === i, concat(lit(pre), g, lit(suf)))
+        when(col("doc_id") % n === i, concat(lit(pre), g, lit(suf)))
           .otherwise(rest)
     }
   }

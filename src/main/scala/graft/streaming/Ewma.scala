@@ -114,8 +114,10 @@ object Ewma {
     * units the collision odds are ~1e-7 per row.
     */
   def drainParity(spark: SparkSession, batch: DataFrame,
-      alpha: Double = 0.35, inputFiles: Int = 4): DataFrame = {
+      alpha: Double = 0.35, inputFiles: Int = 2): DataFrame = {
     import spark.implicits._
+    require(inputFiles >= 2,
+      s"state must cross a micro-batch boundary: inputFiles >= 2, got $inputFiles")
     val root = java.nio.file.Files.createTempDirectory("graft_s10_").toString
     val in = s"$root/in"
     // persist: the percentile scan plus every slice filter re-reads this

@@ -164,11 +164,19 @@ object Pipeline {
     * semantics, but not a batch-expressible oracle). Every run uses a
     * fresh input/checkpoint/sink directory, so each invocation times the
     * FULL cold pipeline (no checkpoint reuse masquerading as work).
+    *
+    * `inputFiles` defaults to the MINIMUM (2) that still forces state
+    * across a batch boundary: drain cost is ~all trigger machinery (state
+    * store commits, checkpoint writes), so each extra file buys another
+    * trigger's wall-time without adding coverage — 2 batches + the
+    * terminal no-data batch already exercise carry, flush and commit.
     */
   def dedupDrainParity(spark: org.apache.spark.sql.SparkSession,
       batchDf: DataFrame, eventTimeCol: String, keys: Seq[String],
-      watermark: String, inputFiles: Int = 4): DataFrame = {
+      watermark: String, inputFiles: Int = 2): DataFrame = {
     require(keys.nonEmpty, "dedup needs at least one key column")
+    require(inputFiles >= 2,
+      s"state must cross a micro-batch boundary: inputFiles >= 2, got $inputFiles")
     val root = java.nio.file.Files.createTempDirectory("graft_s08_").toString
     val in = s"$root/in"
     batchDf.repartition(inputFiles).write.mode("overwrite").parquet(in)
@@ -208,7 +216,9 @@ object Pipeline {
   def windowDrainParity(spark: org.apache.spark.sql.SparkSession,
       batchDf: DataFrame, eventTimeCol: String, keyCol: String,
       valueCol: String, width: String, delay: String,
-      inputFiles: Int = 4): DataFrame = {
+      inputFiles: Int = 2): DataFrame = {
+    require(inputFiles >= 2,
+      s"state must cross a micro-batch boundary: inputFiles >= 2, got $inputFiles")
     val root = java.nio.file.Files.createTempDirectory("graft_s09_").toString
     val in = s"$root/in"
     batchDf.repartition(inputFiles).write.mode("overwrite").parquet(in)
