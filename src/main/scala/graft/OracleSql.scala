@@ -2473,19 +2473,28 @@ object OracleSql {
     // regexp_replace needs the 'g' flag to match Spark's replace-all.
     // Counts are taken before each pattern's own replacement, after all
     // earlier ones (phones counted on the email-scrubbed text).
-    "x31_pii_redact" ->
-      """WITH p AS (SELECT doc_id, text ||
-        |  CASE WHEN doc_id % 4 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
-        |  CASE WHEN doc_id % 5 = 0 THEN ' call +1 555 123 ' || lpad(CAST(doc_id AS VARCHAR), 4, '0') ELSE '' END AS text
-        | FROM documents),
-        |e AS (SELECT doc_id, text,
+    // the injection CASE chain renders from SparkEntry.PiiInjections —
+    // the single shared fixture table (adversarial regex-agreement rows
+    // included), so the two engines cannot drift by hand-edit
+    "x31_pii_redact" -> {
+      val inj = SparkEntry.PiiInjections.map { case (m, lead, pad, trail) =>
+        val idSql = pad.fold("CAST(doc_id AS VARCHAR)") {
+          case (w, c) => s"lpad(CAST(doc_id AS VARCHAR), $w, '$c')"
+        }
+        s"  CASE WHEN doc_id % $m = 0 THEN '$lead' || $idSql || '$trail' ELSE '' END"
+      }.mkString(" ||\n|")
+      s"""WITH p AS (SELECT doc_id, text ||
+         |$inj AS text
+         | FROM documents),""".stripMargin + "\n" +
+      raw"""e AS (SELECT doc_id, text,
         |  regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g') AS after_email
         | FROM p)
         |SELECT doc_id,
         | regexp_replace(after_email, '\+?\d[\d -]{7,}\d', '<PHONE>', 'g') AS clean_text,
         | CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INTEGER) AS n_emails,
         | CAST(len(regexp_extract_all(after_email, '\+?\d[\d -]{7,}\d')) AS INTEGER) AS n_phones
-        |FROM e""".stripMargin,
+        |FROM e""".stripMargin
+    },
     "x32_domain_stats" ->
       s"""WITH ${urlEnrichSql(SparkEntry.DomainStatsRules)},
          |d AS (SELECT doc_id, unnest(regexp_extract_all(text, '${graft.text.Urls.domainPattern}', 1)) AS domain FROM p)

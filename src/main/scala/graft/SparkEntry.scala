@@ -504,7 +504,10 @@ object SparkEntry {
         Seq((dimCust, Seq("c_custkey"), "customer_key"),
           (dimDate, Seq("date"), "date_key")),
         Seq("o_orderkey", "o_totalprice"))
-      fact.join(broadcast(dimCust.select(col("customer_key"), col("c_mktsegment"))),
+      // dimCust scales with the corpus (one row per customer) — no forced
+      // broadcast, AQE decides; dimDate is calendar-bounded, so its hint
+      // is safe at any scale
+      fact.join(dimCust.select(col("customer_key"), col("c_mktsegment")),
           Seq("customer_key"))
         .join(broadcast(dimDate.select(col("date_key"), col("year"))), Seq("date_key"))
         .groupBy(col("c_mktsegment"), col("year"))
@@ -1429,18 +1432,18 @@ object SparkEntry {
         col("doc_id"), col("text"), topK = 20)),
     "x31_pii_redact" -> ((s, dir) => {
       // corpus text carries no PII, so inject deterministic emails/phones
-      // for a subset of docs (mirrored in the oracle) — the scrub and the
-      // per-pattern counts are what's under test
+      // for a subset of docs (PiiInjections — the shared table the oracle
+      // renders too) — the scrub and the per-pattern counts are under test
       val docs = T(s, dir, "documents")
+      val injected = PiiInjections.map { case (m, lead, pad, trail) =>
+        val idPart = pad.fold(col("doc_id").cast("string")) {
+          case (w, c) => lpad(col("doc_id").cast("string"), w, c)
+        }
+        when(col("doc_id") % m === 0, concat(lit(lead), idPart, lit(trail)))
+          .otherwise(lit(""))
+      }
       val withPii = docs.select(col("doc_id"),
-        concat(col("text"),
-          when(col("doc_id") % 4 === 0,
-            concat(lit(" contact user"), col("doc_id").cast("string"),
-              lit("@example.com"))).otherwise(lit("")),
-          when(col("doc_id") % 5 === 0,
-            concat(lit(" call +1 555 123 "),
-              lpad(col("doc_id").cast("string"), 4, "0"))).otherwise(lit("")))
-          .as("text"))
+        concat(col("text") +: injected: _*).as("text"))
       graft.text.Redact.scrub(withPii, col("doc_id"), col("text"))
     }),
     "x32_domain_stats" -> ((s, dir) => {
@@ -1898,6 +1901,26 @@ object SparkEntry {
     when(col("doc_id") % r.docMod === 0, concat(lit(r.lead), url))
       .otherwise(lit(""))
   }
+
+  /** x31 fixture: deterministic PII injections, `(mod, lead, pad, trail)`
+    * — docs with `doc_id % mod == 0` get `lead + id + trail` appended
+    * (`pad = Some((w, c))` left-pads the id to width w with c). Shared
+    * with the oracle's SQL renderer so the fixture exists once. Beyond
+    * the two happy-path rows, the adversarial rows pin the Java/RE2
+    * regex agreement by data: mixed-case email with dots/plus in the
+    * local part and subdomains; a near-miss email (1-char TLD, must NOT
+    * match) beside a real one with a trailing dot (greedy TLD must stop
+    * before it); a minimum-length 9-digit phone; a dashed phone at the
+    * exact `{7,}` boundary next to digit runs too short to match.
+    */
+  private[graft] val PiiInjections: Seq[(Int, String, Option[(Int, String)], String)] = Seq(
+    (4, " contact user", None, "@example.com"),
+    (5, " call +1 555 123 ", Some((4, "0")), ""),
+    (7, " mail A.B+tag", None, "@Mail.Sub.Example.CO"),
+    (9, " ref x@y.z or u", None, "@ex.com."),
+    (11, " tel ", Some((9, "1")), ""),
+    (13, " fax ", None, "-code 1234-5678"),
+    (17, " short 12 34 x", None, ""))
 
   /** x113 fixture: surface forms of the same logical URL per group
     * (`doc_id / |variants|`) — one per canonicalization rule (host case,

@@ -870,15 +870,17 @@ object Dedup {
     * every duplicate cluster ([[duplicateClusters]] over `pairs`), keeping
     * the cluster's minimum-id doc plus all unpaired docs — the step that
     * turns pairwise near-dup evidence into the actual surviving corpus.
-    * The cluster frame is tiny relative to the corpus (only docs appearing
-    * in a pair), so the anti-join broadcasts.
+    * The drop set is NOT force-broadcast: "docs appearing in a pair" is a
+    * corpus FRACTION at web scale (dup families routinely cover 30-50% of
+    * a crawl — the [[greedySurvivors]] discipline), so AQE broadcasts when
+    * runtime stats say the set fits and shuffles the anti-join otherwise.
     */
   def survivors(docs: DataFrame, id: Column, pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
     val drop = duplicateClusters(pairs, maxIter)
       .filter(!col("is_canonical"))
       .select(col("doc_id").as("__dup"))
-    docs.join(broadcast(drop), id === col("__dup"), "left_anti")
+    docs.join(drop, id === col("__dup"), "left_anti")
   }
 
   /** Score-aware dedup apply: keep the BEST-scoring member of each
@@ -890,24 +892,25 @@ object Dedup {
     * truncated; keep-longest / keep-highest-quality picks the clean one,
     * keep-min-id picks whichever was crawled first).
     *
-    * Scale shape: the cluster frame is pair-bounded, so scoring its
-    * members is one broadcast join into the corpus frame; the per-cluster
-    * argmax window runs on that SMALL frame only (never the corpus); the
-    * loser set broadcasts into the final anti-join — the [[survivors]]
-    * contract with one extra model-sized window.
+    * Scale shape: the cluster frame is pair-bounded but a corpus FRACTION
+    * at web-scale dup densities (the [[greedySurvivors]] discipline), so
+    * neither the cluster join nor the loser anti-join is force-broadcast
+    * — AQE picks broadcast when runtime stats allow, keyed shuffle
+    * otherwise. The per-cluster argmax window runs on the clustered
+    * subset only (never the whole corpus), partitioned by cluster id.
     */
   def survivorsBy(docs: DataFrame, id: Column, score: Column,
       pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val clusters = duplicateClusters(pairs, maxIter)
       .select(col("doc_id").as("__cid_doc"), col("cluster_id"))
     val scored = docs.select(id.as("__cid_doc"), score.as("__score"))
-      .join(broadcast(clusters), "__cid_doc")
+      .join(clusters, "__cid_doc")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster_id"))
       .orderBy(col("__score").desc, col("__cid_doc").asc)
     val losers = scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") > 1).select(col("__cid_doc").as("__dup"))
-    docs.join(broadcast(losers), id === col("__dup"), "left_anti")
+    docs.join(losers, id === col("__dup"), "left_anti")
   }
 
   /** Greedy (SemDeDup-style) dedup apply: drop the HIGHER id of every
@@ -1193,10 +1196,11 @@ object Dedup {
     *
     * Scale shape: [[duplicateClusters]] over the pair frame (pair-volume
     * sized), one |clusters|-sized aggregate for sizes, and the weight
-    * frame — only docs that appear in a pair — broadcasts into the
-    * corpus scan (same contract as [[survivors]]); unpaired docs take
-    * weight 1 via the left-join miss. The only corpus-wide shuffle is the
-    * final |sources|-sized aggregate.
+    * frame — only docs that appear in a pair, which is a corpus FRACTION
+    * at web-scale dup densities, so the join into the corpus scan is NOT
+    * force-broadcast (AQE decides — the [[greedySurvivors]] discipline);
+    * unpaired docs take weight 1 via the left-join miss. The final
+    * |sources|-sized aggregate is the only other corpus-wide shuffle.
     */
   def softDedupWeights(docs: DataFrame, id: Column, source: Column,
       mass: Column, pairs: DataFrame): DataFrame = {
@@ -1217,7 +1221,7 @@ object Dedup {
     // round-6 values agree bit-for-bit with the oracle's HUGEINT sums.
     docs.select(id.as("doc_id"), source.as("source"),
         mass.cast("long").as("__m"))
-      .join(broadcast(weights), col("doc_id") === col("__wid"), "left")
+      .join(weights, col("doc_id") === col("__wid"), "left")
       .select(col("source"), col("__m"),
         coalesce(col("__wfp"), lit(1000000L)).as("__w"))
       .groupBy(col("source"))
@@ -1238,18 +1242,19 @@ object Dedup {
     *
     * Takes the verified pair frame (`doc_a`, `doc_b`, `jaccard` — e.g.
     * [[nearDuplicates]]) plus a `(doc_id, source)` lookup. Scale shape:
-    * the PAIR frame is bounded by the dup volume, so it broadcasts into
-    * the corpus-sized source lookup twice (map-side, no corpus shuffle);
-    * the pair key is normalized `(least, greatest)` so A→B and B→A land
-    * in one report row; the only shuffle is the final source-pair
-    * aggregate, whose cardinality is |sources|².
+    * the PAIR frame is bounded by the dup volume — a corpus FRACTION at
+    * web-scale dup densities, so neither enrichment join is
+    * force-broadcast (AQE broadcasts when small, keyed shuffle when not —
+    * the [[greedySurvivors]] discipline); the pair key is normalized
+    * `(least, greatest)` so A→B and B→A land in one report row; the last
+    * shuffle is the |sources|²-cardinality source-pair aggregate.
     */
   def crossSourceReport(pairs: DataFrame, docSources: DataFrame): DataFrame = {
     val src = docSources.select(col("doc_id"), col("source"))
     val p = pairs.select(col("doc_a"), col("doc_b"), col("jaccard"))
-    val withA = src.join(broadcast(p), src("doc_id") === p("doc_a"))
+    val withA = src.join(p, src("doc_id") === p("doc_a"))
       .select(col("doc_b"), col("jaccard"), col("source").as("__src_a"))
-    val withB = src.join(broadcast(withA), src("doc_id") === withA("doc_b"))
+    val withB = src.join(withA, src("doc_id") === withA("doc_b"))
       .select(col("__src_a"), col("source").as("__src_b"), col("jaccard"))
     withB
       .select(least(col("__src_a"), col("__src_b")).as("source_a"),

@@ -58,12 +58,16 @@ object StarSchema {
       date_format(col("date"), "EEEE").as("day_name"))
   }
 
-  /** Attach a dimension's surrogate key to a fact frame via broadcast
-    * equi-join on the natural key (dims are small by construction).
+  /** Attach a dimension's surrogate key to a fact frame via equi-join on
+    * the natural key. NOT force-broadcast: [[buildDimHashed]] exists
+    * precisely because datetime/weather dims have ~fact cardinality, and
+    * broadcasting a fact-cardinality dim is a guaranteed OOM at 100 TB —
+    * AQE broadcasts the genuinely small dims (station, date) from runtime
+    * sizes and shuffles the fact-sized ones on the natural key.
     */
   def resolveKey(fact: DataFrame, dim: DataFrame, on: Seq[String],
       keep: Seq[String]): DataFrame =
-    fact.join(broadcast(dim.select((on ++ keep).map(col): _*)), on)
+    fact.join(dim.select((on ++ keep).map(col): _*), on)
 
   /** Generic fact assembly: resolve every dimension's surrogate key, then
     * project to (surrogate keys + measures). Each resolve is a broadcast
@@ -201,12 +205,15 @@ object StarSchema {
     * order-date year, with the local-commerce constraint (customer and
     * supplier in the SAME nation) — the canonical multi-way
     * fact-to-many-dims query and the join-planning showcase: region and
-    * nation are force-broadcast (they prune suppliers to the region
-    * BEFORE any big join), supplier rides that broadcast into the
-    * lineitem scan, and only two corpus-sized shuffles remain (lineitem ⋈
-    * filtered orders on orderkey, then ⋈ customer on custkey). The
-    * order-date filter lands on the orders SCAN (pushed down), so a year
-    * slice of a 100 TB orders table reads one partition's worth.
+    * nation are force-broadcast (constant-sized — ≤25 rows — and they
+    * prune suppliers to the region BEFORE any big join); the
+    * region-filtered SUPPLIER side is left to AQE, because supplier
+    * scales with the corpus (broadcast when runtime stats fit, shuffled
+    * hash join into the lineitem scan when they don't) — so at most three
+    * corpus-sized shuffles exist (lineitem ⋈ supplier if not broadcast,
+    * lineitem ⋈ filtered orders on orderkey, then ⋈ customer on custkey).
+    * The order-date filter lands on the orders SCAN (pushed down), so a
+    * year slice of a 100 TB orders table reads one partition's worth.
     *
     * Revenue is fixed-point: `round(price·(1−disc)·10⁴)` is integer-valued
     * per row (2-dp × 2-dp data), so the sum is merge-order-exact and the
@@ -229,7 +236,7 @@ object StarSchema {
     val li = lineitem.select(col("l_orderkey"), col("l_suppkey"),
       round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
         .as("__rev_fp"))
-    li.join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+    li.join(s, col("l_suppkey") === col("s_suppkey"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .join(customer.select(col("c_custkey"), col("c_nationkey")),
         col("o_custkey") === col("c_custkey"))

@@ -614,6 +614,31 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedup-apply family carries no forced broadcast hints") {
+    // the drop/cluster/weight frames are corpus FRACTIONS at web-scale
+    // dup densities (30-50% of a crawl) — strategy must stay AQE's
+    // runtime-sized choice, never a hard-coded hint (the greedySurvivors
+    // discipline, extended to the whole apply family in round 10)
+    import spark.implicits._
+    val docs = Seq((1L, "s1", 10L), (2L, "s1", 20L), (3L, "s2", 30L))
+      .toDF("doc_id", "source", "n_chars")
+    val pairs = Seq((1L, 2L, 0.9)).toDF("doc_a", "doc_b", "jaccard")
+    val plans = Seq(
+      "survivors" -> Dedup.survivors(docs, col("doc_id"), pairs),
+      "survivorsBy" -> Dedup.survivorsBy(docs, col("doc_id"),
+        col("n_chars"), pairs),
+      "softDedupWeights" -> Dedup.softDedupWeights(docs, col("doc_id"),
+        col("source"), col("n_chars"), pairs),
+      "crossSourceReport" -> Dedup.crossSourceReport(
+        pairs, docs.select(col("doc_id"), col("source"))))
+    plans.foreach { case (name, df) =>
+      val hinted = df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+      assert(hinted.isEmpty, s"$name must not force broadcast")
+    }
+  }
+
   test("x104 bucketsForTargetRows: ceiling division, clamps, fixed-row contract") {
     import graft.sampling.Sampling.Buckets
     // corpus at/below the target clamps to every bucket (whole corpus —

@@ -42,4 +42,23 @@ class RedactSpec extends SparkSpec {
     assert(r.getAs[Int]("n_phones") === 2) // the bare 5-digit run is too short
     assert(r.getAs[String]("clean_text") === "a <PHONE> b <PHONE> c 12345 d")
   }
+
+  test("adversarial rows: near-miss email, trailing dot, length boundaries") {
+    // the x31 PiiInjections shapes, pinned at the unit level too:
+    // 1-char TLD must NOT match; a real email before a trailing dot must
+    // stop at the TLD (greedy {2,} cannot eat the final '.')
+    val near = scrubOne("ref x@y.z or u7@ex.com. end")
+    assert(near.getAs[Int]("n_emails") === 1)
+    assert(near.getAs[String]("clean_text") === "ref x@y.z or <EMAIL>. end")
+    // mixed-case email with dots/plus local part and subdomains
+    val mixed = scrubOne("mail A.B+tag9@Mail.Sub.Example.CO done")
+    assert(mixed.getAs[Int]("n_emails") === 1)
+    assert(mixed.getAs[String]("clean_text") === "mail <EMAIL> done")
+    // phone length boundaries: 9 digits is the pattern's minimum (match),
+    // 8 is not; a dashed run at the exact {7,} boundary matches
+    val len = scrubOne("tel 111111055 fax 1234-5678 no 12345678x 12 34")
+    assert(len.getAs[Int]("n_phones") === 2)
+    assert(len.getAs[String]("clean_text") ===
+      "tel <PHONE> fax <PHONE> no 12345678x 12 34")
+  }
 }

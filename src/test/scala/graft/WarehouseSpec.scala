@@ -165,6 +165,20 @@ class WarehouseSpec extends SparkSpec {
     assert(dimStation.queryExecution.executedPlan.toString.contains("SinglePartition"))
   }
 
+  test("fact assembly carries no forced broadcast hints") {
+    // dimDateTime/dimWeather have ~fact cardinality — resolveKey must
+    // leave the join strategy to AQE (broadcasting a fact-sized dim is an
+    // OOM at scale); the genuinely constant dims still broadcast at
+    // runtime, just not by hint
+    val cleaned = Pipeline.windBatch(Sources.csvWithTimestamp(spark,
+      "/root/reference/wind_farm_data_log.csv", Schemas.windRaw))
+    val (fact, _, _, _) = StarSchema.buildFactWind(cleaned)
+    val hinted = fact.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hinted.isEmpty, "buildFact must not force broadcast on dims")
+  }
+
   test("J6 sourceDiff: latest API vs latest PREDICTION per parameter") {
     val df = Seq(
       ("S1", "API", 1L, 10.0, 100.0),
