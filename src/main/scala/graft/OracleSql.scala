@@ -1624,9 +1624,18 @@ object OracleSql {
          | JOIN sz nb ON i.source_b = nb.source""".stripMargin,
     // distinct (user, type) baskets; lift = exact integer counts until
     // one final double ratio mirroring the Spark association order
+    // mirrors itemAffinity's enforced basket cap (default 256, salted-hash
+    // + item tiebreak) so the two engines cannot diverge on a corpus with
+    // a >256-item basket; a no-op at this fixture's ~8 event types
     "a36_type_affinity" ->
-      """WITH ei AS (SELECT DISTINCT user_id AS e, event_type AS item
+      s"""WITH ei0 AS (SELECT DISTINCT user_id AS e, event_type AS item
         | FROM events),
+        |eir AS (SELECT e, item, row_number() OVER (PARTITION BY e
+        |  ORDER BY ${hashKeySql("item",
+             graft.analytics.Distribution.AffinitySalt)} ASC, item ASC) AS rn
+        | FROM ei0),
+        |ei AS (SELECT e, item FROM eir
+        | WHERE rn <= ${graft.analytics.Distribution.DefaultMaxBasket}),
         |tot AS (SELECT CAST(count(DISTINCT e) AS BIGINT) AS nn FROM ei),
         |per AS (SELECT item, CAST(count(*) AS BIGINT) AS c FROM ei
         | GROUP BY item),

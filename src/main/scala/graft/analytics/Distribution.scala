@@ -318,8 +318,15 @@ object Distribution {
     * |items|²-bounded; marginals join back broadcast. Lift arithmetic is
     * exact integer counts until one final double ratio.
     */
+  /** Default basket cap and selection salt for [[itemAffinity]] — shared
+    * with the a36 oracle's SQL mirror so the cap rule exists once.
+    */
+  val DefaultMaxBasket: Int = 256
+  val AffinitySalt: String = "affinity"
+
   def itemAffinity(df: DataFrame, entity: Column, item: Column,
-      maxBasket: Int = 256, salt: String = "affinity"): DataFrame = {
+      maxBasket: Int = DefaultMaxBasket,
+      salt: String = AffinitySalt): DataFrame = {
     require(maxBasket >= 2, s"maxBasket must be >= 2, got $maxBasket")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__e"))
       .orderBy(graft.sampling.Sampling.hashKey(col("item"), lit(salt)).asc,

