@@ -33,6 +33,43 @@ object OracleSql {
     * narrow chain x06/x18/x27 have always used, character-for-character in
     * semantics.
     */
+  /** DuckDB twin of [[graft.plans.Kernels.cdcChunks]] + the chunk-table
+    * explode: renders a `cfp` CTE of `(doc_id, chunk_idx, chunk_len,
+    * chunk_hash)` with the SAME integer arithmetic (M, B, the B^j mod M
+    * coefficient list, window, mask) interpolated from
+    * [[graft.text.Chunking]] — the single source of truth for the chunking
+    * scheme. O(n·window) per document via a per-position window hash (the
+    * kernel's rolling form computes identical values).
+    */
+  private def cdcChainSql(window: Int, maskBits: Int): String = {
+    val M = graft.text.Chunking.HashM
+    val B = graft.text.Chunking.HashB
+    val mod = 1L << maskBits
+    val pows = graft.text.Chunking.pows(window)
+      .map(p => s"CAST($p AS BIGINT)").mkString("[", ", ", "]")
+    s"""cdc_d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+       |cdc_cuts AS (SELECT doc_id, text,
+       | list_sort(list_concat(list_concat([CAST(0 AS BIGINT)],
+       |  list_filter(range($window, n), p ->
+       |   list_reduce(list_transform(range(0, $window), j ->
+       |     (ord(substring(text, CAST(p - $window + 1 + j AS INT), 1))
+       |      * ($pows[CAST(j + 1 AS INT)])) % $M),
+       |    (a, b) -> (a + b) % $M) % $mod = 0)),
+       |  [CAST(n AS BIGINT)])) AS bs
+       | FROM cdc_d WHERE n > 0),
+       |cdc_ch AS (SELECT doc_id, text,
+       |  CAST(i - 1 AS INT) AS chunk_idx,
+       |  CAST(bs[CAST(i AS INT)] + 1 AS INT) AS s,
+       |  CAST(bs[CAST(i + 1 AS INT)] AS INT) AS e
+       | FROM cdc_cuts, unnest(range(1, len(bs))) AS t(i)),
+       |cfp AS (SELECT doc_id, chunk_idx,
+       |  CAST(e - s + 1 AS INT) AS chunk_len,
+       |  list_reduce(list_transform(range(s, e + 1), q ->
+       |    CAST(ord(substring(text, CAST(q AS INT), 1)) AS BIGINT)),
+       |   (a, c) -> (a * $B + c) % $M) AS chunk_hash
+       | FROM cdc_ch)""".stripMargin
+  }
+
   private def nearDupChainSql(numHashes: Int, rowsPerBand: Int,
       src: String = "documents"): String = {
     val sigExprs = (0 until numHashes).map { i =>
@@ -2008,6 +2045,39 @@ object OracleSql {
     // ln(2) is interpolated from the JVM constant so both engines divide
     // by bit-identical doubles; squared/rank-weighted sums in DOUBLE to
     // mirror the Spark side's overflow-safe arithmetic op for op
+    // the cdc chain (cfp) with the SAME minLen filter and >= 2-doc reach
+    // cut as Chunking.sharedChunks
+    "x117_cdc_shared" ->
+      s"""WITH ${cdcChainSql(graft.text.Chunking.DefaultWindow,
+            graft.text.Chunking.DefaultMaskBits)}
+         |SELECT chunk_hash, chunk_len,
+         | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         | CAST(count(*) AS BIGINT) AS n_occurrences
+         |FROM cfp WHERE chunk_len >= ${graft.text.Chunking.DefaultMinLen}
+         |GROUP BY chunk_hash, chunk_len
+         |HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+    // per-doc shared chunk mass over the same chain; docs with no
+    // qualifying chunks report zero counts and a null fraction (0/0)
+    "x118_cdc_redundancy" ->
+      s"""WITH ${cdcChainSql(graft.text.Chunking.DefaultWindow,
+            graft.text.Chunking.DefaultMaskBits)},
+         |q AS (SELECT * FROM cfp
+         | WHERE chunk_len >= ${graft.text.Chunking.DefaultMinLen}),
+         |reach AS (SELECT chunk_hash, chunk_len,
+         |  count(DISTINCT doc_id) AS r
+         | FROM q GROUP BY chunk_hash, chunk_len),
+         |per AS (SELECT q.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(count(CASE WHEN r >= 2 THEN 1 END) AS BIGINT) AS shared_chunks,
+         |  sum(CAST(chunk_len AS BIGINT)) AS mass,
+         |  sum(CASE WHEN r >= 2 THEN CAST(chunk_len AS BIGINT) ELSE 0 END) AS smass
+         | FROM q JOIN reach USING (chunk_hash, chunk_len) GROUP BY q.doc_id)
+         |SELECT d.doc_id,
+         | CAST(coalesce(n_chunks, 0) AS BIGINT) AS n_chunks,
+         | CAST(coalesce(shared_chunks, 0) AS BIGINT) AS shared_chunks,
+         | round(CAST(smass AS DOUBLE) / CAST(mass AS DOUBLE), 6)
+         |  AS shared_mass_fraction
+         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin,
     "x116_source_concentration" ->
       s"""WITH c AS (SELECT source AS k, count(*) AS cnt FROM documents
          | GROUP BY 1),

@@ -1128,6 +1128,18 @@ object SparkEntry {
     "x116_source_concentration" -> ((s, dir) =>
       graft.analytics.Distribution.concentrationReport(
         T(s, dir, "documents"), col("source"))),
+    // content-defined chunking: every (hash, len) chunk fingerprint shared
+    // by >= 2 docs — sub-document boilerplate detection where boundaries
+    // are content-local (an edit never moves another chunk's cut)
+    "x117_cdc_shared" -> ((s, dir) =>
+      graft.text.Chunking.sharedChunks(T(s, dir, "documents"),
+        col("doc_id"), col("text"))),
+    // per-doc CDC chunk-mass redundancy: the fraction of each document's
+    // qualifying chunk mass carried by at least one OTHER document — the
+    // keep / trim / drop curation dial at chunk granularity
+    "x118_cdc_redundancy" -> ((s, dir) =>
+      graft.text.Chunking.redundancy(T(s, dir, "documents"),
+        col("doc_id"), col("text"))),
     // verified-Jaccard histogram + descending cumulative over ALL LSH
     // candidates: how many pairs each threshold would merge, in one pass
     "x115_threshold_sweep" -> ((s, dir) =>

@@ -194,6 +194,38 @@ case class Winnow(child: Expression, k: Int, w: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Content-defined chunks of a text column as packed `(len, hash)` longs —
+  * rolling-hash boundary selection, O(n·window) with a constant window.
+  * Both dials are plan constants (a chunking scheme is a pipeline design
+  * choice, never data-dependent). See [[Kernels.cdcChunks]].
+  */
+case class CdcChunks(child: Expression, window: Int, maskBits: Int)
+    extends UnaryExpression {
+  require(window >= 2 && window <= 64,
+    s"cdc window must be in [2,64], got $window")
+  require(maskBits >= 1 && maskBits <= 20,
+    s"cdc maskBits must be in [1,20], got $maskBits")
+  private val KernelsCls = Kernels.getClass.getName.stripSuffix("$")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cdc_chunks requires string, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+
+  override protected def nullSafeEval(t: Any): Any =
+    Kernels.cdcChunks(t.asInstanceOf[UTF8String], window, maskBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      t => s"${ev.value} = $KernelsCls.cdcChunks($t, $window, $maskBits);")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunks =
+    copy(child = newChild)
+}
+
 /** The 4 MinHash slice minima (8 hex chars each) over a distinct-gram
   * array: one md5 per gram for all 4 signatures. Null for an empty gram set.
   */
@@ -689,6 +721,9 @@ object Native {
   def shingles(text: Column, n: Int): Column = C(ShingleSet(E(text), n))
 
   def winnow(text: Column, k: Int, w: Int): Column = C(Winnow(E(text), k, w))
+
+  def cdcChunks(text: Column, window: Int, maskBits: Int): Column =
+    C(CdcChunks(E(text), window, maskBits))
 
   def minhashSlices(grams: Column): Column = C(MinhashSlices(E(grams)))
 

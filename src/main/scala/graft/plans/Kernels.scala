@@ -386,6 +386,70 @@ object Kernels {
     acc
   }
 
+  /** Content-defined chunking (LBFS/rsync-family): split the text at
+    * positions where a polynomial hash of the trailing `window` code
+    * points has its low `maskBits` bits zero, and emit one packed long
+    * per chunk: `len · 2³¹ + contentHash` (both < 2³¹, so the pack is
+    * lossless; unpack with `shiftright(x, 31)` / `x & (2³¹−1)`).
+    *
+    * Integer contract (mirrored term-for-term by the DuckDB oracle —
+    * see [[graft.text.Chunking]] for the shared constants):
+    *  - code points via `codePointAt` (DuckDB `ord(substring(...))`),
+    *  - boundary hash at end-position p (1-based, code points):
+    *    fold j=0..w−1 of `(code(c_{p−w+1+j}) · B^j mod M) mod M`,
+    *    cut AFTER p when `hash % 2^maskBits == 0`, for p in [w, n−1]
+    *    (never at n — the text end is always the final boundary),
+    *  - chunk content hash: fold `acc = (acc·B + code) mod M` from 0.
+    * M = 2³¹−1 (prime), B = 257. The boundary hash is position-local
+    * (content-defined): editing one chunk never moves another chunk's
+    * boundaries, which is the whole point of CDC dedup.
+    */
+  def cdcChunks(text: UTF8String, window: Int, maskBits: Int): ArrayData = {
+    val s = text.toString
+    val M = 2147483647L
+    val B = 257L
+    val mask = (1L << maskBits) - 1
+    // code-point array (one pass; documents are typically ASCII so this
+    // is length(s), but the contract is code points)
+    val n = s.codePointCount(0, s.length)
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val codes = new Array[Long](n)
+    var ci = 0
+    var off = 0
+    while (off < s.length) {
+      val cp = s.codePointAt(off)
+      codes(ci) = cp.toLong
+      ci += 1
+      off += Character.charCount(cp)
+    }
+    val pows = new Array[Long](window)
+    var pj = 1L
+    var j = 0
+    while (j < window) { pows(j) = pj; pj = pj * B % M; j += 1 }
+    val out = new java.util.ArrayList[Any]()
+    var start = 0 // 0-based inclusive start of the current chunk
+    var p = window // 1-based end position of the sliding window
+    def emit(endExcl: Int): Unit = {
+      var h = 0L
+      var k = start
+      while (k < endExcl) { h = (h * B + codes(k)) % M; k += 1 }
+      out.add((endExcl - start).toLong * 2147483648L + h)
+      start = endExcl
+    }
+    while (p <= n - 1) {
+      var wh = 0L
+      var q = 0
+      while (q < window) {
+        wh = (wh + codes(p - window + q) * pows(q) % M) % M
+        q += 1
+      }
+      if ((wh & mask) == 0L) emit(p)
+      p += 1
+    }
+    emit(n)
+    new GenericArrayData(out.toArray)
+  }
+
   /** |A ∩ B| for two string arrays (already distinct) — the counting core
     * of `size(array_intersect(a, b))` without building the result array.
     */
