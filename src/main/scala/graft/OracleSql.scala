@@ -2045,6 +2045,21 @@ object OracleSql {
     // ln(2) is interpolated from the JVM constant so both engines divide
     // by bit-identical doubles; squared/rank-weighted sums in DOUBLE to
     // mirror the Spark side's overflow-safe arithmetic op for op
+    // aHash over the FNV stub-decode stream (DecodedFeatures' hv):
+    // intensity k = ((hv·(2k+1)) mod 2^64) // 2^56, bit = p_k·64 > Σp —
+    // all-integer, so the 64-char bitstring matches bit for bit
+    "x119_media_phash" ->
+      s"""WITH $DecodedFeatures,
+         |px AS (SELECT doc_id, list_transform(range(0, 64), k ->
+         |   ((hv * (2*k + 1)) % 18446744073709551616) // 72057594037927936)
+         |  AS ps FROM h),
+         |bs AS (SELECT doc_id, list_reduce(list_transform(range(1, 65), i ->
+         |   CASE WHEN ps[CAST(i AS INT)] * 64 > list_sum(ps)
+         |    THEN '1' ELSE '0' END), (a, b) -> a || b) AS phash
+         | FROM px),
+         |g AS (SELECT phash, CAST(count(*) AS BIGINT) AS n_same_phash
+         | FROM bs GROUP BY phash)
+         |SELECT doc_id, phash, n_same_phash FROM bs JOIN g USING (phash)""".stripMargin,
     // the cdc chain (cfp) with the SAME minLen filter and >= 2-doc reach
     // cut as Chunking.sharedChunks
     "x117_cdc_shared" ->

@@ -1128,6 +1128,12 @@ object SparkEntry {
     "x116_source_concentration" -> ((s, dir) =>
       graft.analytics.Distribution.concentrationReport(
         T(s, dir, "documents"), col("source"))),
+    // media-dedup first tier: per-item aHash perceptual fingerprint (8x8
+    // stub thumbnail over the fake decode, documented) + exact-collision
+    // group size; blob never crosses a shuffle, only the 64-bit hash does
+    "x119_media_phash" -> ((s, dir) =>
+      graft.multimodal.Multimodal.phashGroups(s,
+        graft.multimodal.Multimodal.asMediaTable(T(s, dir, "documents")))),
     // content-defined chunking: every (hash, len) chunk fingerprint shared
     // by >= 2 docs — sub-document boilerplate detection where boundaries
     // are content-local (an edit never moves another chunk's cut)

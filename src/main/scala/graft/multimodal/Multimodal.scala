@@ -35,15 +35,24 @@ object Multimodal {
     def decode(id: Long, bytes: Array[Byte]): MediaFeatures
   }
 
+  /** FNV-1a over the blob — the stub pixel source every fake-decode value
+    * derives from (Long multiplication wraps = arithmetic mod 2⁶⁴, which
+    * the oracle restates in HUGEINT).
+    */
+  private[multimodal] def fnv64(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xff)) * 0x100000001b3L; i += 1 }
+    h
+  }
+
   /** Deterministic fake decoder: derives plausible metadata purely from the
     * byte content (FNV-1a hash), so tests are reproducible and
     * engine-checkable. A real decoder would parse the container format here.
     */
   object DeterministicFakeDecoder extends MediaDecoder {
     def decode(id: Long, bytes: Array[Byte]): MediaFeatures = {
-      var h = 0xcbf29ce484222325L
-      var i = 0
-      while (i < bytes.length) { h = (h ^ (bytes(i) & 0xff)) * 0x100000001b3L; i += 1 }
+      val h = fnv64(bytes)
       val w = 64 + (math.floorMod(h, 448L)).toInt
       val ht = 64 + (math.floorMod(h >>> 16, 448L)).toInt
       MediaFeatures(id, bytes.length.toLong, w, ht,
@@ -51,6 +60,54 @@ object Multimodal {
         n_frames = 1 + math.floorMod(h >>> 32, 30L).toInt,
         brightness = math.floorMod(h >>> 8, 1000L) / 1000.0)
     }
+  }
+
+  /** Average-hash (aHash) perceptual fingerprint as a 64-char bitstring:
+    * an 8×8 "thumbnail" of pixel intensities, each bit = pixel above the
+    * thumbnail mean — the standard first tier of image dedup (robust to
+    * resize/re-encode in the real-pixel world because the thumbnail
+    * averages detail away).
+    *
+    * Pixel tier is the documented stub: intensity k derives from the
+    * decode hash as `((h · (2k+1)) mod 2⁶⁴) >>> 56` (top byte of an
+    * odd-multiplier mix — deterministic, engine-checkable; a codec-backed
+    * decoder would average real grayscale blocks here). The mean compare
+    * is integer-exact (`p_k·64 > Σp` — no division), so the bitstring
+    * hash-compares across engines.
+    */
+  def perceptualHash(bytes: Array[Byte]): String = {
+    val h = fnv64(bytes)
+    val px = new Array[Long](64)
+    var k = 0
+    while (k < 64) { px(k) = (h * (2L * k + 1)) >>> 56; k += 1 }
+    var sum = 0L
+    k = 0
+    while (k < 64) { sum += px(k); k += 1 }
+    val sb = new java.lang.StringBuilder(64)
+    k = 0
+    while (k < 64) { sb.append(if (px(k) * 64 > sum) '1' else '0'); k += 1 }
+    sb.toString
+  }
+
+  /** Per-item perceptual hashes with their exact-collision group size —
+    * the media-dedup first tier: items sharing a phash are dedup
+    * candidates (with real pixels, near-identical images; with the stub,
+    * exact byte duplicates). Partition-wise like [[decodeFeatures]]
+    * (decoder init amortizes; the blob never crosses a shuffle — only the
+    * 64-char hash does). The group-size join is AQE-planned: the
+    * collision set is corpus-sized exactly when the corpus is
+    * duplicate-heavy.
+    */
+  def phashGroups(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    val ph = media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) => (id, perceptualHash(bytes)) }
+      }
+      .toDF("doc_id", "phash")
+    val g = ph.groupBy(col("phash")).agg(count(lit(1)).as("n_same_phash"))
+    ph.join(g, Seq("phash"))
+      .select(col("doc_id"), col("phash"), col("n_same_phash"))
   }
 
   /** Wrap a text table as a fake media table: (doc_id, media binary, meta).

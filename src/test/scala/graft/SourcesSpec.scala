@@ -134,4 +134,27 @@ class SourcesSpec extends SparkSpec {
       Seq("doc_id", "byte_len", "content_id", "size_bucket"))
     assert(meta.filter(col("content_id").isNull).count() === 0)
   }
+
+  test("multimodal: phash groups exact byte duplicates, splits distinct content") {
+    val docs = Seq((1L, "hello world", "a"), (2L, "hello world", "b"),
+      (3L, "completely different bytes", "c"))
+      .toDF("doc_id", "text", "source")
+    val got = Multimodal.phashGroups(spark, Multimodal.asMediaTable(docs))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // same bytes -> same fingerprint, group of 2; distinct bytes -> its own
+    assert(got(1L)._1 === got(2L)._1 && got(1L)._2 === 2L)
+    assert(got(3L)._1 !== got(1L)._1)
+    assert(got(3L)._2 === 1L)
+    // the bitstring contract: 64 chars of 0/1, neither all-zero nor
+    // all-one (the mean split guarantees both sides are populated unless
+    // every pixel ties — impossible with a strict > compare and any
+    // non-constant pixel stream)
+    got.values.foreach { case (p, _) =>
+      assert(p.length === 64 && p.forall(c => c == '0' || c == '1'))
+      assert(p.contains('0') && p.contains('1'))
+    }
+    // pure-function parity with the direct API
+    val direct = Multimodal.perceptualHash("hello world".getBytes("UTF-8"))
+    assert(got(1L)._1 === direct)
+  }
 }
