@@ -83,6 +83,25 @@ object GraftExtensions {
       }
     })
 
+  /** `cdc_chunks(text, window, maskBits)` — content-defined chunk
+    * fingerprints as packed `(len·2³¹ + hash)` longs; both dials are
+    * codegen-time constants of the kernel, so integer literals only.
+    */
+  val cdcChunks: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cdc_chunks"),
+    new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
+    (children: Seq[Expression]) => {
+      if (children.size != 3)
+        ColumnBridge.wrongNumArgs("cdc_chunks", 3, children.size)
+      (children(1), children(2)) match {
+        case (org.apache.spark.sql.catalyst.expressions.Literal(w: Int, _),
+              org.apache.spark.sql.catalyst.expressions.Literal(m: Int, _)) =>
+          CdcChunks(children.head, w, m)
+        case other => throw new IllegalArgumentException(
+          s"cdc_chunks window and maskBits must be integer literals, got $other")
+      }
+    })
+
   /** `misra_gries(item, k)` — the mergeable heavy-hitter summary as a SQL
     * aggregate; capacity must be an integer literal (it sizes the
     * aggregation buffer, never data-dependent). The analyzer wraps the
@@ -132,6 +151,7 @@ object GraftExtensions {
     turbinePower,
     shingleSet,
     winnow,
+    cdcChunks,
     misraGries,
     topKByScore,
     fromColumns("subword_count", 1, cs => TextAnalysis.subwordCount(cs.head)),
