@@ -2093,6 +2093,63 @@ object OracleSql {
          | round(CAST(smass AS DOUBLE) / CAST(mass AS DOUBLE), 6)
          |  AS shared_mass_fraction
          |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin,
+    // registry = base + two deterministic single-deletion variants; edges
+    // = exact levenshtein <= 1 over all ordered pairs (the oracle may
+    // brute-force what Spark blocks); closure via the reach recursion;
+    // survivorship: arg_min on rid, arg_max on the zero-padded
+    // (length, key) composite — both tie-free (rid unique; equal
+    // composite => equal key)
+    "x120_entity_resolution" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |  'u' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS tok
+        | FROM documents WHERE doc_id < 2000),
+        |reg AS (
+        | SELECT doc_id*3 AS rid, tok AS rkey,
+        |  CAST(doc_id % 97 AS DOUBLE) AS rval FROM t
+        | UNION ALL
+        | SELECT doc_id*3+1,
+        |  substring(tok, 1, CAST(doc_id % 9 AS INTEGER))
+        |   || substring(tok, CAST(doc_id % 9 AS INTEGER) + 2),
+        |  CAST(doc_id % 97 AS DOUBLE) FROM t WHERE doc_id % 3 = 0
+        | UNION ALL
+        | SELECT doc_id*3+2,
+        |  substring(tok, 1, CAST((doc_id*7+3) % 9 AS INTEGER))
+        |   || substring(tok, CAST((doc_id*7+3) % 9 AS INTEGER) + 2),
+        |  CAST(doc_id % 97 AS DOUBLE) FROM t WHERE doc_id % 5 = 0),
+        |pairs AS (SELECT a.rid AS u, b.rid AS v FROM reg a JOIN reg b
+        | ON a.rid < b.rid AND levenshtein(a.rkey, b.rkey) <= 1),
+        |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        |reach AS (SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+        | UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+        |clus AS (SELECT u AS rid, min(r) AS cluster_id FROM reach GROUP BY u),
+        |lab AS (SELECT reg.rid, reg.rkey, reg.rval,
+        |  coalesce(c.cluster_id, reg.rid) AS entity_id
+        | FROM reg LEFT JOIN clus c ON reg.rid = c.rid)
+        |SELECT CAST(entity_id AS BIGINT) AS entity_id,
+        | CAST(count(*) AS BIGINT) AS n_records,
+        | arg_min(rkey, rid) AS canonical_key,
+        | arg_max(rkey, lpad(CAST(length(rkey) AS VARCHAR), 4, '0') || rkey)
+        |  AS longest_key,
+        | round(sum(rval), 2) AS total_value
+        |FROM lab GROUP BY entity_id""".stripMargin,
+    // same injected suffixes (shared constants), same length-difference
+    // substring counting — integer-exact on both engines
+    "x121_mojibake" -> {
+      val a = SparkEntry.MojibakeSuffixA
+      val b = SparkEntry.MojibakeSuffixB
+      val terms = graft.text.TextAnalysis.mojibakeMarkers.map { m =>
+        s"(length(tx) - length(replace(tx, '$m', ''))) // ${m.length}"
+      }.mkString("\n        |   + ")
+      s"""WITH t AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN text || '$a'
+        |       WHEN doc_id % 11 = 0 THEN text || '$b'
+        |       ELSE text END AS tx
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST($terms AS INTEGER) AS mojibake_hits,
+        | CAST($terms AS INTEGER) > 0 AS is_mojibake
+        |FROM t""".stripMargin
+    },
     "x116_source_concentration" ->
       s"""WITH c AS (SELECT source AS k, count(*) AS cnt FROM documents
          | GROUP BY 1),
@@ -3060,6 +3117,25 @@ object OracleSql {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,
         | event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // the sentinel-flushed streaming SESSION drain equals batch gap-island
+    // sessionization (Pipeline.sessionDrainParity). No tie-break column in
+    // the lag order: islands depend only on each key's sorted ts multiset
+    // (tied rows have gap 0 and join the same session under any order),
+    // and cnt/sum are order-invariant within a session
+    "s11_session_drain" ->
+      """WITH o AS (SELECT user_id, ts, value,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        | FROM events),
+        |s AS (SELECT user_id, ts, value,
+        |  sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL '1800 seconds'
+        |      THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        | FROM o)
+        |SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+        | epoch_us(max(ts) + INTERVAL '1800 seconds') AS session_end_us,
+        | count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     // the ordered-replay EWMA drain equals the batch recursive filter;
     // the CTE steps with the same double expression the fold computes
     // (CASTs force double arithmetic — bare literals would be DECIMAL).

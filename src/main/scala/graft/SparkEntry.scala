@@ -87,6 +87,14 @@ object SparkEntry {
   // B) with integer arithmetic; the oracle mirrors it as a BIGINT
   // floor-division scalar subquery. Shared with the oracle.
   val RecallTargetRows: Long = 1000L
+  // x121 mojibake fixture: damaged suffixes injected on two residue
+  // classes. A: "cafÃ© naÃ¯ve â€”" (2×Ã + 1×â€ = 3 hits); B: "donâ€™t Â 5 �"
+  // (1×â€ + 1×Â + 1×U+FFFD = 3 hits). Escapes pin the exact codepoints;
+  // shared with the oracle so both engines inject byte-identical text
+  val MojibakeSuffixA: String =
+    " cafÃ© naÃ¯ve â€” ok"
+  val MojibakeSuffixB: String =
+    " donâ€™t Â 5 �"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── P: projection / filter / cleaning ────────────────────────────────
@@ -722,6 +730,16 @@ object SparkEntry {
       graft.streaming.Ewma.drainParity(s,
         T(s, dir, "events").select(col("user_id").as("station_id"),
           col("ts").as("timestamp"), col("value")))),
+    // T5's SESSION-window variant through a real drain — the 4th distinct
+    // stateful shape under the oracle (s08 keyed dedup, s09 per-window
+    // accumulators, s10 ordered fold, s11 MERGING session state): a row in
+    // a later micro-batch can fuse sessions opened in earlier batches.
+    // Parity target is the batch gap-island sessionization (a38's shape)
+    "s11_session_drain" -> ((s, dir) =>
+      graft.streaming.Pipeline.sessionDrainParity(s,
+        T(s, dir, "events").select(col("user_id"), col("ts"), col("value")),
+        eventTimeCol = "ts", keyCol = "user_id", valueCol = "value",
+        gapSeconds = 1800L, delay = "60 days")),
     "s07_jsonl_roundtrip" -> ((s, dir) => {
       // suffix the sink path with a hash of the data dir so two concurrent
       // harness runs on the same machine never overwrite each other
@@ -1146,6 +1164,45 @@ object SparkEntry {
     "x118_cdc_redundancy" -> ((s, dir) =>
       graft.text.Chunking.redundancy(T(s, dir, "documents"),
         col("doc_id"), col("text"))),
+    // entity resolution → golden records: registry of base + two typo
+    // variants per entity (variants are distance 1 OF BASE but often
+    // distance 2 of each other — only the transitive closure merges
+    // them); md5-derived keys so cross-entity collisions are ~absent and
+    // WHEN one occurs both engines see the same edge set anyway
+    "x120_entity_resolution" -> ((s, dir) => {
+      val t = T(s, dir, "documents").filter(col("doc_id") < 2000)
+        .select(col("doc_id"), concat(lit("u"),
+          substring(md5(col("doc_id").cast("string")), 1, 8)).as("tok"))
+      def del(k: org.apache.spark.sql.Column,
+          p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        concat(k.substr(lit(1), p - 1), k.substr(p + 1, length(k) - p))
+      val rval = (col("doc_id") % 97).cast("double")
+      val base = t.select((col("doc_id") * 3).as("rid"),
+        col("tok").as("rkey"), rval.as("rval"))
+      val typo1 = t.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") * 3 + 1).as("rid"),
+          del(col("tok"), (col("doc_id") % 9 + 1).cast("int")).as("rkey"),
+          rval.as("rval"))
+      val typo2 = t.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") * 3 + 2).as("rid"),
+          del(col("tok"), ((col("doc_id") * 7 + 3) % 9 + 1).cast("int")).as("rkey"),
+          rval.as("rval"))
+      graft.analytics.Entities.goldenRecords(
+        base.union(typo1).union(typo2), col("rid"), col("rkey"), col("rval"))
+    }),
+    // encoding-damage gate: mojibake marker counts over a fixture with
+    // damaged suffixes injected on two residue classes (clean docs must
+    // count 0). Markers + suffixes are shared constants with the oracle
+    "x121_mojibake" -> ((s, dir) => {
+      val tx = when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(MojibakeSuffixA)))
+        .when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(MojibakeSuffixB)))
+        .otherwise(col("text"))
+      T(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.mojibakeHits(tx).as("mojibake_hits"))
+        .withColumn("is_mojibake", col("mojibake_hits") > 0)
+    }),
     // verified-Jaccard histogram + descending cumulative over ALL LSH
     // candidates: how many pairs each threshold would merge, in one pass
     "x115_threshold_sweep" -> ((s, dir) =>

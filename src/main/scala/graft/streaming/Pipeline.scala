@@ -220,29 +220,9 @@ object Pipeline {
     require(inputFiles >= 2,
       s"state must cross a micro-batch boundary: inputFiles >= 2, got $inputFiles")
     val root = java.nio.file.Files.createTempDirectory("graft_s09_").toString
-    val in = s"$root/in"
-    batchDf.repartition(inputFiles).write.mode("overwrite").parquet(in)
-    val sentinel = batchDf
-      .agg(max(col(eventTimeCol)).as("__mx"))
-      .select(batchDf.schema.fields.map { f =>
-        if (f.name == eventTimeCol)
-          (col("__mx") + expr(s"INTERVAL '$delay'") +
-            expr(s"2 * INTERVAL '$width'")).cast(f.dataType).as(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
-      }: _*)
-    // the sentinel must replay LAST. A plain append would give it a UUID
-    // part name interleaving arbitrarily with the bulk files under a
-    // path-ordered listing (observed reorders in the s10 EWMA drain), so
-    // write it aside and MOVE it in under a name that sorts last — last
-    // in both path and mtime order, whichever the file source uses.
-    // (Bulk files may replay in any order: the span watermark drops
-    // nothing; only the sentinel's position matters.)
-    sentinel.coalesce(1).write.mode("overwrite").parquet(s"$root/sentinel")
-    val inPath = new org.apache.hadoop.fs.Path(in)
-    val fs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val part = fs.globStatus(
-      new org.apache.hadoop.fs.Path(s"$root/sentinel/part-*")).head.getPath
-    fs.rename(part, new org.apache.hadoop.fs.Path(s"$in/zzz-sentinel.parquet"))
+    val in = stageDrainInput(spark, batchDf, eventTimeCol,
+      col("__mx") + expr(s"INTERVAL '$delay'") +
+        expr(s"2 * INTERVAL '$width'"), root, inputFiles)
     val stream = spark.readStream.schema(batchDf.schema)
       .option("maxFilesPerTrigger", 1).parquet(in)
       .withWatermark(eventTimeCol, delay)
@@ -251,6 +231,91 @@ object Pipeline {
         round(sum(col(valueCol)), 2).as("sum_value"))
       .select(unix_timestamp(col("window.start")).as("ws"), col(keyCol),
         col("cnt"), col("sum_value"))
+    val q = parquetSink(stream, s"$root/out", s"$root/ckpt",
+      boundedDrain = true).start()
+    q.awaitTermination()
+    spark.read.parquet(s"$root/out")
+  }
+
+  /** Materialize `batchDf` as `inputFiles` bulk parquet files plus ONE
+    * sentinel row whose event time is `sentinelTs` (an expression over
+    * `__mx` = the batch's max event time), staged so the sentinel replays
+    * LAST. Shared by the windowed/session drains: the sentinel is the
+    * "close the books" horizon event that pushes the watermark past every
+    * real window/session end in the terminal no-data batch.
+    *
+    * The sentinel must replay LAST. A plain append would give it a UUID
+    * part name interleaving arbitrarily with the bulk files under a
+    * path-ordered listing (observed reorders in the s10 EWMA drain), so
+    * write it aside and MOVE it in under a name that sorts last — last
+    * in both path and mtime order, whichever the file source uses.
+    * (Bulk files may replay in any order: the span watermark drops
+    * nothing; only the sentinel's position matters.)
+    */
+  private def stageDrainInput(spark: org.apache.spark.sql.SparkSession,
+      batchDf: DataFrame, eventTimeCol: String, sentinelTs: org.apache.spark.sql.Column,
+      root: String, inputFiles: Int): String = {
+    val in = s"$root/in"
+    batchDf.repartition(inputFiles).write.mode("overwrite").parquet(in)
+    val sentinel = batchDf
+      .agg(max(col(eventTimeCol)).as("__mx"))
+      .select(batchDf.schema.fields.map { f =>
+        if (f.name == eventTimeCol) sentinelTs.cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    sentinel.coalesce(1).write.mode("overwrite").parquet(s"$root/sentinel")
+    val inPath = new org.apache.hadoop.fs.Path(in)
+    val fs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$root/sentinel/part-*")).head.getPath
+    fs.rename(part, new org.apache.hadoop.fs.Path(s"$in/zzz-sentinel.parquet"))
+    in
+  }
+
+  /** T5's SESSION-window aggregation exercised end-to-end as an
+    * ORACLE-CHECKABLE drain — the 4th distinct stateful shape under the
+    * harness (s08 keyed dedup state, s09 per-window accumulators, s10
+    * ordered per-key fold, s11 MERGING session state): Spark's streaming
+    * `session_window` holds one state entry per open session and MERGES
+    * entries when a row bridges two of them — a row arriving in a later
+    * micro-batch can fuse sessions opened in earlier batches, a state
+    * transition none of the other drains exercise.
+    *
+    * Same harness contract as [[windowDrainParity]]: bulk files carry a
+    * watermark `delay` longer than the data's event-time span (no real row
+    * is ever late regardless of file replay order — session results are
+    * order-independent ONCE nothing is dropped, unlike the s10 fold), and
+    * the staged-last sentinel at `max(ts) + delay + 2·gap` pushes the
+    * watermark `2·gap` past the last event — past every real session's
+    * end (`last event + gap`) — so append mode emits every real session in
+    * the terminal batch. The sentinel's own session (null-key group) stays
+    * in state and is discarded with the drain. The sink then equals the
+    * batch gap-island sessionization — the DuckDB-checkable statement
+    * (islands depend only on each key's sorted event-time multiset, so no
+    * tie-break column is needed: same-timestamp rows have gap 0 and land
+    * in the same session under any order).
+    */
+  def sessionDrainParity(spark: org.apache.spark.sql.SparkSession,
+      batchDf: DataFrame, eventTimeCol: String, keyCol: String,
+      valueCol: String, gapSeconds: Long, delay: String,
+      inputFiles: Int = 2): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    require(inputFiles >= 2,
+      s"state must cross a micro-batch boundary: inputFiles >= 2, got $inputFiles")
+    val root = java.nio.file.Files.createTempDirectory("graft_s11_").toString
+    val in = stageDrainInput(spark, batchDf, eventTimeCol,
+      col("__mx") + expr(s"INTERVAL '$delay'") +
+        expr(s"INTERVAL '${2 * gapSeconds} seconds'"), root, inputFiles)
+    val stream = spark.readStream.schema(batchDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .withWatermark(eventTimeCol, delay)
+      .groupBy(col(keyCol),
+        session_window(col(eventTimeCol), s"$gapSeconds seconds").as("sw"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col(valueCol)), 2).as("sum_value"))
+      .select(col(keyCol), unix_micros(col("sw.start")).as("session_start_us"),
+        unix_micros(col("sw.end")).as("session_end_us"), col("cnt"),
+        col("sum_value"))
     val q = parquetSink(stream, s"$root/out", s"$root/ckpt",
       boundedDrain = true).start()
     q.awaitTermination()

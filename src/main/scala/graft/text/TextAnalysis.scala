@@ -142,6 +142,35 @@ object TextAnalysis {
           .as("recall"))
   }
 
+  /** Encoding-damage (mojibake) markers: the telltale sequences UTF-8
+    * bytes produce when mis-decoded as Latin-1/cp1252 — `Ã` (U+00C3,
+    * leading char of every mis-decoded accented Latin letter: `cafÃ©`),
+    * `â€` (U+00E2 U+20AC, mis-decoded smart punctuation: `donâ€™t`),
+    * `Â` (U+00C2, mis-decoded NBSP/§/°), and U+FFFD (a replacement char
+    * already burned in by an earlier lossy decode). The ftfy detection
+    * heuristic reduced to the marker subset that is pure substring
+    * counting — no regex, so no cross-engine regex-dialect surface.
+    */
+  val mojibakeMarkers: Seq[String] =
+    Seq("Ã", "â€", "Â", "�")
+
+  /** Total mojibake-marker occurrences — substring counting via the
+    * length-difference identity (exact: each marker's char length divides
+    * the removed length), so the whole detector is `length`/`replace`
+    * builtins inside whole-stage codegen. A web crawl runs this as a
+    * quality gate next to [[qualityScore]]: double-encoded documents are
+    * wasted tokens AND poison exact-dedup (the damaged and clean twin no
+    * longer collide). REPAIR is deliberately NOT offered as a column
+    * function: correct repair is byte-level round-tripping with
+    * confidence scoring (ftfy's heuristics) — at corpus scale a
+    * flag-and-quarantine routing decision, not an in-plan rewrite.
+    */
+  def mojibakeHits(text: Column): Column =
+    mojibakeMarkers.map { m =>
+      ((length(text) - length(replace(text, lit(m), lit("")))) / lit(m.length))
+        .cast("int")
+    }.reduce(_ + _)
+
   /** Normalized text: lower-case, collapse whitespace runs, trim. */
   def normalized(text: Column): Column =
     regexp_replace(trim(lower(text)), "\\s+", " ")

@@ -1,0 +1,54 @@
+package graft
+
+import graft.analytics.Entities
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Entity resolution (golden records) + the mojibake detector. */
+class EntitiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("goldenRecords merges transitively and applies survivorship rules") {
+    // rid 2 and 3 are each one deletion from base rid 1, but distance 2
+    // from EACH OTHER — only the closure through the base merges them
+    val reg = Seq(
+      (1L, "abcdefgh", 10.0),
+      (2L, "bcdefgh", 1.0),   // deletes pos 1
+      (3L, "abcdegh", 2.0),   // deletes pos 6
+      (9L, "zzzzzzzz", 5.0)   // singleton — must survive unmerged
+    ).toDF("rid", "rkey", "rval")
+    // pin the premise the fixture claims: the variants do NOT pair up
+    val d = reg.as("a").crossJoin(reg.as("b"))
+      .filter(col("a.rid") === 2 && col("b.rid") === 3)
+      .select(levenshtein(col("a.rkey"), col("b.rkey"))).head().getInt(0)
+    assert(d === 2)
+    val got = Entities.goldenRecords(reg, col("rid"), col("rkey"), col("rval"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(2), r.getString(3), r.getDouble(4))).toMap
+    assert(got === Map(
+      1L -> ((3L, "abcdefgh", "abcdefgh", 13.0)), // longest = the 8-char base
+      9L -> ((1L, "zzzzzzzz", "zzzzzzzz", 5.0))))
+  }
+
+  test("goldenRecords longest_key orders by length before lexicography") {
+    // "zz" > "aaa" lexicographically, but the padded composite puts the
+    // 3-char key first — the "most complete value wins" rule
+    val reg = Seq((1L, "zz", 0.0), (2L, "zza", 0.0)).toDF("rid", "rkey", "rval")
+    val row = Entities.goldenRecords(reg, col("rid"), col("rkey"), col("rval"))
+      .head()
+    assert(row.getString(2) === "zz")  // canonical: lowest rid
+    assert(row.getString(3) === "zza") // longest: length wins
+  }
+
+  test("mojibakeHits counts each marker family, clean text scores zero") {
+    val df = Seq(
+      (1L, "cafÃ© donâ€™t Â x �"),
+      (2L, "perfectly clean ascii prose"),
+      (3L, "legitimate unicode: café naïve — em dash")
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextAnalysis.mojibakeHits(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // row 1: Ã(1) + â€(1) + Â(1) + U+FFFD(1) = 4
+    assert(got === Map(1L -> 4, 2L -> 0, 3L -> 0))
+  }
+}

@@ -16,6 +16,9 @@ class StreamingPipelineSpec extends SparkSpec {
   case class Tele(station_id: String, timestamp: Timestamp, value: Double)
 
   private def ts(s: String) = Timestamp.valueOf(s)
+  // instant micros of the same Timestamp the fixture stores (tz-invariant:
+  // unix_micros reads the stored instant, which getTime also is)
+  private def us(s: String) = ts(s).getTime * 1000L
 
   test("T4 streaming dedup drops same-key duplicates within the watermark") {
     implicit val sqlCtx = spark.sqlContext
@@ -320,5 +323,37 @@ class StreamingPipelineSpec extends SparkSpec {
         (r.getLong(2), r.getDouble(3))).toMap
     assert(got === want)
     assert(got.size === 5) // (10h,a)(11h,a)(11h,b)(12h,a)(12h,b)
+  }
+
+  test("s11: sentinel-flushed session drain equals the batch session agg") {
+    // key "a" chains one session through three 20-min-apart rows — split
+    // across 3 files, the chain MUST merge session state across micro-batch
+    // boundaries (the transition s08-s10 never exercise) — plus a second
+    // session 80 min later; key "b" holds a singleton per session. The
+    // sentinel must flush even the session nearest max(ts).
+    val ev = Seq(
+      ("a", ts("2025-03-01 10:40:00"), 3.0), // chain, out of order
+      ("b", ts("2025-03-01 11:30:00"), 9.0),
+      ("a", ts("2025-03-01 10:00:00"), 1.0),
+      ("a", ts("2025-03-01 12:00:00"), 4.0), // second session
+      ("b", ts("2025-03-01 10:05:00"), 8.0),
+      ("a", ts("2025-03-01 10:20:00"), 2.0)
+    ).toDF("user_id", "ts", "value")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2)) -> (r.getLong(3), r.getDouble(4))
+    val got = Pipeline.sessionDrainParity(spark, ev, eventTimeCol = "ts",
+        keyCol = "user_id", valueCol = "value", gapSeconds = 1800L,
+        delay = "7 days", inputFiles = 3)
+      .collect().map(key).toMap
+    val want = graft.analytics.Sessions.sessionAgg(ev, "user_id", "ts", 1800L,
+        Seq(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value")))
+      .select(col("user_id"), unix_micros(col("session_start")).as("s"),
+        unix_micros(col("session_end")).as("e"), col("cnt"), col("sum_value"))
+      .collect().map(key).toMap
+    assert(got === want)
+    assert(got.size === 4) // a:[10:00-10:40],[12:00]; b:[10:05],[11:30]
+    // the merged chain is one 3-row session, not three singletons
+    assert(got(("a", us("2025-03-01 10:00:00"), us("2025-03-01 11:10:00"))) ===
+      ((3L, 6.0)))
   }
 }
