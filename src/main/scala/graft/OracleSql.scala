@@ -139,6 +139,45 @@ object OracleSql {
        |clus AS (SELECT CAST(u AS BIGINT) AS doc_id,
        |  CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY u)""".stripMargin
 
+  /** x120/x123 shared statement: the dirty-registry fixture (mirrors
+    * SparkEntry.entityRegistry), brute-force levenshtein edges, reach
+    * recursion, survivorship. x123 resolves the same registry
+    * incrementally, so BOTH queries check against this one SQL.
+    */
+  private lazy val EntityResolutionSql: String =
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |  'u' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS tok
+        | FROM documents WHERE doc_id < 2000),
+        |reg AS (
+        | SELECT doc_id*3 AS rid, tok AS rkey,
+        |  CAST(doc_id % 97 AS DOUBLE) AS rval FROM t
+        | UNION ALL
+        | SELECT doc_id*3+1,
+        |  substring(tok, 1, CAST(doc_id % 9 AS INTEGER))
+        |   || substring(tok, CAST(doc_id % 9 AS INTEGER) + 2),
+        |  CAST(doc_id % 97 AS DOUBLE) FROM t WHERE doc_id % 3 = 0
+        | UNION ALL
+        | SELECT doc_id*3+2,
+        |  substring(tok, 1, CAST((doc_id*7+3) % 9 AS INTEGER))
+        |   || substring(tok, CAST((doc_id*7+3) % 9 AS INTEGER) + 2),
+        |  CAST(doc_id % 97 AS DOUBLE) FROM t WHERE doc_id % 5 = 0),
+        |pairs AS (SELECT a.rid AS u, b.rid AS v FROM reg a JOIN reg b
+        | ON a.rid < b.rid AND levenshtein(a.rkey, b.rkey) <= 1),
+        |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        |reach AS (SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+        | UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+        |clus AS (SELECT u AS rid, min(r) AS cluster_id FROM reach GROUP BY u),
+        |lab AS (SELECT reg.rid, reg.rkey, reg.rval,
+        |  coalesce(c.cluster_id, reg.rid) AS entity_id
+        | FROM reg LEFT JOIN clus c ON reg.rid = c.rid)
+        |SELECT CAST(entity_id AS BIGINT) AS entity_id,
+        | CAST(count(*) AS BIGINT) AS n_records,
+        | arg_min(rkey, rid) AS canonical_key,
+        | arg_max(rkey, lpad(CAST(length(rkey) AS VARCHAR), 4, '0') || rkey)
+        |  AS longest_key,
+        | round(sum(rval), 2) AS total_value
+        |FROM lab GROUP BY entity_id""".stripMargin
+
   /** The weighted-split CASE of [[graft.sampling.Sampling.splitLabel]]
     * over an arbitrary id expression — the ONE SQL renderer behind x19,
     * x57 and x111 (same thresholds, same `split` salt), so the split rule
@@ -868,6 +907,18 @@ object OracleSql {
         | round(quantile_cont(d_us, 0.9) / CAST(1000000 AS DOUBLE), 3)
         |  AS p90_secs
         |FROM d GROUP BY 1, 2""".stripMargin,
+    // default ORDER BY frame = RANGE unbounded→current (ties summed
+    // together on both engines); BIGINT weights so the cumsum is exact
+    "a46_weighted_median" ->
+      """WITH c AS (SELECT l_returnflag, l_extendedprice AS v,
+        |  sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag
+        |   ORDER BY l_extendedprice) AS cum,
+        |  sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag)
+        |   AS tot
+        | FROM lineitem)
+        |SELECT l_returnflag, min(v) AS weighted_median,
+        | max(tot) AS total_weight
+        |FROM c WHERE cum * 2 >= tot GROUP BY l_returnflag""".stripMargin,
     "a10_corr" ->
       """SELECT event_type, round(corr(value, hour(ts)), 6) AS corr
         |FROM events GROUP BY event_type""".stripMargin,
@@ -2099,39 +2150,37 @@ object OracleSql {
     // survivorship: arg_min on rid, arg_max on the zero-padded
     // (length, key) composite — both tie-free (rid unique; equal
     // composite => equal key)
-    "x120_entity_resolution" ->
-      """WITH RECURSIVE t AS (SELECT doc_id,
-        |  'u' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS tok
-        | FROM documents WHERE doc_id < 2000),
-        |reg AS (
-        | SELECT doc_id*3 AS rid, tok AS rkey,
-        |  CAST(doc_id % 97 AS DOUBLE) AS rval FROM t
-        | UNION ALL
-        | SELECT doc_id*3+1,
-        |  substring(tok, 1, CAST(doc_id % 9 AS INTEGER))
-        |   || substring(tok, CAST(doc_id % 9 AS INTEGER) + 2),
-        |  CAST(doc_id % 97 AS DOUBLE) FROM t WHERE doc_id % 3 = 0
-        | UNION ALL
-        | SELECT doc_id*3+2,
-        |  substring(tok, 1, CAST((doc_id*7+3) % 9 AS INTEGER))
-        |   || substring(tok, CAST((doc_id*7+3) % 9 AS INTEGER) + 2),
-        |  CAST(doc_id % 97 AS DOUBLE) FROM t WHERE doc_id % 5 = 0),
-        |pairs AS (SELECT a.rid AS u, b.rid AS v FROM reg a JOIN reg b
-        | ON a.rid < b.rid AND levenshtein(a.rkey, b.rkey) <= 1),
-        |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
-        |reach AS (SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
-        | UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
-        |clus AS (SELECT u AS rid, min(r) AS cluster_id FROM reach GROUP BY u),
-        |lab AS (SELECT reg.rid, reg.rkey, reg.rval,
-        |  coalesce(c.cluster_id, reg.rid) AS entity_id
-        | FROM reg LEFT JOIN clus c ON reg.rid = c.rid)
-        |SELECT CAST(entity_id AS BIGINT) AS entity_id,
-        | CAST(count(*) AS BIGINT) AS n_records,
-        | arg_min(rkey, rid) AS canonical_key,
-        | arg_max(rkey, lpad(CAST(length(rkey) AS VARCHAR), 4, '0') || rkey)
-        |  AS longest_key,
-        | round(sum(rval), 2) AS total_value
-        |FROM lab GROUP BY entity_id""".stripMargin,
+    // mirror of Similarity.matryoshkaRecall: x08's scored-rank pattern,
+    // with prefix widths applied via list_slice on BOTH vector sides
+    "x122_matryoshka_recall" ->
+      s"""WITH v AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+         | FROM embeddings),
+         |q AS (SELECT vec_id AS qid, ve AS qv FROM v WHERE vec_id < 5),
+         |dims AS (SELECT unnest([${SparkEntry.MatryoshkaDims.mkString(", ")}])
+         |  AS dim),
+         |tf AS (SELECT qid, nid FROM (
+         | SELECT q.qid, v.vec_id AS nid,
+         |  row_number() OVER (PARTITION BY q.qid
+         |   ORDER BY ${cosineSql("q.qv", "v.ve")} DESC, v.vec_id) AS rnk
+         | FROM v CROSS JOIN q WHERE v.vec_id <> q.qid) WHERE rnk <= 3),
+         |tp AS (SELECT dim, qid, nid FROM (
+         | SELECT d.dim, q.qid, v.vec_id AS nid,
+         |  row_number() OVER (PARTITION BY d.dim, q.qid
+         |   ORDER BY ${cosineSql("list_slice(q.qv, 1, d.dim)",
+                "list_slice(v.ve, 1, d.dim)")} DESC, v.vec_id) AS rnk
+         | FROM v CROSS JOIN q CROSS JOIN dims d WHERE v.vec_id <> q.qid)
+         | WHERE rnk <= 3)
+         |SELECT CAST(tp.dim AS INTEGER) AS dim, tp.qid AS query_id,
+         | round(CAST(count(tf.nid) AS DOUBLE) / 3, 6) AS recall
+         |FROM tp LEFT JOIN tf ON tp.qid = tf.qid AND tp.nid = tf.nid
+         |GROUP BY 1, 2""".stripMargin,
+    "x120_entity_resolution" -> EntityResolutionSql,
+    // x123 computes the SAME final registry incrementally (old edges
+    // persisted, delta candidates only) — batch-equivalence IS the
+    // contract, so the oracle is x120's statement verbatim
+    "x123_entity_delta" -> EntityResolutionSql,
+
     // same injected suffixes (shared constants), same length-difference
     // substring counting — integer-exact on both engines
     "x121_mojibake" -> {

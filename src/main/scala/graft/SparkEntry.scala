@@ -38,6 +38,35 @@ object SparkEntry {
     case _ => Tables.load(s, dir, name)
   }
 
+  /** x120/x123 dirty-registry fixture (ONE builder so the two faces and
+    * the shared oracle can never drift): per entity a base record with an
+    * md5-derived 9-char key (cross-entity distance-1 collisions ~absent;
+    * when one occurs both engines see the same edge) plus up to two
+    * single-deletion variants at different deterministic positions —
+    * distance 1 OF BASE, typically 2 of each other, so only transitive
+    * closure merges a full entity.
+    */
+  private def entityRegistry(s: SparkSession, dir: String): DataFrame = {
+    val t = T(s, dir, "documents").filter(col("doc_id") < 2000)
+      .select(col("doc_id"), concat(lit("u"),
+        substring(md5(col("doc_id").cast("string")), 1, 8)).as("tok"))
+    def del(k: org.apache.spark.sql.Column,
+        p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      concat(k.substr(lit(1), p - 1), k.substr(p + 1, length(k) - p))
+    val rval = (col("doc_id") % 97).cast("double")
+    val base = t.select((col("doc_id") * 3).as("rid"),
+      col("tok").as("rkey"), rval.as("rval"))
+    val typo1 = t.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") * 3 + 1).as("rid"),
+        del(col("tok"), (col("doc_id") % 9 + 1).cast("int")).as("rkey"),
+        rval.as("rval"))
+    val typo2 = t.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") * 3 + 2).as("rid"),
+        del(col("tok"), ((col("doc_id") * 7 + 3) % 9 + 1).cast("int")).as("rkey"),
+        rval.as("rval"))
+    base.union(typo1).union(typo2)
+  }
+
   /** Flagship query on sf=0.001 (SURVEY.md §7 step 1): clean (P3-P5) →
     * time features (D1-D6) → multi-metric per-group aggregate (A2/A4) over
     * the `events` telemetry analog.
@@ -87,6 +116,9 @@ object SparkEntry {
   // B) with integer arithmetic; the oracle mirrors it as a BIGINT
   // floor-division scalar subquery. Shared with the oracle.
   val RecallTargetRows: Long = 1000L
+  // x122 matryoshka prefix widths (last = full width of the embeddings
+  // table, so the curve ends at recall 1.0 by construction)
+  val MatryoshkaDims: Seq[Int] = Seq(8, 16, 64)
   // x121 mojibake fixture: damaged suffixes injected on two residue
   // classes. A: "cafÃ© naÃ¯ve â€”" (2×Ã + 1×â€ = 3 hits); B: "donâ€™t Â 5 �"
   // (1×â€ + 1×Â + 1×U+FFFD = 3 hits). Escapes pin the exact codepoints;
@@ -1169,30 +1201,33 @@ object SparkEntry {
     // distance 2 of each other — only the transitive closure merges
     // them); md5-derived keys so cross-entity collisions are ~absent and
     // WHEN one occurs both engines see the same edge set anyway
-    "x120_entity_resolution" -> ((s, dir) => {
-      val t = T(s, dir, "documents").filter(col("doc_id") < 2000)
-        .select(col("doc_id"), concat(lit("u"),
-          substring(md5(col("doc_id").cast("string")), 1, 8)).as("tok"))
-      def del(k: org.apache.spark.sql.Column,
-          p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        concat(k.substr(lit(1), p - 1), k.substr(p + 1, length(k) - p))
-      val rval = (col("doc_id") % 97).cast("double")
-      val base = t.select((col("doc_id") * 3).as("rid"),
-        col("tok").as("rkey"), rval.as("rval"))
-      val typo1 = t.filter(col("doc_id") % 3 === 0)
-        .select((col("doc_id") * 3 + 1).as("rid"),
-          del(col("tok"), (col("doc_id") % 9 + 1).cast("int")).as("rkey"),
-          rval.as("rval"))
-      val typo2 = t.filter(col("doc_id") % 5 === 0)
-        .select((col("doc_id") * 3 + 2).as("rid"),
-          del(col("tok"), ((col("doc_id") * 7 + 3) % 9 + 1).cast("int")).as("rkey"),
-          rval.as("rval"))
+    "x120_entity_resolution" -> ((s, dir) =>
       graft.analytics.Entities.goldenRecords(
-        base.union(typo1).union(typo2), col("rid"), col("rkey"), col("rval"))
+        entityRegistry(s, dir), col("rid"), col("rkey"), col("rval"))),
+    // incremental resolution == batch resolution: records arrive in two
+    // rid-parity batches (an entity's variants straddle them), the first
+    // batch's edges are "persisted", only new×new and new×old candidate
+    // work runs for the second — and the oracle is x120's SQL VERBATIM,
+    // so batch-equivalence is hash-checked, not argued
+    "x123_entity_delta" -> ((s, dir) => {
+      val reg = entityRegistry(s, dir)
+      val old = reg.filter(col("rid") % 2 === 0)
+      val fresh = reg.filter(col("rid") % 2 === 1)
+      val oldPairs = graft.analytics.Entities.matchEdges(
+        old, col("rid"), col("rkey"))
+      graft.analytics.Entities.goldenRecordsDelta(old, fresh, oldPairs,
+        col("rid"), col("rkey"), col("rval"))._2
     }),
     // encoding-damage gate: mojibake marker counts over a fixture with
     // damaged suffixes injected on two residue classes (clean docs must
     // count 0). Markers + suffixes are shared constants with the oracle
+    // matryoshka audit: recall@3 of prefix-dimension cosine top-k vs the
+    // full-width truth — the "search narrow, re-rank wide" decision curve
+    "x122_matryoshka_recall" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.matryoshkaRecall(emb, emb.filter(col("vec_id") < 5),
+        MatryoshkaDims, k = 3)
+    }),
     "x121_mojibake" -> ((s, dir) => {
       val tx = when(col("doc_id") % 7 === 0,
           concat(col("text"), lit(MojibakeSuffixA)))
@@ -1283,6 +1318,11 @@ object SparkEntry {
       graft.analytics.Funnel.funnelTiming(T(s, dir, "events"),
         col("user_id"), col("ts"), col("event_type"),
         Seq("view", "click", "purchase"))),
+    // quantity-weighted median price per return flag: RANGE-frame cumsum
+    // (ties summed together), integral weights so the crossing is exact
+    "a46_weighted_median" -> ((s, dir) =>
+      Aggregates.weightedMedian(T(s, dir, "lineitem"),
+        Seq(col("l_returnflag")), col("l_extendedprice"), col("l_quantity"))),
     // per-type winsorization at the exact [p05, p95]: clip, don't drop
     "p18_winsorize" -> ((s, dir) =>
       Validation.winsorize(T(s, dir, "events"), col("event_type"),

@@ -23,6 +23,48 @@ object Aggregates {
   def groupedStats(df: DataFrame, keys: Seq[Column], aggs: Seq[Column]): DataFrame =
     df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
 
+  /** Weighted median per group: the smallest value whose cumulative
+    * weight reaches half the group's total — the robust center that a
+    * weighted mean is not (one mispriced whale row moves the mean, not
+    * the median), and the right "typical token-weighted document length" /
+    * "typical quantity-weighted price" statistic for a datacard.
+    *
+    * One shuffle on the group key, then a sort and ONE window pass: the
+    * default window frame with an ORDER BY is RANGE UNBOUNDED PRECEDING →
+    * CURRENT ROW — peers (tied values) are summed TOGETHER on every
+    * engine, so the crossing test never depends on tie order. `weight`
+    * must be integral (checked per row — a non-integral weight raises
+    * rather than silently truncating): integer cumulative sums are exact
+    * at any
+    * accumulation order, where a double cumsum's last-ulp jitter could
+    * flip the ≥ half comparison exactly at the crossing row. Fractional
+    * weights should be pre-quantized by the caller (the [[fixedPointAvg]]
+    * discipline).
+    *
+    * A hot group serializes its sort in one task — the documented
+    * window-skew caveat; for sketched quantiles at extreme group sizes
+    * use [[describe]]'s Greenwald-Khanna face instead.
+    */
+  def weightedMedian(df: DataFrame, groups: Seq[Column], value: Column,
+      weight: Column): DataFrame = {
+    // windows are defined over the POST-projection frame (value/weight
+    // are renamed __v/__w there), so order/partition by those names
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groups: _*).orderBy(col("__v").asc)
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy(groups: _*)
+    val wl = when(weight.cast("long").cast("double") === weight.cast("double"),
+        weight.cast("long"))
+      .otherwise(raise_error(concat(
+        lit("weightedMedian: non-integral weight "), weight.cast("string"))))
+    df.select(groups :+ value.as("__v") :+ wl.as("__w"): _*)
+      .withColumn("__cum", sum(col("__w")).over(w))
+      .withColumn("__tot", sum(col("__w")).over(tot))
+      .filter(col("__cum") * 2 >= col("__tot"))
+      .groupBy(groups: _*)
+      .agg(min(col("__v")).as("weighted_median"),
+        max(col("__tot")).as("total_weight"))
+  }
+
   /** Merge-order-independent mean of a fixed-point column: quantize each
     * value to an exact integer at `scale` decimals (both engines round the
     * same near-integer product to the same int), sum those integers in

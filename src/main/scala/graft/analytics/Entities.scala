@@ -53,12 +53,63 @@ object Entities {
     */
   def goldenRecords(records: DataFrame, id: Column, key: Column,
       value: Column, maxBucket: Int = 1000): DataFrame = {
-    val base = records.select(id.cast("long").as("rid"), key.as("rkey"),
+    val base = normalized(records, id, key, value)
+    survivorship(base, matchPairs(base, maxBucket))
+  }
+
+  /** Incremental face of [[goldenRecords]] — the one-sided-probe
+    * discipline of [[graft.dedup.Dedup.incrementalNearDuplicates]] (x67)
+    * applied to entity resolution: `oldPairs` is the match-edge frame the
+    * previous run persisted, and only the candidate work TOUCHING the new
+    * batch (new×new and new×old) is generated this run — old×old
+    * blocking, by far the dominant cost at corpus scale, is never
+    * re-done. The union of old and delta edges is exactly
+    * `matchPairs(old ∪ new)` (spec-asserted), so the result is
+    * BIT-IDENTICAL to re-resolving from scratch — including merges where
+    * a new record bridges two previously-separate entities (id stability
+    * under bridging is a policy layered on top; the engine's contract is
+    * batch-equivalence, the property an oracle can state).
+    *
+    * Returns (deltaPairs, golden): persist `oldPairs ∪ deltaPairs` for
+    * the next increment, publish `golden`.
+    */
+  def goldenRecordsDelta(oldRecords: DataFrame, newRecords: DataFrame,
+      oldPairs: DataFrame, id: Column, key: Column, value: Column,
+      maxBucket: Int = 1000): (DataFrame, DataFrame) = {
+    val o = normalized(oldRecords, id, key, value)
+    val n = normalized(newRecords, id, key, value)
+    val newNew = matchPairs(n, maxBucket)
+    val newOld = Joins.fuzzyJoin(n, col("rid"), col("rkey"),
+        o, col("rid"), col("rkey"), maxBucket)
+      .select(least(col("left_id"), col("right_id")).as("doc_a"),
+        greatest(col("left_id"), col("right_id")).as("doc_b"))
+      .distinct()
+    val delta = newNew.union(newOld)
+    (delta, survivorship(o.union(n), oldPairs.union(delta)))
+  }
+
+  /** The persisted match-edge frame a delta run consumes: run once on the
+    * initial corpus, then keep unioning each increment's delta edges.
+    */
+  def matchEdges(records: DataFrame, id: Column, key: Column,
+      maxBucket: Int = 1000): DataFrame =
+    matchPairs(records.select(id.cast("long").as("rid"), key.as("rkey")),
+      maxBucket)
+
+  private def normalized(records: DataFrame, id: Column, key: Column,
+      value: Column): DataFrame =
+    records.select(id.cast("long").as("rid"), key.as("rkey"),
       value.cast("double").as("rval"))
-    val pairs = Joins.fuzzyJoin(base, col("rid"), col("rkey"),
+
+  /** Verified match edges (rid_a < rid_b) of a normalized registry. */
+  private[analytics] def matchPairs(base: DataFrame, maxBucket: Int): DataFrame =
+    Joins.fuzzyJoin(base, col("rid"), col("rkey"),
         base, col("rid"), col("rkey"), maxBucket)
       .filter(col("left_id") < col("right_id"))
       .select(col("left_id").as("doc_a"), col("right_id").as("doc_b"))
+
+  /** Closure + survivorship over a normalized registry and its edges. */
+  private def survivorship(base: DataFrame, pairs: DataFrame): DataFrame = {
     val clusters = graft.dedup.Dedup.duplicateClusters(pairs)
       .select(col("doc_id").as("rid"), col("cluster_id"))
     base.join(clusters, Seq("rid"), "left")

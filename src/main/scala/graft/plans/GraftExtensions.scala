@@ -162,6 +162,7 @@ object GraftExtensions {
     fromColumns("quality_score", 1, cs => TextAnalysis.qualityScore(cs.head)),
     fromColumns("token_count", 1, cs => TextAnalysis.tokenCount(cs.head)),
     fromColumns("doc_fingerprint", 1, cs => TextAnalysis.fingerprint(cs.head)),
+    fromColumns("mojibake_hits", 1, cs => TextAnalysis.mojibakeHits(cs.head)),
     fromColumns("simhash16", 1, cs => Dedup.simhash16(cs.head)),
     fromColumns("hamming_distance", 2, cs => Dedup.hammingDistance(cs.head, cs(1))),
     fromColumns("jaccard", 2, cs => Dedup.jaccard(cs.head, cs(1))),

@@ -76,6 +76,41 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Matryoshka (prefix-dimension) retrieval audit: recall@k of cosine
+    * top-k computed on only the FIRST `d` embedding dimensions, against
+    * the full-width exact top-k as truth — one row per (prefix width,
+    * query). This is the measurement behind the "search at 8/16 dims,
+    * re-rank at full width" decision: an MRL-trained embedding holds
+    * recall at small prefixes (front-loaded information), an ordinary
+    * embedding does not, and the curve tells you which you have and how
+    * much ANN memory/bandwidth the prefix would save.
+    *
+    * Scale shape: one [[bruteForceKnn]] pass per audited width — each is
+    * the shuffle-free broadcast-query corpus scan with the size-k heap
+    * aggregate, so the plan fan-out is |dims|+1 bounded branches — then
+    * one overlap join of model-sized frames (|queries|·k rows per side).
+    * Prefix slicing happens in the scan projection, so narrow widths also
+    * measure CHEAPER than full width, as they would at 100 TB.
+    */
+  def matryoshkaRecall(corpus: DataFrame, queries: DataFrame,
+      dims: Seq[Int], k: Int): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1),
+      s"dims must be non-empty positive widths: $dims")
+    require(k >= 1, s"k must be >= 1, got $k")
+    def sliced(df: DataFrame, d: Int): DataFrame =
+      df.withColumn("embedding", slice(col("embedding"), 1, d))
+    val truth = bruteForceKnn(corpus, queries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+    val prefixTopk = dims.map { d =>
+      bruteForceKnn(sliced(corpus, d), sliced(queries, d), k)
+        .select(lit(d).as("dim"), col("query_id"), col("neighbor_id"))
+    }.reduce(_ union _)
+    prefixTopk
+      .join(broadcast(truth), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("dim"), col("query_id"))
+      .agg(round(count(col("__hit")).cast("double") / k, 6).as("recall"))
+  }
+
   /** Semantic (embedding-space) decontamination report: every corpus
     * vector whose cosine against ANY probe vector reaches `threshold`,
     * with its hit count and max similarity — the embedding-space

@@ -368,4 +368,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("purchase") === ((1L, 0.5, 0.25)))
   }
 
+  test("weightedMedian: crossing value, tie grouping, integral-weight guard") {
+    val df = Seq(
+      ("g1", 1.0, 1L), ("g1", 2.0, 1L), ("g1", 3.0, 6L), ("g1", 4.0, 2L),
+      // g2: the crossing lands inside a TIED value pair — RANGE framing
+      // sums peers together; min(v) is the tied value either way
+      ("g2", 1.0, 4L), ("g2", 2.0, 3L), ("g2", 2.0, 3L)
+    ).toDF("g", "v", "w").repartition(3)
+    val got = graft.analytics.Aggregates.weightedMedian(
+        df, Seq(col("g")), col("v"), col("w"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got === Map("g1" -> ((3.0, 10L)), "g2" -> ((2.0, 10L))))
+    // fractional weight must raise, not silently truncate
+    val bad = Seq(("g", 1.0, 1.5)).toDF("g", "v", "w")
+    val e = intercept[Exception] {
+      graft.analytics.Aggregates.weightedMedian(
+        bad, Seq(col("g")), col("v"), col("w")).collect()
+    }
+    assert(e.getMessage.contains("non-integral weight") ||
+      e.getCause != null && e.getCause.getMessage.contains("non-integral weight"))
+  }
+
 }

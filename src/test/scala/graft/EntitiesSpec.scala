@@ -40,6 +40,33 @@ class EntitiesSpec extends SparkSpec {
     assert(row.getString(3) === "zza") // longest: length wins
   }
 
+  test("goldenRecordsDelta equals batch resolution, including a bridge merge") {
+    // old batch holds two SEPARATE entities ("abcd" vs "abef", distance
+    // 2); the new batch's "abed" is distance 1 from BOTH — the increment
+    // must fuse entities that were distinct in the previous publication
+    val old = Seq((2L, "abcd", 1.0), (4L, "abef", 2.0), (6L, "zzzz", 3.0))
+      .toDF("rid", "rkey", "rval")
+    val fresh = Seq((9L, "abed", 4.0)).toDF("rid", "rkey", "rval")
+    val oldPairs = Entities.matchEdges(old, col("rid"), col("rkey"))
+    assert(oldPairs.count() === 0) // premise: nothing merged before
+    val (delta, golden) = Entities.goldenRecordsDelta(old, fresh, oldPairs,
+      col("rid"), col("rkey"), col("rval"))
+    // delta edges touch the new record only — and exactly bridge both
+    assert(delta.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((2L, 9L), (4L, 9L)))
+    val got = golden.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getString(2), r.getDouble(4))).toMap
+    assert(got === Map(
+      2L -> ((3L, "abcd", 7.0)), // fused entity: 2, 4, 9
+      6L -> ((1L, "zzzz", 3.0))))
+    // batch-equivalence: same result as resolving the union from scratch
+    val batch = Entities.goldenRecords(old.union(fresh),
+      col("rid"), col("rkey"), col("rval"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(2), r.getDouble(4))).toMap
+    assert(batch === got)
+  }
+
   test("mojibakeHits counts each marker family, clean text scores zero") {
     val df = Seq(
       (1L, "cafÃ© donâ€™t Â x �"),

@@ -43,7 +43,10 @@ class PlanAuditSpec extends SparkSpec {
     "x61_temperature_mix", "x71_pq_recall", "x74_kn_surprise",
     "x77_hard_negatives", "x82_semantic_decontaminate",
     "x83_dedup_mixture_shift", "x85_quality_gate_psi",
-    "x92_source_divergence")
+    "x92_source_divergence",
+    // |dims|+1 bruteForceKnn scans: broadcast 5-query set, non-equi
+    // (neighbor_id <> query_id) — the batch-kNN shape, bounded build side
+    "x122_matryoshka_recall")
 
   test("no query plans a cartesian product; BNLJ only on the allowlist") {
     val dir = "/root/testdata/sf0.001"

@@ -439,6 +439,20 @@ class SimilaritySpec extends SparkSpec {
     assert(got(1L) === ((2L, 0L, 0L, 2L, 1.0, 1.0, 1.0)))
   }
 
+  test("matryoshkaRecall: misleading prefix scores 0, full width scores 1") {
+    // q's first two dims point AWAY from its true neighbor A and straight
+    // at the decoy B — the prefix ranking must invert, the full must not
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 5.0f, 5.0f)),  // query
+      (1L, Array(0.0f, 1.0f, 5.0f, 5.0f)),  // true neighbor (full cos ~.96)
+      (2L, Array(1.0f, 0.0f, -5.0f, 5.0f))  // prefix decoy (full cos ~.02)
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.matryoshkaRecall(emb, emb.filter(col("vec_id") === 0),
+        dims = Seq(2, 4), k = 1)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(got === Map(2 -> 0.0, 4 -> 1.0))
+  }
+
   test("x88 centroidSimilarity is partitioning-independent") {
     val base = (0 until 40).map(i =>
       (i % 4, Array.tabulate(8)(d => ((i * 7 + d * 3) % 11 - 5) / 5.0f)))
