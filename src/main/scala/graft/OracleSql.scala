@@ -2175,6 +2175,86 @@ object OracleSql {
          | round(CAST(count(tf.nid) AS DOUBLE) / 3, 6) AS recall
          |FROM tp LEFT JOIN tf ON tp.qid = tf.qid AND tp.nid = tf.nid
          |GROUP BY 1, 2""".stripMargin,
+    // mirror of Similarity.bitextMargin: two x08-shaped kNN passes, then
+    // the ratio margin in 1e-6 integer units (LONG sums, one division)
+    "x124_bitext_margin" ->
+      s"""WITH v AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+         | FROM embeddings),
+         |s AS (SELECT * FROM v WHERE vec_id % 2 = 0),
+         |g AS (SELECT * FROM v WHERE vec_id % 2 = 1),
+         |p AS (SELECT * FROM s WHERE vec_id < 40),
+         |fwd AS (SELECT qid, nid, c, row_number() OVER (PARTITION BY qid
+         |   ORDER BY c DESC, nid) AS rnk FROM (
+         | SELECT p.vec_id AS qid, g.vec_id AS nid,
+         |  ${cosineSql("p.ve", "g.ve")} AS c FROM p CROSS JOIN g)),
+         |fx AS (SELECT qid, sum(CAST(round(c * 1e6) AS BIGINT)) AS sx,
+         |  CAST(count(*) AS BIGINT) AS kx FROM fwd WHERE rnk <= 4 GROUP BY qid),
+         |best AS (SELECT qid, nid, c FROM fwd WHERE rnk = 1),
+         |bwd AS (SELECT yid, nid2, c, row_number() OVER (PARTITION BY yid
+         |   ORDER BY c DESC, nid2) AS rnk FROM (
+         | SELECT cq.nid AS yid, s.vec_id AS nid2,
+         |  ${cosineSql("gv.ve", "s.ve")} AS c
+         | FROM (SELECT DISTINCT nid FROM best) cq
+         | JOIN g gv ON gv.vec_id = cq.nid CROSS JOIN s)),
+         |fy AS (SELECT yid, sum(CAST(round(c * 1e6) AS BIGINT)) AS sy,
+         |  CAST(count(*) AS BIGINT) AS ky FROM bwd WHERE rnk <= 4 GROUP BY yid)
+         |SELECT best.qid AS src_id, best.nid AS tgt_id, best.c AS cosine,
+         | round(CAST(round(best.c * 1e6) AS BIGINT) * 2.0 * kx * ky /
+         |  CAST(sx * ky + sy * kx AS DOUBLE), 6) AS margin
+         |FROM best JOIN fx ON best.qid = fx.qid
+         |JOIN fy ON best.nid = fy.yid""".stripMargin,
+    // mirror of Evaluation.auc: per-score blocks, midranks in half-rank
+    // units (2·cum + n + 1), all-BIGINT rank sum, one final division
+    "x125_classifier_auc" ->
+      s"""WITH t AS (SELECT doc_id, text, lang, $Toks AS toks FROM documents),
+         |q AS (SELECT $QualitySql AS s,
+         |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM t),
+         |b AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(y) AS BIGINT) AS p FROM q GROUP BY s),
+         |r AS (SELECT p, n, coalesce(sum(n) OVER (ORDER BY s
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         | FROM b)
+         |SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+         | CAST(sum(n - p) AS BIGINT) AS n_neg,
+         | CAST(0 AS BIGINT) AS n_null,
+         | round(CAST(sum(p * (2 * cum + n + 1)) - sum(p) * (sum(p) + 1)
+         |   AS DOUBLE) / (2.0 * sum(p) * sum(n - p)), 6) AS auc
+         |FROM r""".stripMargin,
+    // mirror of TfIdf.zipfSlope: same tokenizer, same (freq desc, term)
+    // rank tie-break, ln-ln regr_slope over each source's top-50
+    "x126_zipf_slope" ->
+      s"""WITH t AS (SELECT source, unnest($Toks) AS term FROM documents),
+         |f AS (SELECT source, term, CAST(count(*) AS BIGINT) AS fr
+         | FROM t GROUP BY 1, 2),
+         |r AS (SELECT source, fr, row_number() OVER (PARTITION BY source
+         |  ORDER BY fr DESC, term ASC) AS rnk FROM f)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+         | round(regr_slope(ln(CAST(fr AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6)
+         |  AS zipf_slope,
+         | round(regr_intercept(ln(CAST(fr AS DOUBLE)),
+         |  ln(CAST(rnk AS DOUBLE))), 6) AS intercept
+         |FROM r WHERE rnk <= 50 GROUP BY source""".stripMargin,
+    // mirror of Evaluation.calibration: 1e-6 quantized score, integer
+    // bin arithmetic (floor of an exactly-representable quotient), exact
+    // micro-unit confidence sums
+    "x127_calibration" ->
+      s"""WITH t AS (SELECT doc_id, text, lang, $Toks AS toks FROM documents),
+         |q AS (SELECT CAST(round($QualitySql * 1e6) AS BIGINT) AS pu,
+         |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM t),
+         |b AS (SELECT CAST(least(floor(pu * 10 / 1000000), 9) AS INTEGER)
+         |   AS bin,
+         |  CAST(count(*) AS BIGINT) AS n, sum(pu) AS su,
+         |  CAST(sum(y) AS BIGINT) AS pos FROM q GROUP BY 1),
+         |tot AS (SELECT sum(n) AS tt FROM b)
+         |SELECT bin, n,
+         | round(CAST(su AS DOUBLE) / (n * 1e6), 6) AS mean_conf,
+         | round(CAST(pos AS DOUBLE) / n, 6) AS pos_rate,
+         | round(abs(CAST(su AS DOUBLE) / (n * 1e6) - CAST(pos AS DOUBLE) / n),
+         |  6) AS gap,
+         | round(abs(CAST(su AS DOUBLE) / (n * 1e6) - CAST(pos AS DOUBLE) / n)
+         |  * CAST(n AS DOUBLE) / tt, 6) AS ece_term
+         |FROM b CROSS JOIN tot""".stripMargin,
     "x120_entity_resolution" -> EntityResolutionSql,
     // x123 computes the SAME final registry incrementally (old edges
     // persisted, delta candidates only) — batch-equivalence IS the

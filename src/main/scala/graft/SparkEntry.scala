@@ -1228,6 +1228,30 @@ object SparkEntry {
       Similarity.matryoshkaRecall(emb, emb.filter(col("vec_id") < 5),
         MatryoshkaDims, k = 3)
     }),
+    // margin-based bitext mining (ratio margin): best cross-side match
+    // per probe, scored against both local kNN densities — hub vectors
+    // score near 1, mutually-exceptional pairs score high
+    "x124_bitext_margin" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val src = emb.filter(col("vec_id") % 2 === 0)
+      val tgt = emb.filter(col("vec_id") % 2 === 1)
+      Similarity.bitextMargin(src, tgt, src.filter(col("vec_id") < 40), k = 4)
+    }),
+    // ranking power of the quality score against the lang='en' label:
+    // exact Mann-Whitney AUC with midrank ties, long half-rank arithmetic
+    "x125_classifier_auc" -> ((s, dir) =>
+      graft.analytics.Evaluation.auc(T(s, dir, "documents"),
+        TextAnalysis.qualityScore(col("text")), col("lang") === "en")),
+    // per-source Zipf fit over each source's top-50 terms: the
+    // one-number lexical-health signature (natural text ≈ −1)
+    "x126_zipf_slope" -> ((s, dir) =>
+      graft.text.TfIdf.zipfSlope(T(s, dir, "documents"), col("source"),
+        col("text"), topK = 50)),
+    // reliability table of the quality score as a probability: per-bin
+    // confidence vs observed rate; ece_term sums to the ECE
+    "x127_calibration" -> ((s, dir) =>
+      graft.analytics.Evaluation.calibration(T(s, dir, "documents"),
+        TextAnalysis.qualityScore(col("text")), col("lang") === "en")),
     "x121_mojibake" -> ((s, dir) => {
       val tx = when(col("doc_id") % 7 === 0,
           concat(col("text"), lit(MojibakeSuffixA)))

@@ -1,0 +1,108 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classifier-quality measurement over scored corpora — the evaluation
+  * tier a quality-gate pipeline needs before it trusts a score column:
+  * ranking power (AUC) and probability honesty (reliability table / ECE).
+  * A filter threshold chosen from an uncalibrated or non-discriminating
+  * score silently reshapes the corpus (x103's gate-bias audit measures the
+  * damage; these two measure the score itself).
+  *
+  * Both work on a QUANTIZED score domain (6 decimals — the repo-wide
+  * rounding grain): after `groupBy(score)` the frames are bounded by the
+  * score domain (≤ 2·10⁶ distinct values for a [0,1] probability), not by
+  * the corpus, so the ordered pass that ranking needs runs over a
+  * vocabulary-sized frame at any corpus size.
+  */
+object Evaluation {
+
+  /** Area under the ROC curve via the Mann-Whitney rank-sum with midrank
+    * tie handling — exact, not trapezoid-approximated: AUC =
+    * (R⁺ − P(P+1)/2) / (P·N) where R⁺ is the positives' rank sum using
+    * average ranks for tied scores.
+    *
+    * Scale shape: one corpus aggregate to per-score (n, positives) blocks
+    * — the only corpus-sized pass, map-side combinable — then one ordered
+    * window over the bounded score domain. All rank arithmetic is LONG in
+    * half-rank units (2·rank is always integral, ties included), so the
+    * rank sum is exact at any accumulation order; the single division at
+    * the end is the only floating step.
+    *
+    * `label` must be 0/1 (booleans cast); rows with a null score or label
+    * are excluded and reported in `n_null` so a gate can assert on them.
+    */
+  def auc(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val s = round(score.cast("double"), 6)
+    val y = label.cast("int")
+    val rows = df.select(s.as("__s"), y.as("__y"))
+    val blocks = rows
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+      .withColumn("__y", when(col("__y") === 0 || col("__y") === 1, col("__y"))
+        .otherwise(raise_error(concat(lit("auc: label must be 0/1, got "),
+          col("__y").cast("string")))))
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__p"))
+    val before = Window.orderBy(col("__s").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = blocks
+      .withColumn("__cum", coalesce(sum(col("__n")).over(before), lit(0L)))
+      // midrank of the tied block in HALF-RANK units: 2·cum + n + 1
+      .withColumn("__rp2", col("__p") * (lit(2L) * col("__cum") + col("__n") + 1L))
+    val nulls = rows.filter(col("__s").isNull || col("__y").isNull)
+      .agg(count(lit(1)).as("n_null"))
+    ranked
+      .agg(sum(col("__rp2")).as("__rp2"), sum(col("__p")).as("n_pos"),
+        sum(col("__n") - col("__p")).as("n_neg"))
+      .crossJoin(broadcast(nulls))
+      .select(col("n_pos"), col("n_neg"), col("n_null"),
+        round((col("__rp2") - col("n_pos") * (col("n_pos") + 1L)).cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
+  }
+
+  /** Reliability table: equal-width probability bins with per-bin count,
+    * mean predicted confidence, observed positive rate, the |gap|, and the
+    * bin's ECE contribution (`n/N · gap` — the table sums to the expected
+    * calibration error). The "is 0.9 really 90%?" audit behind choosing a
+    * quality-gate threshold from a classifier probability.
+    *
+    * Binning is INTEGER arithmetic on the 1e-6-quantized score
+    * (`pu·bins / 10⁶`, clamped to the top bin at p = 1.0), so a boundary
+    * score lands in the same bin on every engine — `floor(p·bins)` on
+    * doubles does not guarantee that (0.3·10 floors to 2 in IEEE). Mean
+    * confidence divides the exact integer micro-unit sum, so it is
+    * accumulation-order-independent too. One corpus aggregate; everything
+    * after is |bins| rows.
+    */
+  def calibration(df: DataFrame, prob: Column, label: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val pu = round(prob.cast("double") * 1e6, 0).cast("long")
+    val guarded = when(pu.between(0L, 1000000L), pu)
+      .otherwise(raise_error(concat(
+        lit("calibration: probability outside [0,1]: "), prob.cast("string"))))
+    // pu·bins ≤ 10⁷ is exactly representable, and the true quotient is
+    // never within 1e-7 (relative) of an integer it isn't equal to, so
+    // the double division + floor is the exact integer division on both
+    // engines (long `/` in Spark is double division — floor pins it)
+    val bin = least(floor(guarded * bins / lit(1000000L)), lit(bins - 1L))
+      .cast("int")
+    val perBin = df
+      .select(bin.as("bin"), guarded.as("__pu"), label.cast("int").as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__pu")).as("__su"),
+        sum(col("__y")).as("__pos"))
+    val total = perBin.agg(sum(col("n")).as("__tot"))
+    perBin.crossJoin(broadcast(total))
+      .select(col("bin"), col("n"),
+        round(col("__su").cast("double") / (col("n") * 1e6), 6).as("mean_conf"),
+        round(col("__pos").cast("double") / col("n"), 6).as("pos_rate"),
+        round(abs(col("__su").cast("double") / (col("n") * 1e6) -
+          col("__pos").cast("double") / col("n")), 6).as("gap"),
+        round(abs(col("__su").cast("double") / (col("n") * 1e6) -
+          col("__pos").cast("double") / col("n")) *
+          col("n").cast("double") / col("__tot"), 6).as("ece_term"))
+  }
+}

@@ -111,6 +111,50 @@ object Similarity {
       .agg(round(count(col("__hit")).cast("double") / k, 6).as("recall"))
   }
 
+  /** Margin-based bitext mining (the ratio-margin criterion of
+    * Artetxe & Schwenk, "Margin-based Parallel Corpus Mining", ACL 2019):
+    * for each probe vector x on the source side, its best target-side
+    * match y, scored by `margin = cos(x,y) / ((avgNNₖ(x,tgt) +
+    * avgNNₖ(y,src)) / 2)` — raw cosine rewards hub vectors that are close
+    * to EVERYTHING; dividing by both local neighborhood densities keeps
+    * only pairs that are mutually exceptional, which is what separates
+    * true translation pairs from topically-similar noise.
+    *
+    * Scale shape: two [[bruteForceKnn]] passes (probes → tgt, then the ≤
+    * |probes| distinct best-match candidates → src), each the shuffle-free
+    * broadcast-queries corpus scan with the size-k heap aggregate; the
+    * margin assembly joins model-sized frames. At full-corpus mining both
+    * kNN passes swap for the IVF faces — the margin arithmetic is
+    * unchanged.
+    *
+    * Determinism: cosines are quantized at 1e-6 ([[cosine]]), the
+    * neighborhood sums accumulate those units as LONGs (exact at any
+    * order), and the margin is a single double division of integer
+    * quantities, so results hash-compare across engines.
+    */
+  def bitextMargin(src: DataFrame, tgt: DataFrame, probes: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val units = round(col("cosine") * 1e6, 0).cast("long")
+    val fwd = bruteForceKnn(tgt, probes, k)
+    val avgX = fwd.groupBy(col("query_id").as("src_id"))
+      .agg(sum(units).as("__sx"), count(lit(1)).as("__kx"))
+    val best = fwd.filter(col("rnk") === 1)
+      .select(col("query_id").as("src_id"), col("neighbor_id").as("tgt_id"),
+        col("cosine"))
+    val cands = tgt.join(
+      best.select(col("tgt_id").as("vec_id")).distinct(), Seq("vec_id"))
+    val avgY = bruteForceKnn(src, cands, k)
+      .groupBy(col("query_id").as("tgt_id"))
+      .agg(sum(units).as("__sy"), count(lit(1)).as("__ky"))
+    best.join(broadcast(avgX), Seq("src_id"))
+      .join(broadcast(avgY), Seq("tgt_id"))
+      .select(col("src_id"), col("tgt_id"), col("cosine"),
+        round(round(col("cosine") * 1e6, 0) * 2.0 * col("__kx") * col("__ky") /
+          (col("__sx") * col("__ky") + col("__sy") * col("__kx")).cast("double"),
+          6).as("margin"))
+  }
+
   /** Semantic (embedding-space) decontamination report: every corpus
     * vector whose cosine against ANY probe vector reaches `threshold`,
     * with its hit count and max similarity — the embedding-space

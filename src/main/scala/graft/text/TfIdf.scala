@@ -424,4 +424,38 @@ object TfIdf {
       .orderBy(col("occurrences").desc, col("term").asc)
       .limit(topK)
   }
+
+  /** Zipf fit per group: OLS slope/intercept of `ln(freq)` on `ln(rank)`
+    * over each group's `topK` most frequent terms (rank 1 = most
+    * frequent). Natural text sits near slope −1; a feed whose slope
+    * collapses toward 0 is template/boilerplate-dominated (a few tokens
+    * repeated at similar rates), and a very steep slope flags
+    * degenerate/keyword-stuffed text — a one-number lexical-health
+    * signature per source that complements the KL ([[sourceDivergence]])
+    * and diversity (x93) views.
+    *
+    * Scale shape: one tokenize+explode pass into (group, term) counts
+    * (map-side combinable), a per-group rank window over the
+    * vocabulary-sized frame (the x29/x30 discipline — no window ever sees
+    * more than one group's vocabulary), then `regr_slope`/`regr_intercept`
+    * over ≤ topK rows per group. Ranking ties break on term order so both
+    * engines fit the same points.
+    */
+  def zipfSlope(df: DataFrame, group: Column, text: Column,
+      topK: Int = 100): DataFrame = {
+    require(topK >= 2, s"topK must be >= 2 to fit a line, got $topK")
+    val counts = df
+      .select(group.as("source"), explode(TextAnalysis.tokens(text)).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("__f"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("__f").desc, col("term").asc)
+    val x = log(col("__rnk").cast("double"))
+    val y = log(col("__f").cast("double"))
+    counts.withColumn("__rnk", row_number().over(w))
+      .filter(col("__rnk") <= topK)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"),
+        round(regr_slope(y, x), 6).as("zipf_slope"),
+        round(regr_intercept(y, x), 6).as("intercept"))
+  }
 }

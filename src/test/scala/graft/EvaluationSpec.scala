@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Evaluation
+
+/** AUC and calibration on fixtures small enough to rank by hand. */
+class EvaluationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("auc: hand-computed midrank value on a tied fixture") {
+    // scores asc: 0.1(n), 0.2(n), 0.2(p), 0.5(p) — the 0.2 tie straddles
+    // classes, so the midrank path is actually exercised.
+    // Ranks: 0.1→1, the 0.2s→2.5 each, 0.5→4. R+ = 2.5 + 4 = 6.5.
+    // AUC = (6.5 − 2·3/2) / (2·2) = 3.5/4 = 0.875.
+    val df = Seq((0.1, 0), (0.2, 0), (0.2, 1), (0.5, 1)).toDF("s", "y")
+    val r = Evaluation.auc(df, col("s"), col("y")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((2L, 2L, 0L)))
+    assert(r.getDouble(3) === 0.875)
+  }
+
+  test("auc: perfect separation is 1.0, reversed is 0.0, nulls counted out") {
+    val df = Seq((0.9, Some(1)), (0.8, Some(1)), (0.2, Some(0)),
+      (0.1, Some(0)), (0.5, None)).toDF("s", "y")
+    val r = Evaluation.auc(df, col("s"), col("y")).collect().head
+    assert(r.getDouble(3) === 1.0)
+    assert(r.getLong(2) === 1L) // the null-label row is reported, not scored
+    val rev = Evaluation.auc(df, -col("s"), col("y")).collect().head
+    assert(rev.getDouble(3) === 0.0)
+  }
+
+  test("auc: non-binary label raises instead of silently mis-counting") {
+    val bad = Seq((0.5, 2)).toDF("s", "y")
+    val e = intercept[Exception] {
+      Evaluation.auc(bad, col("s"), col("y")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("label must be 0/1")))
+  }
+
+  test("calibration: exact bins, boundary score lands in its own bin") {
+    // 0.3 is a bin BOUNDARY: IEEE 0.3·10 = 2.999… floors to 2, but the
+    // integer micro-unit path (300000·10/10⁶ = 3) must put it in bin 3
+    val df = Seq((0.3, 1), (0.35, 0), (0.05, 0), (1.0, 1)).toDF("p", "y")
+    val got = Evaluation.calibration(df, col("p"), col("y"), bins = 10)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got === Map(
+      0 -> ((1L, 0.05, 0.0)),
+      3 -> ((2L, 0.325, 0.5)),
+      9 -> ((1L, 1.0, 1.0)))) // p = 1.0 clamps into the top bin
+  }
+
+  test("calibration: ece terms sum to the expected calibration error") {
+    val df = Seq((0.1, 0), (0.1, 0), (0.9, 1), (0.9, 0)).toDF("p", "y")
+    val rows = Evaluation.calibration(df, col("p"), col("y")).collect()
+    // bin 1: conf .1 acc 0 → gap .1, weight .5; bin 9: conf .9 acc .5 →
+    // gap .4, weight .5 → ECE = .05 + .2 = .25
+    assert(math.abs(rows.map(_.getAs[Double]("ece_term")).sum - 0.25) < 1e-12)
+  }
+
+  test("calibration: probability outside [0,1] raises") {
+    val e = intercept[Exception] {
+      Evaluation.calibration(Seq((1.2, 1)).toDF("p", "y"), col("p"), col("y"))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("outside [0,1]")))
+  }
+}

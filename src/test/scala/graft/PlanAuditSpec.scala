@@ -46,7 +46,13 @@ class PlanAuditSpec extends SparkSpec {
     "x92_source_divergence",
     // |dims|+1 bruteForceKnn scans: broadcast 5-query set, non-equi
     // (neighbor_id <> query_id) — the batch-kNN shape, bounded build side
-    "x122_matryoshka_recall")
+    "x122_matryoshka_recall",
+    // 1-row broadcast scalars: auc's null-count frame, calibration's
+    // bin-total frame
+    "x125_classifier_auc", "x127_calibration",
+    // two bruteForceKnn passes: broadcast probe/candidate sets (20 rows
+    // each), non-equi cosine scan — the batch-kNN shape
+    "x124_bitext_margin")
 
   test("no query plans a cartesian product; BNLJ only on the allowlist") {
     val dir = "/root/testdata/sf0.001"

@@ -462,4 +462,45 @@ class SimilaritySpec extends SparkSpec {
       col("label"), col("embedding")).collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(a === b)
   }
+
+  test("bitextMargin: hub loses to the mutually-exceptional pair") {
+    // src 0 and tgt 1 are a tight pair in a corner of the space; tgt 3 is
+    // a HUB near the src centroid — raw cosine could pick it, but margin
+    // must rank the (0,1) pair far above any hub match.
+    def v(a: Double, b: Double) = Array(a.toFloat, b.toFloat)
+    val src = Seq((0L, v(1, 0)), (2L, v(0.2, 0.98)), (4L, v(-0.3, 0.95)),
+      (6L, v(0.1, 0.99))).toDF("vec_id", "embedding")
+    val tgt = Seq((1L, v(0.995, 0.1)), (3L, v(0.5, 0.87)),
+      (5L, v(-0.1, 0.99)), (7L, v(0.3, 0.95))).toDF("vec_id", "embedding")
+    val got = Similarity.bitextMargin(src, tgt,
+        probes = src.filter(col("vec_id") <= 2), k = 2)
+      .collect().map(r => r.getAs[Long]("src_id") ->
+        (r.getAs[Long]("tgt_id"), r.getAs[Double]("cosine"),
+          r.getAs[Double]("margin"))).toMap
+    // probe 0's best is tgt 1 (cos ≈ .995); probe 2's best is tgt 7
+    assert(got(0L)._1 === 1L)
+    assert(got(2L)._1 === 7L)
+    // the tight pair's margin beats the in-cluster match's margin
+    assert(got(0L)._3 > got(2L)._3)
+    // margin denominator uses BOTH neighborhoods: recompute by hand
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      math.rint(dot / (na * nb) * 1e6) / 1e6
+    }
+    val s0 = v(1, 0)
+    val tv = Map(1L -> v(0.995, 0.1), 3L -> v(0.5, 0.87),
+      5L -> v(-0.1, 0.99), 7L -> v(0.3, 0.95))
+    val sv = Map(0L -> s0, 2L -> v(0.2, 0.98), 4L -> v(-0.3, 0.95),
+      6L -> v(0.1, 0.99))
+    // top-2 neighborhoods of src 0 in tgt and of tgt 1 in src, by cosine
+    val nx = tv.values.map(cos(s0, _)).toSeq.sorted.reverse.take(2)
+    val ny = sv.values.map(cos(tv(1L), _)).toSeq.sorted.reverse.take(2)
+    val sx = nx.map(c => math.rint(c * 1e6).toLong).sum
+    val sy = ny.map(c => math.rint(c * 1e6).toLong).sum
+    val cUnits = math.rint(cos(s0, tv(1L)) * 1e6)
+    val want = math.rint(cUnits * 2.0 * 2 * 2 / (sx * 2 + sy * 2) * 1e6) / 1e6
+    assert(math.abs(got(0L)._3 - want) < 2e-6)
+  }
 }

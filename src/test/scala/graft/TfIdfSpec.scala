@@ -247,6 +247,35 @@ class TfIdfSpec extends SparkSpec {
     assert(got("solo") === ((1L, 1L, 1.0, 0L, 0L, None)))
   }
 
+  test("zipfSlope: exact fit on a constructed power law, per group") {
+    // source a: freqs 8, 4, 2, 1 at ranks 1..4 → ln f = ln 8 − ln 2·ln r /
+    // ... NOT linear in ln r; instead build f = round of c·r^s for an
+    // EXACT log-log line: f(r) = 64/r² → (1,64) (2,16) (3,?) not integer.
+    // Use ranks {1, 2, 4, 8} by making freqs 64, 16, 4, 1 with ties
+    // impossible: ln f = ln 64 − 2·ln r exactly at r ∈ {1,2,4}… r must be
+    // the ROW rank 1..4, so pick freqs 27, 9, 3, 1: points (ln1,ln27),
+    // (ln2,ln9), (ln3,ln3), (ln4,ln1) — not collinear; just assert
+    // against an independently-computed OLS on those exact points.
+    val words = Seq("w1" -> 27, "w2" -> 9, "w3" -> 3, "w4" -> 1)
+    val text = words.flatMap { case (w, n) => Seq.fill(n)(w) }.mkString(" ")
+    val df = Seq(("a", text), ("b", "x x x y")).toDF("source", "text")
+    val got = graft.text.TfIdf.zipfSlope(df, col("source"), col("text"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val xs = (1 to 4).map(r => math.log(r.toDouble))
+    val ys = Seq(27, 9, 3, 1).map(f => math.log(f.toDouble))
+    val (mx, my) = (xs.sum / 4, ys.sum / 4)
+    val slope = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+      xs.map(x => (x - mx) * (x - mx)).sum
+    val icpt = my - slope * mx
+    assert(got("a")._1 === 4L)
+    assert(math.abs(got("a")._2 - math.rint(slope * 1e6) / 1e6) < 2e-6)
+    assert(math.abs(got("a")._3 - math.rint(icpt * 1e6) / 1e6) < 2e-6)
+    // source b: x×3 at rank 1, y×1 at rank 2 → slope = (ln1−ln3)/(ln2−ln1)
+    assert(math.abs(got("b")._2 -
+      math.rint(-math.log(3.0) / math.log(2.0) * 1e6) / 1e6) < 2e-6)
+  }
+
   test("vocabStats plans TakeOrderedAndProject, not a global sort") {
     val plan = TfIdf.vocabStats(docs, col("doc_id"), col("text"), topK = 2)
       .queryExecution.executedPlan.toString
