@@ -3286,6 +3286,25 @@ object OracleSql {
         | FROM o JOIN r ON o.station_id = r.station_id AND o.rn = r.rn + 1)
         |SELECT station_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, value,
         | round(ewma, 3) AS ewma FROM r""".stripMargin,
+    // the two-sided join-buffer drain equals the batch interval join
+    // (inclusive bounds on both ends, inner emission is symmetric)
+    "s12_join_drain" ->
+      """SELECT p.user_id, p.event_id AS p_event_id,
+        | CAST(epoch_us(p.ts) AS BIGINT) AS p_us,
+        | c.event_id AS c_event_id, CAST(epoch_us(c.ts) AS BIGINT) AS c_us,
+        | c.value AS c_value
+        |FROM events p JOIN events c ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts BETWEEN p.ts - INTERVAL '2 hours' AND p.ts""".stripMargin,
+    // the versioned foreachBatch upsert equals batch latest-per-key:
+    // (ts, event_id) last-writer-wins, event_id unique ⇒ tie-free
+    "s13_upsert_drain" ->
+      """WITH r AS (SELECT user_id, ts, event_id, event_type, value,
+        |  row_number() OVER (PARTITION BY user_id
+        |   ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id,
+        | event_type, value
+        |FROM r WHERE rn = 1""".stripMargin,
     "s07_jsonl_roundtrip" ->
       """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,

@@ -772,6 +772,36 @@ object SparkEntry {
         T(s, dir, "events").select(col("user_id"), col("ts"), col("value")),
         eventTimeCol = "ts", keyCol = "user_id", valueCol = "value",
         gapSeconds = 1800L, delay = "60 days")),
+    // 5th stateful drain shape: TWO-SIDED stream-stream join buffers — a
+    // click buffered in one micro-batch matches a purchase arriving in a
+    // later one; span-length watermark ⇒ drained sink = batch interval
+    // join (clicks within 2 h before each purchase, per user)
+    "s12_join_drain" -> ((s, dir) =>
+      graft.streaming.Pipeline.joinDrainParity(s,
+        T(s, dir, "events")
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value")),
+        eventTimeCol = "ts", key = "user_id",
+        leftFilter = col("event_type") === "purchase",
+        rightFilter = col("event_type") === "click",
+        lookback = "2 hours", delay = "60 days")
+        .select(col("user_id"), col("event_id").as("p_event_id"),
+          unix_micros(col("ts")).as("p_us"),
+          col("r_event_id").as("c_event_id"),
+          unix_micros(col("r_ts")).as("c_us"),
+          col("r_value").as("c_value"))),
+    // 6th stateful drain shape: foreachBatch SCD1 upsert — a key updated
+    // in a later micro-batch overwrites its earlier publication in the
+    // versioned table; final version = batch latest-per-key (p14's
+    // statement over (ts, event_id) last-writer-wins)
+    "s13_upsert_drain" -> ((s, dir) =>
+      graft.streaming.Pipeline.upsertDrainParity(s,
+        T(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), col("value")),
+        keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"))
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"), col("value"))),
     "s07_jsonl_roundtrip" -> ((s, dir) => {
       // suffix the sink path with a hash of the data dir so two concurrent
       // harness runs on the same machine never overwrite each other

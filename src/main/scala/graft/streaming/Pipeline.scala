@@ -322,6 +322,129 @@ object Pipeline {
     spark.read.parquet(s"$root/out")
   }
 
+  /** STREAM-STREAM interval join exercised end-to-end as an
+    * ORACLE-CHECKABLE drain — the 5th distinct stateful shape under the
+    * harness (s08 keyed dedup, s09 per-window accumulators, s10 ordered
+    * fold, s11 merging sessions, s12 TWO-SIDED JOIN BUFFERS): both sides
+    * of [[intervalJoinStream]] buffer rows in join state, and a
+    * right-side row arriving in a later micro-batch matches left-side
+    * rows buffered from earlier ones (and vice versa — inner-join
+    * emission is symmetric and immediate, so no sentinel is needed).
+    *
+    * Both branches filter the SAME bounded file stream
+    * (`maxFilesPerTrigger = 1`, so matches genuinely cross micro-batch
+    * boundaries), and the caller passes a watermark `delay` longer than
+    * the data's event-time span, so no buffered row is evicted before its
+    * partner can arrive — under that contract the drained sink equals the
+    * BATCH interval join row for row (the DuckDB-checkable statement;
+    * with a shorter horizon, late partners beyond the watermark would be
+    * dropped — real streaming semantics, but not a batch-expressible
+    * oracle).
+    */
+  def joinDrainParity(spark: org.apache.spark.sql.SparkSession,
+      batchDf: DataFrame, eventTimeCol: String, key: String,
+      leftFilter: org.apache.spark.sql.Column,
+      rightFilter: org.apache.spark.sql.Column, lookback: String,
+      delay: String, inputFiles: Int = 2): DataFrame = {
+    require(inputFiles >= 2,
+      s"state must cross a micro-batch boundary: inputFiles >= 2, got $inputFiles")
+    val root = java.nio.file.Files.createTempDirectory("graft_s12_").toString
+    val in = s"$root/in"
+    batchDf.repartition(inputFiles).write.mode("overwrite").parquet(in)
+    val stream = spark.readStream.schema(batchDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val joined = intervalJoinStream(stream.filter(leftFilter),
+      stream.filter(rightFilter), key, eventTimeCol, eventTimeCol,
+      lookback, delay)
+    val q = parquetSink(joined, s"$root/out", s"$root/ckpt",
+      boundedDrain = true).start()
+    q.awaitTermination()
+    spark.read.parquet(s"$root/out")
+  }
+
+  /** SCD Type-1 upsert sink: `foreachBatch` MERGE of each micro-batch
+    * into a versioned parquet table — the "materialized dimension from a
+    * CDC stream" shape. Each batch unions the latest published version
+    * with its own rows and keeps the last writer per key (`orderCols`
+    * descending, which must end in a unique column so the winner is
+    * deterministic), publishing to `v=<batchId>`.
+    *
+    * Idempotence without a transaction log: foreachBatch is
+    * at-least-once on failure, but a replayed batch reads the latest
+    * version STRICTLY BELOW its own id (never its own partial output)
+    * and overwrites `v=<batchId>` — same inputs, same deterministic
+    * merge, same bytes. Readers take the highest version directory
+    * ([[latestVersion]]); a crash mid-write leaves a higher-numbered
+    * partial that the next successful publication of that id overwrites.
+    *
+    * Scale honesty: the merge rewrites the FULL table every trigger —
+    * the portable stand-in for a transaction-log table format (Delta /
+    * Iceberg MERGE INTO), whose row-level operation this same
+    * union+last-writer logic expresses. The per-key window runs over
+    * |keys| + |batch| rows, partition-pruned to the key shuffle.
+    */
+  def upsertSink(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+      tablePath: String, checkpoint: String): DataStreamWriter[Row] = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    require(orderCols.nonEmpty, "upsert needs a deterministic write order")
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        val cur = latestVersion(s, tablePath, below = Some(id))
+          .map(v => s.read.parquet(s"$tablePath/v=$v"))
+        val all = cur.fold(batch)(c => c.unionByName(batch))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*)
+          .orderBy(orderCols.map(c => col(c).desc): _*)
+        all.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+          .write.mode("overwrite").parquet(s"$tablePath/v=$id")
+        ()
+      }
+  }
+
+  /** Highest published `v=<n>` under `tablePath` (optionally only below a
+    * bound — the replay-safe read for [[upsertSink]]'s own merges). */
+  def latestVersion(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, below: Option[Long] = None): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
+      .filter(v => below.forall(v < _))
+      .sorted(Ordering[Long].reverse)
+      .headOption
+  }
+
+  /** [[upsertSink]] exercised end-to-end as an ORACLE-CHECKABLE drain:
+    * stream the batch as `inputFiles` micro-batches through the
+    * versioned upsert, then read the final published version. A key
+    * updated in a later micro-batch must overwrite its earlier
+    * publication, so the final table equals the BATCH latest-per-key
+    * (the p14 statement) — the DuckDB-checkable contract.
+    */
+  def upsertDrainParity(spark: org.apache.spark.sql.SparkSession,
+      batchDf: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+      inputFiles: Int = 2): DataFrame = {
+    require(inputFiles >= 2,
+      s"state must cross a micro-batch boundary: inputFiles >= 2, got $inputFiles")
+    val root = java.nio.file.Files.createTempDirectory("graft_s13_").toString
+    val in = s"$root/in"
+    batchDf.repartition(inputFiles).write.mode("overwrite").parquet(in)
+    val stream = spark.readStream.schema(batchDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = upsertSink(stream, keyCols, orderCols, s"$root/tbl",
+        s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val v = latestVersion(spark, s"$root/tbl")
+      .getOrElse(sys.error("upsert drain published no version"))
+    spark.read.parquet(s"$root/tbl/v=$v")
+  }
+
   /** Streaming face of [[graft.dedup.Dedup.incrementalNearDuplicates]]:
     * each micro-batch probes the parquet-backed historical corpus for
     * near-duplicate pairs it touches, appends the verified pairs to

@@ -356,4 +356,56 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(got(("a", us("2025-03-01 10:00:00"), us("2025-03-01 11:10:00"))) ===
       ((3L, 6.0)))
   }
+
+  test("s12: join drain equals the batch interval join at any file split") {
+    // purchases and clicks interleave so a 3-file split necessarily
+    // separates some matching pairs into different micro-batches — the
+    // parity then PROVES the two-sided buffers carry across triggers
+    val rows = (0 until 12).map { i =>
+      val kind = if (i % 3 == 0) "purchase" else "click"
+      (i.toLong, ts(f"2025-01-01 10:${i * 4}%02d:00"), (i % 2).toLong, kind, i * 1.0)
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Pipeline.joinDrainParity(spark, df, "ts", "user_id",
+        col("event_type") === "purchase", col("event_type") === "click",
+        lookback = "10 minutes", delay = "2 days", inputFiles = 3)
+      .select(col("event_id"), col("r_event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (p, pt, pu, pk, _) <- rows if pk == "purchase"
+      (c, ct, cu, ck, _) <- rows if ck == "click" && cu == pu &&
+        ct.getTime <= pt.getTime && ct.getTime >= pt.getTime - 600000L
+    } yield (p, c)).toSet
+    assert(got === want)
+    assert(want.nonEmpty)
+  }
+
+  test("s13: upsert drain keeps the last writer per key; replay is idempotent") {
+    val rows = Seq(
+      (1L, ts("2025-01-01 10:00:00"), 10L, "a", 1.0),
+      (1L, ts("2025-01-01 11:00:00"), 11L, "b", 2.0), // later ts wins
+      (2L, ts("2025-01-01 10:00:00"), 12L, "c", 3.0),
+      (2L, ts("2025-01-01 10:00:00"), 13L, "d", 4.0), // ts tie → higher id
+      (3L, ts("2025-01-01 09:00:00"), 14L, "e", 5.0))
+    val df = rows.toDF("user_id", "ts", "event_id", "event_type", "value")
+    val got = Pipeline.upsertDrainParity(spark, df,
+        keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+        inputFiles = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(got === Map(1L -> ((11L, "b")), 2L -> ((13L, "d")),
+      3L -> ((14L, "e"))))
+  }
+
+  test("latestVersion picks the highest published version, below-bound excluded") {
+    val root = java.nio.file.Files.createTempDirectory("graft_lv_").toString
+    assert(Pipeline.latestVersion(spark, root).isEmpty)
+    Seq(0L, 2L, 10L).foreach { v =>
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$root/v=$v"))
+    }
+    assert(Pipeline.latestVersion(spark, root) === Some(10L))
+    // the replay-safe read: batch 10 must NOT see its own partial output
+    assert(Pipeline.latestVersion(spark, root, below = Some(10L)) === Some(2L))
+    assert(Pipeline.latestVersion(spark, root, below = Some(0L)) === None)
+  }
 }
