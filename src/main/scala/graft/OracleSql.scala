@@ -3286,6 +3286,40 @@ object OracleSql {
         | FROM o JOIN r ON o.station_id = r.station_id AND o.rn = r.rn + 1)
         |SELECT station_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, value,
         | round(ewma, 3) AS ewma FROM r""".stripMargin,
+    // the bucketed-path join must equal the plain join (bucketing is a
+    // physical layout, never a semantics change); j13 fixed-point sums
+    "j15_bucketed_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        | sum(round(l_quantity * 100)) / 100 AS total_qty,
+        | sum(round(l_extendedprice * (1 - l_discount) * 10000)) / 10000
+        |  AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+    // mirror of Evaluation.aucBy: x125's half-rank BIGINT arithmetic,
+    // partitioned per source; one-class groups are NULL
+    "x128_auc_by_source" ->
+      s"""WITH t AS (SELECT doc_id, text, lang, source, $Toks AS toks
+         | FROM documents),
+         |q AS (SELECT source, $QualitySql AS s,
+         |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM t),
+         |b AS (SELECT source, s, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(y) AS BIGINT) AS p FROM q GROUP BY source, s),
+         |r AS (SELECT source, p, n, coalesce(sum(n) OVER (PARTITION BY source
+         |  ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |   AS cum FROM b),
+         |g AS (SELECT source, CAST(sum(p) AS BIGINT) AS n_pos,
+         |  CAST(sum(n - p) AS BIGINT) AS n_neg,
+         |  sum(p * (2 * cum + n + 1)) AS rp2 FROM r GROUP BY source)
+         |SELECT source, n_pos, n_neg,
+         | CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         |  round(CAST(rp2 - n_pos * (n_pos + 1) AS DOUBLE) /
+         |   (2.0 * n_pos * n_neg), 6) END AS auc
+         |FROM g""".stripMargin,
+    // the stateless stream-static enrichment equals the batch join
+    "s14_enrich_drain" ->
+      """SELECT e.user_id, e.event_id, e.event_type,
+        | c.c_mktsegment AS segment
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
     // the two-sided join-buffer drain equals the batch interval join
     // (inclusive bounds on both ends, inner emission is symmetric)
     "s12_join_drain" ->

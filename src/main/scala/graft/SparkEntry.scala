@@ -790,6 +790,17 @@ object SparkEntry {
           col("r_event_id").as("c_event_id"),
           unix_micros(col("r_ts")).as("c_us"),
           col("r_value").as("c_value"))),
+    // stream-static broadcast enrichment drained under the oracle: the
+    // dimension joins into every micro-batch; stateless, so sink = batch
+    // join by construction (and the streaming planner must broadcast)
+    "s14_enrich_drain" -> ((s, dir) =>
+      graft.streaming.Pipeline.enrichDrainParity(s,
+        T(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type")),
+        T(s, dir, "customer")
+          .select(col("c_custkey").as("user_id"),
+            col("c_mktsegment").as("segment")),
+        key = "user_id")),
     // 6th stateful drain shape: foreachBatch SCD1 upsert — a key updated
     // in a later micro-batch overwrites its earlier publication in the
     // versioned table; final version = batch latest-per-key (p14's
@@ -1555,6 +1566,35 @@ object SparkEntry {
     // TPC-H Q5-shaped star join: nation/region/supplier broadcast, two
     // corpus shuffles, date filter pushed to the orders scan; fixed-point
     // revenue → hash-exact
+    // fact-fact join through BUCKETED tables: both sides pre-shuffled on
+    // the join key at write time, so the join itself plans with no
+    // exchange (ScaleSpec asserts the plan; this query proves the result
+    // through the bucketed path). j13's fixed-point revenue discipline.
+    "j15_bucketed_join" -> ((s, dir) => {
+      val suf = Integer.toHexString(dir.hashCode)
+      graft.warehouse.Bucketing.writeBucketed(
+        T(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount")),
+        s"graft_j15_lineitem_$suf", "l_orderkey", 8)
+      graft.warehouse.Bucketing.writeBucketed(
+        T(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        s"graft_j15_orders_$suf", "o_orderkey", 8)
+      graft.warehouse.Bucketing.read(s, s"graft_j15_lineitem_$suf")
+        .join(graft.warehouse.Bucketing.read(s, s"graft_j15_orders_$suf"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          (sum(round(col("l_quantity") * 100)) / 100).as("total_qty"),
+          (sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            10000)) / 10000).as("revenue"))
+    }),
+    // per-language AUC of the quality score against the en label: the
+    // fairness slice — groups with one class report null, not 0.5
+    "x128_auc_by_source" -> ((s, dir) =>
+      graft.analytics.Evaluation.aucBy(T(s, dir, "documents"),
+        col("source"), TextAnalysis.qualityScore(col("text")),
+        col("lang") === "en")
+        .withColumnRenamed("grp", "source")),
     "j13_region_revenue" -> ((s, dir) =>
       StarSchema.regionRevenue(T(s, dir, "lineitem"), T(s, dir, "orders"),
         T(s, dir, "customer"), T(s, dir, "supplier"), T(s, dir, "nation"),

@@ -62,6 +62,41 @@ object Evaluation {
           (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
   }
 
+  /** Per-group [[auc]] — the fairness/robustness slice: a score with a
+    * healthy global AUC can still rank NOISE inside one source or
+    * language (Simpson's reversal), and that group is exactly where a
+    * global threshold does silent damage. Groups where one class is
+    * absent report a null AUC (undefined, not 0.5 — the caller decides).
+    *
+    * Same shape as [[auc]] with the window partitioned by group: the
+    * per-(group, score) aggregate is the only corpus-sized pass, and each
+    * window partition is one group's bounded score domain.
+    */
+  def aucBy(df: DataFrame, group: Column, score: Column,
+      label: Column): DataFrame = {
+    val s = round(score.cast("double"), 6)
+    val blocks = df
+      .select(group.as("grp"), s.as("__s"), label.cast("int").as("__y"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+      .withColumn("__y", when(col("__y") === 0 || col("__y") === 1, col("__y"))
+        .otherwise(raise_error(concat(lit("aucBy: label must be 0/1, got "),
+          col("__y").cast("string")))))
+      .groupBy(col("grp"), col("__s"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__p"))
+    val before = Window.partitionBy(col("grp")).orderBy(col("__s").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    blocks
+      .withColumn("__cum", coalesce(sum(col("__n")).over(before), lit(0L)))
+      .withColumn("__rp2", col("__p") * (lit(2L) * col("__cum") + col("__n") + 1L))
+      .groupBy(col("grp"))
+      .agg(sum(col("__p")).as("n_pos"), sum(col("__n") - col("__p")).as("n_neg"),
+        sum(col("__rp2")).as("__rp2"))
+      .select(col("grp"), col("n_pos"), col("n_neg"),
+        round(when(col("n_pos") > 0 && col("n_neg") > 0,
+          (col("__rp2") - col("n_pos") * (col("n_pos") + 1L)).cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg"))), 6).as("auc"))
+  }
+
   /** Reliability table: equal-width probability bins with per-bin count,
     * mean predicted confidence, observed positive rate, the |gap|, and the
     * bin's ECE contribution (`n/N · gap` — the table sums to the expected

@@ -362,6 +362,33 @@ object Pipeline {
     spark.read.parquet(s"$root/out")
   }
 
+  /** Stream-STATIC broadcast enrichment exercised as an ORACLE-CHECKABLE
+    * drain — the canonical "join the stream to the dimension table"
+    * shape (the reference's dict-merge catalog enrichment, done
+    * relationally): the static side broadcasts into every micro-batch's
+    * join, no state, no watermark — so the drained sink equals the batch
+    * join by construction, and the drain proves the STREAMING planner
+    * accepts and broadcasts the static side (stream-static is planned
+    * per micro-batch, which is also why a HUGE dim belongs in a
+    * bucketed/bloom pre-join, not a broadcast).
+    */
+  def enrichDrainParity(spark: org.apache.spark.sql.SparkSession,
+      batchDf: DataFrame, dim: DataFrame, key: String,
+      inputFiles: Int = 2): DataFrame = {
+    require(inputFiles >= 2,
+      s"the stream must cross a micro-batch boundary: inputFiles >= 2, got $inputFiles")
+    val root = java.nio.file.Files.createTempDirectory("graft_s14_").toString
+    val in = s"$root/in"
+    batchDf.repartition(inputFiles).write.mode("overwrite").parquet(in)
+    val stream = spark.readStream.schema(batchDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .join(broadcast(dim), Seq(key))
+    val q = parquetSink(stream, s"$root/out", s"$root/ckpt",
+      boundedDrain = true).start()
+    q.awaitTermination()
+    spark.read.parquet(s"$root/out")
+  }
+
   /** SCD Type-1 upsert sink: `foreachBatch` MERGE of each micro-batch
     * into a versioned parquet table — the "materialized dimension from a
     * CDC stream" shape. Each batch unions the latest published version

@@ -39,6 +39,24 @@ class EvaluationSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("label must be 0/1")))
   }
 
+  test("aucBy: per-group values, one-class group is null not 0.5") {
+    val df = Seq(
+      // g1 = the global fixture's 0.875 case
+      ("g1", 0.1, 0), ("g1", 0.2, 0), ("g1", 0.2, 1), ("g1", 0.5, 1),
+      // g2: score ranks REVERSED inside the group → 0.0, even though its
+      // rows would look fine pooled with g1 (the Simpson slice)
+      ("g2", 0.9, 0), ("g2", 0.3, 1),
+      // g3: positives only → AUC undefined
+      ("g3", 0.4, 1), ("g3", 0.6, 1)
+    ).toDF("g", "s", "y")
+    val got = graft.analytics.Evaluation.aucBy(df, col("g"), col("s"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)))).toMap
+    assert(got("g1") === ((2L, 2L, Some(0.875))))
+    assert(got("g2") === ((1L, 1L, Some(0.0))))
+    assert(got("g3") === ((2L, 0L, None)))
+  }
+
   test("calibration: exact bins, boundary score lands in its own bin") {
     // 0.3 is a bin BOUNDARY: IEEE 0.3·10 = 2.999… floors to 2, but the
     // integer micro-unit path (300000·10/10⁶ = 3) must put it in bin 3

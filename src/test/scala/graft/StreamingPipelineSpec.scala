@@ -396,6 +396,17 @@ class StreamingPipelineSpec extends SparkSpec {
       3L -> ((14L, "e"))))
   }
 
+  test("s14: stream-static enrichment equals the batch join; misses drop") {
+    val events = Seq((1L, 10L, "a"), (2L, 11L, "b"), (9L, 12L, "c"))
+      .toDF("user_id", "event_id", "event_type")
+    val dim = Seq((1L, "S1"), (2L, "S2"), (3L, "S3"))
+      .toDF("user_id", "segment")
+    val got = Pipeline.enrichDrainParity(spark, events, dim, "user_id")
+      .collect().map(r => r.getLong(1) -> r.getString(3)).toMap
+    // user 9 has no dim row → inner join drops event 12
+    assert(got === Map(10L -> "S1", 11L -> "S2"))
+  }
+
   test("latestVersion picks the highest published version, below-bound excluded") {
     val root = java.nio.file.Files.createTempDirectory("graft_lv_").toString
     assert(Pipeline.latestVersion(spark, root).isEmpty)
