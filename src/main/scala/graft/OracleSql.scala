@@ -2175,6 +2175,58 @@ object OracleSql {
          | round(CAST(count(tf.nid) AS DOUBLE) / 3, 6) AS recall
          |FROM tp LEFT JOIN tf ON tp.qid = tf.qid AND tp.nid = tf.nid
          |GROUP BY 1, 2""".stripMargin,
+    // mirror of Evaluation.ndcg over the x45 chain: rel = #distinct
+    // shared terms; dcg/idcg rounded at 6 BEFORE the final division so
+    // both engines divide identical quantities
+    "x129_ndcg" ->
+      s"""WITH $Bm25BatchChain,
+         |ranked AS (SELECT query_id, doc_id, rnk FROM r WHERE rnk <= 10),
+         |dt AS (SELECT DISTINCT doc_id, term FROM t),
+         |rel AS (SELECT qt.query_id, dt.doc_id,
+         |  CAST(count(*) AS BIGINT) AS rel
+         | FROM dt JOIN qt USING (term) GROUP BY 1, 2),
+         |dcg AS (SELECT ranked.query_id,
+         |  round(sum((power(2.0, coalesce(rel.rel, 0)) - 1.0) /
+         |   log2(CAST(ranked.rnk AS DOUBLE) + 1.0)), 6) AS dcg
+         | FROM ranked LEFT JOIN rel ON ranked.query_id = rel.query_id
+         |  AND ranked.doc_id = rel.doc_id
+         | GROUP BY 1),
+         |ideal AS (SELECT query_id, round(sum((power(2.0, rel) - 1.0) /
+         |   log2(CAST(pos AS DOUBLE) + 1.0)), 6) AS idcg FROM (
+         |  SELECT query_id, rel, row_number() OVER (PARTITION BY query_id
+         |   ORDER BY rel DESC, doc_id) AS pos FROM rel) WHERE pos <= 10
+         | GROUP BY 1)
+         |SELECT dcg.query_id, dcg.dcg, ideal.idcg,
+         | CASE WHEN ideal.idcg > 0 THEN round(dcg.dcg / ideal.idcg, 6) END
+         |  AS ndcg
+         |FROM dcg LEFT JOIN ideal ON dcg.query_id = ideal.query_id""".stripMargin,
+    // closed-form mirror of MediaHeaders.synthWav/parseWav — any misread
+    // LE field, skipped chunk, or pad byte breaks the hash
+    "x130_wav_headers" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 7 = 0 THEN 'unknown' ELSE 'wav' END AS format,
+        | CASE WHEN doc_id % 7 = 0 THEN NULL
+        |      ELSE CAST(1 + doc_id % 2 AS INTEGER) END AS channels,
+        | CASE WHEN doc_id % 7 = 0 THEN NULL
+        |      WHEN doc_id % 4 = 0 THEN 8000 WHEN doc_id % 4 = 1 THEN 16000
+        |      WHEN doc_id % 4 = 2 THEN 22050 ELSE 44100 END AS sample_rate,
+        | CASE WHEN doc_id % 7 = 0 THEN NULL
+        |      ELSE CAST(8 * (1 + doc_id % 3) AS INTEGER) END AS bits_per_sample,
+        | CASE WHEN doc_id % 7 = 0 THEN NULL
+        |      ELSE CAST((100 + (doc_id * 31) % 900) * 1000000 //
+        |       (CASE WHEN doc_id % 4 = 0 THEN 8000
+        |             WHEN doc_id % 4 = 1 THEN 16000
+        |             WHEN doc_id % 4 = 2 THEN 22050 ELSE 44100 END) AS BIGINT)
+        |  END AS duration_us
+        |FROM documents""".stripMargin,
+    // mirror of Validation.lDiversityViolations over (source, 256-char
+    // length bucket) with lang as the sensitive attribute
+    "x131_l_diversity" ->
+      """SELECT source, CAST(n_chars // 256 AS BIGINT) AS len_bucket,
+        | CAST(count(*) AS BIGINT) AS class_size,
+        | CAST(count(DISTINCT lang) AS BIGINT) AS n_sensitive
+        |FROM documents GROUP BY 1, 2
+        |HAVING count(DISTINCT lang) < 3""".stripMargin,
     // mirror of Similarity.bitextMargin: two x08-shaped kNN passes, then
     // the ratio margin in 1e-6 integer units (LONG sums, one division)
     "x124_bitext_margin" ->

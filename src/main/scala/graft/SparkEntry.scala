@@ -1269,6 +1269,40 @@ object SparkEntry {
       Similarity.matryoshkaRecall(emb, emb.filter(col("vec_id") < 5),
         MatryoshkaDims, k = 3)
     }),
+    // NDCG@10 of the x45 BM25 ranking against graded relevance (rel =
+    // #distinct query terms the doc contains) — the position-sensitive
+    // retrieval report card beside x09_recall and x71
+    "x129_ndcg" -> ((s, dir) => {
+      import s.implicits._
+      val docs = T(s, dir, "documents")
+      val qs = Seq((1L, "vector hash"), (2L, "stream merge sort"))
+        .toDF("query_id", "query_text")
+      val ranked = graft.text.Bm25.topKBatch(docs, col("doc_id"), col("text"),
+        qs, col("query_id"), col("query_text"), k = 10)
+      val qt = qs.select(col("query_id"),
+        explode(TextAnalysis.tokens(col("query_text"))).as("term")).distinct()
+      val rels = docs.select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("term")).distinct()
+        .join(broadcast(qt), "term")
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(count(lit(1)).as("rel"))
+      graft.analytics.Evaluation.ndcg(
+        ranked.select(col("query_id"), col("doc_id"), col("rnk")), rels, k = 10)
+    }),
+    // real RIFF/WAVE chunk-walk parsing over synthesized valid blobs —
+    // the audio face of x13_real_headers (closed-form oracle: any
+    // misread offset/endianness/pad rule breaks the hash)
+    "x130_wav_headers" -> ((s, dir) =>
+      MediaHeaders.parseAudioHeaders(s,
+        MediaHeaders.synthesizeWav(s,
+          T(s, dir, "documents").select(col("doc_id"))))),
+    // l-diversity beside x107's k-anonymity: classes whose sensitive
+    // attribute (lang) is near-homogeneous — the homogeneity attack
+    "x131_l_diversity" -> ((s, dir) =>
+      Validation.lDiversityViolations(T(s, dir, "documents"),
+        Seq(col("source"),
+          floor(col("n_chars") / 256).cast("long").as("len_bucket")),
+        col("lang"), l = 3)),
     // margin-based bitext mining (ratio margin): best cross-side match
     // per probe, scored against both local kNN densities — hub vectors
     // score near 1, mutually-exceptional pairs score high

@@ -97,6 +97,50 @@ object Evaluation {
             (lit(2.0) * col("n_pos") * col("n_neg"))), 6).as("auc"))
   }
 
+  /** NDCG@k of a ranking against graded relevance: per query, the
+    * discounted cumulative gain of the retrieved top-k
+    * (`Σ (2^rel − 1) / log₂(pos + 1)`) normalized by the ideal DCG (the
+    * same sum over the k highest-relevance documents) — the standard
+    * graded retrieval metric that recall@k flattens (recall treats a
+    * rank-1 hit and a rank-10 hit alike; NDCG does not). Queries with no
+    * relevant documents report a null NDCG (undefined, not 0).
+    *
+    * `ranked` is `(query_id, doc_id, rnk)` (any ranker — BM25, ANN, RRF);
+    * `rels` is `(query_id, doc_id, rel)` with rel ≥ 0, docs absent from
+    * `rels` counting as rel 0. Both are match-sized, not corpus-sized.
+    *
+    * Determinism: dcg and idcg are rounded at 6 BEFORE the ndcg division,
+    * so both engines divide identical quantities; rel ties in the ideal
+    * ordering cannot change idcg (equal rel ⇒ equal gain at the swapped
+    * positions' boundary — the sum only depends on the rel multiset of
+    * the top k, and the (rel desc, doc_id) order pins that multiset).
+    *
+    * Scale: the ideal window partitions per query over that query's
+    * relevant set; a query whose relevant set is corpus-sized (stopword
+    * queries) should pre-cap `rels` with the bounded-heap top-k
+    * ([[graft.plans.TopKByScore]]) before calling.
+    */
+  def ndcg(ranked: DataFrame, rels: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def gain(rel: Column, pos: Column): Column =
+      (pow(lit(2.0), rel.cast("double")) - 1.0) /
+        log2(pos.cast("double") + 1.0)
+    val dcg = ranked.filter(col("rnk") <= k)
+      .join(rels, Seq("query_id", "doc_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(round(sum(gain(coalesce(col("rel"), lit(0L)), col("rnk"))), 6)
+        .as("dcg"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("doc_id"))
+    val ideal = rels.withColumn("__pos", row_number().over(w))
+      .filter(col("__pos") <= k)
+      .groupBy(col("query_id"))
+      .agg(round(sum(gain(col("rel"), col("__pos"))), 6).as("idcg"))
+    dcg.join(ideal, Seq("query_id"), "left")
+      .select(col("query_id"), col("dcg"), col("idcg"),
+        round(when(col("idcg") > 0, col("dcg") / col("idcg")), 6).as("ndcg"))
+  }
+
   /** Reliability table: equal-width probability bins with per-bin count,
     * mean predicted confidence, observed positive rate, the |gap|, and the
     * bin's ECE contribution (`n/N · gap` — the table sums to the expected

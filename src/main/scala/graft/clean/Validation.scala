@@ -206,6 +206,27 @@ object Validation {
       .filter(col("class_size") < k)
   }
 
+  /** l-diversity audit: quasi-identifier classes whose SENSITIVE
+    * attribute carries fewer than `l` distinct values — k-anonymity's
+    * blind spot: a size-50 class protects nothing if all 50 rows share
+    * one sensitive value (the homogeneity attack). Run beside
+    * [[kAnonymityViolations]]; a release gate wants BOTH empty.
+    *
+    * Same scale shape: one grouped aggregate on the quasi tuple
+    * (count-distinct shuffles the (class, sensitive) pairs — bounded by
+    * |classes|·|sensitive domain|, not by rows), output bounded by the
+    * violating classes.
+    */
+  def lDiversityViolations(df: DataFrame, quasi: Seq[Column],
+      sensitive: Column, l: Int): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 2, s"l must be >= 2, got $l")
+    df.groupBy(quasi: _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(sensitive).as("n_sensitive"))
+      .filter(col("n_sensitive") < l)
+  }
+
   /** Referential-integrity audit: for each named (child, fk, parent, pk)
     * relation, the child row count and the count of orphans (child rows
     * whose non-null FK matches no parent key) — the warehouse smoke test

@@ -195,4 +195,126 @@ object MediaHeaders {
       .mapPartitions(it => it.map(id => (id, synthBlob(id))))
       .toDF("doc_id", "media")
   }
+
+  // ── audio (RIFF/WAVE) ────────────────────────────────────────────────────
+
+  /** Parsed WAV header: nulls for non-WAV/corrupt blobs. `duration_us` =
+    * ⌊data bytes / block align · 10⁶ / sample rate⌋ in exact integer
+    * arithmetic (sample count is integral; only the final division
+    * floors), so an oracle can restate it with BIGINT division.
+    */
+  case class AudioHeader(doc_id: Long, format: String,
+      channels: Option[Int], sample_rate: Option[Int],
+      bits_per_sample: Option[Int], duration_us: Option[Long])
+
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  private def fourcc(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, "US-ASCII")
+
+  /** WAV: "RIFF" + size + "WAVE", then a CHUNK WALK (id, LE size,
+    * payload, odd sizes padded to even — the RIFF alignment rule) until
+    * both the "fmt " chunk (PCM layout: format tag, channels, sample
+    * rate, byte rate, block align, bits per sample — all little-endian)
+    * and the "data" chunk size are seen. Unknown chunks (LIST, cue …)
+    * are skipped by size, which is what makes the walk a real parse
+    * rather than a fixed-offset read.
+    */
+  def parseWav(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "WAVE")
+      return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, bits, blockAlign
+    var dataSize: Option[Long] = None
+    while (i + 8 <= b.length && (fmt.isEmpty || dataSize.isEmpty)) {
+      val id = fourcc(b, i)
+      val size = le32(b, i + 4)
+      val body = i + 8
+      if (id == "fmt ") {
+        if (size < 16 || body + 16 > b.length) return None
+        val channels = le16(b, body + 2)
+        val rate = le32(b, body + 4).toInt
+        val blockAlign = le16(b, body + 12)
+        val bits = le16(b, body + 14)
+        if (channels < 1 || rate < 1 || blockAlign < 1) return None
+        fmt = Some((channels, rate, bits, blockAlign))
+      } else if (id == "data") {
+        dataSize = Some(size)
+      }
+      i = body + size.toInt + (size.toInt & 1) // odd chunk sizes pad a byte
+    }
+    for ((channels, rate, bits, blockAlign) <- fmt; d <- dataSize)
+      yield (channels, rate, bits, d / blockAlign * 1000000L / rate)
+  }
+
+  def parseAudio(id: Long, bytes: Array[Byte]): AudioHeader =
+    parseWav(bytes).map { case (c, r, bits, us) =>
+      AudioHeader(id, "wav", Some(c), Some(r), Some(bits), Some(us))
+    }.getOrElse(AudioHeader(id, "unknown", None, None, None, None))
+
+  /** Partition-wise WAV parse — same shape as [[parseHeaders]]. */
+  def parseAudioHeaders(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.map { case (id, bytes) =>
+        parseAudio(id, bytes) })
+      .toDF()
+  }
+
+  /** Closed-form synthetic audio parameters (mirrored in the
+    * x130_wav_headers oracle): rate rotates over four standard rates,
+    * channels/bits over mono-stereo × 8/16/24, `id % 7 == 0` → garbage.
+    */
+  def synthRate(id: Long): Int =
+    Array(8000, 16000, 22050, 44100)((id % 4).toInt)
+  def synthChannels(id: Long): Int = (1 + id % 2).toInt
+  def synthBits(id: Long): Int = (8 * (1 + id % 3)).toInt
+  def synthSamples(id: Long): Long = 100 + (id * 31) % 900
+
+  /** A valid WAV blob for `id` (garbage for `id % 7 == 0`); even ids get
+    * a LIST chunk BEFORE fmt so the chunk walk is exercised, and the data
+    * payload is physically present (all-zero samples).
+    */
+  def synthWav(id: Long): Array[Byte] = {
+    if (id % 7 == 0) return s"not audio $id".getBytes("UTF-8")
+    val channels = synthChannels(id)
+    val rate = synthRate(id)
+    val bits = synthBits(id)
+    val blockAlign = channels * bits / 8
+    val dataSize = synthSamples(id) * blockAlign
+    val out = new ByteArrayOutputStream(64 + dataSize.toInt)
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v); w8(v >> 8) }
+    def w32(v: Long): Unit = {
+      w8(v.toInt); w8((v >> 8).toInt); w8((v >> 16).toInt); w8((v >> 24).toInt)
+    }
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"), 0, 4)
+    val listBody = if (id % 2 == 0) 9 else 0 // ODD size: exercises the pad rule
+    val listBytes = if (id % 2 == 0) 8 + listBody + (listBody & 1) else 0
+    tag("RIFF"); w32(4 + listBytes + 24 + 8 + dataSize); tag("WAVE")
+    if (id % 2 == 0) {
+      tag("LIST"); w32(listBody)
+      var j = 0
+      while (j < listBody + (listBody & 1)) { w8(0); j += 1 }
+    }
+    tag("fmt "); w32(16)
+    w16(1); w16(channels); w32(rate); w32(rate.toLong * blockAlign)
+    w16(blockAlign); w16(bits)
+    tag("data"); w32(dataSize)
+    var j = 0L
+    while (j < dataSize) { w8(0); j += 1 }
+    out.toByteArray
+  }
+
+  /** `(doc_id, media)` frame of synthesized WAV blobs. */
+  def synthesizeWav(spark: SparkSession, ids: DataFrame): DataFrame = {
+    import spark.implicits._
+    ids.select(org.apache.spark.sql.functions.col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => (id, synthWav(id))))
+      .toDF("doc_id", "media")
+  }
 }

@@ -70,6 +70,29 @@ class EvaluationSpec extends SparkSpec {
       9 -> ((1L, 1.0, 1.0)))) // p = 1.0 clamps into the top bin
   }
 
+  test("ndcg: ideal ranking scores 1, swapped ranking pays the discount") {
+    import graft.analytics.Evaluation
+    val rels = Seq((1L, 10L, 3L), (1L, 11L, 1L), (2L, 10L, 2L))
+      .toDF("query_id", "doc_id", "rel")
+    // q1 ideal order: doc10(rel3) then doc11(rel1)
+    val ideal = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "doc_id", "rnk")
+    val gotI = Evaluation.ndcg(ideal, rels, k = 10).collect().head
+    assert(gotI.getDouble(3) === 1.0)
+    // swapped: dcg = (2^1−1)/log2(2) + (2^3−1)/log2(3); idcg = 7 + 1/log2(3)
+    val swapped = Seq((1L, 11L, 1), (1L, 10L, 2)).toDF("query_id", "doc_id", "rnk")
+    val gotS = Evaluation.ndcg(swapped, rels, k = 10).collect().head
+    val dcg = 1.0 + 7.0 / (math.log(3) / math.log(2))
+    val idcg = 7.0 + 1.0 / (math.log(3) / math.log(2))
+    assert(math.abs(gotS.getDouble(1) - math.rint(dcg * 1e6) / 1e6) < 2e-6)
+    assert(math.abs(gotS.getDouble(3) -
+      math.rint(math.rint(dcg * 1e6) / 1e6 / (math.rint(idcg * 1e6) / 1e6)
+        * 1e6) / 1e6) < 2e-6)
+    // a query with no relevant docs: dcg 0, idcg null, ndcg null not 0
+    val blind = Seq((9L, 10L, 1)).toDF("query_id", "doc_id", "rnk")
+    val gotB = Evaluation.ndcg(blind, rels, k = 10).collect().head
+    assert(gotB.getDouble(1) === 0.0 && gotB.isNullAt(2) && gotB.isNullAt(3))
+  }
+
   test("calibration: ece terms sum to the expected calibration error") {
     val df = Seq((0.1, 0), (0.1, 0), (0.9, 1), (0.9, 0)).toDF("p", "y")
     val rows = Evaluation.calibration(df, col("p"), col("y")).collect()

@@ -76,4 +76,40 @@ class MediaHeadersSpec extends SparkSpec {
     assert(out.filter(col("width").isNull) .count() === 8)
     assert(out.count() === 50)
   }
+
+  test("parseWav walks chunks (LIST skip + odd-size pad) and reads LE fields") {
+    // id 2: even → LIST chunk with ODD body size precedes fmt, so a
+    // parser that ignores the RIFF pad byte lands mid-stream and fails
+    val ok = MediaHeaders.parseWav(MediaHeaders.synthWav(2L))
+    assert(ok === Some((1, 22050, 24,
+      MediaHeaders.synthSamples(2L) * 1000000L / 22050)))
+    // id 3: odd → fmt immediately after the RIFF header
+    val ok3 = MediaHeaders.parseWav(MediaHeaders.synthWav(3L))
+    assert(ok3 === Some((2, 44100, 8,
+      MediaHeaders.synthSamples(3L) * 1000000L / 44100)))
+    // garbage, truncation, wrong magic all parse as None — never garbage
+    assert(MediaHeaders.parseWav(MediaHeaders.synthWav(7L)) === None)
+    assert(MediaHeaders.parseWav(MediaHeaders.synthWav(2L).take(20)) === None)
+    assert(MediaHeaders.parseWav("RIFFxxxxAVI ".getBytes("US-ASCII")) === None)
+    assert(MediaHeaders.parseWav(Array[Byte]()) === None)
+    // a WAV with fmt but no data chunk yields no duration → None
+    val noData = MediaHeaders.synthWav(3L)
+    val cut = noData.take(12 + 8 + 16) // RIFF header + fmt chunk only
+    assert(MediaHeaders.parseWav(cut) === None)
+  }
+
+  test("parseAudioHeaders surface: schema, formats, duration math") {
+    import org.apache.spark.sql.functions.col
+    val ids = spark.range(0, 28).toDF("doc_id")
+    val out = MediaHeaders.parseAudioHeaders(spark,
+      MediaHeaders.synthesizeWav(spark, ids))
+    assert(out.columns.toSeq === Seq("doc_id", "format", "channels",
+      "sample_rate", "bits_per_sample", "duration_us"))
+    assert(out.filter(col("format") === "unknown").count() === 4) // 0,7,14,21
+    assert(out.filter(col("duration_us").isNull).count() === 4)
+    val r5 = out.filter(col("doc_id") === 5).collect().head
+    assert(r5.getInt(2) === 2 && r5.getInt(3) === 16000 && r5.getInt(4) === 24)
+    assert(r5.getLong(5) ===
+      MediaHeaders.synthSamples(5L) * 1000000L / 16000)
+  }
 }

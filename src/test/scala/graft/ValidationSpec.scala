@@ -120,6 +120,22 @@ class ValidationSpec extends SparkSpec {
     assert(got === Map(("en", "s2") -> 2L, ("fr", "s1") -> 1L))
   }
 
+  test("x131 lDiversityViolations: homogeneous class flagged despite its size") {
+    import spark.implicits._
+    // class A: 6 rows but ONE sensitive value (k-anonymous, l-broken);
+    // class B: 3 rows, 3 distinct values (clean); class C: 2 rows 2 vals
+    // (l=3 violation by diversity, not by size)
+    val df = (Seq.fill(6)(("A", "flu")) ++
+      Seq(("B", "flu"), ("B", "cold"), ("B", "ache")) ++
+      Seq(("C", "flu"), ("C", "cold"))).zipWithIndex
+      .map { case ((g, s), i) => (i.toLong, g, s) }
+      .toDF("id", "grp", "sens").repartition(3)
+    val got = Validation.lDiversityViolations(df, Seq(col("grp")),
+        col("sens"), l = 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === Map("A" -> ((6L, 1L)), "C" -> ((2L, 2L))))
+  }
+
   test("j14 refIntegrity: orphan counts per relation, null FKs not orphans") {
     import spark.implicits._
     val parent = Seq(1L, 2L).toDF("pk")
