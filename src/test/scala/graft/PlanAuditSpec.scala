@@ -48,8 +48,8 @@ class PlanAuditSpec extends SparkSpec {
     // (neighbor_id <> query_id) — the batch-kNN shape, bounded build side
     "x122_matryoshka_recall",
     // 1-row broadcast scalars: auc's null-count frame, calibration's
-    // bin-total frame
-    "x125_classifier_auc", "x127_calibration",
+    // bin-total frame, ndcg's BM25 corpus-stats frame
+    "x125_classifier_auc", "x127_calibration", "x129_ndcg",
     // two bruteForceKnn passes: broadcast probe/candidate sets (20 rows
     // each), non-equi cosine scan — the batch-kNN shape
     "x124_bitext_margin")
