@@ -2175,6 +2175,29 @@ object OracleSql {
          | round(CAST(count(tf.nid) AS DOUBLE) / 3, 6) AS recall
          |FROM tp LEFT JOIN tf ON tp.qid = tf.qid AND tp.nid = tf.nid
          |GROUP BY 1, 2""".stripMargin,
+    // mirror of Sharding.assignShards: the oracle states the scan as ONE
+    // global cumsum (tiny here); the Spark side must equal it from the
+    // range-partitioned two-pass — partition-boundary independence is
+    // exactly what the hash-match proves
+    "x132_shard_assign" ->
+      s"""WITH k AS (SELECT doc_id, n_chars,
+         |  ${hashKeySql("doc_id", "shard")} AS hk FROM documents),
+         |c AS (SELECT doc_id, n_chars, sum(n_chars) OVER (
+         |  ORDER BY hk, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM k)
+         |SELECT doc_id, n_chars,
+         | CAST((cum - n_chars) // 20000 AS BIGINT) AS shard
+         |FROM c""".stripMargin,
+    // mirror of Sharding.matchedSample: per-bucket want counts from the
+    // treatment histogram, hash-ranked control fill
+    "x133_matched_sample" ->
+      s"""WITH t AS (SELECT n_chars // 64 AS b, count(*) AS want
+         | FROM documents WHERE lang = 'en' GROUP BY 1),
+         |c AS (SELECT doc_id, n_chars, n_chars // 64 AS b,
+         |  row_number() OVER (PARTITION BY n_chars // 64
+         |   ORDER BY ${hashKeySql("doc_id", "match")}, doc_id) AS rnk
+         | FROM documents WHERE lang <> 'en')
+         |SELECT c.doc_id, c.n_chars, CAST(c.b AS BIGINT) AS len_bucket
+         |FROM c JOIN t ON c.b = t.b AND c.rnk <= t.want""".stripMargin,
     // mirror of Evaluation.ndcg over the x45 chain: rel = #distinct
     // shared terms; dcg/idcg rounded at 6 BEFORE the final division so
     // both engines divide identical quantities

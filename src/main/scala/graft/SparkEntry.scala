@@ -1269,6 +1269,21 @@ object SparkEntry {
       Similarity.matryoshkaRecall(emb, emb.filter(col("vec_id") < 5),
         MatryoshkaDims, k = 3)
     }),
+    // bounded-size training-shard assignment via the DISTRIBUTED prefix
+    // scan (range partition + local cumsum + partition offsets — never a
+    // single-partition global window); greedy sequential packing over
+    // the hash-shuffled order
+    "x132_shard_assign" -> ((s, dir) =>
+      graft.sampling.Sharding.assignShards(T(s, dir, "documents"),
+        col("doc_id"), col("n_chars"), shardChars = 20000L)),
+    // length-matched control set: non-en docs bucket-matched to the en
+    // length histogram — the ablation-eval control builder
+    "x133_matched_sample" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.sampling.Sharding.matchedSample(
+        docs.filter(col("lang") === "en"), docs.filter(col("lang") =!= "en"),
+        col("doc_id"), col("n_chars"), bucketWidth = 64L)
+    }),
     // NDCG@10 of the x45 BM25 ranking against graded relevance (rel =
     // #distinct query terms the doc contains) — the position-sensitive
     // retrieval report card beside x09_recall and x71

@@ -1,0 +1,99 @@
+package graft.sampling
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Bounded-size training-shard assignment: lay the corpus out in a
+  * deterministic pseudo-random order (hash key, id tiebreak) and cut it
+  * into shards of ~`shardChars` by GREEDY SEQUENTIAL PACKING —
+  * `shard = ⌊startOffset / shardChars⌋` over the global running size sum.
+  * This is the export tier of the pipeline: the writer that turns a
+  * curated corpus into shuffled, evenly-sized training shards (a shard's
+  * content is an unbiased sample because the order is a hash, not a
+  * crawl/source order).
+  *
+  * The global running sum is a DISTRIBUTED PREFIX SCAN, not a
+  * single-partition window: range-partition on the hash key, one
+  * partition-local ordered cumsum, plus a |partitions|-sized offset frame
+  * (each partition's start = sum of the partitions before it) broadcast
+  * back. No stage ever funnels the corpus through one task — the shape
+  * that survives 100 TB, where `Window.orderBy(k)` with no partition
+  * would serialize the world.
+  *
+  * Determinism: range boundaries come from sampling and are NOT
+  * deterministic, but the scan's value is — a row's global offset is the
+  * size-sum of all rows ordered before it, independent of where the
+  * partition cuts fall (offsets accumulate in range order; the
+  * partition-local window orders by the same key). Shard sums are bounded
+  * by `shardChars + maxRowSize − 1` (a row is never split; the row that
+  * crosses a boundary belongs to the shard where it starts).
+  */
+object Sharding {
+
+  def assignShards(df: DataFrame, id: Column, size: Column,
+      shardChars: Long, salt: String = "shard",
+      partitions: Int = 32): DataFrame = {
+    require(shardChars >= 1, s"shardChars must be >= 1, got $shardChars")
+    require(partitions >= 1, s"partitions must be >= 1, got $partitions")
+    val keyed = df.select(id.cast("long").as("doc_id"),
+        size.cast("long").as("__sz"),
+        Sampling.hashKey(id, lit(salt)).as("__k"))
+      .repartitionByRange(partitions, col("__k"), col("doc_id"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true) // the offset frame and the scan both read it
+    val offs = keyed.groupBy(col("__pid"))
+      .agg(sum(col("__sz")).as("__psum"))
+      .withColumn("__off",
+        coalesce(sum(col("__psum")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val local = Window.partitionBy(col("__pid"))
+      .orderBy(col("__k").asc, col("doc_id").asc)
+    keyed
+      .withColumn("__cum", sum(col("__sz")).over(local))
+      .join(broadcast(offs), Seq("__pid"))
+      .select(col("doc_id"), col("__sz").as("n_chars"),
+        ((col("__cum") + col("__off") - col("__sz")) / shardChars)
+          .cast("long").as("shard"))
+  }
+
+  /** Per-shard audit of [[assignShards]]: doc count and char sum — the
+    * "are my shards actually even" report a writer checks before the
+    * export job fans out one task per shard.
+    */
+  def shardStats(assigned: DataFrame): DataFrame =
+    assigned.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+
+  /** Length-matched control sampling: from `control`, draw a subset whose
+    * size-bucket histogram matches `treatment`'s (per bucket,
+    * `min(n_treat, n_ctrl)` rows, picked by deterministic hash rank) —
+    * the "compare against a control that looks like the treatment"
+    * builder behind ablation evals, where comparing a filtered corpus
+    * against RAW control conflates the filter's effect with its length
+    * bias. Buckets where control is scarce under-fill (reported by the
+    * caller comparing histograms, not silently re-weighted).
+    *
+    * One aggregate over treatment (bucket histogram, broadcast back), one
+    * rank window per bucket over control. A bucket's window partition is
+    * that bucket's control rows; at extreme skew pre-cap with
+    * [[Sampling.capPerGroup]].
+    */
+  def matchedSample(treatment: DataFrame, control: DataFrame, id: Column,
+      size: Column, bucketWidth: Long, salt: String = "match"): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val bucket = (size.cast("long") / bucketWidth).cast("long")
+    val want = treatment.groupBy(bucket.as("__b"))
+      .agg(count(lit(1)).as("__want"))
+    val w = Window.partitionBy(col("__b"))
+      .orderBy(Sampling.hashKey(col("doc_id"), lit(salt)).asc,
+        col("doc_id").asc)
+    control.select(id.cast("long").as("doc_id"), size.cast("long").as("n_chars"),
+        bucket.as("__b"))
+      .join(broadcast(want), Seq("__b"))
+      .withColumn("__rnk", row_number().over(w))
+      .filter(col("__rnk") <= col("__want"))
+      .select(col("doc_id"), col("n_chars"), col("__b").as("len_bucket"))
+  }
+}

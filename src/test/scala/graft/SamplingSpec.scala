@@ -174,4 +174,60 @@ class SamplingSpec extends SparkSpec {
     // …and every unpaired doc keeps its plain id-keyed split
     ((1L to 300L).toSet - a - b).foreach(id => assert(got(id) === labels(id)))
   }
+
+  test("x132 assignShards: partition-count independent, equals the global scan") {
+    import graft.sampling.Sharding
+    val docs = (1L to 200L).map(i => (i, 50 + (i * 17) % 300))
+      .toDF("doc_id", "n_chars")
+    def run(p: Int): Map[Long, Long] =
+      Sharding.assignShards(docs, col("doc_id"), col("n_chars"),
+          shardChars = 2000L, partitions = p)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got = run(5)
+    // the scan's value is independent of where the range cuts fall
+    assert(got === run(2))
+    assert(got === run(1))
+    // driver-side truth: same hash order, one sequential cumsum
+    def hk(id: Long): BigInt = BigInt(java.security.MessageDigest
+      .getInstance("MD5").digest(s"shard$id".getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString, 16)
+    val ordered = (1L to 200L).sortBy(i => (hk(i), i))
+    var cum = 0L
+    val want = ordered.map { i =>
+      val sz = 50 + (i * 17) % 300
+      val sh = cum / 2000L; cum += sz; i -> sh
+    }.toMap
+    assert(got === want)
+    // greedy packing bound: every shard ≤ shardChars + maxDoc − 1
+    val stats = Sharding.shardStats(
+        Sharding.assignShards(docs, col("doc_id"), col("n_chars"), 2000L))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(stats.values.forall(_ <= 2000L + 349 - 1))
+    assert(stats.values.sum === (1L to 200L).map(i => 50 + (i * 17) % 300).sum)
+  }
+
+  test("x133 matchedSample: per-bucket counts are min(want, have)") {
+    import graft.sampling.Sharding
+    // treatment: 3 docs in bucket 0 (len < 64), 1 in bucket 1
+    val treat = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 100L))
+      .toDF("doc_id", "n_chars")
+    // control: 2 in bucket 0 (scarce → under-fill), 5 in bucket 1, 2 in
+    // bucket 2 (no treatment → excluded)
+    val ctrl = Seq((11L, 15L), (12L, 25L), (13L, 70L), (14L, 80L),
+      (15L, 90L), (16L, 100L), (17L, 110L), (18L, 130L), (19L, 140L))
+      .toDF("doc_id", "n_chars")
+    val sel = ctrl.filter(col("n_chars") < 128)
+    val got = Sharding.matchedSample(treat, ctrl, col("doc_id"),
+        col("n_chars"), bucketWidth = 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.count(_._2 == 0L) === 2) // both scarce controls kept
+    assert(got.count(_._2 == 1L) === 1) // exactly want=1 of the 5
+    assert(got.count(_._2 == 2L) === 0) // bucket with no treatment: none
+    // determinism: same pick on re-run
+    val again = Sharding.matchedSample(treat, ctrl, col("doc_id"),
+        col("n_chars"), bucketWidth = 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.toSet === again.toSet)
+    assert(sel.count() >= got.length) // sanity: picks come from control
+  }
 }
