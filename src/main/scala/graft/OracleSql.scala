@@ -2175,6 +2175,44 @@ object OracleSql {
          | round(CAST(count(tf.nid) AS DOUBLE) / 3, 6) AS recall
          |FROM tp LEFT JOIN tf ON tp.qid = tf.qid AND tp.nid = tf.nid
          |GROUP BY 1, 2""".stripMargin,
+    // mirror of Validation.tClosenessViolations: same absent-term fold
+    // ((Σ_present |pc−pg|) + 1 − Σ_present pg) / 2
+    "x134_t_closeness" ->
+      """WITH cs AS (SELECT source, n_chars // 256 AS len_bucket, lang,
+        |  CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2, 3),
+        |ct AS (SELECT source, len_bucket, sum(c) AS ct FROM cs GROUP BY 1, 2),
+        |g AS (SELECT lang, sum(c) AS sc FROM cs GROUP BY 1),
+        |n AS (SELECT sum(c) AS n FROM cs),
+        |tv AS (SELECT cs.source, CAST(cs.len_bucket AS BIGINT) AS len_bucket,
+        |  CAST(max(ct.ct) AS BIGINT) AS class_size,
+        |  round((sum(abs(CAST(cs.c AS DOUBLE) / ct.ct
+        |     - CAST(g.sc AS DOUBLE) / n.n))
+        |   + 1.0 - sum(CAST(g.sc AS DOUBLE) / n.n)) / 2.0, 6) AS tv_distance
+        | FROM cs JOIN ct ON cs.source = ct.source
+        |   AND cs.len_bucket = ct.len_bucket
+        | JOIN g ON cs.lang = g.lang CROSS JOIN n
+        | GROUP BY 1, 2)
+        |SELECT * FROM tv WHERE tv_distance > 0.35""".stripMargin,
+    // mirror of Sampling.epochMix: the SAME driver-computed integer
+    // dials rendered as CASE constants (no float mirror)
+    "x135_epoch_mix" -> {
+      def caseOver(pick: ((Int, Long)) => Long, default: Long): String =
+        "CASE source " + SparkEntry.EpochFactors.toSeq.sortBy(_._1).map {
+          case (k, f) =>
+            s"WHEN '$k' THEN ${pick(graft.sampling.Sampling.epochDials(f))}"
+        }.mkString(" ") + s" ELSE $default END"
+      s"""WITH w AS (SELECT doc_id, source,
+         |  ${caseOver(_._1.toLong, 1L)} AS wh,
+         |  ${caseOver(_._2, 0L)} AS fb FROM documents),
+         |whole AS (SELECT doc_id, source, unnest(range(0, wh)) AS epoch
+         | FROM w WHERE wh >= 1),
+         |frac AS (SELECT doc_id, source, wh AS epoch FROM w
+         | WHERE ${bucketSql("doc_id", "epoch")} < fb)
+         |SELECT doc_id, source, CAST(epoch AS INTEGER) AS epoch FROM whole
+         |UNION ALL
+         |SELECT doc_id, source, CAST(epoch AS INTEGER) AS epoch FROM frac"""
+        .stripMargin
+    },
     // mirror of Sharding.assignShards: the oracle states the scan as ONE
     // global cumsum (tiny here); the Spark side must equal it from the
     // range-partitioned two-pass — partition-boundary independence is

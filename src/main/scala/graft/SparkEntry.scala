@@ -119,6 +119,11 @@ object SparkEntry {
   // x122 matryoshka prefix widths (last = full width of the embeddings
   // table, so the curve ends at recall 1.0 by construction)
   val MatryoshkaDims: Seq[Int] = Seq(8, 16, 64)
+  // x135 fractional epoch factors (unlisted sources train 1 epoch);
+  // dials precomputed at the driver so the oracle renders the same
+  // integers (Sampling.epochDials)
+  val EpochFactors: Map[String, Double] =
+    Map("src0" -> 3.5, "src1" -> 0.25, "src2" -> 2.0)
   // x121 mojibake fixture: damaged suffixes injected on two residue
   // classes. A: "cafÃ© naÃ¯ve â€”" (2×Ã + 1×â€ = 3 hits); B: "donâ€™t Â 5 �"
   // (1×â€ + 1×Â + 1×U+FFFD = 3 hits). Escapes pin the exact codepoints;
@@ -1269,6 +1274,21 @@ object SparkEntry {
       Similarity.matryoshkaRecall(emb, emb.filter(col("vec_id") < 5),
         MatryoshkaDims, k = 3)
     }),
+    // t-closeness beside x131/x107: classes whose sensitive distribution
+    // sits > t total-variation from the corpus marginal — skew leaks
+    // even when l distinct values are present
+    "x134_t_closeness" -> ((s, dir) =>
+      Validation.tClosenessViolations(T(s, dir, "documents"),
+        Seq(col("source"),
+          floor(col("n_chars") / 256).cast("long").as("len_bucket")),
+        col("lang"), t = 0.35)),
+    // fractional per-source epoch replication plan (3.5× = 3 whole
+    // epochs + a hash-gated half at epoch 3) — map-only, no shuffle
+    "x135_epoch_mix" -> ((s, dir) =>
+      graft.sampling.Sampling.epochMix(T(s, dir, "documents"),
+        col("doc_id"), col("source"),
+        EpochFactors.map { case (k, v) =>
+          k -> graft.sampling.Sampling.epochDials(v) })),
     // bounded-size training-shard assignment via the DISTRIBUTED prefix
     // scan (range partition + local cumsum + partition offsets — never a
     // single-partition global window); greedy sequential packing over

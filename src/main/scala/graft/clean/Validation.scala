@@ -227,6 +227,49 @@ object Validation {
       .filter(col("n_sensitive") < l)
   }
 
+  /** t-closeness audit — the third rung of the privacy ladder
+    * ([[kAnonymityViolations]] → [[lDiversityViolations]] → here):
+    * classes whose SENSITIVE-value distribution sits far from the
+    * corpus-wide distribution leak through the skew itself (a class that
+    * is 90% one disease in a 10% corpus reveals plenty even with l
+    * distinct values present). Distance is total variation
+    * (`½ Σ |p_class − p_corpus|` — the earth-mover distance under the
+    * uniform categorical ground metric), so integer counts give an exact
+    * rational per term and one rounded sum.
+    *
+    * One pass to (class, sensitive) counts; class totals and corpus
+    * marginals derive from that frame (the corpus is scanned once); the
+    * per-class sum runs over the |classes|·|sensitive domain| frame.
+    * Classes ABOVE `t` are returned — the release gate wants this empty.
+    */
+  def tClosenessViolations(df: DataFrame, quasi: Seq[Column],
+      sensitive: Column, t: Double): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    require(t > 0 && t < 1, s"t must be in (0,1), got $t")
+    val cs = df.groupBy(quasi :+ sensitive.as("__s"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val names = cs.columns.dropRight(2).toSeq // the quasi output names
+    val classTot = cs.groupBy(names.map(col): _*)
+      .agg(sum(col("__c")).as("__ct"))
+    val corpus = cs.groupBy(col("__s")).agg(sum(col("__c")).as("__sc"))
+    val corpusTot = cs.agg(sum(col("__c")).as("__n"))
+    // |p_class − p_corpus| summed over the sensitive domain: terms where
+    // the class count is zero contribute p_corpus — fold them in via
+    // (Σ_present |pc − pg|) + (1 − Σ_present pg), since Σ_absent pg =
+    // 1 − Σ_present pg and pc = 0 there
+    cs.join(classTot, names)
+      .join(broadcast(corpus), Seq("__s"))
+      .crossJoin(broadcast(corpusTot))
+      .groupBy(names.map(col): _*)
+      .agg(max(col("__ct")).as("class_size"),
+        round((sum(abs(col("__c").cast("double") / col("__ct") -
+            col("__sc").cast("double") / col("__n"))) +
+          lit(1.0) - sum(col("__sc").cast("double") / col("__n"))) / 2.0, 6)
+          .as("tv_distance"))
+      .filter(col("tv_distance") > t)
+  }
+
   /** Referential-integrity audit: for each named (child, fk, parent, pk)
     * relation, the child row count and the count of orphans (child rows
     * whose non-null FK matches no parent key) — the warehouse smoke test

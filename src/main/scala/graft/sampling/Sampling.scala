@@ -243,4 +243,48 @@ object Sampling {
         col("__g"), -hashKey(col("__cid"), lit(salt)), col("__cid"), cap)
       .select(col("group"), col("id"))
   }
+
+  /** Integer dials for a fractional epoch factor: `(⌊f⌋ whole epochs,
+    * round(frac·[[Buckets]]) gate width)`. Computed ONCE at the driver so
+    * a SQL oracle renders the same integers — no float-arithmetic mirror.
+    */
+  def epochDials(f: Double): (Int, Long) = {
+    require(f >= 0 && f <= 100, s"epoch factor out of range: $f")
+    val w = math.floor(f).toInt
+    (w, math.round((f - w) * Buckets))
+  }
+
+  /** Materialize a per-source EPOCH MIX (the data-constrained-scaling
+    * recipe: repeat high-quality sources a fractional number of times,
+    * e.g. 3.5×): each doc emits one row per whole epoch `0..⌊f⌋−1`, plus
+    * epoch `⌊f⌋` for the deterministic hash-gated fraction of docs — so a
+    * 3.5× source repeats every doc 3 times and a fixed 50% subset a 4th,
+    * and a 0.25× source keeps a fixed quarter at epoch 0. The output is
+    * the REPLICATION PLAN `(doc_id, source, epoch)`; the trainer joins it
+    * back (or zips it into shards via [[Sharding.assignShards]]).
+    *
+    * Map-only: one projection, one bounded `sequence` explode (≤ ⌈f⌉ per
+    * row), one hash gate — no shuffle at all, which is what lets the mix
+    * materialize inline in the export job at any corpus size. Factors
+    * arrive as [[epochDials]] integers; unlisted sources use `default`.
+    */
+  def epochMix(df: DataFrame, id: Column, source: Column,
+      factors: Map[String, (Int, Long)], default: (Int, Long) = (1, 0L),
+      salt: String = "epoch"): DataFrame = {
+    factors.values.foreach { case (w, fb) =>
+      require(w >= 0 && fb >= 0 && fb <= Buckets, s"bad dials: ($w, $fb)") }
+    def dial(pick: ((Int, Long)) => Long): Column =
+      factors.foldLeft(lit(pick(default))) { case (acc, (k, d)) =>
+        when(source === k, lit(pick(d))).otherwise(acc) }
+    val base = df.select(id.cast("long").as("doc_id"), source.as("source"),
+      dial(_._1.toLong).as("__w"), dial(_._2).as("__fb"))
+    val whole = base.filter(col("__w") >= 1)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(0L), col("__w") - 1)).as("__e"))
+      .select(col("doc_id"), col("source"), col("__e").cast("int").as("epoch"))
+    val frac = base
+      .filter(hashBucket(col("doc_id"), salt) < col("__fb"))
+      .select(col("doc_id"), col("source"), col("__w").cast("int").as("epoch"))
+    whole.union(frac)
+  }
 }

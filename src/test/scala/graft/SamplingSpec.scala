@@ -175,6 +175,32 @@ class SamplingSpec extends SparkSpec {
     ((1L to 300L).toSet - a - b).foreach(id => assert(got(id) === labels(id)))
   }
 
+  test("x135 epochMix: whole epochs exact, fractional epoch hash-gated") {
+    val docs = (1L to 60L).map(i =>
+      (i, if (i <= 20) "hot" else if (i <= 40) "cold" else "plain"))
+      .toDF("doc_id", "source")
+    val dials = Map("hot" -> ((3, 5000L)), "cold" -> ((0, 2500L)))
+    val got = Sampling.epochMix(docs, col("doc_id"), col("source"), dials)
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+      .groupBy(_._1).map { case (d, rs) => d -> rs.map(_._2).sorted.toSeq }
+    val gate = docs.select(col("doc_id"),
+        Sampling.hashBucket(col("doc_id"), "epoch").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 20L).foreach { d => // hot: 3 whole + gated 4th at epoch 3
+      val want = if (gate(d) < 5000) Seq(0, 1, 2, 3) else Seq(0, 1, 2)
+      assert(got(d) === want, s"doc $d")
+    }
+    (21L to 40L).foreach { d => // cold 0.25×: gated presence at epoch 0
+      if (gate(d) < 2500) assert(got(d) === Seq(0), s"doc $d")
+      else assert(!got.contains(d), s"doc $d")
+    }
+    (41L to 60L).foreach(d => assert(got(d) === Seq(0), s"doc $d")) // default 1×
+    // dial sanity: epochDials round-trips the published factors
+    assert(Sampling.epochDials(3.5) === ((3, 5000L)))
+    assert(Sampling.epochDials(0.25) === ((0, 2500L)))
+    assert(Sampling.epochDials(1.0) === ((1, 0L)))
+  }
+
   test("x132 assignShards: partition-count independent, equals the global scan") {
     import graft.sampling.Sharding
     val docs = (1L to 200L).map(i => (i, 50 + (i * 17) % 300))

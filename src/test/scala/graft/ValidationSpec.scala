@@ -136,6 +136,24 @@ class ValidationSpec extends SparkSpec {
     assert(got === Map("A" -> ((6L, 1L)), "C" -> ((2L, 2L))))
   }
 
+  test("x134 tClosenessViolations: skewed class flagged, absent terms folded") {
+    import spark.implicits._
+    // global: en 6 / fr 4. A = all-en (TV .4), B = balanced (TV .1),
+    // C = all-fr (TV .6) — the absent-term fold is what makes A and C
+    // differ (each has ONE present term; the missing mass must count)
+    val df = (Seq.fill(4)(("A", "en")) ++
+      Seq(("B", "en"), ("B", "en"), ("B", "fr"), ("B", "fr")) ++
+      Seq(("C", "fr"), ("C", "fr"))).zipWithIndex
+      .map { case ((g, l), i) => (i.toLong, g, l) }
+      .toDF("id", "grp", "lang").repartition(3)
+    val got = Validation.tClosenessViolations(df, Seq(col("grp")),
+        col("lang"), t = 0.35)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet === Set("A", "C"))
+    assert(math.abs(got("A")._2 - 0.4) < 1e-9 && got("A")._1 === 4L)
+    assert(math.abs(got("C")._2 - 0.6) < 1e-9 && got("C")._1 === 2L)
+  }
+
   test("j14 refIntegrity: orphan counts per relation, null FKs not orphans") {
     import spark.implicits._
     val parent = Seq(1L, 2L).toDF("pk")
