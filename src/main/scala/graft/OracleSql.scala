@@ -225,6 +225,29 @@ object OracleSql {
        | JOIN dom b ON a.doc_id = b.doc_id AND a.domain <> b.domain)""".stripMargin
   }
 
+  /** Shared x78/x139 label-propagation chain over [[DomainGraphChainSql]]:
+    * `CommunityRounds` unrolled max-neighbor-label rounds (count DESC,
+    * label ASC tiebreak — [[graft.analytics.Graph.labelPropagation]]'s
+    * min-struct rule), ending with `und(src, dst)` and `lab(node, label)`.
+    * One definition behind the community listing (x78) and its modularity
+    * score (x139) so the partition cannot drift between them.
+    */
+  private lazy val CommunityChain = {
+    val rounds = (1 to SparkEntry.CommunityRounds).map { k =>
+      s"""lp$k AS (SELECT node, label FROM (
+         | SELECT node, label,
+         |  row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+         | FROM (SELECT u.dst AS node, l.label, count(*) AS c
+         |  FROM und u JOIN lp${k - 1} l ON u.src = l.node
+         |  GROUP BY u.dst, l.label)) WHERE rn = 1)"""
+    }.mkString(",\n")
+    s"""$DomainGraphChainSql,
+       |und AS (SELECT src, dst FROM ed UNION ALL SELECT dst AS src, src AS dst FROM ed),
+       |lp0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+       |$rounds,
+       |lab AS (SELECT node, label FROM lp${SparkEntry.CommunityRounds})""".stripMargin
+  }
+
   /** Distinct word n-gram list mirroring the `ShingleSet(n)` kernel. */
   private def distinctGramsSql(n: Int): String = {
     val parts = (0 until n).map(k => if (k == 0) "toks[i]" else s"toks[i + $k]").mkString(", ")
@@ -2213,6 +2236,62 @@ object OracleSql {
          |SELECT doc_id, source, CAST(epoch AS INTEGER) AS epoch FROM frac"""
         .stripMargin
     },
+    // mirror of Dedup.containmentPairs: rare-shingle blocking (df in
+    // [2,5]) then exact containment both ways; filters on the ROUNDED
+    // values like the Spark side
+    "x136_containment" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |g AS (SELECT doc_id, $DistinctGrams AS grams FROM t),
+         |e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+         |dfc AS (SELECT gram, CAST(count(*) AS BIGINT) AS df FROM e GROUP BY 1),
+         |rare AS (SELECT e.doc_id, e.gram FROM e JOIN dfc ON e.gram = dfc.gram
+         | WHERE dfc.df BETWEEN 2 AND 5),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM rare a JOIN rare b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+         |sc AS (SELECT doc_a, doc_b,
+         |  CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) AS i,
+         |  CAST(len(ga.grams) AS DOUBLE) AS na,
+         |  CAST(len(gb.grams) AS DOUBLE) AS nb
+         | FROM cand JOIN g ga ON cand.doc_a = ga.doc_id
+         |  JOIN g gb ON cand.doc_b = gb.doc_id)
+         |SELECT doc_a, doc_b,
+         | round(i / greatest(na, 1.0), 6) AS contain_a,
+         | round(i / greatest(nb, 1.0), 6) AS contain_b,
+         | round(i / greatest(na + nb - i, 1.0), 6) AS jaccard
+         |FROM sc WHERE greatest(round(i / greatest(na, 1.0), 6),
+         |  round(i / greatest(nb, 1.0), 6)) >= 0.15""".stripMargin,
+    // mirror of Comparison.ksDrift: both ECDFs evaluated at every jump
+    // point of the pooled sample; integer counts until the final division
+    "x137_ks_drift" ->
+      """WITH c AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS v,
+        |  CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2),
+        |sp AS (SELECT v, sum(sum(c)) OVER (ORDER BY v
+        |  ROWS UNBOUNDED PRECEDING) AS cum_all FROM c GROUP BY v),
+        |tot AS (SELECT grp, sum(c) AS n FROM c GROUP BY 1),
+        |gr AS (SELECT sum(c) AS nn FROM c),
+        |grid AS (SELECT t.grp, t.n, s.v, s.cum_all, COALESCE(c.c, 0) AS c
+        | FROM tot t CROSS JOIN sp s
+        | LEFT JOIN c ON c.grp = t.grp AND c.v = s.v),
+        |cum AS (SELECT grp, n, v, cum_all, sum(c) OVER (PARTITION BY grp
+        |  ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_g FROM grid)
+        |SELECT grp AS "group", CAST(max(n) AS BIGINT) AS n,
+        | round(max(abs(CAST(cum_g AS DOUBLE) / n
+        |  - CAST(cum_all - cum_g AS DOUBLE) / (nn - n))), 6) AS ks
+        |FROM cum CROSS JOIN gr GROUP BY grp, nn""".stripMargin,
+    // mirror of Correlation.spearmanByGroup: mid-ranks (min rank + half
+    // the tie count) over (n_chars, round-6 quality), then plain corr
+    "x138_spearman" ->
+      s"""WITH t AS (SELECT doc_id, text, lang, CAST(n_chars AS BIGINT) AS x,
+         |  $Toks AS toks FROM documents),
+         |q AS (SELECT lang, x, $QualitySql AS y FROM t),
+         |r AS (SELECT lang,
+         |  CAST(rank() OVER (PARTITION BY lang ORDER BY x) AS DOUBLE)
+         |   + (CAST(count(*) OVER (PARTITION BY lang, x) AS DOUBLE) - 1.0) / 2.0 AS rx,
+         |  CAST(rank() OVER (PARTITION BY lang ORDER BY y) AS DOUBLE)
+         |   + (CAST(count(*) OVER (PARTITION BY lang, y) AS DOUBLE) - 1.0) / 2.0 AS ry
+         | FROM q)
+         |SELECT lang AS "group", CAST(count(*) AS BIGINT) AS n,
+         | round(corr(rx, ry), 6) AS spearman FROM r GROUP BY lang""".stripMargin,
     // mirror of Sharding.assignShards: the oracle states the scan as ONE
     // global cumsum (tiny here); the Spark side must equal it from the
     // range-partitioned two-pass — partition-boundary independence is
@@ -3316,22 +3395,37 @@ object OracleSql {
     // early-convergence check stops before the last round, the labels are
     // a fixed point and the oracle's extra rounds are the identity, so
     // equality still holds.
-    "x78_domain_communities" -> {
-      val rounds = (1 to SparkEntry.CommunityRounds).map { k =>
-        s"""lp$k AS (SELECT node, label FROM (
-           | SELECT node, label,
-           |  row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
-           | FROM (SELECT u.dst AS node, l.label, count(*) AS c
-           |  FROM und u JOIN lp${k - 1} l ON u.src = l.node
-           |  GROUP BY u.dst, l.label)) WHERE rn = 1)"""
-      }.mkString(",\n")
-      s"""WITH $DomainGraphChainSql,
-         |und AS (SELECT src, dst FROM ed UNION ALL SELECT dst AS src, src AS dst FROM ed),
-         |lp0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
-         |$rounds
-         |SELECT node AS domain, label AS community
-         | FROM lp${SparkEntry.CommunityRounds}""".stripMargin
-    },
+    "x78_domain_communities" ->
+      s"""WITH $CommunityChain
+         |SELECT node AS domain, label AS community FROM lab""".stripMargin,
+    // modularity of the SAME community chain (one macro behind x78 and
+    // x139 so the partition cannot drift between them): per community
+    // Q_c = internal/2m − (degree/2m)², every count integer-exact
+    "x139_modularity" ->
+      s"""WITH $CommunityChain,
+         |pl AS (SELECT 'lp' AS part, node, label FROM lab
+         | UNION ALL SELECT 'singleton', node, node FROM lab),
+         |ends AS (SELECT b.part, u.src, ls.label AS lsl, ld.label AS ldl
+         |  FROM (SELECT DISTINCT part FROM pl) b
+         |  CROSS JOIN und u
+         |  JOIN pl ls ON ls.part = b.part AND u.src = ls.node
+         |  JOIN pl ld ON ld.part = b.part AND u.dst = ld.node),
+         |m2 AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM und),
+         |inc AS (SELECT part, lsl AS label, CAST(count(*) AS BIGINT) AS ie
+         | FROM ends WHERE lsl = ldl GROUP BY 1, 2),
+         |tot AS (SELECT part, lsl AS label,
+         |  CAST(count(*) AS BIGINT) AS degree_sum,
+         |  CAST(count(DISTINCT src) AS BIGINT) AS n_nodes
+         | FROM ends GROUP BY 1, 2)
+         |SELECT tot.label AS community, n_nodes,
+         | COALESCE(ie, CAST(0 AS BIGINT)) AS internal_ends, degree_sum,
+         | round(CAST(COALESCE(ie, 0) AS DOUBLE) / m2
+         |  - (CAST(degree_sum AS DOUBLE) / m2)
+         |    * (CAST(degree_sum AS DOUBLE) / m2), 6) AS contribution,
+         | tot.part AS partition
+         |FROM tot LEFT JOIN inc
+         | ON tot.part = inc.part AND tot.label = inc.label
+         |CROSS JOIN m2""".stripMargin,
     // GROUPING() in DuckDB and grouping_id() in Spark both put the FIRST
     // cube column in the most significant bit (Postgres bit order)
     "a22_cube_report" ->

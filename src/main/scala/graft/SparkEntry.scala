@@ -1304,6 +1304,41 @@ object SparkEntry {
         docs.filter(col("lang") === "en"), docs.filter(col("lang") =!= "en"),
         col("doc_id"), col("n_chars"), bucketWidth = 64L)
     }),
+    // asymmetric near-dup: containment |A∩B|/|A| over rare-shingle-blocked
+    // candidates — the short-doc-inside-long-doc pairs the symmetric x06
+    // threshold dilutes away (contain ≫ jaccard = embedded excerpt)
+    "x136_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(T(s, dir, "documents"),
+        col("doc_id"), col("text"), threshold = 0.15)),
+    // two-sample KS drift per source vs rest-of-corpus over the n_chars
+    // distribution — the bin-free companion to the x85 PSI gate
+    "x137_ks_drift" -> ((s, dir) =>
+      Comparison.ksDrift(T(s, dir, "documents"),
+        col("source"), col("n_chars"))),
+    // Spearman (mid-rank, tie-corrected) between doc length and the x02
+    // quality score per language — "does the quality gate just reward
+    // length?" asked with a monotone-robust statistic
+    "x138_spearman" -> ((s, dir) =>
+      Correlation.spearmanByGroup(
+        T(s, dir, "documents").withColumn("__q",
+          graft.text.TextAnalysis.qualityScore(col("text"))),
+        col("lang"), col("n_chars"), col("__q"))),
+    // modularity of the x78 label-prop communities over the same domain
+    // co-occurrence graph, BESIDE the singleton baseline (every node its
+    // own community) — the lp partition must out-score it; the baseline's
+    // per-node negative contributions also pin the degree arithmetic on a
+    // fixture whose lp partition collapses to one community (Q = 0)
+    "x139_modularity" -> ((s, dir) => {
+      val edges = domainCooccurrenceEdges(T(s, dir, "documents"))
+        .localCheckpoint(true)
+      val lp = Graph.labelPropagation(edges, col("src"), col("dst"),
+        rounds = CommunityRounds)
+      val singleton = lp.select(col("node"), col("node").as("label"))
+      Graph.modularity(edges, col("src"), col("dst"), lp)
+        .withColumn("partition", lit("lp"))
+        .unionByName(Graph.modularity(edges, col("src"), col("dst"), singleton)
+          .withColumn("partition", lit("singleton")))
+    }),
     // NDCG@10 of the x45 BM25 ranking against graded relevance (rel =
     // #distinct query terms the doc contains) — the position-sensitive
     // retrieval report card beside x09_recall and x71

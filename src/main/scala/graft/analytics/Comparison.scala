@@ -64,4 +64,55 @@ object Comparison {
           .when(col("__fa") <=> col("__fb"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov drift audit: for each group (feed,
+    * source, day), the KS statistic `sup_x |F_group(x) − F_rest(x)|`
+    * between the group's distribution of `v` and the REST of the corpus —
+    * the standard "did this feed's length/score profile move?" alarm,
+    * complementing the binned PSI gate (x85) with a bin-free statistic
+    * that's sensitive anywhere in the CDF.
+    *
+    * `v` must be DISCRETE (integer, or pre-quantized by the caller —
+    * the bounded-domain discipline): the sup over x is attained at jump
+    * points, so evaluating both ECDFs at every distinct value of `v` is
+    * exact. Everything is integer counts until the final two divisions.
+    *
+    * Scale shape: one aggregate to the (group, v) count frame; the
+    * distinct-v spine and the |groups|-sized totals frame derive from it;
+    * the grid is |groups|·|distinct v| — bounded by the caller's
+    * quantization, never by corpus size. The per-group running sums
+    * window on the group key (one |grid|-sized shuffle). Groups covering
+    * the whole corpus emit a null KS (no rest to compare against).
+    */
+  def ksDrift(df: DataFrame, group: Column, v: Column): DataFrame = {
+    val c = df.select(group.as("grp"), v.cast("long").as("v"))
+      .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    // pooled cumulative on the |distinct v| spine BEFORE the grid fan-out
+    // (a single-partition window, but over a caller-bounded frame)
+    val wAll = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val spine = c.groupBy(col("v")).agg(sum(col("c")).as("cv"))
+      .withColumn("cum_all", sum(col("cv")).over(wAll))
+    val totals = c.groupBy(col("grp")).agg(sum(col("c")).as("n"))
+    val grand = c.agg(sum(col("c")).as("nn"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // full grid: every group evaluated at every jump point of the POOLED
+    // sample (sum over a |groups|×|v| frame, not the corpus)
+    val grid = totals.select(col("grp"), col("n"))
+      .crossJoin(broadcast(spine.select(col("v"), col("cum_all"))))
+      .join(c, Seq("grp", "v"), "left")
+      .na.fill(0L, Seq("c"))
+    grid
+      .withColumn("cum_g", sum(col("c")).over(wCum))
+      .crossJoin(broadcast(grand))
+      .withColumn("__d",
+        abs(col("cum_g").cast("double") / col("n").cast("double") -
+          (col("cum_all") - col("cum_g")).cast("double") /
+            when(col("nn") > col("n"), (col("nn") - col("n")).cast("double"))))
+      .groupBy(col("grp").as("group"))
+      .agg(max(col("n")).as("n"), round(max(col("__d")), 6).as("ks"))
+  }
 }

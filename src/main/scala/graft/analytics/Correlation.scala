@@ -94,4 +94,36 @@ object Correlation {
       .groupBy(col("key_a"), col("key_b"))
       .agg(round(corr(col("va"), col("vb")), 6).as("corr"))
   }
+
+  /** Spearman rank correlation per group: Pearson `corr` over AVERAGE
+    * (mid-) ranks — the tie-corrected textbook form, so monotone-but-
+    * nonlinear relationships score 1.0 where [[corrByGroup]] (Pearson on
+    * raw values) understates them, and heavy-tailed metrics (doc length,
+    * dup counts) can't let a few outliers own the statistic.
+    *
+    * The inputs should be EXACT-COMPARABLE values (integers, or floats
+    * produced by a deterministic round — the repo's round-6 scores
+    * qualify): ranks change discontinuously under last-ulp jitter, so
+    * ranking raw float aggregates would be engine-dependent. Mid-rank is
+    * `minRank + (ties − 1)/2`, computed from one `rank()` window plus a
+    * tie-count window per metric — two sorts per group key, then a single
+    * declarative `corr` aggregate (map-side partials as usual).
+    */
+  def spearmanByGroup(df: DataFrame, key: Column, x: Column, y: Column): DataFrame = {
+    val base = df.select(key.as("grp"), x.as("__x"), y.as("__y"))
+    def midRank(c: String): Column = {
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("grp")).orderBy(col(c))
+      val wt = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("grp"), col(c))
+      rank().over(wr).cast("double") +
+        (count(lit(1)).over(wt).cast("double") - 1.0) / 2.0
+    }
+    base
+      .withColumn("__rx", midRank("__x"))
+      .withColumn("__ry", midRank("__y"))
+      .groupBy(col("grp").as("group"))
+      .agg(count(lit(1)).as("n"),
+        round(corr(col("__rx"), col("__ry")), 6).as("spearman"))
+  }
 }

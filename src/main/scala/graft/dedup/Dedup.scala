@@ -333,6 +333,61 @@ object Dedup {
     out
   }
 
+  /** ASYMMETRIC near-dup: n-gram Jaccard CONTAINMENT `|A∩B| / |A|` (and
+    * the mirror `/ |B|`), the measure that catches a short document
+    * embedded in a long one — quotes, excerpts, wrapper pages — where
+    * symmetric Jaccard is diluted by the long side's extra content and
+    * the pair never crosses [[nearDuplicates]]' threshold.
+    *
+    * Candidates come from RARE-SHINGLE BLOCKING, not MinHash banding:
+    * a band match is ~Jaccard-probable, so exactly the pairs this
+    * operator exists for (high containment, LOW Jaccard) would be the
+    * ones banding misses. Instead, every gram whose global document
+    * frequency is in `[minDf, maxDf]` blocks the documents containing it:
+    * a contained doc shares ALL its grams with its container, so any
+    * rare gram of the short side is a shared block. Misses only pairs
+    * whose overlap consists entirely of sub-`minDf`-unique… i.e. never
+    * (df ≥ 2 by construction for a shared gram) or ubiquitous grams
+    * (boilerplate — the [[sharedSpans]]/[[removeSpans]] family's job).
+    *
+    * Scale shape: one shingle pass; the gram-df count windows on the
+    * gram (one shuffle, same key the pair join uses); `maxDf` bounds
+    * every block, so pair fan-out is ≤ |rare grams|·maxDf² — linear in
+    * the corpus, never quadratic. Verification is exact on the cached
+    * gram sets, and emits both containments plus the Jaccard so callers
+    * can see the asymmetry (`contain_a ≫ jaccard` = A lives inside B).
+    */
+  def containmentPairs(df: DataFrame, id: Column, text: Column,
+      threshold: Double = 0.5, minDf: Int = 2, maxDf: Int = 5): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2 (df 1 grams pair nothing), got $minDf")
+    require(maxDf >= minDf, s"maxDf must be >= minDf, got $maxDf < $minDf")
+    val grams = df.select(id.as("did"), Native.bigrams(text).as("grams"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e = grams.select(col("did").as("doc_id"), explode(col("grams")).as("gram"))
+    // shingle sets are per-doc distinct → per-gram row count = document df
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
+    val rare = e.withColumn("__df", count(lit(1)).over(w))
+      .filter(col("__df") >= minDf && col("__df") <= maxDf)
+    val cand = rare.select(col("gram"), col("doc_id").as("doc_a"))
+      .join(rare.select(col("gram"), col("doc_id").as("doc_b")), Seq("gram"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val inter = Native.intersectCount(col("ga"), col("gb")).cast("double")
+    val verified = cand
+      .join(grams.select(col("did").as("doc_a"), col("grams").as("ga")), "doc_a")
+      .join(grams.select(col("did").as("doc_b"), col("grams").as("gb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(inter / greatest(size(col("ga")).cast("double"), lit(1.0)), 6)
+          .as("contain_a"),
+        round(inter / greatest(size(col("gb")).cast("double"), lit(1.0)), 6)
+          .as("contain_b"),
+        jaccard(col("ga"), col("gb")).as("jaccard"))
+      .filter(greatest(col("contain_a"), col("contain_b")) >= threshold)
+    val out = verified.localCheckpoint(true)
+    grams.unpersist(false)
+    out
+  }
+
   /** SimHash: 16-bit locality-sensitive signature. Bit i of the signature is
     * the sign of the sum over distinct tokens of ±1 according to hex nibble
     * i of the token's md5 (≥ 8 votes +1). Near-dup docs differ in few bits.

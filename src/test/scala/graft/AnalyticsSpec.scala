@@ -389,4 +389,18 @@ class AnalyticsSpec extends SparkSpec {
       e.getCause != null && e.getCause.getMessage.contains("non-integral weight"))
   }
 
+
+  test("x138 spearmanByGroup: monotone nonlinear = 1, mid-ranks on ties") {
+    // group m: y = x*x -- monotone but nonlinear, Spearman 1 exactly
+    // (Pearson on raw values would be < 1); group t: x ties 2,2 get
+    // mid-rank 2.5 each -> corr([1,2.5,2.5,4],[1,2,3,4]) = 0.948683
+    val df = (Seq((1, 1), (2, 4), (3, 9), (4, 16), (5, 25)).map {
+      case (x, y) => ("m", x, y)
+    } ++ Seq(("t", 1, 10), ("t", 2, 20), ("t", 2, 30), ("t", 3, 40))).
+      toDF("g", "x", "y").repartition(3)
+    val got = Correlation.spearmanByGroup(df, col("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got("m") === ((5L, 1.0)))
+    assert(got("t") === ((4L, 0.948683)))
+  }
 }

@@ -753,4 +753,24 @@ class DedupSpec extends SparkSpec {
       math.rint(w3 + 1e6) / 1e6, 360L,
       math.rint(300 * w3 + 60 * 1e6) / 1e6)))
   }
+
+  test("x136 containmentPairs: embedded short doc flagged, boilerplate gram capped") {
+    val cdocs = (Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "totally different words entirely here now")
+    ) ++ (10L to 15L).map(i => (i, s"zz yy u$i v$i"))).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(cdocs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // doc 1's 4 bigrams all appear in doc 2 (9 bigrams): contain_a = 1,
+    // contain_b = jaccard = 4/9; doc 3 shares nothing; docs 10-15 share
+    // ONLY "zz yy" (df 6 > maxDf 5) so the boilerplate block pairs nobody
+    assert(got.keySet === Set((1L, 2L)))
+    val (ca, cb, j) = got((1L, 2L))
+    assert(ca === 1.0 && cb === 0.444444 && j === 0.444444)
+    // the same pair is invisible to the symmetric near-dup tier at its
+    // default 0.7 threshold -- the gap this operator exists to close
+    assert(Dedup.nearDuplicates(cdocs, col("doc_id"), col("text")).isEmpty)
+  }
 }

@@ -129,4 +129,19 @@ class DriftSpec extends SparkSpec {
     assert(got("A") === ((10L, 20L, 125.0)))
     assert(got("B") === ((1L, 4L, 0.0))) // tie on 0 score → earliest
   }
+
+  test("x137 ksDrift: hand-computed two-sample KS; whole-corpus group is null") {
+    import graft.analytics.Comparison
+    // A = {1,1,2}, B = {2,3,3}: at v=1, F_A = 2/3 vs F_B = 0; at v=2,
+    // 1 vs 1/3; at v=3, 1 vs 1 -> KS = 2/3 for both groups
+    val df = Seq(("A", 1), ("A", 1), ("A", 2), ("B", 2), ("B", 3), ("B", 3))
+      .toDF("g", "v").repartition(3)
+    val got = Comparison.ksDrift(df, col("g"), col("v"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === Map("A" -> ((3L, 0.666667)), "B" -> ((3L, 0.666667))))
+    // a group that IS the corpus has no rest-sample: null KS, not a crash
+    val solo = Comparison.ksDrift(Seq(("A", 1), ("A", 2)).toDF("g", "v"),
+      col("g"), col("v")).collect()
+    assert(solo.length === 1 && solo(0).isNullAt(2))
+  }
 }

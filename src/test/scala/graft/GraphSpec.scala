@@ -142,4 +142,24 @@ class GraphSpec extends SparkSpec {
       ppr(Seq("a" -> "b"), Seq("zz"), iters = 1)
     }
   }
+
+  test("x139 modularity: two bridged triangles at the textbook Q") {
+    // two triangles joined by one bridge edge: 7 undirected edges, 2m = 14.
+    // Partition = the triangles: internal ends 6 each, degree sums 7 each
+    // -> Q_c = 6/14 - (7/14)^2 = 0.178571 per side (Q = 0.357142, real
+    // structure); singletons on node c: 0 - (3/14)^2 = -0.045918
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a",
+      "d" -> "e", "e" -> "f", "f" -> "d", "c" -> "d").toDF("s", "d")
+    val labels = Seq("a" -> "T1", "b" -> "T1", "c" -> "T1",
+      "d" -> "T2", "e" -> "T2", "f" -> "T2").toDF("node", "label")
+    val got = Graph.modularity(edges, col("s"), col("d"), labels)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got === Map("T1" -> ((3L, 6L, 7L, 0.178571)),
+      "T2" -> ((3L, 6L, 7L, 0.178571))))
+    val single = labels.select(col("node"), col("node").as("label"))
+    val gotS = Graph.modularity(edges, col("s"), col("d"), single)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(gotS("c") === -0.045918 && gotS("a") === -0.020408)
+  }
 }

@@ -52,7 +52,11 @@ class PlanAuditSpec extends SparkSpec {
     "x125_classifier_auc", "x127_calibration", "x129_ndcg",
     // two bruteForceKnn passes: broadcast probe/candidate sets (20 rows
     // each), non-equi cosine scan — the batch-kNN shape
-    "x124_bitext_margin")
+    "x124_bitext_margin",
+    // 1-row broadcast scalars: t-closeness' corpus total, KS drift's
+    // grand total (its |distinct v| spine broadcast rides the same
+    // class), modularity's edge-end count
+    "x134_t_closeness", "x137_ks_drift", "x139_modularity")
 
   test("no query plans a cartesian product; BNLJ only on the allowlist") {
     val dir = "/root/testdata/sf0.001"
