@@ -248,6 +248,27 @@ object OracleSql {
        |lab AS (SELECT node, label FROM lp${SparkEntry.CommunityRounds})""".stripMargin
   }
 
+  /** Shared x97/x142 lang-id chain: the x03 marker-count scorer reduced
+    * to its decision, ending with `d(doc_id, predicted)`. One definition
+    * behind the confusion matrix (x97) and its kappa score (x142) so the
+    * classifier mirror cannot drift between them.
+    */
+  private lazy val LangDetectChain =
+    s"""t AS (SELECT doc_id, $Toks AS toks FROM documents),
+       |sc AS (SELECT doc_id,
+       | CAST(len(list_filter(toks, w -> list_contains(['der','die','und','nicht','das'], w))) AS INTEGER) AS score_de,
+       | CAST(len(list_filter(toks, w -> list_contains(['the','a','and','is','of'], w))) AS INTEGER) AS score_en,
+       | CAST(len(list_filter(toks, w -> list_contains(['el','la','que','los','una'], w))) AS INTEGER) AS score_es,
+       | CAST(len(list_filter(toks, w -> list_contains(['le','la','et','les','une'], w))) AS INTEGER) AS score_fr,
+       | CAST(len(list_filter(toks, w -> list_contains(['的','是','了','在','我'], w))) AS INTEGER) AS score_zh
+       | FROM t),
+       |d AS (SELECT doc_id,
+       | CASE WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+       |  WHEN score_en >= score_es AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+       |  WHEN score_es >= score_fr AND score_es >= score_zh THEN 'es'
+       |  WHEN score_fr >= score_zh THEN 'fr' ELSE 'zh' END AS predicted
+       | FROM sc)""".stripMargin
+
   /** Distinct word n-gram list mirroring the `ShingleSet(n)` kernel. */
   private def distinctGramsSql(n: Int): String = {
     val parts = (0 until n).map(k => if (k == 0) "toks[i]" else s"toks[i + $k]").mkString(", ")
@@ -1762,20 +1783,7 @@ object OracleSql {
     // x03's marker-argmax chain joined to the ground-truth label, then
     // the |langs|² cell aggregate with per-actual recall
     "x97_lang_confusion" ->
-      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
-         |sc AS (SELECT doc_id,
-         | CAST(len(list_filter(toks, w -> list_contains(['der','die','und','nicht','das'], w))) AS INTEGER) AS score_de,
-         | CAST(len(list_filter(toks, w -> list_contains(['the','a','and','is','of'], w))) AS INTEGER) AS score_en,
-         | CAST(len(list_filter(toks, w -> list_contains(['el','la','que','los','una'], w))) AS INTEGER) AS score_es,
-         | CAST(len(list_filter(toks, w -> list_contains(['le','la','et','les','une'], w))) AS INTEGER) AS score_fr,
-         | CAST(len(list_filter(toks, w -> list_contains(['的','是','了','在','我'], w))) AS INTEGER) AS score_zh
-         | FROM t),
-         |d AS (SELECT doc_id,
-         | CASE WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
-         |  WHEN score_en >= score_es AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
-         |  WHEN score_es >= score_fr AND score_es >= score_zh THEN 'es'
-         |  WHEN score_fr >= score_zh THEN 'fr' ELSE 'zh' END AS predicted
-         | FROM sc),
+      s"""WITH $LangDetectChain,
          |j AS (SELECT lang AS actual, predicted
          | FROM documents JOIN d USING (doc_id)),
          |pa AS (SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
@@ -3426,6 +3434,107 @@ object OracleSql {
          |FROM tot LEFT JOIN inc
          | ON tot.part = inc.part AND tot.label = inc.label
          |CROSS JOIN m2""".stripMargin,
+    // mirror of Graph.triangles: simple-graph dedup, degree-ordered
+    // orientation via row-value comparison ((deg, node) lexicographic =
+    // the Spark struct order), wedge join + closing-edge EXISTS
+    "x140_triangles" ->
+      s"""WITH $DomainGraphChainSql,
+         |simple AS (SELECT DISTINCT least(src, dst) AS lo,
+         |  greatest(src, dst) AS hi FROM ed WHERE src <> dst),
+         |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM
+         | (SELECT lo AS node FROM simple UNION ALL SELECT hi FROM simple)
+         | GROUP BY node),
+         |o AS (SELECT
+         |  CASE WHEN (dl.degree, s.lo) < (dh.degree, s.hi) THEN s.lo ELSE s.hi END AS u,
+         |  CASE WHEN (dl.degree, s.lo) < (dh.degree, s.hi) THEN s.hi ELSE s.lo END AS v
+         | FROM simple s JOIN deg dl ON s.lo = dl.node
+         |  JOIN deg dh ON s.hi = dh.node),
+         |tri AS (SELECT a.u, a.v, b.v AS w3 FROM o a
+         | JOIN o b ON a.u = b.u AND a.v < b.v
+         | WHERE EXISTS (SELECT 1 FROM o c
+         |  WHERE least(c.u, c.v) = a.v AND greatest(c.u, c.v) = b.v)),
+         |pn AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM
+         | (SELECT u AS node FROM tri UNION ALL SELECT v FROM tri
+         |  UNION ALL SELECT w3 FROM tri) GROUP BY node)
+         |SELECT d.node, d.degree,
+         | COALESCE(pn.triangles, CAST(0 AS BIGINT)) AS triangles,
+         | CASE WHEN d.degree >= 2 THEN
+         |  round(2.0 * COALESCE(pn.triangles, 0) / (d.degree * (d.degree - 1)), 6)
+         | END AS clustering
+         |FROM deg d LEFT JOIN pn USING (node)""".stripMargin,
+    // mirror of Graph.hits: HitsRounds unrolled half-round pairs, each a
+    // join+sum then an L1 fixed-point renormalization (integer // only)
+    "x141_hits" -> {
+      val sc = 1000000L
+      val rounds = (1 to SparkEntry.HitsRounds).map { k =>
+        s"""ar$k AS (SELECT e.dst AS node, CAST(sum(h.f) AS BIGINT) AS raw
+           | FROM ed e JOIN h${k - 1} h ON e.src = h.node GROUP BY e.dst),
+           |at$k AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM ar$k),
+           |a$k AS (SELECT n0.node,
+           |  COALESCE(r.raw, CAST(0 AS BIGINT)) * CAST($sc AS BIGINT) // tot AS f
+           | FROM nodes n0 LEFT JOIN ar$k r ON n0.node = r.node CROSS JOIN at$k),
+           |hr$k AS (SELECT e.src AS node, CAST(sum(a.f) AS BIGINT) AS raw
+           | FROM ed e JOIN a$k a ON e.dst = a.node GROUP BY e.src),
+           |ht$k AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM hr$k),
+           |h$k AS (SELECT n0.node,
+           |  COALESCE(r.raw, CAST(0 AS BIGINT)) * CAST($sc AS BIGINT) // tot AS f
+           | FROM nodes n0 LEFT JOIN hr$k r ON n0.node = r.node CROSS JOIN ht$k)"""
+      }.mkString(",\n")
+      val R = SparkEntry.HitsRounds
+      s"""WITH $DomainGraphChainSql,
+         |nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM nodes),
+         |h0 AS (SELECT node, CAST($sc AS BIGINT) // cnt AS f
+         | FROM nodes CROSS JOIN nn),
+         |$rounds
+         |SELECT h.node, CAST(h.f AS BIGINT) AS hub_fp,
+         | CAST(a.f AS BIGINT) AS auth_fp
+         |FROM h$R h JOIN a$R a USING (node)""".stripMargin
+    },
+    // mirror of Evaluation.kappaBy over the shared lang-detect chain:
+    // integer cell counts, kappa = (N·agree − Σ row·col)/(N² − Σ row·col)
+    "x142_kappa" ->
+      s"""WITH $LangDetectChain,
+         |j AS (SELECT source AS grp, lang AS a, predicted AS b
+         | FROM documents JOIN d USING (doc_id)),
+         |cells AS (SELECT grp, a, b, CAST(count(*) AS BIGINT) AS c
+         | FROM j GROUP BY 1, 2, 3),
+         |n AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY 1),
+         |di AS (SELECT grp, CAST(sum(c) AS BIGINT) AS agree FROM cells
+         | WHERE a = b GROUP BY 1),
+         |ra AS (SELECT grp, a, CAST(sum(c) AS BIGINT) AS ra FROM cells GROUP BY 1, 2),
+         |cb AS (SELECT grp, b, CAST(sum(c) AS BIGINT) AS cb FROM cells GROUP BY 1, 2),
+         |ex AS (SELECT ra.grp, CAST(sum(ra.ra * cb.cb) AS BIGINT) AS e
+         | FROM ra JOIN cb ON ra.grp = cb.grp AND ra.a = cb.b GROUP BY ra.grp)
+         |SELECT n.grp AS "group", n.n,
+         | COALESCE(di.agree, CAST(0 AS BIGINT)) AS agree,
+         | round(CAST(COALESCE(di.agree, 0) AS DOUBLE) / n.n, 6) AS po,
+         | round(CAST(COALESCE(ex.e, 0) AS DOUBLE) / (n.n * n.n), 6) AS pe,
+         | CASE WHEN n.n * n.n - COALESCE(ex.e, 0) <> 0 THEN
+         |  round(CAST(n.n * COALESCE(di.agree, 0) - COALESCE(ex.e, 0) AS DOUBLE) /
+         |   CAST(n.n * n.n - COALESCE(ex.e, 0) AS DOUBLE), 6)
+         | END AS kappa
+         |FROM n LEFT JOIN di ON n.grp = di.grp
+         | LEFT JOIN ex ON n.grp = ex.grp""".stripMargin,
+    // mirror of Graph.assortativity: four integer sums over the
+    // symmetrized edge-end degree pairs, one final division
+    "x143_assortativity" ->
+      s"""WITH $DomainGraphChainSql,
+         |und AS (SELECT src, dst FROM ed
+         | UNION ALL SELECT dst AS src, src AS dst FROM ed),
+         |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+         | FROM und GROUP BY 1),
+         |en AS (SELECT dx.d AS x, dy.d AS y FROM und u
+         | JOIN deg dx ON u.src = dx.node JOIN deg dy ON u.dst = dy.node),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS k,
+         |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx,
+         |  CAST(sum(x * y) AS BIGINT) AS sxy FROM en)
+         |SELECT k AS m_ends,
+         | CASE WHEN k * sxx - sx * sx <> 0 THEN
+         |  round(CAST(k * sxy - sx * sx AS DOUBLE) /
+         |   CAST(k * sxx - sx * sx AS DOUBLE), 6)
+         | END AS assortativity
+         |FROM s""".stripMargin,
     // GROUPING() in DuckDB and grouping_id() in Spark both put the FIRST
     // cube column in the most significant bit (Postgres bit order)
     "a22_cube_report" ->

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.analytics.{Aggregates, Comparison, Correlation, Distribution, Graph, Ranking, Sessions, Temporal}
+import graft.analytics.{Aggregates, Comparison, Correlation, Distribution, Evaluation, Graph, Ranking, Sessions, Temporal}
 import graft.clean.Validation
 import graft.dedup.{Decontaminate, Dedup}
 import graft.features.Features
@@ -102,6 +102,8 @@ object SparkEntry {
   val ZBits: Int = 10
   val TokenBudget: Long = 15000L
   val CommunityRounds: Int = 4
+  // HITS synchronous rounds (x141) — shared with the unrolled oracle CTEs
+  val HitsRounds: Int = 3
   // personalized-PageRank seed domains (x95) — must exist in the x62
   // co-citation graph; shared with the oracle
   val PprSeeds: Seq[String] = Seq("cdn.example.net", "site0.example.com")
@@ -1339,6 +1341,29 @@ object SparkEntry {
         .unionByName(Graph.modularity(edges, col("src"), col("dst"), singleton)
           .withColumn("partition", lit("singleton")))
     }),
+    // per-domain triangle count + local clustering coefficient over the
+    // co-occurrence graph: clique neighborhoods (topic hubs) vs star
+    // spokes (link-farm shape) — degree-ordered wedge orientation
+    "x140_triangles" -> ((s, dir) =>
+      Graph.triangles(domainCooccurrenceEdges(T(s, dir, "documents")),
+        col("src"), col("dst"))),
+    // HITS hubs/authorities beside x62's PageRank: fixed-point integer
+    // L1 normalization, HitsRounds synchronous rounds
+    "x141_hits" -> ((s, dir) =>
+      Graph.hits(domainCooccurrenceEdges(T(s, dir, "documents")),
+        col("src"), col("dst"), rounds = HitsRounds)),
+    // chance-corrected agreement between the labeled lang column and the
+    // x03 lang-id heuristic, per source — the scalar companion to x97's
+    // confusion matrix (raw accuracy flatters majority-label sources)
+    "x142_kappa" -> ((s, dir) =>
+      Evaluation.kappaBy(
+        TextAnalysis.withLangId(T(s, dir, "documents"), col("text")),
+        col("source"), col("lang"), col("detected_lang"))),
+    // degree assortativity of the co-occurrence graph: one-row structural
+    // fingerprint (hub-to-hub vs hub-and-spoke) from four integer sums
+    "x143_assortativity" -> ((s, dir) =>
+      Graph.assortativity(domainCooccurrenceEdges(T(s, dir, "documents")),
+        col("src"), col("dst"))),
     // NDCG@10 of the x45 BM25 ranking against graded relevance (rel =
     // #distinct query terms the doc contains) — the position-sensitive
     // retrieval report card beside x09_recall and x71

@@ -184,4 +184,54 @@ object Evaluation {
           col("__pos").cast("double") / col("n")) *
           col("n").cast("double") / col("__tot"), 6).as("ece_term"))
   }
+
+  /** Per-group Cohen's kappa between two categorical labelings — the
+    * chance-corrected agreement that tells a labeling pipeline whether
+    * two annotators (a heuristic vs a gold column, two classifier
+    * versions, model vs human) agree BEYOND what their marginal label
+    * rates would produce by luck. Raw accuracy flatters any pair that
+    * both emit the majority label; kappa is the honest version (0 =
+    * chance, 1 = perfect, < 0 = systematic disagreement).
+    *
+    * Exact-integer formulation: with per-cell counts n_ab over the label
+    * grid, `kappa = (N·Σn_kk − Σ_k row_k·col_k) / (N² − Σ_k row_k·col_k)`
+    * — every term a long (budget: N² < 2⁶³, i.e. groups up to ~3·10⁹
+    * rows), so the single final division is the only floating step and
+    * the result is bit-identical at any partitioning. Null kappa when
+    * the denominator is 0 (both raters constant and identical — 0/0).
+    *
+    * Scale shape: ONE corpus-sized aggregate to (group, a, b) cells
+    * (map-side combinable); marginals, the diagonal, and the expected
+    * term are |groups|·|labels|-sized frames joined on the group key.
+    */
+  def kappaBy(df: DataFrame, group: Column, raterA: Column,
+      raterB: Column): DataFrame = {
+    val cells = df.select(group.as("grp"), raterA.cast("string").as("a"),
+        raterB.cast("string").as("b"))
+      .groupBy(col("grp"), col("a"), col("b")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val n = cells.groupBy(col("grp")).agg(sum(col("c")).as("n"))
+    val diag = cells.filter(col("a") === col("b"))
+      .groupBy(col("grp")).agg(sum(col("c")).as("agree"))
+    // rename the self-join keys on one side: both marginals descend from
+    // `cells`, so df("grp") === df2("grp") would resolve to the SAME
+    // attribute (a trivially-true predicate, not a join key)
+    val rows = cells.groupBy(col("grp").as("__rg"), col("a").as("__rl"))
+      .agg(sum(col("c")).as("ra"))
+    val cols = cells.groupBy(col("grp"), col("b")).agg(sum(col("c")).as("cb"))
+    val exp = rows.join(cols, col("__rg") === col("grp") &&
+        col("__rl") === col("b"))
+      .groupBy(col("grp")).agg(sum(col("ra") * col("cb")).as("e"))
+    // left joins: a group can lack any agreeing cell (agree = 0) or any
+    // label present in BOTH marginals (e = 0 — raters' label sets disjoint)
+    n.join(diag, Seq("grp"), "left").na.fill(0L, Seq("agree"))
+      .join(exp, Seq("grp"), "left").na.fill(0L, Seq("e"))
+      .select(col("grp").as("group"), col("n"), col("agree"),
+        round(col("agree").cast("double") / col("n"), 6).as("po"),
+        round(col("e").cast("double") / (col("n") * col("n")), 6).as("pe"),
+        when(col("n") * col("n") - col("e") =!= 0L,
+          round((col("n") * col("agree") - col("e")).cast("double") /
+            (col("n") * col("n") - col("e")).cast("double"), 6))
+          .as("kappa"))
+  }
 }

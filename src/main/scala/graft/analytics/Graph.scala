@@ -321,4 +321,173 @@ object Graph {
             (col("degree_sum").cast("double") / col("m2").cast("double")), 6)
           .as("contribution"))
   }
+
+  /** Per-node triangle count and local clustering coefficient over the
+    * SIMPLE undirected graph induced by `edges` (self-loops dropped,
+    * multi-edges collapsed — a triangle is a set of three mutually-linked
+    * nodes, so multiplicity would double-count structure). Returns
+    * `(node, degree, triangles, clustering)` with `clustering` =
+    * 2T / (d(d−1)) at round-6 (null when d < 2) — the "is this node's
+    * neighborhood a clique or a star?" audit that separates genuine topic
+    * hubs (high clustering) from link-farm spokes (zero clustering) in
+    * the domain graph.
+    *
+    * Scale shape — the degree-ordered orientation bound: each simple edge
+    * is directed from its LOWER endpoint to its higher under the total
+    * order (degree, node), and triangles enumerate as oriented wedges
+    * `u→v, u→w (v ≺ w)` closed by `v→w`. Out-degree under this
+    * orientation is ≤ O(√m) on any graph (the arboricity bound behind
+    * every distributed triangle count), so wedge fan-out is
+    * Σ outdeg² ≤ m·√m even when a raw hub has 10⁶ neighbors — orienting
+    * by node id alone would hand a low-id hub its full degree as fan-out.
+    * Three shuffles total: simple-edge dedup, the wedge self-join on the
+    * low endpoint, and the closing-edge equi-join; per-node counts are
+    * one explode of the triangle triples. All counts are exact longs.
+    */
+  def triangles(edges: DataFrame, src: Column, dst: Column): DataFrame = {
+    val e0 = edges.select(src.cast("string").as("a"), dst.cast("string").as("b"))
+      .filter(col("a") =!= col("b"))
+    // canonical simple edges (lo, hi) by node id — dedup only
+    val simple = e0.select(least(col("a"), col("b")).as("lo"),
+      greatest(col("a"), col("b")).as("hi")).distinct()
+      .localCheckpoint(true)
+    val deg = simple.select(col("lo").as("node"))
+      .unionByName(simple.select(col("hi").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      .localCheckpoint(true)
+    // orient lo→hi under the (degree, node) total order
+    val oriented = simple
+      .join(deg.select(col("node").as("lo"), col("degree").as("__dl")), "lo")
+      .join(deg.select(col("node").as("hi"), col("degree").as("__dh")), "hi")
+      .select(
+        when(struct(col("__dl"), col("lo")) < struct(col("__dh"), col("hi")),
+          col("lo")).otherwise(col("hi")).as("u"),
+        when(struct(col("__dl"), col("lo")) < struct(col("__dh"), col("hi")),
+          col("hi")).otherwise(col("lo")).as("v"))
+      .localCheckpoint(true)
+    // wedges u→v, u→w with v ≺ w (plain id order suffices once both are
+    // ABOVE u in the degree order: each triangle forms exactly one wedge)
+    val wedges = oriented.select(col("u"), col("v"))
+      .join(oriented.select(col("u"), col("v").as("w")), Seq("u"))
+      .filter(col("v") < col("w"))
+    // closing edge: the wedge's (v, w) is id-ordered, so canonicalize the
+    // oriented edges back to id order and semi-join on the two-key
+    // EQUALITY (an OR over both orientations would deny Spark its hash
+    // join and fall to a nested loop)
+    val closing = oriented.select(least(col("u"), col("v")).as("v"),
+      greatest(col("u"), col("v")).as("w"))
+    val tri = wedges.join(closing, Seq("v", "w"), "leftsemi")
+    val perNode = tri
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .na.fill(0L, Seq("triangles"))
+      .select(col("node"), col("degree"), col("triangles"),
+        when(col("degree") >= 2,
+          round(lit(2.0) * col("triangles").cast("double") /
+            (col("degree") * (col("degree") - 1)).cast("double"), 6))
+          .as("clustering"))
+  }
+
+  /** HITS hubs-and-authorities after `rounds` synchronous rounds over the
+    * DIRECTED multigraph (multi-edges act as weights, the [[pageRank]]
+    * convention) — the bipartite companion to PageRank for crawl frontier
+    * curation: a good HUB (links to many authorities) is a harvest page,
+    * a good AUTHORITY (linked from many hubs) is a content page, and the
+    * two scores separate those roles where PageRank conflates them.
+    *
+    * Determinism contract: scores are fixed-point longs, L1-normalized
+    * each half-round by `v · scale DIV total` — integer ops only, so the
+    * result is bit-identical at any partitioning and replayable in SQL
+    * (classic HITS L2-normalizes, but any positive normalization yields
+    * the same RANKING each round, and L1 keeps the arithmetic exact).
+    * Overflow budget: `raw ≤ scale · maxdeg`, so `raw · scale` needs
+    * `scale² · maxdeg < 2⁶³` — enforced against the measured max degree
+    * (one bounded aggregate at prepare time; default scale 10⁶ admits
+    * maxdeg up to ~9·10⁶).
+    *
+    * Scale shape per round: two keyed join+sum passes (hub mass forward
+    * over edges, authority mass back) plus one broadcast scalar each —
+    * the same two-shuffle round as [[pageRank]], lineage truncated per
+    * round.
+    */
+  def hits(edges: DataFrame, src: Column, dst: Column, rounds: Int,
+      scale: Long = 1000000L): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val ed = edges.select(src.cast("string").as("src"),
+      dst.cast("string").as("dst")).localCheckpoint(true)
+    val nodes = ed.select(col("src").as("node"))
+      .union(ed.select(col("dst").as("node"))).distinct().localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "hits needs at least one node")
+    require(n <= scale, s"node count $n exceeds fixed-point scale $scale")
+    val maxDeg = ed.select(col("src").as("k"))
+      .unionByName(ed.select(col("dst").as("k")))
+      .groupBy(col("k")).agg(count(lit(1)).as("d"))
+      .agg(max(col("d"))).head().getLong(0)
+    require(scale <= Long.MaxValue / scale / math.max(maxDeg, 1L),
+      s"overflow: scale^2 * maxdeg = $scale^2 * $maxDeg exceeds Long range")
+    def normalized(raw: DataFrame): DataFrame = {
+      // L1 fixed-point renormalization; total > 0 whenever any edge exists
+      val tot = raw.agg(sum(col("__raw")).as("__tot"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("node"),
+          expr("coalesce(__raw, CAST(0 AS BIGINT)) * " +
+            s"CAST($scale AS BIGINT) DIV __tot").as("score_fp"))
+        .localCheckpoint(true)
+    }
+    var hubs = nodes.select(col("node"), lit(scale / n).as("score_fp"))
+      .localCheckpoint(true)
+    var auths: DataFrame = null
+    var r = 0
+    while (r < rounds) {
+      auths = normalized(ed
+        .join(hubs.select(col("node").as("src"), col("score_fp")), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("score_fp")).as("__raw")))
+      hubs = normalized(ed
+        .join(auths.select(col("node").as("dst"), col("score_fp")), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(sum(col("score_fp")).as("__raw")))
+      r += 1
+    }
+    hubs.select(col("node"), col("score_fp").as("hub_fp"))
+      .join(auths.select(col("node"), col("score_fp").as("auth_fp")),
+        Seq("node"))
+  }
+
+  /** Degree assortativity of the undirected multigraph: the Pearson
+    * correlation between the degrees at the two ends of every edge —
+    * POSITIVE r = hubs link to hubs (social/collab graphs), NEGATIVE =
+    * hubs link to leaves (the web's hub-and-spoke shape). One scalar row
+    * `(m_ends, r)` — the one-number structural fingerprint that says
+    * whether a crawl graph looks organic or like a star-shaped link farm.
+    *
+    * Exactness: over the symmetrized edge-end list the x and y marginals
+    * coincide, so r = (k·Σxy − Σx·Σy) / (k·Σx² − (Σx)²) from FOUR integer
+    * sums (degrees and their products are longs; Σx²·k stays within Long
+    * for maxdeg²·ends < 2⁶³, the same budget class as [[hits]]) — the
+    * only floating step is the final division, so the result is
+    * bit-identical at any partitioning. Scale shape: one degree
+    * aggregate, two node-keyed joins onto the edge list, one global
+    * 4-sum reduce. Returns null r on a regular graph (zero variance).
+    */
+  def assortativity(edges: DataFrame, src: Column, dst: Column): DataFrame = {
+    val e0 = edges.select(src.cast("string").as("src"),
+      dst.cast("string").as("dst"))
+    val und = e0.unionByName(e0.select(col("dst").as("src"),
+      col("src").as("dst"))).localCheckpoint(true)
+    val deg = und.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("d")).localCheckpoint(true)
+    val ends = und
+      .join(deg.select(col("node").as("src"), col("d").as("dx")), "src")
+      .join(deg.select(col("node").as("dst"), col("d").as("dy")), "dst")
+    val s = ends.agg(count(lit(1)).as("k"), sum(col("dx")).as("sx"),
+      sum(col("dx") * col("dx")).as("sxx"),
+      sum(col("dx") * col("dy")).as("sxy"))
+    s.select(col("k").as("m_ends"),
+      when(col("k") * col("sxx") - col("sx") * col("sx") =!= 0L,
+        round((col("k") * col("sxy") - col("sx") * col("sx")).cast("double") /
+          (col("k") * col("sxx") - col("sx") * col("sx")).cast("double"), 6))
+        .as("assortativity"))
+  }
 }

@@ -110,4 +110,25 @@ class EvaluationSpec extends SparkSpec {
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("outside [0,1]")))
   }
+
+  test("x142 kappaBy: textbook 2x2 kappa; disjoint-label group is 0") {
+    // classic 50-item fixture: 20 yes/yes, 15 no/no, 10 yes/no, 5 no/yes
+    // po = 35/50 = 0.7; pe = (30·25 + 20·25)/2500 = 0.5; kappa = 0.4
+    val g1 = Seq.fill(20)(("g1", "yes", "yes")) ++
+      Seq.fill(15)(("g1", "no", "no")) ++
+      Seq.fill(10)(("g1", "yes", "no")) ++ Seq.fill(5)(("g1", "no", "yes"))
+    // raters with DISJOINT label sets: pe = 0, po = 0 → kappa exactly 0
+    val g2 = Seq.fill(3)(("g2", "x", "y"))
+    val df = (g1 ++ g2).toDF("g", "a", "b").repartition(4)
+    val got = Evaluation.kappaBy(df, col("g"), col("a"), col("b"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(got("g1") === ((50L, 35L, 0.7, 0.5, 0.4)))
+    assert(got("g2") === ((3L, 0L, 0.0, 0.0, 0.0)))
+    // both raters constant AND identical: pe = 1, the 0/0 case → null
+    val const = Evaluation.kappaBy(Seq(("g", "a", "a"), ("g", "a", "a"))
+      .toDF("g", "a", "b"), col("g"), col("a"), col("b")).head()
+    assert(const.getDouble(3) === 1.0 && const.isNullAt(5))
+  }
 }

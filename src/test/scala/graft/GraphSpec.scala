@@ -162,4 +162,61 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
     assert(gotS("c") === -0.045918 && gotS("a") === -0.020408)
   }
+
+  test("x140 triangles: bridged triangles, multi-edge/self-loop immune") {
+    // same two bridged triangles; duplicate one edge and add a self-loop —
+    // the simple-graph dedup must make both invisible
+    val edges = Seq("a" -> "b", "b" -> "a", "a" -> "a", "b" -> "c",
+      "c" -> "a", "d" -> "e", "e" -> "f", "f" -> "d", "c" -> "d")
+      .toDF("s", "d")
+    val got = Graph.triangles(edges, col("s"), col("d")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_
+          .asInstanceOf[Double])))).toMap
+    // every node closes exactly its own triangle; bridge ends c,d have
+    // degree 3 → clustering 2·1/(3·2) = 0.333333, the rest 2·1/(2·1) = 1
+    assert(got("a") === ((2L, 1L, Some(1.0))))
+    assert(got("c") === ((3L, 1L, Some(0.333333))))
+    assert(got("d") === ((3L, 1L, Some(0.333333))))
+    assert(got("f") === ((2L, 1L, Some(1.0))))
+    // degree-1 pendant: zero triangles, null coefficient (d(d−1) = 0)
+    val pend = Graph.triangles(Seq("x" -> "y").toDF("s", "d"),
+      col("s"), col("d")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.isNullAt(3)))).toMap
+    assert(pend === Map("x" -> ((0L, true)), "y" -> ((0L, true))))
+  }
+
+  test("x141 hits: matches an independent integer fold; sink hub is 0") {
+    val edges = Seq("a" -> "b", "a" -> "c", "b" -> "c", "d" -> "a")
+      .toDF("s", "d")
+    val scale = 1000000L
+    // independent driver-side replay of the documented integer recurrence
+    val out = Seq("a" -> "b", "a" -> "c", "b" -> "c", "d" -> "a")
+    val nodes = Seq("a", "b", "c", "d")
+    var hub = nodes.map(_ -> scale / nodes.size).toMap
+    var auth = Map.empty[String, Long]
+    for (_ <- 1 to 3) {
+      val ar = out.groupBy(_._2).view.mapValues(_.map(e => hub(e._1)).sum)
+      val at = ar.values.sum
+      auth = nodes.map(n => n -> ar.getOrElse(n, 0L) * scale / at).toMap
+      val hr = out.groupBy(_._1).view.mapValues(_.map(e => auth(e._2)).sum)
+      val ht = hr.values.sum
+      hub = nodes.map(n => n -> hr.getOrElse(n, 0L) * scale / ht).toMap
+    }
+    val got = Graph.hits(edges, col("s"), col("d"), rounds = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === nodes.map(n => n -> ((hub(n), auth(n)))).toMap)
+    assert(got("c")._1 === 0L)          // no out-edges → pure authority
+    assert(got("d")._2 === 0L)          // no in-edges → pure hub
+  }
+
+  test("x143 assortativity: star is −1, regular graph is null") {
+    val star = Seq("c" -> "l1", "c" -> "l2", "c" -> "l3").toDF("s", "d")
+    val r = Graph.assortativity(star, col("s"), col("d")).head()
+    assert(r.getLong(0) === 6L && r.getDouble(1) === -1.0)
+    val tri = Seq("a" -> "b", "b" -> "c", "c" -> "a").toDF("s", "d")
+    val rt = Graph.assortativity(tri, col("s"), col("d")).head()
+    assert(rt.getLong(0) === 6L && rt.isNullAt(1)) // zero degree variance
+  }
 }
