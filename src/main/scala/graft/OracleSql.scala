@@ -3516,6 +3516,106 @@ object OracleSql {
          | END AS kappa
          |FROM n LEFT JOIN di ON n.grp = di.grp
          | LEFT JOIN ex ON n.grp = ex.grp""".stripMargin,
+    // mirror of Distribution.quantileNormalize: mid-CDF per (source,
+    // score) block, pooled inverse-CDF lookup via the sorted-merge
+    // window (group blocks sort before pooled blocks at equal q)
+    "x144_quantile_normalize" ->
+      s"""WITH t AS (SELECT doc_id, text, source, $Toks AS toks FROM documents),
+         |sq AS (SELECT source AS grp, $QualitySql AS s FROM t),
+         |blocks AS (SELECT grp, s, CAST(count(*) AS BIGINT) AS c
+         | FROM sq GROUP BY 1, 2),
+         |sizes AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n FROM blocks GROUP BY 1),
+         |gq AS (SELECT b.grp, b.s, b.c,
+         |  (2.0 * COALESCE(sum(b.c) OVER (PARTITION BY b.grp ORDER BY b.s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + b.c)
+         |   / (2.0 * z.n) AS q
+         | FROM blocks b JOIN sizes z ON b.grp = z.grp),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM blocks),
+         |pool AS (SELECT s AS pv,
+         |  CAST(sum(sum(c)) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING)
+         |   AS DOUBLE) / CAST(nn AS DOUBLE) AS q
+         | FROM blocks CROSS JOIN tot GROUP BY s, nn),
+         |m AS (SELECT grp, s, c, q, 0 AS kind, CAST(NULL AS DOUBLE) AS pv
+         |  FROM gq
+         | UNION ALL SELECT CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+         |  CAST(NULL AS BIGINT), q, 1, pv FROM pool),
+         |w AS (SELECT grp, s, c, q, kind,
+         |  min(pv) OVER (ORDER BY q, kind
+         |   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv FROM m)
+         |SELECT grp AS "group", s AS score, c AS n, round(q, 6) AS q,
+         | nv AS normalized FROM w WHERE kind = 0""".stripMargin,
+    // mirror of Pca.dominantComponent: global floor(x·1000 + 0.5) grid,
+    // exact long Gram, // n normalization (floor division = floorDiv),
+    // PcaRounds unrolled matvec + max-abs fixed-point renorm rounds
+    "x145_dominant_pc" -> {
+      val sc = SparkEntry.PcaScale
+      val rounds = (1 to SparkEntry.PcaRounds).map { k =>
+        s"""w$k AS (SELECT c.i, CAST(sum(c.c * v.f) AS BIGINT) AS w
+           | FROM cells c JOIN v${k - 1} v ON c.j = v.i GROUP BY c.i),
+           |m$k AS (SELECT CAST(max(abs(w)) AS BIGINT) AS m FROM w$k),
+           |v$k AS (SELECT i, w * CAST($sc AS BIGINT) // m AS f
+           | FROM w$k CROSS JOIN m$k)"""
+      }.mkString(",\n")
+      val R = SparkEntry.PcaRounds
+      s"""WITH qv AS (SELECT list_transform(embedding,
+         |  x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qs
+         | FROM embeddings),
+         |d1 AS (SELECT CAST(unnest(range(0, len(qs))) AS INTEGER) AS i,
+         |  unnest(qs) AS qi, qs FROM qv),
+         |d2 AS (SELECT i, qi,
+         |  CAST(unnest(range(0, len(qs))) AS INTEGER) AS j,
+         |  unnest(qs) AS qj FROM d1),
+         |nr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+         |cells AS (SELECT i, j,
+         |  CAST(sum(qi * qj) AS BIGINT) // n AS c
+         | FROM d2 CROSS JOIN nr GROUP BY i, j, n),
+         |v0 AS (SELECT DISTINCT i, CAST($sc AS BIGINT) AS f FROM cells),
+         |$rounds
+         |SELECT i AS dim, CAST(f AS BIGINT) AS v_fp FROM v$R""".stripMargin
+    },
+    // mirror of Comparison.welchT: per-source (n, Σx, Σx²) longs, rest =
+    // grand totals minus the group, identical floating expression tree
+    "x146_welch_t" ->
+      """WITH g AS (SELECT source AS grp, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(v) AS BIGINT) AS s, CAST(sum(v * v) AS BIGINT) AS ss
+        | FROM (SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents)
+        | GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(s) AS BIGINT) AS ts,
+        |  CAST(sum(ss) AS BIGINT) AS tss FROM g),
+        |e AS (SELECT grp, n, tn - n AS n2,
+        |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+        |  CAST(ts - s AS DOUBLE) / CAST(tn - n AS DOUBLE) AS m2,
+        |  (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |    / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS v1,
+        |  (CAST(tss - ss AS DOUBLE) - CAST(ts - s AS DOUBLE)
+        |    * CAST(ts - s AS DOUBLE) / CAST(tn - n AS DOUBLE))
+        |   / CAST(tn - n - 1 AS DOUBLE) AS v2
+        | FROM g CROSS JOIN t),
+        |e2 AS (SELECT *, v1 / CAST(n AS DOUBLE) + v2 / CAST(n2 AS DOUBLE) AS se2
+        | FROM e)
+        |SELECT grp AS "group", n, round(m1, 6) AS mean,
+        | round(m2, 6) AS mean_rest,
+        | CASE WHEN n >= 2 AND n2 >= 2 AND se2 > 0.0 THEN
+        |  round((m1 - m2) / sqrt(se2), 6) END AS t,
+        | CASE WHEN n >= 2 AND n2 >= 2 AND se2 > 0.0 THEN
+        |  round(se2 * se2 /
+        |   (v1 * v1 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |     * CAST(n - 1 AS DOUBLE)) +
+        |    v2 * v2 / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |     * CAST(n2 - 1 AS DOUBLE))), 6) END AS df
+        |FROM e2""".stripMargin,
+    // mirror of Temporal.fanoFactor: (key, hour) integer cells, corpus
+    // hour spine, fano = (H·Σc² − n²)/(H·n)
+    "x147_fano_burstiness" ->
+      """WITH cells AS (SELECT event_type AS k, date_trunc('hour', ts) AS h,
+        |  CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        |sp AS (SELECT CAST(count(DISTINCT h) AS BIGINT) AS hh FROM cells),
+        |a AS (SELECT k, CAST(sum(c) AS BIGINT) AS n,
+        |  CAST(sum(c * c) AS BIGINT) AS ss FROM cells GROUP BY 1)
+        |SELECT k AS key, n AS n_events, hh AS n_hours,
+        | round(CAST(hh * ss - n * n AS DOUBLE) / CAST(hh * n AS DOUBLE), 6)
+        |  AS fano
+        |FROM a CROSS JOIN sp""".stripMargin,
     // mirror of Graph.assortativity: four integer sums over the
     // symmetrized edge-end degree pairs, one final division
     "x143_assortativity" ->

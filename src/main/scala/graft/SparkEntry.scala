@@ -104,6 +104,10 @@ object SparkEntry {
   val CommunityRounds: Int = 4
   // HITS synchronous rounds (x141) — shared with the unrolled oracle CTEs
   val HitsRounds: Int = 3
+  // x145 power-iteration dials, shared with the unrolled oracle CTEs
+  // (scale 10⁵ is the documented overflow budget: d·10⁶·scale² < 2⁶³)
+  val PcaRounds: Int = 3
+  val PcaScale: Long = 100000L
   // personalized-PageRank seed domains (x95) — must exist in the x62
   // co-citation graph; shared with the oracle
   val PprSeeds: Seq[String] = Seq("cdn.example.net", "site0.example.com")
@@ -1364,6 +1368,31 @@ object SparkEntry {
     "x143_assortativity" -> ((s, dir) =>
       Graph.assortativity(domainCooccurrenceEdges(T(s, dir, "documents")),
         col("src"), col("dst"))),
+    // cross-source quantile normalization of the x02 quality score: the
+    // (source, score) → pooled-score-at-same-quantile mapping that makes
+    // one corpus-wide threshold meaningful (x65 ranks WITHIN a source;
+    // this aligns the sources against each other)
+    "x144_quantile_normalize" -> ((s, dir) =>
+      Distribution.quantileNormalize(
+        T(s, dir, "documents").withColumn("__q",
+          graft.text.TextAnalysis.qualityScore(col("text"))),
+        col("source"), col("__q"))),
+    // dominant principal direction of the embedding corpus (anisotropy /
+    // all-but-the-top audit): global integer quantization, exact long
+    // Gram accumulation, fixed-point power iteration
+    "x145_dominant_pc" -> ((s, dir) =>
+      graft.similarity.Pca.dominantComponent(T(s, dir, "embeddings"),
+        "embedding", rounds = PcaRounds, scale = PcaScale)),
+    // Welch's t per source vs rest over n_chars — the signed effect-size
+    // companion to x137's KS distance, from one (n, Σx, Σx²) aggregate
+    "x146_welch_t" -> ((s, dir) =>
+      Comparison.welchT(T(s, dir, "documents"), col("source"),
+        col("n_chars"))),
+    // per-event-type burstiness: Fano factor of hourly counts over the
+    // corpus hour spine (silent hours as zeros) — Poisson≈1, bursty≫1
+    "x147_fano_burstiness" -> ((s, dir) =>
+      Temporal.fanoFactor(T(s, dir, "events"), col("event_type"),
+        col("ts"))),
     // NDCG@10 of the x45 BM25 ranking against graded relevance (rel =
     // #distinct query terms the doc contains) — the position-sensitive
     // retrieval report card beside x09_recall and x71

@@ -115,4 +115,59 @@ object Comparison {
       .groupBy(col("grp").as("group"))
       .agg(max(col("n")).as("n"), round(max(col("__d")), 6).as("ks"))
   }
+
+  /** Welch's unequal-variance t per group vs rest-of-corpus over an
+    * integer metric — the EFFECT-SIZE companion to [[ksDrift]]: KS says
+    * "the distributions differ somewhere", Welch t says "the MEANS differ,
+    * by this many standard errors, in this direction" — the number a
+    * drift dashboard thresholds on.
+    *
+    * Exactness: the corpus reduces to per-group `(n, Σx, Σx²)` longs in
+    * ONE map-side-combinable aggregate; rest-of-corpus moments are the
+    * grand totals minus the group's (no second scan), and every floating
+    * op happens on those exact sums in one deterministic expression —
+    * sample variance s² = (Σx² − (Σx)²/n)/(n−1), t = (m₁−m₂)/√(s₁²/n₁ +
+    * s₂²/n₂), Welch–Satterthwaite df. Overflow budget: Σx² < 2⁶³ — holds
+    * for |x| ≤ 10⁶ up to ~10¹⁰ rows per group; quantize wider metrics
+    * first. Groups (or rests) with < 2 rows, or two constant sides, emit
+    * null t (zero pooled standard error).
+    */
+  def welchT(df: DataFrame, group: Column, v: Column): DataFrame = {
+    val g = df.select(group.as("grp"), v.cast("long").as("v"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("ss"))
+      .localCheckpoint(true)
+    val tot = g.agg(sum(col("n")).as("tn"), sum(col("s")).as("ts"),
+      sum(col("ss")).as("tss"))
+    val d = (c: Column) => c.cast("double")
+    val withRest = g.crossJoin(broadcast(tot))
+      .withColumn("n2", col("tn") - col("n"))
+      .withColumn("m1", d(col("s")) / d(col("n")))
+      // `when` guards, not bare divisions: ANSI mode turns /0 into an
+      // error, and a 1-row group (n−1 = 0) or a group holding the whole
+      // corpus (n2 = 0) must flow through as null instead
+      .withColumn("m2", when(col("n2") > 0,
+        d(col("ts") - col("s")) / d(col("n2"))))
+      .withColumn("v1", when(col("n") >= 2,
+        (d(col("ss")) - d(col("s")) * d(col("s")) / d(col("n"))) /
+          d(col("n") - 1)))
+      .withColumn("v2", when(col("n2") >= 2,
+        (d(col("tss") - col("ss")) -
+          d(col("ts") - col("s")) * d(col("ts") - col("s")) / d(col("n2"))) /
+          d(col("n2") - 1)))
+      .withColumn("se2", col("v1") / d(col("n")) + col("v2") / d(col("n2")))
+    withRest.select(col("grp").as("group"), col("n"),
+      round(col("m1"), 6).as("mean"),
+      round(col("m2"), 6).as("mean_rest"),
+      when(col("n") >= 2 && col("n2") >= 2 && col("se2") > 0.0,
+        round((col("m1") - col("m2")) / sqrt(col("se2")), 6)).as("t"),
+      // the df denominator vanishes only when BOTH variances do (= se2 0),
+      // so the same guard covers it
+      when(col("n") >= 2 && col("n2") >= 2 && col("se2") > 0.0,
+        round(col("se2") * col("se2") /
+          (col("v1") * col("v1") / (d(col("n")) * d(col("n")) * d(col("n") - 1)) +
+           col("v2") * col("v2") / (d(col("n2")) * d(col("n2")) * d(col("n2") - 1))),
+          6)).as("df"))
+  }
 }

@@ -352,4 +352,70 @@ object Distribution {
           (col("__ca").cast("double") * col("__cb").cast("double")), 6)
           .as("lift"))
   }
+
+  /** Cross-group quantile normalization mapping: for every (group, score)
+    * block, the POOLED score at the same mid-CDF quantile — the transform
+    * that makes a per-source quality score comparable ACROSS sources
+    * (source A's 0.6 and source B's 0.6 rarely mean the same thing; their
+    * 80th percentiles do). A curation pipeline applies the returned
+    * mapping with one equi-join on (group, score) and can then threshold
+    * one number corpus-wide.
+    *
+    * Definitions, exact on the discrete score domain: a block's quantile
+    * is the mid-CDF `q = (2·below + count) / (2n)`; its normalized value
+    * is the smallest pooled score whose cumulative fraction
+    * `cum_pool/N ≥ q`. Both sides of that inequality are single-division
+    * doubles of exact integer counts, so the mapping is deterministic and
+    * engine-independent.
+    *
+    * Scale shape: ONE corpus-sized aggregate to (group, score) blocks;
+    * the pooled distribution derives from it; the quantile lookup is the
+    * sorted-merge trick — union the pooled blocks into the group-block
+    * stream, one ordered window pass, each group block picks the first
+    * pooled block at-or-after its quantile — over frames bounded by
+    * |groups|·|score domain|, never the corpus (the [[graft.analytics
+    * .Evaluation]] bounded-domain discipline; callers quantize continuous
+    * scores first, as the repo's round-6 scores already are).
+    */
+  def quantileNormalize(df: DataFrame, group: Column, score: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val blocks = df.select(group.as("grp"), score.as("s"))
+      .groupBy(col("grp"), col("s")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val wg = Window.partitionBy(col("grp")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sizes = blocks.groupBy(col("grp")).agg(sum(col("c")).as("n"))
+    val gq = blocks
+      .withColumn("__below", coalesce(sum(col("c")).over(wg), lit(0L)))
+      .join(broadcast(sizes), Seq("grp"))
+      .select(col("grp"), col("s"), col("c"),
+        ((lit(2.0) * col("__below") + col("c")) / (lit(2.0) * col("n")))
+          .as("q"))
+    val wp = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = blocks.agg(sum(col("c")).as("nn"))
+    val pool = blocks.groupBy(col("s")).agg(sum(col("c")).as("pc"))
+      .withColumn("__cum", sum(col("pc")).over(wp))
+      .crossJoin(broadcast(tot))
+      .select(col("s").as("__pv"),
+        (col("__cum").cast("double") / col("nn").cast("double")).as("q"))
+    // sorted merge: group blocks (kind 0) before pooled blocks (kind 1)
+    // at equal q, so a pooled block AT the quantile is still "following";
+    // min over the following pooled values = the first one at-or-after
+    // (pooled value increases with q)
+    val merged = gq.select(col("grp"), col("s"), col("c"), col("q"),
+        lit(0).as("__kind"), lit(null).cast(pool.schema("__pv").dataType)
+          .as("__pv"))
+      .unionByName(pool.select(lit(null).cast(gq.schema("grp").dataType)
+          .as("grp"), lit(null).cast(gq.schema("s").dataType).as("s"),
+        lit(null).cast("bigint").as("c"), col("q"), lit(1).as("__kind"),
+        col("__pv")))
+    val wm = Window.orderBy(col("q"), col("__kind"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    merged
+      .withColumn("__nv", min(col("__pv")).over(wm))
+      .filter(col("__kind") === 0)
+      .select(col("grp").as("group"), col("s").as("score"), col("c").as("n"),
+        round(col("q"), 6).as("q"), col("__nv").as("normalized"))
+  }
 }

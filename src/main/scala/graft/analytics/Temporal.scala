@@ -478,4 +478,36 @@ object Temporal {
         round(lit(100.0) * col("active_users") / col("cohort_size"), 4)
           .as("retention_pct"))
   }
+
+  /** Per-key burstiness over fixed time buckets: the Fano factor
+    * `var/mean` of the key's per-bucket event counts across the CORPUS
+    * hour spine (every hour any key fired — silent hours count as zeros,
+    * which is the whole point: a key emitting 24 events in one hour and a
+    * key emitting one per hour both average 1/hour; only the zeros-vs-
+    * burst variance separates them). Fano 1 ≈ Poisson arrivals; ≫ 1 =
+    * bursty (batch uploads, replay storms); ≪ 1 = metronomic (a
+    * heartbeat). The crawl-scheduling / anomaly-triage companion to
+    * [[graft.analytics.Alerts]]' rate spikes.
+    *
+    * Exact integer identity — with H spine hours, per-key n = Σc and
+    * ss = Σc² over its NON-ZERO buckets only (zeros add nothing to
+    * either), population variance over all H buckets gives
+    * `fano = (H·ss − n²) / (H·n)`: one corpus-sized aggregate to
+    * (key, hour) cells, one |cells| reduce per key, one 1-row spine
+    * count broadcast; every term a long, one final division.
+    */
+  def fanoFactor(df: DataFrame, key: Column, time: Column): DataFrame = {
+    val cells = df.select(key.as("k"), date_trunc("hour", time).as("h"))
+      .groupBy(col("k"), col("h")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val spine = cells.select(col("h")).distinct()
+      .agg(count(lit(1)).as("hh"))
+    cells.groupBy(col("k"))
+      .agg(sum(col("c")).as("n"), sum(col("c") * col("c")).as("ss"))
+      .crossJoin(broadcast(spine))
+      .select(col("k").as("key"), col("n").as("n_events"),
+        col("hh").as("n_hours"),
+        round((col("hh") * col("ss") - col("n") * col("n")).cast("double") /
+          (col("hh") * col("n")).cast("double"), 6).as("fano"))
+  }
 }

@@ -403,4 +403,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(got("m") === ((5L, 1.0)))
     assert(got("t") === ((4L, 0.948683)))
   }
+
+  test("x144 quantileNormalize: mid-CDF lookup into the pooled inverse CDF") {
+    import graft.analytics.Distribution
+    // A = {1,2,3,4}, B = {10,20}; pooled cum fracs: 1→1/6, 2→2/6, 3→3/6,
+    // 4→4/6, 10→5/6, 20→1. A's mid-quantiles (1/8, 3/8, 5/8, 7/8) land on
+    // pooled 1, 3, 4, 20; B's (1/4, 3/4) on 2 and 10 — B's top value maps
+    // BELOW A's, which is the cross-source re-ranking the op exists for
+    val df = (Seq(1.0, 2.0, 3.0, 4.0).map(("A", _)) ++
+      Seq(10.0, 20.0).map(("B", _))).toDF("g", "s").repartition(3)
+    val got = Distribution.quantileNormalize(df, col("g"), col("s"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got === Map(
+      ("A", 1.0) -> ((1L, 0.125, 1.0)), ("A", 2.0) -> ((1L, 0.375, 3.0)),
+      ("A", 3.0) -> ((1L, 0.625, 4.0)), ("A", 4.0) -> ((1L, 0.875, 20.0)),
+      ("B", 10.0) -> ((1L, 0.25, 2.0)), ("B", 20.0) -> ((1L, 0.75, 10.0))))
+  }
 }

@@ -144,4 +144,23 @@ class DriftSpec extends SparkSpec {
       col("g"), col("v")).collect()
     assert(solo.length === 1 && solo(0).isNullAt(2))
   }
+
+  test("x146 welchT: hand-computed t and Satterthwaite df; tiny group null") {
+    import graft.analytics.Comparison
+    // X = {1,2,3} vs rest {2,4,6,8}: m=2 vs 5, s² = 1 vs 20/3,
+    // se² = 1/3 + 5/3 = 2 → t = −3/√2; df = 4/(1/18 + (20/3)²/48)
+    val df = (Seq(1, 2, 3).map(("X", _)) ++ Seq(2, 4, 6, 8).map(("Y", _)))
+      .toDF("g", "v").repartition(3)
+    val got = Comparison.welchT(df, col("g"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(got("X") === ((3L, 2.0, 5.0, -2.12132, 4.075472)))
+    assert(got("Y") === ((4L, 5.0, 2.0, 2.12132, 4.075472)))
+    // a 1-row group has no sample variance → null t, null df
+    val one = Comparison.welchT(Seq(("A", 5), ("B", 1), ("B", 2), ("B", 9))
+      .toDF("g", "v"), col("g"), col("v")).collect()
+      .map(r => r.getString(0) -> r.isNullAt(4)).toMap
+    assert(one("A"))
+  }
 }

@@ -56,7 +56,10 @@ class PlanAuditSpec extends SparkSpec {
     // 1-row broadcast scalars: t-closeness' corpus total, KS drift's
     // grand total (its |distinct v| spine broadcast rides the same
     // class), modularity's edge-end count
-    "x134_t_closeness", "x137_ks_drift", "x139_modularity")
+    "x134_t_closeness", "x137_ks_drift", "x139_modularity",
+    // 1-row broadcast scalars: quantile-normalize's pooled-total frame,
+    // Welch t's grand-moment frame, Fano's spine-hour count
+    "x144_quantile_normalize", "x146_welch_t", "x147_fano_burstiness")
 
   test("no query plans a cartesian product; BNLJ only on the allowlist") {
     val dir = "/root/testdata/sf0.001"

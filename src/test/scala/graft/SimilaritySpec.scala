@@ -503,4 +503,36 @@ class SimilaritySpec extends SparkSpec {
     val want = math.rint(cUnits * 2.0 * 2 * 2 / (sx * 2 + sy * 2) * 1e6) / 1e6
     assert(math.abs(got(0L)._3 - want) < 2e-6)
   }
+
+  test("x145 dominantComponent: matches an independent integer fold, " +
+      "partitioning-independent") {
+    import graft.similarity.Pca
+    // strongly anisotropic fixture: mass on dim 0 with a dim-1 tilt
+    val rows = Seq(Array(1.0f, 0.0f, 0.0f), Array(0.9f, 0.3f, 0.0f),
+      Array(-1.0f, -0.2f, 0.05f), Array(0.8f, 0.25f, -0.1f))
+    val df = rows.map(Tuple1(_)).toDF("embedding")
+    // independent replay of the documented arithmetic (trunc division,
+    // the DuckDB `//` semantics)
+    val q = rows.map(_.map(x => math.floor(x.toDouble * 1000d + 0.5d).toLong))
+    val d = 3
+    val gram = Array.tabulate(d, d) { (i, j) =>
+      q.map(r => r(i) * r(j)).sum / rows.size
+    }
+    var v = Array.fill(d)(100000L)
+    for (_ <- 1 to 3) {
+      val w = Array.tabulate(d)(i =>
+        (0 until d).map(j => gram(i)(j) * v(j)).sum)
+      val m = w.map(math.abs).max
+      v = w.map(x => x * 100000L / m)
+    }
+    val got = Pca.dominantComponent(df, "embedding")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got === v.zipWithIndex.map { case (f, i) => i -> f }.toMap)
+    // the dominant dim carries the max-abs component = the scale itself
+    assert(math.abs(got(0)) === 100000L)
+    // bit-identical at a different partitioning (the determinism contract)
+    val got8 = Pca.dominantComponent(df.repartition(8), "embedding")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got8 === got)
+  }
 }

@@ -365,4 +365,22 @@ class TemporalSpec extends SparkSpec {
       (w0 + week, 0L) -> ((1L, 1L, 100.0)),   // u3's own cohort
       (w0 + week, 1L) -> ((1L, 1L, 100.0))))
   }
+
+  test("x147 fanoFactor: burst > poisson-ish > metronome, zeros counted") {
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2025-03-01 $h%02d:$m%02d:00")
+    // spine = hours 10,11,12 (H = 3). A bursts (3 in h10, 1 in h12 —
+    // its silent h11 must count as a zero), B fires once, C is a
+    // perfect metronome (variance exactly 0)
+    val ev = Seq(
+      ("A", t(10, 1)), ("A", t(10, 2)), ("A", t(10, 3)), ("A", t(12, 1)),
+      ("B", t(11, 5)),
+      ("C", t(10, 9)), ("C", t(11, 9)), ("C", t(12, 9)))
+      .toDF("k", "ts").repartition(3)
+    val got = Temporal.fanoFactor(ev, col("k"), col("ts"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // A: n=4, ss=10 → (3·10 − 16)/(3·4) = 14/12; B: (3·1 − 1)/3; C: 0
+    assert(got === Map("A" -> ((4L, 3L, 1.166667)),
+      "B" -> ((1L, 3L, 0.666667)), "C" -> ((3L, 3L, 0.0))))
+  }
 }
