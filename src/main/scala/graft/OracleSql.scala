@@ -3604,6 +3604,24 @@ object OracleSql {
         |    v2 * v2 / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE)
         |     * CAST(n2 - 1 AS DOUBLE))), 6) END AS df
         |FROM e2""".stripMargin,
+    // BRUTE-FORCE statement of x148's exact Jaccard join: every doc pair
+    // at distinct-3-gram-shingle jaccard >= 0.5 — the Spark side generates
+    // candidates via rare-first prefix filtering, and the hash match
+    // proves that blocking loses no pair (the x50 proof pattern). Shingles,
+    // not unigrams: on this templated corpus unigram jaccard is degenerate
+    // (>99 % of ALL pairs exceed 0.1), so the unigram join's output is
+    // quadratic at any threshold; shingle sets keep word order and only
+    // true near-dup families intersect.
+    "x148_prefix_join" ->
+      s"""WITH tk AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |t AS (SELECT doc_id, ${distinctGramsSql(3)} AS toks FROM tk),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+         |   greatest(CAST(len(a.toks) + len(b.toks) AS DOUBLE)
+         |    - CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE), 1.0), 6)
+         |   AS jaccard
+         | FROM t a JOIN t b ON a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.5""".stripMargin,
     // mirror of Temporal.fanoFactor: (key, hour) integer cells, corpus
     // hour spine, fano = (H·Σc² − n²)/(H·n)
     "x147_fano_burstiness" ->

@@ -1393,6 +1393,14 @@ object SparkEntry {
     "x147_fano_burstiness" -> ((s, dir) =>
       Temporal.fanoFactor(T(s, dir, "events"), col("event_type"),
         col("ts"))),
+    // EXACT shingle-Jaccard-threshold join via rare-first prefix
+    // filtering — the zero-false-negative complement to x06's LSH. The
+    // oracle states the naive all-pairs rule; the hash match proves the
+    // prefix candidate generation loses no pair (the x50 blocking-proof
+    // pattern)
+    "x148_prefix_join" -> ((s, dir) =>
+      Dedup.prefixJaccardJoin(T(s, dir, "documents"), col("doc_id"),
+        col("text"), threshold = 0.5, gramWidth = 3)),
     // NDCG@10 of the x45 BM25 ranking against graded relevance (rel =
     // #distinct query terms the doc contains) — the position-sensitive
     // retrieval report card beside x09_recall and x71

@@ -850,6 +850,88 @@ object Dedup {
       (col("u") === col("label")).as("is_canonical"))
   }
 
+  /** EXACT Jaccard-threshold self-join via prefix filtering — the
+    * All-Pairs / PPJoin candidate rule (Bayardo et al., WWW 2007; Xiao et
+    * al., WWW 2008): every pair of documents whose distinct-SHINGLE
+    * Jaccard meets `threshold`, with NO false negatives — the exact
+    * complement to [[nearDuplicates]]' probabilistic LSH recall (LSH
+    * misses pairs that straddle band boundaries; this operator's
+    * contract is completeness).
+    *
+    * The similarity domain is word `gramWidth`-gram shingle sets, NOT
+    * unigram tokens, and that choice is load-bearing twice over: on a
+    * templated corpus every document pair shares most of its unigram
+    * VOCABULARY (measured here: >99 % of all pairs exceed unigram
+    * jaccard 0.1, which makes any threshold's output quadratic), while
+    * shingle sets keep word ORDER, so only true near-duplicate families
+    * intersect; and prefix lengths track rarity — shingles are rare, so
+    * rare-first prefixes are near-singleton posting lists.
+    *
+    * Candidate rule: order each document's distinct shingles by
+    * ascending GLOBAL document frequency (ties by shingle — one
+    * deterministic total order shared by all documents), and keep only
+    * the first `|d| − ⌈t·|d|⌉ + 1` (the prefix). Two documents with
+    * j ≥ t overlap in ≥ ⌈t/(1+t)·(|a|+|b|)⌉ ≥ ⌈t·max(|a|,|b|)⌉
+    * shingles, more than either document can exclude from its prefix —
+    * so prefixes of qualifying pairs ALWAYS intersect, and the
+    * shingle-keyed equi-join over prefixes alone finds every pair. The
+    * `min ≥ t·max` size bound (the x104 prefilter) prunes candidates
+    * before verification ever touches a shingle array.
+    *
+    * Scale shape: one fused tokenize→shingle→distinct kernel scan, one
+    * gram-vocabulary-sized df aggregate, and a shuffle keyed on prefix
+    * shingles. The rare-first order is the load-bearing trick: a
+    * shingle's posting list is long only if the shingle is FREQUENT,
+    * and frequent shingles sort out of prefixes — so posting lists are
+    * short exactly where they would otherwise explode. Verification
+    * joins only distinct candidates back to the shingle-array frame.
+    * The residual hazard is boilerplate-heavy corpora where
+    * mid-frequency shingles fill prefixes; there, raise `threshold` or
+    * `gramWidth` (both shrink posting lists) or fall back to LSH — this
+    * operator deliberately carries NO capBuckets, because a cap would
+    * silently break the exactness it exists to provide.
+    */
+  def prefixJaccardJoin(df: DataFrame, id: Column, text: Column,
+      threshold: Double, gramWidth: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val base = df
+      .select(id.as("doc_id"),
+        graft.plans.Native.shingles(text, gramWidth).as("toks"))
+      .localCheckpoint(true) // feeds df counts, prefixes, AND verification
+    val ex = base.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val freq = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // rare-first global order: sort (df, token) structs ascending, strip
+    // back to the token — deterministic under ties by construction
+    val ordered = ex.join(freq, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("st"))
+      .select(col("doc_id"),
+        transform(col("st"), s => s.getField("tok")).as("toks"))
+    val prefix = ordered
+      .select(col("doc_id"), size(col("toks")).as("n"),
+        explode(slice(col("toks"), lit(1),
+          size(col("toks")) -
+            ceil(lit(threshold) * size(col("toks"))).cast("int") + 1))
+          .as("tok"))
+    val cand = prefix
+      .select(col("tok"), col("doc_id").as("doc_a"), col("n").as("na"))
+      .join(prefix.select(col("tok"), col("doc_id").as("doc_b"),
+        col("n").as("nb")), Seq("tok"))
+      .filter(col("doc_a") < col("doc_b") &&
+        least(col("na"), col("nb")).cast("double") >=
+          lit(threshold) * greatest(col("na"), col("nb")).cast("double"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cand
+      .join(base.select(col("doc_id").as("doc_a"), col("toks").as("__ta")),
+        Seq("doc_a"))
+      .join(base.select(col("doc_id").as("doc_b"), col("toks").as("__tb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("__ta"), col("__tb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Dedup-threshold sensitivity sweep: the verified-Jaccard histogram
     * over ALL LSH candidate pairs, with a descending cumulative count —
     * "how many pairs would merge at each threshold" in ONE chain pass,

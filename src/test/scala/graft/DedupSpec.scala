@@ -773,4 +773,53 @@ class DedupSpec extends SparkSpec {
     // default 0.7 threshold -- the gap this operator exists to close
     assert(Dedup.nearDuplicates(cdocs, col("doc_id"), col("text")).isEmpty)
   }
+
+  test("x148 prefixJaccardJoin: equals brute force, threshold edge inclusive") {
+    // independent brute-force reference over distinct word 3-grams
+    def grams(t: String): Set[String] = {
+      val w = t.toLowerCase.trim.split("\\s+", -1)
+      if (w.length < 3) Set.empty
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    def jac(a: Set[String], b: Set[String]): Double = {
+      val i = (a & b).size.toDouble
+      val u = math.max(a.size + b.size - i, 1.0)
+      math.rint(i / u * 1e6) / 1e6
+    }
+    // families of rotated/substituted variants so pairs land above, below,
+    // and EXACTLY AT the threshold; docs 30/31 share half their grams
+    // (jaccard exactly 0.5 with 6-gram sets); 40 is sub-shingle-width
+    val pdocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),     // high overlap
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"),    // exact dup of 1
+      (10L, "one two three four five six seven eight nine ten"),
+      (11L, "one two three four five XX seven eight nine ten"), // mid substitution
+      (30L, "p q r s t u v w"),                                 // 6 grams
+      (31L, "s t u v w x y z"),                                 // shares grams on s..w
+      (40L, "tiny doc"),                                        // no 3-grams
+      (50L, "unrelated content speaks of entirely other matters today")
+    ).toDF("doc_id", "text")
+    val thr = 0.2 // low threshold = worst case for prefix pruning
+    val ref = (for {
+      (a, ta) <- pdocs.collect().map(r => (r.getLong(0), r.getString(1)))
+      (b, tb) <- pdocs.collect().map(r => (r.getLong(0), r.getString(1)))
+      if a < b
+      j = jac(grams(ta), grams(tb))
+      if j >= thr
+    } yield (a, b) -> j).toMap
+    val got = Dedup.prefixJaccardJoin(pdocs, col("doc_id"), col("text"),
+        threshold = thr, gramWidth = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got === ref)
+    // the fixture is non-trivial: it has >= 3 qualifying pairs including
+    // one that only just clears the threshold
+    assert(ref.size >= 3 && ref.values.exists(_ < 0.4))
+    // threshold-edge inclusivity: a pair at exactly j = t is returned
+    val j3031 = jac(grams("p q r s t u v w"), grams("s t u v w x y z"))
+    val gotEdge = Dedup.prefixJaccardJoin(pdocs, col("doc_id"), col("text"),
+        threshold = j3031, gramWidth = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotEdge.contains((30L, 31L)))
+  }
 }
