@@ -3622,6 +3622,129 @@ object OracleSql {
          |   AS jaccard
          | FROM t a JOIN t b ON a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.5""".stripMargin,
+    // mirror of TfIdf.heapsFit: 64 id-range buckets, per-bucket token
+    // totals + first-occurrence type counts, running sums, ln-ln OLS
+    "x149_heaps_fit" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($Toks) AS term FROM documents),
+         |bounds AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM tok),
+         |dt AS (SELECT doc_id, count(*) AS w FROM tok GROUP BY 1),
+         |bt AS (SELECT CAST(floor(64 * (doc_id - mn) / (mx - mn + 1)) AS BIGINT)
+         |  AS bucket, CAST(sum(w) AS BIGINT) AS toks
+         | FROM dt CROSS JOIN bounds GROUP BY 1),
+         |ft AS (SELECT term, min(doc_id) AS fd FROM tok GROUP BY 1),
+         |bty AS (SELECT CAST(floor(64 * (fd - mn) / (mx - mn + 1)) AS BIGINT)
+         |  AS bucket, CAST(count(*) AS BIGINT) AS types
+         | FROM ft CROSS JOIN bounds GROUP BY 1),
+         |curve AS (SELECT coalesce(bt.bucket, bty.bucket) AS b,
+         |  coalesce(toks, 0) AS toks, coalesce(types, 0) AS types
+         | FROM bt FULL OUTER JOIN bty ON bt.bucket = bty.bucket),
+         |cum AS (SELECT sum(toks) OVER (ORDER BY b) AS ct,
+         |  sum(types) OVER (ORDER BY b) AS cy FROM curve)
+         |SELECT CAST(count(*) AS BIGINT) AS n_points,
+         | round(regr_slope(ln(CAST(cy AS DOUBLE)), ln(CAST(ct AS DOUBLE))), 6)
+         |  AS heaps_beta,
+         | round(regr_intercept(ln(CAST(cy AS DOUBLE)), ln(CAST(ct AS DOUBLE))), 6)
+         |  AS heaps_logk
+         |FROM cum WHERE ct > 0 AND cy > 0""".stripMargin,
+    // mirror of Comparison.mannWhitney: doubled integer midranks on the
+    // pooled value spine, long rank-sum dot product, tie-corrected z
+    "x150_mann_whitney" ->
+      """WITH c AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS v,
+        |  CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2),
+        |spine AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM c GROUP BY 1),
+        |sp AS (SELECT v, cv, CAST(coalesce(sum(cv) OVER (ORDER BY v
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |  AS cb FROM spine),
+        |sp2 AS (SELECT v, cv, 2 * cb + cv + 1 AS mr2 FROM sp),
+        |ties AS (SELECT CAST(sum(cv * cv * cv - cv) AS BIGINT) AS tsum,
+        |  CAST(sum(cv) AS BIGINT) AS nn FROM sp2),
+        |g AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n,
+        |  CAST(sum(c * mr2) AS BIGINT) AS r2
+        | FROM c JOIN sp2 USING (v) GROUP BY 1),
+        |e AS (SELECT grp, n, nn - n AS n2, tsum, nn,
+        |  CAST(r2 - n * (n + 1) AS DOUBLE) / 2.0 AS u FROM g CROSS JOIN ties),
+        |e2 AS (SELECT *, CASE WHEN n2 > 0 AND nn > 1 THEN
+        |  CAST(n AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+        |   ((CAST(nn AS DOUBLE) + 1.0) - CAST(tsum AS DOUBLE) /
+        |    (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0))) END AS var_u
+        | FROM e)
+        |SELECT grp AS "group", n, round(u, 6) AS u,
+        | CASE WHEN var_u > 0.0 THEN
+        |  round((u - CAST(n AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+        |   / sqrt(var_u), 6) END AS z
+        |FROM e2""".stripMargin,
+    // mirror of Fusion.rbo over the x53 arms: shared items contribute the
+    // closed tail sum from depth max(ra, rb); p = 0.5 keeps every power
+    // an exact binary double in both engines
+    "x151_rank_overlap" ->
+      s"""WITH $Bm25BatchChain,
+         |lex AS (SELECT query_id, doc_id, CAST(rnk AS INTEGER) AS rnk
+         | FROM r WHERE rnk <= 10),
+         |v2 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+         | FROM embeddings),
+         |qv AS (SELECT vec_id AS qid, ve AS qvec FROM v2 WHERE vec_id IN (1, 2)),
+         |asim AS (SELECT qv.qid, v2.vec_id AS nid, ${cosineSql("qv.qvec", "v2.ve")} AS cosine
+         | FROM v2 CROSS JOIN qv WHERE v2.vec_id <> qv.qid),
+         |ar AS (SELECT qid, nid, CAST(row_number() OVER (
+         |  PARTITION BY qid ORDER BY cosine DESC, nid) AS INTEGER) AS rnk FROM asim),
+         |ann AS (SELECT qid AS query_id, nid AS doc_id, rnk FROM ar WHERE rnk <= 10),
+         |sh AS (SELECT a.query_id, greatest(a.rnk, b.rnk) AS m
+         | FROM lex a JOIN ann b ON a.query_id = b.query_id AND a.doc_id = b.doc_id),
+         |w AS (SELECT query_id, CAST(count(*) AS BIGINT) AS overlap,
+         | sum(list_sum(list_transform(generate_series(m, 10),
+         |   d -> pow(0.5, d - 1) / CAST(d AS DOUBLE)))) AS ws
+         | FROM sh GROUP BY 1)
+         |SELECT q.query_id, coalesce(overlap, 0) AS overlap,
+         | round(coalesce(ws, 0.0) * 0.5, 6) AS rbo
+         |FROM (SELECT DISTINCT query_id FROM lex) q
+         |LEFT JOIN w USING (query_id)""".stripMargin,
+    // mirror of TfIdf.chiSqTokens: 2x2 presence contingency per token for
+    // the lang='en' class, chi2 from exact longs, (chi2 desc, term) top-50
+    "x152_chi2_tokens" ->
+      s"""WITH d AS (SELECT doc_id, text, (lang = 'en') AS c FROM documents),
+         |tot AS (SELECT CAST(sum(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_pos, CAST(sum(CASE WHEN NOT c THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_neg FROM d),
+         |pres AS (SELECT term,
+         |  CAST(sum(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS df_pos,
+         |  CAST(sum(CASE WHEN NOT c THEN 1 ELSE 0 END) AS BIGINT) AS df_neg
+         | FROM (SELECT doc_id, c, unnest(list_distinct($Toks)) AS term FROM d)
+         | GROUP BY 1 HAVING df_pos + df_neg >= 5),
+         |e AS (SELECT term, df_pos, df_neg, n_pos, n_neg,
+         |  CAST(df_pos AS DOUBLE) AS a, CAST(n_pos - df_pos AS DOUBLE) AS b,
+         |  CAST(df_neg AS DOUBLE) AS cc, CAST(n_neg - df_neg AS DOUBLE) AS dd
+         | FROM pres CROSS JOIN tot),
+         |e2 AS (SELECT term, df_pos, df_neg,
+         |  CASE WHEN (a + b) * (cc + dd) * (a + cc) * (b + dd) > 0.0 THEN
+         |   round(CAST(n_pos + n_neg AS DOUBLE) * (a * dd - b * cc)
+         |    * (a * dd - b * cc) /
+         |    ((a + b) * (cc + dd) * (a + cc) * (b + dd)), 6) END AS chi2
+         | FROM e)
+         |SELECT term, chi2, df_pos, df_neg FROM e2 WHERE chi2 IS NOT NULL
+         |ORDER BY chi2 DESC, term ASC LIMIT 50""".stripMargin,
+    // mirror of Comparison.wassersteinDrift: |CDF gap| x spine interval,
+    // long cumulative counts on the ksDrift grid
+    "x153_wasserstein" ->
+      """WITH c AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS v,
+        |  CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2),
+        |spine AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM c GROUP BY 1),
+        |sp AS (SELECT v, CAST(sum(cv) OVER (ORDER BY v) AS BIGINT) AS cum_all,
+        |  lead(v) OVER (ORDER BY v) - v AS gap FROM spine),
+        |totals AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+        |grand AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM c),
+        |grid AS (SELECT t.grp, t.n, s.v, s.cum_all, s.gap, coalesce(c.c, 0) AS c
+        | FROM totals t CROSS JOIN sp s
+        | LEFT JOIN c ON c.grp = t.grp AND c.v = s.v),
+        |cum AS (SELECT grp, n, v, cum_all, gap,
+        |  CAST(sum(c) OVER (PARTITION BY grp ORDER BY v) AS BIGINT) AS cum_g
+        | FROM grid)
+        |SELECT grp AS "group", max(n) AS n,
+        | CASE WHEN max(nn) > max(n) THEN round(sum(
+        |  CASE WHEN gap IS NOT NULL AND nn > n THEN
+        |   abs(CAST(cum_g AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - CAST(cum_all - cum_g AS DOUBLE) / CAST(nn - n AS DOUBLE))
+        |   * CAST(gap AS DOUBLE) ELSE 0.0 END), 6) END AS w1
+        |FROM cum CROSS JOIN grand GROUP BY grp, nn""".stripMargin,
     // mirror of Temporal.fanoFactor: (key, hour) integer cells, corpus
     // hour spine, fano = (H·Σc² − n²)/(H·n)
     "x147_fano_burstiness" ->

@@ -1401,6 +1401,46 @@ object SparkEntry {
     "x148_prefix_join" -> ((s, dir) =>
       Dedup.prefixJaccardJoin(T(s, dir, "documents"), col("doc_id"),
         col("text"), threshold = 0.5, gramWidth = 3)),
+    // Heaps'-law vocabulary-growth fit (V ≈ K·nᵝ) over a 64-bucket
+    // id-range curve — "is the next slice of this corpus still minting
+    // new types?" beside x126's static Zipf rank fit
+    "x149_heaps_fit" -> ((s, dir) =>
+      graft.text.TfIdf.heapsFit(T(s, dir, "documents"), col("doc_id"),
+        col("text"), buckets = 64)),
+    // Mann–Whitney rank-sum per source vs rest over n_chars — the
+    // moment-free member of the drift panel (x137 KS, x146 Welch):
+    // doubled integer midranks, tie-corrected normal z
+    "x150_mann_whitney" -> ((s, dir) =>
+      Comparison.mannWhitney(T(s, dir, "documents"), col("source"),
+        col("n_chars"))),
+    // truncated rank-biased overlap (p=.5) between the x53 lexical and
+    // semantic top-10 rankings — "how much do the two retrieval modes
+    // agree?", top-weighted, per query
+    "x151_rank_overlap" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((1L, "vector hash"), (2L, "stream merge sort"))
+        .toDF("query_id", "query_text")
+      val lex = graft.text.Bm25.topKBatch(T(s, dir, "documents"),
+        col("doc_id"), col("text"), qs, col("query_id"), col("query_text"),
+        k = 10)
+      val emb = T(s, dir, "embeddings")
+      val sem = Similarity.bruteForceKnn(emb,
+          emb.filter(col("vec_id").isin(1L, 2L)), 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rnk"))
+      graft.text.Fusion.rbo(lex, sem, k = 10, p = 0.5)
+    }),
+    // χ² discriminative tokens for the lang='en' document class — the
+    // feature-selection table behind the x79 quality classifier's
+    // vocabulary (integer 2×2 presence contingencies, bounded top-50)
+    "x152_chi2_tokens" -> ((s, dir) =>
+      graft.text.TfIdf.chiSqTokens(T(s, dir, "documents"), col("doc_id"),
+        col("text"), col("lang") === "en", topK = 50, minDf = 5L)),
+    // 1-D Wasserstein (earth-mover's) distance per source vs rest over
+    // n_chars — the drift panel's magnitude member: "the length profile
+    // moved by ~this many characters", where KS only says "it moved"
+    "x153_wasserstein" -> ((s, dir) =>
+      Comparison.wassersteinDrift(T(s, dir, "documents"), col("source"),
+        col("n_chars"))),
     // NDCG@10 of the x45 BM25 ranking against graded relevance (rel =
     // #distinct query terms the doc contains) — the position-sensitive
     // retrieval report card beside x09_recall and x71

@@ -170,4 +170,108 @@ object Comparison {
            col("v2") * col("v2") / (d(col("n2")) * d(col("n2")) * d(col("n2") - 1))),
           6)).as("df"))
   }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) per group vs rest-of-corpus over
+    * an integer metric — the RANK companion to [[welchT]]: Welch asks
+    * "do the means differ?", this asks "does one side stochastically
+    * dominate?" without assuming any moment exists, so a heavy-tailed
+    * length/score metric can't fake or hide a shift through outliers.
+    *
+    * Exactness: pooled midranks are computed on the |distinct v| spine
+    * in DOUBLED integer units (2·midrank = 2·cum_before + t + 1 — always
+    * a whole number, so no float enters until the final z), the group's
+    * doubled rank-sum is one integer dot product over the (group, v)
+    * count grid, and the tie correction Σ(t³ − t) stays in longs.
+    * U = R − n₁(n₁+1)/2; z uses the tie-corrected variance
+    * n₁n₂/12 · ((N+1) − Σ(t³−t)/(N(N−1))). Overflow budget: doubled
+    * rank-sums are bounded by 2N² and tie cubes by t³ — both < 2⁶³ up
+    * to N ≈ 2·10⁹ rows per audit scope; shard the audit (e.g. per day)
+    * past that, as a rank statistic over more rows than that answers
+    * nothing a sample wouldn't. Degenerate emissions: a group covering
+    * the whole corpus, or a corpus with one distinct value, has no rest
+    * or no variance → null z.
+    */
+  def mannWhitney(df: DataFrame, group: Column, v: Column): DataFrame = {
+    val c = df.select(group.as("grp"), v.cast("long").as("v"))
+      .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    // pooled spine: per distinct v, total count, cumulative count BEFORE
+    // this value, and the doubled midrank (integer by construction)
+    val wAll = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val spine = c.groupBy(col("v")).agg(sum(col("c")).as("cv"))
+      .withColumn("cum_before", coalesce(sum(col("cv")).over(wAll), lit(0L)))
+      .withColumn("mr2", lit(2L) * col("cum_before") + col("cv") + lit(1L))
+    val ties = spine.agg(sum(col("cv") * col("cv") * col("cv") - col("cv"))
+      .as("tsum"), sum(col("cv")).as("nn"))
+    val d = (x: Column) => x.cast("double")
+    c.join(spine.select(col("v"), col("mr2")), Seq("v"))
+      .groupBy(col("grp"))
+      .agg(sum(col("c")).as("n"), sum(col("c") * col("mr2")).as("r2"))
+      .crossJoin(broadcast(ties))
+      .withColumn("n2", col("nn") - col("n"))
+      // R = r2/2 (undoubling), U = R − n(n+1)/2; 2U = r2 − n(n+1) stays
+      // an exact integer in longs, halved only on emission
+      .withColumn("u",
+        d(col("r2") - col("n") * (col("n") + lit(1L))) / 2.0)
+      .select(col("grp").as("group"), col("n"), col("u"), col("n2"),
+        col("tsum"), col("nn"))
+      .withColumn("var_u", when(col("n2") > 0 && col("nn") > 1,
+        d(col("n")) * d(col("n2")) / 12.0 *
+          ((d(col("nn")) + 1.0) - d(col("tsum")) /
+            (d(col("nn")) * (d(col("nn")) - 1.0)))))
+      .select(col("group"), col("n"),
+        round(col("u"), 6).as("u"),
+        when(col("var_u") > 0.0,
+          round((col("u") - d(col("n")) * d(col("n2")) / 2.0) /
+            sqrt(col("var_u")), 6)).as("z"))
+  }
+
+  /** 1-D Wasserstein (earth-mover's) distance per group vs rest-of-corpus
+    * over an integer metric — the MAGNITUDE companion to [[ksDrift]]: KS
+    * reports the worst single CDF gap (scale-free, saturates at 1), W₁
+    * reports the total probability mass × distance that must move to turn
+    * one distribution into the other, in the metric's own units — the
+    * number that says a feed's length profile shifted "by about 40
+    * characters", not just "significantly".
+    *
+    * Exactness: W₁ = ∫|F₁(x) − F₂(x)|dx over the pooled jump spine —
+    * each spine interval contributes |cum₁/n₁ − cum₂/n₂|·(vₙₑₓₜ − v),
+    * with all cumulative counts in longs (same grid as [[ksDrift]]) and
+    * only the final per-interval products in double. Same bounded-domain
+    * discipline: `v` must be integer/pre-quantized, the grid is
+    * |groups|·|distinct v|, never corpus-sized.
+    */
+  def wassersteinDrift(df: DataFrame, group: Column, v: Column): DataFrame = {
+    val c = df.select(group.as("grp"), v.cast("long").as("v"))
+      .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val wAll = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val spine = c.groupBy(col("v")).agg(sum(col("c")).as("cv"))
+      .withColumn("cum_all", sum(col("cv")).over(wAll))
+      .withColumn("gap",
+        lead(col("v"), 1).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("v"))) - col("v"))
+    val totals = c.groupBy(col("grp")).agg(sum(col("c")).as("n"))
+    val grand = c.agg(sum(col("c")).as("nn"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val d = (x: Column) => x.cast("double")
+    totals.select(col("grp"), col("n"))
+      .crossJoin(broadcast(spine.select(col("v"), col("cum_all"), col("gap"))))
+      .join(c, Seq("grp", "v"), "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("cum_g", sum(col("c")).over(wCum))
+      .crossJoin(broadcast(grand))
+      .withColumn("__term", when(col("gap").isNotNull && col("nn") > col("n"),
+        abs(d(col("cum_g")) / d(col("n")) -
+          d(col("cum_all") - col("cum_g")) / d(col("nn") - col("n"))) *
+          d(col("gap"))).otherwise(lit(0.0)))
+      .groupBy(col("grp").as("group"))
+      .agg(max(col("n")).as("n"),
+        when(max(col("nn")) > max(col("n")),
+          round(sum(col("__term")), 6)).as("w1"))
+  }
 }

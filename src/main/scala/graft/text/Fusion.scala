@@ -48,4 +48,45 @@ object Fusion {
       .select(col("query_id"), col("t.id").as("doc_id"),
         col("t.score").as("rrf_score"), (col("pos") + 1).cast("int").as("rnk"))
   }
+
+  /** Truncated rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010)
+    * between two per-query top-`k` rankings — the AGREEMENT meter for the
+    * rankings [[rrfFuse]] fuses: "how much do lexical and semantic
+    * retrieval see the same list?", top-weighted so swapping ranks 1–2
+    * costs far more than 9–10 (which plain set overlap can't express).
+    *
+    * RBO@k = (1−p) Σ_{d=1..k} p^{d−1}·|A₁..d ∩ B₁..d|/d. An item in both
+    * lists at ranks (ra, rb) is inside both depth-d prefixes iff
+    * d ≥ max(ra, rb), so each shared item contributes the closed tail
+    * (1−p)·Σ_{d=max(ra,rb)}^{k} p^{d−1}/d independently — one equi-join
+    * on (query, doc) and a ≤ k-term generated-sequence fold per matched
+    * row, no prefix materialization. `p` defaults to 0.5: every power is
+    * an exact binary double, so both engines fold identical terms in
+    * identical ascending-d order and the sum is bit-reproducible.
+    *
+    * Scale shape: workload-sized like [[rrfFuse]] — inputs are retrieval
+    * OUTPUTS (queries × k rows); one inner join plus a per-query sum.
+    * Queries in `a` with zero overlap emit rbo = 0, overlap = 0.
+    */
+  def rbo(a: DataFrame, b: DataFrame, k: Int, p: Double = 0.5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(p > 0.0 && p < 1.0, s"p must be in (0, 1), got $p")
+    def side(df: DataFrame, out: String): DataFrame =
+      df.select(col("query_id"), col("doc_id"),
+        col("rnk").cast("int").as(out)).filter(col(out) <= k)
+    val shared = side(a, "__ra").join(side(b, "__rb"),
+        Seq("query_id", "doc_id"))
+      .withColumn("__m", greatest(col("__ra"), col("__rb")))
+      .withColumn("__w", aggregate(
+        sequence(col("__m"), lit(k)), lit(0.0),
+        (acc, dd) => acc +
+          pow(lit(p), dd.cast("double") - 1.0) / dd.cast("double")))
+    side(a, "__ra").select(col("query_id")).distinct()
+      .join(shared.groupBy(col("query_id"))
+          .agg(count(lit(1)).as("overlap"), sum(col("__w")).as("__ws")),
+        Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"),
+        round(coalesce(col("__ws"), lit(0.0)) * (1.0 - p), 6).as("rbo"))
+  }
 }

@@ -458,4 +458,120 @@ object TfIdf {
         round(regr_slope(y, x), 6).as("zipf_slope"),
         round(regr_intercept(y, x), 6).as("intercept"))
   }
+
+  /** Heaps'-law fit: OLS of `ln(vocab size)` on `ln(token count)` over a
+    * bucketed corpus-growth curve — V(n) ≈ K·nᵝ, the GROWTH companion to
+    * [[zipfSlope]]'s static rank curve. Natural text sits near β ≈ 0.5;
+    * β drifting toward 1 means the corpus keeps minting new types
+    * (noise, IDs, mojibake), β collapsing toward 0 means new data adds
+    * no new vocabulary (template saturation) — the one-number answer to
+    * "is the next 10 TB of this feed worth ingesting?".
+    *
+    * The curve never materializes per-document: documents map to
+    * `buckets` fixed id-range buckets (pure arithmetic, no global sort
+    * or ntile), each bucket aggregates its token total and its count of
+    * FIRST-OCCURRENCE types (a type's first bucket = bucket of its min
+    * doc id — one vocabulary-sized min), and two running sums over the
+    * ≤`buckets`-row frame yield the (cum_tokens, cum_types) points the
+    * line is fitted through. All counts are longs; floats enter at the
+    * two logs.
+    *
+    * Scale shape: one tokenize+explode scan feeding both a per-doc count
+    * (map-side combinable) and a per-term min — everything after is
+    * bucket-sized. The fit weights buckets equally, so id-correlated
+    * load skew shifts points along the curve, not off it.
+    */
+  def heapsFit(df: DataFrame, id: Column, text: Column,
+      buckets: Int = 64): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val tok = df.select(id.as("doc_id"),
+        explode(TextAnalysis.tokens(text)).as("term"))
+      .localCheckpoint(true) // feeds doc totals AND first occurrences
+    val bounds = tok.agg(min(col("doc_id")).as("mn"),
+      max(col("doc_id")).as("mx"))
+    // `/` is IEEE double division in both engines; the operands stay
+    // under 2⁵³ (buckets·id-range), so floor() of it is integer-exact
+    def bucketOf(doc: Column): Column =
+      floor((lit(buckets.toLong) * (doc - col("mn"))) /
+        (col("mx") - col("mn") + lit(1L))).cast("long")
+    val perBucketTokens = tok.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("w"))
+      .crossJoin(broadcast(bounds))
+      .groupBy(bucketOf(col("doc_id")).as("bucket"))
+      .agg(sum(col("w")).as("toks"))
+    val perBucketTypes = tok.groupBy(col("term"))
+      .agg(min(col("doc_id")).as("first_doc"))
+      .crossJoin(broadcast(bounds))
+      .groupBy(bucketOf(col("first_doc")).as("bucket"))
+      .agg(count(lit(1)).as("types"))
+    val wb = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val curve = perBucketTokens
+      .join(perBucketTypes, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("toks", "types"))
+      .withColumn("cum_toks", sum(col("toks")).over(wb))
+      .withColumn("cum_types", sum(col("types")).over(wb))
+      .filter(col("cum_toks") > 0 && col("cum_types") > 0)
+    curve.agg(count(lit(1)).as("n_points"),
+      round(regr_slope(log(col("cum_types").cast("double")),
+        log(col("cum_toks").cast("double"))), 6).as("heaps_beta"),
+      round(regr_intercept(log(col("cum_types").cast("double")),
+        log(col("cum_toks").cast("double"))), 6).as("heaps_logk"))
+  }
+
+  /** χ² discriminative terms: the `topK` tokens whose document presence
+    * most separates a boolean document class from its complement — the
+    * feature-selection table behind every "what makes this slice
+    * different?" question (which tokens mark the low-quality pool, the
+    * flagged language, the contaminated source), and the standard χ²
+    * feature ranking for the x79 quality classifier's vocabulary.
+    *
+    * Per token, the 2×2 presence contingency (a = class docs containing
+    * it, b = class docs without, c/d = the complement's split) gives
+    * χ² = N(ad − bc)²/((a+b)(c+d)(a+c)(b+d)). All counts are longs from
+    * ONE distinct-presence aggregate; products are taken in double (each
+    * IEEE-exact from integer inputs, no sum-order dependence), so both
+    * engines rank identical values. `minDf` suppresses the df-1 noise
+    * tail that χ² notoriously over-ranks.
+    *
+    * Scale shape: one tokenize→distinct-per-doc explode into a (term,
+    * class) presence count (map-side combinable, vocabulary-sized), a
+    * broadcast of the 2-row class totals, and a bounded
+    * `orderBy(...).limit(k)` (TakeOrderedAndProject — per-partition
+    * heaps, no global sort). Ties break (χ², term) for cross-engine
+    * stability.
+    */
+  def chiSqTokens(df: DataFrame, id: Column, text: Column, cls: Column,
+      topK: Int = 50, minDf: Long = 5L): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val docs = df.select(id.as("doc_id"), text.as("__t"),
+      cls.cast("boolean").as("__c"))
+    val totals = docs.agg(
+      sum(when(col("__c"), 1L).otherwise(0L)).as("n_pos"),
+      sum(when(!col("__c"), 1L).otherwise(0L)).as("n_neg"))
+    val pres = docs
+      .select(col("doc_id"), col("__c"),
+        explode(array_distinct(TextAnalysis.tokens(col("__t")))).as("term"))
+      .groupBy(col("term"))
+      .agg(sum(when(col("__c"), 1L).otherwise(0L)).as("df_pos"),
+        sum(when(!col("__c"), 1L).otherwise(0L)).as("df_neg"))
+      .filter(col("df_pos") + col("df_neg") >= minDf)
+    val d = (x: Column) => x.cast("double")
+    pres.crossJoin(broadcast(totals))
+      .withColumn("__a", d(col("df_pos")))
+      .withColumn("__b", d(col("n_pos") - col("df_pos")))
+      .withColumn("__cc", d(col("df_neg")))
+      .withColumn("__dd", d(col("n_neg") - col("df_neg")))
+      .withColumn("__num", col("__a") * col("__dd") - col("__b") * col("__cc"))
+      .withColumn("chi2", when(
+        (col("__a") + col("__b")) * (col("__cc") + col("__dd")) *
+          (col("__a") + col("__cc")) * (col("__b") + col("__dd")) > 0.0,
+        round(d(col("n_pos") + col("n_neg")) * col("__num") * col("__num") /
+          ((col("__a") + col("__b")) * (col("__cc") + col("__dd")) *
+            (col("__a") + col("__cc")) * (col("__b") + col("__dd"))), 6)))
+      .filter(col("chi2").isNotNull)
+      .select(col("term"), col("chi2"), col("df_pos"), col("df_neg"))
+      .orderBy(col("chi2").desc, col("term").asc)
+      .limit(topK)
+  }
 }

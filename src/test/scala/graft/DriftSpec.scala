@@ -163,4 +163,54 @@ class DriftSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.isNullAt(4)).toMap
     assert(one("A"))
   }
+
+  test("x150 mannWhitney: midrank U and tie-corrected z at the closed form") {
+    import graft.analytics.Comparison
+    // A = {1,2,2}, B = {2,3,3,5}: pooled ranks 1, (2,3,4)→3, (5,6)→5.5, 7
+    // R_A = 1+3+3 = 7 → U_A = 7 − 6 = 1; mean = n1·n2/2 = 6
+    // ties: t=3 at v2, t=2 at v3 → Σ(t³−t) = 24 + 6 = 30
+    // var = 12/12·(8 − 30/42); z = (1 − 6)/√var (computed below in the
+    // operator's own expression order so the float path is identical)
+    val df = (Seq(1, 2, 2).map(("A", _)) ++ Seq(2, 3, 3, 5).map(("B", _)))
+      .toDF("g", "v").repartition(3)
+    val varU = 3.0 * 4.0 / 12.0 * ((7.0 + 1.0) - 30.0 / (7.0 * 6.0))
+    val zA = math.rint((1.0 - 6.0) / math.sqrt(varU) * 1e6) / 1e6
+    val got = Comparison.mannWhitney(df, col("g"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got("A") === ((3L, 1.0, zA)))
+    // B is the mirror image: U_B = n1·n2 − U_A = 11, z flips sign
+    assert(got("B") === ((4L, 11.0, -zA)))
+    // whole-corpus group: U defined, z null; constant corpus: zero variance
+    val solo = Comparison.mannWhitney(Seq(("A", 1), ("A", 2)).toDF("g", "v"),
+      col("g"), col("v")).collect()
+    assert(solo.length === 1 && solo(0).isNullAt(3))
+    val const = Comparison.mannWhitney(
+      Seq(("A", 7), ("B", 7), ("B", 7)).toDF("g", "v"),
+      col("g"), col("v")).collect().map(r => r.isNullAt(3))
+    assert(const.forall(identity))
+  }
+
+  test("x153 wassersteinDrift: |CDF gap| x interval integral, closed form") {
+    import graft.analytics.Comparison
+    // A = {0,2}, B = {1,3}: spine 0,1,2,3 with unit gaps
+    // F_A = .5,.5,1,1 vs F_B = 0,.5,.5,1 → W1 = .5 + 0 + .5 = 1.0 each way
+    val df = Seq(("A", 0), ("A", 2), ("B", 1), ("B", 3))
+      .toDF("g", "v").repartition(3)
+    val got = Comparison.wassersteinDrift(df, col("g"), col("v"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got === Map("A" -> ((2L, 1.0)), "B" -> ((2L, 1.0))))
+    // shifting a distribution by +d moves W1 by exactly d (translation
+    // sensitivity KS lacks once it saturates)
+    val far = Seq(("A", 0), ("A", 2), ("B", 100), ("B", 102))
+      .toDF("g", "v")
+    val w = Comparison.wassersteinDrift(far, col("g"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(w("A") === 100.0 && w("B") === 100.0)
+    // a group that IS the corpus has no rest: null w1
+    val solo = Comparison.wassersteinDrift(
+      Seq(("A", 1), ("A", 2)).toDF("g", "v"), col("g"), col("v")).collect()
+    assert(solo.length === 1 && solo(0).isNullAt(2))
+  }
 }

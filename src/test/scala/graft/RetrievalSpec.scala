@@ -246,6 +246,34 @@ class RetrievalSpec extends SparkSpec {
     assert(got(12L) === ((r6(1.0 / 63), 4)))
   }
 
+  test("x151 rbo: prefix-overlap closed form; disjoint lists score zero") {
+    import graft.text.Fusion
+    // q1: A = [d1,d2,d3], B = [d2,d1,d4] at k=3, p=.5
+    // overlap@1 = 0, @2 = 2/2, @3 = 2/3 → rbo = .5·(.5·1 + .25·2/3)
+    val a = Seq((1L, 1L, 1), (1L, 2L, 2), (1L, 3L, 3),
+        (2L, 7L, 1), (2L, 8L, 2))
+      .toDF("query_id", "doc_id", "rnk")
+    val b = Seq((1L, 2L, 1), (1L, 1L, 2), (1L, 4L, 3),
+        (2L, 9L, 1), (2L, 10L, 2))
+      .toDF("query_id", "doc_id", "rnk")
+    val got = Fusion.rbo(a, b, k = 3, p = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    def r6(d: Double) = math.rint(d * 1e6) / 1e6
+    val expected = r6(0.5 * (0.5 * 1.0 + 0.25 * (2.0 / 3.0)))
+    assert(got(1L) === ((2L, expected)))
+    // q2's lists are disjoint: zero overlap, rbo 0 (row still emitted)
+    assert(got(2L) === ((0L, 0.0)))
+    // identical lists at k items score the maximum truncated rbo:
+    // (1−p)·Σ p^{d−1} — with p=.5, k=3 that is .5·(1+.5/2·2... ) computed
+    // directly from the tail form: every item has m = its own rank
+    val same = Fusion.rbo(a.filter(col("query_id") === 1L),
+      a.filter(col("query_id") === 1L), k = 3, p = 0.5)
+      .collect().map(r => r.getDouble(2)).head
+    val tail = (m: Int) => (m to 3).map(d => math.pow(0.5, d - 1) / d).sum
+    assert(same === r6(0.5 * (tail(1) + tail(2) + tail(3))))
+  }
+
   test("hll merge: split sketches union within tolerance, equal the one-shot sketch") {
     import graft.analytics.Distribution
     val ev = (1L to 2000L).map(i => (i, s"t${i % 3}", s"u${i % 137}"))

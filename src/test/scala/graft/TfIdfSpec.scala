@@ -281,4 +281,45 @@ class TfIdfSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("x149 heapsFit: saturated corpus fits beta 0, all-new vocab fits 1") {
+    // 128 identical docs: all types mint in the first bucket, cum_types is
+    // constant → slope exactly 0 (and logK = ln 3)
+    val sat = (1L to 128L).map(i => (i, "tok_a tok_b tok_c"))
+      .toDF("doc_id", "text")
+    val s = graft.text.TfIdf.heapsFit(sat, col("doc_id"), col("text"), 64)
+      .head()
+    assert(s.getLong(0) === 64L)
+    assert(s.getDouble(1) === 0.0)
+    assert(s.getDouble(2) === math.rint(math.log(3.0) * 1e6) / 1e6)
+    // 128 docs of 2 globally-unique tokens each: V(n) = n exactly →
+    // ln V = ln n, slope 1, intercept 0
+    val fresh = (1L to 128L).map(i => (i, s"u${i}a u${i}b"))
+      .toDF("doc_id", "text")
+    val f = graft.text.TfIdf.heapsFit(fresh, col("doc_id"), col("text"), 64)
+      .head()
+    assert(f.getLong(0) === 64L)
+    assert(f.getDouble(1) === 1.0 && f.getDouble(2) === 0.0)
+  }
+
+  test("x152 chiSqTokens: 2x2 closed form, perfect separators on top") {
+    val d = Seq(
+      (1L, "apple banana", true), (2L, "apple cherry", true),
+      (3L, "dog banana", false), (4L, "dog elephant", false)
+    ).toDF("doc_id", "text", "cls")
+    val got = graft.text.TfIdf.chiSqTokens(d, col("doc_id"), col("text"),
+        col("cls"), topK = 3, minDf = 1L)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3)))
+    // apple/dog are perfect separators: chi2 = N = 4; tie breaks on term;
+    // cherry: 4·(1·2−1·0)²/(2·2·1·3) = 16/12
+    assert(got(0) === (("apple", 4.0, 2L, 0L)))
+    assert(got(1) === (("dog", 4.0, 0L, 2L)))
+    assert(got(2) === (("cherry", 1.333333, 1L, 0L)))
+    // banana appears once per class: zero association, never outranks
+    // cherry; and minDf prunes: at minDf = 3 only banana+... survive df>=3?
+    // none do (max df is 2) → empty frame, no crash
+    assert(graft.text.TfIdf.chiSqTokens(d, col("doc_id"), col("text"),
+      col("cls"), topK = 3, minDf = 3L).isEmpty)
+  }
 }
