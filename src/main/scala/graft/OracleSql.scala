@@ -253,21 +253,96 @@ object OracleSql {
     * behind the confusion matrix (x97) and its kappa score (x142) so the
     * classifier mirror cannot drift between them.
     */
-  private lazy val LangDetectChain =
-    s"""t AS (SELECT doc_id, $Toks AS toks FROM documents),
-       |sc AS (SELECT doc_id,
+  private def langDetectChainSql(src: String, p: String): String =
+    s"""${p}t AS (SELECT doc_id, $Toks AS toks FROM $src),
+       |${p}sc AS (SELECT doc_id,
        | CAST(len(list_filter(toks, w -> list_contains(['der','die','und','nicht','das'], w))) AS INTEGER) AS score_de,
        | CAST(len(list_filter(toks, w -> list_contains(['the','a','and','is','of'], w))) AS INTEGER) AS score_en,
        | CAST(len(list_filter(toks, w -> list_contains(['el','la','que','los','una'], w))) AS INTEGER) AS score_es,
        | CAST(len(list_filter(toks, w -> list_contains(['le','la','et','les','une'], w))) AS INTEGER) AS score_fr,
        | CAST(len(list_filter(toks, w -> list_contains(['的','是','了','在','我'], w))) AS INTEGER) AS score_zh
-       | FROM t),
-       |d AS (SELECT doc_id,
+       | FROM ${p}t),
+       |${p}d AS (SELECT doc_id,
        | CASE WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
        |  WHEN score_en >= score_es AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
        |  WHEN score_es >= score_fr AND score_es >= score_zh THEN 'es'
        |  WHEN score_fr >= score_zh THEN 'fr' ELSE 'zh' END AS predicted
-       | FROM sc)""".stripMargin
+       | FROM ${p}sc)""".stripMargin
+
+  private lazy val LangDetectChain = langDetectChainSql("documents", "")
+
+  /** Shared x137/x154 two-sample-KS grid (mirrors
+    * [[graft.analytics.Comparison.ksDrift]]), ending with
+    * `cum(grp, n, v, cum_all, cum_g)` plus `gr(nn)`. One definition behind
+    * the raw statistic (x137) and its FDR decision layer (x154) so the
+    * grid cannot drift between them.
+    */
+  private lazy val KsChainSql =
+    """c AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS v,
+      |  CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2),
+      |sp AS (SELECT v, sum(sum(c)) OVER (ORDER BY v
+      |  ROWS UNBOUNDED PRECEDING) AS cum_all FROM c GROUP BY v),
+      |tot AS (SELECT grp, sum(c) AS n FROM c GROUP BY 1),
+      |gr AS (SELECT sum(c) AS nn FROM c),
+      |grid AS (SELECT t.grp, t.n, s.v, s.cum_all, COALESCE(c.c, 0) AS c
+      | FROM tot t CROSS JOIN sp s
+      | LEFT JOIN c ON c.grp = t.grp AND c.v = s.v),
+      |cum AS (SELECT grp, n, v, cum_all, sum(c) OVER (PARTITION BY grp
+      |  ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_g FROM grid)""".stripMargin
+
+  /** x155's unrolled MMR greedy: brute-force cosine pool of 8 per query
+    * (ids 1–3), then `selectK` argmax steps, each scoring the remaining
+    * pool by round-6 (0.5·rel − 0.5·max-sim-to-picked) with doc-id ties —
+    * the [[graft.similarity.Similarity.mmrRerank]] determinism contract,
+    * restated step by step. The greedy recurrence is generated, not
+    * hand-copied, so step i can't drift from step j.
+    */
+  private lazy val MmrChainSql = {
+    val steps = (2 to 4).map { i =>
+      s"""sel$i AS (SELECT query_id, doc_id, $i AS pick, score AS mmr_score
+         | FROM (SELECT p.query_id, p.doc_id,
+         |   round(0.5 * p.rel - 0.5 * coalesce(mx.mxs, 0.0), 6) AS score,
+         |   row_number() OVER (PARTITION BY p.query_id
+         |    ORDER BY round(0.5 * p.rel - 0.5 * coalesce(mx.mxs, 0.0), 6)
+         |     DESC, p.doc_id) AS rn
+         |  FROM pool p
+         |  LEFT JOIN (SELECT s.query_id, s.da, max(s.s) AS mxs
+         |    FROM sims s JOIN all${i - 1} t
+         |     ON s.query_id = t.query_id AND s.db = t.doc_id
+         |    GROUP BY 1, 2) mx
+         |   ON mx.query_id = p.query_id AND mx.da = p.doc_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM all${i - 1} t2
+         |   WHERE t2.query_id = p.query_id AND t2.doc_id = p.doc_id)
+         | ) WHERE rn = 1),
+         |all$i AS (SELECT * FROM all${i - 1}
+         | UNION ALL SELECT * FROM sel$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v2 AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+       | FROM embeddings),
+       |qv AS (SELECT vec_id AS qid, ve AS qvec FROM v2
+       | WHERE vec_id IN (1, 2, 3)),
+       |asim AS (SELECT qv.qid, v2.vec_id AS nid,
+       |  ${cosineSql("qv.qvec", "v2.ve")} AS cosine
+       | FROM v2 CROSS JOIN qv WHERE v2.vec_id <> qv.qid),
+       |pool AS (SELECT qid AS query_id, nid AS doc_id, cosine AS rel FROM (
+       |  SELECT qid, nid, cosine, row_number() OVER (
+       |   PARTITION BY qid ORDER BY cosine DESC, nid) AS rn FROM asim)
+       | WHERE rn <= 8),
+       |pv AS (SELECT p.query_id, p.doc_id, p.rel, v2.ve
+       | FROM pool p JOIN v2 ON v2.vec_id = p.doc_id),
+       |sims AS (SELECT a.query_id, a.doc_id AS da, b.doc_id AS db,
+       |  ${cosineSql("a.ve", "b.ve")} AS s
+       | FROM pv a JOIN pv b
+       |  ON a.query_id = b.query_id AND a.doc_id <> b.doc_id),
+       |sel1 AS (SELECT query_id, doc_id, 1 AS pick, rel AS mmr_score FROM (
+       |  SELECT query_id, doc_id, rel, row_number() OVER (
+       |   PARTITION BY query_id ORDER BY rel DESC, doc_id) AS rn FROM pool)
+       | WHERE rn = 1),
+       |all1 AS (SELECT * FROM sel1),
+       |$steps
+       |SELECT query_id, doc_id, pick, mmr_score FROM all4""".stripMargin
+  }
 
   /** Distinct word n-gram list mirroring the `ShingleSet(n)` kernel. */
   private def distinctGramsSql(n: Int): String = {
@@ -2271,21 +2346,37 @@ object OracleSql {
     // mirror of Comparison.ksDrift: both ECDFs evaluated at every jump
     // point of the pooled sample; integer counts until the final division
     "x137_ks_drift" ->
-      """WITH c AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS v,
-        |  CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2),
-        |sp AS (SELECT v, sum(sum(c)) OVER (ORDER BY v
-        |  ROWS UNBOUNDED PRECEDING) AS cum_all FROM c GROUP BY v),
-        |tot AS (SELECT grp, sum(c) AS n FROM c GROUP BY 1),
-        |gr AS (SELECT sum(c) AS nn FROM c),
-        |grid AS (SELECT t.grp, t.n, s.v, s.cum_all, COALESCE(c.c, 0) AS c
-        | FROM tot t CROSS JOIN sp s
-        | LEFT JOIN c ON c.grp = t.grp AND c.v = s.v),
-        |cum AS (SELECT grp, n, v, cum_all, sum(c) OVER (PARTITION BY grp
-        |  ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_g FROM grid)
-        |SELECT grp AS "group", CAST(max(n) AS BIGINT) AS n,
-        | round(max(abs(CAST(cum_g AS DOUBLE) / n
-        |  - CAST(cum_all - cum_g AS DOUBLE) / (nn - n))), 6) AS ks
-        |FROM cum CROSS JOIN gr GROUP BY grp, nn""".stripMargin,
+      s"""WITH $KsChainSql
+         |SELECT grp AS "group", CAST(max(n) AS BIGINT) AS n,
+         | round(max(abs(CAST(cum_g AS DOUBLE) / n
+         |  - CAST(cum_all - cum_g AS DOUBLE) / (nn - n))), 6) AS ks
+         |FROM cum CROSS JOIN gr GROUP BY grp, nn""".stripMargin,
+    // mirror of Comparison.ksFdr: the x137 grid + truncated Kolmogorov
+    // series p (clamped, round-6 BEFORE the BH comparison) + step-up
+    "x154_ks_fdr" ->
+      s"""WITH $KsChainSql,
+         |ks AS (SELECT grp, CAST(max(n) AS BIGINT) AS n,
+         |  round(max(abs(CAST(cum_g AS DOUBLE) / n
+         |   - CAST(cum_all - cum_g AS DOUBLE) / (nn - n))), 6) AS ks,
+         |  CAST(max(nn) AS BIGINT) AS nn
+         | FROM cum CROSS JOIN gr GROUP BY grp, nn),
+         |wp AS (SELECT grp, n, ks,
+         |  CASE WHEN ks IS NOT NULL THEN round(least(1.0, greatest(0.0,
+         |   2.0 * (exp(-2.0 * l2) - exp(-8.0 * l2) + exp(-18.0 * l2)))), 6)
+         |  END AS p
+         | FROM (SELECT grp, n, ks, CAST(n AS DOUBLE) * CAST(nn - n AS DOUBLE)
+         |    / CAST(nn AS DOUBLE) * ks * ks AS l2 FROM ks)),
+         |mm AS (SELECT count(p) AS m FROM wp),
+         |rk AS (SELECT grp, n, ks, p, m,
+         |  row_number() OVER (ORDER BY p ASC NULLS LAST, grp ASC) AS i
+         | FROM wp CROSS JOIN mm),
+         |fl AS (SELECT *, CASE WHEN p IS NOT NULL
+         |   AND p <= 0.05 * CAST(i AS DOUBLE) / CAST(m AS DOUBLE)
+         |  THEN i ELSE 0 END AS ok FROM rk),
+         |mx AS (SELECT *, max(ok) OVER () AS imax FROM fl)
+         |SELECT grp AS "group", n, ks, p,
+         | CASE WHEN p IS NOT NULL THEN i <= imax END AS rejected
+         |FROM mx""".stripMargin,
     // mirror of Correlation.spearmanByGroup: mid-ranks (min rank + half
     // the tie count) over (n_chars, round-6 quality), then plain corr
     "x138_spearman" ->
@@ -3745,6 +3836,64 @@ object OracleSql {
         |    - CAST(cum_all - cum_g AS DOUBLE) / CAST(nn - n AS DOUBLE))
         |   * CAST(gap AS DOUBLE) ELSE 0.0 END), 6) END AS w1
         |FROM cum CROSS JOIN grand GROUP BY grp, nn""".stripMargin,
+    // mirror of Similarity.mmrRerank over a brute-force cosine pool:
+    // greedy steps unrolled (the per-step argmax on ROUND-6 scores with
+    // doc-id ties is the determinism contract the Spark side states)
+    "x155_mmr_rerank" -> MmrChainSql,
+    // mirror of Evaluation.krippendorffAlpha over three lang raters:
+    // declared label, full-text detector, truncated-text detector on
+    // even doc ids (exercising the missing-rating path)
+    "x156_krippendorff" ->
+      s"""WITH ${langDetectChainSql("documents", "f")},
+         |${langDetectChainSql(
+             "(SELECT doc_id, substring(text, 1, 200) AS text" +
+             " FROM documents WHERE doc_id % 2 = 0) trunc_docs", "u")},
+         |rr AS (SELECT doc_id AS i, lang AS r FROM documents
+         | UNION ALL SELECT doc_id, predicted FROM fd
+         | UNION ALL SELECT doc_id, predicted FROM ud),
+         |c AS (SELECT i, r, CAST(count(*) AS BIGINT) AS c FROM rr
+         | GROUP BY 1, 2),
+         |items AS (SELECT i, CAST(sum(c) AS BIGINT) AS m,
+         |  CAST(sum(c * c) AS BIGINT) AS s2 FROM c GROUP BY 1
+         | HAVING sum(c) >= 2),
+         |kept AS (SELECT c.* FROM c JOIN items USING (i)),
+         |classes AS (SELECT CAST(sum(nc * nc) AS BIGINT) AS sc2 FROM (
+         |  SELECT r, CAST(sum(c) AS BIGINT) AS nc FROM kept GROUP BY 1)),
+         |obs AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+         |  CAST(sum(m) AS BIGINT) AS nn,
+         |  sum(CAST(m * m - s2 AS DOUBLE) / CAST(m - 1 AS DOUBLE)) AS dosum
+         | FROM items)
+         |SELECT n_items, nn AS n_ratings,
+         | CASE WHEN nn * nn - sc2 > 0 AND nn >= 2 THEN
+         |  round(1.0 - (dosum / CAST(nn AS DOUBLE)) /
+         |   (CAST(nn * nn - sc2 AS DOUBLE) /
+         |    (CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE))), 6) END AS alpha
+         |FROM obs CROSS JOIN classes""".stripMargin,
+    // mirror of Evaluation.cuped: morning activity as the covariate for
+    // afternoon outcome, pooled theta/xbar rounded before the apply
+    "x157_cuped" ->
+      """WITH u AS (SELECT user_id,
+        |  round(sum(CASE WHEN date_part('hour', ts) < 12 THEN value
+        |    ELSE 0.0 END), 6) AS x,
+        |  round(sum(CASE WHEN date_part('hour', ts) >= 12 THEN value
+        |    ELSE 0.0 END), 6) AS y
+        | FROM events GROUP BY 1),
+        |uv AS (SELECT user_id % 2 AS variant, CAST(x AS DOUBLE) AS x,
+        |  CAST(y AS DOUBLE) AS y FROM u),
+        |fit AS (SELECT round(sum(x) / CAST(count(*) AS DOUBLE), 6) AS xbar,
+        |  round(CASE WHEN sum(x * x) - sum(x) * sum(x)
+        |     / CAST(count(*) AS DOUBLE) > 0.0
+        |   THEN (sum(x * y) - sum(x) * sum(y) / CAST(count(*) AS DOUBLE)) /
+        |    (sum(x * x) - sum(x) * sum(x) / CAST(count(*) AS DOUBLE))
+        |   ELSE 0.0 END, 6) AS theta
+        | FROM uv),
+        |adj AS (SELECT variant, x, y, y - theta * (x - xbar) AS a, theta
+        | FROM uv CROSS JOIN fit)
+        |SELECT variant, CAST(count(*) AS BIGINT) AS n,
+        | round(avg(y), 6) AS mean_y, round(avg(a), 6) AS mean_y_cuped,
+        | round(var_samp(y), 6) AS var_y, round(var_samp(a), 6) AS var_y_cuped,
+        | round(max(theta), 6) AS theta
+        |FROM adj GROUP BY 1""".stripMargin,
     // mirror of Temporal.fanoFactor: (key, hour) integer cells, corpus
     // hour spine, fano = (H·Σc² − n²)/(H·n)
     "x147_fano_burstiness" ->

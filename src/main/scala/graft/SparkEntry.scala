@@ -1441,6 +1441,53 @@ object SparkEntry {
     "x153_wasserstein" -> ((s, dir) =>
       Comparison.wassersteinDrift(T(s, dir, "documents"), col("source"),
         col("n_chars"))),
+    // the drift panel's decision layer: asymptotic KS p per source +
+    // Benjamini–Hochberg step-up at FDR 5% — "WHICH feeds drifted",
+    // not just by how much
+    "x154_ks_fdr" -> ((s, dir) =>
+      Comparison.ksFdr(T(s, dir, "documents"), col("source"),
+        col("n_chars"), alpha = 0.05)),
+    // maximal-marginal-relevance reranking of a brute-force cosine pool:
+    // greedy 4-of-8 per query at λ=.5 — the diversity selector that keeps
+    // near-dup candidates from being PICKED together
+    "x155_mmr_rerank" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val pool = Similarity.bruteForceKnn(emb,
+          emb.filter(col("vec_id").isin(1L, 2L, 3L)), 8)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("cosine").as("rel"))
+      Similarity.mmrRerank(pool, emb, selectK = 4, lambda = 0.5)
+    }),
+    // Krippendorff's alpha over THREE lang raters (declared label,
+    // full-text detector, truncated-text detector on even ids) — the
+    // multi-rater, missing-tolerant generalization of x142's kappa
+    "x156_krippendorff" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val declared = docs.select(col("doc_id"), col("lang").as("r"))
+      val full = TextAnalysis.withLangId(docs, col("text"))
+        .select(col("doc_id"), col("detected_lang").as("r"))
+      val trunc = TextAnalysis.withLangId(
+          docs.filter(col("doc_id") % 2 === 0)
+            .withColumn("text", substring(col("text"), 1, 200)),
+          col("text"))
+        .select(col("doc_id"), col("detected_lang").as("r"))
+      Evaluation.krippendorffAlpha(
+        declared.unionByName(full).unionByName(trunc),
+        col("doc_id"), col("r"))
+    }),
+    // CUPED variance reduction: per-user morning activity (covariate)
+    // against afternoon outcome, pooled theta, per-variant before/after
+    // variances — how much A/B sample the covariate buys back
+    "x157_cuped" -> ((s, dir) => {
+      val units = T(s, dir, "events").groupBy(col("user_id"))
+        .agg(round(sum(when(hour(col("ts")) < 12, col("value"))
+          .otherwise(lit(0.0))), 6).as("x"),
+          round(sum(when(hour(col("ts")) >= 12, col("value"))
+            .otherwise(lit(0.0))), 6).as("y"))
+      Evaluation.cuped(
+        units.withColumn("variant", pmod(col("user_id"), lit(2L))),
+        col("variant"), col("x"), col("y"))
+    }),
     // NDCG@10 of the x45 BM25 ranking against graded relevance (rel =
     // #distinct query terms the doc contains) — the position-sensitive
     // retrieval report card beside x09_recall and x71

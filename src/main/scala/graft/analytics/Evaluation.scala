@@ -234,4 +234,86 @@ object Evaluation {
             (col("n") * col("n") - col("e")).cast("double"), 6))
           .as("kappa"))
   }
+
+  /** Krippendorff's alpha (nominal) over LONG-FORMAT ratings `(item,
+    * rating)` — the agreement coefficient [[kappaBy]] can't be: any
+    * number of raters, MISSING ratings allowed (items keep whatever
+    * subset of raters labeled them), one number for the whole labeling
+    * campaign. α = 1 − D_o/D_e with observed disagreement
+    * D_o = Σᵢ (mᵢ² − Σ_c nᵢ_c²)/(mᵢ−1) / N and expected
+    * D_e = (N² − Σ_c N_c²)/(N(N−1)), over items with mᵢ ≥ 2 ratings
+    * (single-rating items carry no agreement information and are
+    * excluded from BOTH sides, per the estimator).
+    *
+    * Everything is integer until the two final divisions: per-item and
+    * per-class counts, their squares, and N are exact longs (square
+    * budget: Σnᵢ_c² < 2⁶³ holds to ~3·10⁹ ratings per item/class).
+    *
+    * Scale shape: one (item, rating) count aggregate (map-side
+    * combinable), an item-sized moment frame, a |classes|-sized marginal
+    * — no window, no join wider than item count. α = null when D_e = 0
+    * (every kept rating identical — agreement is undefined, not 1).
+    */
+  def krippendorffAlpha(df: DataFrame, item: Column,
+      rating: Column): DataFrame = {
+    val d = (x: Column) => x.cast("double")
+    val c = df.select(item.as("i"), rating.cast("string").as("r"))
+      .groupBy(col("i"), col("r")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds item moments AND class marginals
+    val items = c.groupBy(col("i"))
+      .agg(sum(col("c")).as("m"), sum(col("c") * col("c")).as("s2"))
+      .filter(col("m") >= 2L)
+    val kept = c.join(items.select(col("i")), Seq("i"))
+    val classes = kept.groupBy(col("r")).agg(sum(col("c")).as("nc"))
+      .agg(sum(col("nc") * col("nc")).as("sc2"))
+    val obs = items.agg(count(lit(1)).as("n_items"), sum(col("m")).as("nn"),
+      sum(d(col("m") * col("m") - col("s2")) / d(col("m") - 1)).as("__do"))
+    obs.crossJoin(broadcast(classes))
+      .withColumn("__de_num", col("nn") * col("nn") - col("sc2"))
+      .select(col("n_items"), col("nn").as("n_ratings"),
+        when(col("__de_num") > 0L && col("nn") >= 2L,
+          round(lit(1.0) - (col("__do") / d(col("nn"))) /
+            (d(col("__de_num")) / (d(col("nn")) * d(col("nn") - 1))), 6))
+          .as("alpha"))
+  }
+
+  /** CUPED variance reduction (Deng et al., WSDM 2013): adjust a per-unit
+    * experiment metric `y` by its pre-period covariate `x`,
+    * yᶜᵛ = y − θ(x − x̄) with θ = cov(x,y)/var(x) fitted on the POOLED
+    * units (the unbiasedness condition — θ must not depend on variant),
+    * and report per-variant means and variances before/after. The
+    * variance ratio is the fraction of A/B sample size the covariate
+    * buys back; on typical user metrics (pre-period activity predicts
+    * post) it's 30–70 %.
+    *
+    * Two bounded passes over the UNIT frame (not events — the caller
+    * aggregates units first): one moment aggregate for θ and x̄, then
+    * one broadcast-apply + per-variant aggregate. θ and x̄ are rounded
+    * at 6 before the apply so every engine adjusts with identical
+    * constants; `avg`/`var_samp` run on those identical per-unit values.
+    * Degenerate var(x) = 0 → θ = 0 (no adjustment), not a divide error.
+    */
+  def cuped(units: DataFrame, variant: Column, x: Column,
+      y: Column): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val u = units.select(variant.as("variant"), d(x).as("x"), d(y).as("y"))
+      .localCheckpoint(true) // unit-sized; feeds theta AND the apply
+    val fit = u.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(round(col("sx") / d(col("n")), 6).as("__xbar"),
+        round(when(col("sxx") - col("sx") * col("sx") / d(col("n")) > 0.0,
+          (col("sxy") - col("sx") * col("sy") / d(col("n"))) /
+            (col("sxx") - col("sx") * col("sx") / d(col("n"))))
+          .otherwise(lit(0.0)), 6).as("__theta"))
+    u.crossJoin(broadcast(fit))
+      .withColumn("__adj", col("y") - col("__theta") * (col("x") - col("__xbar")))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("y")), 6).as("mean_y"),
+        round(avg(col("__adj")), 6).as("mean_y_cuped"),
+        round(var_samp(col("y")), 6).as("var_y"),
+        round(var_samp(col("__adj")), 6).as("var_y_cuped"),
+        round(max(col("__theta")), 6).as("theta"))
+  }
 }

@@ -755,4 +755,78 @@ object Similarity {
     }
     Seq.fill(numPlanes)(Seq.fill(dim)(next()))
   }
+
+  /** Maximal-marginal-relevance reranking (Carbonell & Goldstein, SIGIR
+    * '98): greedily pick `selectK` items per query from a candidate pool,
+    * each step taking the argmax of (1−λ)·relevance − λ·max-similarity-to-
+    * already-picked — the diversity selector behind "don't show/train-on
+    * five near-identical top hits". λ=0 is pure relevance; λ→1 pure
+    * diversity. This is the per-query counterpart of corpus-level dedup:
+    * x37 drops near-dups globally, MMR keeps them but never SELECTS two.
+    *
+    * `cands` carries `(query_id, doc_id, rel)` (a retrieval output —
+    * workload-sized, the caller bounds the pool); `vecs` carries
+    * `(vec_id, embedding)` for the redundancy metric. Candidates missing
+    * a vector are dropped (can't score their redundancy).
+    *
+    * Determinism: relevance, pairwise cosines, and every step's combined
+    * score are rounded at 6 BEFORE the per-step argmax, ties break on
+    * doc_id — so the greedy path is bit-identical across engines (the
+    * [[graft.text.Fusion.rrfFuse]] discipline, applied k times).
+    *
+    * Scale shape: everything is pool-sized — one join to fetch vectors,
+    * one pool×pool per-query cosine frame (|q|·k² rows, never corpus²),
+    * then `selectK` rounds of {anti-join, max-sim aggregate, 1-row-per-
+    * query window}. The greedy data dependence is inherent to MMR
+    * (step i needs picks 1..i−1), so the unrolled fixed-depth plan IS
+    * the distributed formulation — queries parallelize, steps do not.
+    */
+  def mmrRerank(cands: DataFrame, vecs: DataFrame, selectK: Int,
+      lambda: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(selectK >= 1, s"selectK must be >= 1, got $selectK")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"lambda must be in [0,1], got $lambda")
+    val base = cands
+      .select(col("query_id"), col("doc_id"),
+        round(col("rel").cast("double"), 6).as("rel"))
+      .join(vecs.select(col("vec_id").as("doc_id"), col("embedding").as("__v")),
+        Seq("doc_id"))
+      .localCheckpoint(true) // pool-sized; feeds sims and every step
+    val sims = base.select(col("query_id"), col("doc_id").as("__da"),
+        col("__v").as("__va"))
+      .join(base.select(col("query_id"), col("doc_id").as("__db"),
+        col("__v").as("__vb")), Seq("query_id"))
+      .filter(col("__da") =!= col("__db"))
+      .select(col("query_id"), col("__da"), col("__db"),
+        cosine(col("__va"), col("__vb")).as("__s"))
+      .localCheckpoint(true)
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("__score").desc, col("doc_id").asc)
+    var sel = base.withColumn("__score", col("rel"))
+      .withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("doc_id"), lit(1).as("pick"),
+        col("__score").as("mmr_score"))
+    for (i <- 2 to selectK) {
+      val simToSel = sims
+        .join(sel.select(col("query_id"), col("doc_id").as("__db")),
+          Seq("query_id", "__db"))
+        .groupBy(col("query_id"), col("__da").as("doc_id"))
+        .agg(max(col("__s")).as("__mx"))
+      val pick = base
+        .join(sel.select(col("query_id"), col("doc_id")),
+          Seq("query_id", "doc_id"), "left_anti")
+        .join(simToSel, Seq("query_id", "doc_id"), "left")
+        .withColumn("__score", round(
+          lit(1.0 - lambda) * col("rel") -
+            lit(lambda) * coalesce(col("__mx"), lit(0.0)), 6))
+        .withColumn("__rn", row_number().over(wq))
+        .filter(col("__rn") === 1)
+        .select(col("query_id"), col("doc_id"), lit(i).as("pick"),
+          col("__score").as("mmr_score"))
+      sel = sel.unionByName(pick)
+    }
+    sel
+  }
 }

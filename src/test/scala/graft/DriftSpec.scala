@@ -213,4 +213,27 @@ class DriftSpec extends SparkSpec {
       Seq(("A", 1), ("A", 2)).toDF("g", "v"), col("g"), col("v")).collect()
     assert(solo.length === 1 && solo(0).isNullAt(2))
   }
+
+  test("x154 ksFdr: planted drift rejected, in-family groups survive BH") {
+    import graft.analytics.Comparison
+    // three 40-row groups sharing one distribution + a 6-row group far
+    // away: the drifted group's KS = 1 at n_e ≈ 5.7 → p ≈ 2e-5, while
+    // the in-family groups' KS vs rest is diluted noise with p clamped
+    // to 1.0 — BH at 5% must reject exactly the planted one
+    val base = for (g <- Seq("A", "B", "C"); v <- 0 until 40) yield (g, v)
+    val drift = (0 until 6).map(i => ("DRIFT", 100 + i))
+    val df = (base ++ drift).toDF("g", "v").repartition(4)
+    val got = Comparison.ksFdr(df, col("g"), col("v"), alpha = 0.05)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got("DRIFT")._1 < 0.001 && got("DRIFT")._2)
+    Seq("A", "B", "C").foreach { g =>
+      assert(got(g)._1 === 1.0 && !got(g)._2, s"group $g")
+    }
+    // a whole-corpus group is untestable: null p, null decision, and it
+    // must not count toward the BH m
+    val solo = Comparison.ksFdr(Seq(("A", 1), ("A", 2)).toDF("g", "v"),
+      col("g"), col("v")).collect()
+    assert(solo.length === 1 && solo(0).isNullAt(3) && solo(0).isNullAt(4))
+  }
 }

@@ -131,4 +131,43 @@ class EvaluationSpec extends SparkSpec {
       .toDF("g", "a", "b"), col("g"), col("a"), col("b")).head()
     assert(const.getDouble(3) === 1.0 && const.isNullAt(5))
   }
+
+  test("x156 krippendorffAlpha: hand case, singles excluded, degenerate null") {
+    // i1 {a,a}, i2 {a,b}, i3 {b,b}, i4 {a} (single rating — excluded)
+    // D_o = (0 + 2 + 0)/6 = 1/3; D_e = (36 − 18)/30 = .6 → α = 1 − 5/9
+    val df = Seq(("i1", "a"), ("i1", "a"), ("i2", "a"), ("i2", "b"),
+      ("i3", "b"), ("i3", "b"), ("i4", "a")).toDF("i", "r").repartition(3)
+    val r = Evaluation.krippendorffAlpha(df, col("i"), col("r")).head()
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) ===
+      ((3L, 6L, 0.444444)))
+    // perfect agreement across 2 classes: D_o = 0 → α = 1 exactly
+    val perfect = Evaluation.krippendorffAlpha(
+      Seq(("i1", "a"), ("i1", "a"), ("i2", "b"), ("i2", "b")).toDF("i", "r"),
+      col("i"), col("r")).head()
+    assert(perfect.getDouble(2) === 1.0)
+    // every kept rating identical: D_e = 0 — agreement undefined, null
+    val degen = Evaluation.krippendorffAlpha(
+      Seq(("i1", "a"), ("i1", "a"), ("i2", "a"), ("i2", "a")).toDF("i", "r"),
+      col("i"), col("r")).head()
+    assert(degen.isNullAt(2))
+  }
+
+  test("x157 cuped: perfect covariate zeroes variance, constant x is a no-op") {
+    import graft.analytics.Evaluation
+    // y = x + 10 exactly → pooled θ = 1, every adjusted value = ȳ = 12.5
+    val units = Seq(("A", 1.0, 11.0), ("A", 3.0, 13.0),
+      ("B", 2.0, 12.0), ("B", 4.0, 14.0)).toDF("variant", "x", "y")
+      .repartition(3)
+    val got = Evaluation.cuped(units, col("variant"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got("A") === ((2L, 12.0, 12.5, 2.0, 0.0, 1.0)))
+    assert(got("B") === ((2L, 13.0, 12.5, 2.0, 0.0, 1.0)))
+    // constant covariate: var(x) = 0 → θ = 0, adjusted = raw
+    val flat = Seq(("A", 5.0, 1.0), ("A", 5.0, 3.0)).toDF("variant", "x", "y")
+    val f = Evaluation.cuped(flat, col("variant"), col("x"), col("y")).head()
+    assert(f.getDouble(2) === f.getDouble(3) &&
+      f.getDouble(4) === f.getDouble(5) && f.getDouble(6) === 0.0)
+  }
 }

@@ -535,4 +535,33 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(got8 === got)
   }
+
+  test("x155 mmrRerank: diversity beats raw relevance, lambda=0 is pure rank") {
+    // d1 on the x-axis; d2 at 3-4-5 angles to it (cos .6 to d1, .8 to d3);
+    // d3 on the y-axis (cos 0 to d1) — all cosines exact in float
+    val mvecs = Seq(
+      (11L, Array(1.0f, 0.0f, 0.0f)),   // d1
+      (12L, Array(3.0f, 4.0f, 0.0f)),   // d2: cos(d1)=.6, cos(d3)=.8
+      (13L, Array(0.0f, 1.0f, 0.0f))    // d3
+    ).toDF("vec_id", "embedding")
+    val cands = Seq((100L, 11L, 0.9), (100L, 12L, 0.85), (100L, 13L, 0.3),
+        (100L, 99L, 0.95)) // 99 has no vector: dropped, never picked
+      .toDF("query_id", "doc_id", "rel")
+    val got = Similarity.mmrRerank(cands, mvecs, selectK = 3, lambda = 0.5)
+      .collect().map(r => r.getInt(2) -> ((r.getLong(1), r.getDouble(3))))
+      .toMap
+    // pick 1 = argmax rel; pick 2: d3 (.5·.3 − 0 = .15) beats the more
+    // relevant d2 (.5·.85 − .5·.6 = .125) — the diversity trade;
+    // pick 3: d2 at .425 − .5·max(.6,.8) = .025
+    assert(got === Map(1 -> ((11L, 0.9)), 2 -> ((13L, 0.15)),
+      3 -> ((12L, 0.025))))
+    // λ = 0 degenerates to pure relevance order over vectorized cands
+    val pure = Similarity.mmrRerank(cands, mvecs, selectK = 3, lambda = 0.0)
+      .collect().map(r => r.getInt(2) -> r.getLong(1)).toMap
+    assert(pure === Map(1 -> 11L, 2 -> 12L, 3 -> 13L))
+    // a pool smaller than selectK just stops early, no padding rows
+    val tiny = Similarity.mmrRerank(cands.filter(col("doc_id") === 11L),
+      mvecs, selectK = 3, lambda = 0.5).collect()
+    assert(tiny.length === 1)
+  }
 }
