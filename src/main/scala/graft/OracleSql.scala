@@ -3869,6 +3869,83 @@ object OracleSql {
          |   (CAST(nn * nn - sc2 AS DOUBLE) /
          |    (CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE))), 6) END AS alpha
          |FROM obs CROSS JOIN classes""".stripMargin,
+    // the x50 chain + DuckDB's own jaro_winkler_similarity — the kernel's
+    // REFERENCE implementation: any semantic drift (window, half
+    // transpositions, byte prefixes, 0.7 boost gate) breaks the hash
+    "x158_jw_pairs" ->
+      """WITH l AS (SELECT doc_id, 'user_' || CAST(doc_id AS VARCHAR) AS name
+        | FROM documents),
+        |r0 AS (SELECT doc_id AS typo_id, name,
+        |  CAST(doc_id % length(name) + 1 AS INTEGER) AS p
+        | FROM l WHERE doc_id % 3 = 0),
+        |r AS (SELECT typo_id,
+        |  substring(name, 1, p - 1) || substring(name, p + 1) AS typo_name
+        | FROM r0)
+        |SELECT l.doc_id AS left_id, r.typo_id AS right_id,
+        | l.name AS left_key, r.typo_name AS right_key,
+        | CAST(levenshtein(l.name, r.typo_name) AS INTEGER) AS distance,
+        | round(jaro_winkler_similarity(l.name, r.typo_name), 6) AS jw
+        |FROM l, r WHERE levenshtein(l.name, r.typo_name) <= 1""".stripMargin,
+    // mirror of Dedup.lshPlanner: the x115 sweep histogram integrated
+    // against the banding collision curve 1 − (1 − t^r)^b at bucket mids
+    "x159_lsh_planner" ->
+      s"""WITH $NearDupChain,
+         |b AS (SELECT CAST(floor(jaccard / CAST(0.05 AS DOUBLE)) AS BIGINT)
+         |   AS bk, count(*) AS n_pairs
+         | FROM scored GROUP BY 1),
+         |sw AS (SELECT round(bk * CAST(0.05 AS DOUBLE), 2) AS threshold,
+         |  n_pairs FROM b),
+         |cfg AS (SELECT * FROM (VALUES (4, 2), (8, 2), (8, 4), (16, 4),
+         |  (32, 4), (16, 8)) AS t(bands, rows_per_band)),
+         |pg AS (SELECT bands, rows_per_band, threshold, n_pairs,
+         |  1.0 - pow(1.0 - pow(threshold + 0.025,
+         |   CAST(rows_per_band AS DOUBLE)), CAST(bands AS DOUBLE)) AS p
+         | FROM sw CROSS JOIN cfg)
+         |SELECT bands, rows_per_band,
+         | round(sum(CAST(n_pairs AS DOUBLE) * p), 6) AS expected_candidates,
+         | CASE WHEN sum(CASE WHEN threshold >= 0.7 THEN n_pairs ELSE 0 END) > 0
+         |  THEN round(sum(CASE WHEN threshold >= 0.7
+         |    THEN CAST(n_pairs AS DOUBLE) * p ELSE 0.0 END) /
+         |   CAST(sum(CASE WHEN threshold >= 0.7 THEN n_pairs ELSE 0 END)
+         |    AS DOUBLE), 6) END AS recall_high
+         |FROM pg GROUP BY 1, 2""".stripMargin,
+    // mirror of Correlation.theilSenByGroup over the x126 zipf points:
+    // round-6 pairwise slopes, median = mean of the two middle ranks
+    "x160_theil_sen" ->
+      s"""WITH c AS (SELECT source, term, CAST(count(*) AS BIGINT) AS f
+         | FROM (SELECT source, unnest($Toks) AS term FROM documents)
+         | GROUP BY 1, 2),
+         |r AS (SELECT source, f, row_number() OVER (PARTITION BY source
+         |  ORDER BY f DESC, term ASC) AS rnk FROM c),
+         |pts AS (SELECT source, ln(CAST(rnk AS DOUBLE)) AS x,
+         |  ln(CAST(f AS DOUBLE)) AS y FROM r WHERE rnk <= 40),
+         |pr AS (SELECT a.source, round((b.y - a.y) / (b.x - a.x), 6) AS s
+         | FROM pts a JOIN pts b ON a.source = b.source AND a.x < b.x),
+         |cn AS (SELECT source, s,
+         |  row_number() OVER (PARTITION BY source ORDER BY s) AS rn,
+         |  count(*) OVER (PARTITION BY source) AS n FROM pr)
+         |SELECT source AS "group", CAST(max(n) AS BIGINT) AS n_pairs,
+         | round(avg(s), 6) AS ts_slope
+         |FROM cn WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+         | OR rn = CAST(floor((n + 2) / 2.0) AS BIGINT)
+         |GROUP BY 1""".stripMargin,
+    // mirror of TfIdf.hillTailIndex: top-20 order statistics against the
+    // 21st, H in one avg, alpha = 1/H (raw H, rounded on emission)
+    "x161_hill_tail" ->
+      s"""WITH c AS (SELECT source, term, CAST(count(*) AS BIGINT) AS f
+         | FROM (SELECT source, unnest($Toks) AS term FROM documents)
+         | GROUP BY 1, 2),
+         |r AS (SELECT source, f, row_number() OVER (PARTITION BY source
+         |  ORDER BY f DESC, term ASC) AS rnk FROM c),
+         |kth AS (SELECT source, f AS fk FROM r WHERE rnk = 21),
+         |top AS (SELECT r.source, r.f, kth.fk FROM r
+         | JOIN kth ON r.source = kth.source WHERE r.rnk <= 20),
+         |h AS (SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+         |  avg(ln(CAST(f AS DOUBLE) / CAST(fk AS DOUBLE))) AS hr
+         | FROM top GROUP BY 1)
+         |SELECT source, n_terms, round(hr, 6) AS h,
+         | CASE WHEN hr > 0.0 THEN round(1.0 / hr, 6) END AS alpha
+         |FROM h""".stripMargin,
     // mirror of Evaluation.cuped: morning activity as the covariate for
     // afternoon outcome, pooled theta/xbar rounded before the apply
     "x157_cuped" ->

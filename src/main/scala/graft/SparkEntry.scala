@@ -1475,6 +1475,53 @@ object SparkEntry {
         declared.unionByName(full).unionByName(trunc),
         col("doc_id"), col("r"))
     }),
+    // the x50 fuzzy pairs GRADED: Jaro–Winkler on every verified pair via
+    // the native kernel (Spark has no Jaro family; semantics pinned to
+    // DuckDB's jaro_winkler_similarity so the oracle is the reference)
+    "x158_jw_pairs" -> ((s, dir) => {
+      val names = T(s, dir, "documents").select(col("doc_id"),
+        concat(lit("user_"), col("doc_id").cast("string")).as("name"))
+      val p = ((col("doc_id") % length(col("name"))) + 1).cast("int")
+      val typos = names.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("typo_id"),
+          concat(col("name").substr(lit(1), p - 1),
+            col("name").substr(p + 1, length(col("name")) - p)).as("typo_name"))
+      graft.analytics.Joins.fuzzyJoinScored(names, col("doc_id"),
+        col("name"), typos, col("typo_id"), col("typo_name"))
+    }),
+    // LSH banding planner: expected candidates + high-band recall per
+    // (bands, rows) config, integrated against x115's MEASURED pair
+    // histogram — pick b,r from this corpus, not folklore
+    "x159_lsh_planner" -> ((s, dir) =>
+      Dedup.lshPlanner(
+        Dedup.thresholdSweep(T(s, dir, "documents"), col("doc_id"),
+          col("text")),
+        configs = Seq((4, 2), (8, 2), (8, 4), (16, 4), (32, 4), (16, 8)))),
+    // Theil–Sen robust slope over the x126 zipf points (top-40 ln-ln
+    // curve per source): the median-of-pairwise-slopes fit an outlier
+    // head term can't drag the way it drags OLS
+    "x160_theil_sen" -> ((s, dir) => {
+      val counts = T(s, dir, "documents")
+        .select(col("source"), explode(TextAnalysis.tokens(col("text")))
+          .as("term"))
+        .groupBy(col("source"), col("term")).agg(count(lit(1)).as("__f"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("__f").desc, col("term").asc)
+      val pts = counts.withColumn("__rnk", row_number().over(w))
+        .filter(col("__rnk") <= 40)
+        .select(col("source"), log(col("__rnk").cast("double")).as("__x"),
+          log(col("__f").cast("double")).as("__y"))
+      Correlation.theilSenByGroup(pts, col("source"), col("__x"), col("__y"))
+    }),
+    // Hill tail-index per source over the top-20 term frequencies (the
+    // templated per-source vocabulary is ~30 terms; the estimator needs
+    // the (k+1)-th order statistic at every SF) — the
+    // order-statistics twin of x126's regression slope; they disagree
+    // exactly when template mass owns the mid-ranks
+    "x161_hill_tail" -> ((s, dir) =>
+      graft.text.TfIdf.hillTailIndex(T(s, dir, "documents"), col("source"),
+        col("text"), k = 20)),
     // CUPED variance reduction: per-user morning activity (covariate)
     // against afternoon outcome, pooled theta, per-variant before/after
     // variances — how much A/B sample the covariate buys back

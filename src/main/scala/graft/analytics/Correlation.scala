@@ -126,4 +126,44 @@ object Correlation {
       .agg(count(lit(1)).as("n"),
         round(corr(col("__rx"), col("__ry")), 6).as("spearman"))
   }
+
+  /** Theil–Sen slope per group: the MEDIAN of all pairwise slopes
+    * (yⱼ−yᵢ)/(xⱼ−xᵢ) over xᵢ < xⱼ — the robust companion to the OLS
+    * fits ([[trendByGroup]], zipf/heaps): a single wild point moves OLS
+    * arbitrarily but shifts a median of O(n²) slopes by one order
+    * statistic (29 % breakdown). Pairs with equal x are excluded (no
+    * slope exists), per the standard estimator.
+    *
+    * The caller BOUNDS the per-group point count (the repo's
+    * bounded-domain discipline: fit curves, rank heads, bucketed
+    * profiles — never raw corpora): the pair frame is |group|·n²/2 rows
+    * and the per-group median sort is over exactly that. Slopes are
+    * rounded at 6 BEFORE the median so both engines order the same
+    * multiset; the median of an even count is the mean of the two middle
+    * order statistics (the DuckDB `median` convention, restated with a
+    * rank window here).
+    */
+  def theilSenByGroup(df: DataFrame, key: Column, x: Column,
+      y: Column): DataFrame = {
+    val base = df.select(key.as("grp"), x.cast("double").as("__x"),
+      y.cast("double").as("__y"))
+    val pairs = base
+      .join(base.select(col("grp"), col("__x").as("__x2"),
+        col("__y").as("__y2")), Seq("grp"))
+      .filter(col("__x") < col("__x2"))
+      .select(col("grp"), round((col("__y2") - col("__y")) /
+        (col("__x2") - col("__x")), 6).as("__s"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("__s"))
+    val counted = pairs
+      .withColumn("__rn", row_number().over(wr))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))))
+    counted
+      .filter(col("__rn") === floor((col("__n") + 1) / 2).cast("int") ||
+        col("__rn") === floor((col("__n") + 2) / 2).cast("int"))
+      .groupBy(col("grp").as("group"))
+      .agg(max(col("__n")).as("n_pairs"),
+        round(avg(col("__s")), 6).as("ts_slope"))
+  }
 }

@@ -79,4 +79,20 @@ object Joins {
       .withColumn("distance", levenshtein(col("left_key"), col("right_key")))
       .filter(col("distance") <= 1)
   }
+
+  /** [[fuzzyJoin]] with a Jaro–Winkler similarity on every verified pair —
+    * the GRADED companion to the binary edit-distance gate: two distance-1
+    * pairs are not equally good matches (a swapped prefix character is a
+    * likelier typo than a changed one), and survivorship/linkage rules
+    * want that ordering. Runs the [[graft.plans.Native.jaroWinkler]]
+    * codegen kernel (Spark ships no Jaro family) over the ALREADY-BOUNDED
+    * verified-pair frame, so the scoring adds one fused projection, no
+    * new shuffle.
+    */
+  def fuzzyJoinScored(left: DataFrame, leftId: Column, leftKey: Column,
+      right: DataFrame, rightId: Column, rightKey: Column,
+      maxBucket: Int = 1000): DataFrame =
+    fuzzyJoin(left, leftId, leftKey, right, rightId, rightKey, maxBucket)
+      .withColumn("jw", round(
+        graft.plans.Native.jaroWinkler(col("left_key"), col("right_key")), 6))
 }

@@ -963,6 +963,50 @@ object Dedup {
         col("n_pairs"), col("n_at_or_above"))
   }
 
+  /** LSH banding planner over a MEASURED similarity profile: for each
+    * candidate (bands, rowsPerBand) config, the expected candidate-pair
+    * count and the expected recall on the high-similarity mass, computed
+    * by integrating the banding collision curve p(t) = 1 − (1 − tʳ)ᵇ
+    * against [[thresholdSweep]]'s pair histogram — "pick b and r from
+    * THIS corpus's dup structure", replacing the folklore defaults the
+    * sweep already replaced for the threshold. Each histogram bucket
+    * contributes n_pairs·p(mid), mid = bucket + step/2.
+    *
+    * Scale shape: the sweep frame is ≤ 1/step rows; configs explode as a
+    * literal array — the whole planner is a |buckets|·|configs|-row
+    * computation after the sweep's one candidate pass. `recall_high` is
+    * null when the corpus has no pairs at or above `highThreshold`
+    * (nothing to recall).
+    */
+  def lshPlanner(sweep: DataFrame, configs: Seq[(Int, Int)],
+      step: Double = 0.05, highThreshold: Double = 0.7): DataFrame = {
+    require(configs.nonEmpty, "configs must be non-empty")
+    configs.foreach { case (b, r) =>
+      require(b >= 1 && r >= 1, s"bands/rows must be >= 1, got ($b, $r)") }
+    val cfg = explode(array(configs.map { case (b, r) =>
+      struct(lit(b).as("bands"), lit(r).as("rows_per_band")) }: _*))
+    val g = sweep
+      .select(col("threshold"), col("n_pairs"), cfg.as("__c"))
+      .select(col("threshold"), col("n_pairs"),
+        col("__c.bands").as("bands"),
+        col("__c.rows_per_band").as("rows_per_band"))
+      .withColumn("__p", lit(1.0) - pow(lit(1.0) -
+        pow(col("threshold") + lit(step / 2),
+          col("rows_per_band").cast("double")),
+        col("bands").cast("double")))
+    g.groupBy(col("bands"), col("rows_per_band"))
+      .agg(
+        round(sum(col("n_pairs").cast("double") * col("__p")), 6)
+          .as("expected_candidates"),
+        when(sum(when(col("threshold") >= highThreshold, col("n_pairs"))
+            .otherwise(lit(0L))) > 0L,
+          round(sum(when(col("threshold") >= highThreshold,
+              col("n_pairs").cast("double") * col("__p")).otherwise(lit(0.0))) /
+            sum(when(col("threshold") >= highThreshold, col("n_pairs"))
+              .otherwise(lit(0L))).cast("double"), 6))
+          .as("recall_high"))
+  }
+
   /** Duplicate-inflation histogram: the distribution of duplicate-cluster
     * sizes over the WHOLE corpus — how much of the dataset is redundant
     * copies, bucketed by family size (the datacard number behind "dedup

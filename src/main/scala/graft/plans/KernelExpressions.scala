@@ -701,6 +701,40 @@ case class CmsEstimate(child: Expression, sketch: Seq[Byte])
     copy(child = newChild)
 }
 
+/** Jaro–Winkler similarity of two string columns — a native kernel
+  * because Spark ships `levenshtein` but no Jaro family, and the
+  * entity-resolution tier needs the transposition-tolerant metric for
+  * name/key matching (typo'd ids swap adjacent characters more often
+  * than they insert). Byte-based, DuckDB-compatible semantics — see
+  * [[Kernels.jaroWinkler]] for the pinned contract.
+  */
+case class JaroWinklerSim(left: Expression, right: Expression)
+  extends BinaryExpression {
+  private val KernelsCls = Kernels.getClass.getName.stripSuffix("$")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"jaro_winkler requires (string, string), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaro_winkler"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.jaroWinkler(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = $KernelsCls.jaroWinkler($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): JaroWinklerSim =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API constructors for the kernel expressions. */
 object Native {
   private def C(e: Expression): Column = ColumnBridge.column(e)
@@ -733,6 +767,8 @@ object Native {
   def simhash16(text: Column): Column = C(Simhash16(E(text)))
 
   def intersectCount(a: Column, b: Column): Column = C(IntersectCount(E(a), E(b)))
+
+  def jaroWinkler(a: Column, b: Column): Column = C(JaroWinklerSim(E(a), E(b)))
 
   def tokenCount(text: Column): Column = C(TokenCount(E(text)))
 

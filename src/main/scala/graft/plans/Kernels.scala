@@ -686,4 +686,58 @@ object Kernels {
     }
     acc
   }
+
+  /** Jaro–Winkler similarity over raw UTF-8 BYTES — deliberately
+    * byte-based (not codepoints) so the kernel is bit-compatible with
+    * DuckDB's `jaro_winkler_similarity` (RapidFuzz lineage), pinned
+    * empirically: matching window ⌊max/2⌋−1, greedy left-to-right match
+    * assignment, HALF-transposition count by integer division, Winkler
+    * prefix boost (byte prefix capped at 4, scale 0.1) applied only when
+    * jaro > 0.7, and either side empty → 0 (NOT 1, the RapidFuzz
+    * convention). O(|a|·window) time, two small boolean scratch arrays —
+    * keep inputs to name/key width (the x50 domain), not documents.
+    */
+  def jaroWinkler(a: UTF8String, b: UTF8String): Double = {
+    val s = a.getBytes
+    val t = b.getBytes
+    val n = s.length
+    val m = t.length
+    if (n == 0 || m == 0) return 0.0
+    val win = math.max(math.max(n, m) / 2 - 1, 0)
+    val sM = new Array[Boolean](n)
+    val tM = new Array[Boolean](m)
+    var matches = 0
+    var i = 0
+    while (i < n) {
+      val hi = math.min(m - 1, i + win)
+      var j = math.max(0, i - win)
+      var open = true
+      while (j <= hi && open) {
+        if (!tM(j) && s(i) == t(j)) {
+          sM(i) = true; tM(j) = true; matches += 1; open = false
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    var mismatch = 0
+    var k = 0
+    i = 0
+    while (i < n) {
+      if (sM(i)) {
+        while (!tM(k)) k += 1
+        if (s(i) != t(k)) mismatch += 1
+        k += 1
+      }
+      i += 1
+    }
+    val mm = matches.toDouble
+    val jaro = (mm / n + mm / m + (mm - mismatch / 2) / mm) / 3.0
+    if (jaro <= 0.7) return jaro
+    var p = 0
+    val cap = math.min(4, math.min(n, m))
+    while (p < cap && s(p) == t(p)) p += 1
+    jaro + p * 0.1 * (1.0 - jaro)
+  }
 }

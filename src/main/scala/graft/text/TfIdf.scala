@@ -541,6 +541,42 @@ object TfIdf {
     * heaps, no global sort). Ties break (χ², term) for cross-engine
     * stability.
     */
+  /** Hill tail-index estimator per group: α = 1/H with
+    * H = (1/k)·Σᵢ₌₁..k ln(fᵢ/f₍k₊₁₎) over the k largest term frequencies
+    * — the ORDER-STATISTICS estimate of the same frequency-tail exponent
+    * [[zipfSlope]] fits by regression. The two disagreeing is itself the
+    * signal: OLS is dragged by the mid-ranks (template mass), Hill sees
+    * only the head, so template-stuffed feeds show a stable Hill α with a
+    * collapsed Zipf slope. Groups with fewer than k+1 distinct terms emit
+    * null (the estimator needs the (k+1)-th order statistic); H = 0 (top
+    * k+1 frequencies all equal) emits null α, not a division error.
+    *
+    * Scale shape: the (group, term) count aggregate, one per-group rank
+    * window over the vocabulary-sized frame (the x29/x30 discipline),
+    * then ≤ k rows per group aggregate. Integer counts until the ln.
+    */
+  def hillTailIndex(df: DataFrame, group: Column, text: Column,
+      k: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counts = df
+      .select(group.as("source"), explode(TextAnalysis.tokens(text)).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("__f"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("__f").desc, col("term").asc)
+    val ranked = counts.withColumn("__rnk", row_number().over(w))
+      .filter(col("__rnk") <= k + 1)
+    val kth = ranked.filter(col("__rnk") === k + 1)
+      .select(col("source"), col("__f").as("__fk"))
+    ranked.filter(col("__rnk") <= k)
+      .join(kth, Seq("source")) // inner: groups lacking the (k+1)-th drop
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"),
+        avg(log(col("__f").cast("double") / col("__fk").cast("double")))
+          .as("__h"))
+      .select(col("source"), col("n_terms"), round(col("__h"), 6).as("h"),
+        when(col("__h") > 0.0, round(lit(1.0) / col("__h"), 6)).as("alpha"))
+  }
+
   def chiSqTokens(df: DataFrame, id: Column, text: Column, cls: Column,
       topK: Int = 50, minDf: Long = 5L): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")

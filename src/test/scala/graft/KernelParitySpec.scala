@@ -129,4 +129,40 @@ class KernelParitySpec extends SparkSpec {
       assert(r.getLong(6) === r.getLong(7))
     }
   }
+
+  test("jaro-winkler kernel matches the pinned DuckDB reference values") {
+    // expectations computed by DuckDB's jaro_winkler_similarity /
+    // jaro_similarity (the oracle engine) — the kernel's contract is
+    // bit-compatibility with that byte-based, 0.7-boost-gated,
+    // integer-half-transposition, 4-byte-prefix variant
+    val cases = Seq(
+      // (a, b, expected jw)
+      ("MARTHA", "MARHTA", 0.9611111111111111),     // 1 transposition + MAR prefix
+      ("DIXON", "DICKSONX", 0.8133333333333332),    // DI prefix boost
+      ("JELLYFISH", "SMELLYFISH", 0.8962962962962964), // jaro > .7, prefix 0
+      ("CRATE", "TRACE", 0.7333333333333334),       // > .7 but no prefix
+      ("ab", "axyzw", 0.5666666666666667),          // BELOW boost gate: raw jaro
+      ("abc", "abzzzzzzzz", 0.6222222222222222),    // prefix 2 but gated off
+      ("abcdef", "bcadef", 0.9444444444444445 + 0.0), // odd mismatches: t = 3/2 = 1
+      ("aaaaaaaaaa", "aaaaaaaaab", 0.96),           // prefix capped at 4
+      ("AB", "BA", 0.0),                            // window 0: no matches
+      ("a", "b", 0.0),
+      ("A", "A", 1.0),
+      ("", "ABC", 0.0),                             // empty → 0, NOT 1
+      ("", "", 0.0),
+      // multibyte: BYTE semantics (ü/ï are 2 bytes) — codepoint math
+      // would give 0.904762 here, the byte reference gives 0.918981
+      ("ünïcode", "ünicode", 0.9189814814814814))
+    val got = cases.map { case (a, b, _) => (a, b) }
+      .toDF("a", "b")
+      .select(col("a"), col("b"), Native.jaroWinkler(col("a"), col("b")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    cases.foreach { case (a, b, want) =>
+      assert(got((a, b)) === want, s"jw($a, $b)")
+    }
+    // the odd-mismatch case pins integer half-transpositions: fractional
+    // t = 1.5 would give 0.916667 instead
+    assert(math.abs(got(("abcdef", "bcadef")) - 0.916667) > 0.01)
+  }
 }

@@ -59,7 +59,19 @@ class PlanAuditSpec extends SparkSpec {
     "x134_t_closeness", "x137_ks_drift", "x139_modularity",
     // 1-row broadcast scalars: quantile-normalize's pooled-total frame,
     // Welch t's grand-moment frame, Fano's spine-hour count
-    "x144_quantile_normalize", "x146_welch_t", "x147_fano_burstiness")
+    "x144_quantile_normalize", "x146_welch_t", "x147_fano_burstiness",
+    // 1-row broadcast scalars: Heaps' id-range bounds, Mann-Whitney's
+    // tie/grand frame, Wasserstein's spine+grand (|distinct v| bounded),
+    // KS-FDR's total and m frames, chi2's 2-class totals, CUPED's
+    // theta/xbar fit frame
+    "x149_heaps_fit", "x150_mann_whitney", "x153_wasserstein",
+    "x154_ks_fdr", "x152_chi2_tokens", "x157_cuped",
+    // bruteForceKnn arms: broadcast 2-3-query probe sets, non-equi
+    // (neighbor_id <> query_id) scan — the batch-kNN shape
+    "x151_rank_overlap",
+    // x156's raters ride withLangId over the corpus (per-row kernels);
+    // its BNLJ is the 1-row class-marginal frame against item moments
+    "x156_krippendorff")
 
   test("no query plans a cartesian product; BNLJ only on the allowlist") {
     val dir = "/root/testdata/sf0.001"

@@ -302,6 +302,29 @@ class TfIdfSpec extends SparkSpec {
     assert(f.getDouble(1) === 1.0 && f.getDouble(2) === 0.0)
   }
 
+  test("x161 hillTailIndex: closed form on constructed order statistics") {
+    // source a frequencies: w1×16, w2×8, w3×8, w4×4 (+tail) — at k=3:
+    // H = (ln(16/4) + ln(8/4) + ln(8/4))/3 = 4·ln2/3, α = 3/(4·ln2)
+    val text = Seq.fill(16)("w1") ++ Seq.fill(8)("w2") ++ Seq.fill(8)("w3") ++
+      Seq.fill(4)("w4")
+    val df = Seq(("a", text.mkString(" ")), ("b", "only two words"))
+      .toDF("source", "text")
+    val got = graft.text.TfIdf.hillTailIndex(df, col("source"), col("text"),
+        k = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    def r6(d: Double) = math.rint(d * 1e6) / 1e6
+    val h = 4.0 * math.log(2.0) / 3.0
+    assert(got("a") === ((3L, r6(h), r6(1.0 / h))))
+    // source b has only 3 distinct terms < k+1: no (k+1)-th statistic, no row
+    assert(!got.contains("b"))
+    // a flat head (top k+1 frequencies equal) has H = 0 → null alpha
+    val flat = Seq(("f", "x x y y z z q q")).toDF("source", "text")
+    val fr = graft.text.TfIdf.hillTailIndex(flat, col("source"),
+      col("text"), k = 3).head()
+    assert(fr.getDouble(2) === 0.0 && fr.isNullAt(3))
+  }
+
   test("x152 chiSqTokens: 2x2 closed form, perfect separators on top") {
     val d = Seq(
       (1L, "apple banana", true), (2L, "apple cherry", true),
