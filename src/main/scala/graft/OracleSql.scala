@@ -3929,6 +3929,45 @@ object OracleSql {
          |FROM cn WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
          | OR rn = CAST(floor((n + 2) / 2.0) AS BIGINT)
          |GROUP BY 1""".stripMargin,
+    // mirror of Packing.paddingWaste: CASE-chain bucket assignment over
+    // the x01 token-count expression, |edges|-row aggregate
+    "x162_padding_waste" ->
+      s"""WITH t AS (SELECT CAST(len($Toks) AS BIGINT) AS tt FROM documents),
+         |b AS (SELECT tt, CAST(CASE WHEN tt <= 16 THEN 16
+         |  WHEN tt <= 32 THEN 32 WHEN tt <= 64 THEN 64
+         |  ELSE 128 END AS BIGINT) AS seq_len FROM t)
+         |SELECT seq_len, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(tt) AS BIGINT) AS total_tokens,
+         | CAST(count(*) * max(seq_len) AS BIGINT) AS padded_tokens,
+         | CAST(sum(greatest(tt - seq_len, 0)) AS BIGINT) AS truncated_tokens,
+         | round(1.0 - CAST(sum(least(tt, seq_len)) AS DOUBLE)
+         |  / CAST(count(*) * max(seq_len) AS DOUBLE), 6) AS waste_ratio
+         |FROM b GROUP BY 1""".stripMargin,
+    // mirror of Validation.skewStrategy: count-of-counts Gini (rank-block
+    // arithmetic in longs), round-6 top1 share feeding the rule verdict
+    "x163_skew_strategy" ->
+      """WITH k AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS cnt
+        | FROM events GROUP BY 1),
+        |cc AS (SELECT cnt AS c, CAST(count(*) AS BIGINT) AS m FROM k
+        | GROUP BY 1),
+        |r AS (SELECT c, m, CAST(coalesce(sum(m) OVER (ORDER BY c
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |  AS r0 FROM cc),
+        |s AS (SELECT CAST(sum(c * m) AS BIGINT) AS n,
+        |  CAST(sum(m) AS BIGINT) AS n_keys, CAST(max(c) AS BIGINT) AS mx,
+        |  CAST(sum(c * (m * r0 + CAST(floor(CAST(m * (m + 1) AS DOUBLE)
+        |   / 2.0) AS BIGINT))) AS BIGINT) AS sr FROM r),
+        |e AS (SELECT n, n_keys,
+        |  round(CAST(mx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS top1_share,
+        |  round(2.0 * CAST(sr AS DOUBLE)
+        |    / (CAST(n_keys AS DOUBLE) * CAST(n AS DOUBLE))
+        |   - (CAST(n_keys AS DOUBLE) + 1.0) / CAST(n_keys AS DOUBLE), 6)
+        |   AS gini FROM s)
+        |SELECT n, n_keys, top1_share, gini,
+        | CASE WHEN top1_share >= 0.2 THEN 'broadcast_dim_else_salt'
+        |  WHEN top1_share >= 0.05 THEN 'aqe_skew_join'
+        |  ELSE 'plain_shuffle_join' END AS strategy
+        |FROM e""".stripMargin,
     // mirror of TfIdf.hillTailIndex: top-20 order statistics against the
     // 21st, H in one avg, alpha = 1/H (raw H, rounded on emission)
     "x161_hill_tail" ->

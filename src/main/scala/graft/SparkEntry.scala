@@ -1514,6 +1514,15 @@ object SparkEntry {
           log(col("__f").cast("double")).as("__y"))
       Correlation.theilSenByGroup(pts, col("source"), col("__x"), col("__y"))
     }),
+    // padding-waste economics per candidate sequence-length bucket — the
+    // measurement that picks batching edges instead of 2^k folklore
+    "x162_padding_waste" -> ((s, dir) =>
+      graft.sampling.Packing.paddingWaste(T(s, dir, "documents"),
+        TextAnalysis.tokenCount(col("text")), edges = Seq(16, 32, 64, 128))),
+    // one-row join-key skew profile + the measured p19 decision rule as
+    // a verdict: count-of-counts Gini, hottest-key share, strategy
+    "x163_skew_strategy" -> ((s, dir) =>
+      Validation.skewStrategy(T(s, dir, "events"), col("user_id"))),
     // Hill tail-index per source over the top-20 term frequencies (the
     // templated per-source vocabulary is ~30 terms; the estimator needs
     // the (k+1)-th order statistic at every SF) — the

@@ -123,6 +123,52 @@ object Validation {
           .as("skew_ratio"))
   }
 
+  /** One-row join-key skew profile + strategy recommendation — the
+    * measured p19 decision rule (PLANS.md skew A/B: at a ~30 %-hot-key
+    * shape, broadcast > salt > AQE-skew > plain) turned into an operator,
+    * so pipelines pick a join strategy from the key histogram instead of
+    * discovering the straggler at 100 TB. Emits row count, distinct keys,
+    * the hottest key's share, the Gini concentration of the key
+    * distribution, and the rule's verdict.
+    *
+    * Scale shape: the Gini never sorts the |keys| frame — it reduces to
+    * the COUNT-OF-COUNTS (one row per distinct multiplicity, bounded by
+    * the count domain, not the key domain): a block of m keys each seen
+    * c times occupies ranks r₀+1..r₀+m in the ascending order, so
+    * Σrank·count = Σ_blocks c·(m·r₀ + m(m+1)/2) with r₀ a running sum
+    * over the tiny frame. All longs until the two final divisions
+    * (Σ c·m·D < 2⁶³ bounds N·D — shard the audit per partition key past
+    * ~10⁹·10⁹; a skew PROFILE needs nothing like that resolution).
+    */
+  def skewStrategy(df: DataFrame, key: Column,
+      hotShare: Double = 0.2, mildShare: Double = 0.05): DataFrame = {
+    require(hotShare > mildShare && mildShare > 0.0,
+      s"need hotShare > mildShare > 0, got ($hotShare, $mildShare)")
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))
+    val cc = counts.groupBy(col("cnt").as("c"))
+      .agg(count(lit(1)).as("m"))
+    val wAsc = org.apache.spark.sql.expressions.Window.orderBy(col("c"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val d = (x: Column) => x.cast("double")
+    cc.withColumn("__r0", coalesce(sum(col("m")).over(wAsc), lit(0L)))
+      .agg(sum(col("c") * col("m")).as("n"),
+        sum(col("m")).as("n_keys"),
+        max(col("c")).as("__mx"),
+        // m(m+1) is even, so the halving is exact; floor() of the double
+        // division keeps it integral (Spark `/` on longs is IEEE division)
+        sum(col("c") * (col("m") * col("__r0") +
+          floor((col("m") * (col("m") + 1L)).cast("double") / 2.0)
+            .cast("long"))).as("__s"))
+      .withColumn("top1_share", round(d(col("__mx")) / d(col("n")), 6))
+      .withColumn("gini", round(
+        lit(2.0) * d(col("__s")) / (d(col("n_keys")) * d(col("n"))) -
+          (d(col("n_keys")) + 1.0) / d(col("n_keys")), 6))
+      .select(col("n"), col("n_keys"), col("top1_share"), col("gini"),
+        when(col("top1_share") >= hotShare, lit("broadcast_dim_else_salt"))
+          .when(col("top1_share") >= mildShare, lit("aqe_skew_join"))
+          .otherwise(lit("plain_shuffle_join")).as("strategy"))
+  }
+
   /** P20: event-time disorder audit — the measurement that picks a
     * streaming watermark delay the way [[keySkewAudit]] picks a join
     * strategy. Within each key's ARRIVAL sequence (`order`: an ingest

@@ -41,4 +41,41 @@ object Packing {
       .withColumn("pack_offset", (col("__cum") % budgetTokens).cast("long"))
       .drop("__tok", "__cum")
   }
+
+  /** Padding-waste planner — the economics table behind the pad-vs-pack
+    * decision [[packSequences]] resolves one way and per-length batching
+    * resolves the other: for each candidate sequence-length bucket (each
+    * doc padded up to the smallest `edge ≥ its token count`, clamped and
+    * truncated at the largest), the doc count, true token mass, padded
+    * token mass, the padding waste ratio, and the tokens truncation
+    * destroys. A feed whose mass sits just above a power-of-two edge
+    * shows up as one ruinous `waste_ratio` row — the measurement that
+    * picks bucket edges, instead of defaulting to 2ᵏ folklore.
+    *
+    * Scale shape: one token-count kernel pass, a CASE-chain bucket
+    * assignment (edges are plan constants), one |edges|-row aggregate —
+    * map-side combinable, nothing corpus-sized past the scan.
+    */
+  def paddingWaste(df: DataFrame, tokenCount: Column,
+      edges: Seq[Int]): DataFrame = {
+    require(edges.nonEmpty && edges.forall(_ > 0), "edges must be positive")
+    val sorted = edges.distinct.sorted
+    val top = sorted.last
+    val t = tokenCount.cast("long")
+    val bucket = sorted.init.foldRight(lit(top.toLong)) { (e, acc) =>
+      when(t <= e, lit(e.toLong)).otherwise(acc)
+    }
+    df.select(t.as("__t"), bucket.as("seq_len"))
+      .groupBy(col("seq_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__t")).as("total_tokens"),
+        sum(least(col("__t"), col("seq_len"))).as("kept_tokens"),
+        (count(lit(1)) * max(col("seq_len"))).as("padded_tokens"),
+        sum(greatest(col("__t") - col("seq_len"), lit(0L)))
+          .as("truncated_tokens"))
+      .select(col("seq_len"), col("n_docs"), col("total_tokens"),
+        col("padded_tokens"), col("truncated_tokens"),
+        round(lit(1.0) - col("kept_tokens").cast("double") /
+          col("padded_tokens").cast("double"), 6).as("waste_ratio"))
+  }
 }

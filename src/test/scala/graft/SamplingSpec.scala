@@ -256,4 +256,23 @@ class SamplingSpec extends SparkSpec {
     assert(got.toSet === again.toSet)
     assert(sel.count() >= got.length) // sanity: picks come from control
   }
+
+  test("x162 paddingWaste: bucket assignment, waste and truncation closed form") {
+    import graft.sampling.Packing
+    // token counts 3, 8, 8, 9, 20: edges (8, 16) → bucket 8: {3,8,8},
+    // bucket 16: {9}, clamp: {20} → 16 with 4 tokens truncated
+    val df = Seq("a b c", "a b c d e f g h", "1 2 3 4 5 6 7 8",
+      "1 2 3 4 5 6 7 8 9", ('a' to 't').mkString(" ")).toDF("text")
+    val got = Packing.paddingWaste(df,
+        graft.text.TextAnalysis.tokenCount(col("text")), Seq(8, 16))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    def r6(d: Double) = math.rint(d * 1e6) / 1e6
+    // bucket 8: 3 docs, 19 true tokens, 24 padded → waste 5/24
+    assert(got(8L) === ((3L, 19L, 24L, 0L, r6(1.0 - 19.0 / 24.0))))
+    // bucket 16: doc of 9 (waste 7/16·…) and the clamped doc of 20
+    // (keeps 16, truncates 4): kept = 9 + 16 = 25 of 32 padded
+    assert(got(16L) === ((2L, 29L, 32L, 4L, r6(1.0 - 25.0 / 32.0))))
+  }
 }

@@ -220,4 +220,32 @@ class ValidationSpec extends SparkSpec {
     // sorted lateness [0,0,0,0,0,1.8e8]: p95 lerps idx 4..5 at 0.75 -> 135 s
     assert(r.getDouble(4) === 135.0)
   }
+
+  test("x163 skewStrategy: count-of-counts gini, p19 verdict thresholds") {
+    import spark.implicits._
+    // uniform 4 keys × 2 rows: top1 = .25 ≥ .2 → hot verdict is share-
+    // driven even when gini = 0 (a tiny key domain IS a broadcast case)
+    val uniform = Seq(1, 1, 2, 2, 3, 3, 4, 4).toDF("k")
+    val u = Validation.skewStrategy(uniform, col("k")).head()
+    assert((u.getLong(0), u.getLong(1)) === ((8L, 4L)))
+    assert(u.getDouble(2) === 0.25 && u.getDouble(3) === 0.0)
+    assert(u.getString(4) === "broadcast_dim_else_salt")
+    // one hot key (8 of 14) over 7 grains: exact gini from the closed
+    // form Σ 2·i·cᵢ/(D·N) − (D+1)/D on sorted counts [1×6, 8]
+    val hot = (Seq.fill(8)(0) ++ (1 to 6)).toDF("k")
+    val h = Validation.skewStrategy(hot, col("k")).head()
+    val countsAsc = Seq(1, 1, 1, 1, 1, 1, 8)
+    val s = countsAsc.zipWithIndex.map { case (c, i) => (i + 1) * c }.sum
+    val gini = 2.0 * s / (7.0 * 14.0) - 8.0 / 7.0
+    assert(h.getDouble(3) === math.rint(gini * 1e6) / 1e6)
+    assert(h.getString(4) === "broadcast_dim_else_salt")
+    // a flat wide domain (each key once) lands on the plain join
+    val wide = (1 to 100).toDF("k")
+    val w = Validation.skewStrategy(wide, col("k")).head()
+    assert(w.getDouble(2) === 0.01 && w.getString(4) === "plain_shuffle_join")
+    // mid-band: top share .1 in (.05, .2) → AQE skew join
+    val mid = (Seq.fill(10)(0) ++ (1 to 90)).toDF("k")
+    assert(Validation.skewStrategy(mid, col("k")).head().getString(4)
+      === "aqe_skew_join")
+  }
 }
