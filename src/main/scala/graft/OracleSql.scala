@@ -3929,6 +3929,85 @@ object OracleSql {
          |FROM cn WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
          | OR rn = CAST(floor((n + 2) / 2.0) AS BIGINT)
          |GROUP BY 1""".stripMargin,
+    // mirror of Profile.benfordAudit: integer-scaled leading digit via
+    // string rendering, round-6 share minus round-6 expectation
+    "x164_benford" ->
+      """WITH u AS (SELECT CAST(round(CAST(value AS DOUBLE) * 100.0, 0)
+        |  AS BIGINT) AS u FROM events),
+        |c AS (SELECT CAST(substring(CAST(u AS VARCHAR), 1, 1) AS INTEGER)
+        |  AS digit, CAST(count(*) AS BIGINT) AS n
+        | FROM u WHERE u > 0 GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM c)
+        |SELECT digit, n,
+        | round(CAST(n AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS share,
+        | round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford,
+        | round(round(CAST(n AS DOUBLE) / CAST(tt AS DOUBLE), 6)
+        |  - round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6), 6) AS delta
+        |FROM c CROSS JOIN t""".stripMargin,
+    // mirror of TextAnalysis.langIdMargin: sorted 5-score list, top minus
+    // runner-up, abstain below 2 marker hits
+    "x165_langid_margin" ->
+      s"""WITH ${langDetectChainSql("documents", "")},
+         |sr AS (SELECT doc_id, list_sort([score_de, score_en, score_es,
+         |  score_fr, score_zh]) AS ls FROM sc),
+         |mg AS (SELECT d.predicted AS detected_lang,
+         |  sr.ls[5] - sr.ls[4] AS m
+         | FROM d JOIN sr ON d.doc_id = sr.doc_id)
+         |SELECT detected_lang, CAST(count(*) AS BIGINT) AS n,
+         | CAST(sum(CASE WHEN m < 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_abstain,
+         | round(avg(CAST(m AS DOUBLE)), 6) AS avg_margin,
+         | round(CAST(sum(CASE WHEN m < 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |  / CAST(count(*) AS DOUBLE), 6) AS abstain_rate
+         |FROM mg GROUP BY 1""".stripMargin,
+    // mirror of Temporal.kaplanMeier: integer day spans, censoring flag,
+    // at-risk running remainder, product as exp(sum ln) with the
+    // all-churn duration handled as a flag (never ln(0))
+    "x166_kaplan_meier" ->
+      """WITH s AS (SELECT user_id, min(ts) AS f, max(ts) AS l FROM events
+        | GROUP BY 1),
+        |e AS (SELECT max(ts) AS oe FROM events),
+        |pk AS (SELECT CAST(date_diff('day', CAST(f AS DATE), CAST(l AS DATE))
+        |   AS BIGINT) AS t,
+        |  (date_diff('day', CAST(l AS DATE), CAST(oe AS DATE)) > 3) AS churn
+        | FROM s CROSS JOIN e),
+        |bt AS (SELECT t,
+        |  CAST(sum(CASE WHEN churn THEN 1 ELSE 0 END) AS BIGINT) AS n_churn,
+        |  CAST(sum(CASE WHEN NOT churn THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_censored
+        | FROM pk GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_churn + n_censored) AS BIGINT) AS al
+        | FROM bt),
+        |rk AS (SELECT t, n_churn, n_censored,
+        |  al - CAST(coalesce(sum(n_churn + n_censored) OVER (ORDER BY t
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |   AS n_risk
+        | FROM bt CROSS JOIN tot),
+        |km AS (SELECT t, n_risk, n_churn, n_censored,
+        |  max(CASE WHEN n_churn = n_risk THEN 1 ELSE 0 END) OVER (ORDER BY t
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead,
+        |  sum(CASE WHEN n_churn < n_risk THEN
+        |    ln(1.0 - CAST(n_churn AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |   ELSE 0.0 END) OVER (ORDER BY t
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lsum
+        | FROM rk)
+        |SELECT t AS t_days, n_risk, n_churn, n_censored,
+        | CASE WHEN dead = 1 THEN 0.0 ELSE round(exp(lsum), 6) END
+        |  AS survival
+        |FROM km""".stripMargin,
+    // mirror of Profile.jsonFieldHistogram: json_extract_string + cast,
+    // floor bucketing, null bucket kept
+    "x167_json_props" ->
+      """WITH k AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |  AS kk FROM events),
+        |b AS (SELECT CASE WHEN kk IS NOT NULL THEN
+        |   CAST(floor(CAST(kk AS DOUBLE) / 10) AS BIGINT) * 10 END AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM k GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM b)
+        |SELECT bucket, n,
+        | round(CAST(n AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS share
+        |FROM b CROSS JOIN t""".stripMargin,
     // mirror of Packing.paddingWaste: CASE-chain bucket assignment over
     // the x01 token-count expression, |edges|-row aggregate
     "x162_padding_waste" ->

@@ -1514,6 +1514,27 @@ object SparkEntry {
           log(col("__f").cast("double")).as("__y"))
       Correlation.theilSenByGroup(pts, col("source"), col("__x"), col("__y"))
     }),
+    // Benford first-digit audit of the event metric — integer-side digit
+    // extraction (no float log10 at power-of-ten boundaries)
+    "x164_benford" -> ((s, dir) =>
+      graft.clean.Profile.benfordAudit(T(s, dir, "events"), col("value"),
+        scaleDecimals = 2)),
+    // lang-id decisiveness: top-vs-runner-up marker margin per detected
+    // language, abstain rate below 2 hits — the gate's precision lever
+    "x165_langid_margin" -> ((s, dir) =>
+      TextAnalysis.langIdMargin(T(s, dir, "documents"), col("text"),
+        minMargin = 2)),
+    // Kaplan–Meier retention over user activity spans (right-censored
+    // within 3 days of observation end) — the survival curve a naive
+    // mean-lifetime dashboard biases low for new cohorts
+    "x166_kaplan_meier" -> ((s, dir) =>
+      Temporal.kaplanMeier(T(s, dir, "events"), col("user_id"), col("ts"),
+        censorDays = 3)),
+    // semi-structured extraction: get_json_object over the props column,
+    // bucketed histogram with the null/malformed bucket kept visible
+    "x167_json_props" -> ((s, dir) =>
+      graft.clean.Profile.jsonFieldHistogram(T(s, dir, "events"),
+        col("props"), "$.k", bucketWidth = 10L)),
     // padding-waste economics per candidate sequence-length bucket — the
     // measurement that picks batching edges instead of 2^k folklore
     "x162_padding_waste" -> ((s, dir) =>

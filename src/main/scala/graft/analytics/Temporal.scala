@@ -510,4 +510,58 @@ object Temporal {
         round((col("hh") * col("ss") - col("n") * col("n")).cast("double") /
           (col("hh") * col("n")).cast("double"), 6).as("fano"))
   }
+
+  /** Kaplan–Meier retention curve over per-key activity spans — the
+    * right-censored answer to "how long do users stay?" that a naive
+    * mean-lifetime dashboard gets wrong: a key whose last activity sits
+    * within `censorDays` of the observation end hasn't churned, it's
+    * CENSORED, and treating it as a death biases lifetime low exactly
+    * for the newest cohorts. Duration = whole days between a key's first
+    * and last event; churn = last event more than `censorDays` before
+    * the corpus max timestamp. S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) with dᵢ
+    * churns and nᵢ at-risk (duration ≥ tᵢ) at each distinct duration.
+    *
+    * Exactness: durations and the (d, c) table are integer; the product
+    * is computed as exp(Σ ln(1 − d/n)) on BOTH engines (same window
+    * order, same op sequence) so the floats agree to rounding. One row
+    * per distinct duration — bounded by the observation window in days,
+    * never by key count.
+    *
+    * Scale shape: one per-key min/max aggregate, a |durations|-row count
+    * frame, a broadcast 1-row total, and one ordered window over the
+    * duration spine.
+    */
+  def kaplanMeier(df: DataFrame, key: Column, time: Column,
+      censorDays: Int = 3): DataFrame = {
+    require(censorDays >= 0, s"censorDays must be >= 0, got $censorDays")
+    val spans = df.select(key.as("k"), time.as("ts"))
+      .groupBy(col("k"))
+      .agg(min(col("ts")).as("__first"), max(col("ts")).as("__last"))
+    val obsEnd = df.agg(max(time).as("__end"))
+    val perKey = spans.crossJoin(broadcast(obsEnd))
+      .select(datediff(col("__last"), col("__first")).cast("long").as("t"),
+        (datediff(col("__end"), col("__last")) > censorDays).as("__churn"))
+    val byT = perKey.groupBy(col("t"))
+      .agg(sum(when(col("__churn"), 1L).otherwise(0L)).as("n_churn"),
+        sum(when(!col("__churn"), 1L).otherwise(0L)).as("n_censored"))
+    val total = byT.agg(sum(col("n_churn") + col("n_censored")).as("__all"))
+    val wBefore = org.apache.spark.sql.expressions.Window.orderBy(col("t"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("t"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    byT.crossJoin(broadcast(total))
+      .withColumn("n_risk", col("__all") -
+        coalesce(sum(col("n_churn") + col("n_censored")).over(wBefore), lit(0L)))
+      // a duration where EVERYONE at risk churns drives the product to
+      // exactly 0 — handled as a flag, not ln(0) (whose null/-inf
+      // behavior is engine-dependent)
+      .withColumn("__dead",
+        max(when(col("n_churn") === col("n_risk"), 1).otherwise(0)).over(wCum))
+      .withColumn("survival", when(col("__dead") === 1, lit(0.0))
+        .otherwise(round(exp(sum(
+          log(lit(1.0) - col("n_churn").cast("double") /
+            col("n_risk").cast("double"))).over(wCum)), 6)))
+      .select(col("t").as("t_days"), col("n_risk"), col("n_churn"),
+        col("n_censored"), col("survival"))
+  }
 }

@@ -120,6 +120,33 @@ object TextAnalysis {
     scored.withColumn("detected_lang", best.getField("l"))
   }
 
+  /** Language-ID CONFIDENCE report: per detected language, how decisive
+    * the [[withLangId]] argmax was — margin = top score − runner-up
+    * score, abstain when the margin is below `minMargin` marker hits.
+    * An argmax always answers; this is the gate that turns "barely beat
+    * the runner-up" into "route to the expensive classifier instead" —
+    * the precision lever a marker-count detector otherwise lacks.
+    *
+    * Scale shape: per-row kernels + one sort of a 5-element array per
+    * row, then a |langs|-row aggregate.
+    */
+  def langIdMargin(df: DataFrame, text: Column,
+      minMargin: Int = 2): DataFrame = {
+    require(minMargin >= 1, s"minMargin must be >= 1, got $minMargin")
+    val scored = withLangId(df, text)
+    val arr = sort_array(array(langMarkers.map { case (l, _) =>
+      col(s"score_$l").cast("int") }: _*))
+    val n = langMarkers.size
+    val margin = element_at(arr, n) - element_at(arr, n - 1)
+    scored.withColumn("__m", margin)
+      .groupBy(col("detected_lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__m") < minMargin, 1L).otherwise(0L)).as("n_abstain"),
+        round(avg(col("__m").cast("double")), 6).as("avg_margin"))
+      .withColumn("abstain_rate",
+        round(col("n_abstain").cast("double") / col("n").cast("double"), 6))
+  }
+
   /** Language-ID confusion matrix: [[withLangId]]'s prediction crossed
     * with a ground-truth label column — the EVALUATION face of the
     * classifier (a lang-id gate is only as good as its per-language

@@ -71,7 +71,10 @@ class PlanAuditSpec extends SparkSpec {
     "x151_rank_overlap",
     // x156's raters ride withLangId over the corpus (per-row kernels);
     // its BNLJ is the 1-row class-marginal frame against item moments
-    "x156_krippendorff")
+    "x156_krippendorff",
+    // 1-row broadcast scalars: Benford's digit total, the json-histogram
+    // total, Kaplan–Meier's observation-end and at-risk totals
+    "x164_benford", "x167_json_props", "x166_kaplan_meier")
 
   test("no query plans a cartesian product; BNLJ only on the allowlist") {
     val dir = "/root/testdata/sf0.001"

@@ -75,4 +75,23 @@ class QualityRulesSpec extends SparkSpec {
       ("en", "en") -> ((1L, 0.5)), ("en", "es") -> ((1L, 0.5)),
       ("de", "de") -> ((1L, 1.0)), ("fr", "fr") -> ((1L, 1.0))))
   }
+
+  test("x165 langIdMargin: decisive docs keep, photo-finish docs abstain") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat is of the and a house"),  // en hits 6, others 0: margin 6
+      (2L, "the la cat"),                     // en 1, es 1, fr 1 → margin 0
+      (3L, "der und the is")                  // de 2, en 2 → tie, margin 0
+    ).toDF("doc_id", "text").repartition(2)
+    val got = graft.text.TextAnalysis.langIdMargin(docs, col("text"),
+        minMargin = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // doc2 argmax ties break on lang order (de < en … ): es? en? — en and
+    // es and fr all score 1; first-listed wins, so detected = de? No: de
+    // scores 0; among {en, es, fr} at 1, the fold keeps the EARLIEST
+    // (en). doc3 ties de/en at 2 → de (listed first).
+    assert(got("en") === ((2L, 1L, 3.0, 0.5)))
+    assert(got("de") === ((1L, 1L, 0.0, 1.0)))
+  }
 }

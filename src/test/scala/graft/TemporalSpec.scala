@@ -383,4 +383,43 @@ class TemporalSpec extends SparkSpec {
     assert(got === Map("A" -> ((4L, 3L, 1.166667)),
       "B" -> ((1L, 3L, 0.666667)), "C" -> ((3L, 3L, 0.0))))
   }
+
+  test("x166 kaplanMeier: textbook product-limit with censoring") {
+    // observation end = day 10 (user E's last event). censorDays = 3.
+    // A: days 0..2 (span 2, last day 2 → churn), B: 0..2 (churn),
+    // C: 0..5 (span 5, last day 5 → churn: 10−5 > 3),
+    // D: 0..8 (span 8, 10−8 ≤ 3 → censored), E: 0..10 (censored)
+    // spine: t=2 (d=2, n=5 → ×3/5), t=5 (d=1, n=3 → ×2/3),
+    // t=8 (c=1, n=2 → ×1), t=10 (c=1, n=1 → ×1)
+    val rows = Seq(
+      ("A", "2025-01-01 00:00:00"), ("A", "2025-01-03 00:00:00"),
+      ("B", "2025-01-01 12:00:00"), ("B", "2025-01-03 12:00:00"),
+      ("C", "2025-01-01 00:00:00"), ("C", "2025-01-06 00:00:00"),
+      ("D", "2025-01-01 00:00:00"), ("D", "2025-01-09 00:00:00"),
+      ("E", "2025-01-01 00:00:00"), ("E", "2025-01-11 00:00:00"))
+      .map { case (k, t) => (k, ts(t)) }.toDF("k", "t").repartition(3)
+    val got = Temporal.kaplanMeier(rows, col("k"), col("t"), censorDays = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    def r6(d: Double) = math.rint(d * 1e6) / 1e6
+    assert(got(2L) === ((5L, 2L, 0L, 0.6)))
+    assert(got(5L) === ((3L, 1L, 0L, r6(0.6 * 2.0 / 3.0))))
+    assert(got(8L) === ((2L, 0L, 1L, r6(0.6 * 2.0 / 3.0))))
+    assert(got(10L) === ((1L, 0L, 1L, r6(0.6 * 2.0 / 3.0))))
+    // everyone churns at one duration: survival hits exactly 0, no ln(0)
+    val dead = Seq(("X", "2025-01-01 00:00:00"), ("X", "2025-01-02 00:00:00"),
+      ("Y", "2025-01-01 00:00:00"), ("Y", "2025-01-20 00:00:00"))
+      .map { case (k, t) => (k, ts(t)) }.toDF("k", "t")
+    val dd = Temporal.kaplanMeier(dead, col("k"), col("t"), censorDays = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(dd(1L) === 0.5 && dd(19L) === 0.5) // Y censored at its own end
+    val allChurn = Seq(("X", "2025-01-01 00:00:00"),
+      ("X", "2025-01-02 00:00:00"), ("Z", "2025-01-10 00:00:00"))
+      .map { case (k, t) => (k, ts(t)) }.toDF("k", "t")
+    // X spans 1 day, last seen day 1, end day 9 → churn; Z spans 0,
+    // last day 9 → censored at 0; at t=1 d=1=n → survival 0
+    val ac = Temporal.kaplanMeier(allChurn, col("k"), col("t"), 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(ac(1L) === 0.0)
+  }
 }

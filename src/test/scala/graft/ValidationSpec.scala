@@ -248,4 +248,31 @@ class ValidationSpec extends SparkSpec {
     assert(Validation.skewStrategy(mid, col("k")).head().getString(4)
       === "aqe_skew_join")
   }
+
+  test("x164 benfordAudit: integer-side digits, zeros/negatives excluded") {
+    import spark.implicits._
+    // values 1.23, 12.3, 0.19 → leading digit 1 (×3); 9.5 → 9;
+    // 0.0 and -5.0 are excluded
+    val df = Seq(1.23, 12.3, 0.19, 9.5, 0.0, -5.0).toDF("v")
+    val got = graft.clean.Profile.benfordAudit(df, col("v"), 2)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    def r6(d: Double) = math.rint(d * 1e6) / 1e6
+    assert(got.keySet === Set(1, 9))
+    assert(got(1) === ((3L, 0.75, r6(math.log10(2.0)))))
+    assert(got(9)._1 === 1L && got(9)._3 === r6(math.log10(10.0 / 9.0)))
+  }
+
+  test("x167 jsonFieldHistogram: buckets, null bucket for malformed rows") {
+    import spark.implicits._
+    val df = Seq("""{"k": 7}""", """{"k": 12}""", """{"k": 19}""",
+      """{"j": 5}""", "not json").toDF("p")
+    val got = graft.clean.Profile.jsonFieldHistogram(df, col("p"), "$.k", 10L)
+      .collect().map(r =>
+        (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+          ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(Some(0L)) === ((1L, 0.2)))
+    assert(got(Some(10L)) === ((2L, 0.4)))
+    assert(got(None) === ((2L, 0.4))) // missing field + malformed row
+  }
 }
