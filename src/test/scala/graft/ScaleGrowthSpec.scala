@@ -452,4 +452,22 @@ class ScaleGrowthSpec extends SparkSpec {
     assert(g < 6.0, s"recall audit must track the sample, not the corpus " +
       s"($small -> $large, ${g}x)")
   }
+
+  test("prefix-join shuffle bytes grow ~linearly from 1x to 10x docs") {
+    // x148's exactness forbids a bucket cap, so its scale safety rests
+    // ENTIRELY on the rare-first prefix property (frequent shingles sort
+    // out of prefixes). This gate measures that property: on the
+    // word-salad corpus (shingles rare, the design case) shuffle bytes
+    // must track the corpus, not its square — a regression that let
+    // frequent shingles into prefixes lands at ~100x
+    def pj(n: Int) =
+      Dedup.prefixJaccardJoin(docs(n), col("doc_id"), col("text"),
+        threshold = 0.5, gramWidth = 3)
+    val small = shuffleBytes(run(pj(500)))
+    val large = shuffleBytes(run(pj(5000)))
+    val g = growth(small, large)
+    assert(small > 0, "listener captured no shuffle writes")
+    assert(g < 25.0,
+      s"prefix join shuffle grew ${g}x for 10x input ($small -> $large)")
+  }
 }
