@@ -297,7 +297,11 @@ object OracleSql {
     * restated step by step. The greedy recurrence is generated, not
     * hand-copied, so step i can't drift from step j.
     */
-  private lazy val MmrChainSql = {
+  private lazy val MmrChainSql =
+    s"""WITH $MmrChainBody
+       |SELECT query_id, doc_id, pick, mmr_score FROM all4""".stripMargin
+
+  private lazy val MmrChainBody = {
     val steps = (2 to 4).map { i =>
       s"""sel$i AS (SELECT query_id, doc_id, $i AS pick, score AS mmr_score
          | FROM (SELECT p.query_id, p.doc_id,
@@ -317,7 +321,7 @@ object OracleSql {
          |all$i AS (SELECT * FROM all${i - 1}
          | UNION ALL SELECT * FROM sel$i)""".stripMargin
     }.mkString(",\n")
-    s"""WITH v2 AS (SELECT vec_id,
+    s"""v2 AS (SELECT vec_id,
        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
        | FROM embeddings),
        |qv AS (SELECT vec_id AS qid, ve AS qvec FROM v2
@@ -340,8 +344,7 @@ object OracleSql {
        |   PARTITION BY query_id ORDER BY rel DESC, doc_id) AS rn FROM pool)
        | WHERE rn = 1),
        |all1 AS (SELECT * FROM sel1),
-       |$steps
-       |SELECT query_id, doc_id, pick, mmr_score FROM all4""".stripMargin
+       |$steps""".stripMargin
   }
 
   /** Distinct word n-gram list mirroring the `ShingleSet(n)` kernel. */
@@ -3929,6 +3932,43 @@ object OracleSql {
          |FROM cn WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
          | OR rn = CAST(floor((n + 2) / 2.0) AS BIGINT)
          |GROUP BY 1""".stripMargin,
+    // mirror of Dedup.bBitEstimate: the NearDupChain's verified pairs +
+    // the last hex char of each signature slice; (M − 2^-4)/(1 − 2^-4)
+    "x168_bbit_minhash" ->
+      s"""WITH $NearDupChain,
+         |bb AS (SELECT doc_id, substring(sig0, 8, 1) AS b0,
+         |  substring(sig1, 8, 1) AS b1, substring(sig2, 8, 1) AS b2,
+         |  substring(sig3, 8, 1) AS b3 FROM sig),
+         |est AS (SELECT s.doc_a, s.doc_b, s.jaccard,
+         |  CAST(((CASE WHEN a.b0 = b.b0 THEN 1 ELSE 0 END)
+         |   + (CASE WHEN a.b1 = b.b1 THEN 1 ELSE 0 END)
+         |   + (CASE WHEN a.b2 = b.b2 THEN 1 ELSE 0 END)
+         |   + (CASE WHEN a.b3 = b.b3 THEN 1 ELSE 0 END)) AS DOUBLE) / 4.0
+         |   AS m
+         | FROM scored s JOIN bb a ON s.doc_a = a.doc_id
+         |  JOIN bb b ON s.doc_b = b.doc_id)
+         |SELECT doc_a, doc_b, jaccard AS j_exact, m,
+         | round((m - 0.0625) / 0.9375, 6) AS j_bbit
+         |FROM est""".stripMargin,
+    // mirror of Similarity.intraListSimilarity over the MMR chain: mean
+    // pairwise pool cosine of the pure top-4 vs the MMR-selected 4
+    "x169_rerank_diversity" ->
+      s"""WITH $MmrChainBody,
+         |t4 AS (SELECT query_id, doc_id FROM (
+         |  SELECT query_id, doc_id, row_number() OVER (
+         |   PARTITION BY query_id ORDER BY rel DESC, doc_id) AS rn
+         |  FROM pool) WHERE rn <= 4),
+         |d1 AS (SELECT s.query_id, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  round(avg(s.s), 6) AS mean_sim_top
+         | FROM sims s JOIN t4 a ON s.query_id = a.query_id AND s.da = a.doc_id
+         |  JOIN t4 b ON s.query_id = b.query_id AND s.db = b.doc_id
+         | WHERE s.da < s.db GROUP BY 1),
+         |d2 AS (SELECT s.query_id, round(avg(s.s), 6) AS mean_sim_mmr
+         | FROM sims s JOIN all4 a ON s.query_id = a.query_id AND s.da = a.doc_id
+         |  JOIN all4 b ON s.query_id = b.query_id AND s.db = b.doc_id
+         | WHERE s.da < s.db GROUP BY 1)
+         |SELECT d1.query_id, n_pairs, mean_sim_top, mean_sim_mmr
+         |FROM d1 JOIN d2 ON d1.query_id = d2.query_id""".stripMargin,
     // mirror of Profile.benfordAudit: integer-scaled leading digit via
     // string rendering, round-6 share minus round-6 expectation
     "x164_benford" ->
@@ -4230,6 +4270,20 @@ object OracleSql {
         | c.value AS c_value
         |FROM events p JOIN events c ON p.user_id = c.user_id
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts BETWEEN p.ts - INTERVAL '2 hours' AND p.ts""".stripMargin,
+    // the s12 join restated LEFT OUTER: every purchase appears, clickless
+    // ones with nulls — the null-completion face the streaming drain must
+    // force out via watermark eviction before it stops
+    "s15_outer_join_drain" ->
+      """WITH p AS (SELECT user_id, event_id, ts FROM events
+        | WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id, ts, value FROM events
+        | WHERE event_type = 'click')
+        |SELECT p.user_id, p.event_id AS p_event_id,
+        | CAST(epoch_us(p.ts) AS BIGINT) AS p_us,
+        | c.event_id AS c_event_id, CAST(epoch_us(c.ts) AS BIGINT) AS c_us,
+        | c.value AS c_value
+        |FROM p LEFT JOIN c ON p.user_id = c.user_id
         | AND c.ts BETWEEN p.ts - INTERVAL '2 hours' AND p.ts""".stripMargin,
     // the versioned foreachBatch upsert equals batch latest-per-key:
     // (ts, event_id) last-writer-wins, event_id unique ⇒ tie-free

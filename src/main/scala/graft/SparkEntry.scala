@@ -801,6 +801,22 @@ object SparkEntry {
           col("r_event_id").as("c_event_id"),
           unix_micros(col("r_ts")).as("c_us"),
           col("r_value").as("c_value"))),
+    // 7th stateful drain shape: stream-stream LEFT OUTER interval join —
+    // NULL COMPLETION under watermark eviction, forced out by per-side
+    // sentinels before the bounded drain stops; oracle = batch left join
+    "s15_outer_join_drain" -> ((s, dir) =>
+      graft.streaming.Pipeline.outerJoinDrainParity(s,
+        T(s, dir, "events")
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value")),
+        eventTimeCol = "ts", idCol = "event_id", key = "user_id",
+        sideCol = "event_type", leftSide = "purchase", rightSide = "click",
+        lookback = "2 hours", delay = "60 days")
+        .select(col("user_id"), col("event_id").as("p_event_id"),
+          unix_micros(col("ts")).as("p_us"),
+          col("r_event_id").as("c_event_id"),
+          unix_micros(col("r_ts")).as("c_us"),
+          col("r_value").as("c_value"))),
     // stream-static broadcast enrichment drained under the oracle: the
     // dimension joins into every micro-batch; stateless, so sink = batch
     // join by construction (and the streaming planner must broadcast)
@@ -1513,6 +1529,32 @@ object SparkEntry {
         .select(col("source"), log(col("__rnk").cast("double")).as("__x"),
           log(col("__f").cast("double")).as("__y"))
       Correlation.theilSenByGroup(pts, col("source"), col("__x"), col("__y"))
+    }),
+    // b-bit minwise audit: Jaccard recoverable from the LOW 4 BITS of
+    // each minhash slice vs the exact value, per verified candidate pair
+    // — the 64x-smaller-signature storage trade, measured
+    "x168_bbit_minhash" -> ((s, dir) =>
+      Dedup.bBitEstimate(T(s, dir, "documents"), col("doc_id"),
+        col("text"), hexChars = 1)),
+    // diversity meter for x155: mean pairwise cosine of the pure top-4
+    // vs the MMR-selected 4 per query — MMR must buy measurable
+    // diversity, not just reorder
+    "x169_rerank_diversity" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val pool = Similarity.bruteForceKnn(emb,
+        emb.filter(col("vec_id").isin(1L, 2L, 3L)), 8)
+      val top = pool.filter(col("rnk") <= 4)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"))
+      val mmr = Similarity.mmrRerank(
+        pool.select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("cosine").as("rel")),
+        emb, selectK = 4, lambda = 0.5)
+        .select(col("query_id"), col("doc_id"))
+      Similarity.intraListSimilarity(top, emb)
+        .withColumnRenamed("mean_sim", "mean_sim_top")
+        .join(Similarity.intraListSimilarity(mmr, emb)
+          .select(col("query_id"), col("mean_sim").as("mean_sim_mmr")),
+          Seq("query_id"))
     }),
     // Benford first-digit audit of the event metric — integer-side digit
     // extraction (no float log10 at power-of-ten boundaries)

@@ -89,6 +89,46 @@ object Dedup {
     (0 until numHashes).map(i => element_at(sig, i + 1).as(s"sig$i"))
   }
 
+  /** b-bit minwise estimation audit (Li & König, WWW 2010): for every
+    * verified LSH candidate pair, the Jaccard ESTIMATE recoverable from
+    * only the LOW 4·`hexChars` BITS of each minhash slice, beside the
+    * exact value — the measurement behind storing 64× less signature:
+    * with b bits, P(low bits match) ≈ J + (1−J)·2⁻ᵇ, so
+    * Ĵ = (M − 2⁻ᵇ)/(1 − 2⁻ᵇ) with M the matching-slice fraction. The
+    * j_exact column is the ground truth the estimate is graded against;
+    * at k = 4 hashes the estimate is deliberately coarse (M has 5
+    * levels) — the operator reports the storage-accuracy trade, it
+    * doesn't hide it.
+    *
+    * Scale shape: the [[nearDuplicates]] candidate pass (bucketed, never
+    * all-pairs) plus one signature projection and two model-..corpus
+    * equi-joins on doc id.
+    */
+  def bBitEstimate(df: DataFrame, id: Column, text: Column,
+      hexChars: Int = 1, numHashes: Int = 4): DataFrame = {
+    require(hexChars >= 1 && hexChars <= 8,
+      s"hexChars must be in [1,8], got $hexChars")
+    val pairs = nearDuplicates(df, id, text, threshold = 0.0)
+    val lowBits = signatures(df, id, text, numHashes)
+      .select((col("doc_id") +: (0 until numHashes).map(i =>
+        substring(col(s"sig$i"), 9 - hexChars, hexChars).as(s"b$i"))): _*)
+    val eqSum = (0 until numHashes).map(i =>
+      when(col(s"__a$i") === col(s"__b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val pinv = 1.0 / math.pow(16.0, hexChars)
+    pairs
+      .join(lowBits.select((col("doc_id").as("doc_a") +:
+        (0 until numHashes).map(i => col(s"b$i").as(s"__a$i"))): _*),
+        Seq("doc_a"))
+      .join(lowBits.select((col("doc_id").as("doc_b") +:
+        (0 until numHashes).map(i => col(s"b$i").as(s"__b$i"))): _*),
+        Seq("doc_b"))
+      .withColumn("m", eqSum.cast("double") / numHashes.toDouble)
+      .select(col("doc_a"), col("doc_b"), col("jaccard").as("j_exact"),
+        col("m"),
+        round((col("m") - lit(pinv)) / lit(1.0 - pinv), 6).as("j_bbit"))
+  }
+
   /** LSH band frame from a signed frame carrying `sig0..sig{numHashes-1}`:
     * `numHashes / rowsPerBand` bands of `rowsPerBand` concatenated
     * signatures, with a skew guard that caps degenerate buckets (empty or

@@ -781,6 +781,27 @@ object Similarity {
     * (step i needs picks 1..i−1), so the unrolled fixed-depth plan IS
     * the distributed formulation — queries parallelize, steps do not.
     */
+  /** Intra-list similarity: per query, the mean pairwise cosine of a
+    * selected doc list — the DIVERSITY meter for [[mmrRerank]] (MMR
+    * minimizes exactly this at fixed relevance) and for any curated
+    * top-k: a list whose mean pairwise cosine approaches the near-dup
+    * band is showing the user the same thing k times. Workload-sized:
+    * inputs are selection OUTPUTS (queries × k rows), the pair frame is
+    * |q|·k²/2.
+    */
+  def intraListSimilarity(list: DataFrame, vecs: DataFrame): DataFrame = {
+    val v = list.select(col("query_id"), col("doc_id"))
+      .join(vecs.select(col("vec_id").as("doc_id"), col("embedding").as("__v")),
+        Seq("doc_id"))
+    v.select(col("query_id"), col("doc_id").as("__da"), col("__v").as("__va"))
+      .join(v.select(col("query_id"), col("doc_id").as("__db"),
+        col("__v").as("__vb")), Seq("query_id"))
+      .filter(col("__da") < col("__db"))
+      .select(col("query_id"), cosine(col("__va"), col("__vb")).as("__s"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_pairs"), round(avg(col("__s")), 6).as("mean_sim"))
+  }
+
   def mmrRerank(cands: DataFrame, vecs: DataFrame, selectK: Int,
       lambda: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -116,7 +116,8 @@ object Pipeline {
     */
   def intervalJoinStream(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, lookback: String,
-      delay: String = "10 minutes", prefix: String = "r_"): DataFrame = {
+      delay: String = "10 minutes", prefix: String = "r_",
+      joinType: String = "inner"): DataFrame = {
     val rPayload = right.columns.filter(_ != key).toSeq
     val l = left.withWatermark(leftTime, delay)
     val r = rPayload.foldLeft(right)((d, c) => d.withColumnRenamed(c, prefix + c))
@@ -125,7 +126,8 @@ object Pipeline {
     l.join(r,
       col(key) === col("__rk") &&
         col(prefix + rightTime) >= col(leftTime) - expr(s"INTERVAL $lookback") &&
-        col(prefix + rightTime) <= col(leftTime))
+        col(prefix + rightTime) <= col(leftTime),
+      joinType)
       .drop("__rk")
   }
 
@@ -360,6 +362,65 @@ object Pipeline {
       boundedDrain = true).start()
     q.awaitTermination()
     spark.read.parquet(s"$root/out")
+  }
+
+  /** Stream-stream LEFT OUTER interval join exercised as an
+    * ORACLE-CHECKABLE drain — the 7th distinct stateful shape, and the
+    * one [[joinDrainParity]] (inner) cannot exercise: NULL COMPLETION.
+    * An unmatched left row is emitted with nulls only when the WATERMARK
+    * passes its match window (before that, a matching right row could
+    * still arrive) — so a bounded drain that just runs out of input
+    * leaves every pending left row in state and silently emits nothing
+    * for it. This drain closes the books the way the s09/s10/s11 drains
+    * do: two SENTINEL rows (one per filter side, on a key no real event
+    * uses) replay strictly last and push both sides' watermarks past
+    * every real row's match bound, forcing the null-completions out
+    * before the AvailableNow drain stops. The sentinels are then dropped
+    * from the sink read-back; the oracle states the plain batch LEFT
+    * JOIN over the real events.
+    */
+  def outerJoinDrainParity(spark: org.apache.spark.sql.SparkSession,
+      batchDf: DataFrame, eventTimeCol: String, idCol: String, key: String,
+      sideCol: String, leftSide: String, rightSide: String,
+      lookback: String, delay: String, inputFiles: Int = 2): DataFrame = {
+    require(inputFiles >= 2,
+      s"state must cross a micro-batch boundary: inputFiles >= 2, got $inputFiles")
+    val root = java.nio.file.Files.createTempDirectory("graft_s15_").toString
+    val in = s"$root/in"
+    batchDf.repartition(inputFiles).write.mode("overwrite").parquet(in)
+    // two sentinel rows — one passes each side's filter — at
+    // mx + delay + 2*lookback on key -1: after they replay, the global
+    // watermark sits at mx + 2*lookback, strictly past every real left
+    // row's match-window close (bounded by mx)
+    val sentinelTs = col("__mx") + expr(s"INTERVAL $delay") +
+      expr(s"2 * INTERVAL $lookback")
+    val sentinel = batchDf.agg(max(col(eventTimeCol)).as("__mx"))
+      .select(explode(array(lit(leftSide), lit(rightSide))).as("__side"),
+        col("__mx"))
+      .select(batchDf.schema.fields.map { f =>
+        if (f.name == eventTimeCol) sentinelTs.cast(f.dataType).as(f.name)
+        else if (f.name == sideCol) col("__side").cast(f.dataType).as(f.name)
+        else if (f.name == key || f.name == idCol)
+          lit(-1L).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    sentinel.coalesce(1).write.mode("overwrite").parquet(s"$root/sentinel")
+    val inPath = new org.apache.hadoop.fs.Path(in)
+    val fs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$root/sentinel/part-*")).head.getPath
+    fs.rename(part, new org.apache.hadoop.fs.Path(s"$in/zzz-sentinel.parquet"))
+    val stream = spark.readStream.schema(batchDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val joined = intervalJoinStream(
+      stream.filter(col(sideCol) === leftSide),
+      stream.filter(col(sideCol) === rightSide),
+      key, eventTimeCol, eventTimeCol, lookback, delay,
+      joinType = "leftOuter")
+    val q = parquetSink(joined, s"$root/out", s"$root/ckpt",
+      boundedDrain = true).start()
+    q.awaitTermination()
+    spark.read.parquet(s"$root/out").filter(col(key) >= 0)
   }
 
   /** Stream-STATIC broadcast enrichment exercised as an ORACLE-CHECKABLE

@@ -774,6 +774,24 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.nearDuplicates(cdocs, col("doc_id"), col("text")).isEmpty)
   }
 
+  test("x168 bBitEstimate: estimator closed form, exact dups estimate 1") {
+    val got = Dedup.bBitEstimate(docs, col("doc_id"), col("text"),
+        hexChars = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(0)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // docs 1/2/5 are exact dups: identical signatures → m = 1, and the
+    // estimator maps M = 1 to exactly 1 regardless of b
+    for (pair <- Seq((1L, 2L), (1L, 5L), (2L, 5L)) if got.contains(pair)) {
+      val (je, m, jb) = got(pair)
+      assert(je === 1.0 && m === 1.0 && jb === 1.0)
+    }
+    assert(got.nonEmpty)
+    // every row satisfies the closed form j_bbit = (m − 1/16)/(15/16)
+    got.values.foreach { case (_, m, jb) =>
+      assert(jb === math.rint((m - 0.0625) / 0.9375 * 1e6) / 1e6)
+    }
+  }
+
   test("x159 lshPlanner: collision-curve integral matches the closed form") {
     // hand sweep histogram: 100 low-sim pairs at bucket .2, 10 high at .9
     val sweep = Seq((0.2, 100L, 110L), (0.9, 10L, 10L))

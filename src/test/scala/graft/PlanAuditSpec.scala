@@ -74,7 +74,10 @@ class PlanAuditSpec extends SparkSpec {
     "x156_krippendorff",
     // 1-row broadcast scalars: Benford's digit total, the json-histogram
     // total, Kaplan–Meier's observation-end and at-risk totals
-    "x164_benford", "x167_json_props", "x166_kaplan_meier")
+    "x164_benford", "x167_json_props", "x166_kaplan_meier",
+    // x169's pool comes from bruteForceKnn: broadcast 3-query probe set,
+    // non-equi (neighbor_id <> query_id) scan — the batch-kNN shape
+    "x169_rerank_diversity")
 
   test("no query plans a cartesian product; BNLJ only on the allowlist") {
     val dir = "/root/testdata/sf0.001"

@@ -564,4 +564,22 @@ class SimilaritySpec extends SparkSpec {
       mvecs, selectK = 3, lambda = 0.5).collect()
     assert(tiny.length === 1)
   }
+
+  test("x169 intraListSimilarity: closed-form pair means, MMR beats pure top") {
+    val mvecs = Seq(
+      (11L, Array(1.0f, 0.0f, 0.0f)),
+      (12L, Array(3.0f, 4.0f, 0.0f)),   // cos(11,12)=.6, cos(12,13)=.8
+      (13L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    def lst(ids: Long*) = ids.map((100L, _)).toDF("query_id", "doc_id")
+    val all = Similarity.intraListSimilarity(lst(11L, 12L, 13L), mvecs).head()
+    // pairs (11,12)=.6 (11,13)=0 (12,13)=.8 → mean 7/15
+    assert(all.getLong(1) === 3L)
+    assert(all.getDouble(2) === math.rint(1.4 / 3.0 * 1e6) / 1e6)
+    // the x155 fixture's trade, measured: pure top-2 {11,12} packs
+    // redundancy (.6); MMR's pick-2 {11,13} is orthogonal (0)
+    val top = Similarity.intraListSimilarity(lst(11L, 12L), mvecs).head()
+    val mmr = Similarity.intraListSimilarity(lst(11L, 13L), mvecs).head()
+    assert(top.getDouble(2) === 0.6 && mmr.getDouble(2) === 0.0)
+  }
 }

@@ -380,6 +380,35 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(want.nonEmpty)
   }
 
+  test("s15: outer-join drain null-completes unmatched lefts via the sentinel") {
+    // user 0's purchases interleave with clicks (some match); user 5 has
+    // ONE purchase and no clicks at all — its row exists ONLY if the
+    // sentinel pushes the watermark past its match window before the
+    // bounded drain stops (the semantics this drain shape pins)
+    val rows = ((0 until 12).map { i =>
+      val kind = if (i % 3 == 0) "purchase" else "click"
+      (i.toLong, ts(f"2025-01-01 10:${i * 4}%02d:00"), (i % 2).toLong, kind, i * 1.0)
+    } :+ ((99L, ts("2025-01-01 11:00:00"), 5L, "purchase", 9.0)))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Pipeline.outerJoinDrainParity(spark, df, "ts", "event_id",
+        "user_id", "event_type", "purchase", "click",
+        lookback = "10 minutes", delay = "2 days", inputFiles = 3)
+      .select(col("event_id"),
+        coalesce(col("r_event_id"), lit(-99L)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val matched = (for {
+      (p, pt, pu, pk, _) <- rows if pk == "purchase"
+      (c, ct, cu, ck, _) <- rows if ck == "click" && cu == pu &&
+        ct.getTime <= pt.getTime && ct.getTime >= pt.getTime - 600000L
+    } yield (p, c)).toSet
+    val matchedLefts = matched.map(_._1)
+    val nullLefts = rows.filter(r => r._4 == "purchase" &&
+      !matchedLefts.contains(r._1)).map(r => (r._1, -99L)).toSet
+    assert(got === (matched ++ nullLefts))
+    // both faces genuinely present, incl. the clickless user's purchase
+    assert(matched.nonEmpty && nullLefts.contains((99L, -99L)))
+  }
+
   test("s13: upsert drain keeps the last writer per key; replay is idempotent") {
     val rows = Seq(
       (1L, ts("2025-01-01 10:00:00"), 10L, "a", 1.0),
