@@ -3932,6 +3932,35 @@ object OracleSql {
          |FROM cn WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
          | OR rn = CAST(floor((n + 2) / 2.0) AS BIGINT)
          |GROUP BY 1""".stripMargin,
+    // mirror of Temporal.stationaryDistribution: the a43 chain with the
+    // dangling self-loop patch, 8 generated power iterations, round-6
+    // re-synchronized per step
+    "x170_stationary_dist" -> {
+      val iters = (1 to 8).map { k =>
+        s"""pi$k AS (SELECT p.to_state AS s, round(sum(pi * prob), 6) AS pi
+           | FROM p JOIN pi${k - 1} ON p.from_state = pi${k - 1}.s
+           | GROUP BY 1)"""
+      }.mkString(",\n")
+      s"""WITH pairs AS (SELECT event_type AS s,
+         |  lag(event_type) OVER (PARTITION BY user_id
+         |   ORDER BY ts, event_id) AS prev FROM events),
+         |tm0 AS (SELECT prev AS from_state, s AS to_state, count(*) AS cnt
+         | FROM pairs WHERE prev IS NOT NULL GROUP BY 1, 2),
+         |ft AS (SELECT from_state, sum(cnt) AS t FROM tm0 GROUP BY 1),
+         |tm AS (SELECT from_state, to_state,
+         |  round(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE), 6) AS prob
+         | FROM tm0 JOIN ft USING (from_state)),
+         |states AS (SELECT DISTINCT s FROM (
+         |  SELECT from_state AS s FROM tm
+         |  UNION ALL SELECT to_state FROM tm)),
+         |dang AS (SELECT s AS from_state, s AS to_state, 1.0 AS prob
+         | FROM states WHERE s NOT IN (SELECT from_state FROM tm)),
+         |p AS (SELECT * FROM tm UNION ALL SELECT * FROM dang),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM states),
+         |pi0 AS (SELECT s, round(1.0 / n, 6) AS pi FROM states CROSS JOIN nn),
+         |$iters
+         |SELECT s AS state, pi FROM pi8""".stripMargin
+    },
     // mirror of Dedup.bBitEstimate: the NearDupChain's verified pairs +
     // the last hex char of each signature slice; (M − 2^-4)/(1 − 2^-4)
     "x168_bbit_minhash" ->

@@ -1530,6 +1530,12 @@ object SparkEntry {
           log(col("__f").cast("double")).as("__y"))
       Correlation.theilSenByGroup(pts, col("source"), col("__x"), col("__y"))
     }),
+    // stationary distribution of the a43 behavior chain: 8 power
+    // iterations on round-6 probabilities from the uniform start —
+    // where user behavior concentrates once transients wash out
+    "x170_stationary_dist" -> ((s, dir) =>
+      Temporal.stationaryDistribution(T(s, dir, "events"), "user_id", "ts",
+        col("event_type"), order = Seq("event_id"), iters = 8)),
     // b-bit minwise audit: Jaccard recoverable from the LOW 4 BITS of
     // each minhash slice vs the exact value, per verified candidate pair
     // — the 64x-smaller-signature storage trade, measured

@@ -391,6 +391,49 @@ object Temporal {
           .as("prob"))
   }
 
+  /** Stationary distribution of the [[transitionMatrix]] Markov chain:
+    * fixed-iteration power method from the uniform start — "where does
+    * behavior CONCENTRATE once transients wash out", the one-vector
+    * summary of the a43 matrix (a funnel dashboard reads P, a capacity
+    * planner reads π). States with no outgoing transitions (a terminal
+    * event type) get the standard self-loop patch so mass is conserved
+    * instead of leaking.
+    *
+    * Determinism: the chain is built from round-6 probabilities and π is
+    * re-rounded at 6 EVERY iteration (the fixed-point discipline the
+    * PageRank family uses) — both engines iterate identical vectors, so
+    * the result is engine-exact, not approximately-equal. States are a
+    * bounded domain (event types); each iteration is one
+    * |states|²-bounded join + aggregate, and the `states.count()` driver
+    * action touches a model-sized frame only.
+    */
+  def stationaryDistribution(df: DataFrame, key: String, time: String,
+      state: Column, order: Seq[String] = Nil, iters: Int = 8): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val tm = transitionMatrix(df, key, time, state, order)
+      .select(col("from_state"), col("to_state"), col("prob"))
+      .localCheckpoint(true)
+    val states = tm.select(col("from_state").as("s"))
+      .unionByName(tm.select(col("to_state").as("s"))).distinct()
+      .localCheckpoint(true)
+    val dangling = states
+      .join(tm.select(col("from_state").as("s")).distinct(), Seq("s"),
+        "left_anti")
+      .select(col("s").as("from_state"), col("s").as("to_state"),
+        lit(1.0).as("prob"))
+    val p = tm.unionByName(dangling).localCheckpoint(true)
+    val n = states.count()
+    var pi = states.select(col("s"),
+      round(lit(1.0) / lit(n.toDouble), 6).as("pi"))
+    for (_ <- 1 to iters) {
+      pi = p.join(pi, col("from_state") === col("s"))
+        .groupBy(col("to_state"))
+        .agg(sum(col("pi") * col("prob")).as("__m"))
+        .select(col("to_state").as("s"), round(col("__m"), 6).as("pi"))
+    }
+    pi.select(col("s").as("state"), col("pi"))
+  }
+
   /** Monotonicity audit for cumulative-counter signals (energy meters,
     * byte counters, event sequence numbers): per key, how many
     * consecutive-reading DECREASES occur, and the largest one — a

@@ -384,6 +384,30 @@ class TemporalSpec extends SparkSpec {
       "B" -> ((1L, 3L, 0.666667)), "C" -> ((3L, 3L, 0.0))))
   }
 
+  test("x170 stationaryDistribution: oscillator stays uniform, sink absorbs") {
+    // user u1 oscillates A,B,A,B,... → P(A→B)=P(B→A)=1; the uniform
+    // start is already stationary: π = (.5, .5) at every iteration
+    val osc = (0 until 8).map(i =>
+      (1L, ts(f"2025-01-01 10:0$i:00"), i.toLong,
+        if (i % 2 == 0) "A" else "B", 0.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+      .repartition(3)
+    val got = Temporal.stationaryDistribution(osc, "user_id", "ts",
+        col("event_type"), order = Seq("event_id"), iters = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === Map("A" -> 0.5, "B" -> 0.5))
+    // terminal state: A→C only, C has NO outgoing transitions — the
+    // dangling self-loop must hold C's mass instead of leaking it, and
+    // all mass ends in C (A has no incoming, so it drains immediately)
+    val sink = Seq((1L, ts("2025-01-01 10:00:00"), 0L, "A", 0.0),
+      (1L, ts("2025-01-01 10:01:00"), 1L, "C", 0.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val s2 = Temporal.stationaryDistribution(sink, "user_id", "ts",
+        col("event_type"), order = Seq("event_id"), iters = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(s2 === Map("C" -> 1.0))
+  }
+
   test("x166 kaplanMeier: textbook product-limit with censoring") {
     // observation end = day 10 (user E's last event). censorDays = 3.
     // A: days 0..2 (span 2, last day 2 → churn), B: 0..2 (churn),
