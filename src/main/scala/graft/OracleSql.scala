@@ -1039,7 +1039,7 @@ object OracleSql {
         |   AS tot
         | FROM lineitem)
         |SELECT l_returnflag, min(v) AS weighted_median,
-        | max(tot) AS total_weight
+        | CAST(max(tot) AS BIGINT) AS total_weight
         |FROM c WHERE cum * 2 >= tot GROUP BY l_returnflag""".stripMargin,
     "a10_corr" ->
       """SELECT event_type, round(corr(value, hour(ts)), 6) AS corr
@@ -1608,7 +1608,8 @@ object OracleSql {
          |   AS jaccard
          | FROM g a JOIN g b ON a.doc_id < b.doc_id),
          |tt AS (SELECT doc_a, doc_b, jaccard FROM truth WHERE jaccard >= 0.3)
-         |SELECT least(CAST(floor(jaccard / 0.2) AS INTEGER), 4) AS band,
+         |SELECT CAST(least(CAST(floor(jaccard / 0.2) AS INTEGER), 4)
+         |  AS INTEGER) AS band,
          | CAST(count(*) AS BIGINT) AS n_truth,
          | CAST(count(f.doc_a) AS BIGINT) AS n_found,
          | round(CAST(count(f.doc_a) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
@@ -3352,7 +3353,8 @@ object OracleSql {
          | FROM t)
          |SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
          | array_to_string(toks[CAST(s + 1 AS INTEGER):CAST(s + 32 AS INTEGER)], ' ') AS chunk_text,
-         | least(32, n - CAST(s AS INTEGER)) AS n_chunk_tokens
+         | CAST(least(32, n - CAST(s AS INTEGER)) AS INTEGER)
+         |  AS n_chunk_tokens
          |FROM w""".stripMargin,
     // bit-interleave generated from the same Scala loop as the Spark
     // column — integer adds/shifts, so association order is irrelevant

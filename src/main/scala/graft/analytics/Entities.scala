@@ -63,12 +63,23 @@ object Entities {
     * previous run persisted, and only the candidate work TOUCHING the new
     * batch (new×new and new×old) is generated this run — old×old
     * blocking, by far the dominant cost at corpus scale, is never
-    * re-done. The union of old and delta edges is exactly
-    * `matchPairs(old ∪ new)` (spec-asserted), so the result is
-    * BIT-IDENTICAL to re-resolving from scratch — including merges where
-    * a new record bridges two previously-separate entities (id stability
-    * under bridging is a policy layered on top; the engine's contract is
-    * batch-equivalence, the property an oracle can state).
+    * re-done.
+    *
+    * The `maxBucket` degenerate-block cap is decided on block sizes over
+    * OLD ∪ NEW — not per input partition — so the delta edges are exactly
+    * the new-touching subset of `matchPairs(old ∪ new)` even when the cap
+    * binds (a block under the cap in each partition but over it in the
+    * union is dropped here too, and vice versa). With that, the result is
+    * BIT-IDENTICAL to re-resolving from scratch (spec-asserted, including
+    * a cap-binding fixture and merges where a new record bridges two
+    * previously-separate entities) — with ONE scoped exception: old×old
+    * edges that `oldPairs` already verified are never retro-dropped, so
+    * if a block crosses the cap only because new records arrived, a
+    * from-scratch run would discard that block's old×old edges while the
+    * increment keeps them. That is the intended survivorship semantics
+    * (a verified match stays matched); the strict equivalence claim is
+    * scoped to corpora where no previously-under-cap block is pushed over
+    * by the increment.
     *
     * Returns (deltaPairs, golden): persist `oldPairs ∪ deltaPairs` for
     * the next increment, publish `golden`.
@@ -78,15 +89,45 @@ object Entities {
       maxBucket: Int = 1000): (DataFrame, DataFrame) = {
     val o = normalized(oldRecords, id, key, value)
     val n = normalized(newRecords, id, key, value)
-    val newNew = matchPairs(n, maxBucket)
-    val newOld = Joins.fuzzyJoin(n, col("rid"), col("rkey"),
-        o, col("rid"), col("rkey"), maxBucket)
+    // cap on UNION block sizes: one count-window over the exploded
+    // variants of both batches (same O as matchPairs' own cap), then the
+    // capped frames split back into probe (new) and build (old) sides
+    val capped = graft.dedup.Dedup.capBuckets(
+      variants(n).withColumn("__new", lit(true))
+        .unionByName(variants(o).withColumn("__new", lit(false))),
+      Seq(col("__v")), maxBucket)
+    val cn = capped.filter(col("__new"))
+    val co = capped.filter(!col("__new"))
+    val newNew = verifiedPairs(cn, cn).filter(col("left_id") < col("right_id"))
+      .select(col("left_id").as("doc_a"), col("right_id").as("doc_b"))
+    val newOld = verifiedPairs(cn, co)
       .select(least(col("left_id"), col("right_id")).as("doc_a"),
         greatest(col("left_id"), col("right_id")).as("doc_b"))
       .distinct()
     val delta = newNew.union(newOld)
     (delta, survivorship(o.union(n), oldPairs.union(delta)))
   }
+
+  /** Exploded deletion-neighborhood variants of a normalized registry —
+    * the blocking frame [[Joins.fuzzyJoin]] builds per side, exposed so
+    * the delta path can cap on union block sizes before splitting sides.
+    */
+  private def variants(base: DataFrame): DataFrame =
+    base.select(col("rid"), col("rkey"))
+      .withColumn("__v", explode(Joins.deletionNeighborhood(col("rkey"))))
+
+  /** Edit-distance-≤1-verified pairs of two pre-capped variant frames —
+    * the verify stage of [[Joins.fuzzyJoin]] applied after an external
+    * (union-derived) cap decision.
+    */
+  private def verifiedPairs(l: DataFrame, r: DataFrame): DataFrame =
+    l.select(col("rid").as("left_id"), col("rkey").as("left_key"), col("__v"))
+      .join(r.select(col("rid").as("right_id"), col("rkey").as("right_key"),
+        col("__v")), Seq("__v"))
+      .select(col("left_id"), col("right_id"), col("left_key"),
+        col("right_key"))
+      .distinct()
+      .filter(levenshtein(col("left_key"), col("right_key")) <= 1)
 
   /** The persisted match-edge frame a delta run consumes: run once on the
     * initial corpus, then keep unioning each increment's delta edges.

@@ -846,7 +846,12 @@ object Similarity {
         .filter(col("__rn") === 1)
         .select(col("query_id"), col("doc_id"), lit(i).as("pick"),
           col("__score").as("mmr_score"))
-      sel = sel.unionByName(pick)
+      // Truncate the lineage each step: `sel` is referenced three times per
+      // iteration (anti-join, simToSel, union), so an un-checkpointed plan
+      // grows ~3^selectK and stalls the driver in analysis past k≈12 even
+      // though the data is tiny (queries × i rows). Same discipline as
+      // hits()'s per-round normalized frames.
+      sel = sel.unionByName(pick).localCheckpoint(true)
     }
     sel
   }

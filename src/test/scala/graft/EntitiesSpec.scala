@@ -67,6 +67,32 @@ class EntitiesSpec extends SparkSpec {
     assert(batch === got)
   }
 
+  test("goldenRecordsDelta cap decisions use block sizes over old ∪ new") {
+    // four records share the key "aa": each batch's block is 2 exploded
+    // rows per variant (≤ maxBucket=3), but the UNION block is 4 (> 3).
+    // A per-partition cap decision would emit 5 delta edges (1 new×new +
+    // 4 new×old) that a from-scratch run over the union would never
+    // generate — the round-10 ADVICE finding. The delta path must decide
+    // the cap on old ∪ new block sizes and emit ZERO delta edges.
+    val old = Seq((1L, "aa", 1.0), (2L, "aa", 2.0)).toDF("rid", "rkey", "rval")
+    val fresh = Seq((8L, "aa", 3.0), (9L, "aa", 4.0)).toDF("rid", "rkey", "rval")
+    val oldPairs = Entities.matchEdges(old, col("rid"), col("rkey"), 3)
+    assert(oldPairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 2L))) // premise: under the cap within the old batch alone
+    // premise: from scratch over the union the block is over-cap → no edges
+    assert(Entities.matchEdges(old.union(fresh), col("rid"), col("rkey"), 3)
+      .count() === 0)
+    val (delta, golden) = Entities.goldenRecordsDelta(old, fresh, oldPairs,
+      col("rid"), col("rkey"), col("rval"), 3)
+    assert(delta.count() === 0)
+    // the documented scoped exception: the previously-VERIFIED old×old
+    // match (1,2) is never retro-dropped, even though a scratch run over
+    // the over-cap union would not re-derive it; the new records stay
+    // singletons
+    val got = golden.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L, 8L -> 1L, 9L -> 1L))
+  }
+
   test("mojibakeHits counts each marker family, clean text scores zero") {
     val df = Seq(
       (1L, "cafÃ© donâ€™t Â x �"),

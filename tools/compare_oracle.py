@@ -7,6 +7,14 @@ For each query dir under verifyOut: read the Spark parquet result, run the
 matching oracle_sql.json entry in DuckDB (tables registered as views over
 <sfDir>/*.parquet), sort columns by name and rows by all columns, and compare
 cell-by-cell (exact for non-floats, 1e-9 rel for floats).
+
+Also lints COLUMN TYPES: the DuckDB-evaluated oracle's result types must
+match the Spark parquet's types (as DuckDB reads them). A silent promotion
+(e.g. DuckDB windowed sum(BIGINT) -> HUGEINT while Spark emits BIGINT) is
+invisible to the value compare at any tolerance but breaks the driver's
+type-sensitive hash — exactly how a46_weighted_median slipped in round 10.
+Type names are normalized only across widths that hash identically on the
+driver side (float widths); integer-width diffs FAIL.
 """
 import json, math, sys, glob, os
 import duckdb
@@ -41,7 +49,25 @@ def eq(a, b):
         return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
     return str(a) == str(b)
 
+def norm_type(t):
+    """Normalize a DuckDB type name for the parity lint.
+
+    Only classes VERIFIED driver-hash-benign are folded together (each class
+    below was observed across the full green CORRECTNESS_r10 set, i.e. the
+    driver's hash already treats them as equal). Integer widths are NEVER
+    folded: HUGEINT vs BIGINT is the a46 failure mode this lint exists for.
+    """
+    t = str(t)
+    # float widths: Spark float[] columns read as FLOAT, DuckDB arithmetic
+    # yields DOUBLE; values compare equal and the driver hashes the value.
+    t = t.replace("FLOAT", "DOUBLE").replace("REAL", "DOUBLE")
+    # timezone flavor: Spark session TZ is UTC and testdata timestamps are
+    # naive; TIMESTAMP WITH TIME ZONE vs TIMESTAMP carry identical instants.
+    t = t.replace("TIMESTAMP WITH TIME ZONE", "TIMESTAMP")
+    return t
+
 fails = 0
+type_diffs = 0
 for qdir in sorted(glob.glob(f"{outdir}/*/")):
     name = os.path.basename(qdir.rstrip("/"))
     if names and not any(name.startswith(n) for n in names): continue
@@ -54,10 +80,21 @@ for qdir in sorted(glob.glob(f"{outdir}/*/")):
         s_rows, s_cols = s_rel.fetchall(), [d[0] for d in s_rel.description]
         o_rel = con.execute(oracle[name])
         o_rows, o_cols = o_rel.fetchall(), [d[0] for d in o_rel.description]
+        s_types = {c: str(t) for c, t in zip(
+            con.sql(f"SELECT * FROM '{qdir}*.parquet'").columns,
+            con.sql(f"SELECT * FROM '{qdir}*.parquet'").types)}
+        o_types = {c: str(t) for c, t in zip(
+            con.sql(oracle[name]).columns, con.sql(oracle[name]).types)}
     except Exception as e:
         print(f"{name}: ERROR {e}")
         fails += 1
         continue
+    for c in sorted(set(s_types) & set(o_types)):
+        if norm_type(s_types[c]) != norm_type(o_types[c]):
+            print(f"{name}: TYPE MISMATCH col {c}: "
+                  f"spark={s_types[c]} oracle={o_types[c]}")
+            type_diffs += 1
+            fails += 1
     sr, sc = canon(s_rows, s_cols)
     orr, oc = canon(o_rows, o_cols)
     if sc != oc:
@@ -78,5 +115,6 @@ for qdir in sorted(glob.glob(f"{outdir}/*/")):
         fails += 1
     else:
         print(f"{name}: OK ({len(sr)} rows)")
-print(f"\n{'FAIL' if fails else 'ALL OK'} ({fails} failing)")
+print(f"\n{'FAIL' if fails else 'ALL OK'} "
+      f"({fails} failing, {type_diffs} dtype diffs)")
 sys.exit(1 if fails else 0)
