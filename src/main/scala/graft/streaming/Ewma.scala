@@ -114,7 +114,8 @@ object Ewma {
     * units the collision odds are ~1e-7 per row.
     */
   def drainParity(spark: SparkSession, batch: DataFrame,
-      alpha: Double = 0.35, inputFiles: Int = 2): DataFrame = {
+      alpha: Double = 0.35, inputFiles: Int = 2): DataFrame =
+      Pipeline.withDrainPartitions(spark) {
     import spark.implicits._
     require(inputFiles >= 2,
       s"state must cross a micro-batch boundary: inputFiles >= 2, got $inputFiles")

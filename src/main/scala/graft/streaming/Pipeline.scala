@@ -17,6 +17,38 @@ import org.apache.spark.sql.Row
   */
 object Pipeline {
 
+  /** Bounded parity drains run with a small FIXED state partitioning.
+    *
+    * Streaming state-store and checkpoint overhead scales with
+    * (shuffle partitions) × (micro-batches) × (state stores per
+    * operator): every trigger commits a delta file per state partition
+    * (a stream-stream join keeps FOUR stores per partition), so a 32-way
+    * session default spends a parity drain's wall-clock on hundreds of
+    * tiny commit files for kilobytes of data — measured 45.2 s across
+    * the eight drains in round 10, 14 % of the whole bench. The drains
+    * are correctness harnesses over bounded input: 4 state partitions
+    * keeps the semantics honest (state still crosses partitions AND
+    * micro-batches) while cutting the per-trigger commit fan-out 8×. A
+    * production stream sizes this to throughput instead — state
+    * partition count is frozen into the checkpoint at first start from
+    * this same conf, which is also why it must be set per-query here
+    * and not globally.
+    */
+  private[graft] val DrainStatePartitions = 4
+
+  /** Run `body` (a bounded drain: build stream → start → await) with
+    * `spark.sql.shuffle.partitions` pinned to [[DrainStatePartitions]],
+    * restoring the session's value after — drains run sequentially under
+    * the harness, so the temporary session-conf swap cannot race.
+    */
+  private[graft] def withDrainPartitions[A](
+      spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, DrainStatePartitions.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Clean + feature a parsed telemetry frame. Works identically on batch
     * and streaming DataFrames (same Catalyst plan either way) — this is the
     * transformation core shared by both reference implementations
@@ -175,7 +207,8 @@ object Pipeline {
     */
   def dedupDrainParity(spark: org.apache.spark.sql.SparkSession,
       batchDf: DataFrame, eventTimeCol: String, keys: Seq[String],
-      watermark: String, inputFiles: Int = 2): DataFrame = {
+      watermark: String, inputFiles: Int = 2): DataFrame =
+      withDrainPartitions(spark) {
     require(keys.nonEmpty, "dedup needs at least one key column")
     require(inputFiles >= 2,
       s"state must cross a micro-batch boundary: inputFiles >= 2, got $inputFiles")
@@ -218,7 +251,7 @@ object Pipeline {
   def windowDrainParity(spark: org.apache.spark.sql.SparkSession,
       batchDf: DataFrame, eventTimeCol: String, keyCol: String,
       valueCol: String, width: String, delay: String,
-      inputFiles: Int = 2): DataFrame = {
+      inputFiles: Int = 2): DataFrame = withDrainPartitions(spark) {
     require(inputFiles >= 2,
       s"state must cross a micro-batch boundary: inputFiles >= 2, got $inputFiles")
     val root = java.nio.file.Files.createTempDirectory("graft_s09_").toString
@@ -300,7 +333,7 @@ object Pipeline {
   def sessionDrainParity(spark: org.apache.spark.sql.SparkSession,
       batchDf: DataFrame, eventTimeCol: String, keyCol: String,
       valueCol: String, gapSeconds: Long, delay: String,
-      inputFiles: Int = 2): DataFrame = {
+      inputFiles: Int = 2): DataFrame = withDrainPartitions(spark) {
     require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
     require(inputFiles >= 2,
       s"state must cross a micro-batch boundary: inputFiles >= 2, got $inputFiles")
@@ -347,7 +380,7 @@ object Pipeline {
       batchDf: DataFrame, eventTimeCol: String, key: String,
       leftFilter: org.apache.spark.sql.Column,
       rightFilter: org.apache.spark.sql.Column, lookback: String,
-      delay: String, inputFiles: Int = 2): DataFrame = {
+      delay: String, inputFiles: Int = 2): DataFrame = withDrainPartitions(spark) {
     require(inputFiles >= 2,
       s"state must cross a micro-batch boundary: inputFiles >= 2, got $inputFiles")
     val root = java.nio.file.Files.createTempDirectory("graft_s12_").toString
@@ -382,7 +415,7 @@ object Pipeline {
   def outerJoinDrainParity(spark: org.apache.spark.sql.SparkSession,
       batchDf: DataFrame, eventTimeCol: String, idCol: String, key: String,
       sideCol: String, leftSide: String, rightSide: String,
-      lookback: String, delay: String, inputFiles: Int = 2): DataFrame = {
+      lookback: String, delay: String, inputFiles: Int = 2): DataFrame = withDrainPartitions(spark) {
     require(inputFiles >= 2,
       s"state must cross a micro-batch boundary: inputFiles >= 2, got $inputFiles")
     val root = java.nio.file.Files.createTempDirectory("graft_s15_").toString
@@ -435,7 +468,7 @@ object Pipeline {
     */
   def enrichDrainParity(spark: org.apache.spark.sql.SparkSession,
       batchDf: DataFrame, dim: DataFrame, key: String,
-      inputFiles: Int = 2): DataFrame = {
+      inputFiles: Int = 2): DataFrame = withDrainPartitions(spark) {
     require(inputFiles >= 2,
       s"the stream must cross a micro-batch boundary: inputFiles >= 2, got $inputFiles")
     val root = java.nio.file.Files.createTempDirectory("graft_s14_").toString
@@ -516,7 +549,7 @@ object Pipeline {
     */
   def upsertDrainParity(spark: org.apache.spark.sql.SparkSession,
       batchDf: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
-      inputFiles: Int = 2): DataFrame = {
+      inputFiles: Int = 2): DataFrame = withDrainPartitions(spark) {
     require(inputFiles >= 2,
       s"state must cross a micro-batch boundary: inputFiles >= 2, got $inputFiles")
     val root = java.nio.file.Files.createTempDirectory("graft_s13_").toString

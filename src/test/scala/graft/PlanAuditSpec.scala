@@ -26,7 +26,18 @@ class PlanAuditSpec extends SparkSpec {
   // drain and return the sink's contents — their result plan is a scan);
   // their stateful shapes are audited by their own specs instead
   private val drains = Set("s08_stream_parity", "s09_window_drain",
-    "s10_ewma_drain", "s11_session_drain")
+    "s10_ewma_drain", "s11_session_drain", "s12_join_drain",
+    "s13_upsert_drain", "s14_enrich_drain", "s15_outer_join_drain")
+
+  // every auditable query's physical plan, constructed ONCE and shared by
+  // all lints (construction itself is not free: model-fitting queries run
+  // their bounded collects while building the frame)
+  private lazy val planned: Seq[(String, org.apache.spark.sql.execution.QueryExecution)] =
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => drains(n) }
+      .map { case (name, fn) =>
+        name -> fn(spark, "/root/testdata/sf0.001").queryExecution
+      }
 
   // every entry is a BNLJ whose broadcast side is bounded by construction:
   // 1-row totals (corpus size, gate rates, global quantiles), fixed query
@@ -80,18 +91,13 @@ class PlanAuditSpec extends SparkSpec {
     "x169_rerank_diversity")
 
   test("no query plans a cartesian product; BNLJ only on the allowlist") {
-    val dir = "/root/testdata/sf0.001"
-    val planned = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot { case (n, _) => drains(n) }
-      .map { case (name, fn) =>
-        name -> fn(spark, dir).queryExecution.executedPlan.toString
-      }
-    val cartesian = planned.collect {
+    val plans = planned.map { case (n, qe) => n -> qe.executedPlan.toString }
+    val cartesian = plans.collect {
       case (n, p) if p.contains("CartesianProduct") => n
     }
     assert(cartesian.isEmpty,
       s"cartesian product planned by: ${cartesian.mkString(", ")}")
-    val bnlj = planned.collect {
+    val bnlj = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") => n
     }.toSet
     val unexpected = bnlj -- boundedBnlj
@@ -101,5 +107,64 @@ class PlanAuditSpec extends SparkSpec {
     val stale = boundedBnlj -- bnlj
     assert(stale.isEmpty,
       s"allowlist entries no longer planning a BNLJ (remove): ${stale.mkString(", ")}")
+  }
+
+  // every entry plans a Window WITHOUT a PARTITION BY whose input is
+  // bounded by construction — the repo's "post-aggregate window
+  // contract": the single-partition sort runs over a dial/spine/model
+  // sized frame (≤topK cut, |distinct v| jump spine, |groups| caps,
+  // |buckets|, |stages|, |partitions|), never the corpus. Checked
+  // two-directionally like the BNLJ list. Each entry was read at its
+  // source before listing:
+  private val boundedGlobalWindow: Set[String] = Set(
+    // |groups|/|stations| post-aggregate ranks (Ranking.rankBy,
+    // Funnel's |stages| conversion chain)
+    "o01_rank_by_aggregate", "a31_funnel",
+    // deduplicated DIMENSION rows — buildDim's documented contract
+    // (small dims only; buildDimHashed is the large-dim face)
+    "j05_star_schema",
+    // ≤topK cut pinned by TakeOrderedAndProject + localCheckpoint
+    // (Validation.keySkewAudit), count-of-counts spine (skewStrategy)
+    "p19_key_skew", "x163_skew_strategy",
+    // |groups| caps / |partitions| offsets — the distributed prefix-scan
+    // discipline (BudgetSelect.waterFill, Sharding.shardAssign)
+    "x102_water_fill", "x132_shard_assign",
+    // dial-bounded score/threshold buckets (Dedup.thresholdSweep,
+    // TfIdf's Heaps bucket curve)
+    "x115_threshold_sweep", "x149_heaps_fit",
+    // |categories| concentration ranks (Distribution.concentrationReport)
+    "x116_source_concentration",
+    // |distinct rounded score| spine (Evaluation.auc midranks)
+    "x125_classifier_auc",
+    // |distinct v| jump spine / |tests| p-value ranks — Comparison's
+    // spine-bounded drift panel (ksDrift, mannWhitney, wasserstein,
+    // quantileNormalize, ksFdr) and Temporal.kaplanMeier's duration spine
+    "x137_ks_drift", "x150_mann_whitney", "x153_wasserstein",
+    "x144_quantile_normalize", "x154_ks_fdr", "x166_kaplan_meier")
+
+  test("no query plans an unpartitioned window outside the allowlist") {
+    // WindowExec with an empty partitionSpec moves its ENTIRE input to
+    // one partition — the classic 100 TB cliff. The production libraries
+    // already avoid it (x132's budget prefix-scan is distributed for
+    // exactly this reason); this lint keeps it that way for all future
+    // queries. Audited on sparkPlan (pre-AQE) so the Window nodes are
+    // visible to collect().
+    val offenders = planned.flatMap { case (name, qe) =>
+      val unpart = qe.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+            if w.partitionSpec.isEmpty => w
+      }
+      if (unpart.nonEmpty) Some(name) else None
+    }.toSet
+    val unexpected = offenders -- boundedGlobalWindow
+    assert(unexpected.isEmpty,
+      s"new unpartitioned Window (verify the input frame is bounded, " +
+        s"then allowlist): ${unexpected.mkString(", ")}")
+    val stale = boundedGlobalWindow -- offenders
+    assert(stale.isEmpty,
+      s"allowlist entries no longer planning an unpartitioned window " +
+        s"(remove): ${stale.mkString(", ")}")
   }
 }

@@ -470,4 +470,27 @@ class ScaleGrowthSpec extends SparkSpec {
     assert(g < 25.0,
       s"prefix join shuffle grew ${g}x for 10x input ($small -> $large)")
   }
+
+  test("weighted-median shuffle bytes grow ~linearly from 1x to 10x rows") {
+    // a46's shape: RANGE-frame cumsum + per-group total + one aggregate,
+    // all exchanges partitioned by the group key, so traffic is one
+    // (group, value, weight) row per input row per exchange. The
+    // documented caveat — a hot group serializes its sort in ONE task —
+    // is a latency skew, not a byte blow-up, so the gate plants a
+    // deliberately hot group (~half the rows) and asserts bytes still
+    // track the corpus, not its square.
+    def wm(n: Int): DataFrame = {
+      val ev = events(n, keys = 40).withColumn("g",
+        when(col("eid") % 2 === 0, lit("hot")).otherwise(col("uid")))
+      graft.analytics.Aggregates.weightedMedian(ev, Seq(col("g")),
+        col("eid").cast("double"),
+        (pmod(col("eid"), lit(9)) + 1).cast("double"))
+    }
+    val small = shuffleBytes(run(wm(6000)))
+    val large = shuffleBytes(run(wm(60000)))
+    val g = growth(small, large)
+    assert(small > 0, "listener captured no shuffle writes")
+    assert(g < 20.0,
+      s"weighted-median shuffle grew ${g}x for 10x input ($small -> $large)")
+  }
 }
