@@ -3934,6 +3934,29 @@ object OracleSql {
          |FROM cn WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
          | OR rn = CAST(floor((n + 2) / 2.0) AS BIGINT)
          |GROUP BY 1""".stripMargin,
+    // split conformal: exact ⌊α(n_cal+1)⌋-th smallest calibration score
+    // via the round-6 score jump spine; x19's hash-bucket split (salt
+    // "conformal"); vacuous (null thr, zero flags) when k < 1
+    "x171_conformal_gate" ->
+      s"""WITH t AS (SELECT doc_id, source AS grp, text, $Toks AS toks
+         |  FROM documents),
+         |s AS (SELECT grp, $QualitySql AS sc,
+         |  ${bucketSql("doc_id", "conformal")} < 2000 AS cal FROM t),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM s WHERE cal),
+         |spine AS (SELECT sc, CAST(count(*) AS BIGINT) AS c
+         | FROM s WHERE cal GROUP BY 1),
+         |cum AS (SELECT sc, CAST(sum(c) OVER (ORDER BY sc
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |  AS cum FROM spine),
+         |thr AS (SELECT min(sc) AS thr FROM cum, n
+         | WHERE CAST(floor(0.1 * (n_cal + 1)) AS BIGINT) >= 1
+         |   AND cum >= CAST(floor(0.1 * (n_cal + 1)) AS BIGINT))
+         |SELECT grp AS "group", CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(count(*) FILTER (WHERE sc < thr) AS BIGINT) AS n_flagged,
+         | round(CAST(count(*) FILTER (WHERE sc < thr) AS DOUBLE) /
+         |   CAST(count(*) AS DOUBLE), 6) AS flag_rate,
+         | min(thr) AS thr
+         |FROM s, thr WHERE NOT cal GROUP BY grp""".stripMargin,
     // mirror of Temporal.stationaryDistribution: the a43 chain with the
     // dangling self-loop patch, 8 generated power iterations, round-6
     // re-synchronized per step

@@ -1536,6 +1536,13 @@ object SparkEntry {
     "x170_stationary_dist" -> ((s, dir) =>
       Temporal.stationaryDistribution(T(s, dir, "events"), "user_id", "ts",
         col("event_type"), order = Seq("event_id"), iters = 8)),
+    // split-conformal quality floor: the ⌊α(n_cal+1)⌋-th smallest
+    // calibration score guarantees P(new < thr) ≤ α distribution-free;
+    // per-source flag rates far above α are calibrated drift alarms
+    "x171_conformal_gate" -> ((s, dir) =>
+      graft.analytics.Evaluation.conformalGate(T(s, dir, "documents"),
+        col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(col("text")), alpha = 0.1)),
     // b-bit minwise audit: Jaccard recoverable from the LOW 4 BITS of
     // each minhash slice vs the exact value, per verified candidate pair
     // — the 64x-smaller-signature storage trade, measured

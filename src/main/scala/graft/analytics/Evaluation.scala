@@ -316,4 +316,60 @@ object Evaluation {
         round(var_samp(col("__adj")), 6).as("var_y_cuped"),
         round(max(col("__theta")), 6).as("theta"))
   }
+
+  /** Split-conformal quality gate: a DISTRIBUTION-FREE lower bound on a
+    * per-document quality score, calibrated on a held-out hash split —
+    * the principled version of "flag everything below 0.3" (Vovk et al.'s
+    * split conformal prediction, lower-tail form). The threshold is the
+    * ⌊α·(n_cal+1)⌋-th smallest calibration score, which guarantees
+    * P(new score < threshold) ≤ α for exchangeable data WITHOUT any
+    * distributional assumption on the score — so a per-group flag rate
+    * far above α is a calibrated drift alarm (that group's quality
+    * distribution shifted), not a tuning artifact.
+    *
+    * Deterministic: scores are rounded at 6 before everything, the split
+    * is the x19 hash-bucket discipline (`Sampling.hashBucket`, salt
+    * "conformal"), and the order statistic is exact — computed on the
+    * round-6 score JUMP SPINE (groupBy score + one cumulative window:
+    * the post-aggregate window contract, |distinct scores| bounded by
+    * quantization, never corpus rows). α·(n+1) uses the same double
+    * literal in both engines. If ⌊α·(n_cal+1)⌋ < 1 the bound is vacuous:
+    * threshold is null and nothing is flagged.
+    *
+    * Scale: one narrow projection read twice (calibration spine, eval
+    * apply), a spine-sized window, a 1-row threshold broadcast, one
+    * grouped aggregate — no corpus-sized sort or collect anywhere.
+    */
+  def conformalGate(df: DataFrame, id: Column, group: Column, score: Column,
+      alpha: Double = 0.1,
+      calBuckets: Int = graft.sampling.Sampling.Buckets / 5): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
+    require(calBuckets >= 1 && calBuckets < graft.sampling.Sampling.Buckets,
+      s"calBuckets must be in [1, ${graft.sampling.Sampling.Buckets}), got $calBuckets")
+    val s = df.select(group.as("grp"),
+      round(score.cast("double"), 6).as("__s"),
+      (graft.sampling.Sampling.hashBucket(id, "conformal") < calBuckets)
+        .as("__cal"))
+    val cal = s.filter(col("__cal"))
+    val n = cal.agg(count(lit(1)).as("__n"))
+    val wc = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val thr = cal.groupBy(col("__s")).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(wc))
+      .crossJoin(broadcast(n))
+      .withColumn("__k", floor(lit(alpha) * (col("__n") + 1L).cast("double"))
+        .cast("long"))
+      .filter(col("__k") >= 1L && col("__cum") >= col("__k"))
+      .agg(min(col("__s")).as("thr")) // empty → null thr → vacuous gate
+    s.filter(!col("__cal"))
+      .crossJoin(broadcast(thr))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__s") < col("thr"), 1L).otherwise(0L)).as("n_flagged"),
+        min(col("thr")).as("thr"))
+      .select(col("grp").as("group"), col("n_docs"), col("n_flagged"),
+        round(col("n_flagged").cast("double") /
+          col("n_docs").cast("double"), 6).as("flag_rate"),
+        col("thr"))
+  }
 }

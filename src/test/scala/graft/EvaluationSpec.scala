@@ -170,4 +170,37 @@ class EvaluationSpec extends SparkSpec {
     assert(f.getDouble(2) === f.getDouble(3) &&
       f.getDouble(4) === f.getDouble(5) && f.getDouble(6) === 0.0)
   }
+
+  test("x171 conformalGate matches a hand-computed order statistic; vacuous k<1") {
+    import graft.sampling.Sampling
+    // the hash split is deterministic but opaque — recompute it HERE with
+    // the same function and derive the expected threshold/flags in Scala,
+    // so the assertion follows the definition, not the implementation
+    val rows = (1L to 400L).map(i => (i, (i % 3).toString,
+      math.rint(i / 400.0 * 1e6) / 1e6))
+    val df = rows.toDF("id", "grp", "sc").repartition(5)
+    val calBuckets = Sampling.Buckets / 5
+    val calIds = df.select(col("id"),
+        Sampling.hashBucket(col("id"), "conformal").as("b"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1) < calBuckets)).toMap
+    val calScores = rows.filter(r => calIds(r._1)).map(_._3).sorted
+    val k = math.floor(0.1 * (calScores.size + 1)).toLong
+    assert(k >= 1, s"fixture too small: n_cal=${calScores.size}")
+    val thr = calScores(k.toInt - 1)
+    val eval = rows.filterNot(r => calIds(r._1))
+    val expected = eval.groupBy(_._2).map { case (g, rs) =>
+      g -> ((rs.size.toLong, rs.count(_._3 < thr).toLong))
+    }
+    val got = Evaluation.conformalGate(df, col("id"), col("grp"), col("sc"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(4)))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (g, (n, fl)) =>
+      assert(got(g) === ((n, fl, thr)), s"group $g")
+    }
+    // vacuous bound: floor(alpha·(n_cal+1)) < 1 → null threshold, 0 flags
+    val v = Evaluation.conformalGate(df, col("id"), col("grp"), col("sc"),
+      alpha = 0.001).collect()
+    assert(v.forall(r => r.isNullAt(4) && r.getLong(2) === 0L))
+  }
 }

@@ -88,7 +88,10 @@ class PlanAuditSpec extends SparkSpec {
     "x164_benford", "x167_json_props", "x166_kaplan_meier",
     // x169's pool comes from bruteForceKnn: broadcast 3-query probe set,
     // non-equi (neighbor_id <> query_id) scan — the batch-kNN shape
-    "x169_rerank_diversity")
+    "x169_rerank_diversity",
+    // 1-row broadcast scalars: conformalGate's n_cal frame (against the
+    // score spine) and its 1-row threshold (against the eval split)
+    "x171_conformal_gate")
 
   test("no query plans a cartesian product; BNLJ only on the allowlist") {
     val plans = planned.map { case (n, qe) => n -> qe.executedPlan.toString }
@@ -140,7 +143,10 @@ class PlanAuditSpec extends SparkSpec {
     // spine-bounded drift panel (ksDrift, mannWhitney, wasserstein,
     // quantileNormalize, ksFdr) and Temporal.kaplanMeier's duration spine
     "x137_ks_drift", "x150_mann_whitney", "x153_wasserstein",
-    "x144_quantile_normalize", "x154_ks_fdr", "x166_kaplan_meier")
+    "x144_quantile_normalize", "x154_ks_fdr", "x166_kaplan_meier",
+    // |distinct round-6 score| calibration spine (Evaluation.conformalGate
+    // order statistic)
+    "x171_conformal_gate")
 
   test("no query plans an unpartitioned window outside the allowlist") {
     // WindowExec with an empty partitionSpec moves its ENTIRE input to
