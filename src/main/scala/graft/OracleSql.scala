@@ -3957,6 +3957,41 @@ object OracleSql {
          |   CAST(count(*) AS DOUBLE), 6) AS flag_rate,
          | min(thr) AS thr
          |FROM s, thr WHERE NOT cal GROUP BY grp""".stripMargin,
+    // mirror of Comparison.sinkhornPlan: kernel + marginals rounded at 6,
+    // 5 generated alternating-scaling iterations (the x170 discipline),
+    // zero-sum rows scale to 0 via the same CASE
+    "x172_sinkhorn_plan" -> {
+      val iters = (1 to 5).map { i =>
+        s"""v$i AS (SELECT vb,
+           |  CASE WHEN s > 0 THEN round(wb / s, 6) ELSE 0.0 END AS uv
+           | FROM (SELECT vb, sum(kij * u) AS s FROM k
+           |   JOIN u${i - 1} USING (va) GROUP BY 1) JOIN b USING (vb)),
+           |u$i AS (SELECT va,
+           |  CASE WHEN s > 0 THEN round(wa / s, 6) ELSE 0.0 END AS u
+           | FROM (SELECT va, sum(kij * uv) AS s FROM k
+           |   JOIN v$i USING (vb) GROUP BY 1) JOIN a USING (va))"""
+      }.mkString(",\n")
+      s"""WITH c AS (SELECT source AS grp, n_chars // 64 AS v,
+         |  count(*) AS c FROM documents
+         | WHERE source IN ('src0', 'src1') GROUP BY 1, 2),
+         |a AS (SELECT v AS va, round(CAST(c AS DOUBLE) /
+         |  (SELECT CAST(sum(c) AS DOUBLE) FROM c WHERE grp = 'src0'), 6)
+         |  AS wa FROM c WHERE grp = 'src0'),
+         |b AS (SELECT v AS vb, round(CAST(c AS DOUBLE) /
+         |  (SELECT CAST(sum(c) AS DOUBLE) FROM c WHERE grp = 'src1'), 6)
+         |  AS wb FROM c WHERE grp = 'src1'),
+         |k AS (SELECT va, vb,
+         |  round(exp(-abs(CAST(va AS DOUBLE) - CAST(vb AS DOUBLE)) / 2.0),
+         |   6) AS kij
+         | FROM (SELECT va FROM a) CROSS JOIN (SELECT vb FROM b)),
+         |u0 AS (SELECT va, 1.0 AS u FROM a),
+         |$iters
+         |SELECT va, vb, round(u * kij * uv, 6) AS mass,
+         | round(round(u * kij * uv, 6) *
+         |   abs(CAST(va AS DOUBLE) - CAST(vb AS DOUBLE)), 6) AS cell_cost
+         |FROM k JOIN u5 USING (va) JOIN v5 USING (vb)
+         |WHERE round(u * kij * uv, 6) > 0""".stripMargin
+    },
     // mirror of Temporal.stationaryDistribution: the a43 chain with the
     // dangling self-loop patch, 8 generated power iterations, round-6
     // re-synchronized per step

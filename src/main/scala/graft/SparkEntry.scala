@@ -1543,6 +1543,13 @@ object SparkEntry {
       graft.analytics.Evaluation.conformalGate(T(s, dir, "documents"),
         col("doc_id"), col("source"),
         TextAnalysis.qualityScore(col("text")), alpha = 0.1)),
+    // Sinkhorn transport plan between two sources' length profiles —
+    // x153 (W₁) says HOW FAR apart, this says WHICH buckets to re-sample
+    // to close the gap; 5 round-6-resynchronized scaling iterations
+    "x172_sinkhorn_plan" -> ((s, dir) =>
+      graft.analytics.Comparison.sinkhornPlan(T(s, dir, "documents"),
+        col("source"), floor(col("n_chars") / 64), "src0", "src1",
+        eps = 2.0, iters = 5)),
     // b-bit minwise audit: Jaccard recoverable from the LOW 4 BITS of
     // each minhash slice vs the exact value, per verified candidate pair
     // — the 64x-smaller-signature storage trade, measured

@@ -324,4 +324,76 @@ object Comparison {
         when(col("p").isNotNull, col("__i") <= col("__imax"))
           .as("rejected"))
   }
+
+  /** Entropy-regularized optimal-transport PLAN between two groups'
+    * distributions of a quantized metric (Cuturi's Sinkhorn iterations) —
+    * the ACTIONABLE companion to [[wassersteinDrift]]: W₁ says source A's
+    * length profile sits 40 characters from source B's; the transport
+    * plan says WHICH mass moves WHERE — `mass` on cell (va, vb) is the
+    * fraction of the corpus to re-sample from A's bucket va when matching
+    * B's bucket vb, i.e. the curation recipe itself.
+    *
+    * Algorithm: kernel K = exp(−|va−vb|/eps) on the two value spines,
+    * then `iters` rounds of alternating marginal scalings
+    * u ← a / Kv, v ← b / Kᵀu (Sinkhorn's theorem: converges to the unique
+    * coupling with the prescribed marginals for any positive kernel).
+    * Determinism across engines: kernel cells, both marginals, and every
+    * scaling vector are rounded at 6 per step (the x170 power-iteration
+    * discipline — both engines re-synchronize to identical vectors each
+    * round), and a kernel row whose round-6 sum is 0 (all cells beyond
+    * ~14·eps) scales to 0 instead of dividing (same CASE in both).
+    *
+    * Scale: the spines are |distinct quantized v| (caller pre-buckets —
+    * the [[ksDrift]] contract), so the kernel is spine², broadcast-sized;
+    * each iteration is one spine²-frame aggregate per side. Everything is
+    * checkpointed per round (the mmr/hits lineage discipline), so the
+    * plan depth is constant in `iters`.
+    */
+  def sinkhornPlan(df: DataFrame, group: Column, v: Column,
+      groupA: String, groupB: String, eps: Double = 2.0,
+      iters: Int = 5): DataFrame = {
+    require(eps > 0.0, s"eps must be > 0, got $eps")
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
+    val d = (x: Column) => x.cast("double")
+    val c = df.select(group.as("grp"), v.cast("long").as("v"))
+      .filter(col("grp") === groupA || col("grp") === groupB)
+      .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // spine-sized; feeds both marginals
+    def marginal(g: String, vName: String, wName: String): DataFrame = {
+      val side = c.filter(col("grp") === g)
+      val tot = side.agg(sum(col("c")).as("__t"))
+      side.crossJoin(broadcast(tot))
+        .select(col("v").as(vName),
+          round(d(col("c")) / d(col("__t")), 6).as(wName))
+        .localCheckpoint(true)
+    }
+    val a = marginal(groupA, "va", "wa")
+    val b = marginal(groupB, "vb", "wb")
+    val k = a.select(col("va")).crossJoin(broadcast(b.select(col("vb"))))
+      .select(col("va"), col("vb"),
+        round(exp(-abs(d(col("va")) - d(col("vb"))) / eps), 6).as("kij"))
+      .localCheckpoint(true) // spine²; re-read every iteration
+    var u = a.select(col("va"), lit(1.0).as("u"))
+    var vv = b.select(col("vb"), lit(0.0).as("uv")) // overwritten round 1
+    for (_ <- 1 to iters) {
+      vv = k.join(u, Seq("va"))
+        .groupBy(col("vb")).agg(sum(col("kij") * col("u")).as("__s"))
+        .join(b, Seq("vb"))
+        .select(col("vb"), when(col("__s") > 0.0,
+          round(col("wb") / col("__s"), 6)).otherwise(lit(0.0)).as("uv"))
+        .localCheckpoint(true)
+      u = k.join(vv, Seq("vb"))
+        .groupBy(col("va")).agg(sum(col("kij") * col("uv")).as("__s"))
+        .join(a, Seq("va"))
+        .select(col("va"), when(col("__s") > 0.0,
+          round(col("wa") / col("__s"), 6)).otherwise(lit(0.0)).as("u"))
+        .localCheckpoint(true)
+    }
+    k.join(u, Seq("va")).join(vv, Seq("vb"))
+      .select(col("va"), col("vb"),
+        round(col("u") * col("kij") * col("uv"), 6).as("mass"))
+      .filter(col("mass") > 0.0)
+      .withColumn("cell_cost",
+        round(col("mass") * abs(d(col("va")) - d(col("vb"))), 6))
+  }
 }

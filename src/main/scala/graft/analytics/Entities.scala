@@ -89,22 +89,29 @@ object Entities {
       maxBucket: Int = 1000): (DataFrame, DataFrame) = {
     val o = normalized(oldRecords, id, key, value)
     val n = normalized(newRecords, id, key, value)
-    // cap on UNION block sizes: one count-window over the exploded
-    // variants of both batches (same O as matchPairs' own cap), then the
-    // capped frames split back into probe (new) and build (old) sides
+    // cap on UNION block sizes: ONE count-window over the exploded
+    // variants of both batches (same O as matchPairs' own cap), then ONE
+    // self-join of the capped union carrying a per-side flag — the
+    // new-touching filter (left_new OR right_new) carves the delta out of
+    // exactly matchPairs(old ∪ new)'s candidate set, so no per-side
+    // re-derivation of the window is needed (the 3-consumer version of
+    // this recomputed the union window per join branch and measured 27 %
+    // slower at sf0.1)
     val capped = graft.dedup.Dedup.capBuckets(
       variants(n).withColumn("__new", lit(true))
         .unionByName(variants(o).withColumn("__new", lit(false))),
       Seq(col("__v")), maxBucket)
-    val cn = capped.filter(col("__new"))
-    val co = capped.filter(!col("__new"))
-    val newNew = verifiedPairs(cn, cn).filter(col("left_id") < col("right_id"))
-      .select(col("left_id").as("doc_a"), col("right_id").as("doc_b"))
-    val newOld = verifiedPairs(cn, co)
-      .select(least(col("left_id"), col("right_id")).as("doc_a"),
-        greatest(col("left_id"), col("right_id")).as("doc_b"))
+    def side(p: String): DataFrame = capped.select(
+      col("rid").as(p + "id"), col("rkey").as(p + "key"),
+      col("__new").as(p + "new"), col("__v"))
+    val delta = side("left_").join(side("right_"), Seq("__v"))
+      .filter(col("left_id") < col("right_id") &&
+        (col("left_new") || col("right_new")))
+      .select(col("left_id"), col("right_id"), col("left_key"),
+        col("right_key"))
       .distinct()
-    val delta = newNew.union(newOld)
+      .filter(levenshtein(col("left_key"), col("right_key")) <= 1)
+      .select(col("left_id").as("doc_a"), col("right_id").as("doc_b"))
     (delta, survivorship(o.union(n), oldPairs.union(delta)))
   }
 
@@ -115,19 +122,6 @@ object Entities {
   private def variants(base: DataFrame): DataFrame =
     base.select(col("rid"), col("rkey"))
       .withColumn("__v", explode(Joins.deletionNeighborhood(col("rkey"))))
-
-  /** Edit-distance-≤1-verified pairs of two pre-capped variant frames —
-    * the verify stage of [[Joins.fuzzyJoin]] applied after an external
-    * (union-derived) cap decision.
-    */
-  private def verifiedPairs(l: DataFrame, r: DataFrame): DataFrame =
-    l.select(col("rid").as("left_id"), col("rkey").as("left_key"), col("__v"))
-      .join(r.select(col("rid").as("right_id"), col("rkey").as("right_key"),
-        col("__v")), Seq("__v"))
-      .select(col("left_id"), col("right_id"), col("left_key"),
-        col("right_key"))
-      .distinct()
-      .filter(levenshtein(col("left_key"), col("right_key")) <= 1)
 
   /** The persisted match-edge frame a delta run consumes: run once on the
     * initial corpus, then keep unioning each increment's delta edges.

@@ -236,4 +236,33 @@ class DriftSpec extends SparkSpec {
       col("g"), col("v")).collect()
     assert(solo.length === 1 && solo(0).isNullAt(3) && solo(0).isNullAt(4))
   }
+
+  test("x172 sinkhornPlan: point masses ship whole; marginals are matched") {
+    import graft.analytics.Comparison
+    // A concentrated at v=0, B at v=3: the unique coupling with those
+    // marginals is the single cell (0,3) carrying ALL the mass, cost 3
+    val point = Seq.fill(4)(("A", 0L)).map { case (g, v) => (g, v) } ++
+      Seq.fill(4)(("B", 3L))
+    val p = Comparison.sinkhornPlan(point.toDF("g", "v"), col("g"), col("v"),
+      "A", "B").collect()
+    assert(p.length === 1)
+    assert(p(0).getLong(0) === 0L && p(0).getLong(1) === 3L)
+    assert(math.abs(p(0).getDouble(2) - 1.0) <= 2e-6)   // mass
+    assert(math.abs(p(0).getDouble(3) - 3.0) <= 6e-6)   // cell_cost
+    // 2x2 case: after 5 scaling rounds the plan's row/column sums must
+    // reproduce the input marginals (Sinkhorn's theorem), up to the
+    // per-round round-6 resynchronization
+    val two = Seq(("A", 0L), ("A", 0L), ("A", 1L),       // a = (2/3, 1/3)
+      ("B", 0L), ("B", 1L), ("B", 1L), ("B", 1L))        // b = (1/4, 3/4)
+    val plan = Comparison.sinkhornPlan(two.toDF("g", "v"), col("g"), col("v"),
+      "A", "B").collect()
+    val rowSum = plan.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getDouble(2)).sum).toMap
+    val colSum = plan.groupBy(_.getLong(1)).view
+      .mapValues(_.map(_.getDouble(2)).sum).toMap
+    assert(math.abs(rowSum(0L) - 2.0 / 3) < 1e-3 &&
+      math.abs(rowSum(1L) - 1.0 / 3) < 1e-3, s"row sums $rowSum")
+    assert(math.abs(colSum(0L) - 0.25) < 1e-3 &&
+      math.abs(colSum(1L) - 0.75) < 1e-3, s"col sums $colSum")
+  }
 }

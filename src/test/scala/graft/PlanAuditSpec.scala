@@ -90,7 +90,10 @@ class PlanAuditSpec extends SparkSpec {
     // non-equi (neighbor_id <> query_id) scan — the batch-kNN shape
     "x169_rerank_diversity",
     // 1-row broadcast scalars: conformalGate's n_cal frame (against the
-    // score spine) and its 1-row threshold (against the eval split)
+    // score spine) and its 1-row threshold (against the eval split).
+    // (x172_sinkhorn_plan's kernel/marginal broadcasts run INSIDE its
+    // localCheckpoint'd construction, so its audited plan is checkpoint
+    // scans + equi-joins — no BNLJ survives to the final plan.)
     "x171_conformal_gate")
 
   test("no query plans a cartesian product; BNLJ only on the allowlist") {
