@@ -3957,6 +3957,21 @@ object OracleSql {
          |   CAST(count(*) AS DOUBLE), 6) AS flag_rate,
          | min(thr) AS thr
          |FROM s, thr WHERE NOT cal GROUP BY grp""".stripMargin,
+    // mirror of Sharding.shardManifest: hashKey-idiom 32-bit row hashes,
+    // order-independent SUM checksum per hash-assigned shard
+    "x173_shard_manifest" ->
+      s"""WITH m AS (SELECT ${hashKeySql("doc_id", "manifest")} % 8 AS shard,
+         |  doc_id, text,
+         |  list_reduce(list_transform(range(1, 9),
+         |    i -> CAST(instr('0123456789abcdef', substring(
+         |      md5(CAST(doc_id AS VARCHAR) || ':' || text), i, 1)) - 1
+         |      AS BIGINT)), (a, b) -> a * 16 + b) AS h
+         | FROM documents)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         | min(doc_id) AS id_min, max(doc_id) AS id_max,
+         | CAST(sum(h) AS BIGINT) AS checksum
+         |FROM m GROUP BY shard""".stripMargin,
     // mirror of Comparison.sinkhornPlan: kernel + marginals rounded at 6,
     // 5 generated alternating-scaling iterations (the x170 discipline),
     // zero-sum rows scale to 0 via the same CASE

@@ -1550,6 +1550,12 @@ object SparkEntry {
       graft.analytics.Comparison.sinkhornPlan(T(s, dir, "documents"),
         col("source"), floor(col("n_chars") / 64), "src0", "src1",
         eps = 2.0, iters = 5)),
+    // per-shard reproducibility manifest: order-independent md5-slice
+    // checksum — "same data as last run" as a verifiable per-shard claim
+    "x173_shard_manifest" -> ((s, dir) =>
+      graft.sampling.Sharding.shardManifest(T(s, dir, "documents"),
+        pmod(graft.sampling.Sampling.hashKey(col("doc_id"), lit("manifest")),
+          lit(8L)), col("doc_id"), col("text"))),
     // b-bit minwise audit: Jaccard recoverable from the LOW 4 BITS of
     // each minhash slice vs the exact value, per verified candidate pair
     // — the 64x-smaller-signature storage trade, measured

@@ -275,4 +275,29 @@ class SamplingSpec extends SparkSpec {
     // (keeps 16, truncates 4): kept = 9 + 16 = 25 of 32 padded
     assert(got(16L) === ((2L, 29L, 32L, 4L, r6(1.0 - 25.0 / 32.0))))
   }
+
+  test("x173 shardManifest: checksum is order/partition-invariant, diffs flag content") {
+    import graft.sampling.Sharding
+    val docs = Seq((1L, 0, "alpha"), (2L, 0, "beta"), (3L, 1, "gamma"),
+      (4L, 1, "delta")).toDF("id", "sh", "t")
+    def manifest(df: org.apache.spark.sql.DataFrame): Map[Int, (Long, Long, Long)] =
+      Sharding.shardManifest(df, col("sh"), col("id"), col("t"))
+        .collect().map(r => r.getInt(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(5)))).toMap
+    val base = manifest(docs)
+    assert(base(0)._1 === 2L && base(0)._2 === 9L) // alpha+beta chars
+    // invariant to row order and partitioning (the SUM is commutative)
+    assert(base === manifest(docs.orderBy(col("id").desc).repartition(7)))
+    // driver-side truth for one row's contribution
+    def h32(id: Long, t: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:$t".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString, 16)
+    assert(base(1)._3 === h32(3L, "gamma") + h32(4L, "delta"))
+    // a single changed payload flips exactly its shard's checksum
+    val tampered = manifest(Seq((1L, 0, "alpha"), (2L, 0, "betA"),
+      (3L, 1, "gamma"), (4L, 1, "delta")).toDF("id", "sh", "t"))
+    assert(tampered(0)._3 !== base(0)._3)
+    assert(tampered(1) === base(1))
+  }
 }
