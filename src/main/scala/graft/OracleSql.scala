@@ -3940,8 +3940,9 @@ object OracleSql {
     "x171_conformal_gate" ->
       s"""WITH t AS (SELECT doc_id, source AS grp, text, $Toks AS toks
          |  FROM documents),
-         |s AS (SELECT grp, $QualitySql AS sc,
+         |s0 AS (SELECT grp, $QualitySql AS sc,
          |  ${bucketSql("doc_id", "conformal")} < 2000 AS cal FROM t),
+         |s AS (SELECT * FROM s0 WHERE sc IS NOT NULL),
          |n AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM s WHERE cal),
          |spine AS (SELECT sc, CAST(count(*) AS BIGINT) AS c
          | FROM s WHERE cal GROUP BY 1),

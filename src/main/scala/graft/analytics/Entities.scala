@@ -90,28 +90,33 @@ object Entities {
     val o = normalized(oldRecords, id, key, value)
     val n = normalized(newRecords, id, key, value)
     // cap on UNION block sizes: ONE count-window over the exploded
-    // variants of both batches (same O as matchPairs' own cap), then ONE
-    // self-join of the capped union carrying a per-side flag — the
-    // new-touching filter (left_new OR right_new) carves the delta out of
-    // exactly matchPairs(old ∪ new)'s candidate set, so no per-side
-    // re-derivation of the window is needed (the 3-consumer version of
-    // this recomputed the union window per join branch and measured 27 %
-    // slower at sf0.1)
+    // variants of both batches (same O as matchPairs' own cap), then one
+    // join with the NEW side as the probe against the full capped union —
+    // every emitted candidate touches the new batch BY CONSTRUCTION, so
+    // old×old pairs are never enumerated (a pure-old block of size B must
+    // not cost B²/2 discarded rows when |old| ≫ |new| — the whole point
+    // of the incremental path). Pair canonicalization (least/greatest id
+    // with keys swapped to match) folds the doubly-generated new×new
+    // candidates into one row before the distinct.
     val capped = graft.dedup.Dedup.capBuckets(
       variants(n).withColumn("__new", lit(true))
         .unionByName(variants(o).withColumn("__new", lit(false))),
       Seq(col("__v")), maxBucket)
-    def side(p: String): DataFrame = capped.select(
-      col("rid").as(p + "id"), col("rkey").as(p + "key"),
-      col("__new").as(p + "new"), col("__v"))
-    val delta = side("left_").join(side("right_"), Seq("__v"))
-      .filter(col("left_id") < col("right_id") &&
-        (col("left_new") || col("right_new")))
-      .select(col("left_id"), col("right_id"), col("left_key"),
-        col("right_key"))
+    val delta = capped.filter(col("__new"))
+      .select(col("rid").as("left_id"), col("rkey").as("left_key"),
+        col("__v"))
+      .join(capped.select(col("rid").as("right_id"),
+        col("rkey").as("right_key"), col("__v")), Seq("__v"))
+      .filter(col("left_id") =!= col("right_id"))
+      .select(least(col("left_id"), col("right_id")).as("doc_a"),
+        greatest(col("left_id"), col("right_id")).as("doc_b"),
+        when(col("left_id") < col("right_id"), col("left_key"))
+          .otherwise(col("right_key")).as("__ka"),
+        when(col("left_id") < col("right_id"), col("right_key"))
+          .otherwise(col("left_key")).as("__kb"))
       .distinct()
-      .filter(levenshtein(col("left_key"), col("right_key")) <= 1)
-      .select(col("left_id").as("doc_a"), col("right_id").as("doc_b"))
+      .filter(levenshtein(col("__ka"), col("__kb")) <= 1)
+      .select(col("doc_a"), col("doc_b"))
     (delta, survivorship(o.union(n), oldPairs.union(delta)))
   }
 

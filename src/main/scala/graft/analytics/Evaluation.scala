@@ -346,10 +346,15 @@ object Evaluation {
     require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
     require(calBuckets >= 1 && calBuckets < graft.sampling.Sampling.Buckets,
       s"calBuckets must be in [1, ${graft.sampling.Sampling.Buckets}), got $calBuckets")
+    // null scores are EXCLUDED on both splits (documented): Spark sorts
+    // nulls first while DuckDB sorts them last, so a null entering the
+    // spine would silently shift the order statistic — and a null is not
+    // a quality observation the bound can cover anyway
     val s = df.select(group.as("grp"),
       round(score.cast("double"), 6).as("__s"),
       (graft.sampling.Sampling.hashBucket(id, "conformal") < calBuckets)
         .as("__cal"))
+      .filter(col("__s").isNotNull)
     val cal = s.filter(col("__cal"))
     val n = cal.agg(count(lit(1)).as("__n"))
     val wc = Window.orderBy(col("__s"))

@@ -67,13 +67,13 @@ object Sharding {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
 
   /** Reproducibility manifest for an exported shard layout: per shard,
-    * doc count, payload bytes, id range, and an ORDER-INDEPENDENT content
-    * checksum — the artifact a training run records so "same data as last
-    * run" is a verifiable claim, not an assumption. Two pipeline runs (or
-    * two engines — the DuckDB oracle computes the same number) producing
-    * the same manifest hold the same (id, payload) multiset per shard;
-    * silent corruption, a nondeterministic upstream sample, or a dropped
-    * partition shows up as a checksum diff naming the shard.
+    * doc count, payload character sum, id range, and an ORDER-INDEPENDENT
+    * content checksum — the artifact a training run records so "same data
+    * as last run" is a verifiable claim, not an assumption. Two pipeline
+    * runs (or two engines — the DuckDB oracle computes the same number)
+    * producing the same manifest hold the same (id, payload) multiset per
+    * shard; silent corruption, a nondeterministic upstream sample, or a
+    * dropped partition shows up as a checksum diff naming the shard.
     *
     * Checksum construction: each row contributes the 32-bit integer value
     * of the first 8 hex chars of `md5(id || ':' || payload)` (the
@@ -82,13 +82,17 @@ object Sharding {
     * and associative, so it is invariant to row order and partitioning,
     * and EXACT in a long up to ~2³¹ rows per shard (documented bound;
     * 2³¹ × (2³²−1) < 2⁶³). One grouped aggregate, map-side combinable.
+    *
+    * The hash keys off the id's STRING form, so non-numeric ids (uuids)
+    * checksum correctly; only `id_min`/`id_max` need a numeric id (they
+    * report null otherwise — the checksum stays sound either way).
     */
   def shardManifest(df: DataFrame, shard: Column, id: Column,
       payload: Column): DataFrame =
     df.select(shard.as("shard"), id.cast("long").as("__id"),
-        payload.cast("string").as("__p"))
+        id.cast("string").as("__ids"), payload.cast("string").as("__p"))
       .withColumn("__h", conv(substring(md5(concat(
-        col("__id").cast("string"), lit(":"), col("__p"))), 1, 8), 16, 10)
+        col("__ids"), lit(":"), col("__p"))), 1, 8), 16, 10)
         .cast("long"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),

@@ -241,8 +241,7 @@ class DriftSpec extends SparkSpec {
     import graft.analytics.Comparison
     // A concentrated at v=0, B at v=3: the unique coupling with those
     // marginals is the single cell (0,3) carrying ALL the mass, cost 3
-    val point = Seq.fill(4)(("A", 0L)).map { case (g, v) => (g, v) } ++
-      Seq.fill(4)(("B", 3L))
+    val point = Seq.fill(4)(("A", 0L)) ++ Seq.fill(4)(("B", 3L))
     val p = Comparison.sinkhornPlan(point.toDF("g", "v"), col("g"), col("v"),
       "A", "B").collect()
     assert(p.length === 1)

@@ -471,6 +471,35 @@ class ScaleGrowthSpec extends SparkSpec {
       s"prefix join shuffle grew ${g}x for 10x input ($small -> $large)")
   }
 
+  test("entity delta shuffle bytes track the old corpus linearly, never old-pair squares") {
+    // fixed 20-record increment against a growing old registry whose keys
+    // concentrate into ~20 hot (but under-cap) blocks: candidate work must
+    // be probe-driven (|new|·block), so bytes grow ~linearly with the old
+    // corpus. The regression being guarded — joining the full capped union
+    // against itself and discarding old×old pairs AFTER the join — grows
+    // with block² (~100x here) because the discarded pairs still transit
+    // the distinct's exchange.
+    import graft.analytics.Entities
+    def delta(nOld: Int): DataFrame = {
+      val old = spark.range(nOld).select(col("id").as("rid"),
+        concat(lit("key"), pmod(col("id"), lit(20)).cast("string"))
+          .as("rkey"), lit(1.0).as("rval"))
+      val fresh = spark.range(2000000, 2000020).select(col("id").as("rid"),
+        concat(lit("key"), pmod(col("id"), lit(20)).cast("string"))
+          .as("rkey"), lit(1.0).as("rval"))
+      val noPairs = old.limit(0).select(col("rid").as("doc_a"),
+        col("rid").as("doc_b"))
+      Entities.goldenRecordsDelta(old, fresh, noPairs,
+        col("rid"), col("rkey"), col("rval"))._1
+    }
+    val small = shuffleBytes(run(delta(500)))
+    val large = shuffleBytes(run(delta(5000)))
+    val g = growth(small, large)
+    assert(small > 0, "listener captured no shuffle writes")
+    assert(g < 30.0,
+      s"entity delta shuffle grew ${g}x for 10x old corpus ($small -> $large)")
+  }
+
   test("weighted-median shuffle bytes grow ~linearly from 1x to 10x rows") {
     // a46's shape: RANGE-frame cumsum + per-group total + one aggregate,
     // all exchanges partitioned by the group key, so traffic is one

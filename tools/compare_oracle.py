@@ -80,11 +80,10 @@ for qdir in sorted(glob.glob(f"{outdir}/*/")):
         s_rows, s_cols = s_rel.fetchall(), [d[0] for d in s_rel.description]
         o_rel = con.execute(oracle[name])
         o_rows, o_cols = o_rel.fetchall(), [d[0] for d in o_rel.description]
-        s_types = {c: str(t) for c, t in zip(
-            con.sql(f"SELECT * FROM '{qdir}*.parquet'").columns,
-            con.sql(f"SELECT * FROM '{qdir}*.parquet'").types)}
-        o_types = {c: str(t) for c, t in zip(
-            con.sql(oracle[name]).columns, con.sql(oracle[name]).types)}
+        s_rel2 = con.sql(f"SELECT * FROM '{qdir}*.parquet'")
+        s_types = {c: str(t) for c, t in zip(s_rel2.columns, s_rel2.types)}
+        o_rel2 = con.sql(oracle[name])
+        o_types = {c: str(t) for c, t in zip(o_rel2.columns, o_rel2.types)}
     except Exception as e:
         print(f"{name}: ERROR {e}")
         fails += 1
