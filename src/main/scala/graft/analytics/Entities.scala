@@ -89,20 +89,31 @@ object Entities {
       maxBucket: Int = 1000): (DataFrame, DataFrame) = {
     val o = normalized(oldRecords, id, key, value)
     val n = normalized(newRecords, id, key, value)
-    // cap on UNION block sizes: ONE count-window over the exploded
-    // variants of both batches (same O as matchPairs' own cap), then one
-    // join with the NEW side as the probe against the full capped union —
-    // every emitted candidate touches the new batch BY CONSTRUCTION, so
-    // old×old pairs are never enumerated (a pure-old block of size B must
-    // not cost B²/2 discarded rows when |old| ≫ |new| — the whole point
-    // of the incremental path). Pair canonicalization (least/greatest id
-    // with keys swapped to match) folds the doubly-generated new×new
-    // candidates into one row before the distinct.
+    val delta = deltaPairs(o, n, maxBucket)
+    (delta, survivorship(o.union(n), oldPairs.union(delta)))
+  }
+
+  /** The delta-edge generation of [[goldenRecordsDelta]], exposed so the
+    * scale-growth gate can measure candidate work WITHOUT the eager
+    * closure/survivorship jobs the full call triggers.
+    *
+    * Cap on UNION block sizes: ONE count-window over the exploded
+    * variants of both batches (same O as matchPairs' own cap), then one
+    * join with the NEW side as the probe against the full capped union —
+    * every emitted candidate touches the new batch BY CONSTRUCTION, so
+    * old×old pairs are never enumerated (a pure-old block of size B must
+    * not cost B²/2 discarded rows when |old| ≫ |new| — the whole point
+    * of the incremental path). Pair canonicalization (least/greatest id
+    * with keys swapped to match) folds the doubly-generated new×new
+    * candidates into one row before the distinct.
+    */
+  private[graft] def deltaPairs(o: DataFrame, n: DataFrame,
+      maxBucket: Int): DataFrame = {
     val capped = graft.dedup.Dedup.capBuckets(
       variants(n).withColumn("__new", lit(true))
         .unionByName(variants(o).withColumn("__new", lit(false))),
       Seq(col("__v")), maxBucket)
-    val delta = capped.filter(col("__new"))
+    capped.filter(col("__new"))
       .select(col("rid").as("left_id"), col("rkey").as("left_key"),
         col("__v"))
       .join(capped.select(col("rid").as("right_id"),
@@ -117,7 +128,6 @@ object Entities {
       .distinct()
       .filter(levenshtein(col("__ka"), col("__kb")) <= 1)
       .select(col("doc_a"), col("doc_b"))
-    (delta, survivorship(o.union(n), oldPairs.union(delta)))
   }
 
   /** Exploded deletion-neighborhood variants of a normalized registry —

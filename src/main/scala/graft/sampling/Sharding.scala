@@ -85,12 +85,15 @@ object Sharding {
     *
     * The hash keys off the id's STRING form, so non-numeric ids (uuids)
     * checksum correctly; only `id_min`/`id_max` need a numeric id (they
-    * report null otherwise — the checksum stays sound either way).
+    * report null otherwise — `try_cast`, because under Spark 4's default
+    * ANSI mode a plain cast of a non-numeric id would THROW and take the
+    * whole manifest down, not return null).
     */
   def shardManifest(df: DataFrame, shard: Column, id: Column,
       payload: Column): DataFrame =
-    df.select(shard.as("shard"), id.cast("long").as("__id"),
-        id.cast("string").as("__ids"), payload.cast("string").as("__p"))
+    df.select(shard.as("shard"), id.cast("string").as("__ids"),
+        payload.cast("string").as("__p"))
+      .withColumn("__id", expr("try_cast(__ids AS BIGINT)"))
       .withColumn("__h", conv(substring(md5(concat(
         col("__ids"), lit(":"), col("__p"))), 1, 8), 16, 10)
         .cast("long"))

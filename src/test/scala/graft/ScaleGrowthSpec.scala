@@ -473,25 +473,28 @@ class ScaleGrowthSpec extends SparkSpec {
 
   test("entity delta shuffle bytes track the old corpus linearly, never old-pair squares") {
     // fixed 20-record increment against a growing old registry whose keys
-    // concentrate into ~20 hot (but under-cap) blocks: candidate work must
-    // be probe-driven (|new|·block), so bytes grow ~linearly with the old
-    // corpus. The regression being guarded — joining the full capped union
-    // against itself and discarding old×old pairs AFTER the join — grows
-    // with block² (~100x here) because the discarded pairs still transit
-    // the distinct's exchange.
+    // concentrate into 20 hot blocks. Keys are 5×-repeated DISTINCT
+    // letters ("aaaaa".."ttttt"): their deletion neighborhoods are
+    // pairwise disjoint (digit-suffixed keys would merge blocks across
+    // keys and push them over maxBucket at the 10× point, letting the
+    // CAP — not probe discipline — trim the work this gate measures),
+    // so every block stays under the default cap at BOTH scales:
+    // 10×·(nOld/20) = 500 ≤ 1000. Candidate work must be probe-driven
+    // (|new|·block → ~10× bytes); the guarded regression — joining the
+    // full capped union against itself and discarding old×old pairs
+    // AFTER the join — grows with block² (~100×) because the discarded
+    // pairs still transit the distinct's exchange. Measures deltaPairs
+    // directly: goldenRecordsDelta's closure/survivorship runs eager jobs
+    // at call time that would pollute the byte count.
     import graft.analytics.Entities
-    def delta(nOld: Int): DataFrame = {
-      val old = spark.range(nOld).select(col("id").as("rid"),
-        concat(lit("key"), pmod(col("id"), lit(20)).cast("string"))
-          .as("rkey"), lit(1.0).as("rval"))
-      val fresh = spark.range(2000000, 2000020).select(col("id").as("rid"),
-        concat(lit("key"), pmod(col("id"), lit(20)).cast("string"))
-          .as("rkey"), lit(1.0).as("rval"))
-      val noPairs = old.limit(0).select(col("rid").as("doc_a"),
-        col("rid").as("doc_b"))
-      Entities.goldenRecordsDelta(old, fresh, noPairs,
-        col("rid"), col("rkey"), col("rval"))._1
-    }
+    val keys = array(('a' to 't').map(c => lit(c.toString * 5)): _*)
+    def reg(r: org.apache.spark.sql.Dataset[java.lang.Long]): DataFrame =
+      r.select(col("id").as("rid"),
+        element_at(keys, (pmod(col("id"), lit(20)) + 1).cast("int"))
+          .as("rkey"))
+    def delta(nOld: Int): DataFrame =
+      Entities.deltaPairs(reg(spark.range(nOld)),
+        reg(spark.range(2000000, 2000020)), maxBucket = 1000)
     val small = shuffleBytes(run(delta(500)))
     val large = shuffleBytes(run(delta(5000)))
     val g = growth(small, large)
