@@ -3950,8 +3950,8 @@ object OracleSql {
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          |  AS cum FROM spine),
          |thr AS (SELECT min(sc) AS thr FROM cum, n
-         | WHERE CAST(floor(0.1 * (n_cal + 1)) AS BIGINT) >= 1
-         |   AND cum >= CAST(floor(0.1 * (n_cal + 1)) AS BIGINT))
+         | WHERE CAST(floor(CAST(0.1 AS DOUBLE) * (n_cal + 1)) AS BIGINT) >= 1
+         |   AND cum >= CAST(floor(CAST(0.1 AS DOUBLE) * (n_cal + 1)) AS BIGINT))
          |SELECT grp AS "group", CAST(count(*) AS BIGINT) AS n_docs,
          | CAST(count(*) FILTER (WHERE sc < thr) AS BIGINT) AS n_flagged,
          | round(CAST(count(*) FILTER (WHERE sc < thr) AS DOUBLE) /

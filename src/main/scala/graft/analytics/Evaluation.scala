@@ -332,9 +332,13 @@ object Evaluation {
     * "conformal"), and the order statistic is exact — computed on the
     * round-6 score JUMP SPINE (groupBy score + one cumulative window:
     * the post-aggregate window contract, |distinct scores| bounded by
-    * quantization, never corpus rows). α·(n+1) uses the same double
-    * literal in both engines. If ⌊α·(n_cal+1)⌋ < 1 the bound is vacuous:
-    * threshold is null and nothing is flagged.
+    * quantization, never corpus rows). k = ⌊α·(n_cal+1)⌋ is computed in
+    * IEEE double on BOTH engines — the oracle writes
+    * `CAST(0.1 AS DOUBLE)` because a bare DuckDB `0.1` literal is an
+    * exact DECIMAL whose product can floor differently from the double
+    * product (0.3·10 = 2.999…96 in double → k=2, but 3 in decimal —
+    * a one-off coincidence at α=0.1 must not become the template).
+    * If k < 1 the bound is vacuous: threshold is null, nothing flagged.
     *
     * Scale: one narrow projection read twice (calibration spine, eval
     * apply), a spine-sized window, a 1-row threshold broadcast, one

@@ -38,16 +38,24 @@ object Pipeline {
 
   /** Run `body` (a bounded drain: build stream → start → await) with
     * `spark.sql.shuffle.partitions` pinned to [[DrainStatePartitions]],
-    * restoring the session's value after — drains run sequentially under
-    * the harness, so the temporary session-conf swap cannot race.
+    * restoring the session's value after. The swap mutates SESSION-global
+    * conf, so two drains racing on one SparkSession could pin each
+    * other's (or an unrelated query's) shuffle count — the lock makes
+    * "drains run one at a time" an enforced invariant instead of a
+    * documented assumption about the harness. Batch queries on other
+    * threads are unaffected beyond the conf value itself; only drains
+    * serialize, and every drain is a bounded `AvailableNow` run, so the
+    * hold time is one drain's drain.
     */
+  private[this] val drainLock = new Object
   private[graft] def withDrainPartitions[A](
-      spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, DrainStatePartitions.toString)
-    try body finally spark.conf.set(key, prev)
-  }
+      spark: org.apache.spark.sql.SparkSession)(body: => A): A =
+    drainLock.synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, DrainStatePartitions.toString)
+      try body finally spark.conf.set(key, prev)
+    }
 
   /** Clean + feature a parsed telemetry frame. Works identically on batch
     * and streaming DataFrames (same Catalyst plan either way) — this is the

@@ -75,25 +75,32 @@ for qdir in sorted(glob.glob(f"{outdir}/*/")):
         print(f"{name}: NO ORACLE (rows-only)")
         continue
     try:
-        s_rel = con.execute(
-            f"SELECT * FROM '{qdir}*.parquet'")
-        s_rows, s_cols = s_rel.fetchall(), [d[0] for d in s_rel.description]
-        o_rel = con.execute(oracle[name])
-        o_rows, o_cols = o_rel.fetchall(), [d[0] for d in o_rel.description]
-        s_rel2 = con.sql(f"SELECT * FROM '{qdir}*.parquet'")
-        s_types = {c: str(t) for c, t in zip(s_rel2.columns, s_rel2.types)}
-        o_rel2 = con.sql(oracle[name])
-        o_types = {c: str(t) for c, t in zip(o_rel2.columns, o_rel2.types)}
+        # ONE relation per side serves both the type lint (columns/types,
+        # readable pre-fetch) and the value compare (fetchall) — the oracle
+        # SQL runs once, not once per purpose.
+        s_rel = con.sql(f"SELECT * FROM '{qdir}*.parquet'")
+        s_cols = list(s_rel.columns)
+        s_types = {c: str(t) for c, t in zip(s_rel.columns, s_rel.types)}
+        s_rows = s_rel.fetchall()
+        o_rel = con.sql(oracle[name])
+        o_cols = list(o_rel.columns)
+        o_types = {c: str(t) for c, t in zip(o_rel.columns, o_rel.types)}
+        o_rows = o_rel.fetchall()
     except Exception as e:
         print(f"{name}: ERROR {e}")
         fails += 1
         continue
+    # a query fails AT MOST ONCE for dtype drift, however many columns
+    # drifted — `fails` counts failing QUERIES, `type_diffs` counts columns
+    q_type_bad = False
     for c in sorted(set(s_types) & set(o_types)):
         if norm_type(s_types[c]) != norm_type(o_types[c]):
             print(f"{name}: TYPE MISMATCH col {c}: "
                   f"spark={s_types[c]} oracle={o_types[c]}")
             type_diffs += 1
-            fails += 1
+            q_type_bad = True
+    if q_type_bad:
+        fails += 1
     sr, sc = canon(s_rows, s_cols)
     orr, oc = canon(o_rows, o_cols)
     if sc != oc:
