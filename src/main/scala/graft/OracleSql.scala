@@ -454,6 +454,17 @@ object OracleSql {
   private def bucketSql(idExpr: String, salt: String): String =
     s"${hashKeySql(idExpr, salt)} % ${graft.sampling.Sampling.Buckets}"
 
+  /** DuckDB twin of [[graft.sampling.Sharding.shardManifest]]'s per-row
+    * 32-bit content hash: integer value of the first 8 hex chars of
+    * md5(id || ':' || payload). Shared by x173 (manifest) and x175
+    * (manifest diff) so the two oracles cannot drift.
+    */
+  private def rowHashSql(idExpr: String, payloadExpr: String): String =
+    s"""list_reduce(list_transform(range(1, 9),
+       | i -> CAST(instr('0123456789abcdef', substring(
+       |   md5(CAST($idExpr AS VARCHAR) || ':' || $payloadExpr), i, 1)) - 1
+       |   AS BIGINT)), (a, b) -> a * 16 + b)""".stripMargin
+
   /** DuckDB twin of [[graft.text.TextAnalysis.qualityScore]] over CTE
     * columns `text`/`toks` — shared by x02 (the score itself) and x40
     * (budget selection ranked by it).
@@ -3962,17 +3973,106 @@ object OracleSql {
     // order-independent SUM checksum per hash-assigned shard
     "x173_shard_manifest" ->
       s"""WITH m AS (SELECT ${hashKeySql("doc_id", "manifest")} % 8 AS shard,
-         |  doc_id, text,
-         |  list_reduce(list_transform(range(1, 9),
-         |    i -> CAST(instr('0123456789abcdef', substring(
-         |      md5(CAST(doc_id AS VARCHAR) || ':' || text), i, 1)) - 1
-         |      AS BIGINT)), (a, b) -> a * 16 + b) AS h
+         |  doc_id, text, ${rowHashSql("doc_id", "text")} AS h
          | FROM documents)
          |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
          | CAST(sum(length(text)) AS BIGINT) AS n_chars,
          | min(doc_id) AS id_min, max(doc_id) AS id_max,
          | CAST(sum(h) AS BIGINT) AS checksum
          |FROM m GROUP BY shard""".stripMargin,
+    // mirror of Evaluation.mondrianGate: x171's construction with the
+    // spine window PARTITIONED BY group, per-group n_cal and threshold,
+    // left join so eval-only / thin groups read null-thr vacuous
+    "x174_mondrian_gate" ->
+      s"""WITH t AS (SELECT doc_id, source AS grp, text, $Toks AS toks
+         |  FROM documents),
+         |s0 AS (SELECT grp, $QualitySql AS sc,
+         |  ${bucketSql("doc_id", "conformal")} < 2000 AS cal FROM t),
+         |s AS (SELECT * FROM s0 WHERE sc IS NOT NULL),
+         |n AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_cal FROM s
+         | WHERE cal GROUP BY 1),
+         |spine AS (SELECT grp, sc, CAST(count(*) AS BIGINT) AS c
+         | FROM s WHERE cal GROUP BY 1, 2),
+         |cum AS (SELECT grp, sc, CAST(sum(c) OVER (PARTITION BY grp
+         |  ORDER BY sc ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |  AS BIGINT) AS cum FROM spine),
+         |thr AS (SELECT grp, min(sc) AS thr FROM cum JOIN n USING (grp)
+         | WHERE CAST(floor(CAST(0.25 AS DOUBLE) * (n_cal + 1)) AS BIGINT) >= 1
+         |   AND cum >= CAST(floor(CAST(0.25 AS DOUBLE) * (n_cal + 1)) AS BIGINT)
+         | GROUP BY 1)
+         |SELECT grp AS "group", CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(count(*) FILTER (WHERE sc < thr) AS BIGINT) AS n_flagged,
+         | round(CAST(count(*) FILTER (WHERE sc < thr) AS DOUBLE) /
+         |   CAST(count(*) AS DOUBLE), 6) AS flag_rate,
+         | min(thr) AS thr
+         |FROM s LEFT JOIN thr USING (grp) WHERE NOT cal GROUP BY grp""".stripMargin,
+    // mirror of Sharding.manifestDiff over the same two perturbed runs:
+    // run A drops shard 5, run B drops shard 9, ~1% of rows
+    // (hash % 97 = 0) and reverses ~1% of texts (hash % 89 = 1);
+    // verdict precedence missing > count_drift > checksum_drift
+    "x175_manifest_diff" ->
+      s"""WITH db AS (SELECT doc_id,
+         |  CASE WHEN ${hashKeySql("doc_id", "diffmut")} % 89 = 1
+         |   THEN reverse(text) ELSE text END AS text
+         | FROM documents
+         | WHERE ${hashKeySql("doc_id", "diffdrop")} % 97 <> 0),
+         |ma AS (SELECT shard, CAST(count(*) AS BIGINT) AS docs_a,
+         |  CAST(sum(h) AS BIGINT) AS sum_a
+         | FROM (SELECT ${hashKeySql("doc_id", "manifest")} % 64 AS shard,
+         |   ${rowHashSql("doc_id", "text")} AS h FROM documents)
+         | WHERE shard <> 5 GROUP BY 1),
+         |mb AS (SELECT shard, CAST(count(*) AS BIGINT) AS docs_b,
+         |  CAST(sum(h) AS BIGINT) AS sum_b
+         | FROM (SELECT ${hashKeySql("doc_id", "manifest")} % 64 AS shard,
+         |   ${rowHashSql("doc_id", "text")} AS h FROM db)
+         | WHERE shard <> 9 GROUP BY 1)
+         |SELECT COALESCE(ma.shard, mb.shard) AS shard, docs_a, docs_b,
+         | CASE WHEN ma.shard IS NULL THEN 'missing_a'
+         |      WHEN mb.shard IS NULL THEN 'missing_b'
+         |      WHEN docs_a <> docs_b THEN 'count_drift'
+         |      WHEN sum_a <> sum_b THEN 'checksum_drift'
+         |      ELSE 'unchanged' END AS verdict
+         |FROM ma FULL JOIN mb ON ma.shard = mb.shard""".stripMargin,
+    // mirror of Comparison.sinkhornResiduals: x172's generated iteration
+    // CTEs plus, per round, the coupling's worst marginal deviation per
+    // side (raw u·k·v sums, max-abs-diff vs the round-6 marginal, round 6)
+    "x176_sinkhorn_residual" -> {
+      val iters = (1 to 5).map { i =>
+        s"""v$i AS (SELECT vb,
+           |  CASE WHEN s > 0 THEN round(wb / s, 6) ELSE 0.0 END AS uv
+           | FROM (SELECT vb, sum(kij * u) AS s FROM k
+           |   JOIN u${i - 1} USING (va) GROUP BY 1) JOIN b USING (vb)),
+           |u$i AS (SELECT va,
+           |  CASE WHEN s > 0 THEN round(wa / s, 6) ELSE 0.0 END AS u
+           | FROM (SELECT va, sum(kij * uv) AS s FROM k
+           |   JOIN v$i USING (vb) GROUP BY 1) JOIN a USING (va))"""
+      }.mkString(",\n")
+      val rows = (1 to 5).map { i =>
+        s"""SELECT CAST($i AS INTEGER) AS iter,
+           | (SELECT round(max(abs(s - wa)), 6) FROM (SELECT va,
+           |   sum(u * kij * uv) AS s FROM k JOIN u$i USING (va)
+           |   JOIN v$i USING (vb) GROUP BY 1) JOIN a USING (va)) AS res_a,
+           | (SELECT round(max(abs(s - wb)), 6) FROM (SELECT vb,
+           |   sum(u * kij * uv) AS s FROM k JOIN u$i USING (va)
+           |   JOIN v$i USING (vb) GROUP BY 1) JOIN b USING (vb)) AS res_b"""
+      }.mkString("\nUNION ALL\n")
+      s"""WITH c AS (SELECT source AS grp, n_chars // 64 AS v,
+         |  count(*) AS c FROM documents
+         | WHERE source IN ('src0', 'src1') GROUP BY 1, 2),
+         |a AS (SELECT v AS va, round(CAST(c AS DOUBLE) /
+         |  (SELECT CAST(sum(c) AS DOUBLE) FROM c WHERE grp = 'src0'), 6)
+         |  AS wa FROM c WHERE grp = 'src0'),
+         |b AS (SELECT v AS vb, round(CAST(c AS DOUBLE) /
+         |  (SELECT CAST(sum(c) AS DOUBLE) FROM c WHERE grp = 'src1'), 6)
+         |  AS wb FROM c WHERE grp = 'src1'),
+         |k AS (SELECT va, vb,
+         |  round(exp(-abs(CAST(va AS DOUBLE) - CAST(vb AS DOUBLE)) / 2.0),
+         |   6) AS kij
+         | FROM (SELECT va FROM a) CROSS JOIN (SELECT vb FROM b)),
+         |u0 AS (SELECT va, 1.0 AS u FROM a),
+         |$iters
+         |$rows""".stripMargin
+    },
     // mirror of Comparison.sinkhornPlan: kernel + marginals rounded at 6,
     // 5 generated alternating-scaling iterations (the x170 discipline),
     // zero-sum rows scale to 0 via the same CASE

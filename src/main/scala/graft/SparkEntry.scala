@@ -1585,6 +1585,50 @@ object SparkEntry {
       graft.sampling.Sharding.shardManifest(T(s, dir, "documents"),
         pmod(graft.sampling.Sampling.hashKey(col("doc_id"), lit("manifest")),
           lit(8L)), col("doc_id"), col("text"))),
+    // Mondrian (per-group) conformal gate beside x171's global one: each
+    // source calibrated against ITSELF, so a legitimately low-scoring
+    // source doesn't alarm forever; same salt → identical cal/eval split.
+    // α=0.25 (not x171's 0.1) so the per-group small-n regime is LIVE at
+    // sf0.01 (~5 cal docs/source → k=1 for most, a few vacuous) instead
+    // of every group reading null-thr — and 0.25·(n+1) exercises the
+    // CAST-to-double oracle discipline on a value exact in both numeric
+    // systems
+    "x174_mondrian_gate" -> ((s, dir) =>
+      graft.analytics.Evaluation.mondrianGate(T(s, dir, "documents"),
+        col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(col("text")), alpha = 0.25)),
+    // manifest DIFF — the run-over-run operator x173's artifact exists
+    // for: run A drops shard 5 (missing_a), run B drops shard 9
+    // (missing_b), loses ~1% of rows (count_drift) and reverses ~1% of
+    // texts (checksum_drift: same count, same chars, different content);
+    // untouched shards must read unchanged. 64 shards so each verdict
+    // class is populated at sf0.01+
+    "x175_manifest_diff" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val shard = pmod(
+        graft.sampling.Sampling.hashKey(col("doc_id"), lit("manifest")),
+        lit(64L))
+      val runA = graft.sampling.Sharding.shardManifest(
+        docs, shard, col("doc_id"), col("text"))
+        .filter(col("shard") =!= 5L)
+      val docsB = docs
+        .filter(pmod(graft.sampling.Sampling.hashKey(col("doc_id"),
+          lit("diffdrop")), lit(97L)) =!= 0L)
+        .withColumn("text", when(pmod(graft.sampling.Sampling.hashKey(
+          col("doc_id"), lit("diffmut")), lit(89L)) === 1L,
+          reverse(col("text"))).otherwise(col("text")))
+      val runB = graft.sampling.Sharding.shardManifest(
+        docsB, shard, col("doc_id"), col("text"))
+        .filter(col("shard") =!= 9L)
+      graft.sampling.Sharding.manifestDiff(runA, runB)
+    }),
+    // Sinkhorn convergence meter for x172: per-round worst marginal
+    // deviation per side — res_b is the live signal and must fall to the
+    // rounding floor; a non-converged plan is now detectable, not silent
+    "x176_sinkhorn_residual" -> ((s, dir) =>
+      graft.analytics.Comparison.sinkhornResiduals(T(s, dir, "documents"),
+        col("source"), floor(col("n_chars") / 64), "src0", "src1",
+        eps = 2.0, iters = 5)),
     // b-bit minwise audit: Jaccard recoverable from the LOW 4 BITS of
     // each minhash slice vs the exact value, per verified candidate pair
     // — the 64x-smaller-signature storage trade, measured

@@ -381,4 +381,66 @@ object Evaluation {
           col("n_docs").cast("double"), 6).as("flag_rate"),
         col("thr"))
   }
+
+  /** Mondrian (group-conditional) split-conformal gate — [[conformalGate]]
+    * with a SEPARATE calibration threshold per group: the k_g-th smallest
+    * calibration score WITHIN group g, k_g = ⌊α·(n_cal_g+1)⌋, guaranteeing
+    * P(new score < thr_g | group g) ≤ α per group (Vovk's Mondrian
+    * taxonomy, one cell per group). This is the form a per-SOURCE quality
+    * gate actually wants: under the global gate a source whose score
+    * distribution is legitimately lower than the corpus mix alarms
+    * forever; here each source is calibrated against itself, so its alarm
+    * fires only when ITS OWN distribution shifts between the calibration
+    * and evaluation splits.
+    *
+    * The price of conditioning is per-group calibration mass: a group
+    * with n_cal_g < ⌈1/α⌉−1 has k_g < 1 and a VACUOUS gate (null
+    * threshold, nothing flagged) — reported, not hidden, so thin sources
+    * read as "uncalibratable", never as "clean". A group present only in
+    * the evaluation split gets the same null-threshold row via the left
+    * join. Same determinism contract as the global gate: round-6 scores,
+    * nulls excluded on both splits, the x19 hash split (salt "conformal"
+    * — THE SAME salt, so the global and Mondrian faces gate the identical
+    * calibration/eval partition and their flag rates are comparable), and
+    * k_g in IEEE double on both engines.
+    *
+    * Scale: identical shuffle shape to [[conformalGate]] except the
+    * cumulative window is PARTITIONED BY group (per-group spine chunks —
+    * strictly more parallel than the global gate's single spine sort, and
+    * off the unpartitioned-window audit entirely); thresholds join back
+    * group-keyed instead of via a 1-row broadcast.
+    */
+  def mondrianGate(df: DataFrame, id: Column, group: Column, score: Column,
+      alpha: Double = 0.1,
+      calBuckets: Int = graft.sampling.Sampling.Buckets / 5): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
+    require(calBuckets >= 1 && calBuckets < graft.sampling.Sampling.Buckets,
+      s"calBuckets must be in [1, ${graft.sampling.Sampling.Buckets}), got $calBuckets")
+    val s = df.select(group.as("grp"),
+      round(score.cast("double"), 6).as("__s"),
+      (graft.sampling.Sampling.hashBucket(id, "conformal") < calBuckets)
+        .as("__cal"))
+      .filter(col("__s").isNotNull)
+    val cal = s.filter(col("__cal"))
+    val n = cal.groupBy(col("grp")).agg(count(lit(1)).as("__n"))
+    val wc = Window.partitionBy(col("grp")).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val thr = cal.groupBy(col("grp"), col("__s")).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(wc))
+      .join(n, Seq("grp"))
+      .withColumn("__k", floor(lit(alpha) * (col("__n") + 1L).cast("double"))
+        .cast("long"))
+      .filter(col("__k") >= 1L && col("__cum") >= col("__k"))
+      .groupBy(col("grp")).agg(min(col("__s")).as("thr"))
+    s.filter(!col("__cal"))
+      .join(thr, Seq("grp"), "left") // null thr → vacuous gate for that group
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__s") < col("thr"), 1L).otherwise(0L)).as("n_flagged"),
+        min(col("thr")).as("thr"))
+      .select(col("grp").as("group"), col("n_docs"), col("n_flagged"),
+        round(col("n_flagged").cast("double") /
+          col("n_docs").cast("double"), 6).as("flag_rate"),
+        col("thr"))
+  }
 }

@@ -103,6 +103,43 @@ object Sharding {
         min(col("__id")).as("id_min"), max(col("__id")).as("id_max"),
         sum(col("__h")).as("checksum"))
 
+  /** Diff two [[shardManifest]] frames (run A vs run B) into per-shard
+    * verdicts — the operator a training team actually runs against last
+    * week's manifest; [[shardManifest]] alone only produces the artifact.
+    * One full-outer join on `shard` (|shards|-sized frames — broadcastable
+    * in practice, but correct either way), verdict precedence most- to
+    * least-diagnostic:
+    *
+    *   - `missing_a` / `missing_b`: the shard exists in only one run — a
+    *     layout change (shard count, hash salt) or a lost export;
+    *   - `count_drift`: both runs have the shard but different row counts
+    *     — rows were dropped or added (an upstream filter or sample
+    *     changed). Named before checksum drift because a changed count
+    *     always changes the checksum too, and "you lost rows" is the
+    *     actionable half;
+    *   - `checksum_drift`: same row count, different content — the silent
+    *     kind (a re-crawled page, an encoding fix, nondeterministic text
+    *     normalization) that row counts can never catch;
+    *   - `unchanged`: same (id, payload) multiset, up to the documented
+    *     ~2³¹-rows-per-shard exactness bound of the SUM checksum.
+    *
+    * Counts from both sides ride along so a count_drift row quantifies
+    * itself; `missing_*` rows carry the surviving side's count and null
+    * for the other (full-outer semantics, deliberately not zero-filled —
+    * "absent" and "present but empty" are different facts).
+    */
+  def manifestDiff(runA: DataFrame, runB: DataFrame): DataFrame =
+    runA.select(col("shard"), col("n_docs").as("docs_a"),
+        col("checksum").as("sum_a"))
+      .join(runB.select(col("shard"), col("n_docs").as("docs_b"),
+        col("checksum").as("sum_b")), Seq("shard"), "full_outer")
+      .select(col("shard"), col("docs_a"), col("docs_b"),
+        when(col("docs_a").isNull, lit("missing_a"))
+          .when(col("docs_b").isNull, lit("missing_b"))
+          .when(col("docs_a") =!= col("docs_b"), lit("count_drift"))
+          .when(col("sum_a") =!= col("sum_b"), lit("checksum_drift"))
+          .otherwise(lit("unchanged")).as("verdict"))
+
   /** Length-matched control sampling: from `control`, draw a subset whose
     * size-bucket histogram matches `treatment`'s (per bucket,
     * `min(n_treat, n_ctrl)` rows, picked by deterministic hash rank) —

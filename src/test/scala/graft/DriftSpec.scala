@@ -264,4 +264,27 @@ class DriftSpec extends SparkSpec {
     assert(math.abs(colSum(0L) - 0.25) < 1e-3 &&
       math.abs(colSum(1L) - 0.75) < 1e-3, s"col sums $colSum")
   }
+
+  test("x176 sinkhornResiduals: row side exact, column side shrinks per round") {
+    import graft.analytics.Comparison
+    // same 2x2 fixture as the plan spec: a = (2/3, 1/3), b = (1/4, 3/4)
+    val two = Seq(("A", 0L), ("A", 0L), ("A", 1L),
+      ("B", 0L), ("B", 1L), ("B", 1L), ("B", 1L))
+    val r = Comparison.sinkhornResiduals(two.toDF("g", "v"), col("g"),
+        col("v"), "A", "B", iters = 5).collect()
+      .sortBy(_.getInt(0))
+    assert(r.map(_.getInt(0)).toSeq === (1 to 5))
+    // the u-update ends every round, so the row marginal is satisfied to
+    // the round-6 grain of the scaling vector after EVERY iteration
+    assert(r.forall(_.getDouble(1) <= 1e-5),
+      s"res_a: ${r.map(_.getDouble(1)).mkString(",")}")
+    // the column residual is the live convergence signal: it must never
+    // grow between rounds and must end at the rounding floor — a fixed
+    // iteration count that merely STOPPED would fail here
+    val resB = r.map(_.getDouble(2)).toSeq
+    assert(resB.zip(resB.tail).forall { case (x, y) => y <= x + 1e-9 },
+      s"res_b not non-increasing: $resB")
+    assert(resB.head > 1e-4, s"fixture converged instantly: $resB")
+    assert(resB.last <= 1e-3, s"did not converge in 5 rounds: $resB")
+  }
 }

@@ -203,4 +203,50 @@ class EvaluationSpec extends SparkSpec {
       alpha = 0.001).collect()
     assert(v.forall(r => r.isNullAt(4) && r.getLong(2) === 0L))
   }
+
+  test("x174 mondrianGate: per-group order statistics; eval-only group vacuous") {
+    import graft.sampling.Sampling
+    // groups get DISJOINT score bands (grp g's scores live in [10g, 10g+1])
+    // so per-group thresholds are provably different from each other and
+    // from any global statistic — the group-conditioning is load-bearing,
+    // not decorative
+    val rows = (1L to 400L).map(i => (i, (i % 3).toString,
+      (i % 3) * 10.0 + math.rint(i / 400.0 * 1e6) / 1e6))
+    val calBuckets = Sampling.Buckets / 5
+    val df0 = rows.toDF("id", "grp", "sc").repartition(5)
+    // recompute the hash split HERE (same function) and derive each
+    // group's expected threshold in Scala — assertion follows definition
+    val calIds = df0.select(col("id"),
+        Sampling.hashBucket(col("id"), "conformal").as("b"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1) < calBuckets)).toMap
+    val alpha = 0.25
+    val expected = rows.groupBy(_._2).map { case (g, rs) =>
+      val cal = rs.filter(r => calIds(r._1)).map(_._3).sorted
+      val k = math.floor(alpha * (cal.size + 1)).toLong
+      val thr = if (k >= 1) Some(cal(k.toInt - 1)) else None
+      val eval = rs.filterNot(r => calIds(r._1))
+      g -> ((eval.size.toLong,
+        thr.map(t => eval.count(_._3 < t).toLong).getOrElse(0L), thr))
+    }
+    // an eval-only group (no calibration rows at all) must surface as a
+    // vacuous null-threshold row, not vanish from the report
+    val evalOnlyIds = spark.range(401L, 601L)
+      .select(col("id"), Sampling.hashBucket(col("id"), "conformal").as("b"))
+      .collect().collect { case r if r.getLong(1) >= calBuckets => r.getLong(0) }
+      .sorted.take(5)
+    assert(evalOnlyIds.length === 5, "fixture needs 5 eval-split ids above 400")
+    val df = df0.union(evalOnlyIds.map(i => (i, "z", 99.0)).toSeq
+      .toDF("id", "grp", "sc"))
+    val got = Evaluation.mondrianGate(df, col("id"), col("grp"), col("sc"),
+        alpha = alpha).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    assert(got.keySet === expected.keySet + "z")
+    expected.foreach { case (g, e) => assert(got(g) === e, s"group $g") }
+    assert(got("z") === ((5L, 0L, None)))
+    // the three live thresholds are distinct (one per score band) — a
+    // global gate would collapse them to one
+    val thrs = expected.values.flatMap(_._3).toSet
+    assert(thrs.size === 3, s"expected 3 distinct group thresholds: $thrs")
+  }
 }

@@ -93,8 +93,12 @@ class PlanAuditSpec extends SparkSpec {
     // score spine) and its 1-row threshold (against the eval split).
     // (x172_sinkhorn_plan's kernel/marginal broadcasts run INSIDE its
     // localCheckpoint'd construction, so its audited plan is checkpoint
-    // scans + equi-joins — no BNLJ survives to the final plan.)
-    "x171_conformal_gate")
+    // scans + equi-joins — no BNLJ survives to the final plan; the
+    // checkpoint-hidden joins have their own unit-level gate below.)
+    "x171_conformal_gate",
+    // 1-row × 1-row residual-scalar combine per Sinkhorn round (the two
+    // max-deviation aggregates joined into one output row)
+    "x176_sinkhorn_residual")
 
   test("no query plans a cartesian product; BNLJ only on the allowlist") {
     val plans = planned.map { case (n, qe) => n -> qe.executedPlan.toString }
@@ -175,5 +179,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(stale.isEmpty,
       s"allowlist entries no longer planning an unpartitioned window " +
         s"(remove): ${stale.mkString(", ")}")
+  }
+
+  test("sinkhorn construction frames plan broadcast joins, not cartesians") {
+    // The whole-query lints above audit only the FINAL plan; the Sinkhorn
+    // faces' kernel and marginal cross-joins execute EAGERLY inside
+    // localCheckpoint during construction, so they are structurally
+    // invisible there. This unit-level assertion on the PRE-checkpoint
+    // builders closes that blind spot: the 1-row total and the vb spine
+    // must ride a BroadcastNestedLoopJoin, never a CartesianProduct —
+    // for the marginal AND the kernel, on the builders the composed
+    // faces (x172, x176) actually call.
+    import org.apache.spark.sql.functions.col
+    import graft.analytics.Comparison
+    import spark.implicits._
+    val df = Seq(("A", 1L), ("A", 2L), ("B", 2L), ("B", 3L)).toDF("g", "v")
+    val c = Comparison.sinkhornCounts(df, col("g"), col("v"), "A", "B")
+    val a = Comparison.sinkhornMarginalFrame(c, "A", "va", "wa")
+    val b = Comparison.sinkhornMarginalFrame(c, "B", "vb", "wb")
+    val k = Comparison.sinkhornKernelFrame(a, b, 2.0)
+    for ((label, f) <- Seq("marginal" -> a, "kernel" -> k)) {
+      val plan = f.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$label frame plans a CartesianProduct:\n$plan")
+      assert(plan.contains("BroadcastNestedLoopJoin"),
+        s"$label frame lost its broadcast combine (plan shape changed — " +
+          s"re-audit):\n$plan")
+    }
   }
 }

@@ -300,4 +300,31 @@ class SamplingSpec extends SparkSpec {
     assert(tampered(0)._3 !== base(0)._3)
     assert(tampered(1) === base(1))
   }
+
+  test("x175 manifestDiff: each verdict class from a hand-built run pair") {
+    import graft.sampling.Sharding
+    // shard 0: identical. shard 1: run B loses a row (count_drift wins
+    // over the checksum change it also causes). shard 2: same count,
+    // one payload edited (checksum_drift — the silent class). shard 3:
+    // only in run A (missing_b). shard 4: only in run B (missing_a).
+    val docsA = Seq((1L, 0, "a"), (2L, 0, "b"),
+      (3L, 1, "c"), (4L, 1, "d"),
+      (5L, 2, "e"), (6L, 2, "f"),
+      (7L, 3, "g")).toDF("id", "sh", "t")
+    val docsB = Seq((1L, 0, "a"), (2L, 0, "b"),
+      (3L, 1, "c"),
+      (5L, 2, "e"), (6L, 2, "F"),
+      (8L, 4, "h")).toDF("id", "sh", "t")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      Sharding.shardManifest(df, col("sh"), col("id"), col("t"))
+    val got = Sharding.manifestDiff(m(docsA), m(docsB)).collect()
+      .map(r => r.getInt(0) -> ((Option(r.get(1)), Option(r.get(2)),
+        r.getString(3)))).toMap
+    assert(got(0) === ((Some(2L), Some(2L), "unchanged")))
+    assert(got(1) === ((Some(2L), Some(1L), "count_drift")))
+    assert(got(2) === ((Some(2L), Some(2L), "checksum_drift")))
+    assert(got(3) === ((Some(1L), None, "missing_b")))
+    assert(got(4) === ((None, Some(1L), "missing_a")))
+    assert(got.size === 5)
+  }
 }
