@@ -181,6 +181,10 @@ object GraftExtensions {
       cs => TextAnalysis.repetitionScore(cs.head)),
     fromColumns("hash_bucket", 2,
       cs => graft.sampling.Sampling.hashBucket(cs.head, cs(1))),
+    // SUM(manifest_hash32(id, payload)) GROUP BY shard *is* the x173
+    // manifest checksum on the SQL surface — order/partition-invariant
+    fromColumns("manifest_hash32", 2,
+      cs => graft.sampling.Sharding.rowHash32(cs.head, cs(1))),
     nativeBinary("cosine_sim", CosineSim(_, _)),
     nativeBinary("dot_product", DotProduct(_, _)))
 

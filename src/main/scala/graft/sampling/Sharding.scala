@@ -89,14 +89,22 @@ object Sharding {
     * ANSI mode a plain cast of a non-numeric id would THROW and take the
     * whole manifest down, not return null).
     */
+  /** The manifest's per-row 32-bit content hash — integer value of the
+    * first 8 hex chars of md5(id || ':' || payload). Pure built-in
+    * composition (md5/substring/conv all have codegen), shared by
+    * [[shardManifest]] and the `manifest_hash32` SQL function so the two
+    * surfaces can never drift.
+    */
+  def rowHash32(id: Column, payload: Column): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(":"),
+      payload.cast("string"))), 1, 8), 16, 10).cast("long")
+
   def shardManifest(df: DataFrame, shard: Column, id: Column,
       payload: Column): DataFrame =
     df.select(shard.as("shard"), id.cast("string").as("__ids"),
         payload.cast("string").as("__p"))
       .withColumn("__id", expr("try_cast(__ids AS BIGINT)"))
-      .withColumn("__h", conv(substring(md5(concat(
-        col("__ids"), lit(":"), col("__p"))), 1, 8), 16, 10)
-        .cast("long"))
+      .withColumn("__h", rowHash32(col("__ids"), col("__p")))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(length(col("__p")).cast("long")).as("n_chars"),

@@ -119,6 +119,18 @@ class SqlSurfaceSpec extends SparkSpec {
         s2.sql("SELECT misra_gries('x', token_count('y'))").collect()
       }
       assert(aerr.getMessage.contains("integer literal"))
+      // round-12: the manifest row hash — SUM(manifest_hash32) GROUP BY
+      // shard is the x173 checksum in pure SQL; value pinned against the
+      // same driver-side MD5 truth SamplingSpec uses
+      val mh = s2.sql(
+        """WITH d(id, sh, t) AS (VALUES (1L, 0, 'alpha'), (2L, 0, 'beta'))
+          |SELECT sh, sum(manifest_hash32(id, t)) AS checksum
+          |FROM d GROUP BY sh""".stripMargin).head()
+      def h32(id: Long, t: String): Long = java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$id:$t".getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString, 16)
+      assert(mh.getLong(1) === h32(1L, "alpha") + h32(2L, "beta"))
     } finally {
       org.apache.spark.sql.graftbridge.ColumnBridge.restoreSessions(prev)
     }
