@@ -152,7 +152,10 @@ class PlanAuditSpec extends SparkSpec {
     "x137_ks_drift", "x150_mann_whitney", "x153_wasserstein",
     "x144_quantile_normalize", "x154_ks_fdr", "x166_kaplan_meier",
     // |distinct round-6 score| calibration spine (Evaluation.conformalGate
-    // order statistic)
+    // order statistic). Deliberately KEPT: a GLOBAL threshold needs one
+    // ordered pass over the global spine by definition; the per-group
+    // face (x174 mondrianGate) partitions the same window by group and
+    // needs no entry here
     "x171_conformal_gate")
 
   test("no query plans an unpartitioned window outside the allowlist") {
