@@ -4137,6 +4137,85 @@ object OracleSql {
          |$iters
          |SELECT s AS state, pi FROM pi8""".stripMargin
     },
+    // mirror of Distribution.amsSelfJoinAudit over the token key: the 64
+    // tug-of-war counters from the 64 low bits of one md5 per token, mean
+    // of squares beside the exact Σ c² — all-integer until the two final
+    // divisions
+    "x177_ams_selfjoin" -> {
+      val xs = (0 until 64).map { i =>
+        val c = i / 4 + 1
+        val b = 1 << (i % 4)
+        s"""CAST(sum(CASE WHEN ((instr('0123456789abcdef',
+           |  substring(hx, $c, 1)) - 1) & $b) > 0
+           |  THEN 1 ELSE -1 END) AS BIGINT) AS x$i""".stripMargin
+      }.mkString(",\n ")
+      val sq = (0 until 64).map(i => s"x$i * x$i").mkString(" + ")
+      s"""WITH t AS (SELECT unnest($Toks) AS tok FROM documents),
+         |h AS (SELECT md5(tok) AS hx FROM t),
+         |sk AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         | $xs
+         | FROM h),
+         |est AS (SELECT n_rows,
+         |  round(CAST($sq AS DOUBLE) / 64.0, 6) AS est_f2 FROM sk),
+         |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_distinct,
+         |  CAST(sum(c * c) AS BIGINT) AS exact_f2
+         | FROM (SELECT tok, count(*) AS c FROM t GROUP BY 1))
+         |SELECT n_rows, n_distinct, exact_f2, est_f2,
+         | round(abs(est_f2 - CAST(exact_f2 AS DOUBLE))
+         |  / CAST(exact_f2 AS DOUBLE), 6) AS rel_err
+         |FROM est CROSS JOIN ex""".stripMargin
+    },
+    // mirror of Dedup.ophEstimate: one 32-bit hash per gram binned mod
+    // 16, per-bin minima, clockwise densification via arg_min on modular
+    // distance, matched densified slots / 16 per verified candidate pair
+    "x178_oph_minhash" ->
+      s"""WITH $NearDupChain,
+         |ob AS (SELECT doc_id, h % 16 AS bin, min(h) AS mv FROM (
+         |  SELECT doc_id, ${hashKeySql("gram", "oph")} AS h FROM (
+         |   SELECT doc_id, unnest(grams) AS gram FROM g)) GROUP BY 1, 2),
+         |dense AS (SELECT o.doc_id, s.slot,
+         |  arg_min(o.mv, (o.bin - s.slot + 16) % 16) AS v
+         | FROM ob o CROSS JOIN (SELECT unnest(range(16)) AS slot) s
+         | GROUP BY 1, 2),
+         |est AS (SELECT s.doc_a, s.doc_b, s.jaccard,
+         |  CAST(sum(CASE WHEN da.v = db.v THEN 1 ELSE 0 END) AS DOUBLE)
+         |   / 16.0 AS m
+         | FROM scored s JOIN dense da ON s.doc_a = da.doc_id
+         |  JOIN dense db ON s.doc_b = db.doc_id AND da.slot = db.slot
+         | GROUP BY 1, 2, 3)
+         |SELECT doc_a, doc_b, jaccard AS j_exact, round(m, 6) AS j_oph
+         |FROM est""".stripMargin,
+    // mirror of FeatureHash.collisionAudit: corpus term counts, then the
+    // 64-dim hashed-slot aggregate with signed cancellation
+    "x179_feature_hashing" ->
+      s"""WITH t AS (SELECT unnest($Toks) AS tok FROM documents),
+         |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1),
+         |h AS (SELECT ${hashKeySql("tok", "fh")} % 64 AS dim,
+         |  1 - 2 * (${hashKeySql("tok", "fhsign")} % 2) AS sgn, c FROM c)
+         |SELECT dim, CAST(sum(c) AS BIGINT) AS n_tokens,
+         | CAST(count(*) AS BIGINT) AS n_distinct,
+         | CAST(sum(sgn * c) AS BIGINT) AS net_weight,
+         | count(*) > 1 AS collision
+         |FROM h GROUP BY 1""".stripMargin,
+    // mirror of Curriculum.schedule: |distinct n_chars| jump spine with a
+    // cumulative share, √(e/5) competence frame, boundary drawn on the
+    // identical k/N double division
+    "x180_curriculum" ->
+      """WITH spine AS (SELECT CAST(n_chars AS DOUBLE) AS v,
+        |  CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM spine),
+        |r AS (SELECT v, c, CAST(sum(c) OVER (ORDER BY v
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |  AS cum FROM spine),
+        |p AS (SELECT v, c, CAST(cum AS DOUBLE) / CAST(n AS DOUBLE) AS pr
+        | FROM r CROSS JOIN n),
+        |e AS (SELECT CAST(e AS INTEGER) AS epoch,
+        |  sqrt(CAST(e AS DOUBLE) / 5.0) AS competence FROM range(1, 6) t(e))
+        |SELECT epoch, round(competence, 6) AS competence,
+        | CAST(sum(c) AS BIGINT) AS n_docs,
+        | round(sum(v * CAST(c AS DOUBLE)) / CAST(sum(c) AS DOUBLE), 6)
+        |  AS mean_difficulty
+        |FROM p JOIN e ON pr <= competence GROUP BY 1, 2""".stripMargin,
     // mirror of Dedup.bBitEstimate: the NearDupChain's verified pairs +
     // the last hex char of each signature slice; (M − 2^-4)/(1 − 2^-4)
     "x168_bbit_minhash" ->

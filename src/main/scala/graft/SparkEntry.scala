@@ -1629,6 +1629,34 @@ object SparkEntry {
       graft.analytics.Comparison.sinkhornResiduals(T(s, dir, "documents"),
         col("source"), floor(col("n_chars") / 64), "src0", "src1",
         eps = 2.0, iters = 5)),
+    // AMS F2 / self-join-size audit over the token key (Zipfian — the
+    // skew case): 64-counter tug-of-war estimate beside the exact
+    // Σ c², the join-size answer a planner gets WITHOUT the skewed
+    // groupBy. Coarse by design (std ≈ 0.18·F₂); the audit reports it
+    "x177_ams_selfjoin" -> ((s, dir) =>
+      Distribution.amsSelfJoinAudit(
+        T(s, dir, "documents")
+          .select(explode(TextAnalysis.tokens(col("text"))).as("tok")),
+        col("tok"))),
+    // one-permutation-hashing audit beside x168's b-bit one: Jaccard
+    // recoverable from ONE hash pass per gram (16 densified bins) vs the
+    // exact value, per verified candidate pair — the k-fold hashing-cost
+    // cut of wide signatures, measured
+    "x178_oph_minhash" -> ((s, dir) =>
+      Dedup.ophEstimate(T(s, dir, "documents"), col("doc_id"),
+        col("text"), bins = 16)),
+    // hashing-trick collision audit: per hashed dimension, occupancy,
+    // distinct-vocabulary load, and the NET signed weight surviving
+    // cancellation — the "is 64 dims enough" dial, vocabulary-free
+    "x179_feature_hashing" -> ((s, dir) =>
+      graft.text.FeatureHash.collisionAudit(T(s, dir, "documents"),
+        col("doc_id"), col("text"), dims = 64)),
+    // competence-based curriculum plan: per epoch, the corpus slice at
+    // difficulty percentile ≤ √(e/E) (n_chars as difficulty) — the
+    // schedule sizes, from one spine pass, no per-epoch corpus copies
+    "x180_curriculum" -> ((s, dir) =>
+      graft.sampling.Curriculum.schedule(T(s, dir, "documents"),
+        col("n_chars"), epochs = 5)),
     // b-bit minwise audit: Jaccard recoverable from the LOW 4 BITS of
     // each minhash slice vs the exact value, per verified candidate pair
     // — the 64x-smaller-signature storage trade, measured

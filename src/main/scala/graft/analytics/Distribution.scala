@@ -418,4 +418,57 @@ object Distribution {
       .select(col("grp").as("group"), col("s").as("score"), col("c").as("n"),
         round(col("q"), 6).as("q"), col("__nv").as("normalized"))
   }
+
+  /** AMS / tug-of-war sketch of the second frequency moment
+    * F₂ = Σₖ cₖ² (Alon-Matias-Szegedy, STOC '96): 64 signed counters
+    * Xᵢ = Σ_rows sᵢ(key), sᵢ ∈ {−1,+1}, with E[Xᵢ²] = F₂. F₂ of a join
+    * key IS the self-join output size (and, up to the diagonal, the
+    * candidate-pair mass of an LSH bucketing), so this is the join-size
+    * estimator a planner consults BEFORE paying for the join.
+    *
+    * The 64 signs come from the 64 low bits of ONE md5 per row — sign
+    * i = bit (i mod 4) of hex char ⌊i/4⌋ — so the whole sketch is a
+    * single projection plus one map-side-combinable aggregate: no
+    * shuffle by key, no per-key state, and therefore NO skew problem —
+    * precisely the failure mode of the exact `groupBy(key).count()` it
+    * replaces on a Zipfian key at the 100 TB tier. Counters are exact
+    * longs; mergeability across shards is plain column-wise SUM.
+    *
+    * Emits one row: `n_rows` and the 64 counters `x0..x63`. The
+    * estimate (mean of Xᵢ², std ≈ F₂·√(2/64) ≈ 0.18·F₂ — a coarse
+    * planner dial, reported as such) is taken by [[amsSelfJoinAudit]].
+    */
+  def amsF2Sketch(df: DataFrame, key: Column, counters: Int = 64): DataFrame = {
+    require(counters >= 1 && counters <= 64,
+      s"counters must be in [1,64], got $counters")
+    val hex = df.select(md5(key.cast("string")).as("__h"))
+    val signs = (0 until counters).map { i =>
+      val nib = conv(substring(col("__h"), i / 4 + 1, 1), 16, 10).cast("int")
+      sum(when(nib.bitwiseAND(lit(1 << (i % 4))) > 0, 1L).otherwise(-1L))
+        .as(s"x$i")
+    }
+    hex.agg(count(lit(1)).as("n_rows"), signs: _*)
+  }
+
+  /** Audit face for [[amsF2Sketch]]: the sketch estimate beside the exact
+    * F₂ (one groupBy — the audit pays what production avoids), with the
+    * relative error the storage/skew trade actually costs. All-integer
+    * until the two final divisions, so the row is bit-reproducible.
+    */
+  def amsSelfJoinAudit(df: DataFrame, key: Column,
+      counters: Int = 64): DataFrame = {
+    val sk = amsF2Sketch(df, key, counters)
+    val estNum = (0 until counters).map(i => col(s"x$i") * col(s"x$i"))
+      .reduce(_ + _)
+    val est = sk.select(col("n_rows"),
+      round(estNum.cast("double") / lit(counters.toDouble), 6).as("est_f2"))
+    val exact = df.groupBy(key.as("__k")).agg(count(lit(1)).as("__c"))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(col("__c") * col("__c")).as("exact_f2"))
+    est.crossJoin(broadcast(exact))
+      .select(col("n_rows"), col("n_distinct"), col("exact_f2"),
+        col("est_f2"),
+        round(abs(col("est_f2") - col("exact_f2").cast("double")) /
+          col("exact_f2").cast("double"), 6).as("rel_err"))
+  }
 }

@@ -440,4 +440,45 @@ class AnalyticsSpec extends SparkSpec {
         .toDF("g", "x", "y"), col("g"), col("x"), col("y")).head()
     assert(dup.getLong(1) === 2L) // only the two x=1→x=2 pairs
   }
+
+  // the library-wide md5-bit sign, recomputed independently: sign i is
+  // bit (i mod 4) of hex nibble ⌊i/4⌋ of md5(key)
+  private def amsSign(key: String, i: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val v = Integer.parseInt(hex.substring(i / 4, i / 4 + 1), 16)
+    if ((v & (1 << (i % 4))) > 0) 1L else -1L
+  }
+
+  test("x177 amsF2Sketch: counters exact on a hand stream") {
+    val st = Seq("a", "a", "a", "b", "b", "c").toDF("k")
+    val sk = Distribution.amsF2Sketch(st, col("k")).head()
+    assert(sk.getLong(0) === 6L) // n_rows
+    // every counter is 3·s(a) + 2·s(b) + s(c) with the md5-bit signs
+    (0 until 64).foreach { i =>
+      val want = 3 * amsSign("a", i) + 2 * amsSign("b", i) + amsSign("c", i)
+      assert(sk.getLong(i + 1) === want, s"counter x$i")
+    }
+  }
+
+  test("x177 amsSelfJoinAudit: exact F2, estimate = mean of squares, " +
+      "single-key stream estimates exactly") {
+    val st = Seq("a", "a", "a", "b", "b", "c").toDF("k")
+    val audit = Distribution.amsSelfJoinAudit(st, col("k")).head()
+    assert(audit.getLong(0) === 6L && audit.getLong(1) === 3L)
+    assert(audit.getLong(2) === 14L) // 3² + 2² + 1²
+    val est = (0 until 64).map { i =>
+      val x = 3 * amsSign("a", i) + 2 * amsSign("b", i) + amsSign("c", i)
+      x * x
+    }.sum / 64.0
+    assert(audit.getDouble(3) === math.rint(est * 1e6) / 1e6)
+    assert(audit.getDouble(4) ===
+      math.rint(math.abs(audit.getDouble(3) - 14.0) / 14.0 * 1e6) / 1e6)
+    // one distinct key: every row draws the SAME sign, so each Xᵢ² = n²
+    // and the estimate is exact with zero relative error
+    val same = Seq.fill(7)("z").toDF("k")
+    val a2 = Distribution.amsSelfJoinAudit(same, col("k")).head()
+    assert(a2.getLong(2) === 49L && a2.getDouble(3) === 49.0 &&
+      a2.getDouble(4) === 0.0)
+  }
 }

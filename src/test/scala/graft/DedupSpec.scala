@@ -777,11 +777,15 @@ class DedupSpec extends SparkSpec {
   test("x168 bBitEstimate: estimator closed form, exact dups estimate 1") {
     val got = Dedup.bBitEstimate(docs, col("doc_id"), col("text"),
         hexChars = 1)
-      .collect().map(r => (r.getLong(1), r.getLong(0)) ->
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
         ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
-    // docs 1/2/5 are exact dups: identical signatures → m = 1, and the
-    // estimator maps M = 1 to exactly 1 regardless of b
-    for (pair <- Seq((1L, 2L), (1L, 5L), (2L, 5L)) if got.contains(pair)) {
+    // docs 1/2/5 are exact dups: identical signatures land in one band,
+    // so all three pairs MUST be candidates (doc_a < doc_b), with m = 1
+    // and the estimator mapping M = 1 to exactly 1 regardless of b.
+    // (Keyed (doc_a, doc_b): an earlier revision keyed (doc_b, doc_a),
+    // which made this loop's contains-guard vacuously skip every pair.)
+    for (pair <- Seq((1L, 2L), (1L, 5L), (2L, 5L))) {
+      assert(got.contains(pair), s"exact-dup pair $pair missing")
       val (je, m, jb) = got(pair)
       assert(je === 1.0 && m === 1.0 && jb === 1.0)
     }
@@ -789,6 +793,48 @@ class DedupSpec extends SparkSpec {
     // every row satisfies the closed form j_bbit = (m − 1/16)/(15/16)
     got.values.foreach { case (_, m, jb) =>
       assert(jb === math.rint((m - 0.0625) / 0.9375 * 1e6) / 1e6)
+    }
+  }
+
+  test("x178 ophSignatures: dense densified slots; exact dups estimate 1") {
+    val sigs = Dedup.ophSignatures(docs, col("doc_id"), col("text"),
+        bins = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    // densification fills every slot: 16 entries, none null (each doc has
+    // at least one non-empty bin to borrow from)
+    sigs.values.foreach { s =>
+      assert(s.length === 16 && !s.contains(null))
+    }
+    // exact dups share the gram set → identical full signatures
+    assert(sigs(1L) === sigs(2L) && sigs(1L) === sigs(5L))
+    // hand-check the construction for doc 4: bin minima of the md5-derived
+    // 32-bit gram hashes, then clockwise borrowing
+    val grams4 = "completely different content about spark engines"
+      .split("\\s+").sliding(2).map(_.mkString(" ")).toSeq.distinct
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(("oph" + s).getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 8), 16)
+    }
+    val binMin = grams4.map(h32).groupBy(_ % 16).map { case (b, vs) =>
+      b -> vs.min }
+    val want = (0 until 16).map { s =>
+      (0 until 16).iterator.map(j => binMin.get((s + j) % 16))
+        .collectFirst { case Some(v) => v }.get
+    }
+    assert(sigs(4L).map(_.asInstanceOf[Long]) === want)
+    // estimate face: exact dups read 1.0; every estimate is k/16
+    val est = Dedup.ophEstimate(docs, col("doc_id"), col("text"), bins = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    for (pair <- Seq((1L, 2L), (1L, 5L), (2L, 5L))) {
+      assert(est.contains(pair), s"exact-dup pair $pair missing")
+      assert(est(pair) === ((1.0, 1.0)))
+    }
+    est.values.foreach { case (_, jo) =>
+      // estimates quantize to k/16 exactly
+      assert(math.abs(jo * 16 - math.rint(jo * 16)) < 1e-9)
+      assert(jo >= 0.0 && jo <= 1.0)
     }
   }
 

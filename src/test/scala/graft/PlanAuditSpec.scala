@@ -98,7 +98,14 @@ class PlanAuditSpec extends SparkSpec {
     "x171_conformal_gate",
     // 1-row × 1-row residual-scalar combine per Sinkhorn round (the two
     // max-deviation aggregates joined into one output row)
-    "x176_sinkhorn_residual")
+    "x176_sinkhorn_residual",
+    // 1-row broadcast scalar: the exact-F2 audit frame beside the 1-row
+    // sketch (production runs the sketch alone — no BNLJ, no groupBy)
+    "x177_ams_selfjoin",
+    // 1-row corpus total + |epochs| (5-row) competence frame, both
+    // broadcast against the |distinct difficulty| spine (non-equi
+    // pr ≤ competence)
+    "x180_curriculum")
 
   test("no query plans a cartesian product; BNLJ only on the allowlist") {
     val plans = planned.map { case (n, qe) => n -> qe.executedPlan.toString }
@@ -156,7 +163,10 @@ class PlanAuditSpec extends SparkSpec {
     // ordered pass over the global spine by definition; the per-group
     // face (x174 mondrianGate) partitions the same window by group and
     // needs no entry here
-    "x171_conformal_gate")
+    "x171_conformal_gate",
+    // |distinct difficulty| jump spine (Curriculum.schedule's cumulative
+    // percentile — the x171 spine discipline, corpus rows touched once)
+    "x180_curriculum")
 
   test("no query plans an unpartitioned window outside the allowlist") {
     // WindowExec with an empty partitionSpec moves its ENTIRE input to

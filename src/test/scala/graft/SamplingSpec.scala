@@ -327,4 +327,30 @@ class SamplingSpec extends SparkSpec {
     assert(got(4) === ((None, Some(1L), "missing_a")))
     assert(got.size === 5)
   }
+
+  test("x180 curriculum schedule: √(e/E) boundaries inclusive, full corpus " +
+      "by the last epoch, ties collapse onto one spine row") {
+    val df = (1 to 10).map(_.toLong).toDF("diff")
+    val got = graft.sampling.Curriculum.schedule(df, col("diff"), epochs = 5)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getDouble(3)))).toMap
+    // pr(v) = v/10; c(e) = √(e/5) → epoch slice = ⌊10·c(e)⌋ easiest docs
+    val wantN = Map(1 -> 4L, 2 -> 6L, 3 -> 7L, 4 -> 8L, 5 -> 10L)
+    (1 to 5).foreach { e =>
+      val (c, n, mean) = got(e)
+      assert(c === math.rint(math.sqrt(e / 5.0) * 1e6) / 1e6)
+      assert(n === wantN(e), s"epoch $e size")
+      val want = (1L to wantN(e)).sum.toDouble / wantN(e)
+      assert(mean === math.rint(want * 1e6) / 1e6, s"epoch $e mean")
+    }
+    // duplicated difficulty values: n_docs counts ROWS, and a value is
+    // in or out atomically (all its rows share one percentile)
+    val ties = Seq(1L, 1L, 1L, 9L).toDF("diff")
+    val t = graft.sampling.Curriculum.schedule(ties, col("diff"), epochs = 5)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    // pr(1)=0.75, pr(9)=1.0: epochs 1 (c=.447) and 2 (c=.632) see nothing
+    // → absent rows; epochs 3/4 see the three 1s; epoch 5 sees all 4
+    assert(!t.contains(1) && !t.contains(2))
+    assert(t(3) === 3L && t(4) === 3L && t(5) === 4L)
+  }
 }
