@@ -4216,6 +4216,102 @@ object OracleSql {
         | round(sum(v * CAST(c AS DOUBLE)) / CAST(sum(c) AS DOUBLE), 6)
         |  AS mean_difficulty
         |FROM p JOIN e ON pr <= competence GROUP BY 1, 2""".stripMargin,
+    // mirror of TfIdf.vocabCoverage: count-of-counts spine, cumulative
+    // terms/mass above each frequency class, coverage(k) lands in exactly
+    // one class (k clamped to the vocabulary size)
+    "x181_vocab_coverage" ->
+      s"""WITH t AS (SELECT unnest($Toks) AS tok FROM documents),
+         |cc AS (SELECT c, CAST(count(*) AS BIGINT) AS m FROM (
+         |  SELECT tok, count(*) AS c FROM t GROUP BY 1) GROUP BY 1),
+         |r AS (SELECT c, m,
+         |  CAST(coalesce(sum(m) OVER w, 0) AS BIGINT) AS rb,
+         |  CAST(coalesce(sum(c * m) OVER w, 0) AS BIGINT) AS mb
+         | FROM cc WINDOW w AS (ORDER BY c DESC
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |tot AS (SELECT CAST(sum(m) AS BIGINT) AS nk,
+         |  CAST(sum(c * m) AS BIGINT) AS nm FROM cc),
+         |ks AS (SELECT CAST(k AS BIGINT) AS k
+         | FROM (VALUES (5), (10), (20), (1000)) t(k))
+         |SELECT k, least(k, nk) AS n_vocab_used,
+         | round(CAST(mb + (least(k, nk) - rb) * c AS DOUBLE)
+         |  / CAST(nm AS DOUBLE), 6) AS coverage
+         |FROM r CROSS JOIN tot JOIN ks
+         | ON rb < least(k, nk) AND rb + m >= least(k, nk)""".stripMargin,
+    // mirror of Similarity.kCenterCoreset: generated greedy steps — seed
+    // = min id, then per step the farthest row from the selected set
+    // (running min-distance frame), ties to the smaller id
+    "x182_kcenter_coreset" -> {
+      val steps = (2 to 5).map { i =>
+        val prevSel = (1 until i).map(j => s"SELECT vec_id FROM p$j")
+          .mkString(" UNION ALL ")
+        val dNext = if (i < 5)
+          s""",
+             |d$i AS (SELECT x.vec_id, x.ve,
+             |  least(x.d, round(1.0 - ${cosineSql("x.ve", "p.ve")}, 6)) AS d
+             | FROM d${i - 1} x CROSS JOIN p$i p)""".stripMargin
+        else ""
+        s"""p$i AS (SELECT vec_id, ve, d FROM d${i - 1}
+           | WHERE vec_id NOT IN ($prevSel)
+           | ORDER BY d DESC, vec_id LIMIT 1)$dNext""".stripMargin
+      }.mkString(",\n")
+      val picks = (2 to 5).map(i =>
+        s"SELECT CAST($i AS INTEGER) AS pick, vec_id, d AS radius FROM p$i")
+        .mkString("\nUNION ALL ")
+      s"""WITH v AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+         | FROM embeddings),
+         |p1 AS (SELECT vec_id, ve FROM v ORDER BY vec_id LIMIT 1),
+         |d1 AS (SELECT v.vec_id, v.ve,
+         |  round(1.0 - ${cosineSql("v.ve", "p.ve")}, 6) AS d
+         | FROM v CROSS JOIN p1 p WHERE v.vec_id <> p.vec_id),
+         |$steps
+         |SELECT CAST(1 AS INTEGER) AS pick, vec_id,
+         | CAST(NULL AS DOUBLE) AS radius FROM p1
+         |UNION ALL $picks""".stripMargin
+    },
+    // mirror of Evaluation.bootstrapCi: 32 hash-seeded Poisson(1)
+    // replicate means of n_chars from one aggregate (8 md5s per row,
+    // 4 32-bit uniforms each), 2nd/31st order statistics as the interval;
+    // thresholds interpolated from the SAME Scala constants
+    "x183_bootstrap_ci" -> {
+      val cs = graft.analytics.Evaluation.PoissonCdf
+      def uExpr(b: Int): String = {
+        val g = b / 4
+        val s = (b % 4) * 8 + 1
+        s"""(list_reduce(list_transform(range($s, ${s + 8}),
+           | i -> CAST(instr('0123456789abcdef', substring(h$g, i, 1)) - 1
+           |  AS BIGINT)), (a, b) -> a * 16 + b) / 4294967296.0)""".stripMargin
+      }
+      def wExpr(b: Int): String = {
+        val whens = cs.zipWithIndex.map { case (c, j) =>
+          s"WHEN u$b < $c THEN $j" }.mkString(" ")
+        s"CASE $whens ELSE 6 END"
+      }
+      val hs = (0 until 8).map(g =>
+        s"md5('boot$g:' || CAST(doc_id AS VARCHAR)) AS h$g").mkString(",\n  ")
+      val us = (0 until 32).map(b => s"${uExpr(b)} AS u$b").mkString(",\n  ")
+      val sums = (0 until 32).map { b =>
+        s"""CAST(sum((${wExpr(b)}) * x) AS BIGINT) AS sx$b,
+           | CAST(sum(${wExpr(b)}) AS BIGINT) AS sw$b""".stripMargin
+      }.mkString(",\n ")
+      val ms = (0 until 32).map(b =>
+        s"round(CAST(sx$b AS DOUBLE) / CAST(sw$b AS DOUBLE), 6)")
+        .mkString(", ")
+      s"""WITH hx AS (SELECT n_chars AS x,
+         |  $hs
+         | FROM documents),
+         |ux AS (SELECT x,
+         |  $us
+         | FROM hx),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(x) AS BIGINT) AS tx,
+         | $sums
+         | FROM ux),
+         |m AS (SELECT n_rows, tx, list_sort([$ms]) AS ms FROM a)
+         |SELECT n_rows,
+         | round(CAST(tx AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS mean,
+         | ms[2] AS ci_lo, ms[31] AS ci_hi FROM m""".stripMargin
+    },
     // mirror of Dedup.bBitEstimate: the NearDupChain's verified pairs +
     // the last hex char of each signature slice; (M − 2^-4)/(1 − 2^-4)
     "x168_bbit_minhash" ->

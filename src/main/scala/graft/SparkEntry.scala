@@ -1657,6 +1657,23 @@ object SparkEntry {
     "x180_curriculum" -> ((s, dir) =>
       graft.sampling.Curriculum.schedule(T(s, dir, "documents"),
         col("n_chars"), epochs = 5)),
+    // vocabulary coverage curve from the count-of-counts spine: share of
+    // token occurrences the top-k terms cover (k=1000 exercises the
+    // vocab-size clamp on the synthetic corpus's 31-term vocabulary)
+    "x181_vocab_coverage" -> ((s, dir) =>
+      graft.text.TfIdf.vocabCoverage(T(s, dir, "documents"), col("text"),
+        ks = Seq(5L, 10L, 20L, 1000L))),
+    // greedy k-center coreset over the embedding table: 5 maximally
+    // spread exemplars + the covering-radius sequence
+    "x182_kcenter_coreset" -> ((s, dir) =>
+      Similarity.kCenterCoreset(T(s, dir, "embeddings"), col("vec_id"),
+        col("embedding"), k = 5)),
+    // Poisson-bootstrap error bar on the mean document length: 32
+    // hash-seeded replicates from one aggregate — the datacard number
+    // WITH its uncertainty, no second pass, no RNG state
+    "x183_bootstrap_ci" -> ((s, dir) =>
+      graft.analytics.Evaluation.bootstrapCi(T(s, dir, "documents"),
+        col("doc_id"), col("n_chars"))),
     // b-bit minwise audit: Jaccard recoverable from the LOW 4 BITS of
     // each minhash slice vs the exact value, per verified candidate pair
     // — the 64x-smaller-signature storage trade, measured

@@ -443,4 +443,65 @@ object Evaluation {
           col("n_docs").cast("double"), 6).as("flag_rate"),
         col("thr"))
   }
+
+  /** Cumulative Poisson(1) CDF thresholds c₀..c₅ (weights cap at 6; the
+    * tail past 6 is < 10⁻⁴). Shared with the SQL oracle as decimal
+    * strings so both engines draw identical weights.
+    */
+  private[graft] val PoissonCdf: Seq[Double] = {
+    val e1 = math.exp(-1.0)
+    // cₖ = e⁻¹·Σ_{j≤k} 1/j!  (term_j = e⁻¹/j!)
+    Seq.iterate((e1, e1, 1), 6) { case (cum, term, j) =>
+      (cum + term / j, term / j, j + 1)
+    }.map(_._1)
+  }
+
+  /** Poisson-bootstrap confidence interval for a corpus mean (Chamandy et
+    * al., "Estimating Uncertainty for Massive Data Streams", Google 2012):
+    * every row joins replicate b with a deterministic hash-seeded
+    * Poisson(1) weight, so `replicates` resampled means come out of ONE
+    * map-side-combinable aggregate — no per-replicate pass, no shuffle of
+    * the corpus, no RNG state (re-runs and engines agree bit-for-bit).
+    * The interval is the 2nd/(B−1)th order statistic of the replicate
+    * means — the ~94% percentile interval at B = 32 — the error bar every
+    * corpus-level datacard number should carry but almost never does.
+    *
+    * The 32 uniforms per row cost 8 md5s (4 × 32-bit slices each),
+    * projected once; weights follow by inverting the Poisson(1) CDF at
+    * literal thresholds shared with the oracle. Integer `value`s keep the
+    * weighted sums exact (longs), so replicate means are
+    * order-independent.
+    */
+  def bootstrapCi(df: DataFrame, id: Column, value: Column,
+      replicates: Int = 32): DataFrame = {
+    require(replicates >= 4 && replicates % 4 == 0,
+      s"replicates must be a positive multiple of 4, got $replicates")
+    val groups = replicates / 4
+    val hexed = df.select(value.cast("long").as("__x") +:
+      (0 until groups).map(g => md5(concat_ws("",
+        lit(s"boot$g:"), id.cast("string"))).as(s"__h$g")): _*)
+    // when() chains evaluate first-match, so fold from the LAST threshold
+    // backwards: the result nests when(u<c0,0).otherwise(when(u<c1,1)…)
+    def weightChain(b: Int): Column = {
+      val u = conv(substring(col(s"__h${b / 4}"), (b % 4) * 8 + 1, 8), 16, 10)
+        .cast("long").cast("double") / lit(4294967296.0)
+      PoissonCdf.zipWithIndex.reverse.foldLeft(lit(6L): Column) {
+        case (acc, (c, j)) => when(u < lit(c), j.toLong).otherwise(acc)
+      }
+    }
+    val aggs =
+      (0 until replicates).flatMap { b =>
+        val w = weightChain(b)
+        Seq(sum(w * col("__x")).as(s"__sx$b"), sum(w).as(s"__sw$b"))
+      } :+ sum(col("__x")).as("__tx")
+    val one = hexed.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val means = array_sort(array((0 until replicates).map(b =>
+      round(col(s"__sx$b").cast("double") /
+        col(s"__sw$b").cast("double"), 6)): _*))
+    one.select(col("n_rows"),
+      round(col("__tx").cast("double") / col("n_rows").cast("double"), 6)
+        .as("mean"),
+      element_at(means, 2).as("ci_lo"),
+      element_at(means, replicates - 1).as("ci_hi"))
+  }
 }

@@ -855,4 +855,55 @@ object Similarity {
     }
     sel
   }
+
+  /** Greedy k-center coreset (Gonzalez 1985, the farthest-point
+    * traversal): seed with the minimum id, then k−1 times pick the vector
+    * FARTHEST (cosine distance, ties to the smaller id) from everything
+    * selected so far. The classic 2-approximation to the k-center cover —
+    * the "pick k maximally spread exemplars" selection behind coreset
+    * curation and diverse eval-set construction, where top-k-by-score
+    * ([[bruteForceKnn]]) or MMR ([[mmrRerank]]) would cluster around one
+    * mode.
+    *
+    * Scale shape: the running min-distance frame is the standard k-center
+    * trick — each round joins the corpus against ONLY the newest center
+    * (1-row broadcast) and takes `least` with the previous distance, so
+    * the total work is k linear passes, not k·|selected|. The argmax is a
+    * TakeOrderedAndProject (per-partition 1-row heaps), never a global
+    * sort; per-round `localCheckpoint` keeps the plan depth constant in k
+    * (the mmrRerank discipline). Emits `(pick, vec_id, radius)` where
+    * radius is the chosen point's distance to the prior centers — the
+    * k-center covering-radius sequence (null for the seed), which is also
+    * the "is k enough" dial: the radius at k bounds every point's
+    * distance to its nearest center.
+    */
+  def kCenterCoreset(df: DataFrame, id: Column, vec: Column,
+      k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val v = df.select(id.as("vec_id"), vec.as("__v"))
+    val seed = v.orderBy(col("vec_id").asc).limit(1).localCheckpoint(true)
+    var sel = seed.select(lit(1).as("pick"), col("vec_id"),
+      lit(null).cast("double").as("radius"))
+    val dTo = (p: Column) => round(lit(1.0) - cosine(col("__v"), p), 6)
+    var md = v
+      .crossJoin(broadcast(seed.select(col("__v").as("__p"),
+        col("vec_id").as("__pid"))))
+      .filter(col("vec_id") =!= col("__pid"))
+      .select(col("vec_id"), col("__v"), dTo(col("__p")).as("__d"))
+      .localCheckpoint(true)
+    for (i <- 2 to k) {
+      val pick = md
+        .join(sel.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .orderBy(col("__d").desc, col("vec_id").asc).limit(1)
+        .localCheckpoint(true)
+      sel = sel.unionByName(pick.select(lit(i).as("pick"), col("vec_id"),
+        col("__d").as("radius"))).localCheckpoint(true)
+      if (i < k) md = md
+        .crossJoin(broadcast(pick.select(col("__v").as("__p"))))
+        .select(col("vec_id"), col("__v"),
+          least(col("__d"), dTo(col("__p"))).as("__d"))
+        .localCheckpoint(true)
+    }
+    sel
+  }
 }

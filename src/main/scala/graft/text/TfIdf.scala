@@ -425,6 +425,46 @@ object TfIdf {
       .limit(topK)
   }
 
+  /** Vocabulary coverage curve: for each dial size k, the share of ALL
+    * token occurrences covered by the k most frequent terms — the number
+    * that decides a tokenizer/vocab budget (and whether an OOV path is a
+    * corner case or a firehose). Natural text covers ~90% with a few
+    * thousand terms; a curve that climbs slowly flags id-/hash-heavy
+    * content no finite vocabulary will fit.
+    *
+    * Scale shape: the naive form ranks the whole vocabulary with a global
+    * window — 10⁸ rows on one reducer at web scale. Here rank enters only
+    * through the COUNT-OF-COUNTS spine (the x163 skewStrategy discipline):
+    * terms with equal frequency form one class, classes carry (frequency,
+    * class size, cumulative terms/mass above), and coverage(k) lands in
+    * exactly one class as cumulative-mass-above + (k − terms-above)·c.
+    * Ties inside the boundary class all have frequency c, so the curve is
+    * EXACT without naming which tied terms are "in". The only window runs
+    * over |distinct frequency| rows (≲ thousands at any corpus size).
+    */
+  def vocabCoverage(df: DataFrame, text: Column,
+      ks: Seq[Long] = Seq(100L, 300L, 1000L, 3000L)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"ks must be >= 1, got $ks")
+    val session = df.sparkSession
+    import session.implicits._
+    val cc = df.select(explode(TextAnalysis.tokens(text)).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("m"))
+    val w = Window.orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val spine = cc
+      .withColumn("rb", coalesce(sum(col("m")).over(w), lit(0L)))
+      .withColumn("mb", coalesce(sum(col("c") * col("m")).over(w), lit(0L)))
+    val tot = cc.agg(sum(col("m")).as("nk"), sum(col("c") * col("m")).as("nm"))
+    val kk = least(col("k"), col("nk"))
+    spine.crossJoin(broadcast(tot))
+      .join(broadcast(ks.toDF("k")),
+        col("rb") < kk && col("rb") + col("m") >= kk)
+      .select(col("k"), kk.as("n_vocab_used"),
+        round((col("mb") + (kk - col("rb")) * col("c")).cast("double") /
+          col("nm").cast("double"), 6).as("coverage"))
+  }
+
   /** Zipf fit per group: OLS slope/intercept of `ln(freq)` on `ln(rank)`
     * over each group's `topK` most frequent terms (rank 1 = most
     * frequent). Natural text sits near slope −1; a feed whose slope

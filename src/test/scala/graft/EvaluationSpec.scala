@@ -249,4 +249,38 @@ class EvaluationSpec extends SparkSpec {
     val thrs = expected.values.flatMap(_._3).toSet
     assert(thrs.size === 3, s"expected 3 distinct group thresholds: $thrs")
   }
+
+  test("x183 bootstrapCi: weights and replicate means reproduced " +
+      "independently; point mean exact") {
+    val df = (1L to 20L).map(i => (i, i)).toDF("id", "v")
+    val got = Evaluation.bootstrapCi(df, col("id"), col("v")).head()
+    assert(got.getLong(0) === 20L)
+    assert(got.getDouble(1) === 10.5) // Σ1..20 / 20, exact in double
+    // independent recomputation of the 32 hash-Poisson replicate means
+    val cs = Evaluation.PoissonCdf
+    def w(id: Long, b: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"boot${b / 4}:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val u = java.lang.Long.parseLong(
+        hex.substring((b % 4) * 8, (b % 4) * 8 + 8), 16)
+        .toDouble / 4294967296.0
+      cs.zipWithIndex.collectFirst { case (c, j) if u < c => j.toLong }
+        .getOrElse(6L)
+    }
+    val means = (0 until 32).map { b =>
+      val sx = (1L to 20L).map(i => w(i, b) * i).sum
+      val sw = (1L to 20L).map(i => w(i, b)).sum
+      assert(sw > 0L)
+      math.rint(sx.toDouble / sw.toDouble * 1e6) / 1e6
+    }.sorted
+    assert(got.getDouble(2) === means(1)) // 2nd order statistic
+    assert(got.getDouble(3) === means(30)) // 31st
+    // the ~94% interval straddles the point estimate on this fixture
+    assert(got.getDouble(2) < 10.5 && got.getDouble(3) > 10.5)
+    // Poisson(1) CDF thresholds: c₀ = e⁻¹ and the sequence is the partial
+    // factorial sums, ending near but below 1
+    assert(cs.head === math.exp(-1.0))
+    assert(cs === cs.sorted && cs.last < 1.0 && cs.last > 0.999)
+  }
 }

@@ -105,7 +105,11 @@ class PlanAuditSpec extends SparkSpec {
     // 1-row corpus total + |epochs| (5-row) competence frame, both
     // broadcast against the |distinct difficulty| spine (non-equi
     // pr ≤ competence)
-    "x180_curriculum")
+    "x180_curriculum",
+    // 1-row vocab total + |ks| (4-row) dial frame, both broadcast against
+    // the |distinct frequency| count-of-counts spine (non-equi boundary
+    // bracket)
+    "x181_vocab_coverage")
 
   test("no query plans a cartesian product; BNLJ only on the allowlist") {
     val plans = planned.map { case (n, qe) => n -> qe.executedPlan.toString }
@@ -166,7 +170,11 @@ class PlanAuditSpec extends SparkSpec {
     "x171_conformal_gate",
     // |distinct difficulty| jump spine (Curriculum.schedule's cumulative
     // percentile — the x171 spine discipline, corpus rows touched once)
-    "x180_curriculum")
+    "x180_curriculum",
+    // |distinct frequency| count-of-counts spine (TfIdf.vocabCoverage's
+    // cumulative terms/mass above each class — x163's spine, not a
+    // vocabulary rank window)
+    "x181_vocab_coverage")
 
   test("no query plans an unpartitioned window outside the allowlist") {
     // WindowExec with an empty partitionSpec moves its ENTIRE input to

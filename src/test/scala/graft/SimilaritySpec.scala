@@ -582,4 +582,35 @@ class SimilaritySpec extends SparkSpec {
     val mmr = Similarity.intraListSimilarity(lst(11L, 13L), mvecs).head()
     assert(top.getDouble(2) === 0.6 && mmr.getDouble(2) === 0.0)
   }
+
+  test("x182 kCenterCoreset: greedy farthest-point on hand geometry") {
+    // the shared fixture: 0~1~4 cluster along x, 2~3 cluster along y.
+    // seed = min id (0). Farthest from 0: ids 2 and 3 both at distance
+    // 1.0 (orthogonal) → tie to the smaller id (2), radius 1.0. After
+    // updating against 2, the x-cluster stragglers 1 (~.006) and 4
+    // (~.0299) keep their distance-to-0, so pick 3 = id 4.
+    val got = Similarity.kCenterCoreset(vecs, col("vec_id"),
+        col("embedding"), k = 3)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    assert(got(1) === ((0L, None)))
+    assert(got(2) === ((2L, Some(1.0))))
+    // radius 3 = d(v4, v0) with the library's round-6 cosine
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    def cosd(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      r6(1.0 - r6(dot / (na * nb)))
+    }
+    val (id3, rad3Opt) = got(3)
+    assert(id3 === 4L)
+    val rad3 = rad3Opt.get
+    val want = cosd(Seq(0.8f.toDouble, 0.0, 0.2f.toDouble),
+      Seq(1.0, 0.0, 0.0))
+    assert(math.abs(rad3 - want) < 2e-6, s"radius $rad3 vs $want")
+    // covering radii never increase along the pick sequence
+    assert(got(2)._2.get >= rad3)
+  }
 }

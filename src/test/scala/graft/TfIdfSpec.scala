@@ -345,4 +345,22 @@ class TfIdfSpec extends SparkSpec {
     assert(graft.text.TfIdf.chiSqTokens(d, col("doc_id"), col("text"),
       col("cls"), topK = 3, minDf = 3L).isEmpty)
   }
+
+  test("x181 vocabCoverage: boundary-class arithmetic, clamp at vocab size") {
+    import spark.implicits._
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // a×5, b×3, c×3, d×1 → classes (c=5,m=1), (c=3,m=2), (c=1,m=1);
+    // 12 occurrences, 4 terms
+    val df = Seq("a a a a a b b b c c c d").toDF("text")
+    val got = graft.text.TfIdf.vocabCoverage(df, col("text"),
+        ks = Seq(1L, 2L, 3L, 10L))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) === ((1L, r6(5.0 / 12)))) // top term alone
+    // k=2 lands INSIDE the tied c=3 class: 5 + 1·3 of 12 — exact without
+    // naming which of b/c is "second"
+    assert(got(2L) === ((2L, r6(8.0 / 12))))
+    assert(got(3L) === ((3L, r6(11.0 / 12))))
+    assert(got(10L) === ((4L, 1.0))) // clamped to the 4-term vocabulary
+  }
 }
