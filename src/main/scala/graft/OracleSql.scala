@@ -4312,6 +4312,52 @@ object OracleSql {
          | round(CAST(tx AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS mean,
          | ms[2] AS ci_lo, ms[31] AS ci_hi FROM m""".stripMargin
     },
+    // mirror of Evaluation.clusterAgreement over the x105 IVF assignment:
+    // contingency pair counts exact, ARI/NMI arithmetic mirrors the Spark
+    // tree term for term (k(k−1) halved in double)
+    "x184_cluster_agreement" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+         | FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id % 50 = 0),
+         |asg AS (SELECT vec_id, cid FROM (
+         | SELECT v.vec_id, c.cid,
+         |  row_number() OVER (PARTITION BY v.vec_id
+         |   ORDER BY ${cosineSql("v.ve", "c.cv")} DESC, c.cid) AS rn
+         | FROM v CROSS JOIN cent c) WHERE rn = 1),
+         |ct AS (SELECT CAST(e.label AS BIGINT) AS a, g.cid AS b,
+         |  CAST(count(*) AS BIGINT) AS nij
+         | FROM asg g JOIN embeddings e ON g.vec_id = e.vec_id GROUP BY 1, 2),
+         |ma AS (SELECT a, CAST(sum(nij) AS BIGINT) AS ai FROM ct GROUP BY 1),
+         |mb AS (SELECT b, CAST(sum(nij) AS BIGINT) AS bj FROM ct GROUP BY 1),
+         |tot AS (SELECT CAST(sum(nij) AS BIGINT) AS n FROM ct),
+         |sij AS (SELECT CAST(sum(nij * (nij - 1)) AS DOUBLE) / 2.0 AS sij
+         | FROM ct),
+         |sa AS (SELECT CAST(count(*) AS BIGINT) AS n_classes,
+         |  CAST(sum(ai * (ai - 1)) AS DOUBLE) / 2.0 AS sa FROM ma),
+         |sb AS (SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(sum(bj * (bj - 1)) AS DOUBLE) / 2.0 AS sb FROM mb),
+         |mi AS (SELECT sum((CAST(nij AS DOUBLE) / CAST(n AS DOUBLE)) *
+         |  ln(CAST(n AS DOUBLE) * CAST(nij AS DOUBLE) /
+         |   (CAST(ai AS DOUBLE) * CAST(bj AS DOUBLE)))) AS mi
+         | FROM ct JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot),
+         |ha AS (SELECT -sum((CAST(ai AS DOUBLE) / CAST(n AS DOUBLE)) *
+         |  ln(CAST(ai AS DOUBLE) / CAST(n AS DOUBLE))) AS ha
+         | FROM ma CROSS JOIN tot),
+         |hb AS (SELECT -sum((CAST(bj AS DOUBLE) / CAST(n AS DOUBLE)) *
+         |  ln(CAST(bj AS DOUBLE) / CAST(n AS DOUBLE))) AS hb
+         | FROM mb CROSS JOIN tot)
+         |SELECT n, n_classes, n_clusters,
+         | CASE WHEN (sa + sb) / 2.0 - sa * sb /
+         |   (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0) <> 0.0
+         |  THEN round((sij - sa * sb /
+         |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0)) /
+         |   ((sa + sb) / 2.0 - sa * sb /
+         |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0)), 6)
+         |  END AS ari,
+         | CASE WHEN ha + hb <> 0.0 THEN round(2.0 * mi / (ha + hb), 6)
+         |  END AS nmi
+         |FROM tot CROSS JOIN sij CROSS JOIN sa CROSS JOIN sb
+         | CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb""".stripMargin,
     // mirror of Dedup.bBitEstimate: the NearDupChain's verified pairs +
     // the last hex char of each signature slice; (M − 2^-4)/(1 − 2^-4)
     "x168_bbit_minhash" ->

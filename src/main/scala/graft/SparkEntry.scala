@@ -1674,6 +1674,18 @@ object SparkEntry {
     "x183_bootstrap_ci" -> ((s, dir) =>
       graft.analytics.Evaluation.bootstrapCi(T(s, dir, "documents"),
         col("doc_id"), col("n_chars"))),
+    // ARI + NMI between the ground-truth labels and the x105 IVF
+    // assignment — the chance-corrected agreement panel purity can't
+    // give (an all-one-cluster assignment games purity, not ARI)
+    "x184_cluster_agreement" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val asg = Similarity.assignClusters(emb,
+        emb.filter(col("vec_id") % 50 === 0))
+      val j = asg.select(col("vec_id"), col("centroid_id"))
+        .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      graft.analytics.Evaluation.clusterAgreement(j,
+        col("label").cast("long"), col("centroid_id"))
+    }),
     // b-bit minwise audit: Jaccard recoverable from the LOW 4 BITS of
     // each minhash slice vs the exact value, per verified candidate pair
     // — the 64x-smaller-signature storage trade, measured

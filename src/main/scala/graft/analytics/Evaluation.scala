@@ -456,6 +456,54 @@ object Evaluation {
     }.map(_._1)
   }
 
+  /** Clustering-agreement panel: Adjusted Rand Index and Normalized
+    * Mutual Information between two discrete assignments (ground-truth
+    * labels vs a clustering, or two clustering runs) — the chance-corrected
+    * complement to x105's purity, which a degenerate all-one-cluster
+    * assignment can game but ARI (0 in expectation under chance) cannot.
+    *
+    * Everything derives from the CONTINGENCY frame (|A-values|×|B-values|
+    * cells — model-sized, never corpus rows): pair counts Σ k(k−1)/2 stay
+    * exact longs until the final double arithmetic (the k(k−1) products
+    * are halved in double to dodge long overflow past n ≈ 3·10⁹ pairs);
+    * the entropy/MI sums run over the same bounded frame, rounded 6.
+    * One corpus pass, three spine aggregates, 1-row broadcast combines.
+    */
+  def clusterAgreement(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val ct = df.groupBy(a.as("__a"), b.as("__b"))
+      .agg(count(lit(1)).as("nij"))
+      .localCheckpoint(true) // model-sized; feeds 4 aggregates below
+    val pairs2 = (k: Column) => k * (k - lit(1L))
+    val ma = ct.groupBy(col("__a")).agg(sum(col("nij")).as("ai"))
+    val mb = ct.groupBy(col("__b")).agg(sum(col("nij")).as("bj"))
+    val tot = ct.agg(sum(col("nij")).as("n"))
+    val d = (c: Column) => c.cast("double")
+    val nD = d(col("n"))
+    val sij = ct.agg((sum(pairs2(col("nij"))).cast("double") / 2.0).as("sij"))
+    val sa = ma.agg(count(lit(1)).as("n_classes"),
+      (sum(pairs2(col("ai"))).cast("double") / 2.0).as("sa"))
+    val sb = mb.agg(count(lit(1)).as("n_clusters"),
+      (sum(pairs2(col("bj"))).cast("double") / 2.0).as("sb"))
+    val mi = ct.join(ma, Seq("__a")).join(mb, Seq("__b"))
+      .crossJoin(broadcast(tot))
+      .agg(sum((d(col("nij")) / nD) *
+        log(nD * d(col("nij")) / (d(col("ai")) * d(col("bj"))))).as("mi"))
+    val ha = ma.crossJoin(broadcast(tot))
+      .agg((-sum((d(col("ai")) / nD) * log(d(col("ai")) / nD))).as("ha"))
+    val hb = mb.crossJoin(broadcast(tot))
+      .agg((-sum((d(col("bj")) / nD) * log(d(col("bj")) / nD))).as("hb"))
+    val c2n = nD * (nD - 1.0) / 2.0
+    val ea = col("sa") * col("sb") / c2n
+    val denom = (col("sa") + col("sb")) / 2.0 - ea
+    val hsum = col("ha") + col("hb")
+    tot.crossJoin(broadcast(sij)).crossJoin(broadcast(sa))
+      .crossJoin(broadcast(sb)).crossJoin(broadcast(mi))
+      .crossJoin(broadcast(ha)).crossJoin(broadcast(hb))
+      .select(col("n"), col("n_classes"), col("n_clusters"),
+        when(denom =!= 0.0, round((col("sij") - ea) / denom, 6)).as("ari"),
+        when(hsum =!= 0.0, round(lit(2.0) * col("mi") / hsum, 6)).as("nmi"))
+  }
+
   /** Poisson-bootstrap confidence interval for a corpus mean (Chamandy et
     * al., "Estimating Uncertainty for Massive Data Streams", Google 2012):
     * every row joins replicate b with a deterministic hash-seeded

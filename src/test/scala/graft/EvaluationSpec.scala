@@ -250,6 +250,32 @@ class EvaluationSpec extends SparkSpec {
     assert(thrs.size === 3, s"expected 3 distinct group thresholds: $thrs")
   }
 
+  test("x184 clusterAgreement: hand contingency, perfect = 1, " +
+      "degenerate single cluster = 0") {
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // labels aaabbb vs clusters 112233: contingency (a,1)=2 (a,2)=1
+    // (b,2)=1 (b,3)=2 → sij=2, sa=6, sb=3, n=6
+    val df = Seq(("a", 1L), ("a", 1L), ("a", 2L), ("b", 2L), ("b", 3L),
+      ("b", 3L)).toDF("lab", "clu")
+    val got = Evaluation.clusterAgreement(df, col("lab"), col("clu")).head()
+    assert(got.getLong(0) === 6L && got.getLong(1) === 2L &&
+      got.getLong(2) === 3L)
+    val ea = 6.0 * 3.0 / 15.0
+    assert(got.getDouble(3) === r6((2.0 - ea) / ((6.0 + 3.0) / 2.0 - ea)))
+    val i = 2.0 * (2.0 / 6.0) * math.log(6.0 * 2.0 / (3.0 * 2.0))
+    val ha = math.log(2.0)
+    val hb = math.log(3.0)
+    assert(math.abs(got.getDouble(4) - 2.0 * i / (ha + hb)) < 1e-6)
+    // identical assignments agree perfectly
+    val same = Evaluation.clusterAgreement(df, col("lab"), col("lab")).head()
+    assert(same.getDouble(3) === 1.0 && same.getDouble(4) === 1.0)
+    // all-one-cluster: chance-level ARI (0) and zero NMI — the purity
+    // gamer this panel exists to catch
+    val one = Evaluation.clusterAgreement(df.withColumn("one", lit(1L)),
+      col("lab"), col("one")).head()
+    assert(one.getDouble(3) === 0.0 && one.getDouble(4) === 0.0)
+  }
+
   test("x183 bootstrapCi: weights and replicate means reproduced " +
       "independently; point mean exact") {
     val df = (1L to 20L).map(i => (i, i)).toDF("id", "v")

@@ -109,7 +109,10 @@ class PlanAuditSpec extends SparkSpec {
     // 1-row vocab total + |ks| (4-row) dial frame, both broadcast against
     // the |distinct frequency| count-of-counts spine (non-equi boundary
     // bracket)
-    "x181_vocab_coverage")
+    "x181_vocab_coverage",
+    // 1-row broadcast scalars: the ARI/NMI component frames (pair sums,
+    // entropies, MI) combined over the checkpointed contingency spine
+    "x184_cluster_agreement")
 
   test("no query plans a cartesian product; BNLJ only on the allowlist") {
     val plans = planned.map { case (n, qe) => n -> qe.executedPlan.toString }

@@ -525,4 +525,37 @@ class ScaleGrowthSpec extends SparkSpec {
     assert(g < 20.0,
       s"weighted-median shuffle grew ${g}x for 10x input ($small -> $large)")
   }
+
+  test("oph signature shuffle bytes grow ~linearly from 1x to 10x docs") {
+    // one hash pass per gram into (doc, bin) minima, then per-doc map
+    // assembly: both aggregates are corpus-linear; the densification
+    // ladder is a constant per-row expression, never a join
+    def oph(n: Int) =
+      Dedup.ophSignatures(docs(n), col("doc_id"), col("text"), bins = 16)
+    val small = shuffleBytes(run(oph(500)))
+    val large = shuffleBytes(run(oph(5000)))
+    val g = growth(small, large)
+    assert(small > 0, "listener captured no shuffle writes")
+    assert(g < 20.0,
+      s"oph signature shuffle grew ${g}x for 10x input ($small -> $large)")
+  }
+
+  test("k-center coreset shuffle bytes grow ~linearly from 1x to 10x vectors") {
+    // each greedy round is a 1-row-broadcast distance update plus a
+    // TakeOrdered argmax: per-round shuffle is the k-row merge, so total
+    // bytes track the corpus (k passes), never |corpus|·|selected| pairs
+    def emb(n: Int): DataFrame =
+      spark.range(0, n).select(col("id").as("vec_id")).as[Long]
+        .map(i => (i, Array.tabulate(8)(d =>
+          (((i * 2654435761L + d * 40503L) % 1000L).toDouble / 500.0 - 1.0).toFloat)))
+        .toDF("vec_id", "embedding")
+    def kc(n: Int) = graft.similarity.Similarity.kCenterCoreset(
+      emb(n), col("vec_id"), col("embedding"), k = 5)
+    val small = shuffleBytes(run(kc(500)))
+    val large = shuffleBytes(run(kc(5000)))
+    val g = growth(small, large)
+    // the argmax TakeOrdered merge can be tiny; guard only the upper bound
+    assert(g < 20.0,
+      s"k-center shuffle grew ${g}x for 10x input ($small -> $large)")
+  }
 }
