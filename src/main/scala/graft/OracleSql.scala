@@ -4358,6 +4358,68 @@ object OracleSql {
          |  END AS nmi
          |FROM tot CROSS JOIN sij CROSS JOIN sa CROSS JOIN sb
          | CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb""".stripMargin,
+    // mirror of Evaluation.sprtGate: ordered per-source LLR walk with
+    // constants computed by the SAME Scala expressions the operator uses
+    // (1−0.3 ≠ the literal 0.7 in doubles — the shared arithmetic, not
+    // shared decimals, is what keeps the crossings identical)
+    "x185_sprt_gate" -> {
+      val (p0, p1, al, be) = (0.3, 0.5, 0.05, 0.05)
+      val lrD = math.log(p1 / p0)
+      val lrO = math.log((1 - p1) / (1 - p0))
+      val thrA = math.log((1 - be) / al)
+      val thrB = math.log(be / (1 - al))
+      s"""WITH t AS (SELECT source AS g, doc_id AS o,
+         |  CASE WHEN len($Toks) < 45 THEN CAST($lrD AS DOUBLE)
+         |   ELSE CAST($lrO AS DOUBLE) END AS l
+         | FROM documents),
+         |r AS (SELECT g, CAST(row_number() OVER w AS BIGINT) AS rn,
+         |  sum(l) OVER w AS cum FROM t
+         | WINDOW w AS (PARTITION BY g ORDER BY o)),
+         |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(min(CASE WHEN cum >= CAST($thrA AS DOUBLE)
+         |    OR cum <= CAST($thrB AS DOUBLE) THEN rn END)
+         |   AS BIGINT) AS n_seen
+         | FROM r GROUP BY 1)
+         |SELECT a.g AS "group", n_docs, n_seen,
+         | CASE WHEN n_seen IS NULL THEN 'undecided'
+         |      WHEN fc.cum >= CAST($thrA AS DOUBLE) THEN 'reject'
+         |      ELSE 'accept' END
+         |  AS decision,
+         | round(fr.cum, 6) AS llr_final
+         |FROM a LEFT JOIN r fc ON a.g = fc.g AND a.n_seen = fc.rn
+         | JOIN r fr ON a.g = fr.g AND a.n_docs = fr.rn""".stripMargin
+    },
+    // mirror of TfIdf.goodTuring: count-of-counts spine self-joined on
+    // r+1; sparse classes read null r*
+    "x186_good_turing" ->
+      s"""WITH cc AS (SELECT c, CAST(count(*) AS BIGINT) AS m FROM (
+         |  SELECT tok, count(*) AS c FROM (
+         |   SELECT unnest($Toks) AS tok FROM documents) GROUP BY 1)
+         | GROUP BY 1)
+         |SELECT a.c AS r, a.m AS n_r,
+         | round(CAST(a.c + 1 AS DOUBLE) * CAST(b.m AS DOUBLE)
+         |  / CAST(a.m AS DOUBLE), 6) AS r_star
+         |FROM cc a LEFT JOIN cc b ON b.c = a.c + 1
+         |ORDER BY r LIMIT 10""".stripMargin,
+    // mirror of TfIdf.vocabRichness: GT unseen mass + Chao1 from one
+    // spine aggregate; N2 = 0 reads null Chao1
+    "x187_vocab_richness" ->
+      s"""WITH cc AS (SELECT c, CAST(count(*) AS BIGINT) AS m FROM (
+         |  SELECT tok, count(*) AS c FROM (
+         |   SELECT unnest($Toks) AS tok FROM documents) GROUP BY 1)
+         | GROUP BY 1),
+         |s AS (SELECT CAST(sum(c * m) AS BIGINT) AS n_tokens,
+         |  CAST(sum(m) AS BIGINT) AS vocab,
+         |  CAST(coalesce(sum(CASE WHEN c = 1 THEN m END), 0) AS BIGINT) AS n1,
+         |  CAST(coalesce(sum(CASE WHEN c = 2 THEN m END), 0) AS BIGINT) AS n2
+         | FROM cc)
+         |SELECT n_tokens, vocab, n1, n2,
+         | round(CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         |  AS p0_unseen,
+         | CASE WHEN n2 > 0 THEN round(CAST(vocab AS DOUBLE)
+         |  + CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+         |   / (2.0 * CAST(n2 AS DOUBLE)), 6) END AS chao1
+         |FROM s""".stripMargin,
     // mirror of Dedup.bBitEstimate: the NearDupChain's verified pairs +
     // the last hex char of each signature slice; (M − 2^-4)/(1 − 2^-4)
     "x168_bbit_minhash" ->

@@ -1686,6 +1686,26 @@ object SparkEntry {
       graft.analytics.Evaluation.clusterAgreement(j,
         col("label").cast("long"), col("centroid_id"))
     }),
+    // Wald SPRT source vetting: walk each source in doc order
+    // accumulating the defect-rate LLR (defect = under 45 tokens,
+    // p0=0.3 vs p1=0.5, α=β=0.05); first crossing decides, and n_seen
+    // is what the decision cost — populated accept/reject/undecided
+    // across the 20 sources at sf0.01+
+    "x185_sprt_gate" -> ((s, dir) =>
+      graft.analytics.Evaluation.sprtGate(T(s, dir, "documents"),
+        col("source"), col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))) < 45)),
+    // Simple Good-Turing adjusted counts r* = (r+1)·N_{r+1}/N_r over the
+    // count-of-counts spine — the unseen-mass reallocation KN discounting
+    // builds on, as its own auditable face
+    "x186_good_turing" -> ((s, dir) =>
+      graft.text.TfIdf.goodTuring(T(s, dir, "documents"), col("text"),
+        maxClasses = 10)),
+    // vocabulary-richness asymptote: GT unseen mass P0 = N1/N and the
+    // Chao1 lower bound on true vocabulary size — has the vocab budget
+    // converged, from one spine aggregate
+    "x187_vocab_richness" -> ((s, dir) =>
+      graft.text.TfIdf.vocabRichness(T(s, dir, "documents"), col("text"))),
     // b-bit minwise audit: Jaccard recoverable from the LOW 4 BITS of
     // each minhash slice vs the exact value, per verified candidate pair
     // — the 64x-smaller-signature storage trade, measured

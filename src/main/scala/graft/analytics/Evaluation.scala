@@ -456,6 +456,57 @@ object Evaluation {
     }.map(_._1)
   }
 
+  /** Wald SPRT source-vetting gate (Sequential Probability Ratio Test,
+    * Wald 1945): walk each group's rows in a deterministic order,
+    * accumulating the log-likelihood ratio of defect rate p1 (bad) vs p0
+    * (acceptable); the FIRST crossing of ln((1−β)/α) rejects the source,
+    * of ln(β/(1−α)) accepts it, and the row ordinal at the crossing is
+    * the sample the decision actually cost. This is the sample-efficient
+    * alternative to fixed-n per-source audits: a clearly bad feed is
+    * rejected after a handful of documents instead of a full scan's
+    * worth, with guaranteed error rates (α, β).
+    *
+    * Scale shape: one cumulative window PARTITIONED by group (never
+    * global), then a per-group aggregate plus two rn-equi-joins back to
+    * the checkpointed walk (first crossing, final row). LLR constants
+    * are Scala doubles shared textually with the oracle, and the ordered
+    * cumulative sum is order-deterministic, so crossings agree
+    * bit-for-bit across engines.
+    */
+  def sprtGate(df: DataFrame, group: Column, ordinal: Column,
+      defect: Column, p0: Double = 0.3, p1: Double = 0.5,
+      alpha: Double = 0.05, beta: Double = 0.05): DataFrame = {
+    require(0 < p0 && p0 < p1 && p1 < 1, s"need 0 < p0 < p1 < 1: ($p0, $p1)")
+    require(0 < alpha && alpha < 1 && 0 < beta && beta < 1,
+      s"alpha/beta must be in (0,1): ($alpha, $beta)")
+    val lrD = math.log(p1 / p0)
+    val lrO = math.log((1 - p1) / (1 - p0))
+    val thrA = math.log((1 - beta) / alpha)
+    val thrB = math.log(beta / (1 - alpha))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__o"))
+    val rows = df.select(group.as("__g"), ordinal.as("__o"),
+        when(defect, lit(lrD)).otherwise(lit(lrO)).as("__l"))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__cum", sum(col("__l")).over(w))
+      .localCheckpoint(true) // walked three times below
+    val agg = rows.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(when(col("__cum") >= thrA || col("__cum") <= thrB,
+          col("__rn"))).as("n_seen"))
+    val firstCross = rows.select(col("__g"), col("__rn").as("n_seen"),
+      (col("__cum") >= thrA).as("__isrej"))
+    val finals = rows.select(col("__g"), col("__rn").as("n_docs"),
+      round(col("__cum"), 6).as("llr_final"))
+    agg
+      .join(firstCross, Seq("__g", "n_seen"), "left")
+      .join(finals, Seq("__g", "n_docs"))
+      .select(col("__g").as("group"), col("n_docs"), col("n_seen"),
+        when(col("n_seen").isNull, lit("undecided"))
+          .when(col("__isrej"), lit("reject"))
+          .otherwise(lit("accept")).as("decision"),
+        col("llr_final"))
+  }
+
   /** Clustering-agreement panel: Adjusted Rand Index and Normalized
     * Mutual Information between two discrete assignments (ground-truth
     * labels vs a clustering, or two clustering runs) — the chance-corrected

@@ -465,6 +465,65 @@ object TfIdf {
           col("nm").cast("double"), 6).as("coverage"))
   }
 
+  /** Count-of-counts spine shared by [[goodTuring]] and [[vocabRichness]]:
+    * one row per observed term frequency r with its class size N_r.
+    */
+  private def countOfCounts(df: DataFrame, text: Column): DataFrame =
+    df.select(explode(TextAnalysis.tokens(text)).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("m"))
+
+  /** Simple Good-Turing frequency re-estimation (Good 1953): for each
+    * observed count r, the adjusted count r* = (r+1)·N_{r+1}/N_r — the
+    * smoothing that reallocates mass from singletons toward the unseen
+    * (the same N_r machinery Kneser-Ney discounting builds on, exposed
+    * as its own audit). Sparse high classes with no r+1 neighbor read
+    * null rather than a fabricated estimate.
+    *
+    * Scale shape: everything after the vocabulary aggregate runs on the
+    * |distinct frequency| spine — the frame is bounded by the count
+    * DOMAIN, so a 100 TB corpus adds rows to N_r values, not to the
+    * spine. One spine self-join on r+1, then a TakeOrdered cut to the
+    * `maxClasses` LOWEST frequency classes (where GT matters; an
+    * absolute r ≤ dial would read empty on a corpus whose rarest term
+    * still occurs thousands of times).
+    */
+  def goodTuring(df: DataFrame, text: Column,
+      maxClasses: Int = 10): DataFrame = {
+    require(maxClasses >= 1, s"maxClasses must be >= 1, got $maxClasses")
+    val cc = countOfCounts(df, text)
+    cc.join(cc.select((col("c") - 1).as("c"), col("m").as("__m1")),
+        Seq("c"), "left")
+      .select(col("c").as("r"), col("m").as("n_r"),
+        round((col("c") + 1).cast("double") * col("__m1").cast("double") /
+          col("m").cast("double"), 6).as("r_star"))
+      .orderBy(col("r").asc)
+      .limit(maxClasses)
+  }
+
+  /** Vocabulary-richness panel from the same count-of-counts spine:
+    * Good-Turing unseen-mass estimate P₀ = N₁/N (the probability the
+    * NEXT token is a type never seen — the "how much tail is left"
+    * number) and the Chao1 lower bound V + N₁²/(2N₂) on the true
+    * vocabulary size. Together they answer whether a tokenizer/vocab
+    * budget has actually converged on this corpus or is still mid-curve
+    * (x149's Heaps fit gives the trajectory; these give the asymptote).
+    * Degenerate N₂ = 0 reads a null Chao1, not an infinity.
+    */
+  def vocabRichness(df: DataFrame, text: Column): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    countOfCounts(df, text)
+      .agg(sum(col("c") * col("m")).as("n_tokens"),
+        sum(col("m")).as("vocab"),
+        coalesce(sum(when(col("c") === 1L, col("m"))), lit(0L)).as("n1"),
+        coalesce(sum(when(col("c") === 2L, col("m"))), lit(0L)).as("n2"))
+      .select(col("n_tokens"), col("vocab"), col("n1"), col("n2"),
+        round(d(col("n1")) / d(col("n_tokens")), 6).as("p0_unseen"),
+        when(col("n2") > 0L, round(d(col("vocab")) +
+          d(col("n1")) * d(col("n1")) / (lit(2.0) * d(col("n2"))), 6))
+          .as("chao1"))
+  }
+
   /** Zipf fit per group: OLS slope/intercept of `ln(freq)` on `ln(rank)`
     * over each group's `topK` most frequent terms (rank 1 = most
     * frequent). Natural text sits near slope −1; a feed whose slope

@@ -250,6 +250,37 @@ class EvaluationSpec extends SparkSpec {
     assert(thrs.size === 3, s"expected 3 distinct group thresholds: $thrs")
   }
 
+  test("x185 sprtGate: textbook crossings, FIRST-crossing semantics, " +
+      "undecided stays open") {
+    val lrD = math.log(0.5 / 0.3)
+    val lrO = math.log((1 - 0.5) / (1 - 0.3))
+    val thrA = math.log(0.95 / 0.05)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // rej: pure defects cross +A at ⌈A/lrD⌉ = 6; acc: pure oks cross −A
+    // at ⌈A/|lrO|⌉ = 9; und: alternating stays inside; flip: 6 defects
+    // (crossing) then 10 oks — the decision is the FIRST crossing even
+    // though the final LLR has wandered back under the bar
+    assert(math.ceil(thrA / lrD) === 6.0 && math.ceil(thrA / -lrO) === 9.0)
+    val rows =
+      (1 to 8).map(i => ("rej", i.toLong, true)) ++
+      (1 to 10).map(i => ("acc", i.toLong, false)) ++
+      (1 to 4).map(i => ("und", i.toLong, i % 2 == 1)) ++
+      (1 to 16).map(i => ("flip", i.toLong, i <= 6))
+    val df = rows.toDF("src", "ord", "bad")
+    val got = Evaluation.sprtGate(df, col("src"), col("ord"), col("bad"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getString(3), r.getDouble(4)))).toMap
+    // expected finals fold sequentially, matching the window's
+    // left-to-right accumulation (n·x can differ from Σx by an ulp)
+    def fold(ls: Seq[Double]) = r6(ls.foldLeft(0.0)(_ + _))
+    assert(got("rej") === ((8L, Some(6L), "reject", fold(Seq.fill(8)(lrD)))))
+    assert(got("acc") === ((10L, Some(9L), "accept", fold(Seq.fill(10)(lrO)))))
+    assert(got("und")._2 === None && got("und")._3 === "undecided")
+    assert(got("flip")._2 === Some(6L) && got("flip")._3 === "reject")
+    assert(got("flip")._4 === fold(Seq.fill(6)(lrD) ++ Seq.fill(10)(lrO)))
+  }
+
   test("x184 clusterAgreement: hand contingency, perfect = 1, " +
       "degenerate single cluster = 0") {
     def r6(x: Double) = math.rint(x * 1e6) / 1e6

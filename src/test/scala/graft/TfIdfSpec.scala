@@ -363,4 +363,28 @@ class TfIdfSpec extends SparkSpec {
     assert(got(3L) === ((3L, r6(11.0 / 12))))
     assert(got(10L) === ((4L, 1.0))) // clamped to the 4-term vocabulary
   }
+
+  test("x186 goodTuring + x187 vocabRichness on a singleton-rich fixture") {
+    import spark.implicits._
+    // a b c d singletons; e e f f doubletons; g g g one tripleton →
+    // classes (1,4) (2,2) (3,1)
+    val df = Seq("a b c d e e f f g g g").toDF("text")
+    val gt = graft.text.TfIdf.goodTuring(df, col("text"), maxClasses = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    assert(gt(1L) === ((4L, Some(1.0)))) // 2·N₂/N₁ = 2·2/4
+    assert(gt(2L) === ((2L, Some(1.5)))) // 3·N₃/N₂ = 3·1/2
+    assert(gt(3L) === ((1L, None))) // no c=4 class → null, not fabricated
+    assert(gt.size === 3)
+    val vr = graft.text.TfIdf.vocabRichness(df, col("text")).head()
+    assert(vr.getLong(0) === 11L && vr.getLong(1) === 7L)
+    assert(vr.getLong(2) === 4L && vr.getLong(3) === 2L)
+    assert(vr.getDouble(4) === math.rint(4.0 / 11.0 * 1e6) / 1e6)
+    assert(vr.getDouble(5) === 11.0) // 7 + 4²/(2·2)
+    // no doubletons → Chao1 null (never an infinity)
+    val deg = graft.text.TfIdf.vocabRichness(
+      Seq("a b c").toDF("text"), col("text")).head()
+    assert(deg.isNullAt(5) && deg.getDouble(4) === 1.0)
+  }
 }
