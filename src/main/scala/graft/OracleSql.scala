@@ -5069,7 +5069,24 @@ object OracleSql {
     // pairs from v{i-1}, cuts the deterministic argmax m{i}, and applies
     // the literal "(l) (r)" -> "(lr)" replace to form v{i}
     "x70_bpe_train" -> bpeTrainSql(8),
-    "x72_bpe_encode" -> bpeEncodeSql(8)
+    "x72_bpe_encode" -> bpeEncodeSql(8),
+    // mirror of Bpe.swapAudit: the full encode chain twice (4- and
+    // 8-merge tables) as nested-WITH CTEs, joined per doc, rolled up per
+    // source
+    "x188_bpe_swap" ->
+      s"""WITH ea AS (${bpeEncodeSql(4)}),
+         |eb AS (${bpeEncodeSql(8)}),
+         |j AS (SELECT d.source, ea.n_pieces AS na, eb.n_pieces AS nb
+         | FROM documents d JOIN ea ON d.doc_id = ea.doc_id
+         |  JOIN eb ON d.doc_id = eb.doc_id)
+         |SELECT source AS "group", CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(na) AS BIGINT) AS tokens_a,
+         | CAST(sum(nb) AS BIGINT) AS tokens_b,
+         | CAST(sum(CASE WHEN na <> nb THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_changed,
+         | round(CAST(sum(nb) AS DOUBLE) / CAST(sum(na) AS DOUBLE), 6)
+         |  AS ratio
+         |FROM j GROUP BY 1""".stripMargin
   )
 
   /** Chained-CTE replay of [[graft.text.Bpe.train]]'s merge loop (see the

@@ -1706,6 +1706,18 @@ object SparkEntry {
     // converged, from one spine aggregate
     "x187_vocab_richness" -> ((s, dir) =>
       graft.text.TfIdf.vocabRichness(T(s, dir, "documents"), col("text"))),
+    // tokenizer-swap audit: the corpus encoded under the 4-merge
+    // incumbent vs the 8-merge candidate — per-source token-budget
+    // shift and re-encode blast radius, the upgrade-decision numbers
+    "x188_bpe_swap" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      def trained(n: Int) = graft.text.Bpe.train(docs, col("text"),
+          numMerges = n)
+        .orderBy(col("merge_rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.text.Bpe.swapAudit(docs, col("doc_id"), col("text"),
+        col("source"), trained(4), trained(8))
+    }),
     // b-bit minwise audit: Jaccard recoverable from the LOW 4 BITS of
     // each minhash slice vs the exact value, per verified candidate pair
     // — the 64x-smaller-signature storage trade, measured

@@ -113,4 +113,27 @@ class BpeSpec extends SparkSpec {
     symbols.filter(_.length > 1).foreach(sym =>
       assert(buildable.contains(sym), s"symbol $sym not produced by a merge"))
   }
+
+  test("x188 swapAudit: hand-traced token budgets, ratio, blast radius") {
+    // wordCounts: aa×2, ab×3 → merge1 = (a,b) (wc 3 beats 2), merge2 =
+    // (a,a). Under A=[ab]: doc1 "aa aa ab" → 2+2+1 = 5 pieces, doc2
+    // "ab ab" → 2. Under B=[ab, aa]: doc1 → 3, doc2 → 2 (unchanged).
+    val docs = Seq((1L, "g1", "aa aa ab"), (2L, "g2", "ab ab"))
+      .toDF("doc_id", "grp", "text")
+    val mA = Bpe.train(docs, col("text"), numMerges = 1)
+      .orderBy(col("merge_rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val mB = Bpe.train(docs, col("text"), numMerges = 2)
+      .orderBy(col("merge_rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(mA === Seq(("a", "b")))
+    assert(mB === Seq(("a", "b"), ("a", "a")))
+    val got = Bpe.swapAudit(docs, col("doc_id"), col("text"), col("grp"),
+        mA, mB)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    assert(got("g1") === ((1L, 5L, 3L, 1L, 0.6)))
+    assert(got("g2") === ((1L, 2L, 2L, 0L, 1.0)))
+  }
 }
