@@ -270,4 +270,60 @@ class PropertySpec extends SparkSpec {
       assert(pct === 100.0, "every user is active in their own first week")
     }
   }
+
+  test("AMS counters are mergeable: sketch(A ∪ B) = sketch(A) + sketch(B)") {
+    import graft.analytics.Distribution
+    val a = Seq.tabulate(200)(i => s"k${i % 13}").toDF("k")
+    val b = Seq.tabulate(150)(i => s"k${i % 7}").toDF("k")
+    val sa = Distribution.amsF2Sketch(a, col("k")).head()
+    val sb = Distribution.amsF2Sketch(b, col("k")).head()
+    val su = Distribution.amsF2Sketch(a.unionAll(b), col("k")).head()
+    // column 0 is n_rows; counters follow — the shard-merge contract is
+    // plain column-wise addition, nothing sketch-library-specific
+    (0 to 64).foreach { i =>
+      assert(su.getLong(i) === sa.getLong(i) + sb.getLong(i), s"col $i")
+    }
+  }
+
+  test("curriculum schedule is monotone: sizes and mean difficulty " +
+      "non-decreasing, final epoch = corpus") {
+    import graft.sampling.Curriculum
+    val df = Seq.tabulate(97)(i => ((i * 37) % 61).toLong).toDF("d")
+    val rows = Curriculum.schedule(df, col("d"), epochs = 7)
+      .orderBy(col("epoch")).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getDouble(3)))
+    rows.sliding(2).foreach { case Array((_, n1, m1), (e2, n2, m2)) =>
+      assert(n2 >= n1, s"epoch $e2 shrank")
+      assert(m2 >= m1 - 1e-9, s"epoch $e2 got easier") // easy-first pacing
+    }
+    assert(rows.last._2 === 97L)
+  }
+
+  test("vocab coverage is monotone in k, capped at 1, exact at the clamp") {
+    import graft.text.TfIdf
+    val text = Seq.tabulate(300)(i => s"w${(i * i) % 40}").mkString(" ")
+    val ks = Seq(1L, 3L, 7L, 15L, 31L, 63L, 1000L)
+    val rows = TfIdf.vocabCoverage(Seq(text).toDF("text"), col("text"), ks)
+      .orderBy(col("k")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    rows.sliding(2).foreach { case Array((_, _, c1), (k2, _, c2)) =>
+      assert(c2 >= c1 - 1e-9, s"coverage dropped at k=$k2")
+    }
+    rows.foreach { case (k, used, c) =>
+      assert(c > 0.0 && c <= 1.0 && used <= k)
+    }
+    assert(rows.last._3 === 1.0)
+  }
+
+  test("bootstrap CI brackets are ordered and contain the point mean " +
+      "on a well-behaved frame") {
+    import graft.analytics.Evaluation
+    val df = Seq.tabulate(120)(i => (i.toLong, ((i * 17) % 50 + 10).toLong))
+      .toDF("id", "v")
+    val r = Evaluation.bootstrapCi(df, col("id"), col("v")).head()
+    val (mean, lo, hi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(lo <= hi)
+    assert(lo <= mean && mean <= hi,
+      s"94% interval [$lo, $hi] should bracket $mean here")
+  }
 }
