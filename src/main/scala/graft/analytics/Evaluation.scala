@@ -555,6 +555,26 @@ object Evaluation {
         when(hsum =!= 0.0, round(lit(2.0) * col("mi") / hsum, 6)).as("nmi"))
   }
 
+  /** The hash-seeded Poisson(1) bootstrap weight as a standalone Column —
+    * `replicate` may be any integer column, so
+    * `SUM(bootstrap_weight(id, b) * x) GROUP BY b` IS the bootstrap on
+    * the SQL surface. Same md5 stream and CDF thresholds as
+    * [[bootstrapCi]] (which pre-projects one md5 per 4 replicates for
+    * throughput; parity is spec-pinned).
+    */
+  def poissonWeight(id: Column, replicate: Column): Column = {
+    val rep = replicate.cast("long")
+    val g = floor(rep.cast("double") / 4.0).cast("long")
+    val slot = pmod(rep, lit(4L)).cast("int")
+    val h = md5(concat_ws("", lit("boot"), g.cast("string"), lit(":"),
+      id.cast("string")))
+    val u = conv(h.substr(slot * lit(8) + lit(1), lit(8)), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+    PoissonCdf.zipWithIndex.reverse.foldLeft(lit(6L): Column) {
+      case (acc, (c, j)) => when(u < lit(c), j.toLong).otherwise(acc)
+    }
+  }
+
   /** Poisson-bootstrap confidence interval for a corpus mean (Chamandy et
     * al., "Estimating Uncertainty for Massive Data Streams", Google 2012):
     * every row joins replicate b with a deterministic hash-seeded

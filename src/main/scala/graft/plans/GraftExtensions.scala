@@ -185,6 +185,10 @@ object GraftExtensions {
     // manifest checksum on the SQL surface — order/partition-invariant
     fromColumns("manifest_hash32", 2,
       cs => graft.sampling.Sharding.rowHash32(cs.head, cs(1))),
+    // SUM(bootstrap_weight(id, b) * x) GROUP BY b *is* the x183 Poisson
+    // bootstrap in pure SQL — replicate as a column, no RNG state
+    fromColumns("bootstrap_weight", 2,
+      cs => graft.analytics.Evaluation.poissonWeight(cs.head, cs(1))),
     nativeBinary("cosine_sim", CosineSim(_, _)),
     nativeBinary("dot_product", DotProduct(_, _)))
 

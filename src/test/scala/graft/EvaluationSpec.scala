@@ -333,6 +333,17 @@ class EvaluationSpec extends SparkSpec {
     }.sorted
     assert(got.getDouble(2) === means(1)) // 2nd order statistic
     assert(got.getDouble(3) === means(30)) // 31st
+    // the SQL-surface builder draws the SAME weights as the audit's
+    // pre-projected md5 stream, for every (id, replicate)
+    val pw = df.crossJoin(spark.range(0, 32).toDF("b"))
+      .select(col("id"), col("b"),
+        Evaluation.poissonWeight(col("id"), col("b")).as("w"))
+      .collect()
+    assert(pw.length === 20 * 32)
+    pw.foreach { r =>
+      assert(r.getLong(2) === w(r.getLong(0), r.getLong(1).toInt),
+        s"id ${r.getLong(0)} b ${r.getLong(1)}")
+    }
     // the ~94% interval straddles the point estimate on this fixture
     assert(got.getDouble(2) < 10.5 && got.getDouble(3) > 10.5)
     // Poisson(1) CDF thresholds: c₀ = e⁻¹ and the sequence is the partial

@@ -131,6 +131,28 @@ class SqlSurfaceSpec extends SparkSpec {
           .digest(s"$id:$t".getBytes("UTF-8"))
           .take(4).map("%02x".format(_)).mkString, 16)
       assert(mh.getLong(1) === h32(1L, "alpha") + h32(2L, "beta"))
+      // round-12: the Poisson-bootstrap weight — SUM(bootstrap_weight
+      // (id, b) * x) GROUP BY b is the x183 bootstrap in pure SQL;
+      // pinned against the same driver-side md5 truth EvaluationSpec uses
+      def pw(id: Long, b: Int): Long = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"boot${b / 4}:$id".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val u = java.lang.Long.parseLong(
+          hex.substring((b % 4) * 8, (b % 4) * 8 + 8), 16)
+          .toDouble / 4294967296.0
+        graft.analytics.Evaluation.PoissonCdf.zipWithIndex
+          .collectFirst { case (c, j) if u < c => j.toLong }.getOrElse(6L)
+      }
+      val bw = s2.sql(
+        """WITH d(id) AS (VALUES (1L), (2L), (3L))
+          |SELECT id, bootstrap_weight(id, 0L) AS w0,
+          | bootstrap_weight(id, 5L) AS w5 FROM d""".stripMargin).collect()
+      assert(bw.length === 3)
+      bw.foreach { r =>
+        assert(r.getLong(1) === pw(r.getLong(0), 0), s"id ${r.getLong(0)} b0")
+        assert(r.getLong(2) === pw(r.getLong(0), 5), s"id ${r.getLong(0)} b5")
+      }
     } finally {
       org.apache.spark.sql.graftbridge.ColumnBridge.restoreSessions(prev)
     }
