@@ -74,8 +74,12 @@ object SparkEntry {
     * re-derivation of old edges it would never do. Materialized once per
     * sf dir under target/fixtures/ and read back as plain parquet: the
     * bench's min-of-3 then times the read path (pass 1 pays the one-off
-    * build), and Verify builds it on first touch. Lock so concurrent
-    * suites can't double-write. If [[entityRegistry]] or
+    * build), and Verify builds it on first touch. The lock serializes
+    * threads in THIS JVM; against a concurrent second process each
+    * builder writes to a process-unique scratch path and atomically
+    * RENAMES it into place (first rename wins, losers read the winner's
+    * output) — an overwrite-in-place would let process B's job delete
+    * process A's in-flight files. If [[entityRegistry]] or
     * `Entities.matchEdges` changes, delete target/fixtures/ — a stale
     * fixture fails x123's oracle loudly (it is x120's SQL verbatim), it
     * cannot pass silently.
@@ -87,11 +91,22 @@ object SparkEntry {
     fixtureLock.synchronized {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(new org.apache.hadoop.fs.Path(path + "/_SUCCESS")))
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path + "/_SUCCESS"))) {
+        val tmp = path + s"__tmp_${java.lang.ProcessHandle.current().pid()}"
+        val (tmpP, dstP) = (new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(path))
         graft.analytics.Entities.matchEdges(
           entityRegistry(s, dir).filter(col("rid") % 2 === 0),
           col("rid"), col("rkey"))
-          .write.mode("overwrite").parquet(path)
+          .write.mode("overwrite").parquet(tmp)
+        // publish by rename: if another process won, drop ours and read
+        // theirs. Local-FS rename into an EXISTING dst nests src inside
+        // it instead of failing, so clean that case up too.
+        if (fs.exists(dstP) || !fs.rename(tmpP, dstP))
+          fs.delete(tmpP, true)
+        val nested = new org.apache.hadoop.fs.Path(dstP, tmpP.getName)
+        if (fs.exists(nested)) fs.delete(nested, true)
+      }
     }
     s.read.parquet(path)
   }
@@ -1650,7 +1665,7 @@ object SparkEntry {
     // cancellation — the "is 64 dims enough" dial, vocabulary-free
     "x179_feature_hashing" -> ((s, dir) =>
       graft.text.FeatureHash.collisionAudit(T(s, dir, "documents"),
-        col("doc_id"), col("text"), dims = 64)),
+        col("text"), dims = 64)),
     // competence-based curriculum plan: per epoch, the corpus slice at
     // difficulty percentile ≤ √(e/E) (n_chars as difficulty) — the
     // schedule sizes, from one spine pass, no per-epoch corpus copies
@@ -1711,12 +1726,13 @@ object SparkEntry {
     // shift and re-encode blast radius, the upgrade-decision numbers
     "x188_bpe_swap" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
-      def trained(n: Int) = graft.text.Bpe.train(docs, col("text"),
-          numMerges = n)
+      // greedy BPE with the deterministic tie-break is prefix-stable:
+      // train(4) ≡ train(8).take(4), so one training run serves both
+      val m8 = graft.text.Bpe.train(docs, col("text"), numMerges = 8)
         .orderBy(col("merge_rank")).collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       graft.text.Bpe.swapAudit(docs, col("doc_id"), col("text"),
-        col("source"), trained(4), trained(8))
+        col("source"), m8.take(4), m8)
     }),
     // b-bit minwise audit: Jaccard recoverable from the LOW 4 BITS of
     // each minhash slice vs the exact value, per verified candidate pair

@@ -568,12 +568,21 @@ object Evaluation {
     val slot = pmod(rep, lit(4L)).cast("int")
     val h = md5(concat_ws("", lit("boot"), g.cast("string"), lit(":"),
       id.cast("string")))
-    val u = conv(h.substr(slot * lit(8) + lit(1), lit(8)), 16, 10)
-      .cast("long").cast("double") / lit(4294967296.0)
+    poissonFromUniform(
+      conv(h.substr(slot * lit(8) + lit(1), lit(8)), 16, 10)
+        .cast("long").cast("double") / lit(4294967296.0))
+  }
+
+  /** Poisson(1) inverse-CDF at a uniform: the single definition behind
+    * [[poissonWeight]] and [[bootstrapCi]]'s pre-projected stream, so
+    * the SQL-surface function and the audit cannot drift. when() chains
+    * evaluate first-match, so fold from the LAST threshold backwards —
+    * the result nests when(u<c0,0).otherwise(when(u<c1,1)…).
+    */
+  private def poissonFromUniform(u: Column): Column =
     PoissonCdf.zipWithIndex.reverse.foldLeft(lit(6L): Column) {
       case (acc, (c, j)) => when(u < lit(c), j.toLong).otherwise(acc)
     }
-  }
 
   /** Poisson-bootstrap confidence interval for a corpus mean (Chamandy et
     * al., "Estimating Uncertainty for Massive Data Streams", Google 2012):
@@ -599,15 +608,10 @@ object Evaluation {
     val hexed = df.select(value.cast("long").as("__x") +:
       (0 until groups).map(g => md5(concat_ws("",
         lit(s"boot$g:"), id.cast("string"))).as(s"__h$g")): _*)
-    // when() chains evaluate first-match, so fold from the LAST threshold
-    // backwards: the result nests when(u<c0,0).otherwise(when(u<c1,1)…)
-    def weightChain(b: Int): Column = {
-      val u = conv(substring(col(s"__h${b / 4}"), (b % 4) * 8 + 1, 8), 16, 10)
-        .cast("long").cast("double") / lit(4294967296.0)
-      PoissonCdf.zipWithIndex.reverse.foldLeft(lit(6L): Column) {
-        case (acc, (c, j)) => when(u < lit(c), j.toLong).otherwise(acc)
-      }
-    }
+    def weightChain(b: Int): Column =
+      poissonFromUniform(
+        conv(substring(col(s"__h${b / 4}"), (b % 4) * 8 + 1, 8), 16, 10)
+          .cast("long").cast("double") / lit(4294967296.0))
     val aggs =
       (0 until replicates).flatMap { b =>
         val w = weightChain(b)

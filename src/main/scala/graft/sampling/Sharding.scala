@@ -66,6 +66,16 @@ object Sharding {
     assigned.groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
 
+  /** The manifest's per-row 32-bit content hash — integer value of the
+    * first 8 hex chars of md5(id || ':' || payload). Pure built-in
+    * composition (md5/substring/conv all have codegen), shared by
+    * [[shardManifest]] and the `manifest_hash32` SQL function so the two
+    * surfaces can never drift.
+    */
+  def rowHash32(id: Column, payload: Column): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(":"),
+      payload.cast("string"))), 1, 8), 16, 10).cast("long")
+
   /** Reproducibility manifest for an exported shard layout: per shard,
     * doc count, payload character sum, id range, and an ORDER-INDEPENDENT
     * content checksum — the artifact a training run records so "same data
@@ -89,15 +99,6 @@ object Sharding {
     * ANSI mode a plain cast of a non-numeric id would THROW and take the
     * whole manifest down, not return null).
     */
-  /** The manifest's per-row 32-bit content hash — integer value of the
-    * first 8 hex chars of md5(id || ':' || payload). Pure built-in
-    * composition (md5/substring/conv all have codegen), shared by
-    * [[shardManifest]] and the `manifest_hash32` SQL function so the two
-    * surfaces can never drift.
-    */
-  def rowHash32(id: Column, payload: Column): Column =
-    conv(substring(md5(concat(id.cast("string"), lit(":"),
-      payload.cast("string"))), 1, 8), 16, 10).cast("long")
 
   def shardManifest(df: DataFrame, shard: Column, id: Column,
       payload: Column): DataFrame =

@@ -51,7 +51,7 @@ object FeatureHash {
     * sized aggregate every `text/` operator already pays), then a
     * `dims`-row aggregate. All-integer output.
     */
-  def collisionAudit(df: DataFrame, id: Column, text: Column,
+  def collisionAudit(df: DataFrame, text: Column,
       dims: Int = 64): DataFrame = {
     require(dims >= 2, s"dims must be >= 2, got $dims")
     df.select(explode(TextAnalysis.tokens(text)).as("__tok"))

@@ -47,8 +47,7 @@ class FeatureHashSpec extends SparkSpec {
   }
 
   test("collisionAudit: conservation of mass, vocabulary, and net weight") {
-    val audit = FeatureHash.collisionAudit(docs, col("doc_id"), col("text"),
-        dims = 2)
+    val audit = FeatureHash.collisionAudit(docs, col("text"), dims = 2)
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
     // 9 occurrences, 3 distinct tokens, split by dim hash mod 2
