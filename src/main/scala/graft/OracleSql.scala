@@ -4389,6 +4389,21 @@ object OracleSql {
          |FROM a LEFT JOIN r fc ON a.g = fc.g AND a.n_seen = fc.rn
          | JOIN r fr ON a.g = fr.g AND a.n_docs = fr.rn""".stripMargin
     },
+    // mirror of TfIdf.negativeSamplingTable: c^0.75 via sqrt(c·sqrt(c))
+    // (sqrt is correctly rounded, pow is not — same identity both sides)
+    "x189_negative_sampling" ->
+      s"""WITH c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |  SELECT unnest($Toks) AS tok FROM documents) GROUP BY 1),
+         |s AS (SELECT tok, cnt,
+         |  sqrt(CAST(cnt AS DOUBLE) * sqrt(CAST(cnt AS DOUBLE))) AS sm
+         | FROM c),
+         |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n, sum(sm) AS z FROM s)
+         |SELECT tok, cnt,
+         | round(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_raw,
+         | round(sm / z, 6) AS p_smoothed,
+         | round((sm / z) / (CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+         |  AS boost
+         |FROM s CROSS JOIN t""".stripMargin,
     // mirror of TfIdf.goodTuring: count-of-counts spine self-joined on
     // r+1; sparse classes read null r*
     "x186_good_turing" ->

@@ -1721,6 +1721,12 @@ object SparkEntry {
     // converged, from one spine aggregate
     "x187_vocab_richness" -> ((s, dir) =>
       graft.text.TfIdf.vocabRichness(T(s, dir, "documents"), col("text"))),
+    // word2vec-style negative-sampling table: unigram^0.75 as
+    // sqrt(c·sqrt(c)) (bit-reproducible, unlike pow) — rare-token boost
+    // and head damping per vocabulary entry
+    "x189_negative_sampling" -> ((s, dir) =>
+      graft.text.TfIdf.negativeSamplingTable(T(s, dir, "documents"),
+        col("text"))),
     // tokenizer-swap audit: the corpus encoded under the 4-merge
     // incumbent vs the 8-merge candidate — per-source token-budget
     // shift and re-encode blast radius, the upgrade-decision numbers

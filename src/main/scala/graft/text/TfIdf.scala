@@ -473,6 +473,30 @@ object TfIdf {
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
       .groupBy(col("c")).agg(count(lit(1)).as("m"))
 
+  /** Negative-sampling table (word2vec's unigram^0.75, Mikolov et al.
+    * 2013): per token, the raw unigram probability, the 3/4-power
+    * smoothed sampling probability, and the boost the smoothing gives —
+    * rare tokens are over-sampled as negatives/contrastive pairs, head
+    * tokens damped. c^0.75 is computed as `sqrt(c·sqrt(c))`: `pow` is
+    * not correctly-rounded in IEEE and differs across libm builds, while
+    * `sqrt` is — the identity keeps the table bit-reproducible across
+    * engines. One vocabulary-sized aggregate plus a 1-row broadcast of
+    * the two normalizers.
+    */
+  def negativeSamplingTable(df: DataFrame, text: Column): DataFrame = {
+    val counts = df.select(explode(TextAnalysis.tokens(text)).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val cd = col("cnt").cast("double")
+    val smoothed = counts.withColumn("__s", sqrt(cd * sqrt(cd)))
+    val tot = smoothed.agg(sum(col("cnt")).as("__n"), sum(col("__s")).as("__z"))
+    smoothed.crossJoin(broadcast(tot))
+      .select(col("tok"), col("cnt"),
+        round(cd / col("__n").cast("double"), 6).as("p_raw"),
+        round(col("__s") / col("__z"), 6).as("p_smoothed"),
+        round((col("__s") / col("__z")) /
+          (cd / col("__n").cast("double")), 6).as("boost"))
+  }
+
   /** Simple Good-Turing frequency re-estimation (Good 1953): for each
     * observed count r, the adjusted count r* = (r+1)·N_{r+1}/N_r — the
     * smoothing that reallocates mass from singletons toward the unseen

@@ -112,7 +112,10 @@ class PlanAuditSpec extends SparkSpec {
     "x181_vocab_coverage",
     // 1-row broadcast scalars: the ARI/NMI component frames (pair sums,
     // entropies, MI) combined over the checkpointed contingency spine
-    "x184_cluster_agreement")
+    "x184_cluster_agreement",
+    // 1-row broadcast normalizer pair (token total + smoothed total)
+    // against the vocabulary-sized table
+    "x189_negative_sampling")
 
   test("no query plans a cartesian product; BNLJ only on the allowlist") {
     val plans = planned.map { case (n, qe) => n -> qe.executedPlan.toString }

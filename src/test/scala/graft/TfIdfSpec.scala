@@ -364,6 +364,25 @@ class TfIdfSpec extends SparkSpec {
     assert(got(10L) === ((4L, 1.0))) // clamped to the 4-term vocabulary
   }
 
+  test("x189 negativeSamplingTable: 3/4-power boost for rare tokens, " +
+      "probabilities sum to 1") {
+    import spark.implicits._
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // a×4, b×1: s(a) = √(4·√4) = 4^0.75, s(b) = 1
+    val df = Seq("a a a a b").toDF("text")
+    val got = graft.text.TfIdf.negativeSamplingTable(df, col("text"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val sa = math.sqrt(4.0 * math.sqrt(4.0))
+    val z = sa + 1.0
+    assert(got("a") === ((4L, 0.8, r6(sa / z), r6((sa / z) / 0.8))))
+    assert(got("b") === ((1L, 0.2, r6(1.0 / z), r6((1.0 / z) / 0.2))))
+    // smoothing damps the head (boost < 1) and boosts the tail (> 1)
+    assert(got("a")._4 < 1.0 && got("b")._4 > 1.0)
+    assert(math.abs(got.values.map(_._3).sum - 1.0) < 2e-6)
+  }
+
   test("x186 goodTuring + x187 vocabRichness on a singleton-rich fixture") {
     import spark.implicits._
     // a b c d singletons; e e f f doubletons; g g g one tripleton →
