@@ -4404,6 +4404,163 @@ object OracleSql {
          | round((sm / z) / (CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)), 6)
          |  AS boost
          |FROM s CROSS JOIN t""".stripMargin,
+    // mirror of Distribution.cmsAudit: vocabulary counts, 3x8 counter
+    // grid summed per (row, slot), top-20 cut (count desc, tok asc),
+    // min-over-rows point estimate; `overcount` dodges the OVER keyword
+    "x190_cms_audit" -> {
+      val sk = (0 until 3).map(d =>
+        s"SELECT $d AS row_d, ${hashKeySql("tok", s"cms$d")} % 8 AS slot," +
+          " exact FROM c").mkString("\n  UNION ALL ")
+      val pr = (0 until 3).map(d =>
+        s"SELECT tok, exact, $d AS row_d," +
+          s" ${hashKeySql("tok", s"cms$d")} % 8 AS slot FROM top")
+        .mkString("\n  UNION ALL ")
+      s"""WITH t AS (SELECT unnest($Toks) AS tok FROM documents),
+         |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact
+         | FROM t GROUP BY 1),
+         |sk AS (SELECT row_d, slot, CAST(sum(exact) AS BIGINT) AS counter
+         | FROM ($sk) GROUP BY 1, 2),
+         |top AS (SELECT tok, exact FROM c ORDER BY exact DESC, tok LIMIT 20),
+         |pr AS ($pr),
+         |est AS (SELECT p.tok AS key, p.exact,
+         |  min(s.counter) AS cms_est
+         | FROM pr p JOIN sk s ON p.row_d = s.row_d AND p.slot = s.slot
+         | GROUP BY 1, 2)
+         |SELECT key, exact, cms_est, cms_est - exact AS overcount
+         |FROM est""".stripMargin
+    },
+    // mirror of Linkage.fieldWeights: x06 verified pairs as matches,
+    // offset-171 pairs as the non-match sample, null-safe per-field
+    // agreement, add-half smoothing, base-2 LLRs as ln-ratios over ln(2)
+    "x191_fellegi_sunter" ->
+      s"""WITH $NearDupChain,
+         |mp AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.3),
+         |nmp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 171),
+         |attrs AS (SELECT doc_id, lang, source,
+         |  CAST(floor(n_chars / 100) AS BIGINT) AS len_band,
+         |  list_extract($Toks, 1) AS tok1 FROM documents),
+         |lab AS (SELECT doc_a, doc_b, true AS m FROM mp
+         | UNION ALL SELECT doc_a, doc_b, false FROM nmp),
+         |j AS (SELECT l.m,
+         |  a.lang IS NOT DISTINCT FROM b.lang AS ag_lang,
+         |  a.source IS NOT DISTINCT FROM b.source AS ag_source,
+         |  a.len_band IS NOT DISTINCT FROM b.len_band AS ag_len_band,
+         |  a.tok1 IS NOT DISTINCT FROM b.tok1 AS ag_tok1
+         | FROM lab l JOIN attrs a ON l.doc_a = a.doc_id
+         |  JOIN attrs b ON l.doc_b = b.doc_id),
+         |st AS (SELECT 'lang' AS field, m, ag_lang AS agree FROM j
+         | UNION ALL SELECT 'source', m, ag_source FROM j
+         | UNION ALL SELECT 'len_band', m, ag_len_band FROM j
+         | UNION ALL SELECT 'tok1', m, ag_tok1 FROM j),
+         |w AS (SELECT field,
+         |  CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+         |  CAST(sum(CASE WHEN NOT m THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_nonmatch,
+         |  (CAST(sum(CASE WHEN m AND agree THEN 1 ELSE 0 END) AS DOUBLE)
+         |    + 0.5) /
+         |   (CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS DOUBLE) + 1.0)
+         |   AS mp,
+         |  (CAST(sum(CASE WHEN NOT m AND agree THEN 1 ELSE 0 END)
+         |    AS DOUBLE) + 0.5) /
+         |   (CAST(sum(CASE WHEN NOT m THEN 1 ELSE 0 END) AS DOUBLE) + 1.0)
+         |   AS up
+         | FROM st GROUP BY 1)
+         |SELECT field, n_match, n_nonmatch,
+         | round(mp, 6) AS m_prob, round(up, 6) AS u_prob,
+         | round(ln(mp / up) / ln(2), 6) AS w_agree,
+         | round(ln((1.0 - mp) / (1.0 - up)) / ln(2), 6) AS w_disagree
+         |FROM w""".stripMargin,
+    // mirror of Validation.dpNoisyCounts at eps=0.8, threshold=24: the
+    // -1/eps literal is the SAME Scala double (not a re-derived
+    // decimal), the uniform offsets +0.5/2^32, suppression compares the
+    // unrounded noisy count
+    "x192_dp_release" ->
+      s"""WITH g AS (SELECT source AS key, CAST(count(*) AS BIGINT)
+         |  AS n_true FROM documents GROUP BY 1),
+         |n AS (SELECT key, n_true,
+         |  (CAST(${hashKeySql("key", "dplap")} AS DOUBLE) + 0.5)
+         |   / 4294967296.0 - 0.5 AS c FROM g),
+         |z AS (SELECT key, n_true,
+         |  ${-1.0 / 0.8} * CAST(sign(c) AS DOUBLE)
+         |   * ln(1.0 - 2.0 * abs(c)) AS noise FROM n)
+         |SELECT key, n_true, round(noise, 6) AS noise,
+         | round(CAST(n_true AS DOUBLE) + noise, 6) AS noisy_count,
+         | CAST(n_true AS DOUBLE) + noise >= 24.0 AS released
+         |FROM z""".stripMargin,
+    // mirror of Postings.compressionPlan: distinct (doc, term) frame,
+    // per-term lag gaps (first posting absolute), varint bytes =
+    // ceil(bitlen/7) with bitlen = length(bin(v)) — integer/string
+    // built-ins only, no float log at a power-of-two boundary
+    "x193_posting_bytes" ->
+      s"""WITH t AS (SELECT doc_id, unnest($Toks) AS tok FROM documents),
+         |dt AS (SELECT DISTINCT tok AS term, doc_id FROM t),
+         |g AS (SELECT term,
+         |  coalesce(doc_id - lag(doc_id)
+         |    OVER (PARTITION BY term ORDER BY doc_id), doc_id) AS v
+         | FROM dt),
+         |b AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+         |  CAST(sum((length(bin(v)) + 6) // 7) AS BIGINT) AS vb
+         | FROM g GROUP BY 1)
+         |SELECT CAST(length(bin(df)) AS INTEGER) AS df_band,
+         | CAST(count(*) AS BIGINT) AS n_terms,
+         | CAST(sum(df) AS BIGINT) AS n_postings,
+         | CAST(sum(df) * 8 AS BIGINT) AS raw_bytes,
+         | CAST(sum(vb) AS BIGINT) AS varint_bytes,
+         | round(CAST(sum(vb) AS DOUBLE) / CAST(sum(df) * 8 AS DOUBLE), 6)
+         |  AS ratio
+         |FROM b GROUP BY 1""".stripMargin,
+    // mirror of Stylometry.burrowsDelta: (source, term) counts, top-15
+    // cut (count desc, term asc), zero-completed grid via cross join,
+    // per-term z over a partitioned window, pairwise mean |z_a - z_b|
+    "x194_burrows_delta" ->
+      s"""WITH t AS (SELECT source, unnest($Toks) AS term FROM documents),
+         |st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+         | FROM t GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot
+         | FROM st GROUP BY 1),
+         |top AS (SELECT term FROM (
+         |  SELECT term, sum(c) AS cc FROM st GROUP BY 1)
+         | ORDER BY cc DESC, term LIMIT 15),
+         |grid AS (SELECT s.source, p.term,
+         |  CAST(coalesce(c.c, 0) AS DOUBLE) / CAST(s.tot AS DOUBLE) AS f
+         | FROM tot s CROSS JOIN top p
+         |  LEFT JOIN st c ON c.source = s.source AND c.term = p.term),
+         |z AS (SELECT source, term,
+         |  CASE WHEN stddev_pop(f) OVER (PARTITION BY term) > 0
+         |   THEN (f - avg(f) OVER (PARTITION BY term))
+         |     / stddev_pop(f) OVER (PARTITION BY term)
+         |   ELSE 0.0 END AS z
+         | FROM grid)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         | round(avg(abs(a.z - b.z)), 6) AS delta
+         |FROM z a JOIN z b ON a.term = b.term AND a.source < b.source
+         |GROUP BY 1, 2""".stripMargin,
+    // mirror of TextAnalysis.bigramCompressionReport over the one-word-
+    // wall fixture: char bigrams by position, per-doc entropy in nats,
+    // bits as hn/ln(2), flag compares the unrounded ratio
+    "x196_compress_gate" ->
+      """WITH d AS (SELECT doc_id, CASE WHEN doc_id % 50 = 0
+        |  THEN repeat('spam ', 40) ELSE text END AS text FROM documents),
+        |tt AS (SELECT doc_id, lower(trim(text)) AS t FROM d),
+        |f AS (SELECT doc_id, t, CAST(length(t) - 1 AS BIGINT) AS n
+        | FROM tt WHERE length(t) >= 2),
+        |bi0 AS (SELECT doc_id, n, t,
+        |  unnest(range(1, 1 + n)) AS i FROM f),
+        |bi AS (SELECT doc_id, n,
+        |  substring(t, CAST(i AS INTEGER), 2) AS b FROM bi0),
+        |c AS (SELECT doc_id, n, b, CAST(count(*) AS BIGINT) AS c
+        | FROM bi GROUP BY 1, 2, 3),
+        |h AS (SELECT doc_id, n AS n_bigrams,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  sum(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |   * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))) AS hn
+        | FROM c GROUP BY 1, 2)
+        |SELECT doc_id, n_bigrams, n_distinct,
+        | round(hn / ln(2), 6) AS bits_per_bigram,
+        | round(hn / ln(2) / 16.0, 6) AS est_ratio,
+        | hn / ln(2) / 16.0 < 0.25 AS flagged
+        |FROM h""".stripMargin,
     // mirror of TfIdf.goodTuring: count-of-counts spine self-joined on
     // r+1; sparse classes read null r*
     "x186_good_turing" ->

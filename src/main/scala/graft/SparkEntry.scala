@@ -1727,6 +1727,60 @@ object SparkEntry {
     "x189_negative_sampling" -> ((s, dir) =>
       graft.text.TfIdf.negativeSamplingTable(T(s, dir, "documents"),
         col("text"))),
+    // Count-Min point-query audit beside x177's AMS (F2) and a23's
+    // Misra-Gries (top items): per top-20 term, exact count vs the
+    // min-over-3-rows estimate from a deliberately tight 3x8 grid —
+    // width 8 forces collisions on the synthetic vocabulary so the
+    // overcount column actually exercises the bound
+    "x190_cms_audit" -> ((s, dir) =>
+      Distribution.cmsAudit(
+        T(s, dir, "documents")
+          .select(explode(TextAnalysis.tokens(col("text"))).as("tok")),
+        col("tok"), depth = 3, width = 8, topK = 20)),
+    // Fellegi-Sunter linkage weights: per-field m/u probabilities and
+    // base-2 agreement/disagreement LLRs, m estimated on the x06
+    // verified near-dup pairs, u on a deterministic offset-pair sample
+    "x191_fellegi_sunter" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val matches = Dedup.nearDuplicates(docs, col("doc_id"), col("text"),
+        threshold = 0.3).select(col("doc_a"), col("doc_b"))
+      val nonMatches = docs.select(col("doc_id").as("doc_a"))
+        .join(docs.select(col("doc_id").as("doc_b")),
+          col("doc_b") === col("doc_a") + 171)
+      graft.analytics.Linkage.fieldWeights(docs, col("doc_id"),
+        Seq("lang" -> col("lang"), "source" -> col("source"),
+          "len_band" -> floor(col("n_chars") / 100),
+          "tok1" -> element_at(TextAnalysis.tokens(col("text")), 1)),
+        matches, nonMatches)
+    }),
+    // epsilon-DP noisy release of per-source doc counts: hash-seeded
+    // Laplace(1/0.8) + post-noise floor at 24 — true count kept beside
+    // the noisy one as the audit face (production publishes noisy only)
+    "x192_dp_release" -> ((s, dir) =>
+      Validation.dpNoisyCounts(T(s, dir, "documents"), col("source"),
+        eps = 0.8, threshold = 24.0)),
+    // index-size planner: full delta-encoded posting lists priced under
+    // LEB128 varints vs raw 8-byte ids, per doc-frequency band — bit
+    // lengths via base-2 string conv, no float log at the band edges
+    "x193_posting_bytes" -> ((s, dir) =>
+      graft.text.Postings.compressionPlan(T(s, dir, "documents"),
+        col("doc_id"), col("text"))),
+    // Burrows' delta stylometry: pairwise style distance between sources
+    // over the top-15 corpus terms' z-scored relative frequencies — the
+    // same-generator-two-names signal content overlap (x98) cannot see
+    "x194_burrows_delta" -> ((s, dir) =>
+      graft.text.Stylometry.burrowsDelta(T(s, dir, "documents"),
+        col("source"), col("text"), topM = 15)),
+    // compression-ratio proxy gate: char-bigram entropy per doc; every
+    // 50th doc is replaced by a one-word wall (deterministic fixture,
+    // mirrored in the oracle) that the word-level signals can miss but
+    // a sub-0.25 implied compression ratio flags
+    "x196_compress_gate" -> ((s, dir) =>
+      TextAnalysis.bigramCompressionReport(
+        T(s, dir, "documents").select(col("doc_id"),
+          when(col("doc_id") % 50 === 0, repeat(lit("spam "), 40))
+            .otherwise(col("text")).as("text")),
+        col("doc_id"), col("text"), maxRatio = 0.25)),
     // tokenizer-swap audit: the corpus encoded under the 4-merge
     // incumbent vs the 8-merge candidate — per-source token-budget
     // shift and re-encode blast radius, the upgrade-decision numbers

@@ -471,4 +471,60 @@ object Distribution {
         round(abs(col("est_f2") - col("exact_f2").cast("double")) /
           col("exact_f2").cast("double"), 6).as("rel_err"))
   }
+
+  /** Count-Min sketch of a key's frequency vector: `depth` hash rows of
+    * `width` counters, each counter the SUM of counts hashing into it —
+    * the point-query companion of [[amsF2Sketch]] (AMS answers Σc², CMS
+    * answers "how often does THIS key occur" in depth·width longs). The
+    * estimate for a key is the MIN over its `depth` counters; it can only
+    * OVER-estimate (collisions add, never subtract), by less than
+    * e·N/width with probability 1−e^−depth — the guarantee that makes a
+    * tiny counter grid a safe stand-in for a full frequency table when
+    * deciding skew handling or hot-key salting at the 100 TB tier.
+    *
+    * Scale shape: one grouped count on the key (vocabulary-sized,
+    * map-side combinable) feeds `depth` further aggregates of at most
+    * depth·width rows; counters are exact longs and shard-mergeable by
+    * column-wise SUM. Nothing row-scaled ever crosses the shuffle twice.
+    */
+  def cmsSketch(df: DataFrame, key: Column, depth: Int = 3,
+      width: Int = 8): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth must be in [1,8], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    val counts = df.groupBy(key.as("__k")).agg(count(lit(1)).as("__c"))
+    val rows = (0 until depth).map { d =>
+      counts.select(lit(d).as("row_d"),
+        (graft.sampling.Sampling.hashKey(col("__k"), lit(s"cms$d")) %
+          width).as("slot"),
+        col("__c"))
+    }.reduce(_ unionByName _)
+    rows.groupBy(col("row_d"), col("slot"))
+      .agg(sum(col("__c")).as("counter"))
+  }
+
+  /** Audit face for [[cmsSketch]]: for the `topK` most frequent keys
+    * (count-desc, key-asc tiebreak — a TakeOrdered cut over the
+    * vocabulary-sized count frame, never a global window), the exact
+    * count beside the CMS point estimate and the collision overestimate.
+    * `overcount` (named to dodge the SQL OVER keyword in the oracle twin)
+    * is ≥ 0 BY CONSTRUCTION (spec-asserted); how MUCH over is the
+    * dial that says whether depth·width is sized right for the skew the
+    * sketch will be trusted to detect.
+    */
+  def cmsAudit(df: DataFrame, key: Column, depth: Int = 3, width: Int = 8,
+      topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val counts = df.groupBy(key.as("__k")).agg(count(lit(1)).as("exact"))
+    val top = counts.orderBy(col("exact").desc, col("__k")).limit(topK)
+    val probes = (0 until depth).map { d =>
+      top.select(col("__k"), col("exact"), lit(d).as("row_d"),
+        (graft.sampling.Sampling.hashKey(col("__k"), lit(s"cms$d")) %
+          width).as("slot"))
+    }.reduce(_ unionByName _)
+    probes.join(broadcast(cmsSketch(df, key, depth, width)),
+        Seq("row_d", "slot"))
+      .groupBy(col("__k").as("key"), col("exact"))
+      .agg(min(col("counter")).as("cms_est"))
+      .withColumn("overcount", col("cms_est") - col("exact"))
+  }
 }

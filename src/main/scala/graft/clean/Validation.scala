@@ -373,6 +373,49 @@ object Validation {
     df.withColumn("__keep", keep).filter(col("__keep")).drop("__keep")
   }
 
+  /** ε-differentially-private release of per-key counts — the fourth
+    * rung of the privacy ladder here ([[kAnonymityViolations]] →
+    * [[lDiversityViolations]] → [[tClosenessViolations]] audit what the
+    * data LEAKS; this changes what gets RELEASED): Laplace(1/ε) noise on
+    * each count (counting queries have sensitivity 1) plus a
+    * post-noise floor `threshold` that suppresses keys whose noisy count
+    * is too small to publish — the "noisy histogram with thresholding"
+    * mechanism behind every DP datacard ("docs per source/domain"
+    * tables released alongside a corpus).
+    *
+    * Noise is HASH-SEEDED (inverse-CDF on the md5-uniform of the key,
+    * the repo's x183/x68 idiom): the same key draws the same noise in
+    * both engines and across re-runs, so the release is reproducible and
+    * oracle-checkable. The uniform offsets by +0.5/2³² so u is never
+    * exactly 0, ½, or 1 (where the inverse CDF is singular or signless).
+    * A REAL deployment must draw fresh randomness per release — a
+    * replayed seed across repeated releases of CHANGING data leaks by
+    * averaging; this face is the plumbing + the audit (true count beside
+    * noisy — production publishes only `noisy_count`/`released`).
+    *
+    * Suppression compares the UNROUNDED noisy count; outputs round at
+    * 6 dp. One grouped count (map-side combinable), per-row noise math —
+    * |keys|-sized everything. ln is within 1 ulp on both engines and the
+    * output rounding absorbs it (the x68 ln-key precedent).
+    */
+  def dpNoisyCounts(df: DataFrame, key: Column, eps: Double,
+      threshold: Double): DataFrame = {
+    require(eps > 0, s"eps must be > 0, got $eps")
+    require(threshold >= 0, s"threshold must be >= 0, got $threshold")
+    val u = (graft.sampling.Sampling.hashKey(col("key"), lit("dplap"))
+      .cast("double") + 0.5) / 4294967296.0
+    val c = u - 0.5
+    val noise = lit(-1.0 / eps) * signum(c) *
+      log(lit(1.0) - lit(2.0) * abs(c))
+    df.groupBy(key.as("key")).agg(count(lit(1)).as("n_true"))
+      .withColumn("__noise", noise)
+      .withColumn("__noisy", col("n_true").cast("double") + col("__noise"))
+      .select(col("key"), col("n_true"),
+        round(col("__noise"), 6).as("noise"),
+        round(col("__noisy"), 6).as("noisy_count"),
+        (col("__noisy") >= threshold).as("released"))
+  }
+
   /** Reference solar validation bounds (`Solar_Processing.py:23-26`). */
   val solarBounds: Map[String, (Double, Double)] = Map(
     "solar_irradiance_Wm2" -> (0.0, 1200.0),

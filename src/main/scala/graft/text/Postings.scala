@@ -48,4 +48,53 @@ object Postings {
         when(i === 0, x).otherwise(x - element_at(col("__ids"), i))))
         .as(Seq("pos", "delta")))
   }
+
+  /** Index-size planner: per doc-frequency band, the byte cost of the
+    * FULL delta-encoded posting lists under LEB128 varints vs raw 8-byte
+    * ids — the number that decides whether an inverted index over the
+    * corpus fits the serving tier before any index is built. Banding by
+    * df (band = bit length of df, so band b holds terms with df in
+    * [2^(b−1), 2^b)) separates the two regimes that dominate real
+    * indexes: rare terms (large absolute-id gaps, poor compression) and
+    * common terms (dense postings, tiny gaps, most of the win).
+    *
+    * Varint cost of value v is ceil(bitlen(v)/7) with bitlen computed by
+    * STRING length of the base-2 `conv` — pure integer/string built-ins,
+    * no float log whose libm rounding could flip a byte count at a power
+    * of two (DuckDB twin: `length(bin(v))`). The first posting stores the
+    * absolute doc id, later positions the gap to the previous id — gaps
+    * come from a `lag` window PARTITIONED by term (posting order is the
+    * index's own invariant; no global sort).
+    *
+    * Scale shape: one tokenize pass into [[TfIdf.termCounts]], one
+    * partitioned window over the (term, doc) frame, two grouped
+    * aggregates ending at |bands| rows. The (term, doc) frame is the
+    * index's own size — anything building postings pays it.
+    */
+  def compressionPlan(df: DataFrame, id: Column, text: Column,
+      minDf: Long = 1L): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("doc_id"))
+    val gaps = TfIdf.termCounts(df, id, text)
+      .select(col("term"), col("doc_id").cast("long").as("doc_id"))
+      .withColumn("__v",
+        coalesce(col("doc_id") - lag(col("doc_id"), 1).over(w),
+          col("doc_id")))
+      .withColumn("__bytes",
+        ((length(conv(col("__v"), 10, 2)) + 6L) / 7L).cast("long"))
+    val perTerm = gaps.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("__bytes")).as("vb"))
+      .filter(col("df") >= minDf)
+    perTerm
+      .withColumn("df_band", length(conv(col("df"), 10, 2)).cast("int"))
+      .groupBy(col("df_band"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("df")).as("n_postings"),
+        (sum(col("df")) * 8L).as("raw_bytes"),
+        sum(col("vb")).as("varint_bytes"))
+      .withColumn("ratio",
+        round(col("varint_bytes").cast("double") /
+          col("raw_bytes").cast("double"), 6))
+  }
 }

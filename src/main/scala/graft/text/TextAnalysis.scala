@@ -218,6 +218,47 @@ object TextAnalysis {
     * a blocking key for copy detection at corpus scale — one narrow
     * kernel pass per doc, shuffle only on the (doc, fingerprint) pairs.
     */
+  /** Compression-ratio proxy quality gate: per document, the order-0
+    * entropy of its CHARACTER-BIGRAM distribution and the implied
+    * compressed-size ratio — the CCNet/RedPajama-style "too compressible
+    * = degenerate" filter. Word-level signals ([[qualityScore]],
+    * [[repetitionScore]], x87's token entropy) miss sub-token degeneracy
+    * (one word repeated, keyboard mashing, base64 walls); the bigram
+    * distribution sees it directly: H bits per bigram ≈ 2·(bits per
+    * char), so est_ratio = (H/2)/8 against the 8-bit raw byte, and a doc
+    * whose ratio falls under `maxRatio` compresses too well to be prose.
+    *
+    * Bits convert from nats as H/ln 2 — the SAME division the oracle
+    * states (DuckDB's native log2 may differ from the ln-ratio by an
+    * ulp). Flag decisions compare the unrounded ratio; outputs round at
+    * 6 dp so per-doc partial-agg merge order cannot flip the hash.
+    *
+    * Scale shape: one explode pass (total corpus chars — the tokenizer
+    * family's own cost), one hash aggregate per (doc, bigram), one per
+    * doc. n_bigrams is length−1, known per row before any aggregate, so
+    * no second pass joins it back.
+    */
+  def bigramCompressionReport(df: DataFrame, id: Column, text: Column,
+      maxRatio: Double): DataFrame = {
+    require(maxRatio > 0 && maxRatio < 1, s"maxRatio in (0,1), got $maxRatio")
+    val bi = df.select(id.as("doc_id"), lower(trim(text)).as("__t"))
+      .filter(length(col("__t")) >= 2)
+      .select(col("doc_id"), (length(col("__t")) - 1).cast("long").as("__n"),
+        explode(sequence(lit(1), length(col("__t")) - 1)).as("__i"),
+        col("__t"))
+      .select(col("doc_id"), col("__n"),
+        col("__t").substr(col("__i"), lit(2)).as("__b"))
+    val counts = bi.groupBy(col("doc_id"), col("__n"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val p = col("__c").cast("double") / col("__n").cast("double")
+    counts.groupBy(col("doc_id"), col("__n").as("n_bigrams"))
+      .agg(count(lit(1)).as("n_distinct"), sum(-p * log(p)).as("__hn"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+        round(col("__hn") / log(lit(2.0)), 6).as("bits_per_bigram"),
+        round(col("__hn") / log(lit(2.0)) / 16.0, 6).as("est_ratio"),
+        (col("__hn") / log(lit(2.0)) / 16.0 < maxRatio).as("flagged"))
+  }
+
   def winnowFingerprints(text: Column, k: Int = 4, w: Int = 4): Column =
     graft.plans.Native.winnow(text, k, w)
 }

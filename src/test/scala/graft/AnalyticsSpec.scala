@@ -481,4 +481,51 @@ class AnalyticsSpec extends SparkSpec {
     assert(a2.getLong(2) === 49L && a2.getDouble(3) === 49.0 &&
       a2.getDouble(4) === 0.0)
   }
+
+  private val cmsStream =
+    (Seq.fill(9)("a") ++ Seq.fill(5)("b") ++ Seq.fill(3)("c") ++
+      Seq("d", "e", "f")).toDF("k")
+
+  test("x190 cmsAudit: estimate never under-counts; wide grid is exact") {
+    val tight = Distribution.cmsAudit(cmsStream, col("k"),
+      depth = 2, width = 2, topK = 10).collect()
+    assert(tight.length === 6)
+    tight.foreach { r =>
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("exact"),
+        s"CMS under-counted ${r.getAs[String]("key")}")
+      assert(r.getAs[Long]("overcount") ===
+        r.getAs[Long]("cms_est") - r.getAs[Long]("exact"))
+    }
+    // 1024 slots for 6 keys: collision probability per depth row is tiny,
+    // and the MIN over 4 independent rows needs ALL FOUR to collide —
+    // exactness here is deterministic for this fixed fixture
+    val wide = Distribution.cmsAudit(cmsStream, col("k"),
+      depth = 4, width = 1024, topK = 10).collect()
+    wide.foreach(r => assert(r.getAs[Long]("overcount") === 0L,
+      s"wide CMS collided on ${r.getAs[String]("key")}"))
+    assert(wide.map(r => r.getAs[String]("key") -> r.getAs[Long]("exact"))
+      .toMap === Map("a" -> 9L, "b" -> 5L, "c" -> 3L, "d" -> 1L,
+        "e" -> 1L, "f" -> 1L))
+  }
+
+  test("x190 cmsSketch merges by column-wise counter sum") {
+    val left = cmsStream.limit(10)
+    val right = cmsStream.exceptAll(left)
+    val merged = Distribution.cmsSketch(left, col("k"))
+      .withColumnRenamed("counter", "cl")
+      .join(Distribution.cmsSketch(right, col("k"))
+        .withColumnRenamed("counter", "cr"), Seq("row_d", "slot"), "outer")
+      .select(col("row_d"), col("slot"),
+        (coalesce(col("cl"), lit(0L)) + coalesce(col("cr"), lit(0L)))
+          .as("counter"))
+    val whole = Distribution.cmsSketch(cmsStream, col("k"))
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
+  }
+
+  test("x190 cmsAudit topK cut is count-desc with key-asc tiebreak") {
+    val top = Distribution.cmsAudit(cmsStream, col("k"),
+      depth = 3, width = 1024, topK = 4).collect()
+      .sortBy(r => (-r.getAs[Long]("exact"), r.getAs[String]("key")))
+    assert(top.map(_.getAs[String]("key")).toSeq === Seq("a", "b", "c", "d"))
+  }
 }

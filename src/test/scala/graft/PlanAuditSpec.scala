@@ -115,7 +115,10 @@ class PlanAuditSpec extends SparkSpec {
     "x184_cluster_agreement",
     // 1-row broadcast normalizer pair (token total + smoothed total)
     // against the vocabulary-sized table
-    "x189_negative_sampling")
+    "x189_negative_sampling",
+    // topM-row (15) term frame broadcast against the |sources| totals
+    // frame to zero-complete the z-score grid — M is a constant dial
+    "x194_burrows_delta")
 
   test("no query plans a cartesian product; BNLJ only on the allowlist") {
     val plans = planned.map { case (n, qe) => n -> qe.executedPlan.toString }

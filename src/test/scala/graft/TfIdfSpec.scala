@@ -406,4 +406,35 @@ class TfIdfSpec extends SparkSpec {
       Seq("a b c").toDF("text"), col("text")).head()
     assert(deg.isNullAt(5) && deg.getDouble(4) === 1.0)
   }
+
+  test("x196 bigramCompressionReport: hand-computed entropy and flags") {
+    import graft.text.TextAnalysis
+    val d = Seq(
+      (1L, "aaaa"),                  // one distinct bigram -> 0 bits
+      (2L, "ab" * 50),               // bigrams: 50x"ab", 49x"ba"
+      (3L, "a"),                     // single char -> below the n>=2 cut
+      (4L, "The quick brown fox jumps over the lazy dog twice over"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramCompressionReport(d, col("doc_id"),
+      col("text"), maxRatio = 0.25).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(3L))
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_bigrams") === 3L)
+    assert(r1.getAs[Long]("n_distinct") === 1L)
+    assert(r1.getAs[Double]("bits_per_bigram") === 0.0)
+    assert(r1.getAs[Boolean]("flagged"))
+    val r2 = out(2L)
+    val h = {
+      val p1 = 50.0 / 99.0; val p2 = 49.0 / 99.0
+      (-p1 * math.log(p1) + -p2 * math.log(p2)) / math.log(2.0)
+    }
+    assert(r2.getAs[Long]("n_bigrams") === 99L)
+    assert(r2.getAs[Double]("bits_per_bigram") === math.rint(h * 1e6) / 1e6)
+    assert(r2.getAs[Boolean]("flagged")) // ~1 bit / 16 ≈ 0.06 < 0.25
+    // natural prose clears the gate: its bigram spread is far richer
+    val r4 = out(4L)
+    assert(r4.getAs[Double]("est_ratio") > 0.25)
+    assert(!r4.getAs[Boolean]("flagged"))
+  }
 }

@@ -275,4 +275,45 @@ class ValidationSpec extends SparkSpec {
     assert(got(Some(10L)) === ((2L, 0.4)))
     assert(got(None) === ((2L, 0.4))) // missing field + malformed row
   }
+
+  test("x192 dpNoisyCounts: hand-computed Laplace inverse-CDF per key") {
+    import spark.implicits._
+    val df = (Seq.fill(30)("big") ++ Seq.fill(3)("small")).toDF("src")
+    val eps = 0.8
+    val out = Validation.dpNoisyCounts(df, col("src"), eps, threshold = 10.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    def expected(key: String): (Double, Double) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(("dplap" + key).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) /
+        4294967296.0
+      val c = u - 0.5
+      val noise = -1.0 / eps * math.signum(c) * math.log(1.0 - 2.0 * math.abs(c))
+      (math.rint(noise * 1e6) / 1e6, noise)
+    }
+    for ((key, n) <- Seq("big" -> 30L, "small" -> 3L)) {
+      val (noiseR, noise) = expected(key)
+      assert(out(key).getAs[Long]("n_true") === n)
+      assert(out(key).getAs[Double]("noise") === noiseR)
+      assert(out(key).getAs[Double]("noisy_count") ===
+        math.rint((n + noise) * 1e6) / 1e6)
+      assert(out(key).getAs[Boolean]("released") === (n + noise >= 10.0))
+    }
+    // the suppression floor must actually bite on the small group: |noise|
+    // for Laplace(1/0.8) exceeds 7 with probability < 0.4%, and for THIS
+    // fixed seed it does not
+    assert(out("big").getAs[Boolean]("released"))
+    assert(!out("small").getAs[Boolean]("released"))
+  }
+
+  test("x192 dpNoisyCounts: noise is a pure function of the key") {
+    import spark.implicits._
+    val a = Validation.dpNoisyCounts(Seq("k", "k").toDF("s"), col("s"),
+      eps = 0.5, threshold = 0.0).head()
+    val b = Validation.dpNoisyCounts(Seq("k").toDF("s"), col("s"),
+      eps = 0.5, threshold = 0.0).head()
+    assert(a.getAs[Double]("noise") === b.getAs[Double]("noise"))
+    assert(a.getAs[Long]("n_true") === 2L && b.getAs[Long]("n_true") === 1L)
+  }
 }
