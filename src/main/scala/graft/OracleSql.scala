@@ -225,6 +225,40 @@ object OracleSql {
        | JOIN dom b ON a.doc_id = b.doc_id AND a.domain <> b.domain)""".stripMargin
   }
 
+  /** Shared PageRank round CTEs mirroring
+    * [[graft.analytics.Graph.pageRank]]'s fixed-point integer arithmetic
+    * (damping 85/100, scale 10⁹, dangling mass redistributed uniformly),
+    * chained after a preceding `ed(src, dst)` CTE and ending at
+    * `rk<iters>(node, rank_fp)`. One macro behind the domain PageRank
+    * (x62) and TextRank keywords (x198) so the round arithmetic cannot
+    * drift between them.
+    */
+  private def pageRankSql(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""rk$k AS (SELECT n0.node,
+         | base.b + ((CAST(85 AS BIGINT) * (COALESCE(c.inn, CAST(0 AS BIGINT))
+         |   + (d$k.dm // nn.cnt))) // 100) AS rank_fp
+         | FROM nodes n0
+         | CROSS JOIN base CROSS JOIN nn
+         | CROSS JOIN (SELECT CAST(COALESCE(sum(rank_fp), 0) AS BIGINT) AS dm
+         |   FROM rk${k - 1} WHERE node NOT IN (SELECT node FROM deg)) d$k
+         | LEFT JOIN (SELECT e.dst AS node,
+         |    CAST(sum(r.rank_fp // g.dg) AS BIGINT) AS inn
+         |   FROM ed e JOIN rk${k - 1} r ON e.src = r.node
+         |   JOIN deg g ON e.src = g.node
+         |   GROUP BY e.dst) c ON n0.node = c.node)"""
+    }.mkString(",\n")
+    s"""nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM nodes),
+       |base AS (SELECT CAST(1000000000 AS BIGINT) // cnt AS init,
+       | (CAST(15 AS BIGINT) * (CAST(1000000000 AS BIGINT) // cnt)) // 100 AS b
+       | FROM nn),
+       |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS dg
+       | FROM ed GROUP BY src),
+       |rk0 AS (SELECT node, init AS rank_fp FROM nodes CROSS JOIN base),
+       |$rounds""".stripMargin
+  }
+
   /** Shared x78/x139 label-propagation chain over [[DomainGraphChainSql]]:
     * `CommunityRounds` unrolled max-neighbor-label rounds (count DESC,
     * label ASC tiebreak — [[graft.analytics.Graph.labelPropagation]]'s
@@ -464,6 +498,53 @@ object OracleSql {
        | i -> CAST(instr('0123456789abcdef', substring(
        |   md5(CAST($idExpr AS VARCHAR) || ':' || $payloadExpr), i, 1)) - 1
        |   AS BIGINT)), (a, b) -> a * 16 + b)""".stripMargin
+
+  /** x191/x195 shared Fellegi–Sunter pieces, mirroring
+    * `SparkEntry.fsFields`/`fsOffsetPairs`: the scored metadata fields,
+    * the null-safe per-field agreement projection, and the m/u fit from
+    * the chain's verified matches + the offset-171 non-match sample.
+    * [[FsWeightChain]] chains after [[NearDupChain]] (it reads `scored`)
+    * and ends at `w(field, n_match, n_nonmatch, mp, up)` with `attrs`
+    * still in scope — one macro behind the model face and the scoring
+    * face so the two cannot drift.
+    */
+  private val FsFields = Seq("lang", "source", "len_band", "tok1")
+
+  private def fsAgreeExprs(l: String, r: String): String =
+    FsFields.map(f =>
+      s"$l.$f IS NOT DISTINCT FROM $r.$f AS ag_$f").mkString(",\n  ")
+
+  private def fsUnpivotSql(src: String, keyCols: String): String =
+    FsFields.map(f =>
+      s"SELECT $keyCols, '$f' AS field, ag_$f AS agree FROM $src")
+      .mkString("\n UNION ALL ")
+
+  private lazy val FsWeightChain =
+    s"""mp AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.3),
+       |nmp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       | FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 171),
+       |attrs AS (SELECT doc_id, lang, source,
+       |  CAST(floor(n_chars / 100) AS BIGINT) AS len_band,
+       |  list_extract($Toks, 1) AS tok1 FROM documents),
+       |lab AS (SELECT doc_a, doc_b, true AS m FROM mp
+       | UNION ALL SELECT doc_a, doc_b, false FROM nmp),
+       |j AS (SELECT l.m, ${fsAgreeExprs("a", "b")}
+       | FROM lab l JOIN attrs a ON l.doc_a = a.doc_id
+       |  JOIN attrs b ON l.doc_b = b.doc_id),
+       |st AS (${fsUnpivotSql("j", "m")}),
+       |w AS (SELECT field,
+       |  CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+       |  CAST(sum(CASE WHEN NOT m THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_nonmatch,
+       |  (CAST(sum(CASE WHEN m AND agree THEN 1 ELSE 0 END) AS DOUBLE)
+       |    + 0.5) /
+       |   (CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS DOUBLE) + 1.0)
+       |   AS mp,
+       |  (CAST(sum(CASE WHEN NOT m AND agree THEN 1 ELSE 0 END)
+       |    AS DOUBLE) + 0.5) /
+       |   (CAST(sum(CASE WHEN NOT m THEN 1 ELSE 0 END) AS DOUBLE) + 1.0)
+       |   AS up
+       | FROM st GROUP BY 1)""".stripMargin
 
   /** DuckDB twin of [[graft.text.TextAnalysis.qualityScore]] over CTE
     * columns `text`/`toks` — shared by x02 (the score itself) and x40
@@ -3472,33 +3553,27 @@ object OracleSql {
          |$rounds
          |SELECT node AS domain, CAST(rank_fp AS BIGINT) AS rank_fp FROM rk5""".stripMargin
     },
-    "x62_domain_pagerank" -> {
-      val rounds = (1 to 5).map { k =>
-        s"""rk$k AS (SELECT n0.node,
-           | base.b + ((CAST(85 AS BIGINT) * (COALESCE(c.inn, CAST(0 AS BIGINT))
-           |   + (d$k.dm // nn.cnt))) // 100) AS rank_fp
-           | FROM nodes n0
-           | CROSS JOIN base CROSS JOIN nn
-           | CROSS JOIN (SELECT CAST(COALESCE(sum(rank_fp), 0) AS BIGINT) AS dm
-           |   FROM rk${k - 1} WHERE node NOT IN (SELECT node FROM deg)) d$k
-           | LEFT JOIN (SELECT e.dst AS node,
-           |    CAST(sum(r.rank_fp // g.dg) AS BIGINT) AS inn
-           |   FROM ed e JOIN rk${k - 1} r ON e.src = r.node
-           |   JOIN deg g ON e.src = g.node
-           |   GROUP BY e.dst) c ON n0.node = c.node)"""
-      }.mkString(",\n")
+    "x62_domain_pagerank" ->
       s"""WITH $DomainGraphChainSql,
-         |nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
-         |nn AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM nodes),
-         |base AS (SELECT CAST(1000000000 AS BIGINT) // cnt AS init,
-         | (CAST(15 AS BIGINT) * (CAST(1000000000 AS BIGINT) // cnt)) // 100 AS b
-         | FROM nn),
-         |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS dg
-         | FROM ed GROUP BY src),
-         |rk0 AS (SELECT node, init AS rank_fp FROM nodes CROSS JOIN base),
-         |$rounds
-         |SELECT node AS domain, CAST(rank_fp AS BIGINT) AS rank_fp FROM rk5""".stripMargin
-    },
+         |${pageRankSql(5)}
+         |SELECT node AS domain, CAST(rank_fp AS BIGINT) AS rank_fp FROM rk5""".stripMargin,
+    // TextRank keywords: the SAME pageRankSql rounds (one macro behind
+    // x62 and x198 so the fixed-point arithmetic cannot drift) over the
+    // distinct symmetrized adjacent-token graph; top-15 rank desc, term
+    // asc — exact longs, so LIMIT picks the same set on both engines
+    "x198_textrank" ->
+      s"""WITH tk AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |lt AS (SELECT toks, len(toks) AS n FROM tk WHERE len(toks) >= 2),
+         |bp0 AS (SELECT toks, unnest(range(1, n)) AS i FROM lt),
+         |bp AS (SELECT list_extract(toks, CAST(i AS INTEGER)) AS a,
+         |  list_extract(toks, CAST(i + 1 AS INTEGER)) AS b FROM bp0),
+         |pd AS (SELECT DISTINCT a, b FROM bp WHERE a <> b),
+         |ed AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT a AS src, b AS dst FROM pd
+         |  UNION ALL SELECT b, a FROM pd)),
+         |${pageRankSql(5)}
+         |SELECT node AS term, CAST(rank_fp AS BIGINT) AS rank_fp FROM rk5
+         |ORDER BY rank_fp DESC, term LIMIT 15""".stripMargin,
     // synchronous majority label propagation replayed as CommunityRounds
     // chained CTE rounds on the x62 co-citation graph (the round count
     // derives from the SAME SparkEntry.CommunityRounds constant the Spark
@@ -4434,43 +4509,64 @@ object OracleSql {
     // agreement, add-half smoothing, base-2 LLRs as ln-ratios over ln(2)
     "x191_fellegi_sunter" ->
       s"""WITH $NearDupChain,
-         |mp AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.3),
-         |nmp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         | FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 171),
-         |attrs AS (SELECT doc_id, lang, source,
-         |  CAST(floor(n_chars / 100) AS BIGINT) AS len_band,
-         |  list_extract($Toks, 1) AS tok1 FROM documents),
-         |lab AS (SELECT doc_a, doc_b, true AS m FROM mp
-         | UNION ALL SELECT doc_a, doc_b, false FROM nmp),
-         |j AS (SELECT l.m,
-         |  a.lang IS NOT DISTINCT FROM b.lang AS ag_lang,
-         |  a.source IS NOT DISTINCT FROM b.source AS ag_source,
-         |  a.len_band IS NOT DISTINCT FROM b.len_band AS ag_len_band,
-         |  a.tok1 IS NOT DISTINCT FROM b.tok1 AS ag_tok1
-         | FROM lab l JOIN attrs a ON l.doc_a = a.doc_id
-         |  JOIN attrs b ON l.doc_b = b.doc_id),
-         |st AS (SELECT 'lang' AS field, m, ag_lang AS agree FROM j
-         | UNION ALL SELECT 'source', m, ag_source FROM j
-         | UNION ALL SELECT 'len_band', m, ag_len_band FROM j
-         | UNION ALL SELECT 'tok1', m, ag_tok1 FROM j),
-         |w AS (SELECT field,
-         |  CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
-         |  CAST(sum(CASE WHEN NOT m THEN 1 ELSE 0 END) AS BIGINT)
-         |   AS n_nonmatch,
-         |  (CAST(sum(CASE WHEN m AND agree THEN 1 ELSE 0 END) AS DOUBLE)
-         |    + 0.5) /
-         |   (CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS DOUBLE) + 1.0)
-         |   AS mp,
-         |  (CAST(sum(CASE WHEN NOT m AND agree THEN 1 ELSE 0 END)
-         |    AS DOUBLE) + 0.5) /
-         |   (CAST(sum(CASE WHEN NOT m THEN 1 ELSE 0 END) AS DOUBLE) + 1.0)
-         |   AS up
-         | FROM st GROUP BY 1)
+         |$FsWeightChain
          |SELECT field, n_match, n_nonmatch,
          | round(mp, 6) AS m_prob, round(up, 6) AS u_prob,
          | round(ln(mp / up) / ln(2), 6) AS w_agree,
          | round(ln((1.0 - mp) / (1.0 - up)) / ln(2), 6) AS w_disagree
          |FROM w""".stripMargin,
+    // mirror of Linkage.scorePairs over the x191 model: every LSH
+    // candidate (the chain's un-thresholded `scored` frame) scored by
+    // the ROUNDED weights the model face publishes, beside its exact
+    // Jaccard — fs_match cuts the rounded score at 0
+    "x195_fs_score" ->
+      s"""WITH $NearDupChain,
+         |$FsWeightChain,
+         |wr AS (SELECT field,
+         |  round(ln(mp / up) / ln(2), 6) AS w_agree,
+         |  round(ln((1.0 - mp) / (1.0 - up)) / ln(2), 6) AS w_disagree
+         | FROM w),
+         |pj AS (SELECT s.doc_a, s.doc_b, ${fsAgreeExprs("a", "b")}
+         | FROM scored s JOIN attrs a ON s.doc_a = a.doc_id
+         |  JOIN attrs b ON s.doc_b = b.doc_id),
+         |pst AS (${fsUnpivotSql("pj", "doc_a, doc_b")}),
+         |sc AS (SELECT doc_a, doc_b,
+         |  CAST(sum(CASE WHEN agree THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_agree,
+         |  round(sum(CASE WHEN agree THEN w_agree ELSE w_disagree END), 6)
+         |   AS score
+         | FROM pst JOIN wr USING (field) GROUP BY 1, 2)
+         |SELECT sc.doc_a, sc.doc_b, n_agree, score, score > 0 AS fs_match,
+         | s2.jaccard, s2.jaccard >= 0.3 AS content_match
+         |FROM sc JOIN scored s2
+         | ON sc.doc_a = s2.doc_a AND sc.doc_b = s2.doc_b""".stripMargin,
+    // mirror of Similarity.silhouetteByCluster over the x105 centroid
+    // set: nearest/second-nearest centroid cosine distances per vector,
+    // s = (b - a)/max(a, b), per-cluster mean and worst
+    "x197_silhouette" ->
+      s"""WITH v AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+         | FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, ve AS cv FROM v
+         | WHERE vec_id % 50 = 0),
+         |d AS (SELECT v.vec_id, c.cid, ${cosineSql("v.ve", "c.cv")} AS cs,
+         |  row_number() OVER (PARTITION BY v.vec_id
+         |   ORDER BY ${cosineSql("v.ve", "c.cv")} DESC, c.cid) AS rn
+         | FROM v CROSS JOIN cent c),
+         |per AS (SELECT vec_id,
+         |  max(CASE WHEN rn = 1 THEN cid END) AS centroid_id,
+         |  max(CASE WHEN rn = 1 THEN 1.0 - cs END) AS a,
+         |  max(CASE WHEN rn = 2 THEN 1.0 - cs END) AS b
+         | FROM d WHERE rn <= 2 GROUP BY 1),
+         |sil AS (SELECT centroid_id,
+         |  CASE WHEN b IS NULL THEN 0.0
+         |   WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b)
+         |   ELSE 0.0 END AS s
+         | FROM per)
+         |SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_vecs,
+         | round(avg(s), 6) AS mean_silhouette,
+         | round(min(s), 6) AS min_silhouette
+         |FROM sil GROUP BY 1""".stripMargin,
     // mirror of Validation.dpNoisyCounts at eps=0.8, threshold=24: the
     // -1/eps literal is the SAME Scala double (not a re-derived
     // decimal), the uniform offsets +0.5/2^32, suppression compares the

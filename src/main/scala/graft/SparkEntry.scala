@@ -38,6 +38,21 @@ object SparkEntry {
     case _ => Tables.load(s, dir, name)
   }
 
+  /** x191/x195 shared Fellegi–Sunter pieces (one definition behind the
+    * model fit and its application, mirrored by the oracle's
+    * FsWeightChain macro): the metadata fields scored for agreement, and
+    * the deterministic offset-171 pair sample that estimates u.
+    */
+  private def fsFields: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "lang" -> col("lang"), "source" -> col("source"),
+    "len_band" -> floor(col("n_chars") / 100),
+    "tok1" -> element_at(TextAnalysis.tokens(col("text")), 1))
+
+  private def fsOffsetPairs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b")),
+        col("doc_b") === col("doc_a") + 171)
+
   /** x120/x123 dirty-registry fixture (ONE builder so the two faces and
     * the shared oracle can never drift): per entity a base record with an
     * md5-derived 9-char key (cross-entity distance-1 collisions ~absent;
@@ -1744,15 +1759,42 @@ object SparkEntry {
       val docs = T(s, dir, "documents")
       val matches = Dedup.nearDuplicates(docs, col("doc_id"), col("text"),
         threshold = 0.3).select(col("doc_a"), col("doc_b"))
-      val nonMatches = docs.select(col("doc_id").as("doc_a"))
-        .join(docs.select(col("doc_id").as("doc_b")),
-          col("doc_b") === col("doc_a") + 171)
-      graft.analytics.Linkage.fieldWeights(docs, col("doc_id"),
-        Seq("lang" -> col("lang"), "source" -> col("source"),
-          "len_band" -> floor(col("n_chars") / 100),
-          "tok1" -> element_at(TextAnalysis.tokens(col("text")), 1)),
-        matches, nonMatches)
+      graft.analytics.Linkage.fieldWeights(docs, col("doc_id"), fsFields,
+        matches, fsOffsetPairs(docs))
     }),
+    // the APPLY face of x191: every LSH candidate pair scored by the
+    // trained FS weights (cheap metadata) BESIDE its exact Jaccard
+    // (expensive content) — the audit that says whether metadata FS can
+    // pre-filter candidates before the content pass at scale
+    "x195_fs_score" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      // threshold 0.0 keeps EVERY banding candidate with its jaccard —
+      // the same `scored` frame the oracle chain exposes
+      val cands = Dedup.nearDuplicatesWide(docs, col("doc_id"),
+        col("text"), threshold = 0.0, numHashes = 4, rowsPerBand = 2)
+      val w = graft.analytics.Linkage.fieldWeights(docs, col("doc_id"),
+        fsFields,
+        cands.filter(col("jaccard") >= 0.3).select(col("doc_a"), col("doc_b")),
+        fsOffsetPairs(docs))
+      graft.analytics.Linkage.scorePairs(docs, col("doc_id"), fsFields, w,
+          cands.select(col("doc_a"), col("doc_b")))
+        .join(cands, Seq("doc_a", "doc_b"))
+        .withColumn("content_match", col("jaccard") >= 0.3)
+    }),
+    // label-free clustering quality beside x105's purity and x184's
+    // ARI/NMI: simplified silhouette per IVF cluster from the
+    // nearest-vs-second-nearest centroid cosine distances
+    "x197_silhouette" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.silhouetteByCluster(emb,
+        emb.filter(col("vec_id") % 50 === 0))
+    }),
+    // TextRank keywords: PageRank over the adjacent-token co-occurrence
+    // graph — centrality, not frequency; ranks are exact fixed-point
+    // longs so the top-15 is a hash match, not a tolerance judgement
+    "x198_textrank" -> ((s, dir) =>
+      graft.text.Keywords.textRank(T(s, dir, "documents"), col("doc_id"),
+        col("text"))),
     // epsilon-DP noisy release of per-source doc counts: hash-seeded
     // Laplace(1/0.8) + post-noise floor at 24 — true count kept beside
     // the noisy one as the audit face (production publishes noisy only)

@@ -73,4 +73,49 @@ object Linkage {
         round(log((lit(1.0) - col("__mp")) / (lit(1.0) - col("__up"))) /
           log(lit(2.0)), 6).as("w_disagree"))
   }
+
+  /** APPLY the [[fieldWeights]] model: score candidate `pairs` by summing
+    * each field's agreement/disagreement weight — score(pair) =
+    * Σ_f (agree_f ? w_agree_f : w_disagree_f), the Fellegi–Sunter match
+    * statistic. `fs_match` cuts at score > 0 (equal prior odds; a caller
+    * with a tuned prior shifts the cut, same frame). Weights arrive AS
+    * THE ROUNDED MODEL FRAME fieldWeights emits — scoring consumes the
+    * published artifact, so re-deriving it cannot drift from it.
+    *
+    * This is the cheap-metadata path over candidates the expensive
+    * content verify also judges: running both and comparing (x195) is
+    * the audit that says whether FS-on-metadata can pre-filter candidate
+    * pairs before the content pass at the 100 TB tier.
+    *
+    * Scale shape: two id-keyed equi-joins of the pair frame against the
+    * attribute projection, one |fields|-way unpivot, one broadcast join
+    * of the |fields|-row weight model, one grouped sum back to pair
+    * grain. Everything is candidate-sized — the blocker's output, never
+    * all-pairs.
+    */
+  def scorePairs(df: DataFrame, id: Column, fields: Seq[(String, Column)],
+      weights: DataFrame, pairs: DataFrame): DataFrame = {
+    require(fields.nonEmpty, "scorePairs needs at least one field")
+    val attrs = df.select(id.cast("long").as("__id") +:
+      fields.map { case (n, c) => c.as(s"__f_$n") }: _*)
+    val joined = pairs
+      .select(col("doc_a").cast("long").as("__a"),
+        col("doc_b").cast("long").as("__b"))
+      .join(attrs.toDF(attrs.columns.map(_ + "_l"): _*),
+        col("__a") === col("__id_l"))
+      .join(attrs.toDF(attrs.columns.map(_ + "_r"): _*),
+        col("__b") === col("__id_r"))
+    val stacked = fields.map { case (n, _) =>
+      joined.select(col("__a"), col("__b"), lit(n).as("field"),
+        (col(s"__f_${n}_l") <=> col(s"__f_${n}_r")).as("__agree"))
+    }.reduce(_ unionByName _)
+    stacked
+      .join(broadcast(weights.select(col("field"), col("w_agree"),
+        col("w_disagree"))), Seq("field"))
+      .groupBy(col("__a").as("doc_a"), col("__b").as("doc_b"))
+      .agg(sum(when(col("__agree"), 1L).otherwise(0L)).as("n_agree"),
+        round(sum(when(col("__agree"), col("w_agree"))
+          .otherwise(col("w_disagree"))), 6).as("score"))
+      .withColumn("fs_match", col("score") > 0)
+  }
 }

@@ -283,6 +283,50 @@ object Similarity {
           .as("purity"))
   }
 
+  /** Simplified silhouette per cluster — [[clusterPurity]] needs ground-
+    * truth labels; silhouette judges the SAME clustering with none: per
+    * vector, a = cosine distance (1 − round-6 cosine) to its assigned
+    * centroid, b = distance to the nearest OTHER centroid, s = (b − a) /
+    * max(a, b) ∈ [−1, 1]. Cluster means near 0 mean the centroid set
+    * doesn't separate the space (re-train / re-seed); negative vectors sit
+    * closer to a rival centroid than their own — the medoid-drift symptom.
+    * This is the centroid-based simplification (Hruschka et al.), not the
+    * full pairwise silhouette — all-pairs distances at corpus scale is
+    * exactly the blow-up this tier never pays.
+    *
+    * Plan shape: corpus × centroid cosine via a model-sized broadcast
+    * cross join (the batch-kNN shape — |centroids| ≈ √n rows build side),
+    * a window PARTITIONED by vec_id cut to the top 2, one |clusters|-row
+    * aggregate. Single-centroid degenerate case reads s = 0 (documented:
+    * silhouette is undefined there, and 0 — "no separation evidence" — is
+    * the conservative report).
+    */
+  def silhouetteByCluster(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val v = corpus.select(col("vec_id"), col("embedding").as("__v"))
+    val c = centroids.select(col("vec_id").as("cid"),
+      col("embedding").as("__cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("__cos").desc, col("cid").asc)
+    val per = v.crossJoin(broadcast(c))
+      .withColumn("__cos", cosine(col("__v"), col("__cv")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 2)
+      .groupBy(col("vec_id"))
+      .agg(max(when(col("__rn") === 1, col("cid"))).as("centroid_id"),
+        max(when(col("__rn") === 1, lit(1.0) - col("__cos"))).as("__a"),
+        max(when(col("__rn") === 2, lit(1.0) - col("__cos"))).as("__b"))
+      .withColumn("__s",
+        when(col("__b").isNull, lit(0.0))
+          .when(greatest(col("__a"), col("__b")) > 0,
+            (col("__b") - col("__a")) / greatest(col("__a"), col("__b")))
+          .otherwise(lit(0.0)))
+    per.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("__s")), 6).as("mean_silhouette"),
+        round(min(col("__s")), 6).as("min_silhouette"))
+  }
+
   /** Cluster-balanced sampling: deterministic top-`perCluster` vectors per
     * nearest-centroid cluster, ordered by a salted md5 hash (ties by id) —
     * the diversity-balanced subset selection step of embedding-driven data

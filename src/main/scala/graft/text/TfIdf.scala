@@ -252,7 +252,7 @@ object TfIdf {
     * sequence-of-structs explode per doc; shared by the bigram LM and the
     * PMI collocation operators so their token pairing can never drift.
     */
-  private def bigramStream(df: DataFrame, id: Column, text: Column): DataFrame =
+  private[text] def bigramStream(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(id.as("doc_id"), TextAnalysis.tokens(text).as("__t"))
       .filter(size(col("__t")) >= 2)
       .select(col("doc_id"),

@@ -55,4 +55,28 @@ class LinkageSpec extends SparkSpec {
     assert(out("lang").getAs[Double]("m_prob") === 0.75)
     assert(out("lang").getAs[Double]("u_prob") === 0.25)
   }
+
+  test("x195 scorePairs sums the published weights per agreement pattern") {
+    val recs2 = Seq(
+      (1L, Some("cairo"), "en"), (2L, Some("cairo"), "en"),
+      (3L, Some("giza"), "en"), (4L, Some("luxor"), "fr"))
+      .toDF("id", "city", "lang")
+    val weights = Seq(
+      ("city", 2.0, -1.0), ("lang", 0.5, -3.0))
+      .toDF("field", "w_agree", "w_disagree")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val out = Linkage.scorePairs(recs2, col("id"),
+      Seq("city" -> col("city"), "lang" -> col("lang")), weights, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    // (1,2): both agree -> 2.0 + 0.5 = 2.5, match
+    assert(out((1L, 2L)).getAs[Double]("score") === 2.5)
+    assert(out((1L, 2L)).getAs[Long]("n_agree") === 2L)
+    assert(out((1L, 2L)).getAs[Boolean]("fs_match"))
+    // (1,3): city disagrees, lang agrees -> -1.0 + 0.5 = -0.5, no match
+    assert(out((1L, 3L)).getAs[Double]("score") === -0.5)
+    assert(!out((1L, 3L)).getAs[Boolean]("fs_match"))
+    // (1,4): both disagree -> -4.0
+    assert(out((1L, 4L)).getAs[Double]("score") === -4.0)
+    assert(out((1L, 4L)).getAs[Long]("n_agree") === 0L)
+  }
 }

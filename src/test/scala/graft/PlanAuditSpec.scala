@@ -118,7 +118,10 @@ class PlanAuditSpec extends SparkSpec {
     "x189_negative_sampling",
     // topM-row (15) term frame broadcast against the |sources| totals
     // frame to zero-complete the z-score grid — M is a constant dial
-    "x194_burrows_delta")
+    "x194_burrows_delta",
+    // model-sized centroid frame (~√n rows) broadcast against the corpus
+    // for the nearest/second-nearest distances — the batch-kNN shape
+    "x197_silhouette")
 
   test("no query plans a cartesian product; BNLJ only on the allowlist") {
     val plans = planned.map { case (n, qe) => n -> qe.executedPlan.toString }

@@ -613,4 +613,33 @@ class SimilaritySpec extends SparkSpec {
     // covering radii never increase along the pick sequence
     assert(got(2)._2.get >= rad3)
   }
+
+  test("x197 silhouetteByCluster: hand a/b distances, tie reads 0, " +
+      "perfect member reads 1") {
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f)),   // exactly c1: a=0, b=1 -> s=1
+      (11L, Array(0.6f, 0.8f)),   // cos .6/.8 -> c2: a=.2, b=.4 -> s=.5
+      (12L, Array(1.0f, 1.0f)))   // equidistant tie -> a=b -> s=0
+      .toDF("vec_id", "embedding")
+    val cents = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.silhouetteByCluster(corpus, cents).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // c1 gets 10 (s=1) and the tie 12 (lower cid wins, s=0)
+    assert(out(1L).getAs[Long]("n_vecs") === 2L)
+    assert(out(1L).getAs[Double]("mean_silhouette") === 0.5)
+    assert(out(1L).getAs[Double]("min_silhouette") === 0.0)
+    assert(out(2L).getAs[Long]("n_vecs") === 1L)
+    assert(out(2L).getAs[Double]("mean_silhouette") === 0.5)
+  }
+
+  test("x197 silhouetteByCluster: single centroid degenerates to 0") {
+    val corpus = Seq((10L, Array(1.0f, 0.0f)), (11L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.silhouetteByCluster(corpus, cents).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("n_vecs") === 2L)
+    assert(out.head.getAs[Double]("mean_silhouette") === 0.0)
+  }
 }
