@@ -398,17 +398,25 @@ object Validation {
     * |keys|-sized everything. ln is within 1 ulp on both engines and the
     * output rounding absorbs it (the x68 ln-key precedent).
     */
+  /** Hash-seeded Laplace(1/ε) draw for `key` — the inverse-CDF noise
+    * behind [[dpNoisyCounts]], shared with the `laplace_noise` SQL
+    * function so the two surfaces can never drift. `-1.0/eps` is a
+    * constant-folded double division, bit-identical to the Scala-side
+    * literal the oracle interpolates.
+    */
+  def laplaceNoise(key: Column, eps: Column): Column = {
+    val u = (graft.sampling.Sampling.hashKey(key, lit("dplap"))
+      .cast("double") + 0.5) / 4294967296.0
+    val c = u - 0.5
+    (lit(-1.0) / eps) * signum(c) * log(lit(1.0) - lit(2.0) * abs(c))
+  }
+
   def dpNoisyCounts(df: DataFrame, key: Column, eps: Double,
       threshold: Double): DataFrame = {
     require(eps > 0, s"eps must be > 0, got $eps")
     require(threshold >= 0, s"threshold must be >= 0, got $threshold")
-    val u = (graft.sampling.Sampling.hashKey(col("key"), lit("dplap"))
-      .cast("double") + 0.5) / 4294967296.0
-    val c = u - 0.5
-    val noise = lit(-1.0 / eps) * signum(c) *
-      log(lit(1.0) - lit(2.0) * abs(c))
     df.groupBy(key.as("key")).agg(count(lit(1)).as("n_true"))
-      .withColumn("__noise", noise)
+      .withColumn("__noise", laplaceNoise(col("key"), lit(eps)))
       .withColumn("__noisy", col("n_true").cast("double") + col("__noise"))
       .select(col("key"), col("n_true"),
         round(col("__noise"), 6).as("noise"),

@@ -189,6 +189,14 @@ object GraftExtensions {
     // bootstrap in pure SQL — replicate as a column, no RNG state
     fromColumns("bootstrap_weight", 2,
       cs => graft.analytics.Evaluation.poissonWeight(cs.head, cs(1))),
+    // SUM(varint_size(gap)) *is* the x193 index-size estimate in pure
+    // SQL — shared byte-cost builder, no float log at a power of two
+    fromColumns("varint_size", 1,
+      cs => graft.text.Postings.varintSize(cs.head)),
+    // count + laplace_noise(key, eps) *is* the x192 DP release in pure
+    // SQL — hash-seeded inverse CDF, reproducible and engine-portable
+    fromColumns("laplace_noise", 2,
+      cs => graft.clean.Validation.laplaceNoise(cs.head, cs(1))),
     nativeBinary("cosine_sim", CosineSim(_, _)),
     nativeBinary("dot_product", DotProduct(_, _)))
 

@@ -71,6 +71,15 @@ object Postings {
     * aggregates ending at |bands| rows. The (term, doc) frame is the
     * index's own size — anything building postings pays it.
     */
+  /** LEB128 varint byte cost of a non-negative integer value: bit length
+    * via the STRING length of the base-2 `conv` (integer/string built-ins
+    * only — a float log2 could mis-round at a power of two), divided into
+    * 7-bit groups. Shared by [[compressionPlan]] and the `varint_size`
+    * SQL function so the two surfaces can never drift.
+    */
+  def varintSize(v: Column): Column =
+    ((length(conv(v, 10, 2)) + 6L) / 7L).cast("long")
+
   def compressionPlan(df: DataFrame, id: Column, text: Column,
       minDf: Long = 1L): DataFrame = {
     require(minDf >= 1, s"minDf must be >= 1, got $minDf")
@@ -81,8 +90,7 @@ object Postings {
       .withColumn("__v",
         coalesce(col("doc_id") - lag(col("doc_id"), 1).over(w),
           col("doc_id")))
-      .withColumn("__bytes",
-        ((length(conv(col("__v"), 10, 2)) + 6L) / 7L).cast("long"))
+      .withColumn("__bytes", varintSize(col("__v")))
     val perTerm = gaps.groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("__bytes")).as("vb"))
       .filter(col("df") >= minDf)

@@ -153,6 +153,30 @@ class SqlSurfaceSpec extends SparkSpec {
         assert(r.getLong(1) === pw(r.getLong(0), 0), s"id ${r.getLong(0)} b0")
         assert(r.getLong(2) === pw(r.getLong(0), 5), s"id ${r.getLong(0)} b5")
       }
+      // round-12: SUM(varint_size(gap)) is the x193 byte estimate in
+      // pure SQL; pinned at the LEB128 group boundaries
+      val vs = s2.sql(
+        """SELECT varint_size(0L), varint_size(127L), varint_size(128L),
+          | varint_size(16383L), varint_size(16384L)""".stripMargin).head()
+      assert((0 until 5).map(vs.getLong) === Seq(1L, 1L, 2L, 2L, 3L))
+      // round-12: laplace_noise(key, eps) is the x192 mechanism in pure
+      // SQL; pinned against the same driver-side md5 inverse-CDF truth
+      // ValidationSpec uses
+      def ln(key: String, eps: Double): Double = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(("dplap" + key).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8)
+        val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) /
+          4294967296.0
+        val c = u - 0.5
+        -1.0 / eps * math.signum(c) * math.log(1.0 - 2.0 * math.abs(c))
+      }
+      val lap = s2.sql(
+        """WITH d(k) AS (VALUES ('srcA'), ('srcB'))
+          |SELECT k, laplace_noise(k, 0.8) AS n FROM d""".stripMargin)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(lap("srcA") === ln("srcA", 0.8))
+      assert(lap("srcB") === ln("srcB", 0.8))
     } finally {
       org.apache.spark.sql.graftbridge.ColumnBridge.restoreSessions(prev)
     }
