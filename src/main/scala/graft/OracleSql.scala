@@ -144,8 +144,16 @@ object OracleSql {
     * recursion, survivorship. x123 resolves the same registry
     * incrementally, so BOTH queries check against this one SQL.
     */
-  private lazy val EntityResolutionSql: String =
-      """WITH RECURSIVE t AS (SELECT doc_id,
+  /** Shared x120/x123/x200 registry-resolution chain: the deterministic
+    * dirty-registry fixture, exact distance-1 match pairs on `key(rkey)`
+    * (identity for the golden-record faces; x200 truncates to model a
+    * lossy upstream), recursive transitive closure, ending at
+    * `lab(rid, rkey, rval, entity_id)`. One macro behind the
+    * golden-record faces and the B-cubed evaluation so the partition
+    * being scored is the partition being produced.
+    */
+  private def entityChainSql(key: String => String = identity): String =
+      s"""t AS (SELECT doc_id,
         |  'u' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS tok
         | FROM documents WHERE doc_id < 2000),
         |reg AS (
@@ -153,23 +161,29 @@ object OracleSql {
         |  CAST(doc_id % 97 AS DOUBLE) AS rval FROM t
         | UNION ALL
         | SELECT doc_id*3+1,
-        |  substring(tok, 1, CAST(doc_id % 9 AS INTEGER))
-        |   || substring(tok, CAST(doc_id % 9 AS INTEGER) + 2),
+        |  substring(tok, 1, CAST(doc_id % 9 AS INTEGER)) ||
+        |   substring(tok, CAST(doc_id % 9 AS INTEGER) + 2),
         |  CAST(doc_id % 97 AS DOUBLE) FROM t WHERE doc_id % 3 = 0
         | UNION ALL
         | SELECT doc_id*3+2,
-        |  substring(tok, 1, CAST((doc_id*7+3) % 9 AS INTEGER))
-        |   || substring(tok, CAST((doc_id*7+3) % 9 AS INTEGER) + 2),
+        |  substring(tok, 1, CAST((doc_id*7+3) % 9 AS INTEGER)) ||
+        |   substring(tok, CAST((doc_id*7+3) % 9 AS INTEGER) + 2),
         |  CAST(doc_id % 97 AS DOUBLE) FROM t WHERE doc_id % 5 = 0),
         |pairs AS (SELECT a.rid AS u, b.rid AS v FROM reg a JOIN reg b
-        | ON a.rid < b.rid AND levenshtein(a.rkey, b.rkey) <= 1),
+        | ON a.rid < b.rid
+        |  AND levenshtein(${key("a.rkey")}, ${key("b.rkey")}) <= 1),
         |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
         |reach AS (SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
         | UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
         |clus AS (SELECT u AS rid, min(r) AS cluster_id FROM reach GROUP BY u),
         |lab AS (SELECT reg.rid, reg.rkey, reg.rval,
         |  coalesce(c.cluster_id, reg.rid) AS entity_id
-        | FROM reg LEFT JOIN clus c ON reg.rid = c.rid)
+        | FROM reg LEFT JOIN clus c ON reg.rid = c.rid)""".stripMargin
+
+  private lazy val EntityChain: String = entityChainSql()
+
+  private lazy val EntityResolutionSql: String =
+      s"""WITH RECURSIVE $EntityChain
         |SELECT CAST(entity_id AS BIGINT) AS entity_id,
         | CAST(count(*) AS BIGINT) AS n_records,
         | arg_min(rkey, rid) AS canonical_key,
@@ -2608,6 +2622,36 @@ object OracleSql {
          | round(CAST(sum(p * (2 * cum + n + 1)) - sum(p) * (sum(p) + 1)
          |   AS DOUBLE) / (2.0 * sum(p) * sum(n - p)), 6) AS auc
          |FROM r""".stripMargin,
+    // mirror of Evaluation.operatingPoints over the x125 score/label
+    // pair: |distinct scores| spine, cumulative (tp, fp) from the top,
+    // metrics from integer counts, argmax flags on the ROUNDED values
+    "x201_operating_point" ->
+      s"""WITH t AS (SELECT doc_id, text, lang, $Toks AS toks FROM documents),
+         |q AS (SELECT $QualitySql AS s,
+         |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM t),
+         |b AS (SELECT s, CAST(sum(y) AS BIGINT) AS p,
+         |  CAST(count(*) - sum(y) AS BIGINT) AS ng FROM q GROUP BY s),
+         |tot AS (SELECT CAST(sum(p) AS BIGINT) AS tp_all,
+         |  CAST(sum(ng) AS BIGINT) AS tn_all FROM b),
+         |c AS (SELECT s, tp_all, tn_all,
+         |  CAST(sum(p) OVER w AS BIGINT) AS tp,
+         |  CAST(sum(ng) OVER w AS BIGINT) AS fp
+         | FROM b CROSS JOIN tot
+         | WINDOW w AS (ORDER BY s DESC
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |m AS (SELECT s AS threshold, tp, fp,
+         |  tp_all - tp AS fn, tn_all - fp AS tn,
+         |  round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS prec,
+         |  round(CAST(tp AS DOUBLE) / CAST(tp_all AS DOUBLE), 6) AS rec,
+         |  round(2.0 * CAST(tp AS DOUBLE) / (2.0 * CAST(tp AS DOUBLE)
+         |   + CAST(fp AS DOUBLE) + CAST(tp_all - tp AS DOUBLE)), 6) AS f1,
+         |  round(CAST(tp AS DOUBLE) / CAST(tp_all AS DOUBLE)
+         |   - CAST(fp AS DOUBLE) / CAST(tn_all AS DOUBLE), 6) AS youden
+         | FROM c),
+         |bm AS (SELECT max(f1) AS bf, max(youden) AS bj FROM m)
+         |SELECT threshold, tp, fp, fn, tn, prec, rec, f1, youden,
+         | f1 = bf AS best_f1, youden = bj AS best_youden
+         |FROM m CROSS JOIN bm""".stripMargin,
     // mirror of TfIdf.zipfSlope: same tokenizer, same (freq desc, term)
     // rank tie-break, ln-ln regr_slope over each source's top-50
     "x126_zipf_slope" ->
@@ -3574,6 +3618,49 @@ object OracleSql {
          |${pageRankSql(5)}
          |SELECT node AS term, CAST(rank_fp AS BIGINT) AS rank_fp FROM rk5
          |ORDER BY rank_fp DESC, term LIMIT 15""".stripMargin,
+    // mirror of Encoding.looTargetEncode at smoothing=10, target
+    // (lang = 'en'): per-source (sum, count), global prior, LOO mean
+    // null on singletons, shrinkage in the Spark association order
+    "x199_loo_encoding" ->
+      """WITH b AS (SELECT doc_id AS id, source AS "group",
+        |  CAST(CAST(lang = 'en' AS INTEGER) AS DOUBLE) AS y
+        | FROM documents),
+        |g AS (SELECT "group", sum(y) AS s, CAST(count(*) AS BIGINT) AS n
+        | FROM b GROUP BY 1),
+        |p AS (SELECT avg(y) AS prior FROM b)
+        |SELECT id, "group", y,
+        | round(CASE WHEN n > 1
+        |  THEN (s - y) / CAST(n - 1 AS DOUBLE) END, 6) AS loo_raw,
+        | round((s - y + 10.0 * prior)
+        |  / (CAST(n - 1 AS DOUBLE) + 10.0), 6) AS enc
+        |FROM b JOIN g USING ("group") CROSS JOIN p""".stripMargin,
+    // B-cubed of the resolution run on 6-char TRUNCATED keys (a lossy
+    // upstream) against truth = rid // 3: truncation both breaks true
+    // matches (recall ~0.77) and collides strangers (precision ~0.97) —
+    // the metric face stays live, unlike the exact-key run's flat 1.0.
+    // Per-cell c^2/|p| and c^2/|t| sums, F1 from the unrounded averages
+    "x200_bcubed" ->
+      s"""WITH RECURSIVE ${entityChainSql(k => s"substring($k, 1, 6)")},
+         |asg AS (SELECT rid, entity_id, rid // 3 AS truth_id FROM lab),
+         |ct AS (SELECT entity_id AS p, truth_id AS t,
+         |  CAST(count(*) AS BIGINT) AS c FROM asg GROUP BY 1, 2),
+         |ps AS (SELECT p, CAST(sum(c) AS BIGINT) AS ps FROM ct GROUP BY 1),
+         |ts AS (SELECT t, CAST(sum(c) AS BIGINT) AS ts FROM ct GROUP BY 1),
+         |pr AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+         |  sum(CAST(c AS DOUBLE) * CAST(c AS DOUBLE) / CAST(ps AS DOUBLE))
+         |   AS sp,
+         |  sum(CAST(c AS DOUBLE) * CAST(c AS DOUBLE) / CAST(ts AS DOUBLE))
+         |   AS sr
+         | FROM ct JOIN ps USING (p) JOIN ts USING (t))
+         |SELECT n AS n_records,
+         | (SELECT CAST(count(*) AS BIGINT) FROM ps) AS n_pred_entities,
+         | (SELECT CAST(count(*) AS BIGINT) FROM ts) AS n_truth_entities,
+         | round(sp / CAST(n AS DOUBLE), 6) AS bcubed_precision,
+         | round(sr / CAST(n AS DOUBLE), 6) AS bcubed_recall,
+         | round(2.0 * (sp / CAST(n AS DOUBLE)) * (sr / CAST(n AS DOUBLE))
+         |  / ((sp / CAST(n AS DOUBLE)) + (sr / CAST(n AS DOUBLE))), 6)
+         |  AS bcubed_f1
+         |FROM pr""".stripMargin,
     // synchronous majority label propagation replayed as CommunityRounds
     // chained CTE rounds on the x62 co-citation graph (the round count
     // derives from the SAME SparkEntry.CommunityRounds constant the Spark

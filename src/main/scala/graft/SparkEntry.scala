@@ -1795,6 +1795,32 @@ object SparkEntry {
     "x198_textrank" -> ((s, dir) =>
       graft.text.Keywords.textRank(T(s, dir, "documents"), col("doc_id"),
         col("text"))),
+    // leakage-safe categorical encoding: LOO target mean (null on
+    // singletons) + smoothed shrinkage toward the global prior, target
+    // = (lang = 'en') — the quality-classifier feature-prep step
+    "x199_loo_encoding" -> ((s, dir) =>
+      graft.analytics.Encoding.looTargetEncode(T(s, dir, "documents"),
+        col("doc_id"), col("source"), (col("lang") === "en").cast("int"),
+        smoothing = 10.0)),
+    // operating-point table for the x125 score/label pair: per distinct
+    // score threshold the confusion matrix, P/R/F1 and Youden's J with
+    // argmax flags — WHERE to cut the score, not just whether it ranks
+    "x201_operating_point" -> ((s, dir) =>
+      Evaluation.operatingPoints(T(s, dir, "documents"),
+        TextAnalysis.qualityScore(col("text")), col("lang") === "en")),
+    // B-cubed evaluation of entity resolution against the fixture's
+    // KNOWN truth (rid div 3 = the real entity): per-record purity/
+    // completeness — the ER metric a mega-merge cannot game. The scored
+    // run resolves on 6-char TRUNCATED keys (a lossy upstream) so both
+    // error modes are live: truncation breaks true matches (recall
+    // ~0.77) and collides strangers (precision ~0.97); the exact-key
+    // run scores a flat 1.0 here (x120's spec pins that equivalence)
+    "x200_bcubed" -> ((s, dir) => {
+      val asg = graft.analytics.Entities.entityAssignments(
+          entityRegistry(s, dir), col("rid"), substring(col("rkey"), 1, 6))
+        .withColumn("truth_id", expr("rid div 3"))
+      Evaluation.bcubed(asg, col("entity_id"), col("truth_id"))
+    }),
     // epsilon-DP noisy release of per-source doc counts: hash-seeded
     // Laplace(1/0.8) + post-noise floor at 24 — true count kept beside
     // the noisy one as the audit face (production publishes noisy only)

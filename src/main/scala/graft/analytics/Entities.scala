@@ -146,6 +146,25 @@ object Entities {
     matchPairs(records.select(id.cast("long").as("rid"), key.as("rkey")),
       maxBucket)
 
+  /** The per-record entity assignment behind [[goldenRecords]] —
+    * `(rid, entity_id)`, singletons surviving as their own entity — for
+    * callers that need the PARTITION rather than the survivor rows:
+    * evaluation ([[Evaluation.bcubed]]), per-entity joins back onto the
+    * raw registry, audit sampling. Same blocking, cap, and closure as
+    * the golden-record face, so the two can never disagree on who
+    * merged with whom.
+    */
+  def entityAssignments(records: DataFrame, id: Column, key: Column,
+      maxBucket: Int = 1000): DataFrame = {
+    val base = records.select(id.cast("long").as("rid"), key.as("rkey"))
+    val clusters = graft.dedup.Dedup.duplicateClusters(
+        matchPairs(base, maxBucket))
+      .select(col("doc_id").as("rid"), col("cluster_id"))
+    base.join(clusters, Seq("rid"), "left")
+      .select(col("rid"),
+        coalesce(col("cluster_id"), col("rid")).as("entity_id"))
+  }
+
   private def normalized(records: DataFrame, id: Column, key: Column,
       value: Column): DataFrame =
     records.select(id.cast("long").as("rid"), key.as("rkey"),

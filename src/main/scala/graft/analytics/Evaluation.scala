@@ -627,4 +627,94 @@ object Evaluation {
       element_at(means, 2).as("ci_lo"),
       element_at(means, replicates - 1).as("ci_hi"))
   }
+
+  /** Classifier operating-point table: for every candidate threshold
+    * (each distinct score, rule "predict positive when score ≥ t"), the
+    * full confusion matrix plus precision/recall/F1 and Youden's J —
+    * ending with flags on the F1-argmax and J-argmax rows. AUC (x125)
+    * says whether the score CAN rank; this says WHERE to cut it, which
+    * is the number a production gate actually needs (F1-max when both
+    * error kinds cost alike, J-max when class balance shifts between
+    * calibration and deployment).
+    *
+    * Scale shape: one grouped count onto the |distinct scores| jump
+    * spine (the x125/x171 discipline — scores round at 6 dp upstream, so
+    * the spine is bounded), one cumulative window over THAT spine (an
+    * unpartitioned window over spine rows, never corpus rows — the
+    * allowlisted class), two 1-row broadcast combines (totals, maxima).
+    * Flags compare ROUNDED metrics so cross-engine ties are exact.
+    */
+  def operatingPoints(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val spine = df.select(score.as("threshold"), label.cast("boolean").as("__y"))
+      .groupBy(col("threshold"))
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__p"),
+        sum(when(!col("__y"), 1L).otherwise(0L)).as("__ng"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("threshold").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tot = spine.agg(sum(col("__p")).as("__tp_all"),
+      sum(col("__ng")).as("__tn_all"))
+    val m = spine
+      .withColumn("tp", sum(col("__p")).over(w))
+      .withColumn("fp", sum(col("__ng")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("fn", col("__tp_all") - col("tp"))
+      .withColumn("tn", col("__tn_all") - col("fp"))
+      .withColumn("prec", round(col("tp").cast("double") /
+        (col("tp") + col("fp")).cast("double"), 6))
+      .withColumn("rec", round(col("tp").cast("double") /
+        col("__tp_all").cast("double"), 6))
+      .withColumn("f1", round(lit(2.0) * col("tp").cast("double") /
+        (lit(2.0) * col("tp").cast("double") + col("fp").cast("double") +
+          col("fn").cast("double")), 6))
+      .withColumn("youden", round(col("tp").cast("double") /
+        col("__tp_all").cast("double") - col("fp").cast("double") /
+        col("__tn_all").cast("double"), 6))
+    val best = m.agg(max(col("f1")).as("__bf"), max(col("youden")).as("__bj"))
+    m.crossJoin(broadcast(best))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+        col("prec"), col("rec"), col("f1"), col("youden"),
+        (col("f1") === col("__bf")).as("best_f1"),
+        (col("youden") === col("__bj")).as("best_youden"))
+  }
+
+  /** B-cubed precision/recall/F1 — the standard ENTITY-RESOLUTION
+    * evaluation, judging each RECORD by the purity/completeness of its
+    * own cluster: precision_i = |pred_i ∩ truth_i| / |pred_i|, recall_i
+    * the mirror, averaged over records. ARI/NMI (x184) score the
+    * partition as a whole and can look healthy while one mega-cluster
+    * swallows the tail; B-cubed charges every record inside the bad
+    * merge individually — which is why ER literature reports it.
+    *
+    * Everything derives from the (pred, truth) CONTINGENCY frame: a
+    * record in cell (p, t) scores c(p,t)/|p| precision, so the cell
+    * contributes c²/|p| — no per-record pass survives the first
+    * aggregate. Scale: one grouped count (bounded by |pred|·|truth|
+    * OVERLAPPING cells ≤ records), two marginal aggregates, one scalar
+    * combine. F1 from the unrounded averages, all three rounded at 6.
+    */
+  def bcubed(assign: DataFrame, pred: Column, truth: Column): DataFrame = {
+    val ct = assign.select(pred.as("__p"), truth.as("__t"))
+      .groupBy(col("__p"), col("__t")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val ps = ct.groupBy(col("__p")).agg(sum(col("__c")).as("__ps"))
+    val ts = ct.groupBy(col("__t")).agg(sum(col("__c")).as("__ts"))
+    val nPred = ps.agg(count(lit(1)).as("n_pred_entities"))
+    val nTruth = ts.agg(count(lit(1)).as("n_truth_entities"))
+    val terms = ct.join(ps, Seq("__p")).join(ts, Seq("__t"))
+      .agg(sum(col("__c")).as("__n"),
+        sum(col("__c").cast("double") * col("__c").cast("double") /
+          col("__ps").cast("double")).as("__sp"),
+        sum(col("__c").cast("double") * col("__c").cast("double") /
+          col("__ts").cast("double")).as("__sr"))
+    val p = col("__sp") / col("__n").cast("double")
+    val r = col("__sr") / col("__n").cast("double")
+    terms.crossJoin(broadcast(nPred)).crossJoin(broadcast(nTruth))
+      .select(col("__n").as("n_records"),
+        col("n_pred_entities"), col("n_truth_entities"),
+        round(p, 6).as("bcubed_precision"),
+        round(r, 6).as("bcubed_recall"),
+        round(lit(2.0) * p * r / (p + r), 6).as("bcubed_f1"))
+  }
 }

@@ -104,4 +104,23 @@ class EntitiesSpec extends SparkSpec {
     // row 1: Ã(1) + â€(1) + Â(1) + U+FFFD(1) = 4
     assert(got === Map(1L -> 4, 2L -> 0, 3L -> 0))
   }
+
+  test("x200 entityAssignments agrees with goldenRecords on the partition") {
+    import spark.implicits._
+    // two entities bridged by middle variants + one singleton
+    val recs = Seq(
+      (1L, "smith", 1.0), (2L, "smit", 1.0), (3L, "smitt", 1.0),
+      (10L, "jones", 2.0), (11L, "jons", 2.0),
+      (99L, "unique", 3.0)).toDF("rid", "rkey", "rval")
+    val asg = Entities.entityAssignments(recs, col("rid"), col("rkey"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asg === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 99L -> 99L))
+    // the partition's per-entity sizes equal goldenRecords' n_records
+    val golden = Entities.goldenRecords(recs, col("rid"), col("rkey"),
+      col("rval")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sizes = asg.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(sizes === golden)
+  }
 }

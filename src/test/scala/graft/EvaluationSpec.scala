@@ -351,4 +351,66 @@ class EvaluationSpec extends SparkSpec {
     assert(cs.head === math.exp(-1.0))
     assert(cs === cs.sorted && cs.last < 1.0 && cs.last > 0.999)
   }
+
+  test("x200 bcubed: perfect partition scores 1, a mega-merge is charged " +
+      "per record") {
+    import spark.implicits._
+    // truth: {1,2}, {3,4}; prediction A matches exactly
+    val perfect = Seq((1L, 10L, 100L), (2L, 10L, 100L),
+      (3L, 20L, 200L), (4L, 20L, 200L)).toDF("rid", "pred", "truth")
+    val a = Evaluation.bcubed(perfect, col("pred"), col("truth")).head()
+    assert(a.getAs[Long]("n_records") === 4L)
+    assert(a.getAs[Long]("n_pred_entities") === 2L)
+    assert(a.getAs[Double]("bcubed_precision") === 1.0)
+    assert(a.getAs[Double]("bcubed_recall") === 1.0)
+    assert(a.getAs[Double]("bcubed_f1") === 1.0)
+    // prediction B merges everything: recall stays 1, precision drops to
+    // the per-record purity mean = (2/4 + 2/4 + 2/4 + 2/4) / 4 = 0.5
+    val merged = perfect.withColumn("pred", lit(99L))
+    val b = Evaluation.bcubed(merged, col("pred"), col("truth")).head()
+    assert(b.getAs[Double]("bcubed_precision") === 0.5)
+    assert(b.getAs[Double]("bcubed_recall") === 1.0)
+    // F1 = 2·0.5·1/(1.5) = 2/3
+    assert(b.getAs[Double]("bcubed_f1") ===
+      math.rint(2.0 / 3.0 * 1e6) / 1e6)
+    // prediction C splits one true entity: precision 1, recall charged
+    // only on the split records: (1 + 1 + 1/2 + 1/2) / 4 = 0.75
+    val split = Seq((1L, 10L, 100L), (2L, 10L, 100L),
+      (3L, 21L, 200L), (4L, 22L, 200L)).toDF("rid", "pred", "truth")
+    val c = Evaluation.bcubed(split, col("pred"), col("truth")).head()
+    assert(c.getAs[Double]("bcubed_precision") === 1.0)
+    assert(c.getAs[Double]("bcubed_recall") === 0.75)
+  }
+
+  test("x201 operatingPoints: hand confusion matrices per threshold, " +
+      "argmax flags on the right rows") {
+    import spark.implicits._
+    // scores 0.9 (2 pos), 0.7 (1 pos 1 neg), 0.3 (2 neg)
+    val rows = Seq(
+      (0.9, true), (0.9, true), (0.7, true), (0.7, false),
+      (0.3, false), (0.3, false)).toDF("s", "y")
+    val out = Evaluation.operatingPoints(rows, col("s"), col("y"))
+      .collect().map(r => r.getDouble(0) -> r).toMap
+    assert(out.keySet === Set(0.9, 0.7, 0.3))
+    // t=0.9: tp 2, fp 0, fn 1, tn 3 -> prec 1, rec 2/3, f1 0.8, J 2/3
+    val t9 = out(0.9)
+    assert((t9.getAs[Long]("tp"), t9.getAs[Long]("fp"),
+      t9.getAs[Long]("fn"), t9.getAs[Long]("tn")) === ((2L, 0L, 1L, 3L)))
+    assert(t9.getAs[Double]("prec") === 1.0)
+    assert(t9.getAs[Double]("f1") === 0.8)
+    // t=0.7: tp 3, fp 1 -> prec 0.75, rec 1, f1 6/7, J 1 - 1/3
+    val t7 = out(0.7)
+    assert(t7.getAs[Double]("prec") === 0.75)
+    assert(t7.getAs[Double]("rec") === 1.0)
+    assert(t7.getAs[Double]("f1") === math.rint(6.0 / 7.0 * 1e6) / 1e6)
+    assert(t7.getAs[Double]("youden") ===
+      math.rint((1.0 - 1.0 / 3.0) * 1e6) / 1e6)
+    // t=0.3: everything positive -> rec 1, prec 0.5, J 0
+    val t3 = out(0.3)
+    assert(t3.getAs[Double]("prec") === 0.5)
+    assert(t3.getAs[Double]("youden") === 0.0)
+    // F1-argmax and J-argmax both sit at t=0.7 on this fixture
+    assert(t7.getAs[Boolean]("best_f1") && t7.getAs[Boolean]("best_youden"))
+    assert(!t9.getAs[Boolean]("best_f1") && !t3.getAs[Boolean]("best_f1"))
+  }
 }

@@ -121,7 +121,16 @@ class PlanAuditSpec extends SparkSpec {
     "x194_burrows_delta",
     // model-sized centroid frame (~√n rows) broadcast against the corpus
     // for the nearest/second-nearest distances — the batch-kNN shape
-    "x197_silhouette")
+    "x197_silhouette",
+    // 1-row broadcast scalars: the global prior against the row frame
+    // (LOO encoding is a projection, the prior is its only global input)
+    "x199_loo_encoding",
+    // 1-row broadcast scalars: the entity-count frames combined into the
+    // one-row B-cubed panel
+    "x200_bcubed",
+    // 1-row broadcast scalars: operatingPoints' class totals and its
+    // best-F1/best-J maxima, both against the |distinct scores| spine
+    "x201_operating_point")
 
   test("no query plans a cartesian product; BNLJ only on the allowlist") {
     val plans = planned.map { case (n, qe) => n -> qe.executedPlan.toString }
@@ -186,7 +195,10 @@ class PlanAuditSpec extends SparkSpec {
     // |distinct frequency| count-of-counts spine (TfIdf.vocabCoverage's
     // cumulative terms/mass above each class — x163's spine, not a
     // vocabulary rank window)
-    "x181_vocab_coverage")
+    "x181_vocab_coverage",
+    // |distinct rounded score| spine (Evaluation.operatingPoints'
+    // cumulative confusion counts — the x125 spine, corpus touched once)
+    "x201_operating_point")
 
   test("no query plans an unpartitioned window outside the allowlist") {
     // WindowExec with an empty partitionSpec moves its ENTIRE input to
