@@ -2622,6 +2622,92 @@ object OracleSql {
          | round(CAST(sum(p * (2 * cum + n + 1)) - sum(p) * (sum(p) + 1)
          |   AS DOUBLE) / (2.0 * sum(p) * sum(n - p)), 6) AS auc
          |FROM r""".stripMargin,
+    // mirror of Evaluation.wilsonGate at z=1.96, tau=0.3, pass =
+    // quality >= 0.5: z^2 is the SAME Scala double product, the gate
+    // compares the unrounded lower bound
+    "x202_wilson_gate" ->
+      s"""WITH t AS (SELECT doc_id, text, source, $Toks AS toks
+         | FROM documents),
+         |q AS (SELECT source, CASE WHEN $QualitySql >= 0.75
+         |  THEN 1 ELSE 0 END AS pass FROM t),
+         |g AS (SELECT source AS "group", CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(pass) AS BIGINT) AS k FROM q GROUP BY 1),
+         |m AS (SELECT "group", n, k,
+         |  CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS ph,
+         |  CAST(n AS DOUBLE) AS nd FROM g),
+         |w AS (SELECT "group", n, k, ph,
+         |  (ph + ${1.96 * 1.96} / (2.0 * nd))
+         |   / (1.0 + ${1.96 * 1.96} / nd) AS center,
+         |  1.96 * sqrt(ph * (1.0 - ph) / nd
+         |    + ${1.96 * 1.96} / (4.0 * nd * nd))
+         |   / (1.0 + ${1.96 * 1.96} / nd) AS half
+         | FROM m)
+         |SELECT "group", n, k, round(ph, 6) AS p_hat,
+         | round(center - half, 6) AS wilson_lo,
+         | round(center + half, 6) AS wilson_hi,
+         | center - half >= 0.25 AS passed
+         |FROM w""".stripMargin,
+    // mirror of Importance.freshnessEss at half-life 90d over the
+    // deterministic doc_id%365 age: the decay rate is the SAME Scala
+    // double ln(0.5)/90
+    "x203_freshness_ess" ->
+      s"""WITH b AS (SELECT source AS "group",
+         |  exp(${math.log(0.5) / 90.0} * CAST(doc_id % 365 AS DOUBLE))
+         |   AS w
+         | FROM documents),
+         |g AS (SELECT "group", CAST(count(*) AS BIGINT) AS n,
+         |  sum(w) AS sw, sum(w * w) AS sw2 FROM b GROUP BY 1)
+         |SELECT "group", n, round(sw, 6) AS sum_w,
+         | round(sw * sw / sw2, 6) AS ess,
+         | round(sw * sw / sw2 / CAST(n AS DOUBLE), 6) AS ess_ratio
+         |FROM g""".stripMargin,
+    // mirror of TextAnalysis.codeSwitchReport over the German-tail
+    // fixture: 20-token chunk slices, per-chunk marker argmax with the
+    // x03 earlier-language tie-break, per-doc distinct-language panel
+    "x204_code_switch" -> {
+      val langs = graft.text.TextAnalysis.langMarkers
+      val scores = langs.map { case (l, ms) =>
+        val lst = ms.map(m => s"'$m'").mkString("[", ",", "]")
+        s"CAST(len(list_filter(ck, w -> list_contains($lst, w)))" +
+          s" AS INTEGER) AS s_$l"
+      }.mkString(",\n  ")
+      val names = langs.map(_._1)
+      val caseChain = names.init.zipWithIndex.map { case (l, i) =>
+        val rest = names.drop(i + 1).map(r => s"s_$l >= s_$r")
+          .mkString(" AND ")
+        s"WHEN $rest THEN '$l'"
+      }.mkString("\n   ") + s"\n   ELSE '${names.last}'"
+      s"""WITH d AS (SELECT doc_id, CASE WHEN doc_id % 40 = 0
+         |  THEN text || repeat(' der die und nicht das', 5)
+         |  ELSE text END AS text FROM documents),
+         |t AS (SELECT doc_id, $Toks AS toks FROM d),
+         |b AS (SELECT doc_id, toks,
+         |  CAST((len(toks) + 19) // 20 AS INTEGER) AS nc
+         | FROM t WHERE CAST((len(toks) + 19) // 20 AS INTEGER) >= 1),
+         |c0 AS (SELECT doc_id, nc, toks,
+         |  unnest(range(0, CAST(nc AS BIGINT))) AS i FROM b),
+         |ch AS (SELECT doc_id, nc,
+         |  toks[CAST(i * 20 + 1 AS INTEGER):CAST(i * 20 + 20 AS INTEGER)]
+         |   AS ck FROM c0),
+         |sc AS (SELECT doc_id, nc,
+         |  $scores
+         | FROM ch),
+         |dec AS (SELECT doc_id, CASE $caseChain END AS lg FROM sc
+         | WHERE greatest(${names.map(l => s"s_$l").mkString(", ")}) >= 1),
+         |pc AS (SELECT doc_id, lg, CAST(count(*) AS BIGINT) AS c
+         | FROM dec GROUP BY 1, 2),
+         |rk AS (SELECT doc_id, lg, c,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, lg)
+         |   AS rn,
+         |  CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS nl,
+         |  CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS ns
+         | FROM pc)
+         |SELECT b.doc_id, b.nc AS n_chunks,
+         | coalesce(r.nl, 0) AS n_langs, coalesce(r.ns, 0) AS n_scored,
+         | r.lg AS dominant_lang, coalesce(r.nl >= 2, false) AS mixed
+         |FROM b LEFT JOIN (SELECT * FROM rk WHERE rn = 1) r
+         | ON b.doc_id = r.doc_id""".stripMargin
+    },
     // mirror of Evaluation.operatingPoints over the x125 score/label
     // pair: |distinct scores| spine, cumulative (tp, fp) from the top,
     // metrics from integer counts, argmax flags on the ROUNDED values

@@ -1802,6 +1802,31 @@ object SparkEntry {
       graft.analytics.Encoding.looTargetEncode(T(s, dir, "documents"),
         col("doc_id"), col("source"), (col("lang") === "en").cast("int"),
         smoothing = 10.0)),
+    // per-source pass-rate gate with Wilson 95% bounds: small-sample
+    // honesty a raw rate cut lacks (3-for-3 is not evidence; the lower
+    // bound orders it correctly). pass = quality >= 0.75 and tau = 0.25
+    // split the 20 sources 10/10 at sf0.01 with the nearest bounds
+    // 0.234/0.267 — no decision near the cut
+    "x202_wilson_gate" -> ((s, dir) =>
+      Evaluation.wilsonGate(T(s, dir, "documents"), col("source"),
+        TextAnalysis.qualityScore(col("text")) >= 0.75, tau = 0.25)),
+    // freshness-decay weights (half-life 90d over a deterministic
+    // doc_id%365 age) + the Kish effective-sample-size diagnostic per
+    // source — how many equal-weight rows the decayed group is worth
+    "x203_freshness_ess" -> ((s, dir) =>
+      graft.sampling.Importance.freshnessEss(T(s, dir, "documents"),
+        col("source"), col("doc_id") % 365, halfLifeDays = 90.0)),
+    // chunk-level code-switch detection: every 40th doc gets a 25-token
+    // German tail (deterministic fixture, mirrored in the oracle) that
+    // whole-doc lang-id (x03) would average away; per-20-token-chunk
+    // argmax surfaces it as a mixed doc
+    "x204_code_switch" -> ((s, dir) =>
+      TextAnalysis.codeSwitchReport(
+        T(s, dir, "documents").select(col("doc_id"),
+          when(col("doc_id") % 40 === 0,
+            concat(col("text"), repeat(lit(" der die und nicht das"), 5)))
+            .otherwise(col("text")).as("text")),
+        col("doc_id"), col("text"), chunkTokens = 20)),
     // operating-point table for the x125 score/label pair: per distinct
     // score threshold the confusion matrix, P/R/F1 and Youden's J with
     // argmax flags — WHERE to cut the score, not just whether it ranks

@@ -628,6 +628,40 @@ object Evaluation {
       element_at(means, replicates - 1).as("ci_hi"))
   }
 
+  /** Per-group pass-rate gate with a Wilson score interval: n, passes,
+    * p̂, and the 95 % Wilson bounds, gating on `wilson_lo ≥ tau` — the
+    * small-sample-honest form of "is this source's quality rate credibly
+    * above τ". A raw p̂ ≥ τ cut waves through a 3-for-3 source (p̂ = 1.0
+    * on no evidence) and blocks a 490/1000 one; the Wilson lower bound
+    * orders both correctly, has no ±∞/collapse at p̂ ∈ {0, 1} (unlike the
+    * Wald interval), and needs no resampling (unlike x183's bootstrap).
+    *
+    * Closed form per group — one grouped count, per-row arithmetic,
+    * |groups|-sized output; z enters as a Scala double literal the
+    * oracle interpolates, sqrt is correctly rounded on both engines.
+    * The gate compares the UNROUNDED bound; outputs round at 6 dp.
+    */
+  def wilsonGate(df: DataFrame, group: Column, pass: Column, tau: Double,
+      z: Double = 1.96): DataFrame = {
+    require(tau > 0 && tau < 1, s"tau must be in (0,1), got $tau")
+    require(z > 0, s"z must be > 0, got $z")
+    val g = df.groupBy(group.as("group"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(pass, 1L).otherwise(0L)).as("k"))
+    val nd = col("n").cast("double")
+    val ph = col("k").cast("double") / nd
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / nd
+    val center = (ph + z2 / (lit(2.0) * nd)) / denom
+    val half = lit(z) *
+      sqrt(ph * (lit(1.0) - ph) / nd + z2 / (lit(4.0) * nd * nd)) / denom
+    g.select(col("group"), col("n"), col("k"),
+      round(ph, 6).as("p_hat"),
+      round(center - half, 6).as("wilson_lo"),
+      round(center + half, 6).as("wilson_hi"),
+      (center - half >= tau).as("passed"))
+  }
+
   /** Classifier operating-point table: for every candidate threshold
     * (each distinct score, rule "predict positive when score ≥ t"), the
     * full confusion matrix plus precision/recall/F1 and Youden's J —

@@ -63,4 +63,33 @@ object Importance {
       .agg(round(avg(log(pT) - log(pS)), 6).as("log_ratio"),
         count(lit(1)).as("n_tokens"))
   }
+
+  /** Freshness-decayed sample weights with the Kish effective-sample-size
+    * diagnostic, per group: weight = 2^(−age/halfLife) (exp of a single
+    * Scala-literal rate, shared with the oracle), then
+    * `ess = (Σw)² / Σw²` — the number of EQUAL-WEIGHT rows this weighted
+    * group is worth. Recency weighting is a standard curation knob; ESS
+    * is what keeps it honest: a source whose ess_ratio collapses is one
+    * whose data is effectively all stale, and a downstream average over
+    * it carries far less evidence than its row count claims.
+    *
+    * One grouped aggregate (three map-side-combinable sums), per-row exp
+    * — |groups|-sized output, rounds at 6 dp (the sums are merge-order
+    * aggregates; exp is within 1 ulp on both engines).
+    */
+  def freshnessEss(df: DataFrame, group: Column, ageDays: Column,
+      halfLifeDays: Double): DataFrame = {
+    require(halfLifeDays > 0, s"halfLifeDays must be > 0, got $halfLifeDays")
+    val w = exp(lit(math.log(0.5) / halfLifeDays) * ageDays.cast("double"))
+    df.select(group.as("group"), w.as("__w"))
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__w")).as("__sw"),
+        sum(col("__w") * col("__w")).as("__sw2"))
+      .select(col("group"), col("n"),
+        round(col("__sw"), 6).as("sum_w"),
+        round(col("__sw") * col("__sw") / col("__sw2"), 6).as("ess"),
+        round(col("__sw") * col("__sw") / col("__sw2") /
+          col("n").cast("double"), 6).as("ess_ratio"))
+  }
 }

@@ -218,6 +218,68 @@ object TextAnalysis {
     * a blocking key for copy detection at corpus scale — one narrow
     * kernel pass per doc, shuffle only on the (doc, fingerprint) pairs.
     */
+  /** Chunk-level code-switch detection: split each document's tokens
+    * into fixed windows, language-id each window with the x03 marker
+    * scorer, and report per doc how many distinct languages its chunks
+    * speak. Whole-document lang-id (x03) averages the evidence and
+    * assigns ONE label — a half-English-half-German page reads as
+    * slightly-confident English; chunking localizes the evidence, which
+    * is the standard recipe for catching mixed-language documents (a
+    * class a per-language corpus usually wants quarantined, not
+    * mislabeled).
+    *
+    * The per-chunk decision is the SAME argmax + earlier-language
+    * tie-break as [[withLangId]] (one fold over [[langMarkers]]) — but
+    * a chunk with ZERO marker hits for every language ABSTAINS instead
+    * of defaulting to the first language (a 20-token window often
+    * carries no marker at all; x03 never sees this because a whole doc
+    * almost always does, and counting evidence-free chunks would read
+    * most of the corpus as "mixed"). `n_scored` counts the chunks that
+    * voted; a doc whose chunks all abstained reads n_langs = 0,
+    * dominant null, mixed false.
+    *
+    * Scale shape: one tokenize pass, chunk explode (corpus tokens /
+    * chunkTokens rows, each carrying one chunk slice), per-row kernels,
+    * two grouped aggregates to per-doc grain, one id-keyed join back to
+    * the doc frame for the all-abstained rows. No window.
+    */
+  def codeSwitchReport(df: DataFrame, id: Column, text: Column,
+      chunkTokens: Int = 20): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    val base = df.select(id.as("doc_id"), tokens(text).as("__t"))
+      .withColumn("__nc",
+        ((size(col("__t")) + (chunkTokens - 1)) / chunkTokens).cast("int"))
+      .filter(col("__nc") >= 1)
+    val chunks = base.select(col("doc_id"), col("__nc"),
+        explode(sequence(lit(0), col("__nc") - 1)).as("__i"), col("__t"))
+      .select(col("doc_id"), col("__nc"),
+        array_join(slice(col("__t"), col("__i") * chunkTokens + 1,
+          lit(chunkTokens)), " ").as("__ck"))
+    val scored = langMarkers.foldLeft(chunks) { case (d, (lang, markers)) =>
+      d.withColumn(s"__s_$lang", langScore(col("__ck"), markers))
+    }
+    val best = langMarkers.map(_._1)
+      .map(l => struct(col(s"__s_$l").as("s"), lit(l).as("l")))
+      .reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
+    val perLang = scored
+      .select(col("doc_id"), best.getField("s").as("__bs"),
+        best.getField("l").as("__lg"))
+      .filter(col("__bs") >= 1)
+      .groupBy(col("doc_id"), col("__lg"))
+      .agg(count(lit(1)).as("__c"))
+    val perDoc = perLang.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_langs"),
+        sum(col("__c")).as("n_scored"),
+        min(struct((-col("__c")).as("nc"), col("__lg").as("l"))).as("__m"))
+    base.select(col("doc_id"), col("__nc").as("n_chunks"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_langs"), lit(0L)).as("n_langs"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        col("__m.l").as("dominant_lang"),
+        coalesce(col("n_langs") >= 2, lit(false)).as("mixed"))
+  }
+
   /** Compression-ratio proxy quality gate: per document, the order-0
     * entropy of its CHARACTER-BIGRAM distribution and the implied
     * compressed-size ratio — the CCNet/RedPajama-style "too compressible

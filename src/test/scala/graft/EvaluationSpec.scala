@@ -382,6 +382,35 @@ class EvaluationSpec extends SparkSpec {
     assert(c.getAs[Double]("bcubed_recall") === 0.75)
   }
 
+  test("x202 wilsonGate: hand bounds, and 3-for-3 is weaker evidence " +
+      "than 490-of-1000") {
+    import spark.implicits._
+    val rows = (Seq.fill(3)(("tiny", true)) ++
+      Seq.fill(490)(("big", true)) ++ Seq.fill(510)(("big", false)))
+      .toDF("src", "ok")
+    // tau sits between the two lower bounds: 3/3 -> 0.4385, 490/1000 ->
+    // 0.4591 — the naive p-hat ordering (1.0 vs 0.49) inverts
+    val out = Evaluation.wilsonGate(rows, col("src"), col("ok"), tau = 0.45)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // hand Wilson at z=1.96: n=3, k=3 -> lo = (1 + z2/6)/(1 + z2/3)
+    //  - z*sqrt(z2/36)/(1 + z2/3)
+    val z2 = 1.96 * 1.96
+    val loTiny = ((1.0 + z2 / (2.0 * 3)) / (1.0 + z2 / 3) -
+      1.96 * math.sqrt(0.0 / 3 + z2 / (4.0 * 3 * 3)) / (1.0 + z2 / 3))
+    assert(out("tiny").getAs[Double]("p_hat") === 1.0)
+    assert(out("tiny").getAs[Double]("wilson_lo") ===
+      math.rint(loTiny * 1e6) / 1e6)
+    // the 49% source's lower bound beats the 100%-of-3 source's: more
+    // evidence outranks a perfect small sample
+    val loBig = out("big").getAs[Double]("wilson_lo")
+    assert(loBig > 0.45 && out("big").getAs[Boolean]("passed"))
+    assert(out("tiny").getAs[Double]("wilson_lo") < 0.45 &&
+      !out("tiny").getAs[Boolean]("passed"))
+    // p-hat would have ordered them the other way
+    assert(out("tiny").getAs[Double]("p_hat") >
+      out("big").getAs[Double]("p_hat"))
+  }
+
   test("x201 operatingPoints: hand confusion matrices per threshold, " +
       "argmax flags on the right rows") {
     import spark.implicits._

@@ -353,4 +353,31 @@ class SamplingSpec extends SparkSpec {
     assert(!t.contains(1) && !t.contains(2))
     assert(t(3) === 3L && t(4) === 3L && t(5) === 4L)
   }
+
+  test("x203 freshnessEss: uniform age reads ess = n; a stale tail " +
+      "collapses the effective size; hand Kish on two rows") {
+    import spark.implicits._
+    import graft.sampling.Importance
+    val uniform = Seq(("a", 10), ("a", 10), ("a", 10)).toDF("src", "age")
+    val u = Importance.freshnessEss(uniform, col("src"), col("age"),
+      halfLifeDays = 90.0).head()
+    // equal weights: (3w)²/(3w²) = 3 exactly
+    assert(u.getAs[Long]("n") === 3L)
+    assert(u.getAs[Double]("ess") === 3.0)
+    assert(u.getAs[Double]("ess_ratio") === 1.0)
+    // hand Kish: ages 0 and 90 at half-life 90 -> weights 1 and 0.5,
+    // ess = (1.5)²/(1.25) = 1.8
+    val two = Seq(("b", 0), ("b", 90)).toDF("src", "age")
+    val t2 = Importance.freshnessEss(two, col("src"), col("age"),
+      halfLifeDays = 90.0).head()
+    assert(t2.getAs[Double]("sum_w") === 1.5)
+    assert(t2.getAs[Double]("ess") === 1.8)
+    assert(t2.getAs[Double]("ess_ratio") === 0.9)
+    // a mostly-stale source: ess_ratio well under the uniform 1.0
+    val stale = (Seq(("c", 0)) ++ Seq.fill(9)(("c", 900))).toDF("src", "age")
+    val s = Importance.freshnessEss(stale, col("src"), col("age"),
+      halfLifeDays = 90.0).head()
+    assert(s.getAs[Long]("n") === 10L)
+    assert(s.getAs[Double]("ess_ratio") < 0.2)
+  }
 }

@@ -437,4 +437,36 @@ class TfIdfSpec extends SparkSpec {
     assert(r4.getAs[Double]("est_ratio") > 0.25)
     assert(!r4.getAs[Boolean]("flagged"))
   }
+
+  test("x204 codeSwitchReport: a bilingual doc reads mixed, monolingual " +
+      "and evidence-free docs do not") {
+    import graft.text.TextAnalysis
+    val en = "the cat is of the mat and the dog is of the yard and so on " +
+      "the end is here" // 20 tokens, en markers
+    val de = "der hund und die katze nicht das haus der garten und die " +
+      "wand nicht das dach der baum und die" // 20 tokens, de markers
+    val d = Seq(
+      (1L, s"$en $de"),        // chunk 1 en, chunk 2 de -> mixed
+      (2L, s"$en $en"),        // both chunks en -> not mixed
+      (3L, "zz qq ww rr tt"))  // no markers anywhere -> abstained
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.codeSwitchReport(d, col("doc_id"), col("text"),
+      chunkTokens = 20).collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Int]("n_chunks") === 2)
+    assert(r1.getAs[Long]("n_langs") === 2L)
+    assert(r1.getAs[Boolean]("mixed"))
+    // dominant tie (1 chunk each) breaks to the earlier language code
+    assert(r1.getAs[String]("dominant_lang") === "de")
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("n_langs") === 1L)
+    assert(r2.getAs[String]("dominant_lang") === "en")
+    assert(!r2.getAs[Boolean]("mixed"))
+    val r3 = out(3L)
+    assert(r3.getAs[Int]("n_chunks") === 1)
+    assert(r3.getAs[Long]("n_langs") === 0L)
+    assert(r3.getAs[Long]("n_scored") === 0L)
+    assert(r3.isNullAt(r3.fieldIndex("dominant_lang")))
+    assert(!r3.getAs[Boolean]("mixed"))
+  }
 }
