@@ -336,8 +336,9 @@ object Evaluation {
     * IEEE double on BOTH engines — the oracle writes
     * `CAST(0.1 AS DOUBLE)` because a bare DuckDB `0.1` literal is an
     * exact DECIMAL whose product can floor differently from the double
-    * product (0.3·10 = 2.999…96 in double → k=2, but 3 in decimal —
-    * a one-off coincidence at α=0.1 must not become the template).
+    * product (0.29·100 = 28.999…996 in double → k=28, but exactly 29 in
+    * decimal — a coincidence of rounding at α=0.1 must not become the
+    * template; EvaluationSpec pins the diverging case).
     * If k < 1 the bound is vacuous: threshold is null, nothing flagged.
     *
     * Scale: one narrow projection read twice (calibration spine, eval
@@ -641,6 +642,32 @@ object Evaluation {
     * oracle interpolates, sqrt is correctly rounded on both engines.
     * The gate compares the UNROUNDED bound; outputs round at 6 dp.
     */
+  /** Wilson score interval (center, half-width) from counts — the shared
+    * builder behind [[wilsonGate]] and the `wilson_lo` SQL function so
+    * the two surfaces can never drift. z² is a double PRODUCT (z*z, not
+    * pow) so a SQL caller passing the same z reproduces the gate bit for
+    * bit. Unrounded; callers round for publication.
+    */
+  private[graft] def wilsonCenterHalf(k: Column, n: Column,
+      z: Column): (Column, Column) = {
+    val nd = n.cast("double")
+    val ph = k.cast("double") / nd
+    val zd = z.cast("double")
+    val z2 = zd * zd
+    val denom = lit(1.0) + z2 / nd
+    val center = (ph + z2 / (lit(2.0) * nd)) / denom
+    val half = zd *
+      sqrt(ph * (lit(1.0) - ph) / nd + z2 / (lit(4.0) * nd * nd)) / denom
+    (center, half)
+  }
+
+  /** Wilson lower bound for k successes of n at critical value z —
+    * the `wilson_lo` SQL scalar ([[wilsonGate]]'s gating statistic). */
+  def wilsonLower(k: Column, n: Column, z: Column): Column = {
+    val (center, half) = wilsonCenterHalf(k, n, z)
+    center - half
+  }
+
   def wilsonGate(df: DataFrame, group: Column, pass: Column, tau: Double,
       z: Double = 1.96): DataFrame = {
     require(tau > 0 && tau < 1, s"tau must be in (0,1), got $tau")
@@ -650,11 +677,7 @@ object Evaluation {
         sum(when(pass, 1L).otherwise(0L)).as("k"))
     val nd = col("n").cast("double")
     val ph = col("k").cast("double") / nd
-    val z2 = lit(z * z)
-    val denom = lit(1.0) + z2 / nd
-    val center = (ph + z2 / (lit(2.0) * nd)) / denom
-    val half = lit(z) *
-      sqrt(ph * (lit(1.0) - ph) / nd + z2 / (lit(4.0) * nd * nd)) / denom
+    val (center, half) = wilsonCenterHalf(col("k"), col("n"), lit(z))
     g.select(col("group"), col("n"), col("k"),
       round(ph, 6).as("p_hat"),
       round(center - half, 6).as("wilson_lo"),
@@ -677,9 +700,14 @@ object Evaluation {
     * unpartitioned window over spine rows, never corpus rows — the
     * allowlisted class), two 1-row broadcast combines (totals, maxima).
     * Flags compare ROUNDED metrics so cross-engine ties are exact.
+    * A NULL label counts as a NEGATIVE (coalesced to false after the
+    * boolean cast) — the same semantics as the oracle's
+    * `CASE WHEN ... THEN 1 ELSE 0`, so the engines agree even when the
+    * label expression can be null.
     */
   def operatingPoints(df: DataFrame, score: Column, label: Column): DataFrame = {
-    val spine = df.select(score.as("threshold"), label.cast("boolean").as("__y"))
+    val spine = df.select(score.as("threshold"),
+      coalesce(label.cast("boolean"), lit(false)).as("__y"))
       .groupBy(col("threshold"))
       .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__p"),
         sum(when(!col("__y"), 1L).otherwise(0L)).as("__ng"))

@@ -373,6 +373,25 @@ object Validation {
     df.withColumn("__keep", keep).filter(col("__keep")).drop("__keep")
   }
 
+  /** Hash-seeded Laplace(1/ε) draw for `key` — the inverse-CDF noise
+    * behind [[dpNoisyCounts]], shared with the `laplace_noise` SQL
+    * function so the two surfaces can never drift. `-1.0/eps` is a
+    * constant-folded double division, bit-identical to the Scala-side
+    * literal the oracle interpolates.
+    *
+    * Requires eps > 0 — ENFORCED with a null result otherwise: a
+    * non-positive ε would silently yield sign-flipped (ε < 0) or
+    * infinite (ε = 0) noise on the public SQL surface, where
+    * [[dpNoisyCounts]]'s `require` cannot reach.
+    */
+  def laplaceNoise(key: Column, eps: Column): Column = {
+    val u = (graft.sampling.Sampling.hashKey(key, lit("dplap"))
+      .cast("double") + 0.5) / 4294967296.0
+    val c = u - 0.5
+    when(eps > 0.0,
+      (lit(-1.0) / eps) * signum(c) * log(lit(1.0) - lit(2.0) * abs(c)))
+  }
+
   /** ε-differentially-private release of per-key counts — the fourth
     * rung of the privacy ladder here ([[kAnonymityViolations]] →
     * [[lDiversityViolations]] → [[tClosenessViolations]] audit what the
@@ -398,19 +417,6 @@ object Validation {
     * |keys|-sized everything. ln is within 1 ulp on both engines and the
     * output rounding absorbs it (the x68 ln-key precedent).
     */
-  /** Hash-seeded Laplace(1/ε) draw for `key` — the inverse-CDF noise
-    * behind [[dpNoisyCounts]], shared with the `laplace_noise` SQL
-    * function so the two surfaces can never drift. `-1.0/eps` is a
-    * constant-folded double division, bit-identical to the Scala-side
-    * literal the oracle interpolates.
-    */
-  def laplaceNoise(key: Column, eps: Column): Column = {
-    val u = (graft.sampling.Sampling.hashKey(key, lit("dplap"))
-      .cast("double") + 0.5) / 4294967296.0
-    val c = u - 0.5
-    (lit(-1.0) / eps) * signum(c) * log(lit(1.0) - lit(2.0) * abs(c))
-  }
-
   def dpNoisyCounts(df: DataFrame, key: Column, eps: Double,
       threshold: Double): DataFrame = {
     require(eps > 0, s"eps must be > 0, got $eps")

@@ -197,6 +197,14 @@ object GraftExtensions {
     // SQL — hash-seeded inverse CDF, reproducible and engine-portable
     fromColumns("laplace_noise", 2,
       cs => graft.clean.Validation.laplaceNoise(cs.head, cs(1))),
+    // wilson_lo(k, n, z) *is* the x202 gating statistic in pure SQL —
+    // same center−half arithmetic as wilsonGate, unrounded
+    fromColumns("wilson_lo", 3,
+      cs => graft.analytics.Evaluation.wilsonLower(cs.head, cs(1), cs(2))),
+    // SUM(freshness_weight(age,hl))² / SUM(w·w) *is* the x203 Kish ESS
+    // in pure SQL — shared decay builder, null on hl <= 0
+    fromColumns("freshness_weight", 2,
+      cs => graft.sampling.Importance.freshnessWeight(cs.head, cs(1))),
     nativeBinary("cosine_sim", CosineSim(_, _)),
     nativeBinary("dot_product", DotProduct(_, _)))
 

@@ -77,10 +77,24 @@ object Importance {
     * — |groups|-sized output, rounds at 6 dp (the sums are merge-order
     * aggregates; exp is within 1 ulp on both engines).
     */
+  /** Freshness decay weight 2^(−age/halfLife) — the shared builder
+    * behind [[freshnessEss]] and the `freshness_weight` SQL function so
+    * the two surfaces can never drift: ln(0.5)/halfLife is the same IEEE
+    * double division whether Catalyst constant-folds it (literal
+    * halfLife) or the driver computes it, and `SUM(w)²/SUM(w·w)` over
+    * this column IS the x203 Kish ESS in pure SQL. Null (no weight, not
+    * a sign-flipped one) when halfLife ≤ 0 — the public SQL surface has
+    * no `require` to catch it.
+    */
+  def freshnessWeight(ageDays: Column, halfLifeDays: Column): Column = {
+    val hl = halfLifeDays.cast("double")
+    when(hl > 0.0, exp(lit(math.log(0.5)) / hl * ageDays.cast("double")))
+  }
+
   def freshnessEss(df: DataFrame, group: Column, ageDays: Column,
       halfLifeDays: Double): DataFrame = {
     require(halfLifeDays > 0, s"halfLifeDays must be > 0, got $halfLifeDays")
-    val w = exp(lit(math.log(0.5) / halfLifeDays) * ageDays.cast("double"))
+    val w = freshnessWeight(ageDays, lit(halfLifeDays))
     df.select(group.as("group"), w.as("__w"))
       .groupBy(col("group"))
       .agg(count(lit(1)).as("n"),

@@ -49,6 +49,24 @@ object Postings {
         .as(Seq("pos", "delta")))
   }
 
+  /** LEB128 varint byte cost of a non-negative integer value: bit length
+    * via the STRING length of the base-2 `conv` (integer/string built-ins
+    * only — a float log2 could mis-round at a power of two), divided into
+    * 7-bit groups. Shared by [[compressionPlan]] and the `varint_size`
+    * SQL function so the two surfaces can never drift.
+    *
+    * Domain is v >= 0 — ENFORCED with a null result on negative input:
+    * Spark's `conv(v,10,2)` renders a negative long as its 64-char two's
+    * complement (→ 10 bytes) while DuckDB's `length(bin(v))` sees a
+    * '-'-prefixed minimal string, so the engines would disagree.
+    * Internal callers only feed non-negative gaps; the guard is for the
+    * public `varint_size` SQL surface.
+    */
+  def varintSize(v: Column): Column = {
+    val n = v.cast("long")
+    when(n >= 0L, (length(conv(n, 10, 2)) + 6L) / 7L).cast("long")
+  }
+
   /** Index-size planner: per doc-frequency band, the byte cost of the
     * FULL delta-encoded posting lists under LEB128 varints vs raw 8-byte
     * ids — the number that decides whether an inverted index over the
@@ -71,15 +89,6 @@ object Postings {
     * aggregates ending at |bands| rows. The (term, doc) frame is the
     * index's own size — anything building postings pays it.
     */
-  /** LEB128 varint byte cost of a non-negative integer value: bit length
-    * via the STRING length of the base-2 `conv` (integer/string built-ins
-    * only — a float log2 could mis-round at a power of two), divided into
-    * 7-bit groups. Shared by [[compressionPlan]] and the `varint_size`
-    * SQL function so the two surfaces can never drift.
-    */
-  def varintSize(v: Column): Column =
-    ((length(conv(v, 10, 2)) + 6L) / 7L).cast("long")
-
   def compressionPlan(df: DataFrame, id: Column, text: Column,
       minDf: Long = 1L): DataFrame = {
     require(minDf >= 1, s"minDf must be >= 1, got $minDf")

@@ -204,6 +204,38 @@ class EvaluationSpec extends SparkSpec {
     assert(v.forall(r => r.isNullAt(4) && r.getLong(2) === 0L))
   }
 
+  test("conformalGate order statistic is IEEE-double at alpha=0.29, " +
+      "n_cal=99 — where decimal and double floor diverge (k=28, not 29)") {
+    import graft.sampling.Sampling
+    // 0.29·(99+1) = 28.999…996 in double → k=28, but exactly 29 in
+    // decimal arithmetic (a bare DuckDB 0.29 literal). The gate's
+    // contract is double-on-both-engines (the oracle writes
+    // CAST(α AS DOUBLE)); this pins the Scala side so a future
+    // "simplification" to decimal semantics fails loudly instead of
+    // silently shifting the statistic. (Note 0.3·10 is NOT such a case —
+    // the product rounds to exactly 3.0; the trap needs an α·(n+1) whose
+    // nearest double lies strictly below the integer.)
+    assert(math.floor(0.29 * 100.0).toLong === 28L,
+      "platform sanity: 0.29*100 must floor to 28 in IEEE double")
+    val calBuckets = Sampling.Buckets / 5
+    val buckets = spark.range(1L, 2000L)
+      .select(col("id"), Sampling.hashBucket(col("id"), "conformal").as("b"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1) < calBuckets))
+    // exactly 99 calibration ids (scores 0.01·1..99) + 20 eval ids
+    val calIds = buckets.collect { case (i, true) => i }.take(99)
+    val evalIds = buckets.collect { case (i, false) => i }.take(20)
+    assert(calIds.length === 99 && evalIds.length === 20)
+    val rows = calIds.zipWithIndex.map { case (i, j) =>
+      (i, "g", math.rint(0.01 * (j + 1) * 1e6) / 1e6) } ++
+      evalIds.map(i => (i, "g", 0.5))
+    val out = Evaluation.conformalGate(rows.toSeq.toDF("id", "grp", "sc"),
+      col("id"), col("grp"), col("sc"), alpha = 0.29).head()
+    // k=28 → threshold is the 28th-smallest calibration score, 0.28;
+    // decimal-floor semantics would report the 29th (0.29)
+    assert(out.getDouble(4) === 0.28,
+      s"double-floor contract broken: thr=${out.getDouble(4)}")
+  }
+
   test("x174 mondrianGate: per-group order statistics; eval-only group vacuous") {
     import graft.sampling.Sampling
     // groups get DISJOINT score bands (grp g's scores live in [10g, 10g+1])
@@ -441,5 +473,24 @@ class EvaluationSpec extends SparkSpec {
     // F1-argmax and J-argmax both sit at t=0.7 on this fixture
     assert(t7.getAs[Boolean]("best_f1") && t7.getAs[Boolean]("best_youden"))
     assert(!t9.getAs[Boolean]("best_f1") && !t3.getAs[Boolean]("best_f1"))
+  }
+
+  test("operatingPoints counts a null label as a NEGATIVE (oracle " +
+      "CASE-ELSE-0 semantics), never in neither class") {
+    import spark.implicits._
+    // same fixture as x201 but the t=0.7 negative label arrives as null;
+    // every confusion cell must match the explicit-false run exactly
+    val rows = Seq(
+      (0.9, Some(true)), (0.9, Some(true)), (0.7, Some(true)),
+      (0.7, None), (0.3, Some(false)), (0.3, None)).toDF("s", "y")
+    val out = Evaluation.operatingPoints(rows, col("s"), col("y"))
+      .collect().map(r => r.getDouble(0) -> r).toMap
+    val t9 = out(0.9)
+    assert((t9.getAs[Long]("tp"), t9.getAs[Long]("fp"),
+      t9.getAs[Long]("fn"), t9.getAs[Long]("tn")) === ((2L, 0L, 1L, 3L)))
+    // tn+fp must total 3 at every threshold — a dropped null would read 2
+    val t3 = out(0.3)
+    assert(t3.getAs[Long]("tp") + t3.getAs[Long]("fn") === 3L)
+    assert(t3.getAs[Long]("fp") + t3.getAs[Long]("tn") === 3L)
   }
 }

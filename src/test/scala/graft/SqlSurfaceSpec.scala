@@ -159,6 +159,12 @@ class SqlSurfaceSpec extends SparkSpec {
         """SELECT varint_size(0L), varint_size(127L), varint_size(128L),
           | varint_size(16383L), varint_size(16384L)""".stripMargin).head()
       assert((0 until 5).map(vs.getLong) === Seq(1L, 1L, 2L, 2L, 3L))
+      // round-13: outside the non-negative domain the engines would
+      // disagree (Spark two's complement vs DuckDB '-'-prefixed bin),
+      // so the public surface returns null instead of a wrong byte count
+      val vneg = s2.sql(
+        "SELECT varint_size(-1L) AS a, varint_size(-128L) AS b").head()
+      assert(vneg.isNullAt(0) && vneg.isNullAt(1))
       // round-12: laplace_noise(key, eps) is the x192 mechanism in pure
       // SQL; pinned against the same driver-side md5 inverse-CDF truth
       // ValidationSpec uses
@@ -177,6 +183,43 @@ class SqlSurfaceSpec extends SparkSpec {
         .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
       assert(lap("srcA") === ln("srcA", 0.8))
       assert(lap("srcB") === ln("srcB", 0.8))
+      // round-13: eps <= 0 has no Laplace scale — null, never
+      // sign-flipped (eps < 0) or infinite (eps = 0) noise
+      val lbad = s2.sql(
+        """SELECT laplace_noise('srcA', 0.0) AS z,
+          | laplace_noise('srcA', -0.8) AS m""".stripMargin).head()
+      assert(lbad.isNullAt(0) && lbad.isNullAt(1))
+      // round-13: wilson_lo(k, n, z) is x202's gating statistic in pure
+      // SQL — pinned against the textbook closed form computed here
+      def wlo(k: Double, n: Double, z: Double): Double = {
+        val ph = k / n; val z2 = z * z; val den = 1.0 + z2 / n
+        (ph + z2 / (2 * n)) / den -
+          z * math.sqrt(ph * (1 - ph) / n + z2 / (4 * n * n)) / den
+      }
+      val wl = s2.sql(
+        """SELECT wilson_lo(10L, 20L, 1.96) AS a,
+          | wilson_lo(490L, 1000L, 1.96) AS b,
+          | wilson_lo(3L, 3L, 1.96) AS c""".stripMargin).head()
+      assert(wl.getDouble(0) === wlo(10, 20, 1.96))
+      assert(wl.getDouble(1) === wlo(490, 1000, 1.96))
+      assert(wl.getDouble(2) === wlo(3, 3, 1.96))
+      // 3-for-3 must rank BELOW 490-of-1000 — the gate's whole point
+      assert(wl.getDouble(2) < wl.getDouble(1))
+      // round-13: freshness_weight(age, hl) halves every half-life;
+      // SUM(w)^2 / SUM(w*w) over it is the x203 Kish ESS in pure SQL
+      val fw = s2.sql(
+        """WITH d(age) AS (VALUES (0.0), (90.0), (180.0)),
+          |w AS (SELECT age, freshness_weight(age, 90.0) AS w FROM d)
+          |SELECT round(sum(w)*sum(w)/sum(w*w), 6) AS ess,
+          | min(w) AS wmin, max(w) AS wmax,
+          | min(freshness_weight(age, 0.0)) AS bad
+          |FROM w""".stripMargin).head()
+      val ws = Seq(1.0, 0.5, 0.25)
+      val ess = math.rint(math.pow(ws.sum, 2) / ws.map(x => x * x).sum
+        * 1e6) / 1e6
+      assert(fw.getDouble(0) === ess)
+      assert(fw.getDouble(1) === 0.25 && fw.getDouble(2) === 1.0)
+      assert(fw.isNullAt(3))
     } finally {
       org.apache.spark.sql.graftbridge.ColumnBridge.restoreSessions(prev)
     }
