@@ -152,7 +152,12 @@ object OracleSql {
     * golden-record faces and the B-cubed evaluation so the partition
     * being scored is the partition being produced.
     */
-  private def entityChainSql(key: String => String = identity): String =
+  /** Just the dirty-registry fixture (t + reg CTEs, mirrors
+    * SparkEntry.entityRegistry) — shared by [[entityChainSql]] and the
+    * x206 blocking audit, which needs the registry but none of the
+    * resolution machinery.
+    */
+  private val RegistrySql: String =
       s"""t AS (SELECT doc_id,
         |  'u' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS tok
         | FROM documents WHERE doc_id < 2000),
@@ -168,7 +173,10 @@ object OracleSql {
         | SELECT doc_id*3+2,
         |  substring(tok, 1, CAST((doc_id*7+3) % 9 AS INTEGER)) ||
         |   substring(tok, CAST((doc_id*7+3) % 9 AS INTEGER) + 2),
-        |  CAST(doc_id % 97 AS DOUBLE) FROM t WHERE doc_id % 5 = 0),
+        |  CAST(doc_id % 97 AS DOUBLE) FROM t WHERE doc_id % 5 = 0)""".stripMargin
+
+  private def entityChainSql(key: String => String = identity): String =
+      s"""$RegistrySql,
         |pairs AS (SELECT a.rid AS u, b.rid AS v FROM reg a JOIN reg b
         | ON a.rid < b.rid
         |  AND levenshtein(${key("a.rkey")}, ${key("b.rkey")}) <= 1),
@@ -2622,8 +2630,8 @@ object OracleSql {
          | round(CAST(sum(p * (2 * cum + n + 1)) - sum(p) * (sum(p) + 1)
          |   AS DOUBLE) / (2.0 * sum(p) * sum(n - p)), 6) AS auc
          |FROM r""".stripMargin,
-    // mirror of Evaluation.wilsonGate at z=1.96, tau=0.3, pass =
-    // quality >= 0.5: z^2 is the SAME Scala double product, the gate
+    // mirror of Evaluation.wilsonGate at z=1.96, tau=0.25, pass =
+    // quality >= 0.75: z^2 is the SAME Scala double product, the gate
     // compares the unrounded lower bound
     "x202_wilson_gate" ->
       s"""WITH t AS (SELECT doc_id, text, source, $Toks AS toks
@@ -3747,6 +3755,66 @@ object OracleSql {
          |  / ((sp / CAST(n AS DOUBLE)) + (sr / CAST(n AS DOUBLE))), 6)
          |  AS bcubed_f1
          |FROM pr""".stripMargin,
+    // mirror of Valuation.knnShapley (Jia et al. closed form, K=3,
+    // probes vec_id < 8): round-6 cosine ranks (ties on vec_id), the
+    // telescoped per-rank term quantized to 1e-12 longs BEFORE the
+    // suffix sum (integer window sums are fold-order exact — DuckDB's
+    // segment-tree window sum would drift by ulps on doubles)
+    "x205_knn_shapley" ->
+      s"""WITH v AS (SELECT vec_id, label,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+         | FROM embeddings),
+         |q AS (SELECT vec_id AS qid, label AS qlabel, ve AS qv FROM v
+         | WHERE vec_id < 8),
+         |c AS (SELECT vec_id, label, ve FROM v WHERE vec_id >= 8),
+         |sc AS (SELECT c.vec_id, c.label, q.qid,
+         |  ${cosineSql("c.ve", "q.qv")} AS cos,
+         |  CASE WHEN c.label = q.qlabel THEN 1.0 ELSE 0.0 END AS m
+         | FROM c CROSS JOIN q),
+         |r AS (SELECT vec_id, label, qid, m,
+         |  row_number() OVER w AS i,
+         |  count(*) OVER (PARTITION BY qid) AS n,
+         |  lead(m) OVER w AS mnext
+         | FROM sc WINDOW w AS (PARTITION BY qid ORDER BY cos DESC, vec_id)),
+         |t AS (SELECT vec_id, label, qid, i,
+         |  CASE WHEN i = n THEN m / CAST(n AS DOUBLE)
+         |   ELSE (m - mnext) / 3.0 * least(3.0, CAST(i AS DOUBLE))
+         |    / CAST(i AS DOUBLE) END AS term FROM r),
+         |tq AS (SELECT vec_id, label, qid, i,
+         |  CAST(round(term * 1e12) AS BIGINT) AS tq FROM t),
+         |s AS (SELECT vec_id, label,
+         |  sum(tq) OVER (PARTITION BY qid ORDER BY i DESC
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sq
+         | FROM tq)
+         |SELECT vec_id, CAST(label AS BIGINT) AS label,
+         | CAST(count(*) AS BIGINT) AS n_probes,
+         | round(CAST(sum(sq) AS DOUBLE) / (count(*) * 1e12), 6) AS shapley
+         |FROM s GROUP BY 1, 2""".stripMargin,
+    // mirror of Valuation.blockingAudit on the x200 lossy blocking
+    // (6-char truncated keys) against the rid//3 truth: every pair count
+    // from a size histogram — C(c,2) sums, no pair enumeration
+    "x206_blocking_audit" ->
+      s"""WITH $RegistrySql,
+         |b AS (SELECT rid, substring(rkey, 1, 6) AS bk, rid // 3 AS tr
+         | FROM reg),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+         |cand AS (SELECT coalesce(CAST(sum(c*(c-1)//2) AS BIGINT), 0)
+         |  AS cp, CAST(count(*) AS BIGINT) AS nb
+         | FROM (SELECT count(*) AS c FROM b GROUP BY bk)),
+         |tru AS (SELECT coalesce(CAST(sum(c*(c-1)//2) AS BIGINT), 0) AS tp
+         | FROM (SELECT count(*) AS c FROM b GROUP BY tr)),
+         |cov AS (SELECT coalesce(CAST(sum(c*(c-1)//2) AS BIGINT), 0) AS vp
+         | FROM (SELECT count(*) AS c FROM b GROUP BY bk, tr))
+         |SELECT n, nb AS n_blocks,
+         | CAST(n*(n-1)//2 AS BIGINT) AS total_pairs,
+         | cp AS candidate_pairs, tp AS true_pairs, vp AS covered_pairs,
+         | round(1.0 - CAST(cp AS DOUBLE) / CAST(n*(n-1)//2 AS DOUBLE), 6)
+         |  AS reduction_ratio,
+         | round(CAST(vp AS DOUBLE) / CAST(tp AS DOUBLE), 6)
+         |  AS pairs_completeness,
+         | round(CAST(vp AS DOUBLE) / CAST(cp AS DOUBLE), 6)
+         |  AS pairs_quality
+         |FROM tot, cand, tru, cov""".stripMargin,
     // synchronous majority label propagation replayed as CommunityRounds
     // chained CTE rounds on the x62 co-citation graph (the round count
     // derives from the SAME SparkEntry.CommunityRounds constant the Spark

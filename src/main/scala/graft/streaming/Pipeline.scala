@@ -384,16 +384,34 @@ object Pipeline {
     * dropped — real streaming semantics, but not a batch-expressible
     * oracle).
     */
+  /** Number of parquet part files under `dir` — the micro-batch count a
+    * `maxFilesPerTrigger = 1` drain will replay from it. */
+  private def partFileCount(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .globStatus(new org.apache.hadoop.fs.Path(s"$dir/part-*")).length
+  }
+
   def joinDrainParity(spark: org.apache.spark.sql.SparkSession,
       batchDf: DataFrame, eventTimeCol: String, key: String,
       leftFilter: org.apache.spark.sql.Column,
       rightFilter: org.apache.spark.sql.Column, lookback: String,
-      delay: String, inputFiles: Int = 2): DataFrame = withDrainPartitions(spark) {
+      delay: String, inputFiles: Int = 2,
+      preparedIn: Option[String] = None): DataFrame = withDrainPartitions(spark) {
     require(inputFiles >= 2,
       s"state must cross a micro-batch boundary: inputFiles >= 2, got $inputFiles")
     val root = java.nio.file.Files.createTempDirectory("graft_s12_").toString
-    val in = s"$root/in"
-    batchDf.repartition(inputFiles).write.mode("overwrite").parquet(in)
+    // a caller that drains several joins over the SAME batch frame can
+    // materialize it once (the x123 fixture discipline) and pass the dir;
+    // the stream reads it untouched, so the fixture stays shareable
+    val in = preparedIn.getOrElse {
+      val p = s"$root/in"
+      batchDf.repartition(inputFiles).write.mode("overwrite").parquet(p)
+      p
+    }
+    require(partFileCount(spark, in) >= 2,
+      s"prepared input must span >= 2 files for cross-batch state: $in")
     val stream = spark.readStream.schema(batchDf.schema)
       .option("maxFilesPerTrigger", 1).parquet(in)
     val joined = intervalJoinStream(stream.filter(leftFilter),
@@ -423,12 +441,35 @@ object Pipeline {
   def outerJoinDrainParity(spark: org.apache.spark.sql.SparkSession,
       batchDf: DataFrame, eventTimeCol: String, idCol: String, key: String,
       sideCol: String, leftSide: String, rightSide: String,
-      lookback: String, delay: String, inputFiles: Int = 2): DataFrame = withDrainPartitions(spark) {
+      lookback: String, delay: String, inputFiles: Int = 2,
+      preparedIn: Option[String] = None): DataFrame = withDrainPartitions(spark) {
     require(inputFiles >= 2,
       s"state must cross a micro-batch boundary: inputFiles >= 2, got $inputFiles")
     val root = java.nio.file.Files.createTempDirectory("graft_s15_").toString
     val in = s"$root/in"
-    batchDf.repartition(inputFiles).write.mode("overwrite").parquet(in)
+    preparedIn match {
+      // this drain MUTATES its input dir (the sentinel file renames into
+      // it), so a shared fixture is copied file-for-file into a private
+      // dir — driver-side IO on the part files, no second Spark job —
+      // and the fixture itself is never touched
+      case Some(src) =>
+        val conf = spark.sparkContext.hadoopConfiguration
+        val srcP = new org.apache.hadoop.fs.Path(src)
+        val fs0 = srcP.getFileSystem(conf)
+        val parts = fs0.globStatus(
+          new org.apache.hadoop.fs.Path(s"$src/part-*"))
+        require(parts.length >= 2,
+          s"prepared input must span >= 2 files for cross-batch state: $src")
+        val inP = new org.apache.hadoop.fs.Path(in)
+        fs0.mkdirs(inP)
+        parts.foreach { st =>
+          org.apache.hadoop.fs.FileUtil.copy(fs0, st.getPath, fs0,
+            new org.apache.hadoop.fs.Path(inP, st.getPath.getName),
+            false, conf)
+        }
+      case None =>
+        batchDf.repartition(inputFiles).write.mode("overwrite").parquet(in)
+    }
     // two sentinel rows — one passes each side's filter — at
     // mx + delay + 2*lookback on key -1: after they replay, the global
     // watermark sits at mx + 2*lookback, strictly past every real left

@@ -448,4 +448,32 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(Pipeline.latestVersion(spark, root, below = Some(10L)) === Some(2L))
     assert(Pipeline.latestVersion(spark, root, below = Some(0L)) === None)
   }
+
+  test("withDrainPartitions serializes concurrent drains and restores " +
+      "the session shuffle-partition count") {
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    val active = new java.util.concurrent.atomic.AtomicInteger(0)
+    val overlapped = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // two "drains" race on the ONE session: without the lock the second
+    // would capture prev = 4 (the first's pinned value) and "restore" it
+    // permanently — the exact leak the round-12 verdict flagged
+    val threads = (1 to 2).map { _ =>
+      new Thread(() =>
+        graft.streaming.Pipeline.withDrainPartitions(spark) {
+          if (active.incrementAndGet() != 1) overlapped.set(true)
+          seen.add(spark.conf.get(key))
+          Thread.sleep(100)
+          active.decrementAndGet()
+          ()
+        })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(!overlapped.get, "two drains held the pinned conf at once")
+    assert(seen.toArray(new Array[String](0)).toSeq === Seq("4", "4"),
+      s"each drain must see the pinned count, got $seen")
+    assert(spark.conf.get(key) === before,
+      "session shuffle-partition count must be restored after both drains")
+  }
 }
