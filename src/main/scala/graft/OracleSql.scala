@@ -3815,6 +3815,56 @@ object OracleSql {
          | round(CAST(vp AS DOUBLE) / CAST(cp AS DOUBLE), 6)
          |  AS pairs_quality
          |FROM tot, cand, tru, cov""".stripMargin,
+    // mirror of Dedup.normalizationLadder over the same perturbed corpus
+    // (%17 exact copies, %7 upper-cased, %11 space-doubled, %13
+    // '!!'-suffixed); 'g' flags — Spark regexp_replace is global
+    "x209_dedup_ladder" ->
+      s"""WITH base AS (SELECT text FROM documents
+         | UNION ALL SELECT text FROM documents WHERE doc_id % 17 = 0
+         | UNION ALL SELECT upper(text) FROM documents WHERE doc_id % 7 = 0
+         | UNION ALL SELECT regexp_replace(text, ' ', '  ', 'g')
+         |  FROM documents WHERE doc_id % 11 = 0
+         | UNION ALL SELECT text || '!!' FROM documents
+         |  WHERE doc_id % 13 = 0),
+         |m AS (SELECT text AS l0, lower(text) AS l1,
+         |  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS l2,
+         |  regexp_replace(trim(regexp_replace(lower(text), '\\s+', ' ',
+         |   'g')), '[^a-z0-9 ]', '', 'g') AS l3 FROM base),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(DISTINCT l0) AS BIGINT) AS d0,
+         |  CAST(count(DISTINCT l1) AS BIGINT) AS d1,
+         |  CAST(count(DISTINCT l2) AS BIGINT) AS d2,
+         |  CAST(count(DISTINCT l3) AS BIGINT) AS d3 FROM m)
+         |SELECT 0 AS level, 'raw' AS normalization, n AS n_docs,
+         | d0 AS n_distinct, n-d0 AS dups, n-d0 AS marginal_dups,
+         | round(CAST(n-d0 AS DOUBLE)/CAST(n AS DOUBLE), 6) AS dup_rate
+         |FROM a
+         |UNION ALL SELECT 1, 'casefold', n, d1, n-d1, d0-d1,
+         | round(CAST(n-d1 AS DOUBLE)/CAST(n AS DOUBLE), 6) FROM a
+         |UNION ALL SELECT 2, 'whitespace', n, d2, n-d2, d1-d2,
+         | round(CAST(n-d2 AS DOUBLE)/CAST(n AS DOUBLE), 6) FROM a
+         |UNION ALL SELECT 3, 'alnum', n, d3, n-d3, d2-d3,
+         | round(CAST(n-d3 AS DOUBLE)/CAST(n AS DOUBLE), 6) FROM a""".stripMargin,
+    // mirror of Confusables.spoofGroups over the same %19 Cyrillic
+    // perturbation; the fold pair must match Confusables.CyrillicConfusable
+    "x208_homoglyphs" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents
+         | UNION ALL SELECT doc_id + 5000000,
+         |  translate(text, 'aeo', 'аео') FROM documents
+         |  WHERE doc_id % 19 = 0),
+         |k AS (SELECT doc_id, text,
+         |  translate(lower(text), '${graft.text.Confusables.CyrillicConfusable}',
+         |   '${graft.text.Confusables.LatinFold}') AS sk FROM base),
+         |g AS (SELECT sk, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT text) AS BIGINT) AS n_variants,
+         |  CAST(sum(CASE WHEN lower(text) <> sk
+         |   AND regexp_matches(lower(text), '[a-z]') THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_mixed,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         | FROM k GROUP BY sk)
+         |SELECT min_doc, max_doc, n_docs, n_variants, n_mixed,
+         | CAST(length(sk) AS INTEGER) AS skeleton_len
+         |FROM g WHERE n_variants > 1""".stripMargin,
     // synchronous majority label propagation replayed as CommunityRounds
     // chained CTE rounds on the x62 co-citation graph (the round count
     // derives from the SAME SparkEntry.CommunityRounds constant the Spark

@@ -1895,6 +1895,37 @@ object SparkEntry {
     "x206_blocking_audit" -> ((s, dir) =>
       graft.analytics.Valuation.blockingAudit(entityRegistry(s, dir),
         col("rid"), substring(col("rkey"), 1, 6), expr("rid div 3"))),
+    // normalization dedup ladder over a deterministically perturbed
+    // corpus (the x175 mutation-harness idiom — the clean fixture has no
+    // duplicates, so each rung is fed its own perturbation class:
+    // %17 exact copies, %7 case-mangled, %11 space-doubled, %13
+    // punctuation-suffixed); the marginal column attributes dups to the
+    // rung that first collapses them
+    "x209_dedup_ladder" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val pert = d.filter(col("doc_id") % 17 === 0).select(col("text"))
+        .union(d.filter(col("doc_id") % 7 === 0)
+          .select(upper(col("text"))))
+        .union(d.filter(col("doc_id") % 11 === 0)
+          .select(regexp_replace(col("text"), " ", "  ")))
+        .union(d.filter(col("doc_id") % 13 === 0)
+          .select(concat(col("text"), lit("!!"))))
+      graft.dedup.Dedup.normalizationLadder(
+        d.select(col("text")).union(pert), col("text"))
+    }),
+    // homoglyph-spoof report: %19 docs re-enter the corpus with their
+    // Latin a/e/o swapped for Cyrillic lookalikes — invisible to every
+    // byte-level dedup key; the TR39-style skeleton fold pairs each
+    // spoof with its original (pure-ASCII fixture, so the perturbation
+    // IS the signal, the x175 mutation-harness idiom)
+    "x208_homoglyphs" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val spoofed = d.filter(col("doc_id") % 19 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          translate(col("text"), "aeo", "аео").as("text"))
+      graft.text.Confusables.spoofGroups(d.union(spoofed),
+        col("doc_id"), col("text"))
+    }),
     // epsilon-DP noisy release of per-source doc counts: hash-seeded
     // Laplace(1/0.8) + post-noise floor at 24 — true count kept beside
     // the noisy one as the audit face (production publishes noisy only)

@@ -1548,4 +1548,46 @@ object Dedup {
       .agg(count(lit(1)).as("dup_pairs"),
         round(avg(col("jaccard")), 6).as("avg_jaccard"))
   }
+
+  /** Normalization dedup ladder: how many duplicates each rung of the
+    * standard text-normalization cascade exposes —
+    *
+    *   0 raw        — byte-identical copies
+    *   1 casefold   — lower(text)
+    *   2 whitespace — runs collapsed to one space, ends trimmed
+    *   3 alnum      — everything outside [a-z0-9 ] stripped
+    *
+    * The marginal column is the curation decision aid: it says which
+    * rung actually buys coverage on THIS corpus (a big casefold rung
+    * means case-mangling mirrors; a big alnum rung means punctuation
+    * perturbation, the classic SEO-spam near-dup) — so the exact-dedup
+    * key ([[exactDuplicates]]) can be chosen with evidence instead of
+    * convention. Rung l's marginal = distinct(l−1) − distinct(l): the
+    * ladder is monotone because each rung's key is a function of the
+    * previous rung's.
+    *
+    * Scale shape: one projection pass computing the four keys, one
+    * multi-distinct aggregate (Spark expands to 4× the input rows, each
+    * carrying one key — the expand is linear and map-side partial), and
+    * a 4-row unpivot of the single result row. No join, no window.
+    */
+  def normalizationLadder(df: DataFrame, text: Column): DataFrame = {
+    val l1 = lower(text)
+    val l2 = trim(regexp_replace(l1, "\\s+", " "))
+    val l3 = regexp_replace(l2, "[^a-z0-9 ]", "")
+    val one = df.agg(count(lit(1)).as("n"),
+      countDistinct(text).as("d0"), countDistinct(l1).as("d1"),
+      countDistinct(l2).as("d2"), countDistinct(l3).as("d3"))
+    val names = Seq("raw", "casefold", "whitespace", "alnum")
+    val rungs = (0 to 3).map { i =>
+      val prev = if (i == 0) col("n") else col(s"d${i - 1}")
+      struct(lit(i).as("level"), lit(names(i)).as("normalization"),
+        col("n").as("n_docs"), col(s"d$i").as("n_distinct"),
+        (col("n") - col(s"d$i")).as("dups"),
+        (prev - col(s"d$i")).as("marginal_dups"),
+        round((col("n") - col(s"d$i")).cast("double") /
+          col("n").cast("double"), 6).as("dup_rate"))
+    }
+    one.select(explode(array(rungs: _*)).as("r")).select(col("r.*"))
+  }
 }

@@ -912,4 +912,29 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(gotEdge.contains((30L, 31L)))
   }
+
+  test("x209 normalizationLadder attributes each dup to the rung that " +
+      "first collapses it; the ladder is monotone") {
+    import spark.implicits._
+    val docs = Seq(
+      "Alpha beta gamma",   // base
+      "Alpha beta gamma",   // raw dup           -> rung 0
+      "ALPHA BETA GAMMA",   // case variant      -> rung 1
+      "alpha  beta\tgamma", // whitespace variant-> rung 2
+      "alpha beta, gamma!", // punct variant     -> rung 3
+      "different text"      // unrelated
+    ).toDF("text")
+    val got = Dedup.normalizationLadder(docs, col("text"))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getDouble(6)))).toMap
+    // 6 docs; distinct: raw 5, casefold 4, whitespace 3, alnum 2
+    assert(got(0) === (("raw", 6L, 5L, 1L, 1L, 0.166667)))
+    assert(got(1) === (("casefold", 6L, 4L, 2L, 1L, 0.333333)))
+    assert(got(2) === (("whitespace", 6L, 3L, 3L, 1L, 0.5)))
+    assert(got(3) === (("alnum", 6L, 2L, 4L, 1L, 0.666667)))
+    // monotone: each rung's distinct count never exceeds the previous
+    val ds = (0 to 3).map(i => got(i)._3)
+    assert(ds === ds.sorted.reverse)
+  }
 }
