@@ -3865,6 +3865,44 @@ object OracleSql {
          |SELECT min_doc, max_doc, n_docs, n_variants, n_mixed,
          | CAST(length(sk) AS INTEGER) AS skeleton_len
          |FROM g WHERE n_variants > 1""".stripMargin,
+    // mirror of Segmentation.cutReport at w=20: integer term counts make
+    // dot/norms exact longs; sims round at 6 before the depth arithmetic;
+    // edge neighbors coalesce to the boundary's own sim (Hearst depth)
+    "x207_texttiling" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |tk AS (SELECT doc_id, unnest(toks) AS term,
+         |  unnest(range(0, len(toks))) AS pos FROM t),
+         |tc AS (SELECT doc_id, pos // 20 AS blk, term,
+         |  CAST(count(*) AS BIGINT) AS c
+         | FROM tk WHERE term <> '' GROUP BY 1, 2, 3),
+         |dt AS (SELECT a.doc_id, a.blk,
+         |  CAST(sum(a.c * b.c) AS BIGINT) AS dot
+         | FROM tc a JOIN tc b ON a.doc_id = b.doc_id AND a.term = b.term
+         |  AND b.blk = a.blk + 1
+         | GROUP BY 1, 2),
+         |nn AS (SELECT doc_id, blk, CAST(sum(c * c) AS BIGINT) AS nn
+         | FROM tc GROUP BY 1, 2),
+         |sims AS (SELECT n1.doc_id, n1.blk AS boundary,
+         |  round(CAST(coalesce(dt.dot, 0) AS DOUBLE) /
+         |   sqrt(CAST(n1.nn * n2.nn AS DOUBLE)), 6) AS sim
+         | FROM nn n1 JOIN nn n2 ON n1.doc_id = n2.doc_id
+         |  AND n2.blk = n1.blk + 1
+         | LEFT JOIN dt ON dt.doc_id = n1.doc_id AND dt.blk = n1.blk),
+         |d AS (SELECT doc_id, boundary, sim,
+         |  round(greatest(greatest(coalesce(lag(sim, 1) OVER w, sim),
+         |    coalesce(lag(sim, 2) OVER w, sim)) - sim, 0) +
+         |   greatest(greatest(coalesce(lead(sim, 1) OVER w, sim),
+         |    coalesce(lead(sim, 2) OVER w, sim)) - sim, 0), 6) AS depth
+         | FROM sims WINDOW w AS (PARTITION BY doc_id ORDER BY boundary)),
+         |g AS (SELECT doc_id, boundary, depth,
+         |  row_number() OVER (PARTITION BY doc_id
+         |   ORDER BY depth DESC, boundary ASC) AS rn,
+         |  count(*) OVER (PARTITION BY doc_id) AS nb,
+         |  min(sim) OVER (PARTITION BY doc_id) AS ms FROM d)
+         |SELECT doc_id, CAST(nb AS BIGINT) AS n_boundaries,
+         | boundary AS top_boundary, depth AS top_depth,
+         | round(ms, 6) AS min_sim
+         |FROM g WHERE rn = 1""".stripMargin,
     // synchronous majority label propagation replayed as CommunityRounds
     // chained CTE rounds on the x62 co-citation graph (the round count
     // derives from the SAME SparkEntry.CommunityRounds constant the Spark

@@ -1926,6 +1926,14 @@ object SparkEntry {
       graft.text.Confusables.spoofGroups(d.union(spoofed),
         col("doc_id"), col("text"))
     }),
+    // TextTiling topic segmentation: per doc, the deepest inter-block
+    // cohesion valley (20-token blocks, round-6 adjacent-block cosine,
+    // Hearst ±2-neighborhood depth) — the content-aware cut table a
+    // chunking policy reads instead of slicing mid-topic (x42's
+    // fixed-window complement)
+    "x207_texttiling" -> ((s, dir) =>
+      graft.text.Segmentation.cutReport(T(s, dir, "documents"),
+        col("doc_id"), col("text"), w = 20)),
     // epsilon-DP noisy release of per-source doc counts: hash-seeded
     // Laplace(1/0.8) + post-noise floor at 24 — true count kept beside
     // the noisy one as the audit face (production publishes noisy only)
