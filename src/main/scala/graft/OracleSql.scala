@@ -3903,6 +3903,50 @@ object OracleSql {
          | boundary AS top_boundary, depth AS top_depth,
          | round(ms, 6) AS min_sim
          |FROM g WHERE rn = 1""".stripMargin,
+    // mirror of Distribution.robustOutliers at k=3: median and MAD round
+    // at 6 BEFORE the threshold compare (quantile_cont ↔ exact
+    // percentile, the a08 pairing); nulls excluded
+    "x210_robust_outliers" ->
+      s"""WITH v AS (SELECT event_type AS "group", CAST(value AS DOUBLE)
+         |  AS x FROM events WHERE value IS NOT NULL),
+         |m AS (SELECT "group", CAST(count(*) AS BIGINT) AS n,
+         |  round(quantile_cont(x, 0.5), 6) AS median FROM v GROUP BY 1),
+         |d AS (SELECT v."group", abs(x - median) AS ad, n, median
+         | FROM v JOIN m USING ("group")),
+         |md AS (SELECT "group", round(quantile_cont(ad, 0.5), 6) AS mad
+         | FROM d GROUP BY 1),
+         |f AS (SELECT d."group", max(n) AS n, max(median) AS median,
+         |  max(mad) AS mad,
+         |  CAST(sum(CASE WHEN ad > 3.0 * 1.4826 * mad THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_outliers
+         | FROM d JOIN md USING ("group") GROUP BY 1)
+         |SELECT "group", n, median, mad,
+         | round(1.4826 * mad, 6) AS sigma_robust, n_outliers,
+         | round(CAST(n_outliers AS DOUBLE) / CAST(n AS DOUBLE), 6)
+         |  AS outlier_rate
+         |FROM f""".stripMargin,
+    // mirror of Entities.sortedNeighborhood at w=5 on the x206 registry:
+    // global (rkey, rid) rank, pairs within rank distance < w via a
+    // range join, true pairs from the size histogram
+    "x211_sorted_neighborhood" ->
+      s"""WITH $RegistrySql,
+         |b AS (SELECT rid, rkey, rid // 3 AS tr,
+         |  row_number() OVER (ORDER BY rkey, rid) AS r FROM reg),
+         |p AS (SELECT a.tr AS ta, c.tr AS tb FROM b a JOIN b c
+         | ON c.r > a.r AND c.r <= a.r + 4),
+         |ag AS (SELECT CAST(count(*) AS BIGINT) AS cp,
+         |  CAST(sum(CASE WHEN ta = tb THEN 1 ELSE 0 END) AS BIGINT) AS vp
+         | FROM p),
+         |tu AS (SELECT coalesce(CAST(sum(c*(c-1)//2) AS BIGINT), 0) AS tp
+         | FROM (SELECT count(*) AS c FROM b GROUP BY tr)),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b)
+         |SELECT n, 5 AS window_size, cp AS candidate_pairs,
+         | vp AS covered_pairs, tp AS true_pairs,
+         | round(CAST(vp AS DOUBLE) / CAST(tp AS DOUBLE), 6)
+         |  AS pairs_completeness,
+         | round(CAST(vp AS DOUBLE) / CAST(cp AS DOUBLE), 6)
+         |  AS pairs_quality
+         |FROM tot, ag, tu""".stripMargin,
     // synchronous majority label propagation replayed as CommunityRounds
     // chained CTE rounds on the x62 co-citation graph (the round count
     // derives from the SAME SparkEntry.CommunityRounds constant the Spark

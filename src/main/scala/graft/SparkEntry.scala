@@ -1934,6 +1934,18 @@ object SparkEntry {
     "x207_texttiling" -> ((s, dir) =>
       graft.text.Segmentation.cutReport(T(s, dir, "documents"),
         col("doc_id"), col("text"), w = 20)),
+    // robust per-type telemetry outliers: median/MAD (exact percentile,
+    // the a08 pairing) so the threshold is not dragged by the spikes it
+    // hunts; flags |x − med| > 3·1.4826·MAD
+    "x210_robust_outliers" -> ((s, dir) =>
+      graft.analytics.Distribution.robustOutliers(T(s, dir, "events"),
+        col("event_type"), col("value"), k = 3.0)),
+    // sorted-neighborhood (SNM) blocking audit on the same registry +
+    // truth as x206's hash-blocking audit — the two completeness numbers
+    // side by side are the blocker-selection evidence
+    "x211_sorted_neighborhood" -> ((s, dir) =>
+      graft.analytics.Entities.sortedNeighborhood(entityRegistry(s, dir),
+        col("rid"), col("rkey"), expr("rid div 3"), window = 5)),
     // epsilon-DP noisy release of per-source doc counts: hash-seeded
     // Laplace(1/0.8) + post-noise floor at 24 — true count kept beside
     // the noisy one as the audit face (production publishes noisy only)

@@ -527,4 +527,50 @@ object Distribution {
       .agg(min(col("counter")).as("cms_est"))
       .withColumn("overcount", col("cms_est") - col("exact"))
   }
+
+  /** Robust per-group outlier report — median/MAD instead of mean/stddev,
+    * so the threshold itself is not dragged by the outliers it is
+    * hunting (one stuck-sensor spike inflates a z-score sigma and masks
+    * every later spike; the MAD barely moves). Flags |x − median| >
+    * k · 1.4826 · MAD, 1.4826 being the consistency constant that makes
+    * MAD estimate sigma under normality, so `k` reads in familiar
+    * sigma units.
+    *
+    * Determinism: median and MAD round at 6 dp BEFORE the threshold
+    * arithmetic, so the strict-> comparison runs on identical doubles in
+    * both engines (exact `percentile` pairs with DuckDB `quantile_cont`,
+    * the a08 discipline). Null values are excluded throughout.
+    *
+    * Scale shape: two exact-percentile passes (median, then MAD over the
+    * deviations) plus one flagging aggregate — three keyed shuffles, the
+    * price of exact order statistics; at the 100 TB tier swap
+    * `percentile_approx` exactly as [[Aggregates.describe]] documents,
+    * the flagging logic is unchanged. The per-group frames join back on
+    * the group key (|groups|-sized, AQE broadcasts them).
+    */
+  def robustOutliers(df: DataFrame, group: Column, value: Column,
+      k: Double = 3.0): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val v = df.select(group.as("group"), value.cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val med = v.groupBy(col("group"))
+      .agg(count(lit(1)).as("n"),
+        round(percentile(col("__v"), lit(0.5)), 6).as("median"))
+    val dev = v.join(med, Seq("group"))
+      .withColumn("__ad", abs(col("__v") - col("median")))
+    val mad = dev.groupBy(col("group"))
+      .agg(round(percentile(col("__ad"), lit(0.5)), 6).as("mad"))
+    dev.join(mad, Seq("group"))
+      .withColumn("__thr", lit(k) * lit(1.4826) * col("mad"))
+      .groupBy(col("group"))
+      .agg(max(col("n")).as("n"), max(col("median")).as("median"),
+        max(col("mad")).as("mad"),
+        sum(when(col("__ad") > col("__thr"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("group"), col("n"), col("median"), col("mad"),
+        round(lit(1.4826) * col("mad"), 6).as("sigma_robust"),
+        col("n_outliers"),
+        round(col("n_outliers").cast("double") / col("n").cast("double"),
+          6).as("outlier_rate"))
+  }
 }

@@ -177,6 +177,68 @@ object Entities {
       .filter(col("left_id") < col("right_id"))
       .select(col("left_id").as("doc_a"), col("right_id").as("doc_b"))
 
+  /** Sorted-neighborhood blocking audit (Hernández & Stolfo's SNM):
+    * order the registry by the dirty key itself and take every pair
+    * within a rank window of `w` — the classic alternative to hash/
+    * truncation blocking, catching variants that sort ADJACENTLY (typo
+    * in the tail of the key) which a truncated-prefix block can miss,
+    * and missing head-typos that hash blocking catches; run both audits
+    * ([[graft.analytics.Valuation.blockingAudit]] is the hash side) and
+    * read completeness side by side before picking a blocker.
+    *
+    * The global rank is the DISTRIBUTED PREFIX SCAN (range partition +
+    * local row_number + |partitions|-sized offset frame — the
+    * [[graft.sampling.Sharding.assignShards]] shape; never a
+    * single-partition window), candidates come from a keyed equi-join of
+    * rank against rank+d for d in 1..w−1 (exactly n·(w−1) − edge rows,
+    * bounded by construction), and true pairs come from the size
+    * histogram, never enumeration.
+    */
+  def sortedNeighborhood(records: DataFrame, id: Column, key: Column,
+      truth: Column, window: Int = 5,
+      partitions: Int = 32): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(partitions >= 1, s"partitions must be >= 1, got $partitions")
+    import org.apache.spark.sql.expressions.Window
+    val base = records.select(id.cast("long").as("rid"), key.as("__k"),
+        truth.as("__t"))
+      .repartitionByRange(partitions, col("__k"), col("rid"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true) // offsets and the scan both read it
+    val offs = base.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__pc"))
+      .withColumn("__off",
+        coalesce(sum(col("__pc")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val local = Window.partitionBy(col("__pid"))
+      .orderBy(col("__k").asc, col("rid").asc)
+    val ranked = base
+      .withColumn("__lr", row_number().over(local).cast("long"))
+      .join(broadcast(offs), Seq("__pid"))
+      .select(col("rid"), col("__t"), (col("__lr") + col("__off")).as("__r"))
+    val probes = ranked
+      .select(col("__r"), col("__t").as("__ta"))
+      .withColumn("__d", explode(array((1 until window).map(lit): _*)))
+      .select((col("__r") + col("__d")).as("__r"), col("__ta"))
+    val pairCounts = probes
+      .join(ranked.select(col("__r"), col("__t").as("__tb")), Seq("__r"))
+      .agg(count(lit(1)).as("candidate_pairs"),
+        sum(when(col("__ta") === col("__tb"), 1L).otherwise(0L))
+          .as("covered_pairs"))
+    val tru = base.groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+      .agg(coalesce(sum((col("__c") * (col("__c") - 1L) / lit(2L))
+        .cast("long")), lit(0L)).as("true_pairs"))
+    base.agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(pairCounts)).crossJoin(broadcast(tru))
+      .select(col("n"), lit(window).as("window_size"),
+        col("candidate_pairs"), col("covered_pairs"), col("true_pairs"),
+        round(col("covered_pairs").cast("double") /
+          col("true_pairs").cast("double"), 6).as("pairs_completeness"),
+        round(col("covered_pairs").cast("double") /
+          col("candidate_pairs").cast("double"), 6).as("pairs_quality"))
+  }
+
   /** Closure + survivorship over a normalized registry and its edges. */
   private def survivorship(base: DataFrame, pairs: DataFrame): DataFrame = {
     val clusters = graft.dedup.Dedup.duplicateClusters(pairs)

@@ -528,4 +528,31 @@ class AnalyticsSpec extends SparkSpec {
       .sortBy(r => (-r.getAs[Long]("exact"), r.getAs[String]("key")))
     assert(top.map(_.getAs[String]("key")).toSeq === Seq("a", "b", "c", "d"))
   }
+
+  test("x210 robustOutliers: hand median/MAD, a spike the mean-based " +
+      "sigma would mask, and the MAD-0 degenerate") {
+    import spark.implicits._
+    val rows = Seq(
+      ("g", Some(1.0)), ("g", Some(2.0)), ("g", Some(3.0)),
+      ("g", Some(4.0)), ("g", Some(100.0)), ("g", None),
+      // constant-plus-one group: MAD = 0, so the single deviating row
+      // flags (ad 1 > 0) and the constant rows do not (strict >)
+      ("h", Some(5.0)), ("h", Some(5.0)), ("h", Some(5.0)),
+      ("h", Some(6.0))).toDF("t", "v")
+    val got = Distribution.robustOutliers(rows, col("t"), col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = got("g")
+    // median 3, deviations (2,1,0,1,97) -> MAD 1; thr = 3*1.4826
+    assert(g.getAs[Long]("n") === 5L) // the null row is excluded
+    assert(g.getAs[Double]("median") === 3.0)
+    assert(g.getAs[Double]("mad") === 1.0)
+    assert(g.getAs[Double]("sigma_robust") === 1.4826)
+    assert(g.getAs[Long]("n_outliers") === 1L)
+    assert(g.getAs[Double]("outlier_rate") === 0.2)
+    // mean/std would be dragged to ~22/43 — the 100 spike sits barely
+    // 1.8 classic sigmas out and would NOT flag at k=3; MAD catches it
+    val h = got("h")
+    assert(h.getAs[Double]("mad") === 0.0)
+    assert(h.getAs[Long]("n_outliers") === 1L)
+  }
 }

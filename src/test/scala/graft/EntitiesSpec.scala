@@ -123,4 +123,40 @@ class EntitiesSpec extends SparkSpec {
     val sizes = asg.groupBy(_._2).view.mapValues(_.size.toLong).toMap
     assert(sizes === golden)
   }
+
+  test("x211 sortedNeighborhood: hand candidates on a known key order, " +
+      "partition-count independent") {
+    import spark.implicits._
+    // sort order aa < ab < ac < zz; w=2 -> 3 adjacent pairs, of which
+    // (aa,ab) and (ac,zz) share a truth; true pairs = C(2,2)+C(2,2) = 2
+    val recs = Seq((1L, "aa", 1L), (2L, "ab", 1L), (3L, "ac", 2L),
+      (4L, "zz", 2L)).toDF("rid", "k", "t")
+    def run(parts: Int) = Entities.sortedNeighborhood(recs, col("rid"),
+      col("k"), col("t"), window = 2, partitions = parts).head()
+    val r = run(1)
+    assert(r.getAs[Long]("n") === 4L)
+    assert(r.getAs[Long]("candidate_pairs") === 3L)
+    assert(r.getAs[Long]("covered_pairs") === 2L)
+    assert(r.getAs[Long]("true_pairs") === 2L)
+    assert(r.getAs[Double]("pairs_completeness") === 1.0)
+    assert(r.getAs[Double]("pairs_quality") === 0.666667)
+    // the distributed rank must be partition-cut independent
+    assert(run(3) === r)
+  }
+
+  test("x211 sortedNeighborhood window widens monotonically toward " +
+      "full completeness") {
+    import spark.implicits._
+    // truth twins are 2 apart in sort order: w=2 misses them, w=3 pairs
+    // them
+    val recs = Seq((1L, "ka", 1L), (2L, "kb", 2L), (3L, "kc", 1L),
+      (4L, "kd", 2L)).toDF("rid", "k", "t")
+    val w2 = Entities.sortedNeighborhood(recs, col("rid"), col("k"),
+      col("t"), window = 2).head()
+    val w3 = Entities.sortedNeighborhood(recs, col("rid"), col("k"),
+      col("t"), window = 3).head()
+    assert(w2.getAs[Long]("covered_pairs") === 0L)
+    assert(w3.getAs[Long]("covered_pairs") === 2L)
+    assert(w3.getAs[Double]("pairs_completeness") === 1.0)
+  }
 }
