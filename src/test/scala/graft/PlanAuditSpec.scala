@@ -130,7 +130,16 @@ class PlanAuditSpec extends SparkSpec {
     "x200_bcubed",
     // 1-row broadcast scalars: operatingPoints' class totals and its
     // best-F1/best-J maxima, both against the |distinct scores| spine
-    "x201_operating_point")
+    "x201_operating_point",
+    // broadcast 8-probe test set against the corpus — the batch-kNN
+    // shape (KNN-Shapley scores every corpus row against each probe)
+    "x205_knn_shapley",
+    // 1-row broadcast scalars: the four pair-count aggregates combined
+    // into the single blocking-audit row
+    "x206_blocking_audit",
+    // 1-row broadcast scalars: the candidate/covered and true-pair
+    // aggregates combined into the single SNM-audit row
+    "x211_sorted_neighborhood")
 
   test("no query plans a cartesian product; BNLJ only on the allowlist") {
     val plans = planned.map { case (n, qe) => n -> qe.executedPlan.toString }
@@ -198,7 +207,10 @@ class PlanAuditSpec extends SparkSpec {
     "x181_vocab_coverage",
     // |distinct rounded score| spine (Evaluation.operatingPoints'
     // cumulative confusion counts — the x125 spine, corpus touched once)
-    "x201_operating_point")
+    "x201_operating_point",
+    // |partitions| offsets — the distributed prefix-scan discipline
+    // (Entities.sortedNeighborhood's global rank, the x132 shape)
+    "x211_sorted_neighborhood")
 
   test("no query plans an unpartitioned window outside the allowlist") {
     // WindowExec with an empty partitionSpec moves its ENTIRE input to
