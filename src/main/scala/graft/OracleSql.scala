@@ -3947,6 +3947,30 @@ object OracleSql {
          | round(CAST(vp AS DOUBLE) / CAST(cp AS DOUBLE), 6)
          |  AS pairs_quality
          |FROM tot, ag, tu""".stripMargin,
+    // mirror of Importance.clippedEss at p=.95 over the half-life-30
+    // freshness weighting (x203's age construction; the rate literal is
+    // the SAME Scala double); weights round at 6 on entry, the clip is
+    // the round-6 exact percentile of those rounded weights
+    "x212_weight_clip" ->
+      s"""WITH b AS (SELECT source AS "group",
+         |  round(exp(${math.log(0.5) / 30.0} *
+         |   CAST(doc_id % 365 AS DOUBLE)), 6) AS w
+         | FROM documents),
+         |c AS (SELECT "group", CAST(count(*) AS BIGINT) AS n,
+         |  round(quantile_cont(w, 0.95), 6) AS clip FROM b GROUP BY 1),
+         |j AS (SELECT b."group", w, n, clip, least(w, clip) AS wc
+         | FROM b JOIN c USING ("group")),
+         |f AS (SELECT "group", max(n) AS n, max(clip) AS clip,
+         |  sum(w) AS sw, sum(w*w) AS sw2, sum(wc) AS sc, sum(wc*wc) AS sc2,
+         |  CAST(sum(CASE WHEN w > clip THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_clipped
+         | FROM j GROUP BY 1)
+         |SELECT "group", n, clip, round(sw*sw/sw2, 6) AS ess_raw,
+         | round(sc*sc/sc2, 6) AS ess_clipped, n_clipped,
+         | round(CAST(n_clipped AS DOUBLE)/CAST(n AS DOUBLE), 6)
+         |  AS clipped_frac,
+         | round(sc/sw, 6) AS mass_ratio
+         |FROM f""".stripMargin,
     // synchronous majority label propagation replayed as CommunityRounds
     // chained CTE rounds on the x62 co-citation graph (the round count
     // derives from the SAME SparkEntry.CommunityRounds constant the Spark

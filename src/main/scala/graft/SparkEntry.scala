@@ -921,9 +921,10 @@ object SparkEntry {
     "s13_upsert_drain" -> ((s, dir) =>
       graft.streaming.Pipeline.upsertDrainParity(s,
         T(s, dir, "events")
-          .select(col("user_id"), col("ts"), col("event_id"),
+          .select(col("event_id"), col("ts"), col("user_id"),
             col("event_type"), col("value")),
-        keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"))
+        keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+        preparedIn = Some(drainInputFixture(s, dir)))
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
           col("event_id"), col("event_type"), col("value"))),
     "s07_jsonl_roundtrip" -> ((s, dir) => {
@@ -1946,6 +1947,15 @@ object SparkEntry {
     "x211_sorted_neighborhood" -> ((s, dir) =>
       graft.analytics.Entities.sortedNeighborhood(entityRegistry(s, dir),
         col("rid"), col("rkey"), expr("rid div 3"), window = 5)),
+    // clipped-importance diagnostics on a fast-decay freshness weighting
+    // (half-life 30 d over the x203 age construction): ESS before/after
+    // the per-source p95 clip, kept-mass bias bound beside the gain
+    "x212_weight_clip" -> ((s, dir) =>
+      graft.sampling.Importance.clippedEss(
+        T(s, dir, "documents").select(col("source"),
+          graft.sampling.Importance.freshnessWeight(col("doc_id") % 365,
+            lit(30.0)).as("w")),
+        col("source"), col("w"), p = 0.95)),
     // epsilon-DP noisy release of per-source doc counts: hash-seeded
     // Laplace(1/0.8) + post-noise floor at 24 — true count kept beside
     // the noisy one as the audit face (production publishes noisy only)

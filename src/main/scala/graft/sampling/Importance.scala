@@ -106,4 +106,55 @@ object Importance {
         round(col("__sw") * col("__sw") / col("__sw2") /
           col("n").cast("double"), 6).as("ess_ratio"))
   }
+
+  /** Clipped-importance-sampling diagnostics per group: clip weights at
+    * their per-group p-quantile and report the Kish ESS before and
+    * after — the standard variance/bias dial read before any weighted
+    * estimate is trusted. A handful of huge weights can collapse ESS to
+    * single digits while the row count claims thousands; clipping trades
+    * a bounded bias (`mass_ratio`, the kept fraction of total weight —
+    * the estimate can shift by at most 1 − mass_ratio of its range) for
+    * the variance the ESS gain measures. `clipped_frac` says how many
+    * rows actually hit the ceiling — a high gain from clipping 0.1 % of
+    * rows is the classic heavy-tail signature.
+    *
+    * Determinism: weights round at 6 on entry; the clip threshold is the
+    * exact per-group percentile of those rounded weights, itself rounded
+    * at 6 (quantile_cont ↔ exact percentile, the a08 pairing), so
+    * `least(w, clip)` compares identical doubles cross-engine. Sums
+    * round at 6 on output (the [[freshnessEss]] discipline).
+    *
+    * Scale shape: one exact-percentile pass and one moments pass —
+    * two keyed shuffles (percentile_approx at the 100 TB tier, as
+    * [[graft.analytics.Aggregates.describe]] documents); the
+    * |groups|-sized clip frame joins back on the group key.
+    */
+  def clippedEss(df: DataFrame, group: Column, weight: Column,
+      p: Double = 0.95): DataFrame = {
+    require(p > 0 && p < 1, s"p must be in (0,1), got $p")
+    val v = df.select(group.as("group"),
+        round(weight.cast("double"), 6).as("__w"))
+      .filter(col("__w").isNotNull)
+    val clip = v.groupBy(col("group"))
+      .agg(count(lit(1)).as("n"),
+        round(percentile(col("__w"), lit(p)), 6).as("clip"))
+    v.join(clip, Seq("group"))
+      .withColumn("__wc", least(col("__w"), col("clip")))
+      .groupBy(col("group"))
+      .agg(max(col("n")).as("n"), max(col("clip")).as("clip"),
+        sum(col("__w")).as("__sw"),
+        sum(col("__w") * col("__w")).as("__sw2"),
+        sum(col("__wc")).as("__sc"),
+        sum(col("__wc") * col("__wc")).as("__sc2"),
+        sum(when(col("__w") > col("clip"), 1L).otherwise(0L))
+          .as("n_clipped"))
+      .select(col("group"), col("n"), col("clip"),
+        round(col("__sw") * col("__sw") / col("__sw2"), 6).as("ess_raw"),
+        round(col("__sc") * col("__sc") / col("__sc2"), 6)
+          .as("ess_clipped"),
+        col("n_clipped"),
+        round(col("n_clipped").cast("double") / col("n").cast("double"),
+          6).as("clipped_frac"),
+        round(col("__sc") / col("__sw"), 6).as("mass_ratio"))
+  }
 }

@@ -598,12 +598,20 @@ object Pipeline {
     */
   def upsertDrainParity(spark: org.apache.spark.sql.SparkSession,
       batchDf: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
-      inputFiles: Int = 2): DataFrame = withDrainPartitions(spark) {
+      inputFiles: Int = 2,
+      preparedIn: Option[String] = None): DataFrame = withDrainPartitions(spark) {
     require(inputFiles >= 2,
       s"state must cross a micro-batch boundary: inputFiles >= 2, got $inputFiles")
     val root = java.nio.file.Files.createTempDirectory("graft_s13_").toString
-    val in = s"$root/in"
-    batchDf.repartition(inputFiles).write.mode("overwrite").parquet(in)
+    // shared-fixture path (the s12/s15 discipline): the stream reads the
+    // materialized dir untouched
+    val in = preparedIn.getOrElse {
+      val p = s"$root/in"
+      batchDf.repartition(inputFiles).write.mode("overwrite").parquet(p)
+      p
+    }
+    require(partFileCount(spark, in) >= 2,
+      s"prepared input must span >= 2 files for cross-batch state: $in")
     val stream = spark.readStream.schema(batchDf.schema)
       .option("maxFilesPerTrigger", 1).parquet(in)
     val q = upsertSink(stream, keyCols, orderCols, s"$root/tbl",

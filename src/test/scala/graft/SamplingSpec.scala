@@ -380,4 +380,33 @@ class SamplingSpec extends SparkSpec {
     assert(s.getAs[Long]("n") === 10L)
     assert(s.getAs[Double]("ess_ratio") < 0.2)
   }
+
+  test("x212 clippedEss: hand Kish before/after a median clip, mass " +
+      "bound beside the variance gain") {
+    import spark.implicits._
+    import graft.sampling.Importance
+    // weights (1,1,1,1,10), p=.5 -> clip at 1: raw ess 196/104, clipped
+    // ess 5 (uniform), one row clipped, kept mass 5/14
+    val rows = Seq(("g", 1.0), ("g", 1.0), ("g", 1.0), ("g", 1.0),
+      ("g", 10.0)).toDF("src", "w")
+    val r = Importance.clippedEss(rows, col("src"), col("w"), p = 0.5)
+      .head()
+    assert(r.getAs[Long]("n") === 5L)
+    assert(r.getAs[Double]("clip") === 1.0)
+    assert(r.getAs[Double]("ess_raw") ===
+      math.rint(196.0 / 104.0 * 1e6) / 1e6)
+    assert(r.getAs[Double]("ess_clipped") === 5.0)
+    assert(r.getAs[Long]("n_clipped") === 1L)
+    assert(r.getAs[Double]("clipped_frac") === 0.2)
+    assert(r.getAs[Double]("mass_ratio") ===
+      math.rint(5.0 / 14.0 * 1e6) / 1e6)
+    // a higher percentile clips less aggressively: interpolated clip
+    // 1 + 0.6*(10-1) = 6.4 at p=.9, more mass kept, smaller ESS gain
+    val hi = Importance.clippedEss(rows, col("src"), col("w"), p = 0.9)
+      .head()
+    assert(hi.getAs[Double]("clip") === 6.4)
+    assert(hi.getAs[Double]("mass_ratio") > r.getAs[Double]("mass_ratio"))
+    assert(hi.getAs[Double]("ess_clipped") < r.getAs[Double]("ess_clipped"))
+    assert(hi.getAs[Double]("ess_clipped") > r.getAs[Double]("ess_raw"))
+  }
 }
