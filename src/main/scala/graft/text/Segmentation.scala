@@ -32,13 +32,17 @@ object Segmentation {
     * before the depth arithmetic (which therefore compares identical
     * doubles cross-engine).
     *
-    * Scale shape: one tokenize+posexplode pass (output-proportional),
-    * one grouped count to (doc, block, term), a SELF-equi-join on
-    * (doc, block+1, term) for the dot products — keyed, never cartesian;
-    * a term appearing in both of two adjacent blocks is the only thing
-    * that meets — and per-DOC windows over the boundary table, which is
-    * |tokens|/w rows, partitioned by a high-cardinality key. Nothing
-    * global, nothing quadratic.
+    * Scale shape: one tokenize+posexplode pass (output-proportional)
+    * into a PERSISTED (doc, block, term) count frame — three consumers
+    * (both join sides of the dot products, the norms) read it without
+    * re-tokenizing the corpus (the [[graft.dedup.Dedup.nearDuplicates]]
+    * gram-frame discipline; at 100 TB swap the persist for an explicit
+    * checkpoint/table exactly as that operator documents); then a
+    * SELF-equi-join on (doc, block+1, term) for the dot products —
+    * keyed, never cartesian; a term appearing in both of two adjacent
+    * blocks is the only thing that meets — and per-DOC windows over the
+    * boundary table, which is |tokens|/w rows, partitioned by a
+    * high-cardinality key. Nothing global, nothing quadratic.
     */
   def boundaries(df: DataFrame, id: Column, text: Column,
       w: Int = 20): DataFrame = {
@@ -49,6 +53,7 @@ object Segmentation {
       .withColumn("blk", (col("pos") / w).cast("long"))
       .groupBy(col("doc_id"), col("blk"), col("term"))
       .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // boundary b joins block b (left) with block b+1 (shifted to key b)
     val dot = tc.alias("a")
       .join(tc.select(col("doc_id"), (col("blk") - 1L).as("blk"),
