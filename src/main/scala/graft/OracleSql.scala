@@ -3947,6 +3947,66 @@ object OracleSql {
          | round(CAST(vp AS DOUBLE) / CAST(cp AS DOUBLE), 6)
          |  AS pairs_quality
          |FROM tot, ag, tu""".stripMargin,
+    // mirror of BudgetSelect.retentionCut at retain=.6: first crossing
+    // of 0.6·total on the descending round-6 quality token spine; the
+    // only double compare (cum >= 0.6·total) is identical on both sides
+    "x213_retention_cut" ->
+      s"""WITH t AS (SELECT doc_id, text, source, $Toks AS toks
+         |  FROM documents),
+         |b AS (SELECT source, $QualitySql AS q,
+         |  CAST(len(toks) AS BIGINT) AS tk FROM t),
+         |b2 AS (SELECT * FROM b WHERE q IS NOT NULL),
+         |sp AS (SELECT q, CAST(sum(tk) AS BIGINT) AS c FROM b2 GROUP BY 1),
+         |tt AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM sp),
+         |cm AS (SELECT q, CAST(sum(c) OVER (ORDER BY q DESC
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |  AS cum FROM sp),
+         |th AS (SELECT max(q) AS threshold FROM cm, tt
+         | WHERE CAST(cum AS DOUBLE) >= 0.6 * CAST(t AS DOUBLE))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(CASE WHEN q >= threshold THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS kept_docs,
+         | CAST(sum(tk) AS BIGINT) AS n_tokens,
+         | CAST(sum(CASE WHEN q >= threshold THEN tk ELSE 0 END)
+         |  AS BIGINT) AS kept_tokens,
+         | round(CAST(sum(CASE WHEN q >= threshold THEN tk ELSE 0 END)
+         |   AS DOUBLE) / CAST(sum(tk) AS DOUBLE), 6) AS retention,
+         | min(threshold) AS threshold
+         |FROM b2, th GROUP BY source""".stripMargin,
+    // mirror of Sharding.strideInterleave: integer ⌊√count⌋ weights keep
+    // every virtual time a single exact-input division, so the global
+    // (vt, id) order is engine-portable; zero-filled source×prefix grid
+    "x214_stride_interleave" ->
+      s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS cs
+         |  FROM documents GROUP BY 1),
+         |w AS (SELECT source, cs, greatest(CAST(floor(sqrt(CAST(cs
+         |  AS DOUBLE))) AS BIGINT), 1) AS ws FROM c),
+         |tw AS (SELECT CAST(sum(ws) AS BIGINT) AS tws,
+         |  CAST(sum(cs) AS BIGINT) AS n FROM w),
+         |i AS (SELECT doc_id, source, row_number() OVER (
+         |  PARTITION BY source
+         |  ORDER BY ${hashKeySql("doc_id", "stride")}, doc_id) - 1 AS ix
+         | FROM documents),
+         |v AS (SELECT doc_id, i.source,
+         |  (CAST(ix AS DOUBLE) + 0.5) / CAST(ws AS DOUBLE) AS vt
+         | FROM i JOIN w USING (source)),
+         |r AS (SELECT source, row_number() OVER (ORDER BY vt, doc_id)
+         |  AS rnk FROM v),
+         |p(prefix) AS (VALUES (CAST(64 AS BIGINT)), (256), (1024),
+         |  (4096)),
+         |g AS (SELECT prefix, source, CAST(count(*) AS BIGINT) AS ns
+         | FROM r JOIN p ON rnk <= prefix GROUP BY 1, 2),
+         |sel AS (SELECT p.prefix, w.source,
+         |  coalesce(ns, CAST(0 AS BIGINT)) AS n_scheduled,
+         |  round(CAST(coalesce(ns, 0) AS DOUBLE) /
+         |   CAST(least(p.prefix, n) AS DOUBLE), 6) AS share,
+         |  round(CAST(ws AS DOUBLE) / CAST(tws AS DOUBLE), 6)
+         |   AS target_share
+         | FROM w CROSS JOIN p CROSS JOIN tw
+         | LEFT JOIN g ON g.prefix = p.prefix AND g.source = w.source)
+         |SELECT prefix, source, n_scheduled, share, target_share,
+         | round(abs(share - target_share), 6) AS abs_dev
+         |FROM sel""".stripMargin,
     // mirror of Importance.clippedEss at p=.95 over the half-life-30
     // freshness weighting (x203's age construction; the rate literal is
     // the SAME Scala double); weights round at 6 on entry, the clip is

@@ -1947,6 +1947,24 @@ object SparkEntry {
     "x211_sorted_neighborhood" -> ((s, dir) =>
       graft.analytics.Entities.sortedNeighborhood(entityRegistry(s, dir),
         col("rid"), col("rkey"), expr("rid div 3"), window = 5)),
+    // quality cut dialed by TOKEN retention: the exact round-6-spine
+    // threshold keeping >= 60 % of corpus tokens, with the per-source
+    // winners/losers report under that single global cut
+    "x213_retention_cut" -> ((s, dir) => {
+      val t = T(s, dir, "documents")
+      graft.sampling.BudgetSelect.retentionCut(
+        t.select(col("source"),
+          graft.text.TextAnalysis.qualityScore(col("text")).as("q"),
+          graft.text.TextAnalysis.tokenCount(col("text")).as("tk")),
+        col("source"), col("q"), col("tk"), retain = 0.6)
+    }),
+    // stride-scheduled source interleave (start-time fair queueing,
+    // integer ⌊√count⌋ temperature weights): every training prefix holds
+    // each source near its target share — audited at 4 prefix sizes
+    "x214_stride_interleave" -> ((s, dir) =>
+      graft.sampling.Sharding.strideInterleave(T(s, dir, "documents"),
+        col("doc_id"), col("source"),
+        prefixes = Seq(64L, 256L, 1024L, 4096L))),
     // clipped-importance diagnostics on a fast-decay freshness weighting
     // (half-life 30 d over the x203 age construction): ESS before/after
     // the per-source p95 clip, kept-mass bias bound beside the gain

@@ -326,4 +326,58 @@ object BudgetSelect {
         (col("__L").isNull || col("cap").cast("double") <= col("__L"))
           .as("saturated"))
   }
+
+  /** Quality threshold for a TOKEN-retention target: the highest quality
+    * cut q* such that documents scoring ≥ q* still hold at least
+    * `retain` of the corpus's tokens, reported per source — "cut at the
+    * quality that keeps 60 % of tokens" is how a corpus-wide quality
+    * gate is actually dialed (a fixed score cut retains an unpredictable
+    * token mass; the retention target is the knob the training-token
+    * budget understands). The per-source rows answer the follow-up
+    * question: WHO loses under a single global cut — a source whose
+    * retention collapses is one whose quality distribution sits below
+    * the corpus mix (compare the Mondrian gate, x174, for the
+    * per-source-calibrated alternative).
+    *
+    * The cut is exact, found on the round-6 quality JUMP SPINE (x171's
+    * discipline): per-quality token sums, one descending cumulative
+    * window over |distinct qualities| rows — never corpus rows — and
+    * the first crossing of `retain · total` is q*. Overshoot is at most
+    * one spine step (the whole-document granularity; a document is
+    * never split). Token counts are integers, so the spine sums are
+    * merge-order exact; the only double compare is cum ≥ retain·total,
+    * identical on both engines.
+    */
+  def retentionCut(df: DataFrame, source: Column, quality: Column,
+      tokens: Column, retain: Double): DataFrame = {
+    require(retain > 0 && retain <= 1, s"retain must be in (0,1], got $retain")
+    val base = df.select(source.as("source"),
+        round(quality.cast("double"), 6).as("__q"),
+        tokens.cast("long").as("__tk"))
+      .filter(col("__q").isNotNull)
+    val spine = base.groupBy(col("__q")).agg(sum(col("__tk")).as("__c"))
+    val tot = spine.agg(sum(col("__c")).as("__t"))
+    val wc = Window.orderBy(col("__q").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val thr = spine
+      .withColumn("__cum", sum(col("__c")).over(wc))
+      .crossJoin(broadcast(tot))
+      .filter(col("__cum").cast("double") >=
+        lit(retain) * col("__t").cast("double"))
+      .agg(max(col("__q")).as("threshold"))
+    base.crossJoin(broadcast(thr))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__q") >= col("threshold"), 1L).otherwise(0L))
+          .as("kept_docs"),
+        sum(col("__tk")).as("n_tokens"),
+        sum(when(col("__q") >= col("threshold"), col("__tk"))
+          .otherwise(0L)).as("kept_tokens"),
+        min(col("threshold")).as("threshold"))
+      .select(col("source"), col("n_docs"), col("kept_docs"),
+        col("n_tokens"), col("kept_tokens"),
+        round(col("kept_tokens").cast("double") /
+          col("n_tokens").cast("double"), 6).as("retention"),
+        col("threshold"))
+  }
 }

@@ -179,4 +179,90 @@ object Sharding {
       .filter(col("__rnk") <= col("__want"))
       .select(col("doc_id"), col("n_chars"), col("__b").as("len_bucket"))
   }
+
+  /** Stride-scheduled source interleave audit: order the corpus so that
+    * EVERY training prefix carries each source at its target share —
+    * stride scheduling (the start-time fair-queueing discipline): source
+    * s's i-th document (hash order within source) runs at virtual time
+    * (i + ½)/w_s, and the global schedule is the (vt, id) order. A plain
+    * hash shuffle only matches the mixture in expectation — a 4k-doc
+    * prefix can run 2× heavy on one source; the stride order bounds each
+    * source's deviation at ~1 slot per prefix, which is what "the first
+    * N steps of training see the advertised mixture" actually requires.
+    *
+    * Weights are INTEGER ⌊√count_s⌋ (temperature-style sublinear
+    * upweighting of small sources): integer weights keep every virtual
+    * time a single exact-input double division, bit-identical across
+    * engines, so the schedule order itself is engine-portable — a
+    * float-weighted stride would hinge tie-adjacent orderings on a
+    * Σ-of-sqrt merge order.
+    *
+    * Output: per (prefix, source) — scheduled count inside the first
+    * `prefix` slots, achieved share, target share w_s/Σw, abs deviation.
+    * Sources yet to appear in a short prefix surface as zero rows, not
+    * gaps.
+    *
+    * Scale shape: per-source rank windows (partitioned by source), the
+    * global (vt, id) rank via the [[assignShards]] DISTRIBUTED PREFIX
+    * SCAN (range partition + local count cumsum + offset frame — never a
+    * single-partition window), then one |prefixes|×n explode-filter and
+    * a (prefix, source)-keyed aggregate ending at |prefixes|·|sources|
+    * rows.
+    */
+  def strideInterleave(df: DataFrame, id: Column, source: Column,
+      prefixes: Seq[Long], salt: String = "stride",
+      partitions: Int = 32): DataFrame = {
+    require(prefixes.nonEmpty && prefixes.forall(_ >= 1),
+      s"prefixes must be >= 1, got $prefixes")
+    val base = df.select(id.cast("long").as("doc_id"), source.as("source"))
+    val wts = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("__cs"))
+      .withColumn("__w",
+        greatest(floor(sqrt(col("__cs").cast("double"))).cast("long"),
+          lit(1L)))
+    val perSource = Window.partitionBy(col("source"))
+      .orderBy(Sampling.hashKey(col("doc_id"), lit(salt)).asc,
+        col("doc_id").asc)
+    val vt = base.join(broadcast(wts), Seq("source"))
+      .withColumn("__ix", (row_number().over(perSource) - 1).cast("long"))
+      .select(col("doc_id"), col("source"),
+        ((col("__ix").cast("double") + 0.5) / col("__w").cast("double"))
+          .as("__vt"))
+    // global schedule position: distributed prefix scan over (vt, id)
+    val keyed = vt.repartitionByRange(partitions, col("__vt"), col("doc_id"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true) // the offset frame and the scan both read it
+    val offs = keyed.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__pc"))
+      .withColumn("__off",
+        coalesce(sum(col("__pc")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val local = Window.partitionBy(col("__pid"))
+      .orderBy(col("__vt").asc, col("doc_id").asc)
+    val ranked = keyed
+      .withColumn("__lr", row_number().over(local).cast("long"))
+      .join(broadcast(offs), Seq("__pid"))
+      .select(col("source"), (col("__lr") + col("__off")).as("__r"))
+    val tot = wts.agg(sum(col("__w")).as("__tw"),
+      sum(col("__cs")).as("__n"))
+    val counts = ranked
+      .withColumn("prefix", explode(array(prefixes.map(lit(_)): _*)))
+      .filter(col("__r") <= col("prefix"))
+      .groupBy(col("prefix"), col("source"))
+      .agg(count(lit(1)).as("n_scheduled"))
+    // zero-fill sources absent from a short prefix
+    val grid = wts.select(col("source"), col("__w"))
+      .crossJoin(broadcast(tot))
+      .withColumn("prefix", explode(array(prefixes.map(lit(_)): _*)))
+    grid.join(counts, Seq("prefix", "source"), "left")
+      .select(col("prefix"), col("source"),
+        coalesce(col("n_scheduled"), lit(0L)).as("n_scheduled"),
+        round(coalesce(col("n_scheduled"), lit(0L)).cast("double") /
+          least(col("prefix"), col("__n")).cast("double"), 6).as("share"),
+        round(col("__w").cast("double") / col("__tw").cast("double"), 6)
+          .as("target_share"))
+      .withColumn("abs_dev",
+        round(abs(col("share") - col("target_share")), 6))
+  }
 }

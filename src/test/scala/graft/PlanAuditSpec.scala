@@ -139,7 +139,13 @@ class PlanAuditSpec extends SparkSpec {
     "x206_blocking_audit",
     // 1-row broadcast scalars: the candidate/covered and true-pair
     // aggregates combined into the single SNM-audit row
-    "x211_sorted_neighborhood")
+    "x211_sorted_neighborhood",
+    // 1-row broadcast scalars: the token total against the quality
+    // spine, then the 1-row threshold against the per-source aggregate
+    "x213_retention_cut",
+    // 1-row broadcast totals (Σw, n) against the |sources|×|prefixes|
+    // grid — the zero-fill frame is dial-sized
+    "x214_stride_interleave")
 
   test("no query plans a cartesian product; BNLJ only on the allowlist") {
     val plans = planned.map { case (n, qe) => n -> qe.executedPlan.toString }
@@ -210,7 +216,13 @@ class PlanAuditSpec extends SparkSpec {
     "x201_operating_point",
     // |partitions| offsets — the distributed prefix-scan discipline
     // (Entities.sortedNeighborhood's global rank, the x132 shape)
-    "x211_sorted_neighborhood")
+    "x211_sorted_neighborhood",
+    // |distinct round-6 quality| jump spine (retentionCut's descending
+    // token cumsum — the x171 spine discipline, corpus touched once)
+    "x213_retention_cut",
+    // |partitions| offsets — the distributed prefix-scan discipline
+    // (strideInterleave's global (vt, id) rank, the x132 shape)
+    "x214_stride_interleave")
 
   test("no query plans an unpartitioned window outside the allowlist") {
     // WindowExec with an empty partitionSpec moves its ENTIRE input to

@@ -409,4 +409,55 @@ class SamplingSpec extends SparkSpec {
     assert(hi.getAs[Double]("ess_clipped") < r.getAs[Double]("ess_clipped"))
     assert(hi.getAs[Double]("ess_clipped") > r.getAs[Double]("ess_raw"))
   }
+
+  test("x213 retentionCut: first spine crossing, whole-doc overshoot, " +
+      "per-source winners and losers") {
+    import spark.implicits._
+    import graft.sampling.BudgetSelect
+    val rows = Seq(("a", 0.9, 100L), ("a", 0.5, 100L),
+      ("b", 0.7, 100L), ("b", 0.3, 100L)).toDF("src", "q", "tk")
+    // total 400, retain .6 -> 240; spine desc cum: 100, 200, 300 -> q*=.5
+    val got = BudgetSelect.retentionCut(rows, col("src"), col("q"),
+        col("tk"), retain = 0.6)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("a").getAs[Double]("threshold") === 0.5)
+    assert(got("a").getAs[Long]("kept_docs") === 2L)
+    assert(got("a").getAs[Double]("retention") === 1.0)
+    assert(got("b").getAs[Long]("kept_docs") === 1L)
+    assert(got("b").getAs[Double]("retention") === 0.5)
+    // tighter target: first cell alone crosses 0.25·400 -> q*=.9, source
+    // b keeps nothing — reported as 0, not dropped
+    val tight = BudgetSelect.retentionCut(rows, col("src"), col("q"),
+        col("tk"), retain = 0.25)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(tight("a").getAs[Double]("threshold") === 0.9)
+    assert(tight("b").getAs[Long]("kept_tokens") === 0L)
+    assert(tight("b").getAs[Double]("retention") === 0.0)
+  }
+
+  test("x214 strideInterleave: a 5-doc prefix carries both sources at " +
+      "exactly their target share; partition-cut independent") {
+    import spark.implicits._
+    import graft.sampling.Sharding
+    // big: 16 docs (w=4, vts (i+.5)/4), small: 1 doc (w=1, vt .5) ->
+    // first 5 slots = big,big,small,big,big — shares .8/.2 == targets
+    val rows = ((1L to 16L).map(i => (i, "big")) :+ ((100L, "small")))
+      .toDF("doc_id", "source")
+    def run(parts: Int) = Sharding.strideInterleave(rows, col("doc_id"),
+        col("source"), prefixes = Seq(2L, 5L, 32L), partitions = parts)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    val got = run(32)
+    assert(got((5L, "big")) === ((4L, 0.8, 0.8, 0.0)))
+    assert(got((5L, "small")) === ((1L, 0.2, 0.2, 0.0)))
+    // a 2-doc prefix cannot hold the small source yet: zero-filled row
+    assert(got((2L, "small"))._1 === 0L)
+    assert(got((2L, "big")) === ((2L, 1.0, 0.8, 0.2)))
+    // prefix past the corpus: shares settle at the raw mix n_s/n
+    assert(got((32L, "big"))._2 === math.rint(16.0 / 17.0 * 1e6) / 1e6)
+    // the distributed rank must not depend on where partitions cut
+    assert(run(3) === got)
+  }
 }
