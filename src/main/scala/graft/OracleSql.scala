@@ -3947,6 +3947,32 @@ object OracleSql {
          | round(CAST(vp AS DOUBLE) / CAST(cp AS DOUBLE), 6)
          |  AS pairs_quality
          |FROM tot, ag, tu""".stripMargin,
+    // mirror of Joins.joinSizeEstimate: universe sampling at 2000/10000
+    // buckets on the SAME hash both sides, Σ cA·cB scaled by 5.0
+    "x215_join_size" ->
+      s"""WITH lk AS (SELECT user_id AS k FROM events
+         |  WHERE event_type = 'click'),
+         |rk AS (SELECT user_id AS k FROM events
+         |  WHERE event_type = 'purchase'),
+         |sa AS (SELECT k, CAST(count(*) AS BIGINT) AS c FROM lk
+         | WHERE ${bucketSql("k", "joinsize")} < 2000 GROUP BY 1),
+         |sb AS (SELECT k, CAST(count(*) AS BIGINT) AS c FROM rk
+         | WHERE ${bucketSql("k", "joinsize")} < 2000 GROUP BY 1),
+         |ea AS (SELECT k, CAST(count(*) AS BIGINT) AS c FROM lk
+         | GROUP BY 1),
+         |eb AS (SELECT k, CAST(count(*) AS BIGINT) AS c FROM rk
+         | GROUP BY 1),
+         |e1 AS (SELECT CAST(count(*) AS BIGINT) AS sampled_keys,
+         |  round(CAST(coalesce(sum(sa.c * sb.c), 0) AS DOUBLE) *
+         |   ${graft.sampling.Sampling.Buckets.toDouble / 2000.0}, 6)
+         |   AS est_rows
+         | FROM sa JOIN sb USING (k)),
+         |e2 AS (SELECT CAST(count(*) AS BIGINT) AS join_keys,
+         |  CAST(coalesce(sum(ea.c * eb.c), 0) AS BIGINT) AS exact_rows
+         | FROM ea JOIN eb USING (k))
+         |SELECT sampled_keys, est_rows, join_keys, exact_rows,
+         | round(est_rows / CAST(exact_rows AS DOUBLE), 6) AS est_ratio
+         |FROM e1, e2""".stripMargin,
     // mirror of BudgetSelect.retentionCut at retain=.6: first crossing
     // of 0.6·total on the descending round-6 quality token spine; the
     // only double compare (cum >= 0.6·total) is identical on both sides

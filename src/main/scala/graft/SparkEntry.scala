@@ -1947,6 +1947,16 @@ object SparkEntry {
     "x211_sorted_neighborhood" -> ((s, dir) =>
       graft.analytics.Entities.sortedNeighborhood(entityRegistry(s, dir),
         col("rid"), col("rkey"), expr("rid div 3"), window = 5)),
+    // join-size estimate by universe (key-synchronized) sampling at a
+    // 20 % key budget — the planner number BEFORE a 100 TB shuffle join,
+    // audited against the exact Σ cA·cB (never the enumerated join)
+    "x215_join_size" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      graft.analytics.Joins.joinSizeEstimate(
+        ev.filter(col("event_type") === "click"), col("user_id"),
+        ev.filter(col("event_type") === "purchase"), col("user_id"),
+        sampleBuckets = 2000)
+    }),
     // quality cut dialed by TOKEN retention: the exact round-6-spine
     // threshold keeping >= 60 % of corpus tokens, with the per-source
     // winners/losers report under that single global cut

@@ -95,4 +95,60 @@ object Joins {
     fuzzyJoin(left, leftId, leftKey, right, rightId, rightKey, maxBucket)
       .withColumn("jw", round(
         graft.plans.Native.jaroWinkler(col("left_key"), col("right_key")), 6))
+
+  /** Join-size estimate by UNIVERSE (key-synchronized) sampling — the
+    * number a planner needs BEFORE committing a 100 TB shuffle join:
+    * |A ⋈ B| = Σ_k cA(k)·cB(k), estimated by keeping only keys whose
+    * hash bucket falls under `sampleBuckets` on BOTH sides (the SAME
+    * hash, so a sampled key brings its full frequency on each side —
+    * independent row sampling would bias cA·cB down by the sample rate
+    * squared and miss key skew entirely), summing the per-key products
+    * over the sampled keys, and scaling by buckets/sampleBuckets.
+    * Unbiased over the hash choice; variance is dominated by whether a
+    * heavy key lands in the sample, which the audit columns expose
+    * (`est_rows` beside `exact_rows` — production computes only the
+    * estimate; the exact side is this face's truth harness, the x190
+    * CMS-audit discipline).
+    *
+    * Scale shape: the estimate touches `sampleBuckets/buckets` of each
+    * input (filter pushed to the scan), aggregates to per-key counts,
+    * and joins |sampled keys| rows — no full-size anything. The exact
+    * audit pays two per-key aggregates and a keyed join of key-count
+    * frames, NOT the join itself (Σ c·c is computed, never enumerated).
+    */
+  def joinSizeEstimate(left: DataFrame, leftKey: Column,
+      right: DataFrame, rightKey: Column, sampleBuckets: Int,
+      salt: String = "joinsize"): DataFrame = {
+    val b = graft.sampling.Sampling.Buckets
+    require(sampleBuckets >= 1 && sampleBuckets <= b,
+      s"sampleBuckets must be in [1, $b], got $sampleBuckets")
+    def keyCounts(df: DataFrame, k: Column, sampled: Boolean): DataFrame = {
+      val base = df.select(k.as("__k"))
+      val kept =
+        if (sampled)
+          base.filter(graft.sampling.Sampling.hashBucket(col("__k"),
+            lit(salt)) < sampleBuckets)
+        else base
+      kept.groupBy(col("__k")).agg(count(lit(1)).as("__c"))
+    }
+    def pairSum(a: DataFrame, c: DataFrame): DataFrame =
+      a.withColumnRenamed("__c", "__ca")
+        .join(c.withColumnRenamed("__c", "__cb"), Seq("__k"))
+        .agg(coalesce(sum(col("__ca") * col("__cb")), lit(0L))
+          .as("rows"),
+          count(lit(1)).as("keys"))
+    val est = pairSum(keyCounts(left, leftKey, sampled = true),
+      keyCounts(right, rightKey, sampled = true))
+      .select(col("keys").as("sampled_keys"),
+        round(col("rows").cast("double") *
+          (b.toDouble / sampleBuckets.toDouble), 6).as("est_rows"))
+    val exact = pairSum(keyCounts(left, leftKey, sampled = false),
+      keyCounts(right, rightKey, sampled = false))
+      .select(col("keys").as("join_keys"), col("rows").as("exact_rows"))
+    est.crossJoin(broadcast(exact))
+      .select(col("sampled_keys"), col("est_rows"), col("join_keys"),
+        col("exact_rows"),
+        round(col("est_rows") / col("exact_rows").cast("double"), 6)
+          .as("est_ratio"))
+  }
 }

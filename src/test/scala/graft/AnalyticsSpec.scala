@@ -529,6 +529,39 @@ class AnalyticsSpec extends SparkSpec {
     assert(top.map(_.getAs[String]("key")).toSeq === Seq("a", "b", "c", "d"))
   }
 
+  test("x215 joinSizeEstimate: full-universe sample is exact; a partial " +
+      "sample scales the sampled-key product sum") {
+    import spark.implicits._
+    import graft.analytics.Joins
+    import graft.sampling.Sampling
+    // heavy key 7 (5×3 rows), plus singletons
+    val left = (Seq.fill(5)(7L) ++ (1L to 10L)).toDF("k")
+    val right = (Seq.fill(3)(7L) ++ (6L to 15L)).toDF("k")
+    val full = Joins.joinSizeEstimate(left, col("k"), right, col("k"),
+      sampleBuckets = Sampling.Buckets).head()
+    // exact: key 7 -> 6*4 (7 appears 5+1 left, 3+1 right), keys 6,8,9,10
+    // -> 1 each = 28
+    assert(full.getAs[Long]("exact_rows") === 28L)
+    assert(full.getAs[Double]("est_rows") === 28.0)
+    assert(full.getAs[Double]("est_ratio") === 1.0)
+    // partial sample: expectation recomputed from the SAME hash — the
+    // assertion follows the estimator's definition
+    val b = Sampling.Buckets / 4
+    val in = (1L to 15L).map(i => i ->
+      (spark.range(i, i + 1).select(
+        Sampling.hashBucket(col("id"), "joinsize")).head().getLong(0) < b))
+      .toMap
+    val lc = (Seq.fill(5)(7L) ++ (1L to 10L)).filter(in)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val rc = (Seq.fill(3)(7L) ++ (6L to 15L)).filter(in)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val expect = lc.keySet.intersect(rc.keySet).toSeq
+      .map(k => lc(k).toLong * rc(k)).sum * 4.0
+    val part = Joins.joinSizeEstimate(left, col("k"), right, col("k"),
+      sampleBuckets = b).head()
+    assert(part.getAs[Double]("est_rows") === expect)
+  }
+
   test("x210 robustOutliers: hand median/MAD, a spike the mean-based " +
       "sigma would mask, and the MAD-0 degenerate") {
     import spark.implicits._

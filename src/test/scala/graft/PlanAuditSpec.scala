@@ -143,6 +143,9 @@ class PlanAuditSpec extends SparkSpec {
     // 1-row broadcast scalars: the token total against the quality
     // spine, then the 1-row threshold against the per-source aggregate
     "x213_retention_cut",
+    // 1-row broadcast scalar: the exact-audit row beside the 1-row
+    // estimate (production computes the estimate alone)
+    "x215_join_size",
     // 1-row broadcast totals (Σw, n) against the |sources|×|prefixes|
     // grid — the zero-fill frame is dial-sized
     "x214_stride_interleave")
