@@ -229,14 +229,18 @@ object Entities {
     val tru = base.groupBy(col("__t")).agg(count(lit(1)).as("__c"))
       .agg(coalesce(sum((col("__c") * (col("__c") - 1L) / lit(2L))
         .cast("long")), lit(0L)).as("true_pairs"))
+    // an all-unique truth or a 1-record registry reads NULL ratios, not
+    // an ANSI divide-by-zero crash
+    def ratio(a: Column, b: Column): Column =
+      round(when(b =!= 0L, a.cast("double") / b.cast("double")), 6)
     base.agg(count(lit(1)).as("n"))
       .crossJoin(broadcast(pairCounts)).crossJoin(broadcast(tru))
       .select(col("n"), lit(window).as("window_size"),
         col("candidate_pairs"), col("covered_pairs"), col("true_pairs"),
-        round(col("covered_pairs").cast("double") /
-          col("true_pairs").cast("double"), 6).as("pairs_completeness"),
-        round(col("covered_pairs").cast("double") /
-          col("candidate_pairs").cast("double"), 6).as("pairs_quality"))
+        ratio(col("covered_pairs"), col("true_pairs"))
+          .as("pairs_completeness"),
+        ratio(col("covered_pairs"), col("candidate_pairs"))
+          .as("pairs_quality"))
   }
 
   /** Closure + survivorship over a normalized registry and its edges. */

@@ -148,7 +148,10 @@ object Joins {
     est.crossJoin(broadcast(exact))
       .select(col("sampled_keys"), col("est_rows"), col("join_keys"),
         col("exact_rows"),
-        round(col("est_rows") / col("exact_rows").cast("double"), 6)
+        // a disjoint-key join has exact 0 — NULL ratio, not an ANSI
+        // divide-by-zero crash
+        round(when(col("exact_rows") =!= 0L,
+          col("est_rows") / col("exact_rows").cast("double")), 6)
           .as("est_ratio"))
   }
 }

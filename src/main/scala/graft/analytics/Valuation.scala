@@ -135,15 +135,21 @@ object Valuation {
     val cov = base.groupBy(col("__b"), col("__t"))
       .agg(count(lit(1)).as("c"))
       .agg(coalesce(sum(pairs(col("c"))), lit(0L)).as("covered_pairs"))
+    // degenerate denominators (a 1-record corpus, an all-unique truth, a
+    // blocking with no co-located pair) read NULL, not a crash — ANSI
+    // division throws on zero
+    def ratio(a: Column, b: Column): Column =
+      round(when(b =!= 0L, a.cast("double") / b.cast("double")), 6)
     tot.crossJoin(broadcast(cand)).crossJoin(broadcast(tru))
       .crossJoin(broadcast(cov))
       .select(col("n"), col("n_blocks"), col("total_pairs"),
         col("candidate_pairs"), col("true_pairs"), col("covered_pairs"),
-        round(lit(1.0) - col("candidate_pairs").cast("double") /
-          col("total_pairs").cast("double"), 6).as("reduction_ratio"),
-        round(col("covered_pairs").cast("double") /
-          col("true_pairs").cast("double"), 6).as("pairs_completeness"),
-        round(col("covered_pairs").cast("double") /
-          col("candidate_pairs").cast("double"), 6).as("pairs_quality"))
+        round(lit(1.0) - when(col("total_pairs") =!= 0L,
+          col("candidate_pairs").cast("double") /
+            col("total_pairs").cast("double")), 6).as("reduction_ratio"),
+        ratio(col("covered_pairs"), col("true_pairs"))
+          .as("pairs_completeness"),
+        ratio(col("covered_pairs"), col("candidate_pairs"))
+          .as("pairs_quality"))
   }
 }

@@ -376,8 +376,11 @@ object BudgetSelect {
         min(col("threshold")).as("threshold"))
       .select(col("source"), col("n_docs"), col("kept_docs"),
         col("n_tokens"), col("kept_tokens"),
-        round(col("kept_tokens").cast("double") /
-          col("n_tokens").cast("double"), 6).as("retention"),
+        // a source of all-empty documents reads NULL retention, not an
+        // ANSI divide-by-zero crash
+        round(when(col("n_tokens") =!= 0L,
+          col("kept_tokens").cast("double") /
+            col("n_tokens").cast("double")), 6).as("retention"),
         col("threshold"))
   }
 }

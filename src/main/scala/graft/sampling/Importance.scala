@@ -102,9 +102,13 @@ object Importance {
         sum(col("__w") * col("__w")).as("__sw2"))
       .select(col("group"), col("n"),
         round(col("__sw"), 6).as("sum_w"),
-        round(col("__sw") * col("__sw") / col("__sw2"), 6).as("ess"),
-        round(col("__sw") * col("__sw") / col("__sw2") /
-          col("n").cast("double"), 6).as("ess_ratio"))
+        // weights can underflow exp to exactly 0 at extreme ages — an
+        // all-zero-weight group reads NULL, not an ANSI crash
+        round(when(col("__sw2") =!= 0.0,
+          col("__sw") * col("__sw") / col("__sw2")), 6).as("ess"),
+        round(when(col("__sw2") =!= 0.0,
+          col("__sw") * col("__sw") / col("__sw2") /
+            col("n").cast("double")), 6).as("ess_ratio"))
   }
 
   /** Clipped-importance-sampling diagnostics per group: clip weights at
@@ -149,12 +153,16 @@ object Importance {
         sum(when(col("__w") > col("clip"), 1L).otherwise(0L))
           .as("n_clipped"))
       .select(col("group"), col("n"), col("clip"),
-        round(col("__sw") * col("__sw") / col("__sw2"), 6).as("ess_raw"),
-        round(col("__sc") * col("__sc") / col("__sc2"), 6)
-          .as("ess_clipped"),
+        // an all-zero-weight group has no ESS or mass ratio — NULL, not
+        // an ANSI divide-by-zero crash
+        round(when(col("__sw2") =!= 0.0,
+          col("__sw") * col("__sw") / col("__sw2")), 6).as("ess_raw"),
+        round(when(col("__sc2") =!= 0.0,
+          col("__sc") * col("__sc") / col("__sc2")), 6).as("ess_clipped"),
         col("n_clipped"),
         round(col("n_clipped").cast("double") / col("n").cast("double"),
           6).as("clipped_frac"),
-        round(col("__sc") / col("__sw"), 6).as("mass_ratio"))
+        round(when(col("__sw") =!= 0.0, col("__sc") / col("__sw")), 6)
+          .as("mass_ratio"))
   }
 }

@@ -558,4 +558,66 @@ class ScaleGrowthSpec extends SparkSpec {
     assert(g < 20.0,
       s"k-center shuffle grew ${g}x for 10x input ($small -> $large)")
   }
+
+  test("knn-shapley shuffle bytes grow ~linearly for 10x corpus at a " +
+      "fixed probe set") {
+    // corpus×probes rows with probes FIXED: the per-probe ranking is
+    // |corpus|·|probes| work by definition — the guarded failure mode is
+    // anything quadratic IN THE CORPUS (e.g. a corpus-side join slipping
+    // into the scoring)
+    def emb(n: Int): DataFrame =
+      spark.range(0, n).select(col("id").as("vec_id")).as[Long]
+        .map(i => (i, (i % 7).toInt, Array.tabulate(8)(d =>
+          (((i * 2654435761L + d * 40503L) % 1000L).toDouble / 500.0 - 1.0).toFloat)))
+        .toDF("vec_id", "label", "embedding")
+    def shap(n: Int) = {
+      val e = emb(n)
+      graft.analytics.Valuation.knnShapley(
+        e.filter(col("vec_id") >= 4), e.filter(col("vec_id") < 4),
+        col("vec_id"), col("label"), col("embedding"),
+        col("vec_id"), col("label"), col("embedding"), k = 3)
+    }
+    val small = shuffleBytes(run(shap(500)))
+    val large = shuffleBytes(run(shap(5000)))
+    val g = growth(small, large)
+    assert(small > 0, "listener captured no shuffle writes")
+    assert(g < 25.0,
+      s"knn-shapley shuffle grew ${g}x for 10x input ($small -> $large)")
+  }
+
+  test("sorted-neighborhood candidates and shuffle grow ~linearly from " +
+      "1x to 10x records") {
+    // candidates are n·(w−1) − edge effects BY CONSTRUCTION; the guarded
+    // failure is the rank join degenerating (e.g. a non-equi range join
+    // replicating blocks)
+    def recs(n: Int): DataFrame =
+      spark.range(0, n).select(col("id").as("rid"),
+        md5(col("id").cast("string")).as("k"),
+        (col("id") / 3).cast("long").as("t"))
+    def snm(n: Int) = graft.analytics.Entities.sortedNeighborhood(
+      recs(n), col("rid"), col("k"), col("t"), window = 5)
+    val smallRow = snm(500).head()
+    assert(smallRow.getAs[Long]("candidate_pairs") === (500L - 4) * 4 +
+      3 + 2 + 1, "SNM candidate count must be n(w-1) minus edge effects")
+    val small = shuffleBytes(run(snm(500)))
+    val large = shuffleBytes(run(snm(5000)))
+    val g = growth(small, large)
+    assert(small > 0, "listener captured no shuffle writes")
+    assert(g < 25.0,
+      s"SNM shuffle grew ${g}x for 10x input ($small -> $large)")
+  }
+
+  test("texttiling shuffle bytes grow ~linearly from 1x to 10x docs") {
+    // the adjacent-block self-join meets only on (doc, block+1, term):
+    // per-doc work is tokens/w boundaries — a term-only join key would
+    // send this quadratic in document count
+    def tiles(n: Int) = graft.text.Segmentation.cutReport(
+      docs(n), col("doc_id"), col("text"), w = 10)
+    val small = shuffleBytes(run(tiles(500)))
+    val large = shuffleBytes(run(tiles(5000)))
+    val g = growth(small, large)
+    assert(small > 0, "listener captured no shuffle writes")
+    assert(g < 25.0,
+      s"texttiling shuffle grew ${g}x for 10x input ($small -> $large)")
+  }
 }

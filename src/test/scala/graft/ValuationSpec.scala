@@ -95,5 +95,14 @@ class ValuationSpec extends SparkSpec {
       degen.getAs[Long]("total_pairs"))
     assert(degen.getAs[Double]("reduction_ratio") === 0.0)
     assert(degen.getAs[Double]("pairs_completeness") === 1.0)
+    // degenerate denominators: a 1-record corpus has no pairs of any
+    // kind — every ratio is NULL, never an ANSI divide-by-zero
+    val one = Valuation.blockingAudit(
+      Seq((1L, "A", 1L)).toDF("rid", "bk", "tr"),
+      col("rid"), col("bk"), col("tr")).head()
+    assert(one.getAs[Long]("total_pairs") === 0L)
+    assert(one.isNullAt(one.fieldIndex("reduction_ratio")))
+    assert(one.isNullAt(one.fieldIndex("pairs_completeness")))
+    assert(one.isNullAt(one.fieldIndex("pairs_quality")))
   }
 }
