@@ -3947,6 +3947,56 @@ object OracleSql {
          | round(CAST(vp AS DOUBLE) / CAST(cp AS DOUBLE), 6)
          |  AS pairs_quality
          |FROM tot, ag, tu""".stripMargin,
+    // mirror of Dedup.stitchCandidates over the same %23 pagination
+    // split (m = n//2, halves share tokens[m-3 .. m+4]); md5 boundary
+    // keys verified by actual window equality on both engines
+    "x216_stitch" ->
+      s"""WITH t0 AS (SELECT doc_id, text, $Toks AS t FROM documents),
+         |sp AS (SELECT doc_id, t, len(t) AS n, len(t) // 2 AS m FROM t0
+         | WHERE doc_id % 23 = 0 AND len(t) >= 24),
+         |parts AS (SELECT doc_id + 6000000 AS doc_id,
+         |  array_to_string(t[1 : CAST(m + 4 AS INTEGER)], ' ') AS text
+         | FROM sp
+         | UNION ALL SELECT doc_id + 7000000,
+         |  array_to_string(t[CAST(m - 3 AS INTEGER) :
+         |   CAST(n AS INTEGER)], ' ') FROM sp),
+         |base0 AS (SELECT doc_id, text FROM documents
+         | UNION ALL SELECT doc_id, text FROM parts),
+         |b AS (SELECT doc_id, $Toks AS t FROM base0),
+         |el AS (SELECT doc_id, t, len(t) AS n FROM b WHERE len(t) >= 16),
+         |heads AS (SELECT doc_id AS doc_b,
+         |  md5(array_to_string(t[1:8], chr(1))) AS k,
+         |  t[1:8] AS h FROM el),
+         |tails AS (SELECT doc_id AS doc_a,
+         |  md5(array_to_string(t[CAST(n - 7 AS INTEGER) :
+         |   CAST(n AS INTEGER)], chr(1))) AS k,
+         |  t[CAST(n - 7 AS INTEGER) : CAST(n AS INTEGER)] AS tl FROM el),
+         |ch AS (SELECT k FROM heads GROUP BY k HAVING count(*) <= 1000),
+         |ct AS (SELECT k FROM tails GROUP BY k HAVING count(*) <= 1000)
+         |SELECT doc_a, doc_b, 8 AS overlap_tokens
+         |FROM tails JOIN heads USING (k)
+         | JOIN ch USING (k) JOIN ct USING (k)
+         |WHERE doc_a <> doc_b AND tl = h""".stripMargin,
+    // mirror of Validation.qiSubsetSweep: the SAME subset enumeration
+    // (scala combinations) rendered as unions over one finest-grain CTE
+    "x217_qi_sweep" -> {
+      val names = Seq("lang", "source", "len_bucket")
+      val parts = (1 to names.size).flatMap(names.combinations).map { s =>
+        val cols = s.mkString(", ")
+        s"""SELECT '${s.mkString("+")}' AS qi_set, ${s.size} AS n_qi,
+           | CAST(count(*) AS BIGINT) AS n_classes,
+           | CAST(min(cs) AS BIGINT) AS min_class,
+           | CAST(sum(CASE WHEN cs < 5 THEN cs ELSE 0 END) AS BIGINT)
+           |  AS n_violating_records,
+           | round(CAST(sum(CASE WHEN cs < 5 THEN cs ELSE 0 END)
+           |   AS DOUBLE) / CAST(sum(cs) AS DOUBLE), 6) AS violation_rate
+           |FROM (SELECT $cols, CAST(sum(c) AS BIGINT) AS cs FROM fin
+           | GROUP BY $cols)""".stripMargin
+      }
+      s"""WITH fin AS (SELECT lang, source, n_chars // 128 AS len_bucket,
+         |  CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2, 3)
+         |${parts.mkString("\nUNION ALL\n")}""".stripMargin
+    },
     // mirror of Joins.joinSizeEstimate: universe sampling at 2000/10000
     // buckets on the SAME hash both sides, Σ cA·cB scaled by 5.0
     "x215_join_size" ->

@@ -1947,6 +1947,34 @@ object SparkEntry {
     "x211_sorted_neighborhood" -> ((s, dir) =>
       graft.analytics.Entities.sortedNeighborhood(entityRegistry(s, dir),
         col("rid"), col("rkey"), expr("rid div 3"), window = 5)),
+    // continuation stitching over a pagination fixture: every 23rd doc
+    // (with >= 24 tokens) re-enters as two halves sharing an 8-token
+    // seam; the tail→head boundary join names each (predecessor,
+    // successor) pair for reassembly
+    "x216_stitch" -> ((s, dir) => {
+      val t0 = T(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.text.TextAnalysis.tokens(col("text")).as("t"),
+          col("text"))
+      val sp = t0.filter(col("doc_id") % 23 === 0 && size(col("t")) >= 24)
+        .withColumn("m", (size(col("t")) / 2).cast("int"))
+      val parts = sp.select((col("doc_id") + 6000000L).as("doc_id"),
+          array_join(slice(col("t"), lit(1), col("m") + 4), " ").as("text"))
+        .union(sp.select((col("doc_id") + 7000000L).as("doc_id"),
+          array_join(slice(col("t"), col("m") - 3,
+            size(col("t")) - col("m") + 4), " ").as("text")))
+      graft.dedup.Dedup.stitchCandidates(
+        t0.select(col("doc_id"), col("text")).union(parts),
+        col("doc_id"), col("text"), g = 8)
+    }),
+    // k-anonymity sweep over every QI subset (lang / source / 128-char
+    // length band): which column combinations re-identify, from ONE
+    // finest-grain scan + 7 tuple-frame aggregates
+    "x217_qi_sweep" -> ((s, dir) =>
+      Validation.qiSubsetSweep(T(s, dir, "documents"),
+        Seq("lang" -> col("lang"), "source" -> col("source"),
+          "len_bucket" -> floor(col("n_chars") / 128).cast("long")),
+        k = 5)),
     // join-size estimate by universe (key-synchronized) sampling at a
     // 20 % key budget — the planner number BEFORE a 100 TB shuffle join,
     // audited against the exact Σ cA·cB (never the enumerated join)

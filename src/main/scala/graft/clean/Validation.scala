@@ -252,6 +252,50 @@ object Validation {
       .filter(col("class_size") < k)
   }
 
+  /** k-anonymity SWEEP over every non-empty quasi-identifier SUBSET —
+    * the audit [[kAnonymityViolations]] runs for one fixed QI tuple,
+    * answered for all 2^m − 1 of them at once: which column
+    * combinations actually re-identify, and how much each added column
+    * costs in minimum class size. This is the question a release
+    * reviewer asks ("is it lang+source that fingerprints people, or
+    * only once length joins them?") and the anonymization dial it
+    * yields is WHICH columns to generalize first.
+    *
+    * Scale shape: ONE corpus scan into the finest-grain class counts
+    * (all m columns — localCheckpoint'd, |distinct tuples| rows), then
+    * every subset aggregates THAT frame (the classic cube
+    * decomposition), so 2^m − 1 reports cost one scan + 2^m − 1
+    * tuple-frame aggregates. m is a dial (≤ 10 enforced); the subsets
+    * union into a 2^m − 1-row report.
+    */
+  def qiSubsetSweep(df: DataFrame, quasi: Seq[(String, Column)],
+      k: Int): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    require(quasi.size <= 10,
+      s"subset sweep is exponential in columns: m <= 10, got ${quasi.size}")
+    require(k >= 2, s"k must be >= 2, got $k")
+    val names = quasi.map(_._1)
+    val finest = df.select(quasi.map { case (n, c) => c.as(n) }: _*)
+      .groupBy(names.map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true) // every subset aggregate reads it
+    val reports = (1 to names.size).flatMap(names.combinations).map { s =>
+      finest.groupBy(s.map(col): _*)
+        .agg(sum(col("__c")).as("__cs"))
+        .agg(count(lit(1)).as("n_classes"),
+          min(col("__cs")).as("min_class"),
+          sum(when(col("__cs") < k, col("__cs")).otherwise(0L))
+            .as("n_violating_records"),
+          sum(col("__cs")).as("__n"))
+        .select(lit(s.mkString("+")).as("qi_set"),
+          lit(s.size).as("n_qi"), col("n_classes"), col("min_class"),
+          col("n_violating_records"),
+          round(col("n_violating_records").cast("double") /
+            col("__n").cast("double"), 6).as("violation_rate"))
+    }
+    reports.reduce(_ unionByName _)
+  }
+
   /** l-diversity audit: quasi-identifier classes whose SENSITIVE
     * attribute carries fewer than `l` distinct values — k-anonymity's
     * blind spot: a size-50 class protects nothing if all 50 rows share

@@ -1549,6 +1549,51 @@ object Dedup {
         round(avg(col("jaccard")), 6).as("avg_jaccard"))
   }
 
+  /** Continuation stitching: candidate (a, b) pairs where document a's
+    * LAST `g` tokens equal document b's FIRST `g` tokens — the
+    * crawl-pagination artifact ("page 2 re-serves the last paragraph of
+    * page 1") that document-level dedup can't see (the pages are
+    * globally distinct) and span dedup only reports as an overlap;
+    * stitching names the (predecessor, successor) pair so the pipeline
+    * can reassemble the full article instead of training on both halves
+    * plus a duplicated seam.
+    *
+    * Same candidate→verify discipline as every dedup tier here: join on
+    * the md5 of the g-token boundary window (tails against heads), cap
+    * degenerate boundary keys on BOTH sides (`capBuckets` — a
+    * boilerplate footer shared by a million pages is exactly the bucket
+    * the cap drops), then verify the actual token windows match so an
+    * md5 collision cannot fabricate a stitch. Documents shorter than 2g
+    * are excluded (their head and tail overlap — a self-matching
+    * window). Output: (doc_a, doc_b, overlap_tokens).
+    *
+    * Scale shape: one tokenize pass, two boundary projections, one
+    * capped equi-join on the boundary hash — candidate volume is
+    * bounded by the true continuation volume plus capped-bucket noise,
+    * never |corpus|².
+    */
+  def stitchCandidates(df: DataFrame, id: Column, text: Column,
+      g: Int = 8, maxBucket: Int = 1000): DataFrame = {
+    require(g >= 2, s"boundary window must be >= 2 tokens, got $g")
+    val base = df.select(id.cast("long").as("doc_id"),
+        TextAnalysis.tokens(text).as("__t"))
+      .filter(size(col("__t")) >= 2 * g)
+    val heads = capBuckets(
+      base.select(col("doc_id").as("doc_b"),
+        md5(concat_ws("\u0001", slice(col("__t"), 1, g))).as("__k"),
+        slice(col("__t"), 1, g).as("__h")),
+      Seq(col("__k")), maxBucket)
+    val tails = capBuckets(
+      base.select(col("doc_id").as("doc_a"),
+        md5(concat_ws("\u0001", slice(col("__t"), -g, g))).as("__k"),
+        slice(col("__t"), -g, g).as("__tl")),
+      Seq(col("__k")), maxBucket)
+    tails.join(heads, Seq("__k"))
+      .filter(col("doc_a") =!= col("doc_b") && col("__tl") === col("__h"))
+      .select(col("doc_a"), col("doc_b"),
+        lit(g).cast("int").as("overlap_tokens"))
+  }
+
   /** Normalization dedup ladder: how many duplicates each rung of the
     * standard text-normalization cascade exposes —
     *

@@ -913,6 +913,38 @@ class DedupSpec extends SparkSpec {
     assert(gotEdge.contains((30L, 31L)))
   }
 
+  test("x216 stitchCandidates pairs a page with its continuation, " +
+      "ignores short docs, and verifies past hash collisions") {
+    import spark.implicits._
+    val seam = (1 to 8).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 a4 a5 a6 a7 a8 $seam"),            // page 1: ends in seam
+      (2L, s"$seam b1 b2 b3 b4 b5 b6 b7 b8"),            // page 2: starts with seam
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12 c13 c14 c15 c16"),
+      (4L, s"$seam")                                     // 8 tokens < 2g: excluded
+    ).toDF("doc_id", "text")
+    val got = Dedup.stitchCandidates(docs, col("doc_id"), col("text"),
+        g = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)))
+  }
+
+  test("x216 stitchCandidates drops a boilerplate boundary bucket at " +
+      "the cap") {
+    import spark.implicits._
+    val footer = (1 to 8).map(i => s"f$i").mkString(" ")
+    // 5 docs end with the same footer, 5 start with it: 25 pairs uncapped
+    val docs = ((1L to 5L).map(i => (i, s"x$i y$i z$i w$i v$i u$i t$i s$i $footer")) ++
+      (11L to 15L).map(i => (i, s"$footer p$i q$i r$i s$i t$i u$i v$i w$i")))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.stitchCandidates(docs, col("doc_id"),
+      col("text"), g = 8, maxBucket = 1000).count()
+    val capped = Dedup.stitchCandidates(docs, col("doc_id"),
+      col("text"), g = 8, maxBucket = 4).count()
+    assert(uncapped === 25L)
+    assert(capped === 0L, "a bucket over the cap must drop whole")
+  }
+
   test("x209 normalizationLadder attributes each dup to the rung that " +
       "first collapses it; the ladder is monotone") {
     import spark.implicits._

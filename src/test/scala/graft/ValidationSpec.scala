@@ -120,6 +120,27 @@ class ValidationSpec extends SparkSpec {
     assert(got === Map(("en", "s2") -> 2L, ("fr", "s1") -> 1L))
   }
 
+  test("x217 qiSubsetSweep: hand class counts per subset — the pair " +
+      "re-identifies where each single column is safe") {
+    import spark.implicits._
+    // lang alone: en 7, fr 1 -> fr violates. source alone: s1 6, s2 2
+    // -> s2 violates. the PAIR: (en,s1) 5 clean, (en,s2) 2 and (fr,s1)
+    // 1 violate — the sweep shows joining columns is what leaks
+    val df = (Seq.fill(5)(("en", "s1")) ++ Seq.fill(2)(("en", "s2")) :+
+      (("fr", "s1"))).zipWithIndex
+      .map { case ((l, s), i) => (i.toLong, l, s) }
+      .toDF("id", "lang", "source").repartition(2)
+    val got = Validation.qiSubsetSweep(df,
+        Seq("lang" -> col("lang"), "source" -> col("source")), k = 5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    assert(got.keySet === Set("lang", "source", "lang+source"))
+    assert(got("lang") === ((1, 2L, 1L, 1L, 0.125)))
+    assert(got("source") === ((1, 2L, 2L, 2L, 0.25)))
+    assert(got("lang+source") === ((2, 3L, 1L, 3L, 0.375)))
+  }
+
   test("x131 lDiversityViolations: homogeneous class flagged despite its size") {
     import spark.implicits._
     // class A: 6 rows but ONE sensitive value (k-anonymous, l-broken);
