@@ -3947,6 +3947,31 @@ object OracleSql {
          | round(CAST(vp AS DOUBLE) / CAST(cp AS DOUBLE), 6)
          |  AS pairs_quality
          |FROM tot, ag, tu""".stripMargin,
+    // mirror of Layout.zoneMapAudit under both layouts: same zValueSql
+    // bit-interleave as x39, same hashKey bucket, lo/hi 100/120
+    "x218_zonemap_audit" -> {
+      def side(layout: String, bucketExpr: String): String =
+        s"""SELECT '$layout' AS layout,
+           | CAST(count(*) AS BIGINT) AS n_buckets,
+           | CAST(sum(CASE WHEN mx < 100.0 OR mn > 120.0 THEN 1 ELSE 0
+           |  END) AS BIGINT) AS skippable_buckets,
+           | round(1.0 - CAST(sum(CASE WHEN mx < 100.0 OR mn > 120.0
+           |   THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE),
+           |  6) AS bucket_scan_fraction,
+           | CAST(sum(CASE WHEN mx < 100.0 OR mn > 120.0 THEN c ELSE 0
+           |  END) AS BIGINT) AS skipped_rows,
+           | CAST(sum(c) AS BIGINT) AS n_rows,
+           | round(1.0 - CAST(sum(CASE WHEN mx < 100.0 OR mn > 120.0
+           |   THEN c ELSE 0 END) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+           |  AS row_scan_fraction
+           |FROM (SELECT $bucketExpr AS b, min(value) AS mn,
+           |  max(value) AS mx, CAST(count(*) AS BIGINT) AS c
+           | FROM events WHERE value IS NOT NULL GROUP BY 1)""".stripMargin
+      side("hash", s"${hashKeySql("event_id", "layout")} % 16") +
+        "\nUNION ALL\n" +
+        side("zorder",
+          s"(${zValueSql("floor(value)", "user_id", 9)} >> ${2 * 9 - 4})")
+    },
     // mirror of Dedup.stitchCandidates over the same %23 pagination
     // split (m = n//2, halves share tokens[m-3 .. m+4]); md5 boundary
     // keys verified by actual window equality on both engines

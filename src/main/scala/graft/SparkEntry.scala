@@ -1947,6 +1947,26 @@ object SparkEntry {
     "x211_sorted_neighborhood" -> ((s, dir) =>
       graft.analytics.Entities.sortedNeighborhood(entityRegistry(s, dir),
         col("rid"), col("rkey"), expr("rid div 3"), window = 5)),
+    // zone-map pruning audit: min/max file statistics per bucket under
+    // a hash layout vs the x39 z-order layout, and the bucket/row
+    // fraction a value-range predicate can skip under each — the
+    // measurable benefit the z-order write exists to buy
+    "x218_zonemap_audit" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      // bits = 9: the smallest width holding the value domain (< 512),
+      // so the bucket id's top bits carry LIVE value bands — at ZBits
+      // (10) the leading interleave bits are all zero here and the
+      // layout degenerates to 2 buckets
+      val z = graft.warehouse.Layout.zValue(
+        floor(col("value")).cast("long"), col("user_id"), bits = 9)
+      val zb = graft.warehouse.Layout.zBucket(z, 9, numBuckets = 16)
+      val hb = graft.sampling.Sampling.hashKey(col("event_id"),
+        lit("layout")) % 16
+      graft.warehouse.Layout.zoneMapAudit(ev, "hash", hb,
+          col("value"), 100.0, 120.0)
+        .unionByName(graft.warehouse.Layout.zoneMapAudit(ev, "zorder",
+          zb, col("value"), 100.0, 120.0))
+    }),
     // continuation stitching over a pagination fixture: every 23rd doc
     // (with >= 24 tokens) re-enters as two halves sharing an 8-token
     // seam; the tail→head boundary join names each (predecessor,

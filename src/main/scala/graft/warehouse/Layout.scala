@@ -50,6 +50,45 @@ object Layout {
     shiftright(z, shift)
   }
 
+  /** Zone-map (min/max file statistics) pruning audit: per bucket of a
+    * LAYOUT, the column's min/max — exactly what Parquet row groups and
+    * Iceberg/Delta manifests store — and the fraction of buckets (and
+    * rows) a range predicate `value BETWEEN lo AND hi` can SKIP without
+    * reading them. Run once per candidate layout and compare: this is
+    * the measurable benefit [[zValue]] exists to buy — under a hash
+    * layout every bucket spans the full value range (scan_fraction ~1);
+    * under a Z-order layout buckets are contiguous Z-ranges, so a value
+    * predicate prunes the buckets whose x-bits sit outside it. The
+    * decision a 100 TB table's OPTIMIZE job needs, priced before the
+    * rewrite.
+    *
+    * One grouped min/max/count (map-side partials) + a 1-row reduce per
+    * layout — the audit costs one pass over the column regardless of
+    * how good the layout is.
+    */
+  def zoneMapAudit(df: org.apache.spark.sql.DataFrame, layout: String,
+      bucket: Column, value: Column, lo: Double, hi: Double):
+      org.apache.spark.sql.DataFrame = {
+    require(lo <= hi, s"empty predicate range: [$lo, $hi]")
+    val per = df.select(bucket.as("__b"), value.cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__b"))
+      .agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"),
+        count(lit(1)).as("__c"))
+    val skip = col("__mx") < lo || col("__mn") > hi
+    per.agg(count(lit(1)).as("n_buckets"),
+        sum(when(skip, 1L).otherwise(0L)).as("skippable_buckets"),
+        sum(when(skip, col("__c")).otherwise(0L)).as("skipped_rows"),
+        sum(col("__c")).as("n_rows"))
+      .select(lit(layout).as("layout"), col("n_buckets"),
+        col("skippable_buckets"),
+        round(lit(1.0) - col("skippable_buckets").cast("double") /
+          col("n_buckets").cast("double"), 6).as("bucket_scan_fraction"),
+        col("skipped_rows"), col("n_rows"),
+        round(lit(1.0) - col("skipped_rows").cast("double") /
+          col("n_rows").cast("double"), 6).as("row_scan_fraction"))
+  }
+
   /** Parquet compaction — the `OPTIMIZE` maintenance pass a streaming
     * parquet sink needs: an append-mode micro-batch sink
     * ([[graft.streaming.Pipeline.parquetSink]]) accumulates one small file

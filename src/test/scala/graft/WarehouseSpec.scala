@@ -257,4 +257,32 @@ class WarehouseSpec extends SparkSpec {
       ("A", 3L) -> (("x", ts(5), None, true)),
       ("B", 1L) -> (("q", ts(2), None, true))))
   }
+
+  test("x218 zoneMapAudit: z-order prunes value bands a hash layout " +
+      "cannot; hand bucket stats") {
+    import spark.implicits._
+    import graft.warehouse.Layout
+    // values {1,5,9,13} × users {0..3}; bits=4 → zBucket(4 buckets) =
+    // [y3, x3]: users < 8 keep y3=0, so two live buckets split at
+    // value 8 — predicate [0,7] skips exactly the v≥8 bucket
+    val rows = (for (v <- Seq(1, 5, 9, 13); u <- 0 to 3)
+      yield (v.toLong * 100 + u, v.toDouble, u.toLong))
+      .toDF("id", "value", "user_id")
+    val z = Layout.zValue(floor(col("value")).cast("long"),
+      col("user_id"), bits = 4)
+    val zr = Layout.zoneMapAudit(rows, "zorder",
+      Layout.zBucket(z, 4, numBuckets = 4), col("value"), 0.0, 7.0)
+      .head()
+    assert(zr.getAs[Long]("n_buckets") === 2L)
+    assert(zr.getAs[Long]("skippable_buckets") === 1L)
+    assert(zr.getAs[Double]("bucket_scan_fraction") === 0.5)
+    assert(zr.getAs[Long]("skipped_rows") === 8L)
+    assert(zr.getAs[Double]("row_scan_fraction") === 0.5)
+    // the id-hash layout interleaves values through every bucket: no
+    // bucket's [min, max] clears the predicate, nothing skips
+    val hr = Layout.zoneMapAudit(rows, "hash", col("id") % 2,
+      col("value"), 0.0, 7.0).head()
+    assert(hr.getAs[Long]("skippable_buckets") === 0L)
+    assert(hr.getAs[Double]("bucket_scan_fraction") === 1.0)
+  }
 }
